@@ -1,13 +1,252 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.engine.Aggregations.AggSpec
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry implements one operator row of SURVEY.md §2 via the engine
+  * packages (graft.engine.* / graft.northstar.*); `oracleSql` carries the
+  * DuckDB-equivalent ANSI SQL for the driver's hash compare.
+  *
+  * FP discipline for oracle parity: money columns (2-decimal doubles) are
+  * pre-cast to DECIMAL before SUM on BOTH sides so the aggregate is exact
+  * and order-independent; means are taken over integer-valued columns or
+  * derived as exact_sum/count. Plain double SUMs would differ between
+  * Spark's 32-partition tree aggregation and DuckDB's in the low bits.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship shape: "total sales by category"
+    * (front_end.py:719) = scan → join → trim → multi-agg (S1, J1, T4, A1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    flagship(spark, "/root/testdata/sf0.001")
+
+  /** lineitem ⋈ orders → T4 trim → A1 {col}_{func} aggregate. */
+  private def flagship(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("l_extendedprice",
+        col("l_extendedprice").cast("decimal(12,2)"))
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+    val trimmed = Transforms.trimWhitespace(joined)
+    Aggregations.aggregate(trimmed, AggSpec(
+      groupBy = Seq("l_returnflag", "l_linestatus", "o_orderstatus"),
+      aggCols = Seq("l_quantity", "l_extendedprice"),
+      funcs = Seq("sum", "count"))).get
+      .withColumn("l_quantity_mean",
+        col("l_quantity_sum") / col("l_quantity_count"))
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship (S1+J1+T4+A1 composed) ----
+    "q1_flagship" -> ((s, dir) => flagship(s, dir)),
+
+    // ---- S: sources / scans ----
+    "s1_scan_full" -> ((s, dir) => t(s, dir, "nation")),
+    "s2_scan_incremental" -> ((s, dir) => {
+      // E2's filtered pull at a fixed watermark: rows past half the keyspace.
+      // ts exposed as epoch µs: DuckDB truncates parquet ns→µs on read, so
+      // µs is the largest exactly-comparable precision.
+      val ev = t(s, dir, "events")
+      val wm = Aggregations.watermark(ev).collect()(0).getLong(0) / 2
+      ev.filter(col("event_id") > lit(wm))
+        .withColumn("ts", expr("ts div 1000"))
+    }),
+    "s3_preview" -> ((s, dir) =>
+      t(s, dir, "orders").orderBy("o_orderkey").limit(5)),
+
+    // ---- T: transformations ----
+    "t1_dedup" -> ((s, dir) =>
+      Transforms.removeDuplicates(
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity"))),
+    "t2_remove_nulls" -> ((s, dir) =>
+      Transforms.removeNullRows(t(s, dir, "customer"))),
+    "t3_impute" -> ((s, dir) =>
+      Transforms.imputeNulls(t(s, dir, "supplier"))),
+    "t4_trim" -> ((s, dir) =>
+      Transforms.trimWhitespace(t(s, dir, "customer"))),
+    "t5_standardize_dates" -> ((s, dir) =>
+      Transforms.standardizeDates(t(s, dir, "orders"))),
+    "t6_t7_names" -> ((s, dir) => {
+      // c_name = "Customer#000000042" → synthesize first/last name columns,
+      // then exercise T6 combine (keeps the joining space) and T7 split.
+      val base = t(s, dir, "customer").select(
+        col("c_custkey"),
+        split(col("c_name"), "#", 2).getItem(0).as("first_name"),
+        split(col("c_name"), "#", 2).getItem(1).as("last_name"))
+      Transforms.splitNames(Transforms.combineNames(base))
+    }),
+
+    // ---- A: aggregations ----
+    "a1_multi_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("l_extendedprice",
+        col("l_extendedprice").cast("decimal(12,2)"))
+      Aggregations.aggregate(li, AggSpec(
+        groupBy = Seq("l_returnflag", "l_linestatus"),
+        aggCols = Seq("l_quantity", "l_extendedprice"),
+        funcs = Seq("sum", "min", "max", "count"))).get
+    }),
+    "a2_mean_agg" -> ((s, dir) =>
+      Aggregations.aggregate(t(s, dir, "lineitem"), AggSpec(
+        groupBy = Seq("l_returnflag"),
+        aggCols = Seq("l_quantity", "l_linenumber"),
+        funcs = Seq("mean", "count"))).get),
+    "a4_pie" -> ((s, dir) =>
+      Aggregations.pie(
+        t(s, dir, "orders").withColumn("o_totalprice",
+          col("o_totalprice").cast("decimal(12,2)")),
+        "o_orderpriority", "o_totalprice")),
+    "a5_histogram" -> ((s, dir) =>
+      Aggregations.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20)),
+    "a6_watermark" -> ((s, dir) =>
+      Aggregations.watermark(t(s, dir, "events"))),
+
+    // ---- J: auto-mapping joins ----
+    "j1_autojoin" -> ((s, dir) => {
+      // FK-first → semantic inference finds c_custkey ≈ o_custkey (≥0.8).
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val (k1, k2) = Mapping.inferKey(
+        c.columns.toSeq, Mapping.TableMeta(),
+        o.columns.toSeq, Mapping.TableMeta()).get
+      Mapping.join(c, "customer", k1, o, "orders", k2)
+    }),
+
+    // ---- Q: SQL surface (front_end.py:215-225 shapes, text_to_sql.py:178-182) ----
+    "q_sql_topn" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("orders"))
+      Sql.runSql(s,
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    }),
+    "q_sql_monthly" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("orders"))
+      Sql.runSql(s,
+        """SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+          |       count(*) AS n_orders
+          |FROM orders GROUP BY 1""".stripMargin)
+    }),
+    "q_sql_dow" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("orders"))
+      Sql.runSql(s,
+        """SELECT date_format(o_orderdate, 'EEEE') AS dow,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          |        / count(o_totalprice), 2) AS avg_price
+          |FROM orders GROUP BY 1""".stripMargin)
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_flagship" ->
+      """SELECT l_returnflag, l_linestatus, o_orderstatus,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS l_quantity_sum,
+        |  count(l_quantity) AS l_quantity_count,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_sum,
+        |  count(l_extendedprice) AS l_extendedprice_count,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS l_quantity_mean
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "s1_scan_full" -> "SELECT * FROM nation",
+    // ts surfaces as epoch MICROSECONDS on both sides: Spark reads the
+    // parquet ns column as int64 nanos (Tables.table) and divides; DuckDB
+    // truncates ns→µs timestamps on parquet read, so epoch_us is exact.
+    "s2_scan_incremental" ->
+      """SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props
+        |FROM events
+        |WHERE event_id > (SELECT max(event_id) // 2 FROM events)""".stripMargin,
+    "s3_preview" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 5",
+    "t1_dedup" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+    "t2_remove_nulls" ->
+      """SELECT * FROM customer
+        |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |  AND c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+        |  AND c_mktsegment IS NOT NULL""".stripMargin,
+    // supplier has no nulls at any SF (TESTDATA is null-free), so mean
+    // imputation is the identity on numeric cols (impl only rewrites columns
+    // that contain nulls) and 'N/A' fill is the identity on strings; the
+    // null-bearing path is covered by ImputeSpec unit tests.
+    "t3_impute" ->
+      """SELECT s_suppkey, coalesce(s_name, 'N/A') AS s_name, s_nationkey,
+        |       s_acctbal FROM supplier""".stripMargin,
+    "t4_trim" ->
+      """SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal,
+        |       trim(c_mktsegment) AS c_mktsegment FROM customer""".stripMargin,
+    "t5_standardize_dates" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority FROM orders""".stripMargin,
+    "t6_t7_names" ->
+      """SELECT c_custkey,
+        |  split_part(c_name, '#', 1) AS first_name,
+        |  split_part(c_name, '#', 2) AS last_name,
+        |  trim(split_part(c_name, '#', 1)) || ' ' || trim(split_part(c_name, '#', 2)) AS full_name,
+        |  split_part(trim(split_part(c_name, '#', 1)) || ' ' || trim(split_part(c_name, '#', 2)), ' ', 1) AS first_name_split,
+        |  split_part(trim(split_part(c_name, '#', 1)) || ' ' || trim(split_part(c_name, '#', 2)), ' ', 2) AS last_name_split
+        |FROM customer""".stripMargin,
+    "a1_multi_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS l_quantity_sum,
+        |  min(l_quantity) AS l_quantity_min,
+        |  max(l_quantity) AS l_quantity_max,
+        |  count(l_quantity) AS l_quantity_count,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_sum,
+        |  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_min,
+        |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_max,
+        |  count(l_extendedprice) AS l_extendedprice_count
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a2_mean_agg" ->
+      """SELECT l_returnflag,
+        |  avg(l_quantity) AS l_quantity_mean,
+        |  count(l_quantity) AS l_quantity_count,
+        |  avg(l_linenumber) AS l_linenumber_mean,
+        |  count(l_linenumber) AS l_linenumber_count
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a4_pie" ->
+      """SELECT o_orderpriority,
+        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS o_totalprice_sum
+        |FROM orders GROUP BY 1""".stripMargin,
+    "a5_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |           FROM lineitem),
+        |h AS (SELECT CAST(least(floor((l_extendedprice - mn) * 20 / (mx - mn)), 19) AS INT) AS bucket
+        |      FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket,
+        |  (SELECT mn FROM b) + bucket * ((SELECT (mx - mn) FROM b) / 20) AS lo,
+        |  (SELECT mn FROM b) + (bucket + 1) * ((SELECT (mx - mn) FROM b) / 20) AS hi,
+        |  count(*) AS cnt
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a6_watermark" -> "SELECT max(event_id) AS max_event_id FROM events",
+    "j1_autojoin" ->
+      """SELECT c.c_custkey AS c_custkey,
+        |  c.c_name AS c_name_customer, c.c_nationkey AS c_nationkey_customer,
+        |  c.c_acctbal AS c_acctbal_customer, c.c_mktsegment AS c_mktsegment_customer,
+        |  o.o_orderkey AS o_orderkey_orders, o.o_orderstatus AS o_orderstatus_orders,
+        |  o.o_totalprice AS o_totalprice_orders, o.o_orderdate AS o_orderdate_orders,
+        |  o.o_orderpriority AS o_orderpriority_orders
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q_sql_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_sql_monthly" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_sql_dow" ->
+      """SELECT dayname(o_orderdate) AS dow,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |        / count(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.{Failure, Success, Try}
+
+/** Q1–Q4: the reference's arbitrary-SQL surface
+  * (/root/reference/ETL_Pipeline_Entire/front_end.py:215-225, 684-697;
+  * text_to_sql.py:39-93, 137-144).
+  *
+  * The reference ships every SQL string to MySQL; here the same strings run
+  * through spark.sql over temp views, so the effective relational surface is
+  * all of Spark SQL (sorts, windows, set ops, grouping sets, subqueries —
+  * none of which need engine code). The NL→SQL model itself stays a
+  * pluggable String => String outside the engine (SURVEY.md §7.3).
+  */
+object Sql {
+
+  /** Q1 execute SQL, errors-as-data: the reference returns failures as a
+    * one-column "Error" table instead of throwing (front_end.py:222-224).
+    */
+  def runSql(spark: SparkSession, query: String): DataFrame =
+    Try(spark.sql(query)) match {
+      case Success(df) => df
+      case Failure(e) =>
+        import spark.implicits._
+        Seq(Option(e.getMessage).getOrElse(e.toString)).toDF("Error")
+    }
+
+  /** Like runSql but surfacing the failure for programmatic callers. */
+  def trySql(spark: SparkSession, query: String): Either[Throwable, DataFrame] =
+    Try(spark.sql(query)).toEither
+
+  /** Q2 plumbing (a): render the catalog as simplified CREATE TABLE text for
+    * the NL→SQL prompt, collapsing types to number/text exactly like
+    * text_to_sql.py:63-84 (int/decimal/float/double/bit → number,
+    * everything else → text).
+    */
+  def renderSchema(tables: Map[String, DataFrame]): String = {
+    import org.apache.spark.sql.types._
+    def collapse(dt: DataType): String = dt match {
+      case _: NumericType | BooleanType => "number"
+      case _ => "text"
+    }
+    tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      val cols = df.schema.fields
+        .map(f => s"${f.name} ${collapse(f.dataType)}").mkString(", ")
+      s"CREATE TABLE $name ($cols)"
+    }.mkString("\n")
+  }
+
+  /** Q2 plumbing (b): extract the first SELECT...; statement from generated
+    * model output (text_to_sql.py:137-144). Falls back to the first
+    * SELECT-to-end-of-string when no terminating semicolon exists.
+    */
+  private val selectRe = "(?is)(SELECT\\b.*?;)".r
+  private val selectOpenRe = "(?is)(SELECT\\b.*)".r
+  def extractSelect(generated: String): Option[String] =
+    selectRe.findFirstMatchIn(generated).map(_.group(1).trim)
+      .orElse(selectOpenRe.findFirstMatchIn(generated).map(_.group(1).trim))
+
+  /** Q2: pluggable NL→SQL generator contract; the T5 model stays outside the
+    * engine. The template impl lets pipelines and tests run headless.
+    */
+  trait SqlGenerator { def generate(question: String, schema: String): String }
+  object EchoGenerator extends SqlGenerator {
+    def generate(question: String, schema: String): String = question
+  }
+
+  /** Q3 save result to the gold layer: replace-write under a timestamped
+    * default name (front_end.py:684-697, default name :668).
+    */
+  def saveGold(df: DataFrame, goldDir: String, name: String): Unit =
+    Tables.write(df, goldDir, name)
+
+  def defaultGoldName(now: java.time.LocalDateTime): String =
+    "golden_" + now.format(
+      java.time.format.DateTimeFormatter.ofPattern("uuuuMMdd_HHmm"))
+}

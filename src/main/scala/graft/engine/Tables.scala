@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table-set loading and catalog registration.
+  *
+  * The reference's only collection abstraction is a named table set
+  * (`Dict[table_name, DataFrame]` — /root/reference/ETL_Pipeline_Entire/
+  * transformations_code.py:60-72). Here a table set is `Map[String, DataFrame]`
+  * backed by one parquet directory per layer; registering every table as a
+  * temp view gives `spark.sql` the same catalog the reference's MySQL layer
+  * provided (front_end.py:215-225).
+  *
+  * Scale note: each table is a parquet directory scan — Spark parallelizes by
+  * row-group/file split (`spark.sql.files.maxPartitionBytes`), so the same
+  * code path serves 6k rows locally and 100 TB on a cluster. Loading is lazy;
+  * nothing is read until an action runs, and Catalyst prunes columns/pushes
+  * filters into each scan.
+  */
+object Tables {
+
+  /** All driver-testdata tables (TESTDATA.md + FIXTURES.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S1 full scan: one table from a layer directory.
+    *
+    * Parquet TIMESTAMP(NANOS) (events.ts) has no lossless TimestampType
+    * representation (Spark is µs); read it as raw int64 nanos instead
+    * (legacy.parquet.nanosAsLong) so values stay exact. Consumers needing a
+    * timestamp view use [[nanosToTimestamp]] explicitly (lossy, µs).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Explicit lossy ns→µs timestamp view of an int64-nanos column
+    * (integer div — double division would lose exactness at 1e18 ns).
+    */
+  def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{timestamp_micros, pmod, lit}
+    // (c - c%1000) is an exact multiple of 1000 in long; dividing an exact
+    // multiple yields an integral double < 2^53 → exact truncating division.
+    timestamp_micros(((c - pmod(c, lit(1000L))) / lit(1000L)).cast("long"))
+  }
+
+  /** Load a whole layer as a table set. Lazy: no IO until an action. */
+  def load(spark: SparkSession, dir: String,
+           names: Seq[String] = all): Map[String, DataFrame] =
+    names.map(n => n -> table(spark, dir, n)).toMap
+
+  /** Register a table set as temp views so spark.sql resolves them (Q1). */
+  def registerViews(tables: Map[String, DataFrame]): Unit =
+    tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+
+  /** Convenience: load + register a layer, returning the set. */
+  def open(spark: SparkSession, dir: String,
+           names: Seq[String] = all): Map[String, DataFrame] = {
+    val ts = load(spark, dir, names)
+    registerViews(ts)
+    ts
+  }
+
+  /** S4 catalog listing, as a DataFrame for UI parity (front_end.py:67-71). */
+  def listTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().select("name").as[String]
+      .collect().sorted.toSeq.toDF("table_name")
+  }
+
+  /** S7/S8 sinks: write a table to a layer dir (replace or append).
+    * `mode(Overwrite)` is the reference's drop+recreate (data_extraction
+    * .py:32-43); parquet keeps the schema with the data (S6 for free).
+    */
+  def write(df: DataFrame, dir: String, name: String,
+            mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(s"$dir/$name.parquet")
+
+  /** S10 bulk loader: write every table with a name prefix
+    * (transformations_code.py:206-213).
+    */
+  def writeAll(tables: Map[String, DataFrame], dir: String,
+               prefix: String = ""): Unit =
+    tables.foreach { case (n, df) =>
+      val out = if (prefix.isEmpty) n else s"${prefix}_$n"
+      write(df, dir, out)
+    }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.engine.Aggregations
+import graft.engine.Aggregations.AggSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** A1–A6 semantics (transformations_code.py:168-184, front_end.py:471-818,
+  * data_extraction.py:90-92), incl. the pandas null-group-key drop.
+  */
+class AggregationsSpec extends SparkSpecBase {
+  import scala.jdk.CollectionConverters._
+
+  private def sales = {
+    val schema = StructType(Seq(
+      StructField("category", StringType),
+      StructField("region", StringType),
+      StructField("amount", DoubleType),
+      StructField("qty", LongType),
+    ))
+    spark.createDataFrame(Seq(
+      Row("a", "e", 10.0, 1L),
+      Row("a", "e", 20.0, null),
+      Row("b", "w", 30.0, 3L),
+      Row(null, "w", 99.0, 9L), // pandas groupby drops this row
+    ).asJava, schema)
+  }
+
+  test("A1: {col}_{func} naming, group keys as columns, null group keys dropped") {
+    val out = Aggregations.aggregate(sales,
+      AggSpec(Seq("category"), Seq("amount", "qty"),
+              Seq("sum", "mean", "min", "max", "count"))).get
+    assert(out.columns.toSeq == Seq("category",
+      "amount_sum", "amount_mean", "amount_min", "amount_max", "amount_count",
+      "qty_sum", "qty_mean", "qty_min", "qty_max", "qty_count"))
+    val byCat = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byCat.keySet == Set("a", "b")) // null key dropped
+    assert(byCat("a").getAs[Double]("amount_sum") == 30.0)
+    assert(byCat("a").getAs[Double]("amount_mean") == 15.0)
+    // count is non-null count of the aggregated column (pandas count)
+    assert(byCat("a").getAs[Long]("qty_count") == 1L)
+    assert(byCat("a").getAs[Long]("qty_sum") == 1L)
+  }
+
+  test("A1: multi-key grouping keeps rows whose OTHER key is non-null") {
+    val out = Aggregations.aggregate(sales,
+      AggSpec(Seq("category", "region"), Seq("amount"), Seq("sum"))).get
+    assert(out.count() == 2) // (a,e), (b,w); (null,w) dropped
+  }
+
+  test("A3 guard: missing column → None, not failure") {
+    assert(Aggregations.aggregate(sales,
+      AggSpec(Seq("nope"), Seq("amount"), Seq("sum"))).isEmpty)
+    assert(Aggregations.aggregate(sales,
+      AggSpec(Seq("category"), Seq("nope"), Seq("sum"))).isEmpty)
+  }
+
+  test("A1: unsupported function throws IllegalArgumentException") {
+    intercept[IllegalArgumentException] {
+      Aggregations.aggregate(sales,
+        AggSpec(Seq("category"), Seq("amount"), Seq("median")))
+    }
+  }
+
+  test("A4 pie: groupby(cat)[value].sum with null categories dropped") {
+    val out = Aggregations.pie(sales, "category", "amount")
+    assert(out.columns.toSeq == Seq("category", "amount_sum"))
+    assert(rows(out) == Set(Seq("a", 30.0), Seq("b", 30.0)))
+  }
+
+  test("A5 histogram: equal-width buckets over [min,max], max lands in last bucket") {
+    import spark.implicits._
+    val df = (0 to 100).map(_.toDouble).toDF("x")
+    val out = Aggregations.histogram(df, "x", 10).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("cnt")).sum == 101)
+    assert(out.head.getAs[Int]("bucket") == 0)
+    assert(out.head.getAs[Double]("lo") == 0.0)
+    assert(out.last.getAs[Int]("bucket") == 9)
+    assert(out.last.getAs[Long]("cnt") == 11) // 90..100 incl. max
+  }
+
+  test("A5 histogram: constant column → single bucket 0; all-null → empty") {
+    import spark.implicits._
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val out = Aggregations.histogram(const, "x", 7).collect()
+    assert(out.length == 1 && out(0).getAs[Int]("bucket") == 0
+      && out(0).getAs[Long]("cnt") == 3)
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    assert(Aggregations.histogram(allNull, "x", 5).count() == 0)
+  }
+
+  test("A6 watermark: scalar max of FIRST column") {
+    import spark.implicits._
+    val df = Seq((3L, "x"), (9L, "y"), (5L, "z")).toDF("event_id", "v")
+    val r = Aggregations.watermark(df).collect()(0)
+    assert(r.getLong(0) == 9L)
+    assert(Aggregations.watermark(df).columns.toSeq == Seq("max_event_id"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.engine.{Sql, Tables}
+
+/** Q1–Q3 (front_end.py:215-225, 684-697; text_to_sql.py:39-93, 137-144). */
+class SqlSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("Q1 runSql: valid SQL over registered views") {
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("t_sql")
+    val out = Sql.runSql(spark, "SELECT count(*) AS n FROM t_sql")
+    assert(out.collect()(0).getLong(0) == 2L)
+  }
+
+  test("Q1 errors-as-data: bad SQL → one-column Error frame, never throws") {
+    val out = Sql.runSql(spark, "SELECT FROM WHERE nonsense")
+    assert(out.columns.toSeq == Seq("Error"))
+    assert(out.count() == 1)
+    val out2 = Sql.runSql(spark, "SELECT x FROM no_such_table_xyz")
+    assert(out2.columns.toSeq == Seq("Error"))
+  }
+
+  test("Q2 renderSchema: number/text type collapse, sorted tables") {
+    val dfs = Map(
+      "zeta" -> Seq((1, "a")).toDF("id", "name"),
+      "alpha" -> Seq((1.5, true, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("amt", "flag", "ts"))
+    val s = Sql.renderSchema(dfs)
+    assert(s ==
+      """CREATE TABLE alpha (amt number, flag number, ts text)
+        |CREATE TABLE zeta (id number, name text)""".stripMargin)
+  }
+
+  test("Q2 extractSelect: first SELECT...; else SELECT-to-end; else None") {
+    assert(Sql.extractSelect("junk SELECT a FROM t; trailing")
+      == Some("SELECT a FROM t;"))
+    assert(Sql.extractSelect("SELECT a FROM t") == Some("SELECT a FROM t"))
+    assert(Sql.extractSelect("no query here").isEmpty)
+  }
+
+  test("Q3 saveGold + default name format") {
+    val dir = java.nio.file.Files.createTempDirectory("gold").toString
+    Sql.saveGold(Seq((1, "x")).toDF("id", "v"), dir, "golden_test")
+    val back = spark.read.parquet(s"$dir/golden_test.parquet")
+    assert(back.count() == 1)
+    val name = Sql.defaultGoldName(
+      java.time.LocalDateTime.of(2026, 8, 12, 14, 30))
+    assert(name == "golden_20260812_1430")
+  }
+
+  test("Tables.listTables surfaces registered views") {
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("t_cat_check")
+    val names = Tables.listTables(spark).collect().map(_.getString(0))
+    assert(names.contains("t_cat_check"))
+  }
+}
