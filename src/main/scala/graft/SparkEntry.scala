@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine._
 import graft.engine.Aggregations.AggSpec
+import graft.northstar.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -121,6 +122,16 @@ object SparkEntry {
       Mapping.join(c, "customer", k1, o, "orders", k2)
     }),
 
+    // ---- E: extraction (E2's delta computation, driven pure so the
+    // oracle can replay it; the write path is covered by unit tests) ----
+    "e2_incremental_delta" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wmMax = Aggregations.watermark(ev).collect()(0).getLong(0)
+      val target = ev.filter(col("event_id") <= lit(wmMax * 6 / 10))
+      Extraction.incrementalRows(ev, Some(target))
+        .withColumn("ts", expr("ts div 1000"))
+    }),
+
     // ---- Q: SQL surface (front_end.py:215-225 shapes, text_to_sql.py:178-182) ----
     "q_sql_topn" -> ((s, dir) => {
       Tables.open(s, dir, Seq("orders"))
@@ -142,6 +153,46 @@ object SparkEntry {
           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
           |        / count(o_totalprice), 2) AS avg_price
           |FROM orders GROUP BY 1""".stripMargin)
+    }),
+    // ---- NS: north-star training-data pipeline ops (SURVEY.md §7.4) ----
+    "ns_exact_dedup" -> ((s, dir) =>
+      Dedup.exactByText(t(s, dir, "documents"))),
+    "ns_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+    "ns_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_computed"))),
+    "ns_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select("doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_score")),
+    "ns_langid" -> ((s, dir) =>   // rows-only: heuristic not SQL-expressible
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("lang_guess"))),
+    "ns_minhash_pairs" -> ((s, dir) =>  // rows-only: hash family not in DuckDB
+      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)),
+    "ns_simhash_pairs" -> ((s, dir) =>  // rows-only
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)),
+    "ns_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+    }),
+    "ns_knn_lsh" -> ((s, dir) => {      // rows-only: ANN, verified vs brute in tests
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+    }),
+    // threshold 0.35: testdata embeddings are near-orthogonal random
+    // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9
+    // threshold would legitimately return zero rows; 0.35 exercises the
+    // bucket-join + filter path with a non-empty result
+    "ns_neardup_cosine" -> ((s, dir) => // rows-only
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
+    "ns_multimodal" -> ((s, dir) => {   // rows-only: stub codec (no SQL analogue)
+      val assets = Multimodal.toAssets(
+        t(s, dir, "documents"), "doc_id", "text", "image", "source")
+      Multimodal.poolFeatures(Multimodal.decodeAssets(assets))
+        .select("asset_id", "width", "height", "format", "features_pooled")
     }),
   )
 
@@ -237,6 +288,11 @@ object SparkEntry {
         |  o.o_totalprice AS o_totalprice_orders, o.o_orderdate AS o_orderdate_orders,
         |  o.o_orderpriority AS o_orderpriority_orders
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
+    "e2_incremental_delta" ->
+      """SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props
+        |FROM events
+        |WHERE event_id > (SELECT max(event_id) FROM events
+        |                  WHERE event_id <= (SELECT max(event_id) * 6 // 10 FROM events))""".stripMargin,
     "q_sql_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -248,5 +304,52 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |        / count(o_totalprice), 2) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "ns_exact_dedup" ->
+      """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "ns_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "ns_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_chars_computed
+        |FROM documents""".stripMargin,
+    "ns_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, nc, nt,
+        |    CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END AS mean_tok,
+        |    CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END AS punct_ratio,
+        |    CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END AS stop_ratio
+        |  FROM f)
+        |SELECT doc_id, CAST(nc AS BIGINT) AS q_chars, CAST(nt AS BIGINT) AS q_tokens,
+        |  round(punct_ratio, 4) AS q_punct_ratio,
+        |  round(((CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score
+        |FROM g""".stripMargin,
+    "ns_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
   )
 }

@@ -1,0 +1,87 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E1–E3: bronze ingest — full refresh and high-watermark incremental load
+  * (/root/reference/ETL_Pipeline_Entire/data_extraction.py:28-144).
+  *
+  * The watermark column is the table's FIRST schema field (ordinal-0
+  * assumption, data_extraction.py:86-87), compared TYPED (the reference
+  * string-quotes the value and leans on MySQL implicit casts; we keep the
+  * declared comparison semantics — SURVEY.md §7.5.4).
+  *
+  * Scale notes: the incremental filter is a plain predicate on the source
+  * scan — Catalyst pushes it into the parquet/JDBC reader, so an
+  * incremental pull reads only matching row groups (min/max pruning), not
+  * the full table. The target-side MAX is a scalar agg over the watermark
+  * column only (column-pruned scan). Appends are partitioned parquet writes
+  * — no driver bottleneck at any scale.
+  */
+object Extraction {
+
+  /** Result row the reference reports per extracted table
+    * (rows + timestamp, data_extraction.py:52-53).
+    */
+  case class ExtractResult(table: String, mode: String, rows: Long)
+
+  /** E1 Full Refresh: overwrite target with the whole source
+    * (data_extraction.py:28-56). Schema travels with the parquet write
+    * (S6 drop+create for free).
+    */
+  def fullRefresh(source: DataFrame, targetDir: String,
+                  table: String): ExtractResult = {
+    Tables.write(source, targetDir, table, mode = "overwrite")
+    ExtractResult(table, "Full Refresh", source.count())
+  }
+
+  /** The rows of `source` strictly past `target`'s high watermark
+    * (max of the first column); whole source when the target is absent or
+    * empty (null watermark → initial full load, data_extraction.py:67-92).
+    */
+  def incrementalRows(source: DataFrame, target: Option[DataFrame]): DataFrame = {
+    val wmCol = source.columns.head
+    val wm = target.flatMap { t =>
+      Option(t.agg(max(col(t.columns.head))).collect()(0).get(0))
+    }
+    wm match {
+      case Some(v) => source.filter(col(wmCol) > lit(v))
+      case None    => source
+    }
+  }
+
+  /** E2 Incremental Load: append source rows past the target's watermark;
+    * missing target → create + full load (data_extraction.py:59-107).
+    */
+  def incrementalLoad(spark: SparkSession, source: DataFrame,
+                      targetDir: String, table: String): ExtractResult = {
+    val existing: Option[DataFrame] =
+      try Some(Tables.table(spark, targetDir, table))
+      catch { case _: Exception => None }
+    val delta = incrementalRows(source, existing)
+    val mode = if (existing.isDefined) "append" else "overwrite"
+    Tables.write(delta, targetDir, table, mode)
+    ExtractResult(table, "Incremental Load", delta.count())
+  }
+
+  /** Per-table extraction config (extraction.json,
+    * data_extraction.py:110-144): mode is "Full Refresh" or
+    * "Incremental Load".
+    */
+  case class TableJob(table: String, mode: String)
+
+  /** E3 config-driven multi-table job: apply E1/E2 per configured table,
+    * error-per-table isolation like the reference's try/except-log-continue.
+    */
+  def runJob(spark: SparkSession, sourceDir: String, targetDir: String,
+             jobs: Seq[TableJob]): Seq[Either[(String, Throwable), ExtractResult]] =
+    jobs.map { j =>
+      try {
+        val src = Tables.table(spark, sourceDir, j.table)
+        Right(j.mode match {
+          case "Incremental Load" => incrementalLoad(spark, src, targetDir, j.table)
+          case _                  => fullRefresh(src, targetDir, j.table)
+        })
+      } catch { case e: Throwable => Left(j.table -> e) }
+    }
+}

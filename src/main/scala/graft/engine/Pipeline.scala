@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.Aggregations.AggSpec
+
+/** O1/O4: config-driven pipeline sequencing
+  * (/root/reference/ETL_Pipeline_Entire/scheduler.py:185-209, 58-103) —
+  * extraction → mapping → transformation → aggregation over parquet layer
+  * directories, mirroring the reference's four JSON config files and its
+  * medallion layers (raw → silver_mapping → silver → gold).
+  *
+  * Stage boundaries materialize to parquet for replayability (the
+  * reference's status-file gating); within a stage everything stays lazy so
+  * Catalyst fuses the selected transforms into one codegen'd pass.
+  * Time-based scheduling (O2/O3) is driver-side orchestration outside the
+  * engine core; the streaming-native upgrade path for recurring incremental
+  * loads is graft.streaming.IncrementalStream.
+  */
+object Pipeline {
+
+  /** The four config files, as one case class tree.
+    * - extraction: per-table mode (extraction.json)
+    * - mappingEnabled: O4 on/off switch (mapping_status.json)
+    * - transforms: selected transform display names in application order
+    *   (selected_transformations.json)
+    * - aggregations: per-table A1 specs (selected_aggregation_parameters.json)
+    */
+  case class Config(
+    extraction: Seq[Extraction.TableJob] = Nil,
+    mappingEnabled: Boolean = true,
+    transforms: Seq[String] = Nil,
+    aggregations: Map[String, AggSpec] = Map.empty,
+    tableMeta: Map[String, Mapping.TableMeta] = Map.empty)
+
+  /** Layer directories (the reference's five MySQL databases). */
+  case class Layers(source: String, raw: String, silverMapping: String,
+                    silver: String, gold: String)
+
+  case class StageStatus(stage: String, ok: Boolean, detail: String)
+
+  /** O1 full pipeline run: abort on stage failure like scheduler.py:185-209,
+    * returning per-stage status (the JSON status files' content).
+    */
+  def run(spark: SparkSession, layers: Layers, cfg: Config): Seq[StageStatus] = {
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[StageStatus]
+
+    // 1. extraction: source → raw
+    val extracted = Extraction.runJob(spark, layers.source, layers.raw,
+      cfg.extraction)
+    val failures = extracted.collect { case Left((t, e)) => s"$t: ${e.getMessage}" }
+    statuses += StageStatus("extraction", failures.isEmpty,
+      if (failures.isEmpty) s"${extracted.size} tables" else failures.mkString("; "))
+    if (failures.nonEmpty) return statuses.toSeq
+
+    val rawNames = cfg.extraction.map(_.table)
+    val raw = Tables.load(spark, layers.raw, rawNames)
+
+    // 2. mapping: raw → silver_mapping (O4: off → verbatim copy,
+    //    scheduler.py:62-103)
+    val mapped =
+      if (cfg.mappingEnabled) Mapping.mergeTables(raw, cfg.tableMeta, rawNames)
+      else raw
+    Tables.writeAll(mapped, layers.silverMapping)
+    statuses += StageStatus("mapping", ok = true,
+      if (cfg.mappingEnabled) s"${mapped.size} outputs" else "skipped (copy)")
+
+    // 3. transformation: silver_mapping → silver, prefix "transformed"
+    //    (transformations_code.py:206-213 via scheduler.py:113-183)
+    val silverIn = Tables.load(spark, layers.silverMapping, mapped.keys.toSeq)
+    val transformed = Transforms.transformAll(silverIn, cfg.transforms)
+    Tables.writeAll(transformed, layers.silver, prefix = "transformed")
+
+    // 4. aggregation: per-table A1, prefix "agg" (scheduler.py:143-170);
+    //    ineligible specs skip (A3 guard), like the reference
+    val aggregated = for {
+      (name, spec) <- cfg.aggregations
+      df <- transformed.get(name)
+      out <- Aggregations.aggregate(df, spec)
+    } yield name -> out
+    Tables.writeAll(aggregated, layers.silver, prefix = "agg")
+    statuses += StageStatus("transformation", ok = true,
+      s"${transformed.size} transformed, ${aggregated.size} aggregated")
+    statuses.toSeq
+  }
+}

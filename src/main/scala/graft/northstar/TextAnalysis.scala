@@ -1,0 +1,110 @@
+package graft.northstar
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (BASELINE.json
+  * north-star; SURVEY.md §7.4): token counting, quality scoring,
+  * language-ID, document fingerprinting.
+  *
+  * Everything is a narrow per-row projection over codegen'd string/array
+  * functions — no UDFs, no shuffle, safe at any scale. Aggregation layers
+  * (per-language stats etc.) compose with graft.engine.Aggregations.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for empty/blank text). */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "", lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** A BPE-ish subword count approximation: splits on whitespace AND on
+    * letter/digit/punctuation boundaries (the regex family BPE pre-
+    * tokenizers use), so "don't-stop123" counts 5 pieces, not 1.
+    */
+  def subwordCount(text: Column): Column = {
+    val pieces = split(trim(text),
+      "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])")
+    size(filter(pieces, p => p =!= ""))
+  }
+
+  /** Characters count, punctuation count, punctuation ratio. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Stopword hits among lower-cased whitespace tokens. */
+  def stopwordCount(text: Column,
+                    stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(split(lower(trim(text)), "\\s+"),
+      t => t.isin(stopwords: _*)))
+
+  /** Quality-score frame: length/token/punctuation/stopword features plus
+    * a composite score in [0,1] — the average of three bounded checks:
+    * token-length sanity (mean token length in [3,12]), punctuation
+    * sanity (ratio <= 0.1), stopword presence (ratio >= 0.05 ⇒ natural
+    * prose). Deterministic arithmetic only.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val nToks = tokenCount(t).cast("double")
+    val meanTok = when(nToks === 0, lit(0.0)).otherwise(nChars / nToks)
+    val punctRatio = when(nChars === 0, lit(0.0))
+      .otherwise(punctCount(t).cast("double") / nChars)
+    val stopRatio = when(nToks === 0, lit(0.0))
+      .otherwise(stopwordCount(t).cast("double") / nToks)
+    val tokLenOk = when(meanTok >= 3 && meanTok <= 12, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio <= 0.1, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopRatio >= 0.05, lit(1.0)).otherwise(lit(0.0))
+    df.select(
+      col("*"),
+      nChars.cast("long").as("q_chars"),
+      nToks.cast("long").as("q_tokens"),
+      round(meanTok, 4).as("q_mean_token_len"),
+      round(punctRatio, 4).as("q_punct_ratio"),
+      round(stopRatio, 4).as("q_stopword_ratio"),
+      round((tokLenOk + punctOk + stopOk) / 3, 4).as("q_score"))
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-hit
+    * language heuristic. Public-knowledge function-word lists.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "en", "para", "que"),
+  )
+
+  /** Language-ID heuristic: argmax over languages of stopword hit count;
+    * ties broken toward the lexicographically greatest language code
+    * (struct max); no hits at all → "und" (undetermined). Shuffle-free.
+    */
+  def languageId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
+             lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct compare: hits first, then lang
+    when(best.getField("hits") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text — the exact-dedup key, stable across engines.
+    */
+  def fingerprint(text: Column): Column =
+    md5(Dedup.normText(text).cast("binary"))
+
+  /** One frame with all per-document text-analysis columns. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
+    qualityScore(df, textCol)
+      .withColumn("lang_guess", languageId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .withColumn("subword_tokens", subwordCount(col(textCol)))
+}

@@ -1,0 +1,198 @@
+package graft
+
+import graft.northstar._
+import org.apache.spark.sql.functions._
+
+/** North-star operators (SURVEY.md §7.4): dedup family, similarity search,
+  * text analysis, multimodal plumbing.
+  */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "THE  quick brown fox jumps over the lazy dog again and again today"), // exact after norm
+    (4L, "completely different content about spark engines and parquet files"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized-text groups keep min id") {
+    val out = Dedup.exactByText(docs).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(out == Set((1L, 2L), (2L, 1L), (4L, 1L))) // 1 & 3 collapse
+  }
+
+  test("minhash LSH: near-dups found, unrelated not; pairs deduped across bands") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard: identical → 1.0, disjoint → 0.0") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d")),
+                 (Seq("a b c"), Seq("x y z"))).toDF("a", "b")
+    val sims = df.select(Dedup.jaccard($"a", $"b")).collect().map(_.getDouble(0))
+    assert(sims(0) == 1.0 && sims(1) == 0.0)
+  }
+
+  test("simhash: norm-identical texts share fingerprints; near-dups within small hamming; pairs surface them") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(3L)) // identical after normalization
+    val ham12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    assert(ham12 <= 10, s"near-dup hamming was $ham12")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("jaccardForPairs scores explicit candidates") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccardForPairs(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) > 0.5)
+    assert(out((1L, 4L)) < 0.1)
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine: orthogonal → 0, identical → 1, zero-norm → 0") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f)),
+      (Seq(0f, 0f), Seq(1f, 1f)),
+    ).toDF("a", "b")
+    val sims = df.select(round(Similarity.cosine($"a", $"b"), 9)).collect().map(_.getDouble(0))
+    assert(sims.toSeq == Seq(0.0, 1.0, 0.0))
+  }
+
+  test("bruteForceTopK: exact ranking, self excluded") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0.8f, 0.2f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0L), vecs, k = 2)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1, 1L), (2, 3L))) // by descending cosine to e_x
+  }
+
+  test("multi-table LSH top-k achieves reasonable recall@10 vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDf = Similarity.lshTopK(queries, emb, k = 10, nPlanes = 4, nTables = 8)
+    val lsh = lshDf.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.4, s"recall@10 was $recall")
+    // sanity: no duplicate ranks per query
+    val ranks = lshDf.groupBy("query_id", "rank").count().filter($"count" > 1).count()
+    assert(ranks == 0)
+  }
+
+  test("cosineNearDupPairs: duplicate vectors found at threshold 0.999") {
+    val vecs = Seq(
+      (0L, Seq(1f, 2f, 3f)), (1L, Seq(1f, 2f, 3f)),
+      (2L, Seq(-3f, 1f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(vecs, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokenCount / subwordCount / punctCount") {
+    val df = Seq("hello world", "", "  ", "don't-stop123 now!").toDF("text")
+    val out = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.subwordCount($"text"),
+      TextAnalysis.punctCount($"text")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(out(0) == ((2, 2, 0)))
+    assert(out(1) == ((0, 0, 0)))
+    assert(out(2) == ((0, 0, 0)))
+    // subwords: don | ' | t | - | stop | 123 | now | ! = 8;
+    // punct class is [.,;:!?] so only "!" counts
+    assert(out(3)._1 == 2 && out(3)._2 == 8 && out(3)._3 == 1)
+  }
+
+  test("quality score: natural prose scores higher than garbage") {
+    val df = Seq(
+      (1L, "the quick brown fox is seen in the field and it runs to the barn"),
+      (2L, "!!!???...;;;:::!!!???...;;;:::"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("q_score")).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) <= 1.0 / 3)
+  }
+
+  test("languageId: clear-cut samples per language; gibberish → und") {
+    val df = Seq(
+      "the cat and the dog went to the house in the morning",
+      "der Hund und die Katze sind nicht in der Wohnung für immer",
+      "le chat est dans la maison et il ne sort pas pour le moment",
+      "el perro y el gato no están en la casa para siempre",
+      "zzz qqq xxx www",
+    ).toDF("text")
+    val out = df.select(TextAnalysis.languageId($"text")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprint: whitespace/case variants collapse, distinct texts differ") {
+    val df = Seq("Hello   World", "hello world", "other").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps(0).matches("[0-9a-f]{32}"))
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  val docs = Seq((1L, "hello multimodal world", "web"),
+                 (2L, "", "crawl")).toDF("doc_id", "text", "source")
+  def assets = Multimodal.toAssets(docs, "doc_id", "text", "image", "source")
+
+  test("toAssets: schema matches the declared asset schema") {
+    assert(assets.schema == Multimodal.assetSchema)
+    val r = assets.filter($"asset_id" === 1L).collect()(0)
+    assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes") == 22L)
+  }
+
+  test("decodeAssets: deterministic stub decode, feature dim fixed, empty payload handled") {
+    val d1 = Multimodal.decodeAssets(assets).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    val d2 = Multimodal.decodeAssets(assets).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    def feats(r: org.apache.spark.sql.Row) =
+      r.getAs[scala.collection.Seq[Float]]("features").toSeq
+    assert(feats(d1(1L)) == feats(d2(1L)))
+    assert(feats(d1(1L)).size == Multimodal.StubCodec.FeatureDim)
+    assert(d1(2L).getAs[String]("format") == "empty")
+    assert(d1(1L).getAs[Int]("width") >= 16)
+  }
+
+  test("poolFeatures halves the feature grid") {
+    val out = Multimodal.poolFeatures(Multimodal.decodeAssets(assets), 2)
+    assert(out.collect()(0)
+      .getAs[scala.collection.Seq[Float]]("features_pooled").size == 4)
+  }
+
+  test("sampleFrames: strided fixed-size chunks, empty payload yields nothing") {
+    val df = Seq((1L, Array.fill[Byte](300)(7)), (2L, Array.empty[Byte]))
+      .toDF("asset_id", "payload")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 64, stride = 2).collect()
+    // 300 bytes → frames 0..3 (64B each, last partial), stride 2 → 0, 2
+    assert(frames.map(r => (r.getLong(0), r.getInt(1))).toSet == Set((1L, 0), (1L, 2)))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").nonEmpty))
+  }
+}
