@@ -172,8 +172,12 @@ object SparkEntry {
         TextAnalysis.languageId(col("text")).as("lang_guess"))),
     "ns_minhash_pairs" -> ((s, dir) =>  // rows-only: hash family not in DuckDB
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)),
+    // maxBucket tightened: the synthetic corpus draws from a tiny shared
+    // vocabulary, so fingerprints collide far more than real-world text —
+    // chunk buckets above a few hundred docs are all boilerplate-cluster
     "ns_simhash_pairs" -> ((s, dir) =>  // rows-only
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)),
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6,
+        maxBucket = 200)),
     "ns_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)

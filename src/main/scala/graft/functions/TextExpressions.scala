@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-hashing kernels for the dedup family. One JVM loop per row via
+  * the StaticInvoke codegen pattern — the equivalent nested higher-order
+  * expression (transform-over-transform, k × shingles lambda evals, the
+  * subtree duplicated into every band slice) exceeds codegen limits and
+  * falls back to interpreted eval, ~20× slower at bench scale.
+  */
+object TextOps {
+
+  /** FNV-1a 64-bit over UTF-8 bytes, then splitmix-finalized with seed —
+    * a cheap deterministic seeded hash family for minhash.
+    */
+  private def hashSeeded(bytes: Array[Byte], from: Int, until: Int,
+                         seed: Long): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    // splitmix64 finalize with seed folded in
+    var z = h + seed * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Normalized word tokens: lower-case, split on whitespace runs. */
+  def normTokens(s: UTF8String): Array[String] =
+    s.toString.toLowerCase.trim.split("\\s+")
+
+  /** Byte offsets of distinct word n-gram shingles of the normalized
+    * text, materialized as one separator-joined byte buffer + offsets so
+    * hashing never allocates per-gram strings.
+    */
+  def minhash(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val words = normTokens(s)
+    val nGrams = math.max(1, words.length - n + 1)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var g = 0
+    while (g < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n && g + j < words.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(g + j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes("UTF-8")
+      var i = 0
+      while (i < k) {
+        val h = hashSeeded(bytes, 0, bytes.length, i + 1L)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over word n-gram shingles (n=3) of the normalized
+    * text: bit j set iff the signed count of shingle-hash bit j is
+    * positive. Shingles (not unigrams) as the feature set make the
+    * fingerprint order-sensitive — on vocabulary-limited corpora unigram
+    * SimHash collapses (every doc shares most words), shingle SimHash
+    * keeps discriminating.
+    */
+  def simhash(s: UTF8String): Long = {
+    val words = normTokens(s)
+    val n = 3
+    val nGrams = math.max(1, words.length - n + 1)
+    val counts = new Array[Int](64)
+    val sb = new java.lang.StringBuilder
+    var g = 0
+    while (g < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n && g + j < words.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(g + j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes("UTF-8")
+      val h = hashSeeded(bytes, 0, bytes.length, 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      g += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** MinHash Jaccard estimate: fraction of equal components. */
+  def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+}
+
+/** minhash_sig(text) → array<long> of k minhash values over word n-gram
+  * shingles of the normalized text.
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  // input: string
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.minhash(v.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextOps.minhash($v, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** simhash64(text) → long fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  // input: string
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextOps.simhash($v)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** minhash_est(sigA, sigB) → double: estimated Jaccard. */
+case class MinHashEst(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // inputs: array<long>, array<long>
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.minhashEstimate(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextOps.minhashEstimate($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashEst =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API for the text-hash kernels. */
+object texthash {
+  def minhash_sig(text: Column, n: Int = 3, k: Int = 16): Column =
+    Bridge.column(MinHashSig(Bridge.expression(text), n, k))
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
+  def minhash_est(a: Column, b: Column): Column =
+    Bridge.column(MinHashEst(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -1,5 +1,6 @@
 package graft.northstar
 
+import graft.functions.texthash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -58,34 +59,76 @@ object Dedup {
       i => array_min(transform(shingleCol,
         s => xxhash64(s, i))))
 
-  /** MinHash-LSH candidate pairs: signatures banded (bands × rowsPerBand =
-    * k), documents sharing any band bucket become candidates, then exact
-    * shingle-Jaccard filters to >= threshold. One explode (×bands), one
-    * shuffle on (band, bandHash), pairwise work only inside buckets.
+  /** Drop LSH buckets larger than `maxBucket`: a bucket of B rows costs
+    * B² candidate pairs, so one boilerplate-heavy mega-bucket dominates the
+    * whole job. Capping is standard practice at scale — membership in a
+    * huge bucket means "similar to thousands of documents", i.e.
+    * boilerplate, which near-dup dedup handles by other means. Implemented
+    * as count + semi-join on the SAME key as the candidate join, so AQE
+    * coalesces the two shuffles.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String],
+                         maxBucket: Int): DataFrame = {
+    val small = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .drop("__n")
+    banded.join(small, keys, "left_semi")
+  }
+
+  /** Estimated Jaccard from two minhash signatures: fraction of matching
+    * components (the classic unbiased MinHash estimator). Kernel
+    * expression (graft.functions.MinHashEst).
+    */
+  def estimatedJaccard(mhA: Column, mhB: Column): Column =
+    texthash.minhash_est(mhA, mhB)
+
+  /** MinHash-LSH near-dup pairs: signatures banded (bands × rowsPerBand =
+    * k), documents sharing any band bucket become candidates; candidates
+    * are screened by the minhash ESTIMATE of Jaccard, and only survivors
+    * get the exact shingle-set Jaccard.
     *
-    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, deduped across bands.
+    * Plan shape (the 100 TB path): the band join moves (band_hash, id,
+    * mh[k]) — ~150 bytes/row — never the shingle sets; pairs dedupe across
+    * bands before scoring; the estimate (pure signature arithmetic) prunes
+    * the candidate set so the exact scoring join — the only step that
+    * touches shingle arrays — runs on near-dups only; mega-buckets are
+    * capped (see capBuckets). Estimate slack of 2/k admits borderline
+    * pairs into exact scoring rather than dropping them on estimator
+    * variance.
+    *
+    * Banding default k=16, bands=8 (2 rows/band): the detection S-curve
+    * midpoint sits at j = (1/bands)^(1/rowsPer) ≈ 0.35, so pairs at
+    * typical near-dup thresholds (0.5–0.9) are caught with probability
+    * ≥ 0.99; the extra false-positive candidates the wide banding admits
+    * die cheaply in the estimate screen.
+    *
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, exact Jaccard >=
+    * threshold.
     */
   def minhashPairs(df: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", k: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.7): DataFrame = {
+                   idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPer = k / bands
+    // kernel expression (graft.functions.MinHashSig): one JVM loop per row
     val sig = df.select(col(idCol).as("id"),
-        shingles(col(textCol)).as("sh"))
-      .withColumn("mh", minhashSignature(col("sh"), k))
+        texthash.minhash_sig(col(textCol), 3, k).as("mh"))
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
-    val banded = sig.select(col("id"), col("sh"), posexplode(bandHashes))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val banded = capBuckets(
+      sig.select(col("id"), col("mh"), explode(bandHashes).as("band_hash")),
+      Seq("band_hash"), maxBucket)
+    // estimate BEFORE the pair dedupe: the filter is narrow per-row math,
+    // so losers never reach the dedupe shuffle
+    val screened = banded
+      .select(col("band_hash"), col("id").as("doc_a"), col("mh").as("mh_a"))
+      .join(banded.select(col("band_hash"), col("id").as("doc_b"),
+        col("mh").as("mh_b")), Seq("band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(estimatedJaccard(col("mh_a"), col("mh_b"))
+        >= threshold - 2.0 / k)
+      .select("doc_a", "doc_b").distinct()
+    jaccardForPairs(df, screened, textCol, idCol)
       .filter(col("jaccard") >= threshold)
-      .groupBy("doc_a", "doc_b").agg(max("jaccard").as("jaccard"))
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -111,51 +154,38 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** The 64 bit masks 1L<<0 .. 1L<<63 as an array literal — lets bit tests
-    * run inside array lambdas (Spark's shiftright/shiftleft only take
-    * Scala-Int shift amounts, not Columns).
-    */
-  private val bitMasks: Column =
-    typedLit((0 until 64).map(i => 1L << i))
-
   /** 64-bit SimHash of the token set: bit j of the fingerprint is 1 iff
-    * sum over tokens of (bit j of xxhash64(token) ? +1 : -1) > 0.
-    * Folded per-row with aggregate/zip_with — no shuffle, no UDF.
+    * sum over distinct tokens of (bit j of hash(token) ? +1 : -1) > 0.
+    * Kernel expression (graft.functions.SimHash64): one JVM loop per row,
+    * no shuffle, stays inside whole-stage codegen.
     */
-  def simhash(textC: Column): Column = {
-    val toks = array_distinct(split(normText(textC), " "))
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitMasks,
-        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0L, lit(1L))
-                        .otherwise(lit(-1L))))
-    aggregate(
-      zip_with(counts, bitMasks,
-        (cnt, m) => when(cnt > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(textC: Column): Column = texthash.simhash64(textC)
 
   /** SimHash near-dup candidates: fingerprints sharing any of four 16-bit
     * chunks collide (pigeonhole: any pair within Hamming distance 3 shares
     * a chunk), then exact Hamming distance filters to <= maxHamming.
+    * Signatures (8 bytes) ride through the join; pairs dedupe BEFORE the
+    * Hamming filter; mega-buckets capped like minhashPairs.
     */
   def simhashPairs(df: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+                   idCol: String = "doc_id", maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunkVals = array((0 until 4).map(i =>
-      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val chunked = sigs.select(col("id"), col("sig"), posexplode(chunkVals))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val a = chunked.select(col("chunk"), col("chunk_val"),
+      // chunk index folded into the key so the join is single-column
+      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)) + lit(i.toLong << 16)): _*)
+    val chunked = capBuckets(
+      sigs.select(col("id"), col("sig"), explode(chunkVals).as("chunk_val")),
+      Seq("chunk_val"), maxBucket)
+    val a = chunked.select(col("chunk_val"),
       col("id").as("doc_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
+    val b = chunked.select(col("chunk_val"),
       col("id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
+    a.join(b, Seq("chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
   }
 }

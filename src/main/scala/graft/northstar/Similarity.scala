@@ -1,5 +1,6 @@
 package graft.northstar
 
+import graft.functions.vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,26 +16,28 @@ import org.apache.spark.sql.functions._
   * viable for small query sets; the LSH variant turns it into a bucket
   * equi-join whose shuffle is O(corpus), independent of query count.
   *
-  * All math is codegen'd higher-order functions (zip_with/aggregate) over
-  * the float arrays — no UDFs, no driver-side vectors. Hyperplanes are
-  * generated from xxhash64(dim, plane) so the whole index is deterministic
-  * and needs no model state.
+  * All math runs through the custom codegen'd Catalyst kernels in
+  * graft.functions (FloatVecCosine / HyperplaneBuckets) — one primitive
+  * loop per row inside whole-stage codegen, no UDF boxing, no driver-side
+  * vectors. Hyperplanes derive from splitmix64(dim, plane, table), so the
+  * whole index is deterministic and needs no model state.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float-array columns, accumulated in double —
+    * the codegen'd kernel (graft.functions.FloatVecDot), one primitive
+    * loop per row inside whole-stage codegen.
+    */
+  def dot(a: Column, b: Column): Column = vectors.vec_dot(a, b)
 
   /** L2 norm of a float-array column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity; 0.0 when either side has zero norm. Single-pass
+    * codegen'd kernel; element accumulation order matches a sequential
+    * left-fold, so results are bit-identical to the naive formulation.
+    */
+  def cosine(a: Column, b: Column): Column = vectors.vec_cosine(a, b)
 
   /** Exact brute-force top-k: every query row against every corpus row,
     * ranked per query. Correct at any scale but O(|queries| × |corpus|) —
@@ -57,32 +60,18 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for
-    * (dim, plane, table): xxhash64 → uniform in [-1, 1). Matches across
-    * sessions and cluster sizes — the "index" is pure arithmetic.
-    */
-  private def planeComponent(dim: Column, plane: Int, table: Int): Column =
-    (xxhash64(dim, lit(plane), lit(table)).cast("double") /
-      lit(Long.MaxValue.toDouble))
-
-  /** LSH bucket id for one hash table: sign bits of the embedding's dot
-    * products with `nPlanes` hyperplanes packed into a long.
-    */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0): Column =
-    (0 until nPlanes).map { p =>
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(i, p, table)),
-        lit(0.0), (acc, v) => acc + v)
-      when(d > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce[Column]((a, b) => a.bitwiseOR(b))
-
-  /** All `nTables` bucket ids, each table's id offset into its own keyspace
-    * so buckets never collide across tables.
+  /** All `nTables` LSH bucket ids for a vector: per table, the sign bits
+    * of `nPlanes` deterministic hyperplane dot products, table id offset
+    * into its own keyspace (codegen'd kernel HyperplaneBuckets; planes
+    * derive from splitmix64(dim, plane, table) — the "index" is pure
+    * arithmetic, no model state, identical on any cluster).
     */
   def hyperplaneBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
-    array((0 until nTables).map(t =>
-      hyperplaneBucket(vec, nPlanes, t) + lit(t.toLong << 32)): _*)
+    vectors.lsh_buckets(vec, nPlanes, nTables)
+
+  /** Single-table LSH bucket id (table 0). */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
+    element_at(vectors.lsh_buckets(vec, nPlanes, 1), 1)
 
   /** ANN top-k via multi-table hyperplane LSH: a row is a candidate for a
     * query iff they share a bucket in ANY of the `nTables` independent
