@@ -154,6 +154,41 @@ object SparkEntry {
           |        / count(o_totalprice), 2) AS avg_price
           |FROM orders GROUP BY 1""".stripMargin)
     }),
+    // ---- Q (superset): the SQL surface the reference delegated to MySQL
+    // comes from Catalyst for free — windows, set ops, grouping sets,
+    // correlated subqueries (SURVEY.md §2.5/§2.9) ----
+    "q_sql_window" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("orders"))
+      Sql.runSql(s,
+        """SELECT o_custkey, o_orderkey,
+          |  row_number() OVER (PARTITION BY o_custkey
+          |                     ORDER BY o_orderdate, o_orderkey) AS order_seq,
+          |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+          |                        ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+          |FROM orders""".stripMargin)
+    }),
+    "q_sql_setops" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("customer", "orders"))
+      Sql.runSql(s,
+        """SELECT c_custkey FROM customer WHERE c_nationkey < 5
+          |INTERSECT
+          |SELECT o_custkey FROM orders""".stripMargin)
+    }),
+    "q_sql_rollup" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("lineitem"))
+      Sql.runSql(s,
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+    }),
+    "q_sql_subquery" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("customer", "orders"))
+      Sql.runSql(s,
+        """SELECT c_custkey, c_mktsegment FROM customer c
+          |WHERE (SELECT count(*) FROM orders o
+          |       WHERE o.o_custkey = c.c_custkey) >= 15""".stripMargin)
+    }),
+
     // ---- NS: north-star training-data pipeline ops (SURVEY.md §7.4) ----
     "ns_exact_dedup" -> ((s, dir) =>
       Dedup.exactByText(t(s, dir, "documents"))),
@@ -308,6 +343,25 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |        / count(o_totalprice), 2) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_sql_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_orderdate, o_orderkey) AS order_seq,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |                        ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |FROM orders""".stripMargin,
+    "q_sql_setops" ->
+      """SELECT c_custkey FROM customer WHERE c_nationkey < 5
+        |INTERSECT
+        |SELECT o_custkey FROM orders""".stripMargin,
+    "q_sql_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_sql_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE (SELECT count(*) FROM orders o
+        |       WHERE o.o_custkey = c.c_custkey) >= 15""".stripMargin,
     "ns_exact_dedup" ->
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
