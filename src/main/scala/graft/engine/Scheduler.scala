@@ -1,0 +1,45 @@
+package graft.engine
+
+import java.time.{Duration, LocalDateTime}
+
+/** O2/O3 driver-side scheduling (scheduler.py:228-267): one-shot at a
+  * configured datetime (past time → run immediately) and every-N-minutes
+  * recurrence. Pure timing math plus a pluggable sleep so tests run
+  * without real waiting; production streaming workloads should prefer
+  * Trigger.ProcessingTime on graft.streaming.IncrementalStream instead
+  * (SURVEY.md §2.7).
+  */
+object Scheduler {
+
+  /** Delay until a one-shot run: zero when the time already passed
+    * (scheduler.py:240-244 "past time → run now").
+    */
+  def delayUntil(scheduled: LocalDateTime, now: LocalDateTime): Duration = {
+    val d = Duration.between(now, scheduled)
+    if (d.isNegative) Duration.ZERO else d
+  }
+
+  /** O2 one-shot: sleep until the scheduled time, then run. */
+  def runOnce[A](scheduled: LocalDateTime,
+                 now: () => LocalDateTime = () => LocalDateTime.now(),
+                 sleep: Duration => Unit = d => Thread.sleep(d.toMillis))
+                (job: () => A): A = {
+    val d = delayUntil(scheduled, now())
+    if (!d.isZero) sleep(d)
+    job()
+  }
+
+  /** O3 recurring: run every `minutes`, `times` iterations (None = forever,
+    * like scheduler.py's while-True loop; tests pass a small count).
+    */
+  def runEvery(minutes: Long, times: Option[Int] = None,
+               sleep: Duration => Unit = d => Thread.sleep(d.toMillis))
+              (job: () => Unit): Unit = {
+    var i = 0
+    while (times.forall(i < _)) {
+      job()
+      i += 1
+      if (times.forall(i < _)) sleep(Duration.ofMinutes(minutes))
+    }
+  }
+}

@@ -87,4 +87,24 @@ object Tables {
       val out = if (prefix.isEmpty) n else s"${prefix}_$n"
       write(df, dir, out)
     }
+
+  /** S9 CSV sink (mapping.py:183-185 store_dataset). Header on; still a
+    * distributed write — one file per partition, `coalesce(1)` only if a
+    * single file is genuinely required.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S11 database reset (front_end.py:850-859): drop & recreate the layer
+    * directories — the parquet analogue of DROP DATABASE + CREATE DATABASE.
+    */
+  def resetLayers(dirs: Seq[String]): Unit = dirs.foreach { d =>
+    val f = new java.io.File(d)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+      x.delete(): Unit
+    }
+    rm(f)
+    f.mkdirs(): Unit
+  }
 }
