@@ -154,6 +154,55 @@ object SparkEntry {
           |        / count(o_totalprice), 2) AS avg_price
           |FROM orders GROUP BY 1""".stripMargin)
     }),
+    // ---- J6: full pairwise sweep over a layer subset ----
+    "j6_sweep" -> ((s, dir) => {
+      // nation+region: semantic inference pairs n_regionkey ≈ r_regionkey
+      // (0.909); both tables join so no passthrough remains
+      val out = Mapping.mergeTables(
+        Map("nation" -> t(s, dir, "nation"), "region" -> t(s, dir, "region")),
+        names = Seq("nation", "region"))
+      out("nation_region_merged")
+    }),
+
+    // ---- Q2 plumbing: model-output SELECT extraction → execution ----
+    "q2_extract_exec" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("part"))
+      val generated = "Sure! Here is your query:\n" +
+        "SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand;\n" +
+        "Let me know if you need anything else."
+      Sql.runSql(s, Sql.extractSelect(generated).get.stripSuffix(";"))
+    }),
+
+    // ---- distinct-count analytics (exact; the approx variant is below) ----
+    "q_distinct_counts" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("lineitem"))
+      Sql.runSql(s,
+        """SELECT count(DISTINCT l_partkey) AS n_parts,
+          |       count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin)
+    }),
+    // approx sketches (HLL / approx quantiles): implementations differ per
+    // engine by design → rows-only
+    "ns_approx_stats" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        approx_count_distinct(col("source")).as("approx_sources"),
+        approx_count_distinct(col("text"), 0.02).as("approx_texts"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("median_chars"))),
+
+    // ---- custom kernels callable from the SQL surface ----
+    "ns_sql_vec_cosine" -> ((s, dir) => {
+      graft.functions.registry.registerAll(s)
+      Tables.open(s, dir, Seq("embeddings"))
+      // similarity exposed as round(sim*1e4) BIGINT: DuckDB's
+      // list_cosine_similarity accumulates in float32 (~1e-7 off the
+      // kernel's double path) and rounded DOUBLES still differ in the last
+      // ULP between engines — integers compare exactly
+      Sql.runSql(s,
+        """SELECT a.vec_id AS va, b.vec_id AS vb,
+          |  CAST(round(vec_cosine(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id < 20""".stripMargin)
+    }),
+
     // ---- Q (superset): the SQL surface the reference delegated to MySQL
     // comes from Catalyst for free — windows, set ops, grouping sets,
     // correlated subqueries (SURVEY.md §2.5/§2.9) ----
@@ -343,6 +392,21 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |        / count(o_totalprice), 2) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "j6_sweep" ->
+      """SELECT n.n_regionkey AS n_regionkey,
+        |  n.n_nationkey AS n_nationkey_nation, n.n_name AS n_name_nation,
+        |  r.r_name AS r_name_region
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "q2_extract_exec" ->
+      "SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand",
+    "q_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    "ns_sql_vec_cosine" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 20""".stripMargin,
     "q_sql_window" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey

@@ -1,0 +1,41 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient equi-join: salt the skewed (big) side, replicate the
+  * small side across salts, join on (key, salt). The classic manual
+  * remedy when one hot key would pin a single reducer at 100 TB scale —
+  * AQE's skew-join split handles sort-merge cases automatically, but
+  * explicit salting remains the tool for extreme single-key skew and for
+  * aggregations-after-join shapes AQE can't rewrite.
+  *
+  * The salt column is deterministic (hash of the whole row modulo
+  * saltFactor), so replays and retries stay stable — no rand().
+  */
+object SkewJoin {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, saltFactor: Int = 8,
+                 joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(
+        sequence(lit(0), lit(saltFactor - 1))))
+    val joined = salted.join(replicated,
+      salted(bigKey) === replicated(smallKey) &&
+        salted("__salt") === replicated("__salt"),
+      joinType)
+    joined.drop("__salt")
+  }
+
+  /** Partitioned parquet write: directory-partitioned by low-cardinality
+    * columns so downstream reads prune whole partitions
+    * (`PartitionFilters` in the scan). The 100 TB layout primitive the
+    * flat writes in Tables don't provide.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -158,6 +158,28 @@ case class MinHashEst(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SQL registration for all graft kernel expressions, so the arbitrary-SQL
+  * surface (Q1) can call them: vec_cosine, vec_dot, lsh_buckets,
+  * minhash_sig, simhash64, minhash_est.
+  */
+object registry {
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    fr.createOrReplaceTempFunction("vec_cosine",
+      es => FloatVecCosine(es(0), es(1)), "scala_udf")
+    fr.createOrReplaceTempFunction("vec_dot",
+      es => FloatVecDot(es(0), es(1)), "scala_udf")
+    fr.createOrReplaceTempFunction("lsh_buckets",
+      es => HyperplaneBuckets(es.head, 4, 8), "scala_udf")
+    fr.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es.head, 3, 16), "scala_udf")
+    fr.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+    fr.createOrReplaceTempFunction("minhash_est",
+      es => MinHashEst(es(0), es(1)), "scala_udf")
+  }
+}
+
 /** Column-level API for the text-hash kernels. */
 object texthash {
   def minhash_sig(text: Column, n: Int = 3, k: Int = 16): Column =
