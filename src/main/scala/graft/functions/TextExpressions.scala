@@ -106,6 +106,27 @@ object TextOps {
     sig
   }
 
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val words = normTokens(s)
+    val nGrams = math.max(1, words.length - n + 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var g = 0
+    while (g < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n && g + j < words.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(g + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString)): Unit
+      g += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** MinHash Jaccard estimate: fraction of equal components. */
   def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -128,6 +149,18 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"graft.functions.TextOps.minhash($v, $n, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** shingles(text) → array<string> of distinct word n-gram shingles. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  // input: string
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextOps.shingles($v, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
 }
 
@@ -188,4 +221,6 @@ object texthash {
     Bridge.column(SimHash64(Bridge.expression(text)))
   def minhash_est(a: Column, b: Column): Column =
     Bridge.column(MinHashEst(Bridge.expression(a), Bridge.expression(b)))
+  def shingles(text: Column, n: Int = 3): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(text), n))
 }

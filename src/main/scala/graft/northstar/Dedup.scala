@@ -40,15 +40,12 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Word n-gram shingles of the normalized text (distinct). */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = split(normText(c), " ")
-    // sliding word n-grams via transform over start offsets
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + lit(1), lit(n)), " "))
-    array_distinct(grams)
-  }
+  /** Word n-gram shingles of the normalized text (distinct). Kernel
+    * expression (graft.functions.ShinglesExpr) — same normalization and
+    * gram definition as the MinHashSig kernel, so signature estimates and
+    * exact Jaccard agree on the feature set.
+    */
+  def shingles(c: Column, n: Int = 3): Column = texthash.shingles(c, n)
 
   /** k minhash values over the shingle set: h_i = min over shingles of
     * xxhash64(shingle, seed=i). Pure per-row expression (no shuffle); the
@@ -181,11 +178,13 @@ object Dedup {
       col("id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk_val"),
       col("id").as("doc_b"), col("sig").as("sig_b"))
+    // Hamming filter BEFORE the pair dedupe: bit_count is free per-row
+    // codegen, so losers never reach the distinct's shuffle
     a.join(b, Seq("chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
