@@ -1,0 +1,88 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.engine.Aggregations.AggSpec
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The reference's four JSON config files, parsed to the engine's config
+  * tree (exact key names from /root/reference/ETL_Pipeline_Entire/):
+  *
+  * - extraction.json: {"tables": [..], "extraction_type": "Full Refresh" |
+  *   "Incremental Load"} — one mode for all tables
+  *   (data_extraction.py:130-136; source_db block is MySQL connection
+  *   info, superseded by the layer directory here)
+  * - mapping_status.json: {"mapping": bool} (scheduler.py:58-65)
+  * - selected_transformations.json:
+  *   {"selected_transformations": ["Remove Duplicates", ...]}
+  *   (scheduler.py:127)
+  * - selected_aggregation_parameters.json: {table: {"groupby_columns": [],
+  *   "aggregation_columns": [], "aggregation_functions": []}}
+  *   (scheduler.py:150-157)
+  *
+  * Status outputs mirror the reference's gate files
+  * (transformation_status.json etc., front_end.py:40-49).
+  */
+object Configs {
+
+  private val mapper = new ObjectMapper()
+
+  private def strings(n: JsonNode): Seq[String] =
+    if (n == null || !n.isArray) Nil
+    else n.elements().asScala.map(_.asText()).toSeq
+
+  def parseExtraction(json: String): Seq[Extraction.TableJob] = {
+    val root = mapper.readTree(json)
+    val mode = Option(root.get("extraction_type"))
+      .map(_.asText()).getOrElse("Full Refresh")
+    strings(root.get("tables")).map(t => Extraction.TableJob(t, mode))
+  }
+
+  def parseMappingStatus(json: String): Boolean = {
+    val root = mapper.readTree(json)
+    Option(root.get("mapping")).forall(_.asBoolean(true))
+  }
+
+  def parseTransformations(json: String): Seq[String] = {
+    val root = mapper.readTree(json)
+    strings(root.get("selected_transformations"))
+  }
+
+  def parseAggregations(json: String): Map[String, AggSpec] = {
+    val root = mapper.readTree(json)
+    root.properties().asScala.map { e =>
+      val p = e.getValue
+      val funcs = strings(p.get("aggregation_functions"))
+      e.getKey -> AggSpec(
+        groupBy = strings(p.get("groupby_columns")),
+        aggCols = strings(p.get("aggregation_columns")),
+        funcs = if (funcs.nonEmpty) funcs else Seq("sum")) // scheduler.py:155 default
+    }.toMap
+  }
+
+  /** Assemble a Pipeline.Config from a directory holding any subset of the
+    * four files; absent files take the reference's defaults (no tables,
+    * mapping on, no transforms, no aggregations).
+    */
+  def load(dir: String): Pipeline.Config = {
+    def read(name: String): Option[String] = {
+      val p = Paths.get(dir, name)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    Pipeline.Config(
+      extraction = read("extraction.json").map(parseExtraction).getOrElse(Nil),
+      mappingEnabled = read("mapping_status.json")
+        .map(parseMappingStatus).getOrElse(true),
+      transforms = read("selected_transformations.json")
+        .map(parseTransformations).getOrElse(Nil),
+      aggregations = read("selected_aggregation_parameters.json")
+        .map(parseAggregations).getOrElse(Map.empty))
+  }
+
+  /** Stage-completion status files (the reference's replay gates). */
+  def writeStatus(dir: String, name: String, key: String,
+                  value: Boolean): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, name), s"""{"$key": $value}"""): Unit
+  }
+}
