@@ -274,6 +274,12 @@ object SparkEntry {
     // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9
     // threshold would legitimately return zero rows; 0.35 exercises the
     // bucket-join + filter path with a non-empty result
+    "ns_knn_ivf" -> ((s, dir) => {      // rows-only: ANN, recall-tested vs brute
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.northstar.Ivf.fitCentroids(emb, nCells = 8)
+      graft.northstar.Ivf.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 3)
+    }),
     "ns_neardup_cosine" -> ((s, dir) => // rows-only
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
     "ns_multimodal" -> ((s, dir) => {   // rows-only: stub codec (no SQL analogue)

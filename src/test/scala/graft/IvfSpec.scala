@@ -1,0 +1,42 @@
+package graft
+
+import graft.northstar.{Ivf, Similarity}
+
+/** IVF ANN: quantizer determinism, probing mechanics, recall vs brute. */
+class IvfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("fitCentroids is deterministic for a fixed seed") {
+    val c1 = Ivf.fitCentroids(emb, nCells = 4)
+    val c2 = Ivf.fitCentroids(emb, nCells = 4)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.length == 4 && c1.head.length == 64)
+  }
+
+  test("probeCells returns nProbe distinct cells, best cell first") {
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val probed = emb.limit(5).select(
+      Ivf.probeCells($"embedding", centroids, 3).as("cells"),
+      Ivf.cellOf($"embedding", centroids).as("best"))
+    probed.collect().foreach { r =>
+      val cells = r.getAs[scala.collection.Seq[Int]]("cells")
+      assert(cells.size == 3 && cells.distinct.size == 3)
+      assert(cells.head == r.getAs[Int]("best"))
+    }
+  }
+
+  test("ivfTopK recall@10 vs brute force is reasonable with generous probing") {
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.ivfTopK(queries, emb, centroids, k = 10, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall@10 was $recall (nProbe=4 of 8 cells)")
+  }
+}
