@@ -203,6 +203,30 @@ object SparkEntry {
           |WHERE a.vec_id < 20""".stripMargin)
     }),
 
+    // ---- custom operators beyond the reference (SURVEY.md §2.9 gaps) ----
+    "x_asof_join" -> ((s, dir) => {
+      // each event joined to the user's latest order at-or-before the
+      // event; right side pre-deduped per (custkey, orderdate) so the
+      // as-of pick is deterministic
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        Tables.nanosToTimestamp(col("ts")).as("ets"))
+      val ord = t(s, dir, "orders").groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.plans.AsOfJoin.asofJoin(ev, ord,
+          "user_id", "o_custkey", "ets", "o_orderdate")
+        .select(col("event_id"), col("user_id"),
+          col("asof_o_orderkey").as("latest_orderkey"))
+    }),
+    "x_session_windows" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        Tables.nanosToTimestamp(col("ts")).as("ets"))
+      ev.groupBy(session_window(col("ets"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          col("n_events"))
+    }),
+
     // ---- Q (superset): the SQL surface the reference delegated to MySQL
     // comes from Catalyst for free — windows, set ops, grouping sets,
     // correlated subqueries (SURVEY.md §2.5/§2.9) ----
@@ -413,6 +437,30 @@ object SparkEntry {
         |  CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 20""".stripMargin,
+    "x_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS latest_orderkey
+        |FROM events e ASOF JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    // gap-based sessionization via lag + cumulative session ids; Spark's
+    // session_window merges events with gap < 30min, so the new-session
+    // flag here uses strict >
+    "x_session_windows" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_sql_window" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey

@@ -36,14 +36,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Explicit lossy ns→µs timestamp view of an int64-nanos column
-    * (integer div — double division would lose exactness at 1e18 ns).
+  /** Explicit lossy ns→µs timestamp view of an int64-nanos column.
+    * Truncating division must NOT go through doubles: epoch-ns values are
+    * ~1.7e18, far beyond double's 2^53 exact-integer range, so `/ 1000`
+    * in double drifts by ±1 µs. Decimal division of a 19-digit value by
+    * 1000 at scale 6 is exact; floor then truncates like DuckDB's
+    * ns→µs parquet read.
     */
   def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{timestamp_micros, pmod, lit}
-    // (c - c%1000) is an exact multiple of 1000 in long; dividing an exact
-    // multiple yields an integral double < 2^53 → exact truncating division.
-    timestamp_micros(((c - pmod(c, lit(1000L))) / lit(1000L)).cast("long"))
+    import org.apache.spark.sql.functions.{floor, lit, timestamp_micros}
+    timestamp_micros(
+      floor(c.cast("decimal(20,0)") / lit(1000)).cast("long"))
   }
 
   /** Load a whole layer as a table set. Lazy: no IO until an action. */

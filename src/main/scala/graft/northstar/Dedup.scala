@@ -8,16 +8,17 @@ import org.apache.spark.sql.functions._
   * (BASELINE.json north-star; SURVEY.md §7.4).
   *
   * All variants follow the scalable pattern: per-row signature computation
-  * (narrow, codegen'd higher-order functions — no UDFs, no shuffle), then
-  * ONE shuffle keyed on a compact signature (band hash / simhash chunk /
-  * normalized text hash), then pairwise verification only within buckets.
-  * Candidate generation never compares all pairs — at 100 TB the bucket
-  * join is the only O(n) shuffle and bucket sizes stay bounded because the
-  * band keyspace is 2^64.
+  * (narrow, via the codegen kernels in graft.functions — no UDFs, no
+  * shuffle), then ONE shuffle keyed on a compact signature (band hash /
+  * simhash chunk / normalized text hash), cheap per-row screening before
+  * any pair-dedupe shuffle, and exact verification only for survivors.
+  * Candidate generation never compares all pairs — the bucket join is the
+  * only wide shuffle and mega-buckets are capped (capBuckets), so no
+  * boilerplate cluster can go quadratic at 100 TB.
   *
-  * Everything is deterministic: hash family = xxhash64 with literal seeds
-  * (Spark's seed parameter), so results are reproducible across runs and
-  * cluster sizes.
+  * Everything is deterministic: the hash family is FNV-1a/splitmix with
+  * literal seeds (graft.functions.TextOps), so results are reproducible
+  * across runs and cluster sizes.
   */
 object Dedup {
 
@@ -47,9 +48,12 @@ object Dedup {
     */
   def shingles(c: Column, n: Int = 3): Column = texthash.shingles(c, n)
 
-  /** k minhash values over the shingle set: h_i = min over shingles of
-    * xxhash64(shingle, seed=i). Pure per-row expression (no shuffle); the
-    * nested transform stays inside whole-stage codegen.
+  /** Reference formulation of the minhash signature over an ALREADY
+    * materialized shingle array column — kept for composability with
+    * arbitrary shingle definitions. NOTE: nested higher-order functions
+    * fall back to interpreted eval at depth; the hot path
+    * (minhashPairs) uses the fused text→signature kernel
+    * graft.functions.MinHashSig instead.
     */
   def minhashSignature(shingleCol: Column, k: Int = 16): Column =
     transform(sequence(lit(0), lit(k - 1)),
