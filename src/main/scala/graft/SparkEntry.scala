@@ -203,6 +203,46 @@ object SparkEntry {
           |WHERE a.vec_id < 20""".stripMargin)
     }),
 
+    // ---- multi-table analytics (the flagship shape at full star-schema
+    // width: dims broadcast, facts shuffle once on the agg keys) ----
+    "q_star_revenue" -> ((s, dir) => {
+      // revenue by region and order priority: lineitem ⋈ orders ⋈ customer
+      // ⋈ nation ⋈ region — three broadcastable dims, one fact-fact join
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+         (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .as("rev"))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderpriority"))
+        .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+    }),
+    "q_top_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("o_totalprice",
+        col("o_totalprice").cast("decimal(12,2)"))
+      val c = t(s, dir, "customer")
+      o.groupBy("o_custkey").agg(sum("o_totalprice").as("spend"),
+          count(lit(1)).as("n_orders"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("spend"), col("n_orders"))
+        .orderBy(col("spend").desc, col("c_custkey")).limit(25)
+    }),
+
+    "q_json_extract" -> ((s, dir) =>
+      // JSON functions over the events.props payload column — another
+      // §2.9 free-from-Catalyst surface
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("k_sum"), count("k").as("k_count"))),
+
     // ---- custom operators beyond the reference (SURVEY.md §2.9 gaps) ----
     "x_asof_join" -> ((s, dir) => {
       // each event joined to the user's latest order at-or-before the
@@ -437,6 +477,29 @@ object SparkEntry {
         |  CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 20""".stripMargin,
+    "q_star_revenue" ->
+      """SELECT r_name, o_orderpriority,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY spend DESC, c_custkey LIMIT 25""".stripMargin,
+    // outer CAST: DuckDB sum(BIGINT) widens to HUGEINT, Spark stays long
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_count
+        |FROM events GROUP BY 1""".stripMargin,
     "x_asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |           FROM orders GROUP BY 1, 2)
