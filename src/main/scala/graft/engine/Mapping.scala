@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
 
 /** J1–J6: the reference's auto-mapping stage
   * (/root/reference/ETL_Pipeline_Entire/mapping.py:105-181) — pairwise
