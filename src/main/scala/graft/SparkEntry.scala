@@ -294,6 +294,14 @@ object SparkEntry {
           |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
     }),
+    "q_sql_anti_join" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("customer", "orders"))
+      Sql.runSql(s,
+        """SELECT c_custkey, c_mktsegment FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F')""".stripMargin)
+    }),
     "q_sql_subquery" -> ((s, dir) => {
       Tables.open(s, dir, Seq("customer", "orders"))
       Sql.runSql(s,
@@ -315,6 +323,9 @@ object SparkEntry {
     "ns_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_score")),
+    "ns_subword_count" -> ((s, dir) =>  // rows-only: lookaround regex ∉ RE2
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.subwordCount(col("text")).as("subword_tokens"))),
     "ns_langid" -> ((s, dir) =>   // rows-only: heuristic not SQL-expressible
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.languageId(col("text")).as("lang_guess"))),
@@ -539,6 +550,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_sql_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')""".stripMargin,
     "q_sql_subquery" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE (SELECT count(*) FROM orders o
