@@ -33,7 +33,9 @@ object Ivf {
     val sampled = if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
     val train = sampled.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+    // 10 iterations: cell assignment only needs a stable coarse partition,
+    // not converged centroids — recall is governed by nProbe
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .fit(train)
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
