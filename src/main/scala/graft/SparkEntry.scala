@@ -323,10 +323,10 @@ object SparkEntry {
     "ns_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_score")),
-    "ns_subword_count" -> ((s, dir) =>  // rows-only: lookaround regex ∉ RE2
+    "ns_subword_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).as("subword_tokens"))),
-    "ns_langid" -> ((s, dir) =>   // rows-only: heuristic not SQL-expressible
+    "ns_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.languageId(col("text")).as("lang_guess"))),
     "ns_minhash_pairs" -> ((s, dir) =>  // rows-only: hash family not in DuckDB
@@ -559,6 +559,32 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE (SELECT count(*) FROM orders o
         |       WHERE o.o_custkey = c.c_custkey) >= 15""".stripMargin,
+    "ns_subword_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS subword_tokens
+        |FROM documents""".stripMargin,
+    // argmax over per-language stopword hits; Spark breaks ties toward the
+    // lexicographically greatest language code (struct max) → the CASE
+    // chain checks languages in reverse-lex order
+    "ns_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','für'))) AS de,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','pas','une','dans','pour','que'))) AS fr,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('el','la','los','y','es','no','una','en','para','que'))) AS es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |       WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |       WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |       ELSE 'de' END AS lang_guess
+        |FROM h""".stripMargin,
     "ns_exact_dedup" ->
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
         |       min(doc_id) AS keep_id, count(*) AS n_copies

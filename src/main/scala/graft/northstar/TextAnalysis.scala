@@ -18,15 +18,14 @@ object TextAnalysis {
     when(trim(text) === "", lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** A BPE-ish subword count approximation: splits on whitespace AND on
-    * letter/digit/punctuation boundaries (the regex family BPE pre-
-    * tokenizers use), so "don't-stop123" counts 5 pieces, not 1.
+  /** A BPE-ish subword count approximation: maximal letter runs, digit
+    * runs, and single other non-space characters each count as one piece
+    * (the boundary family BPE pre-tokenizers split on), so
+    * "don't-stop123 now!" counts 8 pieces, not 2. The alternation pattern
+    * is RE2-compatible, so the exact same regex runs in the DuckDB oracle.
     */
-  def subwordCount(text: Column): Column = {
-    val pieces = split(trim(text),
-      "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])")
-    size(filter(pieces, p => p =!= ""))
-  }
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Characters count, punctuation count, punctuation ratio. */
   def punctCount(text: Column): Column =
