@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.{texthash, vectors}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Edge cases for the custom codegen kernels: nulls, empties, mismatched
+  * dims, SQL-path nulls — both the interpreted (nullSafeEval) and codegen
+  * paths must agree.
+  */
+class KernelEdgeSpec extends SparkSpecBase {
+  import scala.jdk.CollectionConverters._
+  import spark.implicits._
+
+  test("vec_cosine: null input → null; empty arrays → 0; mismatched dims use common prefix") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val df = spark.createDataFrame(Seq(
+      Row(null, Seq(1f)), Row(Seq.empty[Float], Seq.empty[Float]),
+      Row(Seq(1f, 0f, 5f), Seq(1f, 0f))).asJava, schema)
+    val out = df.select(vectors.vec_cosine($"a", $"b")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 0.0)
+    assert(out(2).getDouble(0) == 1.0) // prefix [1,0]·[1,0]
+  }
+
+  test("minhash_sig / simhash64: null → null, empty and blank strings deterministic") {
+    val df = Seq(Some(""), Some("   "), Some("x"), None).toDF("t")
+    val out = df.select(texthash.minhash_sig($"t"), texthash.simhash64($"t")).collect()
+    assert(out(3).isNullAt(0) && out(3).isNullAt(1))
+    assert(out(0).getAs[scala.collection.Seq[Long]](0).size == 16)
+    // empty and whitespace-only normalize identically
+    assert(out(0).getAs[scala.collection.Seq[Long]](0) ==
+           out(1).getAs[scala.collection.Seq[Long]](0))
+    assert(out(0).getLong(1) == out(1).getLong(1))
+  }
+
+  test("minhash_est: zero-length signature → 0.0; identical → 1.0") {
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L)), (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+    val out = df.select(texthash.minhash_est($"a", $"b")).collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("SQL path: kernels return null on null input through codegen") {
+    graft.functions.registry.registerAll(spark)
+    val r = spark.sql(
+      "SELECT vec_cosine(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))), " +
+      "simhash64(CAST(NULL AS STRING))").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("lsh_buckets: table ids partition the keyspace (no cross-table collisions)") {
+    val df = Seq(Seq(1f, 2f, 3f)).toDF("v")
+    val buckets = df.select(vectors.lsh_buckets($"v", 4, 8)).collect()(0)
+      .getAs[scala.collection.Seq[Long]](0)
+    assert(buckets.size == 8)
+    assert(buckets.map(_ >> 32).toSeq == (0L until 8L))
+  }
+}
