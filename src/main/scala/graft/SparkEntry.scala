@@ -44,6 +44,9 @@ object SparkEntry {
       funcs = Seq("sum", "count"))).get
       .withColumn("l_quantity_mean",
         col("l_quantity_sum") / col("l_quantity_count"))
+      // pin the decimal sum's type: engines widen SUM(decimal) differently
+      .withColumn("l_extendedprice_sum",
+        col("l_extendedprice_sum").cast("decimal(18,2)"))
   }
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -95,6 +98,9 @@ object SparkEntry {
         groupBy = Seq("l_returnflag", "l_linestatus"),
         aggCols = Seq("l_quantity", "l_extendedprice"),
         funcs = Seq("sum", "min", "max", "count"))).get
+        .withColumn("l_quantity_sum", col("l_quantity_sum").cast("decimal(18,2)"))
+        .withColumn("l_extendedprice_sum",
+          col("l_extendedprice_sum").cast("decimal(18,2)"))
     }),
     "a2_mean_agg" -> ((s, dir) =>
       Aggregations.aggregate(t(s, dir, "lineitem"), AggSpec(
@@ -105,7 +111,9 @@ object SparkEntry {
       Aggregations.pie(
         t(s, dir, "orders").withColumn("o_totalprice",
           col("o_totalprice").cast("decimal(12,2)")),
-        "o_orderpriority", "o_totalprice")),
+        "o_orderpriority", "o_totalprice")
+        .withColumn("o_totalprice_sum",
+          col("o_totalprice_sum").cast("decimal(18,2)"))),
     "a5_histogram" -> ((s, dir) =>
       Aggregations.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20)),
     "a6_watermark" -> ((s, dir) =>
@@ -221,13 +229,15 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("o_orderpriority"))
-        .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(col("rev")).cast("decimal(18,4)").as("revenue"),
+             count(lit(1)).as("n_items"))
     }),
     "q_top_customers" -> ((s, dir) => {
       val o = t(s, dir, "orders").withColumn("o_totalprice",
         col("o_totalprice").cast("decimal(12,2)"))
       val c = t(s, dir, "customer")
-      o.groupBy("o_custkey").agg(sum("o_totalprice").as("spend"),
+      o.groupBy("o_custkey").agg(
+          sum("o_totalprice").cast("decimal(18,2)").as("spend"),
           count(lit(1)).as("n_orders"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_mktsegment"), col("spend"), col("n_orders"))
@@ -274,8 +284,8 @@ object SparkEntry {
       Tables.open(s, dir, Seq("orders"))
       Sql.runSql(s,
         """SELECT o_custkey, o_orderkey,
-          |  row_number() OVER (PARTITION BY o_custkey
-          |                     ORDER BY o_orderdate, o_orderkey) AS order_seq,
+          |  CAST(row_number() OVER (PARTITION BY o_custkey
+          |                     ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
           |  lag(o_orderkey) OVER (PARTITION BY o_custkey
           |                        ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
           |FROM orders""".stripMargin)
@@ -291,7 +301,7 @@ object SparkEntry {
       Tables.open(s, dir, Seq("lineitem"))
       Sql.runSql(s,
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
     }),
     "q_sql_anti_join" -> ((s, dir) => {
@@ -318,14 +328,14 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
     "ns_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).as("n_chars_computed"))),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"))),
     "ns_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_score")),
     "ns_subword_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.subwordCount(col("text")).as("subword_tokens"))),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("subword_tokens"))),
     "ns_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.languageId(col("text")).as("lang_guess"))),
@@ -340,6 +350,7 @@ object SparkEntry {
     "ns_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
     }),
     "ns_knn_lsh" -> ((s, dir) => {      // rows-only: ANN, verified vs brute in tests
       val emb = t(s, dir, "embeddings")
@@ -369,13 +380,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // l_quantity is integer-valued → double sums are exact and
+    // order-independent, so the sum/mean stay DOUBLE to match Spark's type
     "q1_flagship" ->
       """SELECT l_returnflag, l_linestatus, o_orderstatus,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS l_quantity_sum,
+        |  sum(l_quantity) AS l_quantity_sum,
         |  count(l_quantity) AS l_quantity_count,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS l_extendedprice_sum,
         |  count(l_extendedprice) AS l_extendedprice_count,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS l_quantity_mean
+        |  sum(l_quantity) / count(l_quantity) AS l_quantity_mean
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2, 3""".stripMargin,
     "s1_scan_full" -> "SELECT * FROM nation",
@@ -418,11 +431,11 @@ object SparkEntry {
         |FROM customer""".stripMargin,
     "a1_multi_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS l_quantity_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS l_quantity_sum,
         |  min(l_quantity) AS l_quantity_min,
         |  max(l_quantity) AS l_quantity_max,
         |  count(l_quantity) AS l_quantity_count,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS l_extendedprice_sum,
         |  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_min,
         |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_max,
         |  count(l_extendedprice) AS l_extendedprice_count
@@ -436,7 +449,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "a4_pie" ->
       """SELECT o_orderpriority,
-        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS o_totalprice_sum
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS o_totalprice_sum
         |FROM orders GROUP BY 1""".stripMargin,
     "a5_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
@@ -490,8 +503,8 @@ object SparkEntry {
         |WHERE a.vec_id < 20""".stripMargin,
     "q_star_revenue" ->
       """SELECT r_name, o_orderpriority,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -501,7 +514,7 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_mktsegment,
-        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS spend,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY spend DESC, c_custkey LIMIT 25""".stripMargin,
@@ -548,7 +561,7 @@ object SparkEntry {
         |SELECT o_custkey FROM orders""".stripMargin,
     "q_sql_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q_sql_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
