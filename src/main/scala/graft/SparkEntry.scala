@@ -44,9 +44,11 @@ object SparkEntry {
       funcs = Seq("sum", "count"))).get
       .withColumn("l_quantity_mean",
         col("l_quantity_sum") / col("l_quantity_count"))
-      // pin the decimal sum's type: engines widen SUM(decimal) differently
+      // accumulate exact in DECIMAL, but EXPOSE as DOUBLE: the driver
+      // str()-compares cells and str(Decimal) keeps trailing zeros
+      // ('38139.20') while DuckDB's frame holds float64 ('38139.2')
       .withColumn("l_extendedprice_sum",
-        col("l_extendedprice_sum").cast("decimal(18,2)"))
+        col("l_extendedprice_sum").cast("double"))
   }
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -74,8 +76,18 @@ object SparkEntry {
         t(s, dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity"))),
     "t2_remove_nulls" -> ((s, dir) =>
       Transforms.removeNullRows(t(s, dir, "customer"))),
-    "t3_impute" -> ((s, dir) =>
-      Transforms.imputeNulls(t(s, dir, "supplier"))),
+    "t3_impute" -> ((s, dir) => {
+      // supplier is null-free at every SF, so impute-on-raw is the identity
+      // (the r1 oracle was vacuous). Null out a deterministic band of the
+      // integer-valued s_nationkey so the mean-fill path itself is
+      // cross-engine-checked: mean = exact-int-sum / count is ONE IEEE
+      // division, identical in both engines (a double money column would
+      // hit sum-order ULP drift instead).
+      val sup = t(s, dir, "supplier").withColumn("s_nationkey",
+        when(col("s_suppkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("s_nationkey")))
+      Transforms.imputeNulls(sup)
+    }),
     "t4_trim" -> ((s, dir) =>
       Transforms.trimWhitespace(t(s, dir, "customer"))),
     "t5_standardize_dates" -> ((s, dir) =>
@@ -98,9 +110,10 @@ object SparkEntry {
         groupBy = Seq("l_returnflag", "l_linestatus"),
         aggCols = Seq("l_quantity", "l_extendedprice"),
         funcs = Seq("sum", "min", "max", "count"))).get
-        .withColumn("l_quantity_sum", col("l_quantity_sum").cast("decimal(18,2)"))
-        .withColumn("l_extendedprice_sum",
-          col("l_extendedprice_sum").cast("decimal(18,2)"))
+        // decimal accumulation, DOUBLE exposure (driver str-compare; see q1)
+        .withColumn("l_extendedprice_sum", col("l_extendedprice_sum").cast("double"))
+        .withColumn("l_extendedprice_min", col("l_extendedprice_min").cast("double"))
+        .withColumn("l_extendedprice_max", col("l_extendedprice_max").cast("double"))
     }),
     "a2_mean_agg" -> ((s, dir) =>
       Aggregations.aggregate(t(s, dir, "lineitem"), AggSpec(
@@ -112,8 +125,9 @@ object SparkEntry {
         t(s, dir, "orders").withColumn("o_totalprice",
           col("o_totalprice").cast("decimal(12,2)")),
         "o_orderpriority", "o_totalprice")
+        // DOUBLE exposure: passed r1 only because no cell had a trailing zero
         .withColumn("o_totalprice_sum",
-          col("o_totalprice_sum").cast("decimal(18,2)"))),
+          col("o_totalprice_sum").cast("double"))),
     "a5_histogram" -> ((s, dir) =>
       Aggregations.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20)),
     "a6_watermark" -> ((s, dir) =>
@@ -229,19 +243,23 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("o_orderpriority"))
-        .agg(sum(col("rev")).cast("decimal(18,4)").as("revenue"),
+        // exact decimal sum, exposed as DOUBLE (driver str-compare; see q1)
+        .agg(sum(col("rev")).cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
     }),
     "q_top_customers" -> ((s, dir) => {
       val o = t(s, dir, "orders").withColumn("o_totalprice",
         col("o_totalprice").cast("decimal(12,2)"))
       val c = t(s, dir, "customer")
+      // top-25 picked on the EXACT decimal sum (double ties could collapse
+      // distinct spends and flip the cutoff), then exposed as DOUBLE
       o.groupBy("o_custkey").agg(
-          sum("o_totalprice").cast("decimal(18,2)").as("spend"),
+          sum("o_totalprice").as("spend_dec"),
           count(lit(1)).as("n_orders"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("c_mktsegment"), col("spend"), col("n_orders"))
-        .orderBy(col("spend").desc, col("c_custkey")).limit(25)
+        .orderBy(col("spend_dec").desc, col("c_custkey")).limit(25)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("spend_dec").cast("double").as("spend"), col("n_orders"))
     }),
 
     "q_json_extract" -> ((s, dir) =>
@@ -301,7 +319,7 @@ object SparkEntry {
       Tables.open(s, dir, Seq("lineitem"))
       Sql.runSql(s,
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
+          |  sum(l_quantity) AS qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
     }),
     "q_sql_anti_join" -> ((s, dir) => {
@@ -371,8 +389,13 @@ object SparkEntry {
     "ns_multimodal" -> ((s, dir) => {   // rows-only: stub codec (no SQL analogue)
       val assets = Multimodal.toAssets(
         t(s, dir, "documents"), "doc_id", "text", "image", "source")
-      Multimodal.poolFeatures(Multimodal.decodeAssets(assets))
-        .select("asset_id", "width", "height", "format", "features_pooled")
+      val pooled = Multimodal.poolFeatures(Multimodal.decodeAssets(assets))
+      // scalar-only exposure: the driver's pandas canonicalizer can't sort
+      // raw array cells (r1 crash); the array form stays unit-tested
+      val featCols = (0 until Multimodal.StubCodec.FeatureDim / 2).map(i =>
+        get(col("features_pooled"), lit(i)).cast("double").as(s"feat_$i"))
+      pooled.select(Seq(col("asset_id"), col("width"), col("height"),
+        col("format")) ++ featCols: _*)
     }),
   )
 
@@ -386,7 +409,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, o_orderstatus,
         |  sum(l_quantity) AS l_quantity_sum,
         |  count(l_quantity) AS l_quantity_count,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS l_extendedprice_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS l_extendedprice_sum,
         |  count(l_extendedprice) AS l_extendedprice_count,
         |  sum(l_quantity) / count(l_quantity) AS l_quantity_mean
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -407,13 +430,21 @@ object SparkEntry {
         |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
         |  AND c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
         |  AND c_mktsegment IS NOT NULL""".stripMargin,
-    // supplier has no nulls at any SF (TESTDATA is null-free), so mean
-    // imputation is the identity on numeric cols (impl only rewrites columns
-    // that contain nulls) and 'N/A' fill is the identity on strings; the
-    // null-bearing path is covered by ImputeSpec unit tests.
+    // nulls injected on s_suppkey % 7 = 0 (mirrors the Spark query), so the
+    // mean-fill path is genuinely cross-engine-checked; the fill value is
+    // exact-int-sum / count — one deterministic IEEE division per engine.
     "t3_impute" ->
-      """SELECT s_suppkey, coalesce(s_name, 'N/A') AS s_name, s_nationkey,
-        |       s_acctbal FROM supplier""".stripMargin,
+      """WITH s AS (
+        |  SELECT s_suppkey, s_name,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS s_nationkey,
+        |    s_acctbal
+        |  FROM supplier),
+        |m AS (SELECT CAST(sum(s_nationkey) AS DOUBLE) / count(s_nationkey) AS mean_nk
+        |      FROM s)
+        |SELECT s_suppkey, s_name,
+        |  coalesce(CAST(s_nationkey AS DOUBLE), (SELECT mean_nk FROM m)) AS s_nationkey,
+        |  s_acctbal
+        |FROM s""".stripMargin,
     "t4_trim" ->
       """SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal,
         |       trim(c_mktsegment) AS c_mktsegment FROM customer""".stripMargin,
@@ -431,13 +462,13 @@ object SparkEntry {
         |FROM customer""".stripMargin,
     "a1_multi_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS l_quantity_sum,
+        |  sum(l_quantity) AS l_quantity_sum,
         |  min(l_quantity) AS l_quantity_min,
         |  max(l_quantity) AS l_quantity_max,
         |  count(l_quantity) AS l_quantity_count,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS l_extendedprice_sum,
-        |  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_min,
-        |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS l_extendedprice_max,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS l_extendedprice_sum,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS l_extendedprice_min,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS l_extendedprice_max,
         |  count(l_extendedprice) AS l_extendedprice_count
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "a2_mean_agg" ->
@@ -449,7 +480,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "a4_pie" ->
       """SELECT o_orderpriority,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS o_totalprice_sum
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS o_totalprice_sum
         |FROM orders GROUP BY 1""".stripMargin,
     "a5_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
@@ -504,7 +535,7 @@ object SparkEntry {
     "q_star_revenue" ->
       """SELECT r_name, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue,
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -513,11 +544,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
     "q_top_customers" ->
-      """SELECT c_custkey, c_mktsegment,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS spend,
-        |  count(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1, 2 ORDER BY spend DESC, c_custkey LIMIT 25""".stripMargin,
+      """WITH s AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec,
+        |    count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2 ORDER BY spend_dec DESC, c_custkey LIMIT 25)
+        |SELECT c_custkey, c_mktsegment, CAST(spend_dec AS DOUBLE) AS spend,
+        |       n_orders FROM s""".stripMargin,
     // outer CAST: DuckDB sum(BIGINT) widens to HUGEINT, Spark stays long
     "q_json_extract" ->
       """SELECT event_type,
@@ -559,9 +593,10 @@ object SparkEntry {
       """SELECT c_custkey FROM customer WHERE c_nationkey < 5
         |INTERSECT
         |SELECT o_custkey FROM orders""".stripMargin,
+    // l_quantity is integer-valued → double sum exact and order-independent
     "q_sql_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
+        |  sum(l_quantity) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q_sql_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c

@@ -15,22 +15,20 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonicalization: sort the RAW frame first (unhashable
+    cells, e.g. numpy arrays, crash here exactly like at the driver), then
+    stringify with str() — so Decimal('38139.20') != float 38139.2, matching
+    the driver's hash compare (the round-1 local checker float-normalized
+    Decimals and missed 5 driver hash-fails)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify every cell so decimal/float/int representation unifies
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
             return repr(v)
-        try:
-            import decimal
-            if isinstance(v, decimal.Decimal):
-                return repr(float(v)) if v == v.to_integral_value() or True else str(v)
-        except Exception:
-            pass
         return str(v)
-    df = df.map(cell)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df.map(cell)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
