@@ -3,6 +3,8 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.{ParquetStore, Store}
+
 /** E1–E3: bronze ingest — full refresh and high-watermark incremental load
   * (/root/reference/ETL_Pipeline_Entire/data_extraction.py:28-144).
   *
@@ -30,8 +32,15 @@ object Extraction {
     * (S6 drop+create for free).
     */
   def fullRefresh(source: DataFrame, targetDir: String,
+                  table: String): ExtractResult =
+    fullRefresh(source, ParquetStore(targetDir), table)
+
+  /** Store-generic E1: same semantics against parquet or JDBC targets
+    * (the reference's target is always a MySQL DB).
+    */
+  def fullRefresh(source: DataFrame, target: Store,
                   table: String): ExtractResult = {
-    Tables.write(source, targetDir, table, mode = "overwrite")
+    target.write(source, table, mode = "overwrite")
     ExtractResult(table, "Full Refresh", source.count())
   }
 
@@ -54,13 +63,20 @@ object Extraction {
     * missing target → create + full load (data_extraction.py:59-107).
     */
   def incrementalLoad(spark: SparkSession, source: DataFrame,
-                      targetDir: String, table: String): ExtractResult = {
-    val existing: Option[DataFrame] =
-      try Some(Tables.table(spark, targetDir, table))
-      catch { case _: Exception => None }
+                      targetDir: String, table: String): ExtractResult =
+    incrementalLoad(spark, source, ParquetStore(targetDir), table)
+
+  /** Store-generic E2. With a JDBC target the watermark filter is pushed
+    * into the source's WHERE clause (when the source is also JDBC) and
+    * the append batches `batchsize` rows per INSERT — the reference's
+    * chunked `to_sql` (data_extraction.py:51).
+    */
+  def incrementalLoad(spark: SparkSession, source: DataFrame,
+                      target: Store, table: String): ExtractResult = {
+    val existing = target.readIfExists(spark, table)
     val delta = incrementalRows(source, existing)
     val mode = if (existing.isDefined) "append" else "overwrite"
-    Tables.write(delta, targetDir, table, mode)
+    target.write(delta, table, mode)
     ExtractResult(table, "Incremental Load", delta.count())
   }
 
@@ -75,12 +91,20 @@ object Extraction {
     */
   def runJob(spark: SparkSession, sourceDir: String, targetDir: String,
              jobs: Seq[TableJob]): Seq[Either[(String, Throwable), ExtractResult]] =
+    runJob(spark, ParquetStore(sourceDir), ParquetStore(targetDir), jobs)
+
+  /** Store-generic E3 — source and target can each be parquet or JDBC,
+    * covering all four reference-shaped flows (DB→DB is the reference's
+    * own bronze→silver move).
+    */
+  def runJob(spark: SparkSession, source: Store, target: Store,
+             jobs: Seq[TableJob]): Seq[Either[(String, Throwable), ExtractResult]] =
     jobs.map { j =>
       try {
-        val src = Tables.table(spark, sourceDir, j.table)
+        val src = source.read(spark, j.table)
         Right(j.mode match {
-          case "Incremental Load" => incrementalLoad(spark, src, targetDir, j.table)
-          case _                  => fullRefresh(src, targetDir, j.table)
+          case "Incremental Load" => incrementalLoad(spark, src, target, j.table)
+          case _                  => fullRefresh(src, target, j.table)
         })
       } catch { case e: Throwable => Left(j.table -> e) }
     }
