@@ -341,6 +341,33 @@ object SparkEntry {
     // ---- NS: north-star training-data pipeline ops (SURVEY.md §7.4) ----
     "ns_exact_dedup" -> ((s, dir) =>
       Dedup.exactByText(t(s, dir, "documents"))),
+    "ns_dedup_clusters" -> ((s, dir) => {
+      // pair→cluster resolution over CHAIN pairs (rank i ↔ i+1 inside each
+      // exact-dup group): multi-hop topology, so the oracle verifies the
+      // transitive min-id propagation itself, not just a pair join. The
+      // same collapse runs unchanged on minhashPairs/simhashPairs output.
+      // documents is dup-free at every SF, so derive duplicates
+      // deterministically (mirrored in the oracle SQL): every 5th doc gets
+      // a case/whitespace-mangled copy at +10000, every 10th a second at
+      // +20000 — clusters of size 2 and 3 whose min must propagate 2 hops.
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = base
+        .union(base.filter(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 10000).as("doc_id"),
+          concat(lit("  "), upper(col("text"))).as("text")))
+        .union(base.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 20000).as("doc_id"),
+          concat(upper(col("text")), lit(" \t ")).as("text")))
+      val w = Window.partitionBy("nt").orderBy("doc_id")
+      val pairs = corpus
+        .select(col("doc_id"), Dedup.normText(col("text")).as("nt"))
+        .withColumn("nxt", lead("doc_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+      Dedup.collapseByPairs(corpus, pairs)
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
+    }),
     "ns_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -637,6 +664,25 @@ object SparkEntry {
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // cluster_id = component min over chain pairs within an exact-dup
+    // group == group-min of doc_id — DuckDB-expressible as a window min.
+    // The derived +10000/+20000 copies mirror the Spark query (documents
+    // itself is dup-free at every SF).
+    "ns_dedup_clusters" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, concat('  ', upper(text))
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, concat(upper(text), ' ' || chr(9) || ' ')
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS cluster_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_keeper
+        |FROM corpus""".stripMargin,
     "ns_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

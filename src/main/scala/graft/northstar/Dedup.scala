@@ -153,6 +153,89 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  // ------------------------------------------------------- cluster collapse
+
+  /** Connected components over an undirected pair list (doc_a, doc_b) →
+    * (id, cluster_id) where cluster_id is the minimum id in the component.
+    * Only ids appearing in some pair are returned — singletons are the
+    * caller's identity case ([[collapseByPairs]] coalesces them to self).
+    *
+    * Algorithm: min-label propagation with path halving. Each round is
+    * (a) one hash join + groupBy-min pushing labels across edges, then
+    * (b) one self-join jump `label := label(label)` that halves pointer
+    * chains — together converging in O(log diameter) rounds, each round a
+    * constant number of shuffles on the id key. Labels are (id, long)
+    * pairs only; document payloads never enter the loop. `localCheckpoint`
+    * truncates the lineage each round so the plan doesn't grow with the
+    * iteration count. This is the standard Spark re-expression of
+    * small-star/large-star CC (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
+    val nodes = pairs.select(a.as("id"))
+      .union(pairs.select(b.as("id"))).distinct()
+    // symmetric edges + self-loops: one groupBy-min then computes
+    // min(self, neighbors) in a single pass
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    // labels only decrease: the running total is a monotone convergence
+    // witness, carried across rounds so each round costs ONE scalar agg
+    // (sum over an empty frame is NULL → 0, so empty pair lists converge
+    // immediately instead of crashing)
+    def total(df: DataFrame): Long =
+      Option(df.agg(sum(col("cluster_id"))).collect()(0).get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+    var prevTotal = total(labels)
+    var converged = prevTotal == 0L && labels.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      // (a) push labels across edges
+      val pushed = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .withColumnRenamed("id2", "id")
+      // (b) path halving: label := label(label) (cluster ids are node ids,
+      // so the inner join always matches)
+      val jumped = pushed.alias("l1")
+        .join(pushed.alias("l2"), col("l1.cluster_id") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val newTotal = total(jumped)
+      converged = newTotal == prevTotal
+      prevTotal = newTotal
+      labels = jumped
+      it += 1
+    }
+    labels
+  }
+
+  /** Pair→cluster resolution: collapse near-dup PAIRS (from any generator —
+    * [[minhashPairs]], [[simhashPairs]], metadata joins) into per-document
+    * cluster assignments and a keep flag. Documents in no pair are their
+    * own singleton cluster. The keeper is the minimum id per cluster —
+    * deterministic, and computable without a second shuffle because the
+    * cluster label IS the minimum member id.
+    *
+    * Output: all rows of `docs` + (cluster_id, is_keeper). Filtering on
+    * is_keeper yields the deduplicated corpus — the end state a real
+    * dedup pipeline needs (pair lists are an intermediate).
+    */
+  def collapseByPairs(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.join(cc, docs(idCol) === cc("id"), "left")
+      .drop("id")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), docs(idCol).cast("long")))
+      .withColumn("is_keeper", docs(idCol).cast("long") === col("cluster_id"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token set: bit j of the fingerprint is 1 iff

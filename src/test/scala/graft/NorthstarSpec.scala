@@ -55,6 +55,36 @@ class DedupSpec extends SparkSpecBase {
     assert(out((1L, 2L)) > 0.5)
     assert(out((1L, 4L)) < 0.1)
   }
+
+  test("connected components: transitivity across chains, disjoint components stay apart") {
+    // 1-2-3-4-5 is a pure chain (no shortcut edges): the min label must
+    // propagate 4 hops; 10-11 is a separate component
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), s"chain not collapsed: $cc")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("collapseByPairs: keepers are cluster minima; singletons keep themselves") {
+    val corpus = Seq(1L, 2L, 3L, 7L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.collapseByPairs(corpus, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_keeper")))).toMap
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false))
+      && out(3L) == ((1L, false)))
+    assert(out(7L) == ((7L, true))) // in no pair → own cluster
+  }
+
+  test("collapseByPairs composes with minhashPairs: near-dup corpus collapses to keepers") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+    val keep = Dedup.collapseByPairs(docs, pairs)
+      .filter(col("is_keeper")).collect().map(_.getAs[Long]("doc_id")).toSet
+    // 1,2,3 are one near-dup cluster (keeper 1); 4 is unrelated
+    assert(keep == Set(1L, 4L))
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
