@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.{Aggregations, Tables}
 import graft.engine.Aggregations.AggSpec
-import graft.northstar.{Dedup, Similarity}
+import graft.northstar.{Dedup, Ivf, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,12 +56,26 @@ object ScaleProbe {
       Dedup.exactByText(docs).count()
     }
 
+    timed("clusterCollapse 40k docs") {
+      Dedup.collapseByPairs(docs, Dedup.minhashPairs(docs, threshold = 0.5))
+        .filter(col("is_keeper")).count()
+    }
+
     val emb = replicate(Tables.table(spark, dir, "embeddings"), 5, "vec_id", 1000000L)
     timed("lshTopK 10k corpus, 50 queries") {
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 10).count()
     }
     timed("cosineNearDupPairs 10k") {
       Similarity.cosineNearDupPairs(emb, threshold = 0.35).count()
+    }
+    // auto-sampled k-means: wall time should stay ~flat as the corpus
+    // replicates (the sample is bounded at nCells*256 rows either way)
+    val emb1 = Tables.table(spark, dir, "embeddings")
+    timed("ivf fitCentroids 2k corpus") {
+      Ivf.fitCentroids(emb1, nCells = 8).length.toLong
+    }
+    timed("ivf fitCentroids 10k corpus (x5)") {
+      Ivf.fitCentroids(emb, nCells = 8).length.toLong
     }
     spark.stop()
   }

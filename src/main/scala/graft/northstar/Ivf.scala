@@ -23,15 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Train the coarse quantizer: k-means centroids over (a sample of) the
+  /** Auto-sampling sentinel for [[fitCentroids]]. */
+  val AutoSample: Double = -1.0
+
+  /** Training rows the auto sample targets per centroid (k-means needs a
+    * stable coarse partition, not the full corpus — ~256 points/cell is
+    * the standard IVF training budget).
+    */
+  val TrainRowsPerCell: Long = 256L
+
+  /** Train the coarse quantizer: k-means centroids over a SAMPLE of the
     * corpus embedding column. Deterministic via fixed seed.
+    *
+    * By default the sample is bounded: min(1, nCells*256 / corpusRows) —
+    * full-corpus k-means is a genuine scale hazard (MLlib iterates over
+    * the whole training set nIter times), and quantizer quality saturates
+    * at a few hundred points per cell. Pass an explicit `sampleFraction`
+    * to override (1.0 = train on everything).
     */
   def fitCentroids(corpus: DataFrame, nCells: Int,
                    vecCol: String = "embedding",
-                   sampleFraction: Double = 1.0,
+                   sampleFraction: Double = AutoSample,
                    seed: Long = 42L): Array[Array[Float]] = {
-    val sampled = if (sampleFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    val fraction =
+      if (sampleFraction > 0.0) sampleFraction
+      else {
+        val n = corpus.count()
+        val target = nCells * TrainRowsPerCell
+        if (n <= target) 1.0
+        // 1.2× slack: Bernoulli sampling undershoots; k-means only needs
+        // the order of magnitude right
+        else math.min(1.0, 1.2 * target.toDouble / n)
+      }
+    val sampled = if (fraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fraction, seed)
     val train = sampled.select(array_to_vector(col(vecCol)).as("features"))
     // 10 iterations: cell assignment only needs a stable coarse partition,
     // not converged centroids — recall is governed by nProbe

@@ -15,6 +15,30 @@ class IvfSpec extends SparkSpecBase {
     assert(c1.length == 4 && c1.head.length == 64)
   }
 
+  test("auto-sampling bounds the training set, stays deterministic, keeps recall") {
+    import org.apache.spark.sql.functions.col
+    // 4× replication (2000 rows) with nCells=2 → target 512 rows: the
+    // auto fraction is ~0.3, so the sampled path genuinely runs
+    val big = (0 until 4).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + i * 100000L)).reduce(_ unionAll _)
+    val c1 = Ivf.fitCentroids(big, nCells = 2)
+    val c2 = Ivf.fitCentroids(big, nCells = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // quantizer quality: sampled-trained centroids cluster the FULL corpus
+    // nearly as tightly as full-trained ones (SSE within a small factor) —
+    // the property IVF recall actually depends on (centroid identity is
+    // arbitrary on near-random synthetic embeddings)
+    val full = Ivf.fitCentroids(big, nCells = 2, sampleFraction = 1.0)
+    val vecs = big.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def sse(cents: Array[Array[Float]]): Double = vecs.map { v =>
+      cents.map(c => v.zip(c).map { case (x, y) =>
+        val d = x.toDouble - y; d * d }.sum).min
+    }.sum
+    val (s1, sf) = (sse(c1), sse(full))
+    assert(s1 <= 1.2 * sf, s"sampled SSE $s1 vs full SSE $sf")
+  }
+
   test("probeCells returns nProbe distinct cells, best cell first") {
     val centroids = Ivf.fitCentroids(emb, nCells = 8)
     val probed = emb.limit(5).select(
