@@ -386,6 +386,42 @@ object SparkEntry {
         TextAnalysis.languageId(col("text")).as("lang_guess"))),
     "ns_minhash_pairs" -> ((s, dir) =>  // rows-only: hash family not in DuckDB
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)),
+    // hash-checked companion to ns_minhash_pairs: the EXACT-Jaccard
+    // verification half (jaccardForPairs + the shingle kernel) over a
+    // fixed pair list both engines can build — each doc vs its first-20-
+    // words truncation (jaccard in (0,1]) plus consecutive-id pairs
+    // (unrelated, jaccard ≈ 0). Counts-ratio division is one IEEE op on
+    // identical integer operands, so hashes match exactly.
+    "ns_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val trunc = docs.select((col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 20), " ")
+          .as("text"))
+      val corpus = docs.union(trunc)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 10000).as("doc_b"))
+        .union(docs.select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1).as("doc_b"))
+          .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+          // using-join reorders doc_b first; re-pin before the positional union
+          .select("doc_a", "doc_b"))
+      Dedup.jaccardForPairs(corpus, pairs)
+    }),
+    // hash-checked companion to ns_simhash_pairs: the Hamming-distance
+    // verification half (bit_count of xor) over 60-bit fingerprints both
+    // engines derive the same way (first 15 hex chars of the md5 text
+    // fingerprint), for consecutive-id pairs.
+    "ns_hamming_pairs" -> ((s, dir) => {
+      val fp = t(s, dir, "documents").select(col("doc_id"),
+        conv(substring(TextAnalysis.fingerprint(col("text")), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+      fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+        .join(fp.select((col("doc_id") - 1).as("doc_a"),
+          col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_a"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+            .as("hamming"))
+    }),
     // maxBucket tightened: the synthetic corpus draws from a tiny shared
     // vocabulary, so fingerprints collide far more than real-world text —
     // chunk buckets above a few hundred docs are all boilerplate-cluster
@@ -687,6 +723,48 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    // exact-Jaccard verification half of minhash dedup: word-3-gram
+    // shingles (same normalization + gram rule as the Spark kernel:
+    // lower/trim/split-\s+, max(1, len-2) grams, distinct), fixed pairs =
+    // doc vs its 20-word truncation (+10000) and consecutive ids
+    "ns_jaccard_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(1, len(w) - 2)),
+        |    i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS sh
+        |  FROM w
+        |  UNION ALL
+        |  SELECT doc_id + 10000, list_distinct(list_transform(
+        |    generate_series(1, greatest(1, least(20, len(w)) - 2)),
+        |    i -> array_to_string(w[i:least(i + 2, least(20, len(w)))], ' ')))
+        |  FROM w),
+        |pairs AS (
+        |  SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b FROM documents
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1)
+        |SELECT p.doc_a, p.doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |       len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM pairs p
+        |JOIN sh a ON a.doc_id = p.doc_a
+        |JOIN sh b ON b.doc_id = p.doc_b""".stripMargin,
+    // Hamming verification half of simhash dedup over 60-bit fingerprints
+    // both engines derive identically (first 15 hex chars of the md5 text
+    // fingerprint)
+    "ns_hamming_pairs" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15)
+        |         AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "ns_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN 0
