@@ -39,4 +39,47 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = planOf("a1_multi_agg")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(800))
   }
+
+  // ---- bench top-5: the heavy queries fail CI on plan regressions, not
+  // ---- in the bench numbers
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  private def assertNoQuadratic(p: String): Unit = {
+    assert(!p.contains("CartesianProduct"), "CartesianProduct in plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "BroadcastNestedLoopJoin in plan")
+  }
+
+  test("minhash pairs: bucket-cap semi-joins present, no quadratic join") {
+    val p = planOf("ns_minhash_pairs")
+    // capBuckets guards BOTH sides of the candidate self-join
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("simhash pairs: bucket-cap semi-joins present, no quadratic join") {
+    val p = planOf("ns_simhash_pairs")
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("ivf topk: probe join is an equi join on cell id, no quadratic join") {
+    val p = planOf("ns_knn_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("as-of join: union + window formulation — no join node, bounded shuffles") {
+    val p = planOf("x_asof_join")
+    assert(!p.contains("Join"), "as-of should be join-free (union + window)")
+    assert(shuffles(p) <= 2, s"expected <=2 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
+  }
+
+  test("session windows: one shuffle, no join") {
+    val p = planOf("x_session_windows")
+    assert(!p.contains("Join"), "session windows should be join-free")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n${p.take(800)}")
+  }
 }
