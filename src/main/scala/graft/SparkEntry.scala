@@ -449,6 +449,22 @@ object SparkEntry {
     }),
     "ns_neardup_cosine" -> ((s, dir) => // rows-only
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
+    // hash-checked companion to ns_neardup_cosine: the EXACT cosine
+    // threshold-pair semantics the LSH buckets approximate, on a bounded
+    // id subset (the all-pairs join is the oracle baseline, not the scale
+    // path). Threshold applied to the e4-rounded INTEGER both engines
+    // agree on, so near-threshold membership can't flip on float noise.
+    "ns_neardup_cosine_exact" -> ((s, dir) => {
+      graft.functions.registry.registerAll(s)
+      Tables.open(s, dir, Seq("embeddings"))
+      Sql.runSql(s,
+        """WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200)
+          |SELECT id_a, id_b, sim_e4 FROM (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    CAST(round(vec_cosine(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |WHERE sim_e4 >= 3000""".stripMargin)
+    }),
     "ns_multimodal" -> ((s, dir) => {   // rows-only: stub codec (no SQL analogue)
       val assets = Multimodal.toAssets(
         t(s, dir, "documents"), "doc_id", "text", "image", "source")
@@ -595,6 +611,13 @@ object SparkEntry {
         |  CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 20""".stripMargin,
+    "ns_neardup_cosine_exact" ->
+      """WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200)
+        |SELECT id_a, id_b, sim_e4 FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE sim_e4 >= 3000""".stripMargin,
     "q_star_revenue" ->
       """SELECT r_name, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -66,6 +66,38 @@ object Sql {
     def generate(question: String, schema: String): String = question
   }
 
+  /** Q2: adapter for a REAL NL→SQL model. The reference runs a local
+    * seq2seq model over the prompt
+    * `"Tables:\n<schema>\n\nQuestion:\n<q>\n\nAnswer:\n"` and decodes the
+    * first SELECT (text_to_sql.py:110-139). This adapter reproduces that
+    * contract around any inference callable `String => String` — an
+    * in-process JNI binding, a local inference server client, or a
+    * subprocess — so plugging a model in is one constructor argument; the
+    * engine side (prompt rendering via [[renderSchema]], extraction via
+    * [[extractSelect]], execution via [[runSql]]) is already wired.
+    *
+    * Inference failures and non-SELECT outputs fall back to the optional
+    * secondary generator (typically [[graft.engine.TemplateSqlGenerator]]),
+    * mirroring the reference's errors-as-data path rather than throwing.
+    */
+  final class ModelSqlGenerator(infer: String => String,
+      fallback: Option[SqlGenerator] = None) extends SqlGenerator {
+
+    /** The reference's exact training-time prompt shape
+      * (text_to_sql.py:110-115).
+      */
+    def prompt(question: String, schema: String): String =
+      s"Tables:\n$schema\n\nQuestion:\n$question\n\nAnswer:\n"
+
+    def generate(question: String, schema: String): String =
+      Try(infer(prompt(question, schema))) match {
+        case Success(out) if extractSelect(out).isDefined => out
+        case _ =>
+          fallback.map(_.generate(question, schema))
+            .getOrElse(s"-- model produced no SQL for: $question")
+      }
+  }
+
   /** Q3 save result to the gold layer: replace-write under a timestamped
     * default name (front_end.py:684-697, default name :668).
     */

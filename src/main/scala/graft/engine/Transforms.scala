@@ -195,8 +195,11 @@ object DateParse {
     "M/d/uuuu" -> false, "M-d-uuuu" -> false,   // US fallback when day slot > 12
     "d MMM uuuu" -> false, "d MMMM uuuu" -> false, // 3 Jan 2020
     "MMM d uuuu" -> false, "MMMM d uuuu" -> false, // Jan 3 2020
+    "MMM d, uuuu" -> false, "MMMM d, uuuu" -> false, // Jan 3, 2020
+    "d-MMM-uuuu" -> false, "d-MMM-uu" -> true,   // 03-Jan-2020 / 03-Jan-20
     "uuuuMMdd" -> false,
     "d/M/uu" -> true, "d-M-uu" -> true,         // dayfirst, 2-digit year
+    "M/d/uu" -> true,                           // US 2-digit fallback
   ).map { case (p, two) =>
     (DateTimeFormatter.ofPattern(p, Locale.US)
       .withResolverStyle(ResolverStyle.STRICT), two)
@@ -230,7 +233,11 @@ object DateParse {
     val s = raw.trim
     if (s.isEmpty) return null
     tryFormats(s).orElse {
-      val i = s.indexOf(' ')
+      // date-part retry for "<date> <time>" and ISO-8601 "<date>T<time>"
+      val i = s.indexOf(' ') match {
+        case -1 => s.indexOf('T')
+        case sp => sp
+      }
       if (i > 0) tryFormats(s.substring(0, i)) else None
     }.orNull
   }

@@ -34,6 +34,31 @@ class TemplateSqlSpec extends SparkSpecBase {
     assert(Sql.extractSelect(out).isEmpty)
   }
 
+  test("model adapter: reference prompt shape, model output used when it is SQL") {
+    var seen: String = null
+    val model = new Sql.ModelSqlGenerator(p => {
+      seen = p; "SELECT 1 AS one;"
+    })
+    assert(model.generate("how many orders", "CREATE TABLE orders (id number)")
+      == "SELECT 1 AS one;")
+    // the reference's exact training-time prompt (text_to_sql.py:110-115)
+    assert(seen ==
+      "Tables:\nCREATE TABLE orders (id number)\n\nQuestion:\nhow many orders\n\nAnswer:\n")
+  }
+
+  test("model adapter: garbage or throwing model falls back to the template generator") {
+    val garbage = new Sql.ModelSqlGenerator(_ => "no sql here", Some(gen))
+    assert(garbage.generate("how many customers", "") ==
+      "SELECT count(*) AS n FROM customers;")
+    val crashes = new Sql.ModelSqlGenerator(
+      _ => throw new RuntimeException("inference down"), Some(gen))
+    assert(crashes.generate("how many customers", "") ==
+      "SELECT count(*) AS n FROM customers;")
+    // no fallback → errors-as-data surface (extractSelect None)
+    val bare = new Sql.ModelSqlGenerator(_ => "nope")
+    assert(Sql.extractSelect(bare.generate("q", "")).isEmpty)
+  }
+
   test("end-to-end against live tables: question → SQL → result frame") {
     val dir = "/root/testdata/sf0.001"
     val tables = Tables.open(spark, dir, Seq("orders", "customer"))

@@ -150,4 +150,15 @@ class DateParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(DateParse.parseDate("") == null)
     assert(DateParse.parseDate(null) == null)
   }
+
+  test("breadth: comma month names, d-MMM-y, ISO T timestamps, US 2-digit") {
+    assert(DateParse.parseDate("Jan 3, 2020") == "2020-01-03")
+    assert(DateParse.parseDate("January 3, 2020") == "2020-01-03")
+    assert(DateParse.parseDate("03-Jan-2020") == "2020-01-03")
+    assert(DateParse.parseDate("03-Jan-20") == "2020-01-03")
+    assert(DateParse.parseDate("03-Jan-75") == "1975-01-03") // 50-year window
+    assert(DateParse.parseDate("2020-01-02T10:11:12") == "2020-01-02")
+    assert(DateParse.parseDate("4/13/99") == "1999-04-13") // only US fits
+    assert(DateParse.parseDate("2/3/49") == "2049-03-02")  // window upper half
+  }
 }
