@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming-native upgrade path for the reference's recurring
@@ -51,6 +52,80 @@ object IncrementalStream {
       .outputMode("append")
       .trigger(trigger)
       .start()
+
+  /** Streaming exact dedup — the continuous flavor of T1/ns_exact_dedup:
+    * duplicates of the key columns arriving within the watermark horizon
+    * are dropped; state is bounded by the watermark (evicted once the
+    * horizon passes), so memory doesn't grow with stream length. At
+    * scale, state is partitioned by key across executors like any
+    * stateful agg.
+    */
+  def streamingDedup(events: DataFrame, tsNanosCol: String,
+                     keyCols: Seq[String],
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time",
+        graft.engine.Tables.nanosToTimestamp(col(tsNanosCol)))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** One event for [[sessionize]]: epoch-µs event time per user. */
+  case class SessionEvent(user_id: Long, event_us: Long)
+  /** One closed session: bounds + event count. */
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long)
+  /** Internal per-user state for [[sessionize]] (public: encoder codegen
+    * needs constructor access).
+    */
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Custom session state via flatMapGroupsWithState — the arbitrary-state
+    * path for semantics `session_window` can't express (here: emit ONE
+    * summary row per closed session, closing on `gapMs` inactivity via
+    * event-time timeout against the watermark). State per user is O(1)
+    * (bounds + count), partitioned by user across executors; timeouts fire
+    * as the watermark advances, so idle users cost nothing after close.
+    */
+  def sessionize(events: Dataset[SessionEvent], lateness: String,
+                 gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def update(user: Long, rows: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(user, s.start, s.end, s.n))
+      } else {
+        val evs = rows.toSeq
+        val (lo, hi) = (evs.map(_.event_us).min, evs.map(_.event_us).max)
+        val cur = state.getOption match {
+          // a batch starting past the gap closes the previous session —
+          // emit it and start fresh (within one batch we fold, since
+          // flatMapGroupsWithState sees the batch unordered)
+          case Some(s) if lo - s.end > gapMs * 1000 =>
+            val closed = SessionOut(user, s.start, s.end, s.n)
+            state.update(SessionState(lo, hi, evs.size.toLong))
+            state.setTimeoutTimestamp(hi / 1000 + gapMs)
+            return Iterator(closed)
+          case Some(s) =>
+            SessionState(math.min(s.start, lo), math.max(s.end, hi),
+              s.n + evs.size)
+          case None => SessionState(lo, hi, evs.size.toLong)
+        }
+        state.update(cur)
+        // close when the watermark passes end + gap
+        state.setTimeoutTimestamp(cur.end / 1000 + gapMs)
+        Iterator.empty
+      }
+    }
+    events
+      .withColumn("event_time", timestamp_micros(col("event_us")))
+      .withWatermark("event_time", lateness)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
 
   /** Event-time windowed aggregation with late-data watermark over an
     * int64-nanos event-time column (the testdata's `ts`): counts + sums

@@ -36,6 +36,67 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(out) == Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
   }
 
+  test("streamingDedup: duplicate keys within the watermark horizon collapse") {
+    val src = tmp(); val ckpt = tmp()
+    val base = 1704067200L * 1000000000L
+    Seq(
+      (base + 1L, 10L, "a"),
+      (base + 2L, 10L, "a-dup"),   // same key 10 → dropped
+      (base + 3L, 11L, "b"),
+    ).toDF("ts", "k", "v").write.parquet(s"$src/events.parquet")
+    val schema = spark.read.parquet(s"$src/events.parquet").schema
+    val stream = IncrementalStream.readTableStream(spark, src, "events", schema)
+    val out = IncrementalStream.streamingDedup(stream, "ts", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dedup_out").collect().map(_.getAs[Long]("k")).sorted
+    assert(got.toSeq == Seq(10L, 11L))
+  }
+
+  test("sessionize: flatMapGroupsWithState closes sessions on gap and on event-time timeout") {
+    val src = tmp(); val ckpt = tmp()
+    val t0 = 1704067200L * 1000000L // epoch µs
+    val min = 60L * 1000000L; val hour = 60L * min; val day = 24L * hour
+    // one file per batch (maxFilesPerTrigger=1) so the watermark advances
+    // between batches; flush users push it far enough to fire timeouts
+    // coalesce(1): each write must land as EXACTLY one file so batches
+    // arrive in event-time order (multi-file writes split across batches
+    // and late events get watermark-dropped)
+    Seq((1L, t0), (1L, t0 + 10 * min), (2L, t0))
+      .toDF("user_id", "event_us").coalesce(1).write.parquet(s"$src/s.parquet")
+    Seq((1L, t0 + 2 * hour))
+      .toDF("user_id", "event_us").coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+    Seq((99L, t0 + 1 * day))
+      .toDF("user_id", "event_us").coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+    Seq((98L, t0 + 2 * day))
+      .toDF("user_id", "event_us").coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+
+    val schema = spark.read.parquet(s"$src/s.parquet").schema
+    val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
+      maxFilesPerTrigger = 1)
+    val sessions = IncrementalStream.sessionize(
+      stream.as[IncrementalStream.SessionEvent], "10 minutes", gapMs = 30 * 60 * 1000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    // user 1: first session (2 events) closed by the +2h event's gap;
+    // second session (1 event), user 2's, and flush user 99's closed by
+    // watermark timeouts (the final watermark of +2d-10min passes 99's
+    // close point; user 98's never passes its own)
+    assert(got == Set(
+      (1L, t0, t0 + 10 * min, 2L),
+      (1L, t0 + 2 * hour, t0 + 2 * hour, 1L),
+      (2L, t0, t0, 1L),
+      (99L, t0 + 1 * day, t0 + 1 * day, 1L)))
+  }
+
   test("windowedCounts: event-time windows over int64-nanos ts with watermark") {
     val src = tmp(); val ckpt = tmp()
     val hour = 3600L * 1000000000L
