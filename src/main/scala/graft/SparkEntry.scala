@@ -90,6 +90,19 @@ object SparkEntry {
     }),
     "t4_trim" -> ((s, dir) =>
       Transforms.trimWhitespace(t(s, dir, "customer"))),
+    // T8 as its own oracle query: a 3-stage registry pipeline (trim →
+    // dedup → null-drop) in the reference's left-fold order — q1_flagship
+    // composes transforms+aggs, this checks the registry fold itself.
+    // A whitespace-mangled copy of every row is unioned in (mirrored in
+    // the oracle): it collapses ONLY because trim runs before dedup, so
+    // the 1500-row result proves stage ordering, not just each stage.
+    "t8_pipeline" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val mangled = c.withColumn("c_name", concat(lit("  "), col("c_name")))
+      Transforms.pipeline(Seq(
+        "Trim Whitespace", "Remove Duplicates", "Remove Null Rows"))(
+        c.union(mangled))
+    }),
     "t5_standardize_dates" -> ((s, dir) =>
       Transforms.standardizeDates(t(s, dir, "orders"))),
     "t6_t7_names" -> ((s, dir) => {
@@ -322,6 +335,21 @@ object SparkEntry {
           |  sum(l_quantity) AS qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
     }),
+    // pivot with an explicit value list (dynamic pivot would scan for
+    // values first; fixed lists are the scale-friendly form)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .na.fill(0L)),
+    // exact median (integer-valued l_quantity → e1-integer exposure is
+    // exact even at the two-middle-values interpolation)
+    "q_median" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg((median(col("l_quantity")) * 10).cast("long").as("med_e1"),
+          count(lit(1)).as("n"))),
     "q_sql_anti_join" -> ((s, dir) => {
       Tables.open(s, dir, Seq("customer", "orders"))
       Sql.runSql(s,
@@ -527,6 +555,22 @@ object SparkEntry {
     "t4_trim" ->
       """SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal,
         |       trim(c_mktsegment) AS c_mktsegment FROM customer""".stripMargin,
+    // registry fold order: trim → distinct-all-columns → any-null drop;
+    // the mangled union collapses only because trim precedes dedup
+    "t8_pipeline" ->
+      """WITH src AS (
+        |  SELECT * FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, '  ' || c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment FROM customer),
+        |t AS (SELECT c_custkey, trim(c_name) AS c_name, c_nationkey,
+        |             c_acctbal, trim(c_mktsegment) AS c_mktsegment
+        |      FROM src),
+        |d AS (SELECT DISTINCT * FROM t)
+        |SELECT * FROM d
+        |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |  AND c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+        |  AND c_mktsegment IS NOT NULL""".stripMargin,
     "t5_standardize_dates" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -679,6 +723,19 @@ object SparkEntry {
       """SELECT c_custkey FROM customer WHERE c_nationkey < 5
         |INTERSECT
         |SELECT o_custkey FROM orders""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag,
+        |  CAST(round(median(l_quantity) * 10) AS BIGINT) AS med_e1,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // l_quantity is integer-valued → double sum exact and order-independent
     "q_sql_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
