@@ -187,12 +187,13 @@ object Dedup {
     // labels only decrease: the running total is a monotone convergence
     // witness, carried across rounds so each round costs ONE scalar agg
     // (sum over an empty frame is NULL → 0, so empty pair lists converge
-    // immediately instead of crashing)
+    // immediately instead of crashing). Seeded lazily: round 1 always
+    // changes on a non-trivial graph, so no up-front sum job.
     def total(df: DataFrame): Long =
       Option(df.agg(sum(col("cluster_id"))).collect()(0).get(0))
         .fold(0L)(_.asInstanceOf[Number].longValue)
-    var prevTotal = total(labels)
-    var converged = prevTotal == 0L && labels.isEmpty
+    var prevTotal = Long.MinValue
+    var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
       // (a) push labels across edges
