@@ -78,6 +78,28 @@ class DedupSpec extends SparkSpecBase {
     assert(out(7L) == ((7L, true))) // in no pair → own cluster
   }
 
+  test("connected components matches union-find on seeded random graphs") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: in-memory union-find with min-id root normalization
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: CC diverged from union-find")
+    }
+  }
+
   test("collapseByPairs composes with minhashPairs: near-dup corpus collapses to keepers") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
     val keep = Dedup.collapseByPairs(docs, pairs)
