@@ -98,6 +98,21 @@ class JdbcStoreSpec extends SparkSpecBase {
     assert(rows(db2.read(spark, "t")) == rows(db.read(spark, "t")))
   }
 
+  test("type fidelity through JDBC: timestamp, decimal, and nulls round-trip") {
+    val db = freshDb()
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789")
+    val src = Seq(
+      (1L, Option(ts), Option(BigDecimal("12345.67")), Option("x")),
+      (2L, None, None, None),
+    ).toDF("id", "t", "money", "s")
+      .select($"id", $"t", $"money".cast("decimal(12,2)").as("money"), $"s")
+    db.write(src, "typed", "overwrite")
+    val got = db.read(spark, "typed")
+    assert(got.schema("money").dataType.typeName == "decimal(12,2)")
+    assert(got.schema("t").dataType.typeName == "timestamp")
+    assert(rows(got) == rows(src))
+  }
+
   test("partitioned JDBC read: explicit bounds and derived bounds split the scan") {
     val db = freshDb()
     db.write((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "t")
