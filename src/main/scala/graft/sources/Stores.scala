@@ -61,6 +61,53 @@ final case class ParquetStore(dir: String) extends Store {
     new java.io.File(s"$dir/$table.parquet").exists()
 }
 
+/** CSV-directory store (`$dir/$table.csv`, header row). Reads use the
+  * explicit schema from `schemas` when present — schema inference costs a
+  * full extra pass over the data, which at corpus scale is a second scan
+  * of everything; production tables should always be registered.
+  */
+final case class CsvStore(dir: String,
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+    extends Store {
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schemas.get(table) match {
+      case Some(s) => r.schema(s).csv(s"$dir/$table.csv")
+      case None    => r.option("inferSchema", "true").csv(s"$dir/$table.csv")
+    }
+  }
+
+  override def write(df: DataFrame, table: String, mode: String): Unit =
+    df.write.mode(mode).option("header", "true").csv(s"$dir/$table.csv")
+
+  override def exists(spark: SparkSession, table: String): Boolean =
+    new java.io.File(s"$dir/$table.csv").exists()
+}
+
+/** JSON-Lines store (`$dir/$table.jsonl`) — the standard interchange
+  * format for LLM training corpora (one JSON document per line, so the
+  * file splits cleanly across partitions; gzip members don't, prefer
+  * zstd/uncompressed for large dumps). Same schema discipline as
+  * [[CsvStore]]: explicit schema skips the inference pass.
+  */
+final case class JsonlStore(dir: String,
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+    extends Store {
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val path = s"$dir/$table.jsonl"
+    schemas.get(table) match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None    => spark.read.json(path)
+    }
+  }
+
+  override def write(df: DataFrame, table: String, mode: String): Unit =
+    df.write.mode(mode).json(s"$dir/$table.jsonl")
+
+  override def exists(spark: SparkSession, table: String): Boolean =
+    new java.io.File(s"$dir/$table.jsonl").exists()
+}
+
 /** Bounded-range read parallelism for a JDBC table: `num` concurrent
   * queries over `[lower, upper]` of integral `column`.
   */
