@@ -412,6 +412,16 @@ object SparkEntry {
     "ns_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.languageId(col("text")).as("lang_guess"))),
+    // the integrated curation pass a training-data pipeline runs: quality
+    // gate + language gate + token budget, one narrow projection + filter
+    // (composes the individually-verified quality/langid/token oracles)
+    "ns_curation" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .withColumn("lang_guess", TextAnalysis.languageId(col("text")))
+      scored.filter(col("q_score") >= 0.5 && col("lang_guess") === "en")
+        .select(col("doc_id"), col("lang_guess"), col("q_score"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
     "ns_minhash_pairs" -> ((s, dir) =>  // rows-only: hash family not in DuckDB
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)),
     // hash-checked companion to ns_minhash_pairs: the EXACT-Jaccard
@@ -776,6 +786,43 @@ object SparkEntry {
         |       WHEN en = greatest(en, de, fr, es) THEN 'en'
         |       ELSE 'de' END AS lang_guess
         |FROM h""".stripMargin,
+    // composition of the ns_quality + ns_langid + ns_token_count oracles
+    "ns_curation" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','für'))) AS de,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','pas','une','dans','pour','que'))) AS fr,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('el','la','los','y','es','no','una','en','para','que'))) AS es
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, nt,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |                  AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |             THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score,
+        |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |         WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |         WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM f)
+        |SELECT doc_id, lang_guess, q_score, CAST(nt AS BIGINT) AS n_tokens
+        |FROM g WHERE q_score >= 0.5 AND lang_guess = 'en'""".stripMargin,
     "ns_exact_dedup" ->
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
