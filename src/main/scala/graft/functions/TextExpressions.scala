@@ -127,6 +127,28 @@ object TextOps {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Per-profile stopword hit counts in ONE tokenization pass: tokens =
+    * lower/trim/split-\s+ (same rule as shingles/minhash), result(i) =
+    * number of tokens contained in sets(i), duplicates counted. The
+    * codegen replacement for N interpreted `filter(tokens, isin(...))`
+    * higher-order chains (language-ID runs 4 of them per row).
+    */
+  def profileHits(s: UTF8String,
+                  sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val words = normTokens(s)
+    val counts = new Array[Int](sets.length)
+    var w = 0
+    while (w < words.length) {
+      var p = 0
+      while (p < sets.length) {
+        if (sets(p).contains(words(w))) counts(p) += 1
+        p += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** MinHash Jaccard estimate: fraction of equal components. */
   def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -173,6 +195,31 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"graft.functions.TextOps.simhash($v)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** profile_hits(text) → array<int>: per-stopword-profile token hit counts
+  * in one tokenization pass. Profile sets ride into generated code as a
+  * reference object, so the kernel stays inside whole-stage codegen.
+  */
+case class ProfileHits(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  // input: string
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    profiles.map { p =>
+      val s = new java.util.HashSet[String](p.size * 2)
+      p.foreach(s.add)
+      s
+    }.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.profileHits(v.asInstanceOf[UTF8String], sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("profileSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextOps.profileHits($v, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ProfileHits =
     copy(child = newChild)
 }
 
@@ -223,4 +270,6 @@ object texthash {
     Bridge.column(MinHashEst(Bridge.expression(a), Bridge.expression(b)))
   def shingles(text: Column, n: Int = 3): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(text), n))
+  def profile_hits(text: Column, profiles: Seq[Seq[String]]): Column =
+    Bridge.column(ProfileHits(Bridge.expression(text), profiles))
 }

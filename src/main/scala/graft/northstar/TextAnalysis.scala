@@ -35,11 +35,13 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
-  /** Stopword hits among lower-cased whitespace tokens. */
+  /** Stopword hits among lower-cased whitespace tokens. Codegen kernel
+    * (graft.functions.ProfileHits): one tokenization pass, no interpreted
+    * higher-order filter in the hot path.
+    */
   def stopwordCount(text: Column,
                     stopwords: Seq[String] = defaultStopwords): Column =
-    size(filter(split(lower(trim(text)), "\\s+"),
-      t => t.isin(stopwords: _*)))
+    get(graft.functions.texthash.profile_hits(text, Seq(stopwords)), lit(0))
 
   /** Quality-score frame: length/token/punctuation/stopword features plus
     * a composite score in [0,1] — the average of three bounded checks:
@@ -81,13 +83,15 @@ object TextAnalysis {
 
   /** Language-ID heuristic: argmax over languages of stopword hit count;
     * ties broken toward the lexicographically greatest language code
-    * (struct max); no hits at all → "und" (undetermined). Shuffle-free.
+    * (struct max); no hits at all → "und" (undetermined). Shuffle-free;
+    * all four profiles counted in ONE tokenization pass by the
+    * ProfileHits codegen kernel (was: four interpreted HOF filters).
     */
   def languageId(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
-             lit(lang).as("lang"))
+    val langs = langProfiles.toSeq.sortBy(_._1)
+    val hits = graft.functions.texthash.profile_hits(text, langs.map(_._2))
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct(get(hits, lit(i)).as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*) // struct compare: hits first, then lang
     when(best.getField("hits") === 0, lit("und"))

@@ -57,4 +57,30 @@ class KernelEdgeSpec extends SparkSpecBase {
     assert(buckets.size == 8)
     assert(buckets.map(_ >> 32).toSeq == (0L until 8L))
   }
+
+  test("profile_hits: one-pass counts match HOF filters; null/empty/dup semantics") {
+    val profiles = Seq(Seq("the", "and"), Seq("der", "und"))
+    val df = Seq(Some("The the AND cat"), Some(""), Some("   "), None,
+      Some("und der und")).toDF("t")
+    val out = df.select(texthash.profile_hits($"t", profiles).as("h")).collect()
+    assert(out(0).getAs[scala.collection.Seq[Int]]("h") == Seq(3, 0)) // dups counted, case-folded
+    assert(out(1).getAs[scala.collection.Seq[Int]]("h") == Seq(0, 0))
+    assert(out(2).getAs[scala.collection.Seq[Int]]("h") == Seq(0, 0))
+    assert(out(3).isNullAt(0))
+    assert(out(4).getAs[scala.collection.Seq[Int]]("h") == Seq(0, 3))
+    // parity with the interpreted HOF formulation on arbitrary text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hof = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.filter(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim($"text")), "\\s+"),
+        x => x.isin(profiles.head: _*)))
+    val cmp = docs.select(
+      org.apache.spark.sql.functions.get(
+        texthash.profile_hits($"text", profiles),
+        org.apache.spark.sql.functions.lit(0)).as("kernel"),
+      hof.as("hof"))
+    assert(cmp.filter($"kernel" =!= $"hof").count() == 0)
+  }
 }
