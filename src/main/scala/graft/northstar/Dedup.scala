@@ -173,13 +173,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    // materialize the pair list ONCE up front: it is referenced five times
+    // below (two edge directions, self-loops via nodes), and the caller's
+    // pair generator is typically an expensive LSH join that must not be
+    // re-evaluated per branch
+    val p = pairs.localCheckpoint()
     val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
-    val nodes = pairs.select(a.as("id"))
-      .union(pairs.select(b.as("id"))).distinct()
+    val nodes = p.select(a.as("id"))
+      .union(p.select(b.as("id"))).distinct()
     // symmetric edges + self-loops: one groupBy-min then computes
     // min(self, neighbors) in a single pass
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
+    val edges = p.select(a.as("src"), b.as("dst"))
+      .union(p.select(b.as("src"), a.as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
