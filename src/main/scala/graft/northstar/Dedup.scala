@@ -172,32 +172,47 @@ object Dedup {
     * MapReduce and Beyond", SoCC'14).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // Lineage truncation per round, so the plan doesn't grow with the
+    // iteration count. localCheckpoint pins blocks to executor storage —
+    // fast, but an executor loss kills the job mid-iteration. When a
+    // checkpoint dir is configured, use reliable checkpoints instead (HDFS/
+    // object-store backed), which survive executor loss — the right mode
+    // for a multi-hour 100 TB run.
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // materialize the pair list ONCE up front: it is referenced five times
     // below (two edge directions, self-loops via nodes), and the caller's
     // pair generator is typically an expensive LSH join that must not be
     // re-evaluated per branch
-    val p = pairs.localCheckpoint()
+    val p = ckpt(pairs)
     val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
     val nodes = p.select(a.as("id"))
       .union(p.select(b.as("id"))).distinct()
     // symmetric edges + self-loops: one groupBy-min then computes
     // min(self, neighbors) in a single pass
-    val edges = p.select(a.as("src"), b.as("dst"))
+    val edges = ckpt(p.select(a.as("src"), b.as("dst"))
       .union(p.select(b.as("src"), a.as("dst")))
-      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+      .union(nodes.select(col("id").as("src"), col("id").as("dst"))))
+    var labels = ckpt(nodes.select(col("id"), col("id").as("cluster_id")))
     // labels only decrease: the running total is a monotone convergence
     // witness, carried across rounds so each round costs ONE scalar agg
     // (sum over an empty frame is NULL → 0, so empty pair lists converge
-    // immediately instead of crashing). Seeded lazily: round 1 always
-    // changes on a non-trivial graph, so no up-front sum job.
-    def total(df: DataFrame): Long =
-      Option(df.agg(sum(col("cluster_id"))).collect()(0).get(0))
-        .fold(0L)(_.asInstanceOf[Number].longValue)
-    var prevTotal = Long.MinValue
+    // immediately instead of crashing). Summed in DECIMAL(38,0): a Long
+    // sum overflows silently at corpus scale (10¹²-range ids × 10⁹ nodes),
+    // and equality of two overflowed sums is no longer a convergence
+    // proof. Seeded lazily: round 1 always changes on a non-trivial
+    // graph, so no up-front sum job.
+    def total(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+          .collect()(0).getAs[java.math.BigDecimal](0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevTotal: java.math.BigDecimal = null
     var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
@@ -208,12 +223,11 @@ object Dedup {
         .withColumnRenamed("id2", "id")
       // (b) path halving: label := label(label) (cluster ids are node ids,
       // so the inner join always matches)
-      val jumped = pushed.alias("l1")
+      val jumped = ckpt(pushed.alias("l1")
         .join(pushed.alias("l2"), col("l1.cluster_id") === col("l2.id"))
-        .select(col("l1.id").as("id"), col("l2.cluster_id").as("cluster_id"))
-        .localCheckpoint()
+        .select(col("l1.id").as("id"), col("l2.cluster_id").as("cluster_id")))
       val newTotal = total(jumped)
-      converged = newTotal == prevTotal
+      converged = prevTotal != null && newTotal.compareTo(prevTotal) == 0
       prevTotal = newTotal
       labels = jumped
       it += 1
@@ -233,8 +247,9 @@ object Dedup {
     * dedup pipeline needs (pair lists are an intermediate).
     */
   def collapseByPairs(docs: DataFrame, pairs: DataFrame,
-                      idCol: String = "doc_id"): DataFrame = {
-    val cc = connectedComponents(pairs)
+                      idCol: String = "doc_id",
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(pairs, checkpointDir = checkpointDir)
     docs.join(cc, docs(idCol) === cc("id"), "left")
       .drop("id")
       .withColumn("cluster_id",
