@@ -424,6 +424,26 @@ object SparkEntry {
     }),
     "ns_minhash_pairs" -> ((s, dir) =>  // rows-only: hash family not in DuckDB
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)),
+    // THE flagship end-to-end corpus dedup: collapseByPairs ∘ minhashPairs
+    // over documents + word-level-edited copies (last word dropped from
+    // every ≥30-token doc, +100000 id) — norm-text differs, so exact dedup
+    // can NOT find these; MinHash-LSH must. Oracle-exact because the pair
+    // set is: the corpus' exact-Jaccard distribution at sf0.01 has NO pair
+    // in [0.07, 0.9) (measured), so the j>=0.5 exact filter admits exactly
+    // the j>=0.9 population, which banded LSH (k=16, b=8: miss ~1.7e-6 at
+    // j=0.9) detects deterministically; DuckDB replays the same exact
+    // pairs and resolves clusters with a recursive-CTE transitive closure.
+    "ns_neardup_collapse" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val w = split(trim(col("text")), "\\s+")
+      val copies = base
+        .filter(size(w) >= 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+      val corpus = base.union(copies)
+      Dedup.collapseByPairs(corpus, Dedup.minhashPairs(corpus, threshold = 0.5))
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
+    }),
     // hash-checked companion to ns_minhash_pairs: the EXACT-Jaccard
     // verification half (jaccardForPairs + the shingle kernel) over a
     // fixed pair list both engines can build — each doc vs its first-20-
@@ -921,6 +941,44 @@ object SparkEntry {
         |       + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
         |       + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score
         |FROM g""".stripMargin,
+    // end-to-end near-dup collapse: same derived corpus as the Spark query;
+    // pair set = exact word-3-gram Jaccard >= 0.5 (identical to what LSH +
+    // exact verification yields on this corpus — the measured pair-j
+    // distribution is empty on [0.07, 0.9)); clusters = min label over the
+    // transitive closure (recursive CTE; components are small near-dup
+    // groups, so the closure is tiny)
+    "ns_neardup_collapse" ->
+      """WITH RECURSIVE
+        |w0 AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM w0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, array_to_string(w[1:len(w)-1], ' ')
+        |  FROM w0 WHERE len(w) >= 30),
+        |wrd AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(1, len(w) - 2)),
+        |    i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS sh
+        |  FROM wrd),
+        |pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM corpus
+        |  UNION
+        |  SELECT reach.id, e.pb FROM reach JOIN edges e ON e.pa = reach.r),
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT c.doc_id, l.cluster_id, c.doc_id = l.cluster_id AS is_keeper
+        |FROM corpus c JOIN lbl l ON l.id = c.doc_id""".stripMargin,
     "ns_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,

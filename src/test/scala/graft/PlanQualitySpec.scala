@@ -64,6 +64,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
   }
 
+  test("neardup collapse: LSH pair generation materialized once — final plan is checkpoint scans, no band join") {
+    val p = planOf("ns_neardup_collapse")
+    // connectedComponents checkpoints the pair list up front, so the
+    // composed plan must scan the materialized RDD, NOT re-run the LSH
+    // band join (losing the ckpt would re-evaluate it per CC branch)
+    assert(p.contains("ExistingRDD"), "expected checkpoint scan in plan:\n" + p.take(800))
+    assert(!p.contains("band_hash"), "LSH band join re-evaluated in final plan")
+    assert("LeftSemi".r.findAllIn(p).isEmpty, "bucket-cap semi-join re-evaluated in final plan")
+    assertNoQuadratic(p)
+  }
+
   test("ivf topk: probe join is an equi join on cell id, no quadratic join") {
     val p = planOf("ns_knn_ivf")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
