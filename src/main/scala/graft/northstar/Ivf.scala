@@ -89,18 +89,92 @@ object Ivf {
     transform(slice(sorted, 1, nProbe), s => s.getField("cell"))
   }
 
+  /** Maximum secondary split planes for oversized-cell refinement: 16 bits
+    * = up to 65536-way re-split of one mega-cell.
+    */
+  val MaxSplitBits: Int = 16
+
+  /** Census of oversized cells → number of secondary hyperplane split bits
+    * each needs so its expected sub-cell size is <= maxCell. The aggregate
+    * is one narrow pass over the corpus collapsing to <= nCells rows —
+    * O(k) driver data, not corpus data.
+    *
+    * K-means on real embedding corpora reliably produces mega-cells (the
+    * boilerplate region of the space); without a cap one hot cell makes
+    * the probe join quadratic-ish in that cell at scale.
+    */
+  def splitBitsByCell(corpus: DataFrame, centroids: Array[Array[Float]],
+                      vecCol: String = "embedding",
+                      maxCell: Int = 100000): Map[Int, Int] =
+    corpus.select(cellOf(col(vecCol), centroids).as("cell"))
+      .groupBy("cell").count().collect()
+      .filter(_.getLong(1) > maxCell)
+      .map { r =>
+        val bits = math.ceil(
+          math.log(r.getLong(1).toDouble / maxCell) / math.log(2.0)).toInt
+        r.getInt(0) -> math.min(math.max(bits, 1), MaxSplitBits)
+      }.toMap
+
+  /** Plane-family id for sub-cell splitting, decorrelated from the LSH
+    * index's table ids.
+    */
+  private val SplitTable = 7777
+
+  /** Refined sub-cell key for a vector given the oversized-cell census:
+    * 0 for normal cells; for an oversized cell, `bits` sign bits of
+    * CENTROID-CENTERED hyperplane tests. A mega-cell is a cluster offset
+    * from the origin, so origin-hyperplane signs are heavily biased (most
+    * of the cell lands on one side of every plane); testing the normalized
+    * vector's projection against the plane·centroid threshold centers the
+    * split at the cluster, making the bits balanced. Planes derive from
+    * the same stateless splitmix family as the LSH index (distinct table
+    * id), thresholds are driver-side constants from the centroids — both
+    * join sides compute the key independently, no model state, no dropped
+    * rows. Sub-cell membership is angular, so a query's true neighbors
+    * inside a split mega-cell still collide with high probability; the
+    * recall loss is confined to the boilerplate region the cap targets.
+    * A cell of exact-duplicate vectors cannot be split geometrically —
+    * that degenerate case is exact dedup's job, not ANN's.
+    */
+  def subcellOf(vec: Column, cellCol: Column,
+                centroids: Array[Array[Float]],
+                splitBits: Map[Int, Int]): Column =
+    if (splitBits.isEmpty) lit(0L)
+    else {
+      val nv = greatest(sqrt(vectors.vec_dot(vec, vec)), lit(1e-12))
+      splitBits.foldLeft(lit(0L)) { case (acc, (cellId, bits)) =>
+        val c = centroids(cellId)
+        val cn = math.max(math.sqrt(c.map(x => x.toDouble * x).sum), 1e-12)
+        val sub = (0 until bits).map { p =>
+          val h = Array.tabulate(c.length)(i =>
+            graft.functions.VecOps.planeComponent(i, p, SplitTable).toFloat)
+          val thr = h.zip(c).map { case (hi, ci) =>
+            hi.toDouble * (ci.toDouble / cn) }.sum
+          when(vectors.vec_dot(vec, typedLit(h.toSeq)) / nv > thr,
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _) // bits are disjoint, so + is bitwise OR
+        when(cellCol === cellId, sub).otherwise(acc)
+      }
+    }
+
   /** IVF top-k: corpus assigned to cells once, each query probes its
-    * `nProbe` best cells, candidates ranked by exact cosine.
+    * `nProbe` best cells, candidates ranked by exact cosine. Cells larger
+    * than `maxCell` are re-split by secondary hyperplane bits (see
+    * [[splitBitsByCell]]) so no mega-cell can dominate the probe join.
     * Output: (query_id, neighbor_id, rank).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: Array[Array[Float]], k: Int = 10, nProbe: Int = 3,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxCell: Int = 100000): DataFrame = {
+    val splits = splitBitsByCell(corpus, centroids, vecCol, maxCell)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      cellOf(col(vecCol), centroids).as("cell"))
+        cellOf(col(vecCol), centroids).as("cell"))
+      .withColumn("subcell", subcellOf(col("cv"), col("cell"), centroids, splits))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
-    val scored = q.join(c, Seq("cell"))
+        explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
+      .withColumn("subcell", subcellOf(col("qv"), col("cell"), centroids, splits))
+    val scored = q.join(c, Seq("cell", "subcell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         vectors.vec_cosine(col("qv"), col("cv")).as("sim"))

@@ -51,6 +51,35 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("skewed corpus: mega-cell is re-split into bounded sub-cells, no rows dropped") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max => smax, sum => ssum}
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // positive-orthant vectors: all land in the all-ones centroid's cell
+    // (a worst-case mega-cell), yet are angularly diverse enough that
+    // secondary hyperplane bits split them
+    val corpus = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() + 0.05f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Array(Array.fill(dim)(1.0f), Array.fill(dim)(-1.0f))
+    val splits = Ivf.splitBitsByCell(corpus, centroids, maxCell = 100)
+    assert(splits == Map(0 -> 5), s"census was $splits") // ceil(log2(2000/100)) = 5
+    val assigned = corpus
+      .select(Ivf.cellOf($"embedding", centroids).as("cell"), $"embedding")
+      .withColumn("subcell", Ivf.subcellOf($"embedding", $"cell", centroids, splits))
+    val sizes = assigned.groupBy("cell", "subcell").count()
+      .agg(ssum("count").as("total"), smax("count").as("biggest"),
+        countDistinct("subcell").as("nsub")).collect()(0)
+    assert(sizes.getLong(0) == 2000L)              // re-split drops nothing
+    assert(sizes.getLong(1) <= 400L,               // 4x slack over maxCell
+      s"biggest sub-cell ${sizes.getLong(1)}")
+    assert(sizes.getLong(2) >= 16L)                // split genuinely fans out
+    // the capped index still serves queries end-to-end
+    val res = Ivf.ivfTopK(corpus.filter($"vec_id" < 3), corpus, centroids,
+      k = 5, nProbe = 2, maxCell = 100)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+  }
+
   test("ivfTopK recall@10 vs brute force is reasonable with generous probing") {
     val centroids = Ivf.fitCentroids(emb, nCells = 8)
     val queries = emb.filter($"vec_id" < 20)
