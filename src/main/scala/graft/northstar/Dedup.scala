@@ -176,15 +176,49 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     // Lineage truncation per round, so the plan doesn't grow with the
     // iteration count. localCheckpoint pins blocks to executor storage —
-    // fast, but an executor loss kills the job mid-iteration. When a
-    // checkpoint dir is configured, use reliable checkpoints instead (HDFS/
-    // object-store backed), which survive executor loss — the right mode
-    // for a multi-hour 100 TB run.
+    // fast, but an executor loss kills the job mid-iteration. With a
+    // checkpoint dir the snapshot is instead an explicit parquet
+    // round-trip through that directory: the write job materializes the
+    // frame EXACTLY once (Dataset.checkpoint on an unpersisted frame
+    // recomputes its plan in a second job), the read-back is file-backed
+    // so it survives executor loss — the right mode for a multi-hour
+    // 100 TB run. Superseded snapshots are deleted as soon as their
+    // successor lands, so a long run keeps O(1) snapshots in object
+    // storage, and no global SparkContext checkpoint-dir state is
+    // touched. The FINAL label snapshot backs the returned DataFrame and
+    // is left in place — the caller owns the directory's lifecycle.
+    val session = pairs.sparkSession
+    var snapSeq = 0
+    def snapshot(df: DataFrame, dir: String): (DataFrame, String) = {
+      val path = s"${dir.stripSuffix("/")}/cc-snap-$snapSeq"
+      snapSeq += 1
+      df.write.mode("overwrite").parquet(path)
+      (session.read.parquet(path), path)
+    }
+    def drop(path: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(session.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+    // loop-invariant snapshots (pairs, edges) live until the loop ends;
+    // label snapshots are superseded each round and dropped eagerly
+    var invariantPaths = List.empty[String]
+    var prevLabelPath: Option[String] = None
     val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
+      case Some(dir) => df => {
+        val (snap, path) = snapshot(df, dir)
+        invariantPaths ::= path
+        snap
+      }
       case None => df => df.localCheckpoint()
+    }
+    def ckptLabels(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val (snap, path) = snapshot(df, dir)
+        prevLabelPath.foreach(drop)
+        prevLabelPath = Some(path)
+        snap
+      case None => df.localCheckpoint()
     }
     // materialize the pair list ONCE up front: it is referenced five times
     // below (two edge directions, self-loops via nodes), and the caller's
@@ -199,7 +233,7 @@ object Dedup {
     val edges = ckpt(p.select(a.as("src"), b.as("dst"))
       .union(p.select(b.as("src"), a.as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst"))))
-    var labels = ckpt(nodes.select(col("id"), col("id").as("cluster_id")))
+    var labels = ckptLabels(nodes.select(col("id"), col("id").as("cluster_id")))
     // labels only decrease: the running total is a monotone convergence
     // witness, carried across rounds so each round costs ONE scalar agg
     // (sum over an empty frame is NULL → 0, so empty pair lists converge
@@ -223,7 +257,7 @@ object Dedup {
         .withColumnRenamed("id2", "id")
       // (b) path halving: label := label(label) (cluster ids are node ids,
       // so the inner join always matches)
-      val jumped = ckpt(pushed.alias("l1")
+      val jumped = ckptLabels(pushed.alias("l1")
         .join(pushed.alias("l2"), col("l1.cluster_id") === col("l2.id"))
         .select(col("l1.id").as("id"), col("l2.cluster_id").as("cluster_id")))
       val newTotal = total(jumped)
@@ -232,6 +266,9 @@ object Dedup {
       labels = jumped
       it += 1
     }
+    // the returned frame is file-backed in reliable mode, so the
+    // loop-invariant snapshots are no longer needed
+    invariantPaths.foreach(drop)
     labels
   }
 

@@ -100,6 +100,25 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("reliable-checkpoint mode: labels identical to localCheckpoint mode, snapshots cleaned") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(tmp))
+    val got = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == local)
+    // eager cleanup: only the FINAL label snapshot survives the run
+    val remaining = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("cc-snap-"))
+    assert(remaining.length == 1, remaining.map(_.getName).mkString(","))
+    // the returned frame is file-backed, so it stays consumable after cleanup
+    assert(reliable.count() == local.size.toLong)
+  }
+
   test("collapseByPairs composes with minhashPairs: near-dup corpus collapses to keepers") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
     val keep = Dedup.collapseByPairs(docs, pairs)
