@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extraction / resize / frame-sampling run as
   * partition-local batch functions over the binary payloads.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment — see [[StubCodec.decode]]): it produces a deterministic
-  * fake decode from the payload bytes. Everything AROUND the stub — the
-  * asset schema, the partition-batched execution shape, metadata
-  * extraction, feature vectors, frame sampling — is real, tested Spark
-  * plumbing; swapping in a real codec changes only the function body.
+  * IMAGE decode is real — [[ImageCodec]] over the JDK's ImageIO
+  * (PNG/BMP/GIF/JPEG), producing true pixel dimensions and
+  * luminance-stripe features. Audio/video decode is STUBBED (no av
+  * libraries in this environment — see [[StubCodec.decode]]): a
+  * deterministic fake derived from the payload bytes. The surrounding
+  * plumbing — asset schema, partition-batched execution shape, metadata
+  * extraction, feature vectors, frame sampling — is identical for both;
+  * swapping in a real av codec changes only the function body.
   *
   * Scale notes: payloads never pass through the driver; the decode is
   * mapPartitions (one codec init per partition, not per row, mirroring the
@@ -86,10 +88,69 @@ object Multimodal {
     }
   }
 
+  /** Real image codec over the JDK's `javax.imageio.ImageIO` — zero extra
+    * dependencies. Handles the formats the JDK ships readers for
+    * (PNG/BMP/GIF/JPEG): real pixel dimensions, container format from the
+    * magic bytes, and features = mean luminance (Rec.601 weights) per
+    * vertical stripe normalized to [0,1]. Payloads that are not images
+    * (wrong magic, or truncated/corrupt containers ImageIO rejects)
+    * return None and fall back to [[StubCodec]] — audio/video decode
+    * still needs libraries this environment lacks.
+    */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
+    /** Cheap magic-byte pre-screen so non-image payloads never pay for an
+      * ImageIO probe.
+      */
+    def looksLikeImage(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 &&
+        ((p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+          (p(0) == 'B' && p(1) == 'M') ||
+          (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+          (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte))
+
+    private def formatOf(p: Array[Byte]): String =
+      if (p(0) == 0x89.toByte) "png"
+      else if (p(0) == 'B') "bmp"
+      else if (p(0) == 'G') "gif"
+      else "jpeg"
+
+    def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
+      if (!looksLikeImage(payload)) None
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val dim = StubCodec.FeatureDim
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            val s = math.min(dim - 1, x * dim / w)
+            sums(s) += lum
+            counts(s) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feats = Array.tabulate(dim)(i =>
+          if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
+        Decoded(assetId, w, h, formatOf(payload), feats)
+      }
+  }
+
   /** Partition-batched decode: binary payloads → typed decoded rows.
     * mapPartitions gives the per-batch execution shape (codec initialized
     * once per partition); output is a compact feature frame, payloads are
-    * dropped immediately after decode.
+    * dropped immediately after decode. Image payloads get the real
+    * [[ImageCodec]]; everything else falls back to the deterministic
+    * stub.
     */
   def decodeAssets(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
@@ -97,9 +158,12 @@ object Multimodal {
     val ds: Dataset[Decoded] = assets
       .select(col("asset_id"), col("payload"))
       .mapPartitions { rows: Iterator[Row] =>
-        // real codec would init here, once per partition
+        // codec registry lookups are JVM-wide; per-partition init is the
+        // seam where a real av codec would allocate its context
         rows.map { r =>
-          StubCodec.decode(r.getAs[Long]("asset_id"), r.getAs[Array[Byte]]("payload"))
+          val id = r.getAs[Long]("asset_id")
+          val p = r.getAs[Array[Byte]]("payload")
+          ImageCodec.decode(id, p).getOrElse(StubCodec.decode(id, p))
         }
       }
     ds.toDF("asset_id", "width", "height", "format", "features")

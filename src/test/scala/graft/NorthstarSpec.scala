@@ -252,6 +252,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(d1(1L).getAs[Int]("width") >= 16)
   }
 
+  test("image payloads decode for real: true dims, format, luminance gradient") {
+    import java.awt.image.BufferedImage
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      // left-to-right black→white gradient → ascending stripe features
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / math.max(1, w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val df = Seq(
+      (10L, encode("png", 32, 16)),
+      (11L, encode("bmp", 20, 10)),
+      (12L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("asset_id", "payload")
+      .selectExpr("asset_id", "'image' as modality", "payload",
+        "named_struct('n_bytes', cast(length(payload) as long), 'source', 'test') as meta")
+    val out = Multimodal.decodeAssets(df).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(out(10L).getAs[Int]("width") == 32 && out(10L).getAs[Int]("height") == 16)
+    assert(out(10L).getAs[String]("format") == "png")
+    assert(out(11L).getAs[Int]("width") == 20 && out(11L).getAs[Int]("height") == 10)
+    assert(out(11L).getAs[String]("format") == "bmp")
+    val feats = out(10L).getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.size == Multimodal.StubCodec.FeatureDim)
+    assert(feats.head < 0.2f && feats.last > 0.8f, s"gradient not seen: $feats")
+    assert(feats.sliding(2).forall(p => p(0) <= p(1)), s"not ascending: $feats")
+    // non-image payload falls back to the deterministic stub
+    assert(out(12L).getAs[String]("format") == "stub")
+  }
+
   test("poolFeatures halves the feature grid") {
     val out = Multimodal.poolFeatures(Multimodal.decodeAssets(assets), 2)
     assert(out.collect()(0)
