@@ -30,10 +30,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
 
-    def timed(name: String)(f: => Long): Unit = {
+    def timed(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[scale] $name%-28s rows=$n%-9d ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s rows=$n%-9d $secs%.1f s")
+      secs
     }
 
     val li = replicate(Tables.table(spark, dir, "lineitem"), 10, "l_orderkey", 10000000L)
@@ -60,6 +62,36 @@ object ScaleProbe {
       Dedup.collapseByPairs(docs, Dedup.minhashPairs(docs, threshold = 0.5))
         .filter(col("is_keeper")).count()
     }
+
+    // ---- 1x vs 10x growth ratio for the flagship dedup path ----
+    // Replicas get a per-replica suffix on every word, so cross-replica
+    // Jaccard is 0 and each replica keeps the base corpus's internal
+    // near-dup structure: TRUE pair output grows exactly 10x. A quadratic
+    // candidate step would then show ~100x wall time; banding + bucket
+    // caps + log-diameter CC should keep the ratio near-linear (small-
+    // scale runs carry fixed overhead, so the ratio reads LOW, not high).
+    val docs1 = Tables.table(spark, dir, "documents")
+    def mangled(i: Int): DataFrame = docs1
+      .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+      .withColumn("text", array_join(
+        transform(split(col("text"), " "), w => concat(w, lit("_" + i))), " "))
+    val docs10 = (0 until 10).map(mangled).reduce(_ unionAll _)
+    val mh1 = timed("minhashPairs 5k docs (1x)") {
+      Dedup.minhashPairs(docs1, threshold = 0.5).count()
+    }
+    val mh10 = timed("minhashPairs 50k docs (10x)") {
+      Dedup.minhashPairs(docs10, threshold = 0.5).count()
+    }
+    val cc1 = timed("clusterCollapse 5k docs (1x)") {
+      Dedup.collapseByPairs(docs1, Dedup.minhashPairs(docs1, threshold = 0.5))
+        .filter(col("is_keeper")).count()
+    }
+    val cc10 = timed("clusterCollapse 50k docs (10x)") {
+      Dedup.collapseByPairs(docs10, Dedup.minhashPairs(docs10, threshold = 0.5))
+        .filter(col("is_keeper")).count()
+    }
+    println(f"[scale] minhashPairs 10x-data ratio   ${mh10 / mh1}%.1fx (quadratic ~100x)")
+    println(f"[scale] clusterCollapse 10x-data ratio ${cc10 / cc1}%.1fx (quadratic ~100x)")
 
     val emb = replicate(Tables.table(spark, dir, "embeddings"), 5, "vec_id", 1000000L)
     timed("lshTopK 10k corpus, 50 queries") {

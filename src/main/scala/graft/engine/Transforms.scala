@@ -197,6 +197,9 @@ object DateParse {
     "MMM d uuuu" -> false, "MMMM d uuuu" -> false, // Jan 3 2020
     "MMM d, uuuu" -> false, "MMMM d, uuuu" -> false, // Jan 3, 2020
     "d-MMM-uuuu" -> false, "d-MMM-uu" -> true,   // 03-Jan-2020 / 03-Jan-20
+    "d MMM uu" -> true, "d MMMM uu" -> true,     // 3 Jan 20, 2-digit year
+    "MMM d, uu" -> true, "MMMM d, uu" -> true,   // Jan 3, 20 / January 3, 20
+    "uuuu MMM d" -> false,                      // 2020 Jan 3
     "uuuuMMdd" -> false,
     "d/M/uu" -> true, "d-M-uu" -> true,         // dayfirst, 2-digit year
     "M/d/uu" -> true,                           // US 2-digit fallback
@@ -233,12 +236,17 @@ object DateParse {
     val s = raw.trim
     if (s.isEmpty) return null
     tryFormats(s).orElse {
-      // date-part retry for "<date> <time>" and ISO-8601 "<date>T<time>"
-      val i = s.indexOf(' ') match {
-        case -1 => s.indexOf('T')
-        case sp => sp
-      }
-      if (i > 0) tryFormats(s.substring(0, i)) else None
+      // fuzzy=True subset: drop trailing time-ish tokens by retrying every
+      // space-prefix LONGEST first — "January 3, 2020 10:30:00" must try
+      // the "January 3, 2020" prefix before the bare "January" one — then
+      // the ISO-8601 'T' split
+      val spacePrefixes = s.indices.filter(s.charAt(_) == ' ').reverseIterator
+        .map(i => tryFormats(s.substring(0, i)))
+      spacePrefixes.collectFirst { case Some(d) => d }
+        .orElse {
+          val t = s.indexOf('T')
+          if (t > 0) tryFormats(s.substring(0, t)) else None
+        }
     }.orNull
   }
 }

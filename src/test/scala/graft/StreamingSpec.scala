@@ -97,6 +97,62 @@ class StreamingSpec extends SparkSpecBase {
       (99L, t0 + 1 * day, t0 + 1 * day, 1L)))
   }
 
+  test("batch session_window and streaming sessionize agree on a replayed fixture") {
+    import org.apache.spark.sql.functions._
+    val src = tmp(); val ckpt = tmp()
+    val t0 = 1704067200L * 1000000L // epoch µs
+    val min = 60L * 1000000L; val hour = 60L * min; val day = 24L * hour
+    val gapUs = 30L * min
+    // 5 users × 3 sessions each: sessions 2h apart (≫ the 30-min gap),
+    // events 7 min apart within a session (≪ the gap), 1-3 events per
+    // session so counts vary
+    val evs = for {
+      u <- 1L to 5L; s <- 0 until 3
+      i <- 0 until (1 + ((u + s) % 3).toInt)
+    } yield (s, u, t0 + s * 2 * hour + u * min + i * 7 * min)
+    // replay chunked by session round: the watermark advances between
+    // micro-batches, and no user gets two sessions inside one batch (the
+    // documented fold limitation of flatMapGroupsWithState batches)
+    for (s <- 0 until 3)
+      evs.filter(_._1 == s).map(e => (e._2, e._3)).toDF("user_id", "event_us")
+        .coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+    // flush event: pushes the final watermark past every real session's
+    // close point; its own session stays open and is never emitted
+    Seq((999L, t0 + 2 * day)).toDF("user_id", "event_us")
+      .coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+
+    val schema = spark.read.parquet(s"$src/s.parquet").schema
+    val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
+      maxFilesPerTrigger = 1)
+    val sessions = IncrementalStream.sessionize(
+      stream.as[IncrementalStream.SessionEvent], "10 minutes",
+      gapMs = gapUs / 1000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("parity_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("parity_out").collect()
+      .filter(_.getAs[Long]("user_id") != 999L)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+
+    // the same events through the batch operator (x_session_windows
+    // shape); session_window.end = last event + gap, so subtract the gap
+    // to compare close bounds
+    val batch = evs.map(e => (e._2, e._3)).toDF("user_id", "event_us")
+      .select($"user_id", timestamp_micros($"event_us").as("ets"))
+      .groupBy(session_window($"ets", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"sw.start").as("start_us"),
+        (unix_micros($"sw.end") - gapUs).as("end_us"), $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(batch.size == 15, s"fixture should yield 15 sessions, got ${batch.size}")
+    assert(streamed == batch,
+      s"batch-only: ${batch -- streamed}; stream-only: ${streamed -- batch}")
+  }
+
   test("windowedCounts: event-time windows over int64-nanos ts with watermark") {
     val src = tmp(); val ckpt = tmp()
     val hour = 3600L * 1000000000L

@@ -161,4 +161,20 @@ class DateParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(DateParse.parseDate("4/13/99") == "1999-04-13") // only US fits
     assert(DateParse.parseDate("2/3/49") == "2049-03-02")  // window upper half
   }
+
+  test("breadth: month-name+comma+time, 2-digit-year month names, year-first names") {
+    // dateutil-parseable shapes assigned in review round 2
+    assert(DateParse.parseDate("January 3, 2020 10:30:00") == "2020-01-03")
+    assert(DateParse.parseDate("Jan 3, 2020 10:30") == "2020-01-03")
+    assert(DateParse.parseDate("March 5, 2021 08:00:00") == "2021-03-05")
+    assert(DateParse.parseDate("3 Jan 20") == "2020-01-03")
+    assert(DateParse.parseDate("3 January 75") == "1975-01-03") // 50-yr window
+    assert(DateParse.parseDate("Jan 3, 20") == "2020-01-03")
+    assert(DateParse.parseDate("January 3, 49") == "2049-01-03")
+    assert(DateParse.parseDate("2020 Jan 3") == "2020-01-03")
+    assert(DateParse.parseDate("3 Jan 2020 10:30:00") == "2020-01-03")
+    // longest-prefix retry must not mis-parse when a SHORT prefix is a date
+    assert(DateParse.parseDate("20200102 junk trailing") == "2020-01-02")
+    assert(DateParse.parseDate("totally not a date at all") == null)
+  }
 }
