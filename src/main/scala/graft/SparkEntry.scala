@@ -422,6 +422,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("q_score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    // PII scrub: deterministic synthetic contacts (email/url/phone built
+    // from doc_id) injected identically on both sides, then the 3-stage
+    // URL→email→phone redaction — RE2-safe patterns, so the oracle runs
+    // the exact same regexes
+    "ns_redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com at https://ex.com/d/"), col("doc_id"),
+          lit(" or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .as("clean_text"))),
+    // deterministic mixture sampling: per-language Bernoulli rates from
+    // pure id arithmetic — reproducible on any cluster size, and the
+    // exact predicate replays in the oracle
+    "ns_sample_stratified" -> ((s, dir) =>
+      graft.northstar.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "zh" -> 0.3), 0.1)
+        .select("doc_id", "lang")),
+    // benchmark decontamination: distinct word-3-gram overlap of each
+    // corpus doc (id % 97 != 0) against the held-out "eval" slice
+    // (id % 97 == 0); broadcast semi-join on the tiny benchmark gram set
+    "ns_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.benchmarkOverlap(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+    }),
     "ns_minhash_pairs" -> ((s, dir) =>  // rows-only: hash family not in DuckDB
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)),
     // THE flagship end-to-end corpus dedup: collapseByPairs ∘ minhashPairs
@@ -918,6 +947,41 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  length(text) AS n_chars_computed
         |FROM documents""".stripMargin,
+    "ns_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com at https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+        |      || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+    "ns_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000 / 1000000.0 <
+        |  CASE WHEN lang = 'en' THEN 0.5
+        |       WHEN lang = 'zh' THEN 0.3 ELSE 0.1 END""".stripMargin,
+    // same shingle construction as the ns_jaccard_pairs oracle; benchmark
+    // slice = doc_id % 97 = 0, overlap counted on distinct shared grams
+    "ns_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(1, len(w) - 2)),
+        |    i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS sh
+        |  FROM w),
+        |bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+        |cg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT cg.doc_id, count(DISTINCT cg.g) AS n
+        |  FROM cg JOIN bg USING (g) GROUP BY cg.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
     "ns_quality" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -153,6 +153,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct word n-grams shared with ANY benchmark document — a
+    * training-data pipeline drops or flags documents overlapping the
+    * eval suite. The benchmark gram set is tiny next to the corpus, so
+    * the membership test is a broadcast semi-join; the corpus side is
+    * one shingle explode + one aggregation keyed by doc id — nothing
+    * pairwise, nothing quadratic. Output: (doc_id, n_shared) for EVERY
+    * corpus document (0 when clean).
+    */
+  def benchmarkOverlap(corpus: DataFrame, benchmark: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       n: Int = 3): DataFrame = {
+    val bg = benchmark.select(explode(shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .join(broadcast(bg), Seq("g"), "left_semi")
+      .groupBy(idCol).agg(countDistinct(col("g")).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+  }
+
   // ------------------------------------------------------- cluster collapse
 
   /** Connected components over an undirected pair list (doc_a, doc_b) →

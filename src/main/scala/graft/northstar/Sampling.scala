@@ -1,0 +1,45 @@
+package graft.northstar
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data mixtures (BASELINE.json
+  * north-star; SURVEY.md §7.4): which documents enter an epoch's mix, at
+  * what rate per stratum (language, source, quality band), decided by
+  * pure id arithmetic — no RNG state. The same call on any cluster size,
+  * partitioning, or retry selects the same rows (unlike
+  * `DataFrame.sample`, whose per-partition seeds shift with the split
+  * layout), and the selection predicate is plain SQL any engine can
+  * audit or replay.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash constant (2^32 / golden ratio). */
+  val Knuth = 2654435761L
+
+  /** Hash-unit denominator: 1e6 buckets ≈ 6 decimal digits of rate
+    * resolution.
+    */
+  val Buckets = 1000000L
+
+  /** Pseudo-uniform unit value in [0,1) from a non-negative integer id.
+    * Not cryptographic — just well-spread for consecutive ids.
+    */
+  def hashUnit(id: Column): Column =
+    id.cast("long") * Knuth % Buckets / lit(Buckets.toDouble)
+
+  /** Bernoulli sample at per-stratum rates: keep a row iff
+    * hashUnit(id) < rate(stratum). Rates are monotone — raising a
+    * stratum's rate only ADDS rows, never swaps them — so mixture
+    * re-weighting between epochs reuses the cached subsets. Narrow
+    * projection + filter: no shuffle, no sort, scale-free.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(idCol)) < rate)
+  }
+}

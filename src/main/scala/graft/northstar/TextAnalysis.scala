@@ -31,6 +31,21 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
 
+  /** PII scrub: URLs, then emails, then phone-like digit runs become
+    * typed placeholder tokens — the standard redaction pass a training
+    * corpus gets before packing. Order matters: a URL can contain '@'
+    * and digits, so it is consumed first; emails next so their digits
+    * don't half-match as phones. Patterns are RE2-compatible, so the
+    * exact same regexes run in the DuckDB oracle. Narrow per-row
+    * codegen'd regexp_replace chain — no shuffle, scale-free.
+    */
+  def redactPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://\\S+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "\\+?[0-9][0-9\\-]{6,}[0-9]", "<PHONE>")
+  }
+
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")

@@ -224,6 +224,66 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fps(0) != fps(2))
     assert(fps(0).matches("[0-9a-f]{32}"))
   }
+
+  test("redactPii: urls, emails, phones become placeholders; clean text untouched") {
+    val df = Seq(
+      "mail me at jane.doe+spam@corp.example.org today",
+      "see https://ex.com/a?b=1&c=2 for details",
+      "call +1-555-0123 or 020-7946-0958 now",
+      "a url-with-email https://ex.com/u/bob@ex.com trailing",
+      "nothing sensitive here at all",
+    ).toDF("text")
+    val out = df.select(TextAnalysis.redactPii($"text")).collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "see <URL> for details")
+    assert(out(2) == "call <PHONE> or <PHONE> now")
+    assert(out(3) == "a url-with-email <URL> trailing") // URL eats the email
+    assert(out(4) == "nothing sensitive here at all")
+  }
+}
+
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.northstar.Sampling
+
+  val docs = (0L until 2000L).map(i =>
+    (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+
+  test("deterministic: same rows on repeated runs, rate approximately honored") {
+    val s1 = Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.5), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.5), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val en = s1.count(_ % 2 == 0); val de = s1.count(_ % 2 != 0)
+    assert(math.abs(en - 500) < 75, s"en kept $en of 1000 at rate 0.5")
+    assert(math.abs(de - 100) < 50, s"de kept $de of 1000 at rate 0.1")
+  }
+
+  test("monotone rates: raising a stratum's rate only adds rows") {
+    val low = Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.2), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val high = Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.6), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+  }
+}
+
+class DecontamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("benchmarkOverlap counts distinct shared 3-grams; clean docs report 0") {
+    val benchmark = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma xylophone"),     // shares gram "alpha beta gamma"
+      (2L, "beta gamma delta epsilon zeta"),  // shares gram "beta gamma delta"
+      (3L, "alpha beta gamma delta"),         // shares both grams
+      (4L, "totally unrelated words only"),   // clean
+    ).toDF("doc_id", "text")
+    val out = graft.northstar.Dedup.benchmarkOverlap(corpus, benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
 }
 
 class MultimodalSpec extends SparkSpecBase {
