@@ -51,6 +51,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "BroadcastNestedLoopJoin in plan")
   }
 
+  test("decontam: benchmark gram set broadcast into a semi-join, no shuffle join") {
+    val p = planOf("ns_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("stratified sample: pure narrow filter — zero exchanges before the scan") {
+    val p = planOf("ns_sample_stratified")
+    assert(shuffles(p) == 0, s"sampling must not shuffle:\n${p.take(800)}")
+  }
+
   test("minhash pairs: bucket-cap semi-joins present, no quadratic join") {
     val p = planOf("ns_minhash_pairs")
     // capBuckets guards BOTH sides of the candidate self-join
