@@ -422,6 +422,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("q_score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    // Gopher-style repetition signals: 1 - distinct/total word n-grams
+    // per document (boilerplate detector); same shingle definition as the
+    // dedup layer, replayed exactly by the oracle
+    "ns_rep_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 2).as("rep2"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))),
+    // per-source duplication report: how polluted is each crawl source —
+    // n_docs, distinct normalized texts, duplicate ratio
+    "ns_dup_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(Dedup.normText(col("text"))).as("n_unique"),
+        (lit(1.0) - countDistinct(Dedup.normText(col("text"))).cast("double")
+          / count(lit(1)).cast("double")).as("dup_ratio"))),
     // PII scrub: deterministic synthetic contacts (email/url/phone built
     // from doc_id) injected identically on both sides, then the 3-stage
     // URL→email→phone redaction — RE2-safe patterns, so the oracle runs
@@ -947,6 +962,32 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  length(text) AS n_chars_computed
         |FROM documents""".stripMargin,
+    "ns_rep_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    END AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(w) < 2 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 1),
+        |         i -> array_to_string(w[i:i + 1], ' ')))) AS DOUBLE) / (len(w) - 1)
+        |  END AS rep2,
+        |  CASE WHEN len(w) < 3 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> array_to_string(w[i:i + 2], ' ')))) AS DOUBLE) / (len(w) - 2)
+        |  END AS rep3
+        |FROM w""".stripMargin,
+    "ns_dup_stats" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_unique,
+        |  1.0 - CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS DOUBLE)
+        |    / count(*) AS dup_ratio
+        |FROM documents GROUP BY source""".stripMargin,
     "ns_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -119,6 +119,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(Dedup.normText(text).cast("binary"))
 
+  /** Within-document n-gram repetition: 1 - distinct/total word n-grams,
+    * 0 for documents with fewer than n tokens. High values mark
+    * boilerplate and degenerate repetition (the Gopher-rules family of
+    * quality signals); a curation pass typically drops documents above
+    * ~0.2 for 2-grams. Distinct counting rides the same shingle kernel
+    * the dedup layer uses, so the oracle replays it exactly; total is
+    * pure token arithmetic. Narrow per-row math, no shuffle.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = tokenCount(text).cast("double") - (n - 1)
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(graft.functions.texthash.shingles(text, n)).cast("double") / total)
+  }
+
   /** One frame with all per-document text-analysis columns. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityScore(df, textCol)

@@ -225,6 +225,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fps(0).matches("[0-9a-f]{32}"))
   }
 
+  test("repetitionRatio: degenerate repetition scores high, unique text scores 0") {
+    val df = Seq(
+      (1L, "a b a b a b"),          // 2-grams: 2 distinct of 5 → 0.6
+      (2L, "all words unique here"),
+      (3L, "one"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextAnalysis.repetitionRatio($"text", 2).as("r2"),
+      TextAnalysis.repetitionRatio($"text", 3).as("r3")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((1.0 - 2.0 / 5, 1.0 - 2.0 / 4)))
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0)))
+  }
+
   test("redactPii: urls, emails, phones become placeholders; clean text untouched") {
     val df = Seq(
       "mail me at jane.doe+spam@corp.example.org today",
