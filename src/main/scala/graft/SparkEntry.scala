@@ -422,6 +422,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("q_score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    // THE full training-data path in one plan: quality+language curation
+    // (narrow) → exact dedup keep-min (one shuffle on the norm-text key)
+    // → deterministic hash sample (narrow). What a real corpus build runs
+    // nightly, end-to-end under the oracle.
+    "ns_pipeline_e2e" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .withColumn("lang_guess", TextAnalysis.languageId(col("text")))
+      val curated = scored
+        .filter(col("q_score") >= 0.5 && col("lang_guess") === "en")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val keep = curated.groupBy(Dedup.normText(col("text")).as("k"))
+        .agg(min("doc_id").as("doc_id")).drop("k")
+      curated.join(keep, Seq("doc_id"), "left_semi")
+        .filter(graft.northstar.Sampling.hashUnit(col("doc_id")) < 0.6)
+        .select("doc_id", "n_tokens")
+    }),
+    // token-budget shard packing: documents stream into ~2000-token output
+    // shards per source (cumulative token window, parallel across sources
+    // — no global sort at scale)
+    "ns_shard_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("shard_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(2000.0))
+            .cast("long"))
+    }),
     // Gopher-style repetition signals: 1 - distinct/total word n-grams
     // per document (boilerplate detector); same shingle definition as the
     // dedup layer, replayed exactly by the oracle
@@ -962,6 +991,60 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  length(text) AS n_chars_computed
         |FROM documents""".stripMargin,
+    // ns_curation's CTE extended by the dedup keep-min and the hash-sample
+    // predicate — the whole pipeline replayed in SQL
+    "ns_pipeline_e2e" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','für'))) AS de,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','pas','une','dans','pour','que'))) AS fr,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('el','la','los','y','es','no','una','en','para','que'))) AS es
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, nt,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |                  AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |             THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score,
+        |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |         WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |         WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM f),
+        |cur AS (
+        |  SELECT doc_id, text, CAST(nt AS BIGINT) AS n_tokens FROM g
+        |  WHERE q_score >= 0.5 AND lang_guess = 'en'),
+        |k AS (
+        |  SELECT min(doc_id) AS doc_id FROM cur
+        |  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |SELECT c.doc_id, c.n_tokens FROM cur c JOIN k USING (doc_id)
+        |WHERE (c.doc_id * 2654435761) % 1000000 / 1000000.0 < 0.6""".stripMargin,
+    "ns_shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |         ROWS UNBOUNDED PRECEDING) - nt) / 2000.0) AS BIGINT) AS shard_id
+        |FROM t""".stripMargin,
     "ns_rep_ngrams" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -97,6 +97,33 @@ class StreamingSpec extends SparkSpecBase {
       (99L, t0 + 1 * day, t0 + 1 * day, 1L)))
   }
 
+  test("curation projection runs unchanged on a stream and matches the batch result") {
+    import graft.northstar.TextAnalysis
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$src/docs.parquet")
+    // the batch curation pass, applied verbatim to a streaming frame —
+    // narrow projections/filters are engine-mode agnostic
+    def curate(df: DataFrame): DataFrame =
+      TextAnalysis.qualityScore(df)
+        .withColumn("lang_guess", TextAnalysis.languageId(col("text")))
+        .filter(col("q_score") >= 0.5 && col("lang_guess") === "en")
+        .select(col("doc_id"), col("q_score"))
+    val schema = spark.read.parquet(s"$src/docs.parquet").schema
+    val q = curate(IncrementalStream.readTableStream(spark, src, "docs", schema))
+      .writeStream.format("memory").queryName("cur_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cur_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = curate(spark.read.parquet(s"$src/docs.parquet")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("batch session_window and streaming sessionize agree on a replayed fixture") {
     import org.apache.spark.sql.functions._
     val src = tmp(); val ckpt = tmp()
