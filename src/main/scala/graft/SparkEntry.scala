@@ -422,6 +422,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("q_score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    // range join without the nested loop Spark would plan for a raw
+    // BETWEEN join: events matched to their containing session interval
+    // via bin-bucketed equi-join (RangeJoin.binned) + exact filter
+    "ns_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(Tables.nanosToTimestamp(col("ts"))).as("t_us"))
+      val sw = ev
+        .groupBy(session_window(timestamp_micros(col("t_us")), "30 minutes")
+          .as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("lo"),
+          unix_micros(col("sw.end")).as("hi"))
+      RangeJoin.binned(ev, sw, "user_id", "t_us", "lo", "hi",
+          binWidth = 45L * 60 * 1000000)
+        .select(col("user_id"), col("t_us"), col("lo").as("session_start_us"))
+    }),
     // THE full training-data path in one plan: quality+language curation
     // (narrow) → exact dedup keep-min (one shuffle on the norm-text key)
     // → deterministic hash sample (narrow). What a real corpus build runs
@@ -991,6 +1007,27 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  length(text) AS n_chars_computed
         |FROM documents""".stripMargin,
+    // session derivation as in the x_session_windows oracle (lag/gap in
+    // epoch-µs), then a plain BETWEEN containment join
+    "ns_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+        |m AS (
+        |  SELECT user_id, t_us,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        |s AS (
+        |  SELECT user_id, t_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, min(t_us) AS lo, max(t_us) + 30 * 60 * 1000000 AS hi
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT e.user_id, e.t_us, sess.lo AS session_start_us
+        |FROM e JOIN sess ON sess.user_id = e.user_id
+        |  AND e.t_us >= sess.lo AND e.t_us <= sess.hi""".stripMargin,
     // ns_curation's CTE extended by the dedup keep-min and the hash-sample
     // predicate — the whole pipeline replayed in SQL
     "ns_pipeline_e2e" ->

@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join without a nested loop.
+  *
+  * Spark's planner turns `f JOIN i ON f.t BETWEEN i.lo AND i.hi` into
+  * BroadcastNestedLoopJoin — O(|facts| × |intervals|), a quadratic cliff
+  * at scale even with an equi key alongside. The standard scalable
+  * re-expression buckets both sides into fixed-width bins of the time
+  * axis: each interval is exploded to the bins it overlaps, facts carry
+  * their single bin, and the join becomes an equi-join on (key, bin)
+  * whose candidate set the exact BETWEEN predicate then filters. With
+  * binWidth chosen >= the typical interval length, fan-out is ~2 bins
+  * per interval; the shuffle is O(facts + intervals × binsPerInterval),
+  * never all-pairs.
+  */
+object RangeJoin {
+
+  /** Join fact rows (instant `tCol`, keyed by `keyCol`) to interval rows
+    * ([loCol, hiCol], same key): inner join, both sides' columns kept,
+    * one output row per (fact, containing interval). Time columns must
+    * be integral (epoch-µs or similar).
+    */
+  def binned(facts: DataFrame, intervals: DataFrame, keyCol: String,
+             tCol: String, loCol: String, hiCol: String,
+             binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val f = facts.withColumn("__bin", floor(col(tCol) / binWidth))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth),
+        floor(col(hiCol) / binWidth))))
+    // a fact meets an interval in exactly one bin (its own), so no
+    // post-join dedupe is needed
+    f.join(i, Seq(keyCol, "__bin"))
+      .filter(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

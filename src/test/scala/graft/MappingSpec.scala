@@ -67,3 +67,31 @@ class MappingSpec extends SparkSpecBase {
     assert(out.keySet == Set("customers", "misc"))
   }
 }
+
+class RangeJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.engine.RangeJoin
+
+  test("binned: containment matches, boundaries inclusive, multi-bin intervals work") {
+    val facts = Seq(
+      (1L, 5L), (1L, 10L), (1L, 25L), (1L, 99L),  // 99: in no interval
+      (2L, 10L),                                   // wrong key for [0,30]
+    ).toDF("k", "t")
+    val intervals = Seq(
+      (1L, 0L, 10L),    // catches t=5 and t=10 (hi inclusive)
+      (1L, 20L, 85L),   // spans many bins at binWidth=10 → catches 25
+      (2L, 8L, 12L),    // catches (2, 10)
+    ).toDF("k", "lo", "hi")
+    val out = RangeJoin.binned(facts, intervals, "k", "t", "lo", "hi", binWidth = 10L)
+      .select("k", "t", "lo").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 5L, 0L), (1L, 10L, 0L), (1L, 25L, 20L), (2L, 10L, 8L)))
+  }
+
+  test("binned: overlapping intervals each match, exactly once per (fact, interval)") {
+    val facts = Seq((1L, 15L)).toDF("k", "t")
+    val intervals = Seq((1L, 0L, 40L), (1L, 10L, 20L)).toDF("k", "lo", "hi")
+    val out = RangeJoin.binned(facts, intervals, "k", "t", "lo", "hi", binWidth = 10L)
+      .select("lo").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 10L))
+  }
+}

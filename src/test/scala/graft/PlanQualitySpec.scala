@@ -62,6 +62,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffles(p) == 0, s"sampling must not shuffle:\n${p.take(800)}")
   }
 
+  test("range join: bin-bucketed equi-join, never a nested loop") {
+    val p = planOf("ns_range_join")
+    assert(p.contains("__bin"), p.take(800)) // joined on the bin key
+    assertNoQuadratic(p)
+  }
+
   test("minhash pairs: bucket-cap semi-joins present, no quadratic join") {
     val p = planOf("ns_minhash_pairs")
     // capBuckets guards BOTH sides of the candidate self-join
