@@ -100,4 +100,29 @@ object Mapping {
       out += n -> tables(n)
     out.toMap
   }
+
+  /** Salted equi-join for extreme key skew: when one join key carries a
+    * disproportionate share of BIG-side rows, the reducer owning that key
+    * becomes the straggler (and AQE's skew splitting only applies to
+    * sort-merge stages it can re-plan). Salting spreads the hot key
+    * deterministically: the big side gets a per-row salt in [0, salts),
+    * the small side is replicated once per salt value, and the join runs
+    * equi on (key, salt) — the hot key's rows land on `salts` reducers
+    * instead of one. Results are identical to the plain join (each big
+    * row meets each matching small row exactly once, at its own salt).
+    * Cost: small side shuffled `salts`×; use for big-skewed ⋈ modest-
+    * sized right sides where broadcast doesn't fit.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    import org.apache.spark.sql.functions._
+    // salt from a whole-row hash: deterministic, and uniform even when
+    // the key column itself is constant (the exact case salting targets)
+    val b = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

@@ -98,6 +98,43 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Hive-style partitioned sink: the 100 TB scan saver. A query filtering
+    * on a partition column prunes whole directories at PLANNING time
+    * (PartitionFilters in the scan node) — the dominant cost lever for a
+    * large immutable corpus is never reading the data at all. Choose
+    * low-cardinality columns (date, source, language); high-cardinality
+    * partitioning creates the small-files problem [[compact]] exists for.
+    */
+  def writePartitioned(df: DataFrame, dir: String, name: String,
+                       partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*)
+      .parquet(s"$dir/$name.parquet")
+
+  /** Small-files compaction: rewrite a table directory into files of
+    * roughly `targetFileBytes`. Long-running ingestion (streaming sinks,
+    * per-batch appends) accumulates files far smaller than a parquet
+    * row group; at scale, scan planning and the namenode/object-store
+    * listing pay per file, not per byte. Sizing is derived from the
+    * actual on-disk footprint, the rewrite goes through a temp directory
+    * and swaps in atomically-enough (rename), and the data itself is
+    * unchanged. Returns the resulting partition-file count.
+    */
+  def compact(spark: SparkSession, dir: String, name: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.compact.tmp")
+    spark.read.parquet(path.toString)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    nFiles
+  }
+
   /** S11 database reset (front_end.py:850-859): drop & recreate the layer
     * directories — the parquet analogue of DROP DATABASE + CREATE DATABASE.
     */

@@ -68,6 +68,34 @@ class MappingSpec extends SparkSpecBase {
   }
 }
 
+class SaltedJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.engine.Mapping
+
+  test("saltedJoin: identical rows to the plain join on a skewed key") {
+    // 90% of big-side rows share key 1 — the hot-reducer case
+    val big = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (2L + i % 5, 1000L + i))).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (9L, "unmatched"))
+      .toDF("k", "label")
+    val plain = big.join(small, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Mapping.saltedJoin(big, small, "k", salts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val dimMatched = big.filter($"k".isin(2L, 3L)).count().toInt
+    assert(salted == plain && plain.size == 900 + dimMatched && dimMatched > 0)
+  }
+
+  test("saltedJoin: hot key genuinely spreads across salts") {
+    import org.apache.spark.sql.functions._
+    val big = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "payload")
+    val spread = big.withColumn("__salt",
+        pmod(hash(big.columns.map(col).toSeq: _*), lit(8)))
+      .select(countDistinct("__salt")).collect()(0).getLong(0)
+    assert(spread == 8L, s"hot key used only $spread of 8 salts")
+  }
+}
+
 class RangeJoinSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.engine.RangeJoin

@@ -24,6 +24,43 @@ class MiscSpec extends SparkSpecBase {
     assert(new java.io.File(s"$dir/silver").isDirectory)
   }
 
+  test("partitioned sink: partition dirs on disk, filter prunes at planning time") {
+    val dir = Files.createTempDirectory("part").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Tables.writePartitioned(docs, dir, "docs", Seq("lang"))
+    assert(new java.io.File(s"$dir/docs.parquet/lang=en").isDirectory)
+    val q = spark.read.parquet(s"$dir/docs.parquet")
+      .filter($"lang" === "en").select("doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      plan.take(600))
+    // pruning is real: only the matching partition's files are scanned
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    assert(scanned == 1, s"expected 1 selected partition, got $scanned")
+    assert(q.count() == docs.filter($"lang" === "en").count())
+  }
+
+  test("compact: many small files collapse to the size-derived count, data unchanged") {
+    val dir = Files.createTempDirectory("compact").toString
+    val df = (0L until 5000L).toSeq.toDF("id")
+    df.repartition(50).write.parquet(s"$dir/t.parquet")
+    val before = new java.io.File(s"$dir/t.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 50)
+    // target far above total size → everything fits one file
+    val n = Tables.compact(spark, dir, "t", targetFileBytes = 64L * 1024 * 1024)
+    assert(n == 1)
+    val after = new java.io.File(s"$dir/t.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1)
+    val back = spark.read.parquet(s"$dir/t.parquet")
+    assert(back.count() == 5000 &&
+      back.agg(org.apache.spark.sql.functions.sum("id")).collect()(0)
+        .getLong(0) == 5000L * 4999L / 2L)
+  }
+
   test("O2 delay math: future → positive delay, past → run now") {
     val now = LocalDateTime.of(2026, 8, 12, 12, 0)
     assert(Scheduler.delayUntil(now.plusMinutes(90), now) == Duration.ofMinutes(90))
