@@ -149,6 +149,67 @@ object TextOps {
     new GenericArrayData(counts)
   }
 
+  /** Fused per-row text statistics in ONE pass over the string:
+    * [nChars, nTokens, nPunct, stopHits]. Replaces four separate
+    * regex/split projections (length, split-size, regexp_replace length
+    * diff, stopword HOF) in the quality/curation hot path — at corpus
+    * scale the narrow text pass dominates, so per-row constant factors
+    * are the whole game. Semantics pinned to the column formulations
+    * the oracles verify:
+    * - nChars  = length(text) (character count, not UTF-16 units)
+    * - nTokens = size(split(trim(text), "\s+")) with blank → 0: trim
+    *   strips 0x20 only, so non-space leading whitespace yields the
+    *   same leading-empty-token artifact Java split produces
+    * - nPunct  = count of [.,;:!?]
+    * - stopHits = lower-cased whitespace tokens contained in the set
+    *   (String.trim bounds, like [[normTokens]])
+    */
+  def textStats(s: UTF8String, stops: java.util.HashSet[String]): ArrayData = {
+    val str = s.toString
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var np = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?')
+        np += 1
+      i += 1
+    }
+    // token count over the space-trimmed view
+    var lo = 0; var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    var nt = 0L
+    if (hi > lo) {
+      if (isWs(str.charAt(lo))) nt += 1 // split()'s leading empty token
+      var inRun = false
+      var j = lo
+      while (j < hi) {
+        if (!isWs(str.charAt(j))) { if (!inRun) { nt += 1; inRun = true } }
+        else inRun = false
+        j += 1
+      }
+    }
+    // stopword hits over lower-cased, String.trim-bounded tokens
+    val lower = str.toLowerCase
+    var lo2 = 0; var hi2 = lower.length
+    while (lo2 < hi2 && lower.charAt(lo2) <= ' ') lo2 += 1
+    while (hi2 > lo2 && lower.charAt(hi2 - 1) <= ' ') hi2 -= 1
+    var sh = 0L
+    var a = lo2
+    while (a < hi2) {
+      if (isWs(lower.charAt(a))) a += 1
+      else {
+        var b = a
+        while (b < hi2 && !isWs(lower.charAt(b))) b += 1
+        if (stops.contains(lower.substring(a, b))) sh += 1
+        a = b
+      }
+    }
+    new GenericArrayData(Array(s.numChars().toLong, nt, np, sh))
+  }
+
   /** MinHash Jaccard estimate: fraction of equal components. */
   def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -238,6 +299,29 @@ case class MinHashEst(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** text_stats(text) → array<long> [nChars, nTokens, nPunct, stopHits]
+  * in one string pass (see TextOps.textStats). The stopword set rides
+  * into generated code as a reference object.
+  */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  // input: string
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.textStats(v.asInstanceOf[UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextOps.textStats($v, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
 /** SQL registration for all graft kernel expressions, so the arbitrary-SQL
   * surface (Q1) can call them: vec_cosine, vec_dot, lsh_buckets,
   * minhash_sig, simhash64, minhash_est.
@@ -272,4 +356,6 @@ object texthash {
     Bridge.column(ShinglesExpr(Bridge.expression(text), n))
   def profile_hits(text: Column, profiles: Seq[Seq[String]]): Column =
     Bridge.column(ProfileHits(Bridge.expression(text), profiles))
+  def text_stats(text: Column, stopwords: Seq[String]): Column =
+    Bridge.column(TextStats(Bridge.expression(text), stopwords))
 }

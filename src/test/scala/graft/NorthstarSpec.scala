@@ -225,6 +225,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fps(0).matches("[0-9a-f]{32}"))
   }
 
+  test("text_stats kernel matches the column formulations on edge cases") {
+    import org.apache.spark.sql.functions.{get, length, lit}
+    val df = Seq(
+      "", " ", "   ", "one", "a  b", "\tleading tab", "a\nb\tc",
+      "The AND of IT", "no, stop; words! here?", "über straße naïve",
+      " padded  with   spaces ", "the the the",
+    ).toDF("text")
+    val stats = graft.functions.texthash.text_stats($"text",
+      TextAnalysis.defaultStopwords)
+    val rows = df.select(
+      get(stats, lit(0)).as("k_chars"), length($"text").cast("long").as("c_chars"),
+      get(stats, lit(1)).as("k_toks"), TextAnalysis.tokenCount($"text").cast("long").as("c_toks"),
+      get(stats, lit(2)).as("k_punct"), TextAnalysis.punctCount($"text").cast("long").as("c_punct"),
+      get(stats, lit(3)).as("k_stops"), TextAnalysis.stopwordCount($"text").cast("long").as("c_stops"),
+      $"text").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"chars: ${r.getString(8)}")
+      assert(r.getLong(2) == r.getLong(3), s"tokens: '${r.getString(8)}'")
+      assert(r.getLong(4) == r.getLong(5), s"punct: ${r.getString(8)}")
+      assert(r.getLong(6) == r.getLong(7), s"stops: ${r.getString(8)}")
+    }
+  }
+
   test("repetitionRatio: degenerate repetition scores high, unique text scores 0") {
     val df = Seq(
       (1L, "a b a b a b"),          // 2-grams: 2 distinct of 5 → 0.6
