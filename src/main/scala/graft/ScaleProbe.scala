@@ -93,6 +93,26 @@ object ScaleProbe {
     println(f"[scale] minhashPairs 10x-data ratio   ${mh10 / mh1}%.1fx (quadratic ~100x)")
     println(f"[scale] clusterCollapse 10x-data ratio ${cc10 / cc1}%.1fx (quadratic ~100x)")
 
+    // the full curate→dedup→sample pipeline (ns_pipeline_e2e shape)
+    import graft.northstar.{Sampling, TextAnalysis}
+    def pipelineKept(docs: DataFrame): Long = {
+      val curated = TextAnalysis.qualityScore(docs)
+        .withColumn("lang_guess", TextAnalysis.languageId(col("text")))
+        .filter(col("q_score") >= 0.5 && col("lang_guess") === "en")
+        .select(col("doc_id"), col("text"))
+      val keep = curated.groupBy(Dedup.normText(col("text")).as("k"))
+        .agg(min("doc_id").as("doc_id")).drop("k")
+      curated.join(keep, Seq("doc_id"), "left_semi")
+        .filter(Sampling.hashUnit(col("doc_id")) < 0.6).count()
+    }
+    // plain replication here (not the word-mangled copies: suffixed words
+    // defeat the stopword-based curation gate) — replicas share norm text
+    // so the dedup stage also gets real 10-way groups to collapse
+    val pe1 = timed("pipeline e2e 5k docs (1x)")(pipelineKept(docs1))
+    val pe10 = timed("pipeline e2e 50k docs (10x)")(
+      pipelineKept(replicate(docs1, 10, "doc_id", 1000000L)))
+    println(f"[scale] pipeline e2e 10x-data ratio   ${pe10 / pe1}%.1fx (linear-ish expected)")
+
     val emb = replicate(Tables.table(spark, dir, "embeddings"), 5, "vec_id", 1000000L)
     timed("lshTopK 10k corpus, 50 queries") {
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 10).count()

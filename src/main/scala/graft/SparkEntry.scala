@@ -422,6 +422,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("q_score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    // incremental corpus merge: an incoming crawl joins an existing
+    // corpus; only docs whose exact fingerprint is unseen survive — one
+    // hash anti-join on the fingerprint key, the nightly-ingest dedup
+    "ns_corpus_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val inc = d.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val ex = d.filter(col("doc_id") % 3 === 0)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      inc.join(ex, Seq("fp"), "left_anti").select("doc_id")
+    }),
     // range join without the nested loop Spark would plan for a raw
     // BETWEEN join: events matched to their containing session interval
     // via bin-bucketed equi-join (RangeJoin.binned) + exact filter
@@ -1007,6 +1018,15 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  length(text) AS n_chars_computed
         |FROM documents""".stripMargin,
+    "ns_corpus_merge" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT a.doc_id FROM fp a
+        |WHERE a.doc_id % 3 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM fp b WHERE b.doc_id % 3 = 0 AND b.fp = a.fp)""".stripMargin,
     // session derivation as in the x_session_windows oracle (lag/gap in
     // epoch-µs), then a plain BETWEEN containment join
     "ns_range_join" ->

@@ -341,6 +341,10 @@ object registry {
       es => SimHash64(es.head), "scala_udf")
     fr.createOrReplaceTempFunction("minhash_est",
       es => MinHashEst(es(0), es(1)), "scala_udf")
+    fr.createOrReplaceTempFunction("shingles",
+      es => ShinglesExpr(es.head, 3), "scala_udf")
+    fr.createOrReplaceTempFunction("text_stats",
+      es => TextStats(es.head, Nil), "scala_udf")
   }
 }
 
