@@ -111,6 +111,28 @@ object Tables {
     df.write.mode(mode).partitionBy(partitionCols: _*)
       .parquet(s"$dir/$name.parquet")
 
+  /** MERGE-style upsert: incoming rows replace existing rows that share
+    * their key, new keys append — the silver-layer maintenance op that
+    * plain replace/append sinks can't express over immutable parquet.
+    * Rewrite = existing anti-joined against incoming keys, union
+    * incoming, swap in through a temp directory. At 100 TB this is the
+    * full-rewrite pattern; pair with [[writePartitioned]] and key the
+    * table so only affected partitions need rewriting.
+    */
+  def upsert(spark: SparkSession, dir: String, name: String,
+             incoming: DataFrame, keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = spark.read.parquet(path.toString)
+      .join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(incoming)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.upsert.tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path): Unit
+  }
+
   /** Small-files compaction: rewrite a table directory into files of
     * roughly `targetFileBytes`. Long-running ingestion (streaming sinks,
     * per-batch appends) accumulates files far smaller than a parquet

@@ -348,6 +348,31 @@ object registry {
   }
 }
 
+/** Session-extensions installer: every graft kernel becomes available to
+  * pure-SQL users through the standard deployment hook —
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — with no code
+  * access needed (SQL gateways, thrift servers, notebook-only users).
+  * Same surface as [[registry.registerAll]], but bound at session build
+  * time instead of per-session mutation.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    reg("vec_cosine", es => FloatVecCosine(es(0), es(1)))
+    reg("vec_dot", es => FloatVecDot(es(0), es(1)))
+    reg("lsh_buckets", es => HyperplaneBuckets(es.head, 4, 8))
+    reg("minhash_sig", es => MinHashSig(es.head, 3, 16))
+    reg("simhash64", es => SimHash64(es.head))
+    reg("minhash_est", es => MinHashEst(es(0), es(1)))
+    reg("shingles", es => ShinglesExpr(es.head, 3))
+    reg("text_stats", es => TextStats(es.head, Nil))
+  }
+}
+
 /** Column-level API for the text-hash kernels. */
 object texthash {
   def minhash_sig(text: Column, n: Int = 3, k: Int = 16): Column =

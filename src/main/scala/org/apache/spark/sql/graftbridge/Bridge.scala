@@ -13,4 +13,24 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a session over an existing SparkContext with the given
+    * extensions applied. Builder.getOrCreate silently ignores
+    * withExtensions when a session already exists, so tests (which share
+    * one context) need this to exercise an extensions install
+    * end-to-end. The classic constructor is Scala-private but
+    * bytecode-public — reflection reaches it without access overrides.
+    */
+  def sessionWithExtensions(
+      sc: org.apache.spark.SparkContext,
+      ext: org.apache.spark.sql.SparkSessionExtensions): org.apache.spark.sql.SparkSession = {
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession].getConstructor(
+      classOf[org.apache.spark.SparkContext],
+      classOf[Option[_]], classOf[Option[_]],
+      classOf[org.apache.spark.sql.SparkSessionExtensions],
+      classOf[scala.collection.immutable.Map[_, _]],
+      classOf[scala.collection.immutable.Map[_, _]])
+    ctor.newInstance(sc, None, None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+  }
 }

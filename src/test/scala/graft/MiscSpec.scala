@@ -61,6 +61,37 @@ class MiscSpec extends SparkSpecBase {
         .getLong(0) == 5000L * 4999L / 2L)
   }
 
+  test("upsert: matching keys replaced, new keys appended, data swapped atomically") {
+    val dir = Files.createTempDirectory("upsert").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    Tables.upsert(spark, dir, "t",
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val back = spark.read.parquet(s"$dir/t.parquet")
+    assert(rows(back) == Set(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
+    // idempotent re-apply
+    Tables.upsert(spark, dir, "t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(spark.read.parquet(s"$dir/t.parquet").count() == 3)
+  }
+
+  test("GraftExtensions: kernels callable from pure SQL on an extensions-built session") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val s2 = org.apache.spark.sql.graftbridge.Bridge
+      .sessionWithExtensions(spark.sparkContext, ext)
+    val r = s2.sql(
+      """SELECT simhash64('a b c d e') AS sh,
+        |  vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |  size(shingles('a b c d e')) AS n_sh,
+        |  text_stats('one two three')[1] AS n_toks""".stripMargin).collect()(0)
+    assert(r.getLong(0) != 0L)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    assert(r.getInt(2) == 3)
+    assert(r.getLong(3) == 3L)
+    // the shared base session is untouched by the injection
+    assertThrows[Exception](spark.sql("SELECT simhash64_nonexistent('x')").collect())
+  }
+
   test("O2 delay math: future → positive delay, past → run now") {
     val now = LocalDateTime.of(2026, 8, 12, 12, 0)
     assert(Scheduler.delayUntil(now.plusMinutes(90), now) == Duration.ofMinutes(90))
