@@ -1091,7 +1091,7 @@ object SparkEntry {
         |  SELECT min(doc_id) AS doc_id FROM cur
         |  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |SELECT c.doc_id, c.n_tokens FROM cur c JOIN k USING (doc_id)
-        |WHERE (c.doc_id * 2654435761) % 1000000 / 1000000.0 < 0.6""".stripMargin,
+        |WHERE c.doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 < 0.6""".stripMargin,
     "ns_shard_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -1140,7 +1140,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "ns_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000000 / 1000000.0 <
+        |WHERE doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 <
         |  CASE WHEN lang = 'en' THEN 0.5
         |       WHEN lang = 'zh' THEN 0.3 ELSE 0.1 END""".stripMargin,
     // same shingle construction as the ns_jaccard_pairs oracle; benchmark

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval-containment) join without a nested loop.
@@ -27,10 +27,14 @@ object RangeJoin {
              tCol: String, loCol: String, hiCol: String,
              binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val f = facts.withColumn("__bin", floor(col(tCol) / binWidth))
+    // exact floor division via decimal: double division misrounds at
+    // epoch-nanos magnitudes (> 2^53), and a fact computing its bin from
+    // t while the interval computes from lo must agree at boundaries
+    def binOf(c: Column): Column =
+      floor(c.cast("decimal(20,0)") / lit(binWidth)).cast("long")
+    val f = facts.withColumn("__bin", binOf(col(tCol)))
     val i = intervals.withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binWidth),
-        floor(col(hiCol) / binWidth))))
+      explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
     // a fact meets an interval in exactly one bin (its own), so no
     // post-join dedupe is needed
     f.join(i, Seq(keyCol, "__bin"))

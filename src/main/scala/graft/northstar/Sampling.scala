@@ -23,10 +23,15 @@ object Sampling {
   val Buckets = 1000000L
 
   /** Pseudo-uniform unit value in [0,1) from a non-negative integer id.
-    * Not cryptographic — just well-spread for consecutive ids.
+    * Not cryptographic — just well-spread for consecutive ids. The id is
+    * reduced mod Buckets BEFORE the multiply: `id * Knuth` raw would
+    * overflow Long (ANSI error) past ids of ~3.4e9, which a 100 TB
+    * corpus exceeds; since gcd(Knuth, Buckets) = 1 the multiply is a
+    * bijection on residues, so the reduced form keeps the spread and
+    * stays exact for ANY id.
     */
   def hashUnit(id: Column): Column =
-    id.cast("long") * Knuth % Buckets / lit(Buckets.toDouble)
+    id.cast("long") % Buckets * Knuth % Buckets / lit(Buckets.toDouble)
 
   /** Bernoulli sample at per-stratum rates: keep a row iff
     * hashUnit(id) < rate(stratum). Rates are monotone — raising a
