@@ -19,8 +19,8 @@ object TextOps {
   /** FNV-1a 64-bit over UTF-8 bytes, then splitmix-finalized with seed —
     * a cheap deterministic seeded hash family for minhash.
     */
-  private def hashSeeded(bytes: Array[Byte], from: Int, until: Int,
-                         seed: Long): Long = {
+  /** Seed-independent FNV-1a 64-bit core over UTF-8 bytes. */
+  private def fnvCore(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0xCBF29CE484222325L
     var i = from
     while (i < until) {
@@ -28,12 +28,20 @@ object TextOps {
       h *= 0x100000001B3L
       i += 1
     }
-    // splitmix64 finalize with seed folded in
+    h
+  }
+
+  /** splitmix64 finalize with seed folded in. */
+  private def mixSeed(h: Long, seed: Long): Long = {
     var z = h + seed * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  private def hashSeeded(bytes: Array[Byte], from: Int, until: Int,
+                         seed: Long): Long =
+    mixSeed(fnvCore(bytes, from, until), seed)
 
   /** Normalized word tokens: lower-case, split on whitespace runs. */
   def normTokens(s: UTF8String): Array[String] =
@@ -58,9 +66,12 @@ object TextOps {
         j += 1
       }
       val bytes = sb.toString.getBytes("UTF-8")
+      // FNV core is seed-independent: hash the gram bytes ONCE, then k
+      // cheap splitmix finalizations — not k full byte passes
+      val core = fnvCore(bytes, 0, bytes.length)
       var i = 0
       while (i < k) {
-        val h = hashSeeded(bytes, 0, bytes.length, i + 1L)
+        val h = mixSeed(core, i + 1L)
         if (h < mins(i)) mins(i) = h
         i += 1
       }
