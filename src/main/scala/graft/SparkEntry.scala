@@ -605,6 +605,16 @@ object SparkEntry {
       graft.northstar.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 3)
     }),
+    // hash-checked companion to ns_knn_ivf: probing ALL cells makes the
+    // candidate set the whole corpus, so the IVF plumbing (assignment,
+    // probe join, ranking) must reproduce brute force rank-exactly —
+    // the oracle is the same SQL as ns_knn_brute
+    "ns_knn_ivf_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.northstar.Ivf.fitCentroids(emb, nCells = 8)
+      graft.northstar.Ivf.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 8)
+    }),
     "ns_neardup_cosine" -> ((s, dir) => // rows-only
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
     // hash-checked companion to ns_neardup_cosine: the EXACT cosine
@@ -1225,6 +1235,18 @@ object SparkEntry {
         |SELECT c.doc_id, l.cluster_id, c.doc_id = l.cluster_id AS is_keeper
         |FROM corpus c JOIN lbl l ON l.id = c.doc_id""".stripMargin,
     "ns_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    // identical to the ns_knn_brute oracle: exhaustive probing must equal
+    // brute force
+    "ns_knn_ivf_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
         |             list_cosine_similarity(q.qv, e.embedding) AS sim
