@@ -605,6 +605,15 @@ object SparkEntry {
       graft.northstar.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 3)
     }),
+    // hash-checked companion to ns_knn_lsh: zero hyperplanes collapse
+    // every vector into one bucket, so the LSH plumbing (bucket join,
+    // cross-table dedupe, ranking) must reproduce brute force
+    // rank-exactly — same oracle SQL as ns_knn_brute
+    "ns_knn_lsh_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10,
+        nPlanes = 0, nTables = 1)
+    }),
     // hash-checked companion to ns_knn_ivf: probing ALL cells makes the
     // candidate set the whole corpus, so the IVF plumbing (assignment,
     // probe join, ranking) must reproduce brute force rank-exactly —
@@ -1235,6 +1244,18 @@ object SparkEntry {
         |SELECT c.doc_id, l.cluster_id, c.doc_id = l.cluster_id AS is_keeper
         |FROM corpus c JOIN lbl l ON l.id = c.doc_id""".stripMargin,
     "ns_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    // identical to the ns_knn_brute oracle: one-bucket LSH must equal
+    // brute force
+    "ns_knn_lsh_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
         |             list_cosine_similarity(q.qv, e.embedding) AS sim
