@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is real — [[ImageCodec]] over the JDK's ImageIO
   * (PNG/BMP/GIF/JPEG), producing true pixel dimensions and
-  * luminance-stripe features. Audio/video decode is STUBBED (no av
-  * libraries in this environment — see [[StubCodec.decode]]): a
-  * deterministic fake derived from the payload bytes. The surrounding
-  * plumbing — asset schema, partition-batched execution shape, metadata
-  * extraction, feature vectors, frame sampling — is identical for both;
-  * swapping in a real av codec changes only the function body.
+  * luminance-stripe features. AUDIO decode is real for WAV —
+  * [[AudioCodec]] over javax.sound.sampled (PCM 8/16-bit), producing
+  * frame/channel counts and RMS-stripe features. Video (and non-WAV
+  * audio containers) remain STUBBED (no av libraries in this
+  * environment — see [[StubCodec.decode]]): a deterministic fake
+  * derived from the payload bytes. The surrounding plumbing — asset
+  * schema, partition-batched execution shape, metadata extraction,
+  * feature vectors, frame sampling — is identical for all three;
+  * swapping in a real video codec changes only the function body.
   *
   * Scale notes: payloads never pass through the driver; the decode is
   * mapPartitions (one codec init per partition, not per row, mirroring the
@@ -145,12 +148,74 @@ object Multimodal {
       }
   }
 
+  /** Real audio codec for WAV payloads over the JDK's
+    * `javax.sound.sampled` — zero extra dependencies. Decodes PCM
+    * signed 8/16-bit WAV: `width` carries the frame count, `height` the
+    * channel count, features = RMS amplitude per time-stripe normalized
+    * to [0,1]. Non-WAV or non-PCM payloads return None and fall back to
+    * [[StubCodec]] (video still needs libraries this environment
+    * lacks).
+    */
+  object AudioCodec {
+
+    /** RIFF....WAVE magic pre-screen. */
+    def looksLikeWav(p: Array[Byte]): Boolean =
+      p != null && p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
+      if (!looksLikeWav(payload)) None
+      else try {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            (bits != 8 && bits != 16)) None
+          else {
+            val bytes = in.readAllBytes()
+            val channels = fmt.getChannels
+            val bytesPerSample = bits / 8
+            val nSamples = bytes.length / bytesPerSample
+            val frames = if (channels == 0) 0 else nSamples / channels
+            val dim = StubCodec.FeatureDim
+            val sumSq = new Array[Double](dim)
+            val counts = new Array[Long](dim)
+            var i = 0
+            while (i < nSamples) {
+              val v =
+                if (bits == 8) bytes(i).toDouble / 128.0
+                else {
+                  val lo = bytes(2 * i) & 0xFF
+                  val hi = bytes(2 * i + 1)
+                  val s = (hi << 8) | lo // WAV 16-bit PCM is little-endian
+                  s.toDouble / 32768.0
+                }
+              val frame = i / math.max(1, channels)
+              val stripe = if (frames == 0) 0
+                else math.min(dim - 1, frame * dim / frames)
+              sumSq(stripe) += v * v
+              counts(stripe) += 1
+              i += 1
+            }
+            val feats = Array.tabulate(dim)(s =>
+              if (counts(s) == 0) 0f
+              else math.sqrt(sumSq(s) / counts(s)).toFloat)
+            Some(Decoded(assetId, frames, channels, "wav", feats))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
   /** Partition-batched decode: binary payloads → typed decoded rows.
     * mapPartitions gives the per-batch execution shape (codec initialized
     * once per partition); output is a compact feature frame, payloads are
     * dropped immediately after decode. Image payloads get the real
-    * [[ImageCodec]]; everything else falls back to the deterministic
-    * stub.
+    * [[ImageCodec]], WAV audio the real [[AudioCodec]]; everything else
+    * falls back to the deterministic stub.
     */
   def decodeAssets(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
@@ -163,7 +228,9 @@ object Multimodal {
         rows.map { r =>
           val id = r.getAs[Long]("asset_id")
           val p = r.getAs[Array[Byte]]("payload")
-          ImageCodec.decode(id, p).getOrElse(StubCodec.decode(id, p))
+          ImageCodec.decode(id, p)
+            .orElse(AudioCodec.decode(id, p))
+            .getOrElse(StubCodec.decode(id, p))
         }
       }
     ds.toDF("asset_id", "width", "height", "format", "features")

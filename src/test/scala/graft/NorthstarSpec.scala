@@ -386,6 +386,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(12L).getAs[String]("format") == "stub")
   }
 
+  test("wav payloads decode for real: frames, channels, RMS envelope") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val frames = 800
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      // amplitude ramps quiet → loud across the clip → ascending RMS stripes
+      val amp = (i.toDouble / frames) * 30000
+      val s = (math.sin(i * 0.3) * amp).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // PCM signed, little-endian
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((20L, bos.toByteArray)).toDF("asset_id", "payload")
+      .selectExpr("asset_id", "'audio' as modality", "payload",
+        "named_struct('n_bytes', cast(length(payload) as long), 'source', 'test') as meta")
+    val out = Multimodal.decodeAssets(df).collect()(0)
+    assert(out.getAs[String]("format") == "wav")
+    assert(out.getAs[Int]("width") == frames && out.getAs[Int]("height") == 1)
+    val feats = out.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.head < feats.last && feats.last > 0.3f, s"RMS envelope: $feats")
+  }
+
   test("poolFeatures halves the feature grid") {
     val out = Multimodal.poolFeatures(Multimodal.decodeAssets(assets), 2)
     assert(out.collect()(0)
