@@ -111,13 +111,45 @@ object Tables {
     df.write.mode(mode).partitionBy(partitionCols: _*)
       .parquet(s"$dir/$name.parquet")
 
+  /** Hive-style partition columns of a table directory, read from the
+    * `col=value` subdirectory names — the rewrite ops ([[compact]],
+    * [[upsert]]) must preserve the layout or they'd silently destroy
+    * partition pruning.
+    */
+  private def partitionColsOf(fs: org.apache.hadoop.fs.FileSystem,
+                              path: org.apache.hadoop.fs.Path): Seq[String] = {
+    def walk(p: org.apache.hadoop.fs.Path, acc: List[String]): List[String] =
+      fs.listStatus(p).find(s => s.isDirectory && s.getPath.getName.contains("=")) match {
+        case Some(d) => walk(d.getPath, d.getPath.getName.split("=")(0) :: acc)
+        case None => acc
+      }
+    walk(path, Nil).reverse
+  }
+
+  /** Rewrite a table directory from a new frame, preserving any hive
+    * partition layout, swapping in through a temp directory.
+    */
+  private def rewriteDir(spark: SparkSession, dir: String, name: String,
+                         df: DataFrame,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         path: org.apache.hadoop.fs.Path): Unit = {
+    val partCols = partitionColsOf(fs, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.rewrite.tmp")
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path): Unit
+  }
+
   /** MERGE-style upsert: incoming rows replace existing rows that share
     * their key, new keys append — the silver-layer maintenance op that
     * plain replace/append sinks can't express over immutable parquet.
     * Rewrite = existing anti-joined against incoming keys, union
-    * incoming, swap in through a temp directory. At 100 TB this is the
-    * full-rewrite pattern; pair with [[writePartitioned]] and key the
-    * table so only affected partitions need rewriting.
+    * incoming, swap in through a temp directory; hive partition layout
+    * is preserved. At 100 TB this is the full-rewrite pattern; pair
+    * with [[writePartitioned]] and key the table so only affected
+    * partitions need rewriting.
     */
   def upsert(spark: SparkSession, dir: String, name: String,
              incoming: DataFrame, keyCols: Seq[String]): Unit = {
@@ -127,10 +159,7 @@ object Tables {
     val merged = spark.read.parquet(path.toString)
       .join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(incoming)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.upsert.tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path): Unit
+    rewriteDir(spark, dir, name, merged, fs, path)
   }
 
   /** Small-files compaction: rewrite a table directory into files of
@@ -148,12 +177,8 @@ object Tables {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.compact.tmp")
-    spark.read.parquet(path.toString)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    rewriteDir(spark, dir, name,
+      spark.read.parquet(path.toString).repartition(nFiles), fs, path)
     nFiles
   }
 

@@ -92,6 +92,22 @@ class MiscSpec extends SparkSpecBase {
     assertThrows[Exception](spark.sql("SELECT simhash64_nonexistent('x')").collect())
   }
 
+  test("compact and upsert preserve hive partition layout") {
+    val dir = Files.createTempDirectory("partmaint").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Tables.writePartitioned(docs, dir, "docs", Seq("lang"))
+    Tables.compact(spark, dir, "docs", targetFileBytes = 64L * 1024 * 1024)
+    assert(new java.io.File(s"$dir/docs.parquet/lang=en").isDirectory,
+      "compact flattened the partition layout")
+    val one = spark.read.parquet(s"$dir/docs.parquet")
+      .filter($"lang" === "en").limit(1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    Tables.upsert(spark, dir, "docs", one, Seq("doc_id"))
+    assert(new java.io.File(s"$dir/docs.parquet/lang=en").isDirectory,
+      "upsert flattened the partition layout")
+    assert(spark.read.parquet(s"$dir/docs.parquet").count() == docs.count())
+  }
+
   test("O2 delay math: future → positive delay, past → run now") {
     val now = LocalDateTime.of(2026, 8, 12, 12, 0)
     assert(Scheduler.delayUntil(now.plusMinutes(90), now) == Duration.ofMinutes(90))
