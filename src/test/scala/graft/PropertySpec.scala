@@ -40,6 +40,20 @@ class PropertySpec extends AnyFunSuite {
       DateParse.parseDate(s); true
     })
   }
+
+  test("month-name formats agree with the equivalent numeric form") {
+    val gen = for {
+      y <- Gen.choose(1900, 2099); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield (y, m, d)
+    val months = Seq("January", "February", "March", "April", "May", "June",
+      "July", "August", "September", "October", "November", "December")
+    check(Prop.forAll(gen) { case (y, m, d) =>
+      val expect = f"$y%04d-$m%02d-$d%02d"
+      DateParse.parseDate(s"${months(m - 1)} $d, $y") == expect &&
+        DateParse.parseDate(s"$d ${months(m - 1)} $y") == expect &&
+        DateParse.parseDate(s"${months(m - 1)} $d, $y 10:30:00") == expect
+    })
+  }
 }
 
 /** Spark-level invariants on small generated frames. */
