@@ -62,6 +62,24 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffles(p) == 0, s"sampling must not shuffle:\n${p.take(800)}")
   }
 
+  test("pipeline e2e: dedup semi-join present, no quadratic node") {
+    val p = planOf("ns_pipeline_e2e")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("corpus merge: hash anti-join on the fingerprint key, never a nested loop") {
+    val p = planOf("ns_corpus_merge")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("shard pack: one window shuffle partitioned by source") {
+    val p = planOf("ns_shard_pack")
+    assert(p.contains("Window"), p.take(800))
+    assert(shuffles(p) <= 1, s"expected <=1 exchange:\n${p.take(800)}")
+  }
+
   test("range join: bin-bucketed equi-join, never a nested loop") {
     val p = planOf("ns_range_join")
     assert(p.contains("__bin"), p.take(800)) // joined on the bin key
