@@ -174,6 +174,18 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, o_totalprice
           |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
     }),
+    // correlated LATERAL subquery with per-group ORDER BY + LIMIT —
+    // top-n-per-group without a window function; identical SQL runs in
+    // the oracle
+    "q_sql_lateral" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("nation", "customer"))
+      Sql.runSql(s,
+        """SELECT n_name, c_name, c_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT c_name, c_acctbal, c_custkey FROM customer
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin)
+    }),
     "q_sql_monthly" -> ((s, dir) => {
       Tables.open(s, dir, Seq("orders"))
       Sql.runSql(s,
@@ -781,6 +793,12 @@ object SparkEntry {
     "q_sql_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT n_name, c_name, c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal, c_custkey FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin,
     "q_sql_monthly" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
