@@ -525,6 +525,13 @@ object SparkEntry {
         t(s, dir, "documents"), "lang",
         Map("en" -> 0.5, "zh" -> 0.3), 0.1)
         .select("doc_id", "lang")),
+    // deterministic train/val/test assignment: stable eval membership
+    // across reruns and cluster sizes, the exact predicate replayed by
+    // the oracle
+    "ns_split_assign" -> ((s, dir) =>
+      graft.northstar.Sampling.assignSplit(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
     // benchmark decontamination: distinct word-3-gram overlap of each
     // corpus doc (id % 97 != 0) against the held-out "eval" slice
     // (id % 97 == 0); broadcast semi-join on the tiny benchmark gram set
@@ -1180,6 +1187,13 @@ object SparkEntry {
         |WHERE doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 <
         |  CASE WHEN lang = 'en' THEN 0.5
         |       WHEN lang = 'zh' THEN 0.3 ELSE 0.1 END""".stripMargin,
+    "ns_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN h < 0.9 THEN 'train'
+        |       WHEN h < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 AS h
+        |      FROM documents)""".stripMargin,
     // same shingle construction as the ns_jaccard_pairs oracle; benchmark
     // slice = doc_id % 97 = 0, overlap counted on distinct shared grams
     "ns_decontam" ->

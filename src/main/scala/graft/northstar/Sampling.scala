@@ -33,6 +33,29 @@ object Sampling {
   def hashUnit(id: Column): Column =
     id.cast("long") % Buckets * Knuth % Buckets / lit(Buckets.toDouble)
 
+  /** Deterministic train/val/test (or any named) split assignment: the
+    * hash-unit value falls into cumulative weight bands. Every row gets
+    * exactly one split; the same id lands in the same split on any
+    * cluster, partitioning, or rerun — the property that keeps eval
+    * sets stable across pipeline runs. Weights are taken as given
+    * (normalize to 1 for exact fractions). Narrow projection, no
+    * shuffle.
+    */
+  def assignSplit(df: DataFrame, weights: Seq[(String, Double)],
+                  idCol: String = "doc_id",
+                  outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "at least one split required")
+    val total = weights.map(_._2).sum
+    val u = hashUnit(col(idCol)) * total
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val assigned = weights.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+        Some(acc.fold(when(u < hi, name))(_.when(u < hi, name)))
+      }
+      .fold(lit(weights.last._1): Column)(_.otherwise(weights.last._1))
+    df.withColumn(outCol, assigned)
+  }
+
   /** Bernoulli sample at per-stratum rates: keep a row iff
     * hashUnit(id) < rate(stratum). Rates are monotone — raising a
     * stratum's rate only ADDS rows, never swaps them — so mixture

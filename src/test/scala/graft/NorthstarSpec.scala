@@ -300,6 +300,20 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(de - 100) < 50, s"de kept $de of 1000 at rate 0.1")
   }
 
+  test("assignSplit: exhaustive, deterministic, approximately weighted") {
+    val s1 = Sampling.assignSplit(docs,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = Sampling.assignSplit(docs,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2 && s1.size == 2000)      // every row, same split each run
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 1800) < 120, counts.toString)
+    assert(math.abs(counts("val") - 100) < 60, counts.toString)
+  }
+
   test("monotone rates: raising a stratum's rate only adds rows") {
     val low = Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.2), 0.1)
       .collect().map(_.getLong(0)).toSet
