@@ -69,6 +69,25 @@ object IncrementalStream {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Continuous corpus merge: a stream of incoming documents anti-joined
+    * against a STATIC existing corpus's fingerprint set — only docs whose
+    * normalized text is unseen pass through. Stream-static anti-joins are
+    * natively supported in append mode, so this is the streaming flavor
+    * of the batch ns_corpus_merge ingest dedup: the static side is
+    * re-read per micro-batch (cache it for hot loops), no state store is
+    * involved, and the output is exactly-once under the sink checkpoint.
+    */
+  def streamingMerge(incoming: DataFrame, existing: DataFrame,
+                     textCol: String = "text"): DataFrame = {
+    import graft.northstar.TextAnalysis
+    incoming
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(existing
+        .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** One event for [[sessionize]]: epoch-µs event time per user. */
   case class SessionEvent(user_id: Long, event_us: Long)
   /** One closed session: bounds + event count. */

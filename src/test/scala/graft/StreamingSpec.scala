@@ -97,6 +97,26 @@ class StreamingSpec extends SparkSpecBase {
       (99L, t0 + 1 * day, t0 + 1 * day, 1L)))
   }
 
+  test("streamingMerge: stream-static anti-join drops docs already in the corpus") {
+    val src = tmp(); val ckpt = tmp()
+    val existing = Seq((1L, "the quick brown fox"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    Seq(
+      (10L, "THE  Quick   Brown FOX"), // normalization variant of doc 1 → dropped
+      (11L, "hello world"),            // exact dup of doc 2 → dropped
+      (12L, "genuinely new document"),
+    ).toDF("doc_id", "text").write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    val out = IncrementalStream.streamingMerge(
+      IncrementalStream.readTableStream(spark, src, "in", schema), existing)
+    val q = out.writeStream.format("memory").queryName("merge_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("merge_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(12L))
+  }
+
   test("curation projection runs unchanged on a stream and matches the batch result") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.DataFrame
