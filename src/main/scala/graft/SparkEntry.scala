@@ -661,9 +661,28 @@ object SparkEntry {
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
           |WHERE sim_e4 >= 3000""".stripMargin)
     }),
-    "ns_multimodal" -> ((s, dir) => {   // rows-only: stub codec (no SQL analogue)
-      val assets = Multimodal.toAssets(
-        t(s, dir, "documents"), "doc_id", "text", "image", "source")
+    "ns_multimodal" -> ((s, dir) => {   // rows-only: codec output (no SQL analogue)
+      import s.implicits._
+      // even ids carry REAL synthesized PNG payloads (ImageCodec path:
+      // true 16x16 dims, png format, luminance features); odd ids carry
+      // utf-8 text bytes (stub path) — one driver-visible query
+      // exercises both codecs deterministically. The typed map is
+      // fixture synthesis, not an operator.
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .map { case (id, text, src) =>
+          val p = if (id % 2 == 0) Multimodal.syntheticPng(id)
+                  else text.getBytes("UTF-8")
+          (id, p, src)
+        }.toDF("asset_id", "payload", "source")
+      val assets = payloads.select(col("asset_id"),
+        when(col("asset_id") % 2 === 0, "image").otherwise("text")
+          .as("modality"),
+        col("payload"),
+        struct(coalesce(length(col("payload")).cast("long"), lit(0L))
+          .as("n_bytes"), col("source").cast("string").as("source"))
+          .as("meta"))
       val pooled = Multimodal.poolFeatures(Multimodal.decodeAssets(assets))
       // scalar-only exposure: the driver's pandas canonicalizer can't sort
       // raw array cells (r1 crash); the array form stays unit-tested

@@ -210,6 +210,30 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** Deterministic tiny PNG payload from an id — a payload synthesizer
+    * for tests and harness runs, so driver-visible queries exercise the
+    * REAL image codec without shipping binary fixtures. The pixel
+    * pattern (and therefore dims, format, and luminance features after
+    * decode) is a pure function of the id.
+    */
+  def syntheticPng(id: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (((id * 31 + x * 7 + y * 13) % 256).toInt + 256) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Partition-batched decode: binary payloads → typed decoded rows.
     * mapPartitions gives the per-batch execution shape (codec initialized
     * once per partition); output is a compact feature frame, payloads are
