@@ -1,8 +1,6 @@
 package graft.northstar
 
 import graft.functions.vectors
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,13 +11,15 @@ import org.apache.spark.sql.functions._
   * `nProbe` cells whose centroids are most similar, so the search join
   * touches nProbe/nCells of the corpus instead of all of it.
   *
-  * Training samples the corpus (k-means on the driver-managed MLlib path,
-  * fixed seed); the resulting centroids are a small Array[Array[Float]]
-  * broadcast into closed-form column expressions — assignment and probing
-  * are pure per-row arithmetic over the codegen'd cosine kernel, no model
-  * object at scan time. At 100 TB: train on a sample (KMeans scales
-  * O(sample × k)), assignment is one narrow pass, the probe join shuffles
-  * on cell id with per-cell fan-out bounded by cell balance.
+  * Training samples the corpus (bounded, corpus-size-independent sample,
+  * clustered on the driver with seeded k-means++/Lloyd — fixed seed);
+  * the resulting centroids are a small Array[Array[Float]] broadcast
+  * into closed-form column expressions — assignment and probing are pure
+  * per-row arithmetic over the codegen'd cosine kernel, no model object
+  * at scan time. At 100 TB: train on the bounded sample (k-means scales
+  * O(sample × k)), assignment is one narrow pass, the probe join
+  * shuffles on cell id with per-cell fan-out bounded by the mega-cell
+  * re-split cap.
   */
 object Ivf {
 
@@ -36,10 +36,17 @@ object Ivf {
     * corpus embedding column. Deterministic via fixed seed.
     *
     * By default the sample is bounded: min(1, nCells*256 / corpusRows) —
-    * full-corpus k-means is a genuine scale hazard (MLlib iterates over
-    * the whole training set nIter times), and quantizer quality saturates
-    * at a few hundred points per cell. Pass an explicit `sampleFraction`
-    * to override (1.0 = train on everything).
+    * full-corpus k-means is a genuine scale hazard (iterating the whole
+    * training set nIter times), and quantizer quality saturates at a few
+    * hundred points per cell. Pass an explicit `sampleFraction` to
+    * override (1.0 = train on everything).
+    *
+    * The bounded sample (≤ ~1.2 × nCells × 256 rows regardless of corpus
+    * size) is collected and clustered ON THE DRIVER with seeded
+    * k-means++ and Lloyd iterations — milliseconds of pure arithmetic,
+    * where a distributed fit pays seconds of job overhead to cluster a
+    * few thousand rows. Collecting a corpus-size-independent training
+    * sample is the sanctioned use of collect().
     */
   def fitCentroids(corpus: DataFrame, nCells: Int,
                    vecCol: String = "embedding",
@@ -57,12 +64,98 @@ object Ivf {
       }
     val sampled = if (fraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, fraction, seed)
-    val train = sampled.select(array_to_vector(col(vecCol)).as("features"))
-    // 10 iterations: cell assignment only needs a stable coarse partition,
-    // not converged centroids — recall is governed by nProbe
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val points = sampled.select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    lloyd(points, nCells, seed, iters = 10)
+  }
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Seeded k-means++ init + Lloyd iterations over an in-memory sample.
+    * 10 iterations: cell assignment only needs a stable coarse
+    * partition, not converged centroids — recall is governed by nProbe.
+    * Empty clusters are reseeded to the point farthest from its center.
+    */
+  private def lloyd(points: Array[Array[Float]], k: Int, seed: Long,
+                    iters: Int): Array[Array[Float]] = {
+    require(points.nonEmpty, "empty training sample")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    // k-means++: each next center drawn with probability ∝ D²
+    val centers = Array.ofDim[Array[Float]](math.min(k, points.length))
+    centers(0) = points(rnd.nextInt(points.length)).clone()
+    val d2 = points.map(p => sqDist(p, centers(0)))
+    var c = 1
+    while (c < centers.length) {
+      val total = d2.sum
+      val pick = if (total <= 0) rnd.nextInt(points.length)
+        else {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < points.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+          i
+        }
+      centers(c) = points(pick).clone()
+      var i = 0
+      while (i < points.length) {
+        val nd = sqDist(points(i), centers(c))
+        if (nd < d2(i)) d2(i) = nd
+        i += 1
+      }
+      c += 1
+    }
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < centers.length) {
+          val d = sqDist(points(i), centers(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Int](centers.length)
+      i = 0
+      while (i < points.length) {
+        val a = assign(i); counts(a) += 1
+        var x = 0
+        while (x < dim) { sums(a)(x) += points(i)(x); x += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < centers.length) {
+        if (counts(j) > 0)
+          centers(j) = Array.tabulate(dim)(x => (sums(j)(x) / counts(j)).toFloat)
+        else {
+          // reseed an empty cluster to the point farthest from its center
+          var far = 0; var fd = -1.0
+          var p = 0
+          while (p < points.length) {
+            val d = sqDist(points(p), centers(assign(p)))
+            if (d > fd) { fd = d; far = p }
+            p += 1
+          }
+          centers(j) = points(far).clone()
+        }
+        j += 1
+      }
+      it += 1
+    }
+    // pad (degenerate: fewer points than cells) by repeating centers
+    if (centers.length < k)
+      Array.tabulate(k)(i => centers(i % centers.length).clone())
+    else centers
   }
 
   /** Per-centroid cosine similarity as (sim, cellId) structs. */
