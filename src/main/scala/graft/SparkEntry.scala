@@ -23,6 +23,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Deterministic 64-dim probe direction for `ns_embed_probe`. Values
+    * are k/1024 with k in [-512, 512]: exactly representable in float32
+    * AND in a finite decimal literal, so the Spark Array[Float] and the
+    * DuckDB list literal denote bit-identical numbers — the only cross-
+    * engine gap left is accumulation order, absorbed by e4 rounding.
+    */
+  private val probeVec: Array[Float] = Array.tabulate(64) { i =>
+    ((((i * 2654435761L + 12345) % 1025) - 512) / 1024.0).toFloat
+  }
+  private def probeVecSql: String =
+    probeVec.map(v => new java.math.BigDecimal(v.toDouble).toPlainString)
+      .mkString("[", ", ", "]")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape: "total sales by category"
     * (front_end.py:719) = scan → join → trim → multi-agg (S1, J1, T4, A1).
@@ -505,6 +518,29 @@ object SparkEntry {
         countDistinct(Dedup.normText(col("text"))).as("n_unique"),
         (lit(1.0) - countDistinct(Dedup.normText(col("text"))).cast("double")
           / count(lit(1)).cast("double")).as("dup_ratio"))),
+    // corpus vocabulary heavy hitters: doc-frequency of lower-cased terms,
+    // per-document distinct taken BEFORE the explode so the shuffle is
+    // bounded by (doc, term) pairs; top-25 plans as TakeOrdered
+    "ns_heavy_terms" -> ((s, dir) =>
+      TextAnalysis.documentFrequency(t(s, dir, "documents"))
+        .orderBy(col("doc_freq").desc, col("term")).limit(25)),
+    // context-window chunking: consecutive 50-token windows per document —
+    // the packing precursor for fixed-context training sequences; ordinals
+    // exposed as BIGINT (DuckDB range/len are BIGINT)
+    "ns_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(t(s, dir, "documents"), 50)
+        .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+          col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))),
+    // linear-probe scoring: cosine vs a fixed classifier direction (the
+    // model-based quality-filter shape); score as e4 integer (see
+    // ns_sql_vec_cosine), pred derived FROM the rounded integer on both
+    // sides so the decision boundary adds no second float comparison
+    "ns_embed_probe" -> ((s, dir) =>
+      Similarity.probeScore(
+          t(s, dir, "embeddings"), probeVec, threshold = 0.05)
+        .select(col("vec_id"),
+          round(col("score") * 10000).cast("long").as("score_e4"))
+        .withColumn("pred", (col("score_e4") >= 500).cast("int"))),
     // PII scrub: deterministic synthetic contacts (email/url/phone built
     // from doc_id) injected identically on both sides, then the 3-stage
     // URL→email→phone redaction — RE2-safe patterns, so the oracle runs
@@ -1191,6 +1227,35 @@ object SparkEntry {
         |  1.0 - CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS DOUBLE)
         |    / count(*) AS dup_ratio
         |FROM documents GROUP BY source""".stripMargin,
+    "ns_heavy_terms" ->
+      """SELECT term, count(*) AS doc_freq
+        |FROM (SELECT unnest(list_distinct(list_filter(
+        |         regexp_split_to_array(lower(text), '\W+'),
+        |         x -> len(x) >= 3))) AS term
+        |      FROM documents)
+        |GROUP BY term
+        |ORDER BY doc_freq DESC, term
+        |LIMIT 25""".stripMargin,
+    "ns_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |x AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) - 1) // 50)) AS i
+        |  FROM d)
+        |SELECT doc_id, i AS chunk_ix,
+        |  array_to_string(w[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text,
+        |  least(50, len(w) - i * 50) AS chunk_tokens
+        |FROM x""".stripMargin,
+    "ns_embed_probe" ->
+      s"""WITH s AS (
+        |  SELECT vec_id,
+        |    CAST(round(list_cosine_similarity(embedding,
+        |      $probeVecSql) * 10000) AS BIGINT) AS score_e4
+        |  FROM embeddings)
+        |SELECT vec_id, score_e4, CAST(score_e4 >= 500 AS INT) AS pred
+        |FROM s""".stripMargin,
     "ns_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -100,6 +100,23 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Linear-probe scoring: cosine of each embedding against a fixed probe
+    * direction (a trained classifier weight vector, a centroid of curated
+    * examples, a topic direction) — the fastText-style model-based
+    * quality/topic filter of modern corpus curation, reduced to one
+    * narrow codegen'd pass. The probe rides into the plan as a literal
+    * array (broadcast-free: it is part of the serialized expression), so
+    * at 100 TB this is a pure map with no shuffle and no driver state.
+    * Output: (id, score, pred) with pred = score >= threshold.
+    */
+  def probeScore(df: DataFrame, probe: Array[Float], threshold: Double,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val score = cosine(col(vecCol), typedLit(probe.toSeq))
+    df.select(col(idCol), score.as("score"),
+      (score >= threshold).cast("int").as("pred"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: corpus self-joined within LSH
     * buckets, kept when cosine >= threshold (the embedding flavor of
     * near-dup dedup).

@@ -140,6 +140,49 @@ object TextAnalysis {
         size(graft.functions.texthash.shingles(text, n)).cast("double") / total)
   }
 
+  /** Corpus vocabulary by document frequency: one row per distinct term
+    * (lower-cased, split on non-word runs, length >= `minTermLen`) with
+    * the number of documents containing it. The classic heavy-hitters /
+    * stopword-discovery pass over a training corpus. Per-document
+    * distinct happens BEFORE the explode (array_distinct, narrow), so the
+    * shuffle carries at most one row per (doc, term); the groupBy gets
+    * map-side partial aggregation, and a top-k consumer (orderBy+limit)
+    * plans as TakeOrdered — no full sort at any scale.
+    */
+  def documentFrequency(df: DataFrame, textCol: String = "text",
+                        minTermLen: Int = 3): DataFrame =
+    df.select(explode(array_distinct(
+        split(lower(col(textCol)), "\\W+"))).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+
+  /** Token-window chunking: split each document into consecutive
+    * `chunkSize`-token windows — the context-length packing precursor
+    * (long documents must be chunked before sequence packing; see
+    * Sampling/shard packing for the budget side). Output: one row per
+    * (doc, window) with the window ordinal, the space-rejoined chunk
+    * text, and its token count. Blank documents produce no rows.
+    * Narrow: tokenization + per-row explode of ~n/chunkSize indices; no
+    * shuffle. The slice is expressed in SQL (`expr`) because the
+    * Column-typed slice overload is gone in Spark 4.
+    */
+  def chunkByTokens(df: DataFrame, chunkSize: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val w = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), w.as("w"), tokenCount(col(textCol)).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("w"), col("n_tokens"),
+        explode(sequence(lit(0),
+          floor((col("n_tokens") - 1) / chunkSize).cast("int"))).as("chunk_ix"))
+      .select(col(idCol), col("chunk_ix"),
+        concat_ws(" ",
+          expr(s"slice(w, chunk_ix * $chunkSize + 1, $chunkSize)")).as("chunk_text"),
+        least(lit(chunkSize),
+          col("n_tokens") - col("chunk_ix") * chunkSize).as("chunk_tokens"))
+  }
+
   /** One frame with all per-document text-analysis columns. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityScore(df, textCol)

@@ -174,6 +174,19 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L)))
   }
+
+  test("probeScore: aligned vector scores 1, opposed scores -1, pred follows threshold") {
+    val probe = Array(1f, 0f, 0f)
+    val vecs = Seq(
+      (0L, Seq(2f, 0f, 0f)),   // aligned: cos = 1
+      (1L, Seq(-1f, 0f, 0f)),  // opposed: cos = -1
+      (2L, Seq(0f, 5f, 0f))).toDF("vec_id", "embedding") // orthogonal: 0
+    val out = Similarity.probeScore(vecs, probe, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((math.round(r.getDouble(1) * 1e6), r.getInt(2)))).toMap
+    assert(out(0L) == ((1000000L, 1)))
+    assert(out(1L) == ((-1000000L, 0)))
+    assert(out(2L) == ((0L, 0)))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpecBase {
@@ -279,6 +292,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(2) == "call <PHONE> or <PHONE> now")
     assert(out(3) == "a url-with-email <URL> trailing") // URL eats the email
     assert(out(4) == "nothing sensitive here at all")
+  }
+
+  test("documentFrequency: per-document distinct, case-folded, short terms dropped") {
+    val df = Seq(
+      (1L, "Spark spark SPARK engine"), // 'spark' counts once for this doc
+      (2L, "spark is an engine"),       // 'is'/'an' dropped (< 3 chars)
+      (3L, "parquet files"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.documentFrequency(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("spark") == 2L)
+    assert(out("engine") == 2L)
+    assert(out("parquet") == 1L)
+    assert(!out.contains("is") && !out.contains("an"))
+  }
+
+  test("chunkByTokens: full windows + ragged tail, ordinals dense, blank docs dropped") {
+    val df = Seq(
+      (1L, (1 to 7).map(i => s"w$i").mkString(" ")), // 7 tokens → 3+3+1
+      (2L, "single"),
+      (3L, "   "),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, chunkSize = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(c => (c._3, c._4)).toSeq == Seq(
+      ("w1 w2 w3", 3), ("w4 w5 w6", 3), ("w7", 1)))
+    assert(doc1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, "single", 1)))
+    assert(!out.exists(_._1 == 3L))
   }
 }
 
