@@ -117,6 +117,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
   }
 
+  test("heavy terms: top-k plans as TakeOrdered with partial aggregation — no global sort") {
+    val p = planOf("ns_heavy_terms")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("chunking and probe scoring: pure narrow passes — zero exchanges") {
+    for (q <- Seq("ns_chunk", "ns_embed_probe")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q has a shuffle:\n" + p.take(800))
+    }
+  }
+
   test("as-of join: union + window formulation — no join node, bounded shuffles") {
     val p = planOf("x_asof_join")
     assert(!p.contains("Join"), "as-of should be join-free (union + window)")
