@@ -531,6 +531,19 @@ object SparkEntry {
       TextAnalysis.chunkByTokens(t(s, dir, "documents"), 50)
         .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
           col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))),
+    // per-document salient terms: TF-IDF top-3, rank-exact exposure —
+    // ranking keys on the e4-rounded integer score (then term), so both
+    // engines order identically and no float crosses the compare
+    "ns_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.tfIdf(t(s, dir, "documents"))
+        .withColumn("s_e4", round(col("tfidf") * 10000).cast("long"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("s_e4").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 && col("doc_id") < 100)
+        .select("doc_id", "term", "rank")
+    }),
     // linear-probe scoring: cosine vs a fixed classifier direction (the
     // model-based quality-filter shape); score as e4 integer (see
     // ns_sql_vec_cosine), pred derived FROM the rounded integer on both
@@ -1248,6 +1261,25 @@ object SparkEntry {
         |  array_to_string(w[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text,
         |  least(50, len(w) - i * 50) AS chunk_tokens
         |FROM x""".stripMargin,
+    "ns_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 3)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    CAST(round(tf * ln(CAST(n.n AS DOUBLE) / df) * 10000) AS BIGINT) AS s_e4
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s_e4 DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, rank FROM ranked
+        |WHERE rank <= 3 AND doc_id < 100""".stripMargin,
     "ns_embed_probe" ->
       s"""WITH s AS (
         |  SELECT vec_id,

@@ -156,6 +156,36 @@ object TextAnalysis {
       .filter(length(col("term")) >= minTermLen)
       .groupBy("term").agg(count(lit(1)).as("doc_freq"))
 
+  /** Per-(doc, term) TF-IDF: tf × ln(N / df) over lower-cased terms of
+    * length >= `minTermLen` — the classic salient-terms / keyword pass.
+    * Document frequency is a re-aggregation of the tf output (tf has
+    * exactly one row per (doc, term), so count-per-term IS doc
+    * frequency) — no separate tokenization pipeline. The tf branch and
+    * the df branch stay INDEPENDENT plan subtrees on purpose: when a
+    * caller scores only a document subset, Catalyst pushes that filter
+    * into the tf-side scan while the df side still counts the full
+    * corpus (the correct semantics, verified in the harness plan —
+    * PushedFilters on one scan, none on the other). Full-corpus callers
+    * should persist the frame before fan-out if the double scan matters.
+    * N is a driver-side scalar (one count job) unless supplied. The
+    * tf ⋈ df join keys on term: the df side is vocabulary-sized,
+    * broadcastable after a heavy-hitters cap at corpus scale.
+    */
+  def tfIdf(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", minTermLen: Int = 3,
+            docCount: Option[Long] = None): DataFrame = {
+    val n = docCount.getOrElse(df.count())
+    val terms = df.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+  }
+
   /** Token-window chunking: split each document into consecutive
     * `chunkSize`-token windows — the context-length packing precursor
     * (long documents must be chunked before sequence packing; see

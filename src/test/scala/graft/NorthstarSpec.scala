@@ -308,6 +308,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!out.contains("is") && !out.contains("an"))
   }
 
+  test("tfIdf: corpus-wide term scores ubiquitous words 0, rare words by tf x ln(N/df)") {
+    val df = Seq(
+      (1L, "common rare rare"),
+      (2L, "common middle"),
+      (3L, "common middle"),
+      (4L, "common only"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((1L, "common")) == ((1L, 4L, 0.0))) // in every doc: idf = ln(1) = 0
+    assert(out((1L, "rare")) == ((2L, 1L, 2 * math.log(4.0))))
+    assert(out((2L, "middle")) == ((1L, 2L, math.log(2.0))))
+    assert(!out.contains((2L, "rare")))
+  }
+
   test("chunkByTokens: full windows + ragged tail, ordinals dense, blank docs dropped") {
     val df = Seq(
       (1L, (1 to 7).map(i => s"w$i").mkString(" ")), // 7 tokens → 3+3+1

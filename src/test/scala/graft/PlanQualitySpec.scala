@@ -124,6 +124,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("tfidf: doc-subset filter pushed into the tf scan, df branch stays corpus-global") {
+    val p = planOf("ns_tfidf")
+    assert(p.contains("LessThan(doc_id,100)"), p.take(1200))
+    val scans = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(scans.exists(_.contains("LessThan")) && scans.exists(!_.contains("LessThan")),
+      s"expected one pruned and one global scan, got: $scans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
+
   test("chunking and probe scoring: pure narrow passes — zero exchanges") {
     for (q <- Seq("ns_chunk", "ns_embed_probe")) {
       val p = planOf(q)
