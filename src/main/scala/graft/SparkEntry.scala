@@ -531,6 +531,17 @@ object SparkEntry {
       TextAnalysis.chunkByTokens(t(s, dir, "documents"), 50)
         .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
           col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))),
+    // exact-substring overlap (fixed 50-token windows, stride 1): derived
+    // "quoting" copies (original + appended tail) share every original
+    // window, which fingerprint dedup misses entirely; docs under 50
+    // tokens pair only via whole-text equality (exact-dup semantics)
+    "ns_substring_overlap" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val aug = base.unionAll(base.select(
+        (col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" quoted with appended commentary")).as("text")))
+      Dedup.substringOverlapPairs(aug)
+    }),
     // per-document salient terms: TF-IDF top-3, rank-exact exposure —
     // ranking keys on the e4-rounded integer score (then term), so both
     // engines order identically and no float crosses the compare
@@ -1261,6 +1272,30 @@ object SparkEntry {
         |  array_to_string(w[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text,
         |  least(50, len(w) - i * 50) AS chunk_tokens
         |FROM x""".stripMargin,
+    "ns_substring_overlap" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |aug AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' quoted with appended commentary'
+        |  FROM base),
+        |w0 AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    END AS w
+        |  FROM aug),
+        |wins AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i : i + 49], ' ') AS win
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, greatest(1, len(w) - 49))) AS i
+        |        FROM w0)
+        |  WHERE len(w) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM wins a JOIN wins b USING (win)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, count(*) AS n_shared_windows
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
     "ns_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(

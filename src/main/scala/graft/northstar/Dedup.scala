@@ -76,6 +76,43 @@ object Dedup {
     banded.join(small, keys, "left_semi")
   }
 
+  /** Exact-substring overlap pairs: documents sharing at least one
+    * distinct `windowTokens`-token sliding window (stride 1), the
+    * fixed-window form of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — their suffix
+    * array is single-machine; sliding-window fingerprints are the
+    * distributed equivalent). Any substring of >= windowTokens shared
+    * tokens contains a common aligned window, so stride 1 guarantees
+    * detection; documents shorter than the window contribute their whole
+    * normalized text (exact-dup semantics for shorts). Output:
+    * (doc_a, doc_b, n_shared_windows).
+    *
+    * Plan: one tokenize+shingle pass (distinct within doc via the
+    * ShinglesExpr kernel) → O(total tokens) window rows through ONE
+    * equi-join on the window, mega-buckets (boilerplate windows shared by
+    * > maxBucket docs) capped by the count+semi-join pattern before they
+    * go quadratic. At corpus scale swap the join key for a 128-bit window
+    * hash to thin the shuffle; at test scale the string key keeps the
+    * oracle exact with zero collision caveats.
+    */
+  def substringOverlapPairs(docs: DataFrame, windowTokens: Int = 50,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            maxBucket: Int = 1000): DataFrame = {
+    val wins = docs.select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), windowTokens)).as("win"))
+      .filter(length(col("win")) > 0)
+    val capped = capBuckets(wins, Seq("win"), maxBucket)
+    val a = capped.select(col("win"), col("doc").as("doc_a"))
+    val b = capped.select(col("win"), col("doc").as("doc_b"))
+    // windows are distinct per doc, so each shared window contributes
+    // exactly one (doc_a, doc_b) row: count(*) IS the distinct overlap
+    a.join(b, Seq("win"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** Estimated Jaccard from two minhash signatures: fraction of matching
     * components (the classic unbiased MinHash estimator). Kernel
     * expression (graft.functions.MinHashEst).

@@ -30,6 +30,23 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("substringOverlapPairs: containment found at window size, disjoint and sub-window docs not") {
+    val words = (1 to 12).map(i => s"w$i")
+    val docs2 = Seq(
+      (1L, words.mkString(" ")),                        // 12 tokens
+      (2L, (words ++ Seq("tail", "extra")).mkString(" ")), // contains doc 1 verbatim
+      (3L, (1 to 12).map(i => s"x$i").mkString(" ")),   // disjoint
+      (4L, "short doc"),                                 // < window, unique
+      (5L, "short doc"),                                 // < window, exact dup of 4
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringOverlapPairs(docs2, windowTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 3L) // windows at offsets 0,1,2 of doc 1 all in doc 2
+    assert(out((4L, 5L)) == 1L) // whole-text window equality for shorts
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!out.contains((1L, 4L)))
+  }
+
   test("jaccard: identical → 1.0, disjoint → 0.0") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d")),
                  (Seq("a b c"), Seq("x y z"))).toDF("a", "b")

@@ -124,6 +124,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("substring overlap: bucket-cap semi-join present, no quadratic join") {
+    val p = planOf("ns_substring_overlap")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
+
   test("tfidf: doc-subset filter pushed into the tf scan, df branch stays corpus-global") {
     val p = planOf("ns_tfidf")
     assert(p.contains("LessThan(doc_id,100)"), p.take(1200))
