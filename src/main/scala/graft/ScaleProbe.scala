@@ -93,6 +93,17 @@ object ScaleProbe {
     println(f"[scale] minhashPairs 10x-data ratio   ${mh10 / mh1}%.1fx (quadratic ~100x)")
     println(f"[scale] clusterCollapse 10x-data ratio ${cc10 / cc1}%.1fx (quadratic ~100x)")
 
+    // exact-substring overlap: mangled replicas share no cross-replica
+    // windows, so true pair output grows exactly 10x; a quadratic
+    // candidate step (uncapped mega-bucket) would show ~100x
+    val so1 = timed("substringOverlap 5k docs (1x)") {
+      Dedup.substringOverlapPairs(docs1).count()
+    }
+    val so10 = timed("substringOverlap 50k docs (10x)") {
+      Dedup.substringOverlapPairs(docs10).count()
+    }
+    println(f"[scale] substringOverlap 10x-data ratio ${so10 / so1}%.1fx (quadratic ~100x)")
+
     // the full curate→dedup→sample pipeline (ns_pipeline_e2e shape)
     import graft.northstar.{Sampling, TextAnalysis}
     def pipelineKept(docs: DataFrame): Long = {
