@@ -360,6 +360,18 @@ object SparkEntry {
           |  sum(l_quantity) AS qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
     }),
+    // GROUPING SETS: the general multi-granularity aggregate (rollup's
+    // superset) — one shuffle expands each row into its grouping-set
+    // combinations, no per-set re-scan; identical SQL runs in DuckDB
+    "q_sql_grouping_sets" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("orders"))
+      Sql.runSql(s,
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))""".stripMargin)
+    }),
     // pivot with an explicit value list (dynamic pivot would scan for
     // values first; fixed lists are the scale-friendly form)
     "q_pivot" -> ((s, dir) =>
@@ -994,6 +1006,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))""".stripMargin,
     "q_sql_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
