@@ -433,6 +433,29 @@ object SparkEntry {
       Dedup.collapseByPairs(corpus, pairs)
         .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
     }),
+    // quality-aware collapse over the SAME derived chains: keeper = the
+    // LONGEST copy (mangled copies add 2-3 chars), the opposite of the
+    // min-id rule — proving the selection is score-driven, not positional
+    "ns_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = base
+        .union(base.filter(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 10000).as("doc_id"),
+          concat(lit("  "), upper(col("text"))).as("text")))
+        .union(base.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 20000).as("doc_id"),
+          concat(upper(col("text")), lit(" \t ")).as("text")))
+      val w = Window.partitionBy("nt").orderBy("doc_id")
+      val pairs = corpus
+        .select(col("doc_id"), Dedup.normText(col("text")).as("nt"))
+        .withColumn("nxt", lead("doc_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+      Dedup.collapseByPairsBest(
+          corpus.withColumn("n_chars_d", length(col("text"))), pairs, "n_chars_d")
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
+    }),
     "ns_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -1107,6 +1130,24 @@ object SparkEntry {
         |  doc_id = min(doc_id) OVER (PARTITION BY
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_keeper
         |FROM corpus""".stripMargin,
+    "ns_dedup_keep_best" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, concat('  ', upper(text))
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, concat(upper(text), ' ' || chr(9) || ' ')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |scored AS (
+        |  SELECT doc_id, length(text) AS n_chars_d,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM corpus)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY nt) AS cluster_id,
+        |  row_number() OVER (PARTITION BY nt
+        |    ORDER BY n_chars_d DESC, doc_id) = 1 AS is_keeper
+        |FROM scored""".stripMargin,
     "ns_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

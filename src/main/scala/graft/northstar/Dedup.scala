@@ -354,6 +354,25 @@ object Dedup {
       .withColumn("is_keeper", docs(idCol).cast("long") === col("cluster_id"))
   }
 
+  /** collapseByPairs with a quality-aware keeper: within each cluster the
+    * keeper is the row maximizing `scoreCol` (ties → lowest id) instead
+    * of the minimum id — curation should keep the BEST copy of a near-dup
+    * cluster (highest quality score, longest text, preferred source), not
+    * an arbitrary one. Same CC labels; the keeper choice is one
+    * row_number window over cluster_id (a single extra shuffle, no
+    * join-back; cluster cardinality is small so the window state is
+    * bounded).
+    */
+  def collapseByPairsBest(docs: DataFrame, pairs: DataFrame,
+                          scoreCol: String, idCol: String = "doc_id",
+                          checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = collapseByPairs(docs, pairs, idCol, checkpointDir)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labeled.withColumn("is_keeper", row_number().over(w) === 1)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token set: bit j of the fingerprint is 1 iff

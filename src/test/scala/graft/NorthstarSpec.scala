@@ -30,6 +30,21 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("collapseByPairsBest: keeper is the highest-scoring cluster member, not the min id") {
+    val scored = Seq(
+      (1L, "a", 0.2), (2L, "a dup", 0.9), (3L, "a dup dup", 0.5), // cluster of 1-2-3
+      (4L, "alone", 0.1),
+    ).toDF("doc_id", "text", "score")
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.collapseByPairsBest(scored, chain, "score").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_keeper")))).toMap
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((1L, true)))  // best score wins, not min id
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L) == ((4L, true)))  // singleton keeps itself
+  }
+
   test("substringOverlapPairs: containment found at window size, disjoint and sub-window docs not") {
     val words = (1 to 12).map(i => s"w$i")
     val docs2 = Seq(
