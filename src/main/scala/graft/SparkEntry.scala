@@ -1344,14 +1344,15 @@ object SparkEntry {
         |    END AS w
         |  FROM aug),
         |wins AS (
-        |  SELECT DISTINCT doc_id, array_to_string(w[i : i + 49], ' ') AS win
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(w[i : i + 49], ' ')) AS wh
         |  FROM (SELECT doc_id, w,
         |          unnest(generate_series(1, greatest(1, len(w) - 49))) AS i
         |        FROM w0)
         |  WHERE len(w) > 0),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM wins a JOIN wins b USING (win)
+        |  FROM wins a JOIN wins b USING (wh)
         |  WHERE a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, count(*) AS n_shared_windows
         |FROM pairs GROUP BY 1, 2""".stripMargin,

@@ -89,11 +89,12 @@ object Dedup {
     *
     * Plan: one tokenize+shingle pass (distinct within doc via the
     * ShinglesExpr kernel) → O(total tokens) window rows through ONE
-    * equi-join on the window, mega-buckets (boilerplate windows shared by
-    * > maxBucket docs) capped by the count+semi-join pattern before they
-    * go quadratic. At corpus scale swap the join key for a 128-bit window
-    * hash to thin the shuffle; at test scale the string key keeps the
-    * oracle exact with zero collision caveats.
+    * equi-join on the 128-bit md5 window digest — a fixed 32-byte key
+    * instead of the ~windowTokens×word-length string, so the shuffle is
+    * ~10× thinner and collision risk is negligible (and the digest is
+    * engine-portable, so the oracle replays it bit-for-bit). Mega-buckets
+    * (boilerplate windows shared by > maxBucket docs) are capped by the
+    * count+semi-join pattern before they go quadratic.
     */
   def substringOverlapPairs(docs: DataFrame, windowTokens: Int = 50,
                             idCol: String = "doc_id",
@@ -102,12 +103,13 @@ object Dedup {
     val wins = docs.select(col(idCol).as("doc"),
         explode(shingles(col(textCol), windowTokens)).as("win"))
       .filter(length(col("win")) > 0)
-    val capped = capBuckets(wins, Seq("win"), maxBucket)
-    val a = capped.select(col("win"), col("doc").as("doc_a"))
-    val b = capped.select(col("win"), col("doc").as("doc_b"))
+      .select(col("doc"), md5(col("win").cast("binary")).as("wh"))
+    val capped = capBuckets(wins, Seq("wh"), maxBucket)
+    val a = capped.select(col("wh"), col("doc").as("doc_a"))
+    val b = capped.select(col("wh"), col("doc").as("doc_b"))
     // windows are distinct per doc, so each shared window contributes
     // exactly one (doc_a, doc_b) row: count(*) IS the distinct overlap
-    a.join(b, Seq("win"))
+    a.join(b, Seq("wh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_windows"))
