@@ -482,6 +482,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("q_score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    // corpus health report: per-language doc/token/quality rollup — the
+    // dashboard a corpus build publishes nightly. One narrow scoring pass
+    // + one groupBy on the language guess; every aggregate exposed as an
+    // exact integer (q_score pre-rounded to 4 decimals, so x10000 is
+    // integral and the sum is order-independent)
+    "ns_corpus_report" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .withColumn("lang_guess", TextAnalysis.languageId(col("text")))
+      scored.groupBy("lang_guess").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("q_tokens")).as("total_tokens"),
+        sum(round(col("q_score") * 10000).cast("long")).as("q_sum_e4"),
+        sum(when(col("q_score") >= 0.5, 1L).otherwise(0L)).as("n_pass"))
+    }),
     // incremental corpus merge: an incoming crawl joins an existing
     // corpus; only docs whose exact fingerprint is unseen survive — one
     // hash anti-join on the fingerprint key, the nightly-ingest dedup
@@ -1107,6 +1121,47 @@ object SparkEntry {
         |  FROM f)
         |SELECT doc_id, lang_guess, q_score, CAST(nt AS BIGINT) AS n_tokens
         |FROM g WHERE q_score >= 0.5 AND lang_guess = 'en'""".stripMargin,
+    // same f/g fragments as ns_curation, rolled up per language
+    "ns_corpus_report" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','für'))) AS de,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','pas','une','dans','pour','que'))) AS fr,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('el','la','los','y','es','no','una','en','para','que'))) AS es
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, nt,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |                  AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |             THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score,
+        |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |         WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |         WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM f)
+        |SELECT lang_guess,
+        |  count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CAST(round(q_score * 10000) AS BIGINT)) AS BIGINT) AS q_sum_e4,
+        |  CAST(sum(CASE WHEN q_score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM g GROUP BY lang_guess""".stripMargin,
     "ns_exact_dedup" ->
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
