@@ -372,6 +372,15 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
           |  (o_orderstatus, o_orderpriority))""".stripMargin)
     }),
+    // CUBE: all 2^n grouping combinations in one shuffle (grouping-set
+    // expansion, no per-set re-scan); identical SQL runs in DuckDB
+    "q_sql_cube" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("lineitem"))
+      Sql.runSql(s,
+        """SELECT l_returnflag, l_shipmode, count(*) AS n,
+          |  sum(l_quantity) AS qty
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_shipmode)""".stripMargin)
+    }),
     // pivot with an explicit value list (dynamic pivot would scan for
     // values first; fixed lists are the scale-friendly form)
     "q_pivot" -> ((s, dir) =>
@@ -1049,6 +1058,11 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
         |  (o_orderstatus, o_orderpriority))""".stripMargin,
+    // l_quantity is integer-valued → double sum exact and order-independent
+    "q_sql_cube" ->
+      """SELECT l_returnflag, l_shipmode, count(*) AS n,
+        |  sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_shipmode)""".stripMargin,
     "q_sql_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
