@@ -30,6 +30,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // compact totals line FIRST (no per-query map — always fits inside any
+    // log-tail window), then the full contract line with the per-query map;
+    // whichever side a tail/head truncation cuts, one parseable totals line
+    // survives (BENCH_r1..r5 all had parsed:null from the single bulky line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

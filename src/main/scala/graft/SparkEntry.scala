@@ -183,7 +183,7 @@ object SparkEntry {
     // ---- Q: SQL surface (front_end.py:215-225 shapes, text_to_sql.py:178-182) ----
     "q_sql_topn" -> ((s, dir) => {
       Tables.open(s, dir, Seq("orders"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT o_orderkey, o_custkey, o_totalprice
           |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
     }),
@@ -192,7 +192,7 @@ object SparkEntry {
     // the oracle
     "q_sql_lateral" -> ((s, dir) => {
       Tables.open(s, dir, Seq("nation", "customer"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT n_name, c_name, c_acctbal
           |FROM nation n,
           |LATERAL (SELECT c_name, c_acctbal, c_custkey FROM customer
@@ -201,14 +201,14 @@ object SparkEntry {
     }),
     "q_sql_monthly" -> ((s, dir) => {
       Tables.open(s, dir, Seq("orders"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
           |       count(*) AS n_orders
           |FROM orders GROUP BY 1""".stripMargin)
     }),
     "q_sql_dow" -> ((s, dir) => {
       Tables.open(s, dir, Seq("orders"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT date_format(o_orderdate, 'EEEE') AS dow,
           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
           |        / count(o_totalprice), 2) AS avg_price
@@ -230,13 +230,13 @@ object SparkEntry {
       val generated = "Sure! Here is your query:\n" +
         "SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand;\n" +
         "Let me know if you need anything else."
-      Sql.runSql(s, Sql.extractSelect(generated).get.stripSuffix(";"))
+      Sql.strictSql(s, Sql.extractSelect(generated).get.stripSuffix(";"))
     }),
 
     // ---- distinct-count analytics (exact; the approx variant is below) ----
     "q_distinct_counts" -> ((s, dir) => {
       Tables.open(s, dir, Seq("lineitem"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT count(DISTINCT l_partkey) AS n_parts,
           |       count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin)
     }),
@@ -256,7 +256,7 @@ object SparkEntry {
       // list_cosine_similarity accumulates in float32 (~1e-7 off the
       // kernel's double path) and rounded DOUBLES still differ in the last
       // ULP between engines — integers compare exactly
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT a.vec_id AS va, b.vec_id AS vb,
           |  CAST(round(vec_cosine(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
@@ -338,7 +338,7 @@ object SparkEntry {
     // correlated subqueries (SURVEY.md §2.5/§2.9) ----
     "q_sql_window" -> ((s, dir) => {
       Tables.open(s, dir, Seq("orders"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT o_custkey, o_orderkey,
           |  CAST(row_number() OVER (PARTITION BY o_custkey
           |                     ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
@@ -348,14 +348,38 @@ object SparkEntry {
     }),
     "q_sql_setops" -> ((s, dir) => {
       Tables.open(s, dir, Seq("customer", "orders"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT c_custkey FROM customer WHERE c_nationkey < 5
           |INTERSECT
           |SELECT o_custkey FROM orders""".stripMargin)
     }),
+    // RANGE frame with numeric bounds: value-based sliding window (vs the
+    // ROWS frame in x_session_windows) — count stays exact integers, and
+    // the frame is evaluated inside one window sort per partition key
+    "q_sql_range_frame" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("orders"))
+      Sql.strictSql(s,
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+          |    AS n_near
+          |FROM orders""".stripMargin)
+    }),
+    // percentile_cont WITHIN GROUP: l_quantity is integer-valued, so the
+    // 0.25-quantile interpolation lands on exact x.0/x.25/x.5/x.75 values
+    // — ×100 integer exposure compares exactly across engines
+    "q_sql_percentile" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("lineitem"))
+      Sql.strictSql(s,
+        """SELECT l_returnflag,
+          |  CAST(round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) * 100) AS BIGINT) AS p25_e2,
+          |  CAST(round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) * 100) AS BIGINT) AS p75_e2,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
     "q_sql_rollup" -> ((s, dir) => {
       Tables.open(s, dir, Seq("lineitem"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
           |  sum(l_quantity) AS qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
@@ -365,7 +389,7 @@ object SparkEntry {
     // combinations, no per-set re-scan; identical SQL runs in DuckDB
     "q_sql_grouping_sets" -> ((s, dir) => {
       Tables.open(s, dir, Seq("orders"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
           |FROM orders
@@ -376,10 +400,10 @@ object SparkEntry {
     // expansion, no per-set re-scan); identical SQL runs in DuckDB
     "q_sql_cube" -> ((s, dir) => {
       Tables.open(s, dir, Seq("lineitem"))
-      Sql.runSql(s,
-        """SELECT l_returnflag, l_shipmode, count(*) AS n,
+      Sql.strictSql(s,
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
           |  sum(l_quantity) AS qty
-          |FROM lineitem GROUP BY CUBE(l_returnflag, l_shipmode)""".stripMargin)
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
     }),
     // pivot with an explicit value list (dynamic pivot would scan for
     // values first; fixed lists are the scale-friendly form)
@@ -398,7 +422,7 @@ object SparkEntry {
           count(lit(1)).as("n"))),
     "q_sql_anti_join" -> ((s, dir) => {
       Tables.open(s, dir, Seq("customer", "orders"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT c_custkey, c_mktsegment FROM customer c
           |WHERE NOT EXISTS (SELECT 1 FROM orders o
           |                  WHERE o.o_custkey = c.c_custkey
@@ -406,7 +430,7 @@ object SparkEntry {
     }),
     "q_sql_subquery" -> ((s, dir) => {
       Tables.open(s, dir, Seq("customer", "orders"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """SELECT c_custkey, c_mktsegment FROM customer c
           |WHERE (SELECT count(*) FROM orders o
           |       WHERE o.o_custkey = c.c_custkey) >= 15""".stripMargin)
@@ -771,7 +795,7 @@ object SparkEntry {
     "ns_neardup_cosine_exact" -> ((s, dir) => {
       graft.functions.registry.registerAll(s)
       Tables.open(s, dir, Seq("embeddings"))
-      Sql.runSql(s,
+      Sql.strictSql(s,
         """WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200)
           |SELECT id_a, id_b, sim_e4 FROM (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1034,6 +1058,18 @@ object SparkEntry {
       """SELECT c_custkey FROM customer WHERE c_nationkey < 5
         |INTERSECT
         |SELECT o_custkey FROM orders""".stripMargin,
+    "q_sql_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+        |    AS n_near
+        |FROM orders""".stripMargin,
+    "q_sql_percentile" ->
+      """SELECT l_returnflag,
+        |  CAST(round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) * 100) AS BIGINT) AS p25_e2,
+        |  CAST(round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) * 100) AS BIGINT) AS p75_e2,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
@@ -1060,9 +1096,9 @@ object SparkEntry {
         |  (o_orderstatus, o_orderpriority))""".stripMargin,
     // l_quantity is integer-valued → double sum exact and order-independent
     "q_sql_cube" ->
-      """SELECT l_returnflag, l_shipmode, count(*) AS n,
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS qty
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_shipmode)""".stripMargin,
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q_sql_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

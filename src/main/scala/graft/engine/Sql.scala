@@ -30,6 +30,14 @@ object Sql {
   def trySql(spark: SparkSession, query: String): Either[Throwable, DataFrame] =
     Try(spark.sql(query)).toEither
 
+  /** Strict execution for contract/driver queries: an analysis error must
+    * fail loudly (propagate) rather than come back as a 1-row Error frame,
+    * so a broken column name fails `sbt test` instead of silently shipping.
+    * End-user Q1 semantics keep [[runSql]]'s errors-as-data.
+    */
+  def strictSql(spark: SparkSession, query: String): DataFrame =
+    trySql(spark, query).fold(throw _, identity)
+
   /** Q2 plumbing (a): render the catalog as simplified CREATE TABLE text for
     * the NL→SQL prompt, collapsing types to number/text exactly like
     * text_to_sql.py:63-84 (int/decimal/float/double/bit → number,
