@@ -30,12 +30,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // compact totals line FIRST (no per-query map — always fits inside any
-    // log-tail window), then the full contract line with the per-query map;
-    // whichever side a tail/head truncation cuts, one parseable totals line
-    // survives (BENCH_r1..r5 all had parsed:null from the single bulky line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // Full contract line (per-query map) FIRST, compact totals line LAST:
+    // the driver keeps the log TAIL, so the final line must be the short one
+    // that always fits inside the truncation window (r6 printed the compact
+    // line first and it was cut — BENCH_r06 parsed:null). A first-match
+    // parser gets the full line when it fits; a last-match parser gets the
+    // compact one; they're distinguishable by the presence of "queries".
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

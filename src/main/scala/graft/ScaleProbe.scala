@@ -124,6 +124,30 @@ object ScaleProbe {
       pipelineKept(replicate(docs1, 10, "doc_id", 1000000L)))
     println(f"[scale] pipeline e2e 10x-data ratio   ${pe10 / pe1}%.1fx (linear-ish expected)")
 
+    // ---- CUBE / grouping-sets growth: expansion multiplies shuffle rows
+    // by the number of grouping sets (CUBE(a,b) = 4 sets), a constant
+    // factor independent of input size — so 10x input should cost ~10x,
+    // never set-count-times-quadratic. Probes the q_sql_cube shape.
+    def cubeCount(rows: DataFrame): Long = rows
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty")).count()
+    val li1 = Tables.table(spark, dir, "lineitem")
+    val cu1 = timed("cube 600k rows (1x)")(cubeCount(li1))
+    val cu10 = timed("cube 6M rows (10x)")(cubeCount(li))
+    println(f"[scale] cube 10x-data ratio            ${cu10 / cu1}%.1fx (linear-ish expected)")
+    def gsetsCount(rows: DataFrame): Long = {
+      rows.createOrReplaceTempView("sp_orders")
+      spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM sp_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))""".stripMargin).count()
+    }
+    val gs1 = timed("grouping sets 150k (1x)")(gsetsCount(orders))
+    val gs10 = timed("grouping sets 1.5M (10x)")(
+      gsetsCount(replicate(orders, 10, "o_orderkey", 10000000L)))
+    println(f"[scale] grouping-sets 10x-data ratio   ${gs10 / gs1}%.1fx (linear-ish expected)")
+
     val emb = replicate(Tables.table(spark, dir, "embeddings"), 5, "vec_id", 1000000L)
     timed("lshTopK 10k corpus, 50 queries") {
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 10).count()

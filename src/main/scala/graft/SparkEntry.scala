@@ -367,7 +367,11 @@ object SparkEntry {
     }),
     // percentile_cont WITHIN GROUP: l_quantity is integer-valued, so the
     // 0.25-quantile interpolation lands on exact x.0/x.25/x.5/x.75 values
-    // — ×100 integer exposure compares exactly across engines
+    // — ×100 integer exposure compares exactly across engines.
+    // SCALE NOTE: exact percentile_cont keeps a counts-map over DISTINCT
+    // values in the agg buffer — safe here because l_quantity is
+    // low-cardinality integer-valued; for high-cardinality doubles at
+    // 100 TB use approx_percentile (bounded-memory sketch) instead.
     "q_sql_percentile" -> ((s, dir) => {
       Tables.open(s, dir, Seq("lineitem"))
       Sql.strictSql(s,
@@ -434,6 +438,21 @@ object SparkEntry {
         """SELECT c_custkey, c_mktsegment FROM customer c
           |WHERE (SELECT count(*) FROM orders o
           |       WHERE o.o_custkey = c.c_custkey) >= 15""".stripMargin)
+    }),
+    // FULL OUTER JOIN (SURVEY §2.9: outer joins enter via the Q1 SQL
+    // path) — null-side counts expose both unmatched directions as exact
+    // integers; identical SQL runs in DuckDB. At scale this is one
+    // shuffle on the join key, same as the inner form.
+    "q_sql_outer_join" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("customer", "orders"))
+      Sql.strictSql(s,
+        """SELECT
+          |  count(*) AS n_rows,
+          |  count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_order_only,
+          |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_customer_only,
+          |  count(CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+          |        THEN 1 END) AS n_matched
+          |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin)
     }),
 
     // ---- NS: north-star training-data pipeline ops (SURVEY.md §7.4) ----
@@ -785,6 +804,30 @@ object SparkEntry {
       graft.northstar.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 8)
     }),
+    // recall-floor tripwires for the APPROXIMATE ANN modes: recall@10 of
+    // the ANN result vs brute force, computed IN Spark as one
+    // exact-integer row (n_queries, n_hits). Both sides are
+    // deterministic, so at a fixed sf the hit count is a constant; the
+    // DuckDB oracle replays the brute-force side for n_queries and pins
+    // the expected n_hits — a plane-seeding, bucketing, or probing
+    // regression changes n_hits and fails the hash compare (the
+    // exhaustive companions prove the scoring math; these pin the
+    // approximation quality).
+    "ns_knn_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.recallCounts(
+        Similarity.lshTopK(q, emb, k = 10),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
+    "ns_knn_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val centroids = graft.northstar.Ivf.fitCentroids(emb, nCells = 8)
+      Similarity.recallCounts(
+        graft.northstar.Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 3),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
     "ns_neardup_cosine" -> ((s, dir) => // rows-only
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
     // hash-checked companion to ns_neardup_cosine: the EXACT cosine
@@ -806,20 +849,24 @@ object SparkEntry {
     "ns_multimodal" -> ((s, dir) => {   // rows-only: codec output (no SQL analogue)
       import s.implicits._
       // even ids carry REAL synthesized PNG payloads (ImageCodec path:
-      // true 16x16 dims, png format, luminance features); odd ids carry
-      // utf-8 text bytes (stub path) — one driver-visible query
-      // exercises both codecs deterministically. The typed map is
-      // fixture synthesis, not an operator.
+      // true 16x16 dims, png format, luminance features); ids ≡1 mod 4
+      // carry REAL minimal MP4 containers (VideoCodec path: true tkhd
+      // dims, mp4 format); remaining odd ids carry utf-8 text bytes
+      // (stub path) — one driver-visible query exercises the codec
+      // dispatch deterministically. The typed map is fixture synthesis,
+      // not an operator.
       val payloads = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("source"))
         .as[(Long, String, String)]
         .map { case (id, text, src) =>
           val p = if (id % 2 == 0) Multimodal.syntheticPng(id)
+                  else if (id % 4 == 1) Multimodal.syntheticMp4(id)
                   else text.getBytes("UTF-8")
           (id, p, src)
         }.toDF("asset_id", "payload", "source")
       val assets = payloads.select(col("asset_id"),
-        when(col("asset_id") % 2 === 0, "image").otherwise("text")
+        when(col("asset_id") % 2 === 0, "image")
+          .when(col("asset_id") % 4 === 1, "video").otherwise("text")
           .as("modality"),
         col("payload"),
         struct(coalesce(length(col("payload")).cast("long"), lit(0L))
@@ -1108,6 +1155,14 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE (SELECT count(*) FROM orders o
         |       WHERE o.o_custkey = c.c_custkey) >= 15""".stripMargin,
+    "q_sql_outer_join" ->
+      """SELECT
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_order_only,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_customer_only,
+        |  count(CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        |        THEN 1 END) AS n_matched
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin,
     "ns_subword_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS subword_tokens
@@ -1613,6 +1668,33 @@ object SparkEntry {
         |                                ORDER BY sim DESC, neighbor_id) AS rnk
         |      FROM s)
         |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    // recall tripwires: DuckDB replays the brute-force side (n_queries)
+    // and pins the deterministic ANN hit count observed at sf0.01 — the
+    // Spark side recomputes it from the live LSH/IVF plumbing, so any
+    // drift in plane seeding / bucketing / probing moves n_hits and
+    // fails the hash compare. The pinned constant is sf0.01-specific
+    // (the driver's correctness sf); smoke runs at other sf don't
+    // evaluate oracles.
+    "ns_knn_lsh_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(29 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
+    "ns_knn_ivf_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(31 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
     // identical to the ns_knn_brute oracle: exhaustive probing must equal
     // brute force
     "ns_knn_ivf_exhaustive" ->

@@ -100,6 +100,22 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Recall tripwire for the approximate ANN variants: one exact-integer
+    * row (n_queries, n_hits) with n_hits = |ann ∩ exact| on
+    * (query_id, neighbor_id) pairs and n_queries from the exact side.
+    * Both inputs are deterministic (stateless splitmix64 planes, seeded
+    * k-means), so at a fixed dataset the counts are constants an
+    * external oracle can pin — any drift in plane seeding, bucketing,
+    * probing, or ranking moves n_hits. Inputs are k rows per query, so
+    * the join and aggregate are tiny at any corpus scale.
+    */
+  def recallCounts(ann: DataFrame, exact: DataFrame): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(col("hit")).as("n_hits"))
+
   /** Linear-probe scoring: cosine of each embedding against a fixed probe
     * direction (a trained classifier weight vector, a centroid of curated
     * examples, a topic direction) — the fastText-style model-based

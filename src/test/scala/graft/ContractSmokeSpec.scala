@@ -6,19 +6,34 @@ package graft
   * where a broken column name in a q_sql_* entry "succeeded" with a 1-row
   * Error table and only the driver's DuckDB oracle caught it — here it fails
   * `sbt test` instead.
+  *
+  * Mutation-tested (round 7): renaming `o_custkey` → `o_custkey_BROKEN` in
+  * `q_sql_topn` makes this suite fail with UNRESOLVED_COLUMN, confirming
+  * the guard is live, not vacuous.
   */
 class ContractSmokeSpec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Queries allowed to be empty at sf0.001 (tiny corpus → no candidate
+    * pairs survive the thresholds). Anything else returning 0 rows is a
+    * regression — a silently-broken filter or join key.
+    */
+  private val mayBeEmpty: Set[String] = Set(
+    "ns_minhash_pairs", "ns_simhash_pairs", "ns_hamming_pairs",
+    "ns_jaccard_pairs", "ns_neardup_cosine", "ns_neardup_cosine_exact",
+    "ns_substring_overlap")
+
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"contract query $name executes and is not an Error frame") {
       val df = SparkEntry.queries(name)(spark, dir)
       val fields = df.schema.fieldNames.toSeq
-      assert(fields != Seq("Error"),
-        s"$name returned the errors-as-data frame: ${df.collect().mkString("; ").take(500)}")
+      if (fields == Seq("Error"))
+        fail(s"$name returned the errors-as-data frame: " +
+          df.collect().mkString("; ").take(500))
       val n = df.count()
-      assert(n >= 0, s"$name failed to materialize")
+      assert(n > 0 || mayBeEmpty(name),
+        s"$name materialized 0 rows at sf0.001 and is not in the expected-empty allowlist")
     }
   }
 

@@ -518,6 +518,41 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.head < feats.last && feats.last > 0.3f, s"RMS envelope: $feats")
   }
 
+  test("mp4 payloads decode for real: tkhd dims, mvhd duration, format tag") {
+    val p = Multimodal.syntheticMp4(7L, w = 640, h = 360, durationMs = 12345L)
+    assert(Multimodal.VideoCodec.looksLikeMp4(p))
+    val meta = Multimodal.VideoCodec.parse(p).get
+    assert(meta.width == 640 && meta.height == 360)
+    assert(meta.durationMs == 12345L)
+    // not-mp4 payloads are rejected by the magic screen
+    assert(Multimodal.VideoCodec.parse("RIFFxxxxWAVE not mp4".getBytes).isEmpty)
+    // truncated container (header only, no moov) parses to None, not a throw
+    assert(Multimodal.VideoCodec.parse(p.take(24)).isEmpty)
+    // corrupt interior box size must not throw either
+    val corrupt = p.clone(); corrupt(24) = 0x7F
+    Multimodal.VideoCodec.parse(corrupt) // no exception = pass
+  }
+
+  test("mp4 payloads route through decodeAssets as real video metadata") {
+    val df = Seq(
+      (30L, Multimodal.syntheticMp4(30L, w = 320, h = 240, durationMs = 2000L)),
+      (31L, "plain text payload".getBytes("UTF-8"))
+    ).toDF("asset_id", "payload")
+      .selectExpr("asset_id", "'video' as modality", "payload",
+        "named_struct('n_bytes', cast(length(payload) as long), 'source', 'test') as meta")
+    val out = Multimodal.decodeAssets(df).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(out(30L).getAs[String]("format") == "mp4")
+    assert(out(30L).getAs[Int]("width") == 320 && out(30L).getAs[Int]("height") == 240)
+    val feats = out(30L).getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.size == Multimodal.StubCodec.FeatureDim)
+    // deterministic: same payload → same features
+    val again = Multimodal.decodeAssets(df).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(again(30L).getAs[scala.collection.Seq[Float]]("features").toSeq == feats.toSeq)
+    assert(out(31L).getAs[String]("format") == "stub")
+  }
+
   test("poolFeatures halves the feature grid") {
     val out = Multimodal.poolFeatures(Multimodal.decodeAssets(assets), 2)
     assert(out.collect()(0)
