@@ -146,6 +146,12 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("full outer join: equi-join on custkey, never a nested loop") {
+    val p = planOf("q_sql_outer_join")
+    assert(p.contains("FullOuter"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("as-of join: union + window formulation — no join node, bounded shuffles") {
     val p = planOf("x_asof_join")
     assert(!p.contains("Join"), "as-of should be join-free (union + window)")
