@@ -15,14 +15,13 @@ class ContractSmokeSpec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Queries allowed to be empty at sf0.001 (tiny corpus → no candidate
-    * pairs survive the thresholds). Anything else returning 0 rows is a
-    * regression — a silently-broken filter or join key.
+  /** Queries allowed to be empty at sf0.001. Currently NONE: a Verify
+    * dump at sf0.001 (round 7) showed every contract query returns rows,
+    * so any zero-row result is a regression — a silently-broken filter,
+    * join key, or over-tightened threshold. If a deliberate retuning
+    * legitimately empties a pair-mining query at this sf, add it here.
     */
-  private val mayBeEmpty: Set[String] = Set(
-    "ns_minhash_pairs", "ns_simhash_pairs", "ns_hamming_pairs",
-    "ns_jaccard_pairs", "ns_neardup_cosine", "ns_neardup_cosine_exact",
-    "ns_substring_overlap")
+  private val mayBeEmpty: Set[String] = Set.empty
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"contract query $name executes and is not an Error frame") {
