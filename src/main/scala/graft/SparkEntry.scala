@@ -534,6 +534,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("q_score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    // source-reputation gate (the C4/RefinedWeb-style curation step):
+    // drop every document whose SOURCE's average quality falls below a
+    // threshold — bulk domain filtering, not per-doc filtering. The
+    // threshold compare runs in exact integer math: q_score is
+    // pre-rounded to 4 decimals, so sum(q_score*1e4) is an
+    // order-independent integer and avg >= 0.86 ⇔ sum_e4 >= 8600*n.
+    // One groupBy on source + one broadcast join of the tiny per-source
+    // stats frame (source cardinality ≪ doc count; at web scale with
+    // millions of domains the same plan holds with a shuffle join).
+    "ns_source_filter" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("q_score"))
+      val srcStats = scored.groupBy("source").agg(
+        round(sum(col("q_score") * 10000)).cast("long").as("src_q_sum_e4"),
+        count(lit(1)).as("n_docs"))
+      val reputable = srcStats
+        .filter(col("src_q_sum_e4") >= lit(8600L) * col("n_docs"))
+      scored.join(broadcast(reputable), Seq("source"))
+        .select(col("doc_id"), col("source"), col("src_q_sum_e4"),
+          col("n_docs"))
+    }),
     // corpus health report: per-language doc/token/quality rollup — the
     // dashboard a corpus build publishes nightly. One narrow scoring pass
     // + one groupBy on the language guess; every aggregate exposed as an
@@ -1226,6 +1247,36 @@ object SparkEntry {
         |  FROM f)
         |SELECT doc_id, lang_guess, q_score, CAST(nt AS BIGINT) AS n_tokens
         |FROM g WHERE q_score >= 0.5 AND lang_guess = 'en'""".stripMargin,
+    // same f/g quality fragments, rolled up per source then joined back —
+    // the source-reputation gate replayed exactly (integer threshold math)
+    "ns_source_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |                  AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |             THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score
+        |  FROM f),
+        |src AS (
+        |  SELECT source, CAST(round(sum(q_score * 10000)) AS BIGINT) AS src_q_sum_e4,
+        |         count(*) AS n_docs
+        |  FROM g GROUP BY source)
+        |SELECT g.doc_id, g.source, src.src_q_sum_e4, src.n_docs
+        |FROM g JOIN src ON g.source = src.source
+        |WHERE src.src_q_sum_e4 >= 8600 * src.n_docs""".stripMargin,
     // same f/g fragments as ns_curation, rolled up per language
     "ns_corpus_report" ->
       """WITH f AS (

@@ -146,6 +146,12 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("source filter: tiny per-source stats frame broadcast back, no quadratic join") {
+    val p = planOf("ns_source_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("full outer join: equi-join on custkey, never a nested loop") {
     val p = planOf("q_sql_outer_join")
     assert(p.contains("FullOuter"), p.take(800))
