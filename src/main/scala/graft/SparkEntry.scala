@@ -714,6 +714,19 @@ object SparkEntry {
       graft.northstar.Sampling.assignSplit(
         t(s, dir, "documents").select("doc_id", "lang"),
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+    // temperature rebalancing of the language mixture (alpha = 0.5):
+    // rates derived from per-language counts IN the plan, keep predicate
+    // = the same replayable hash arithmetic; sqrt keeps the threshold
+    // cross-engine exact (IEEE-correctly-rounded, unlike pow)
+    "ns_sample_temperature" -> ((s, dir) =>
+      graft.northstar.Sampling.temperatureSample(
+        t(s, dir, "documents").select("doc_id", "lang"), "lang")),
+    // seeded deterministic epoch shuffle: (bucket, pos) permutation
+    // coordinates, window parallel across buckets (never a global sort);
+    // integer-only arithmetic so the oracle replays it exactly
+    "ns_epoch_shuffle" -> ((s, dir) =>
+      graft.northstar.Sampling.epochShuffle(
+        t(s, dir, "documents").select("doc_id"), nBuckets = 8, seed = 7)),
     // benchmark decontamination: distinct word-3-gram overlap of each
     // corpus doc (id % 97 != 0) against the held-out "eval" slice
     // (id % 97 == 0); broadcast semi-join on the tiny benchmark gram set
@@ -1616,6 +1629,24 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |        doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 AS h
         |      FROM documents)""".stripMargin,
+    // rate_l = sqrt(cmin / c_l): both engines compute the identical
+    // correctly-rounded double, and the hash unit is exact rational
+    // arithmetic, so the kept set matches bit-for-bit
+    "ns_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |m AS (SELECT min(c) AS cmin FROM c),
+        |r AS (SELECT lang, sqrt(CAST(cmin AS DOUBLE) / c) AS rate
+        |      FROM c CROSS JOIN m)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 < rate""".stripMargin,
+    "ns_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (doc_id + 7) % 1000000 * 2654435761 % 1000000 AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS bucket,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h""".stripMargin,
     // same shingle construction as the ns_jaccard_pairs oracle; benchmark
     // slice = doc_id % 97 = 0, overlap counted on distinct shared grams
     "ns_decontam" ->

@@ -70,4 +70,67 @@ object Sampling {
     }
     df.filter(hashUnit(col(idCol)) < rate)
   }
+
+  /** Temperature-based stratum rebalancing (the multilingual-mixture
+    * downsampling of XLM/mT5-style pipelines): with target distribution
+    * p_s ∝ count_s^alpha, the per-row keep rate that realizes it by
+    * Bernoulli thinning is rate_s ∝ count_s^(alpha-1), normalized so the
+    * SMALLEST stratum keeps everything (thinning can only remove rows) —
+    * i.e. rate_s = (count_min / count_s)^(1-alpha). alpha = 1 reproduces
+    * the natural distribution (no thinning); alpha → 0 approaches a
+    * uniform mix. The whole decision is derived from the data in ONE
+    * plan: stratum counts (tiny: one row per stratum) are aggregated,
+    * broadcast back, and the keep predicate is the same deterministic
+    * [[hashUnit]] arithmetic as [[stratifiedSample]] — reproducible on
+    * any cluster size and replayable as plain SQL.
+    *
+    * alpha = 0.5 is the cross-engine-exact setting: the rate is then
+    * `sqrt(cmin/c)`, and IEEE 754 requires sqrt (unlike pow) to be
+    * correctly rounded, so Spark and any ANSI oracle compute the
+    * bit-identical threshold. Other alphas go through `pow` (documented
+    * 1-ulp wobble — fine for production, not for hash-compare oracles).
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String,
+                        alpha: Double = 0.5,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1] required, got $alpha")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    val cmin = counts.agg(min(col("__c")).as("__cmin"))
+    val ratio = col("__cmin").cast("double") / col("__c").cast("double")
+    val rateExpr =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .select(col(stratumCol), rateExpr.as("__rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashUnit(col(idCol)) < col("__rate"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Deterministic epoch-order shuffle for training-data serving: every
+    * row gets a (bucket, pos) coordinate — a seeded pseudo-random
+    * permutation split into `nBuckets` independent shards. bucket =
+    * mixed hash mod nBuckets; pos = rank of the mixed hash within the
+    * bucket (ties broken by id). Reading shards in bucket order, each
+    * sorted by pos, replays the exact same global order on any cluster
+    * size or retry; a different `seed` yields a different permutation
+    * per epoch. The seed is mixed ADDITIVELY before the Knuth multiply,
+    * which stays a bijection on residues, so no two ids collide more
+    * under one seed than another.
+    *
+    * Scale shape: the only wide op is one window partitioned by bucket —
+    * nBuckets-way parallel, never a global sort. Size nBuckets to the
+    * target shard count (e.g. 10k at 100 TB) so each bucket's sort fits
+    * an executor.
+    */
+  def epochShuffle(df: DataFrame, nBuckets: Int, seed: Long = 0L,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = (col(idCol).cast("long") + lit(seed)) % Buckets * Knuth % Buckets
+    val withKey = df.withColumn("__h", h)
+      .withColumn("bucket", (col("__h") % nBuckets).cast("long"))
+    val w = Window.partitionBy("bucket").orderBy(col("__h"), col(idCol))
+    withKey.withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

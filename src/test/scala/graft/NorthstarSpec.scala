@@ -413,6 +413,54 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(low.subsetOf(high))
   }
+
+  // 1500 en : 500 de — at alpha=0.5 the de (smallest) stratum keeps all
+  // rows and en thins at sqrt(500/1500) ≈ 0.577
+  val skewed = (0L until 2000L).map(i =>
+    (i, if (i % 4 == 3) "de" else "en")).toDF("doc_id", "lang")
+
+  test("temperatureSample: smallest stratum keeps everything, larger thins toward sqrt ratio") {
+    val kept = Sampling.temperatureSample(skewed, "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val de = kept.count(_._2 == "de"); val en = kept.count(_._2 == "en")
+    assert(de == 500, s"smallest stratum must keep all rows, kept $de of 500")
+    assert(math.abs(en - 866) < 100, s"en kept $en, expected ~1500*sqrt(1/3)=866")
+    assert(kept.map(_._1).distinct.length == kept.length)
+  }
+
+  test("temperatureSample: alpha=1 is the identity (natural distribution)") {
+    assert(Sampling.temperatureSample(skewed, "lang", alpha = 1.0).count() == 2000)
+  }
+
+  test("temperatureSample: deterministic and schema-preserving") {
+    val a = Sampling.temperatureSample(skewed, "lang").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(skewed.repartition(7), "lang")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(Sampling.temperatureSample(skewed, "lang").columns.toSeq ==
+      Seq("doc_id", "lang"))
+  }
+
+  test("epochShuffle: a true permutation — pos is 1..n within each bucket, every row coordinated") {
+    val out = Sampling.epochShuffle(docs, nBuckets = 8, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.length == 2000)
+    assert(out.map(_._1).distinct.length == 2000)
+    out.groupBy(_._2).foreach { case (b, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"bucket $b pos sequence broken")
+    }
+  }
+
+  test("epochShuffle: stable across partitioning, reordered by seed") {
+    def coords(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.epochShuffle(df, nBuckets = 4, seed = seed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val a = coords(docs, 1); val b = coords(docs.repartition(13), 1)
+    assert(a == b, "same seed must give the same coordinates on any layout")
+    val c = coords(docs, 2)
+    assert(a != c, "different seeds must permute differently")
+  }
 }
 
 class DecontamSpec extends SparkSpecBase {
