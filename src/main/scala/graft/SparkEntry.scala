@@ -677,6 +677,20 @@ object SparkEntry {
         .filter(col("rank") <= 3 && col("doc_id") < 100)
         .select("doc_id", "term", "rank")
     }),
+    // corpus-trained unigram-LM scoring (the CCNet perplexity-filter
+    // signal): bottom-20 most-improbable documents, rank-exposed like
+    // ns_tfidf (e4-rounded score orders, doc_id breaks ties, values never
+    // compared directly). orderBy+limit plans as TakeOrdered — the
+    // trailing rank window runs over 20 rows, not the corpus.
+    "ns_unigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.unigramLogProb(t(s, dir, "documents"))
+        .withColumn("s_e4", round(col("mean_lp") * 10000).cast("long"))
+        .orderBy(col("s_e4").asc, col("doc_id")).limit(20)
+      scored.withColumn("rank",
+          row_number().over(Window.orderBy(col("s_e4").asc, col("doc_id"))))
+        .select("doc_id", "n_tokens", "rank")
+    }),
     // linear-probe scoring: cosine vs a fixed classifier direction (the
     // model-based quality-filter shape); score as e4 integer (see
     // ns_sql_vec_cosine), pred derived FROM the rounded integer on both
@@ -1599,6 +1613,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, rank FROM ranked
         |WHERE rank <= 3 AND doc_id < 100""".stripMargin,
+    "ns_unigram_lm" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |c AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |doc AS (
+        |  SELECT doc_id, sum(tf) AS n_tokens,
+        |    sum(tf * ln(CAST(cnt AS DOUBLE) / total)) / sum(tf) AS mean_lp
+        |  FROM tf JOIN c USING (term) CROSS JOIN tot GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, row_number() OVER (
+        |    ORDER BY CAST(round(mean_lp * 10000) AS BIGINT), doc_id) AS rank
+        |  FROM doc)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, rank
+        |FROM ranked WHERE rank <= 20""".stripMargin,
     "ns_embed_probe" ->
       s"""WITH s AS (
         |  SELECT vec_id,

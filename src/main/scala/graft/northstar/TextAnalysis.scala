@@ -213,6 +213,41 @@ object TextAnalysis {
           col("n_tokens") - col("chunk_ix") * chunkSize).as("chunk_tokens"))
   }
 
+  /** Corpus-trained unigram language-model score per document — the
+    * CCNet/Wikipedia-LM quality signal without an external model: train
+    * the LM from the corpus itself (term counts / total tokens, one
+    * aggregation) and score every document by its mean token
+    * log-probability. Low scores = improbable token mixtures (boilerplate,
+    * spam, wrong-language shards); filtering on this is the classic
+    * perplexity-bucket curation step.
+    *
+    * Shape: tokenize once; per-(doc,term) tf (one shuffle); term counts
+    * re-aggregated from the tf rows (count-weighted, so no second
+    * tokenize pass); total tokens as a 1-row aggregate cross-joined in
+    * (never a driver scalar). The tf ⋈ counts join keys on term — the
+    * counts side is vocabulary-sized and broadcastable after a
+    * heavy-hitter cap at 100 TB (rare-tail terms can be floored to a
+    * constant smoothing count without changing the ranking materially).
+    * Output: one row per document with `n_tokens` and `mean_lp`
+    * (mean ln p(token), always <= 0).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     minTermLen: Int = 1): DataFrame = {
+    val terms = df.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    tf.join(counts, "term").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("tf") * log(col("cnt").cast("double") / col("total"))) /
+          sum(col("tf"))).as("mean_lp"))
+  }
+
   /** One frame with all per-document text-analysis columns. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityScore(df, textCol)

@@ -356,6 +356,27 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!out.contains((2L, "rare")))
   }
 
+  test("unigramLogProb: mean token log-prob from corpus-trained counts, hand-computed") {
+    // corpus tokens: a a b | a b | c  → total 6, counts a=3, b=2, c=1
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a b"),
+      (3L, "c"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (la, lb, lc) =
+      (math.log(3 / 6.0), math.log(2 / 6.0), math.log(1 / 6.0))
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (2 * la + lb) / 3) < 1e-12)
+    assert(math.abs(out(2L)._2 - (la + lb) / 2) < 1e-12)
+    assert(math.abs(out(3L)._2 - lc) < 1e-12)
+    // rare-token doc is strictly less probable than common-token docs
+    assert(out(3L)._2 < out(1L)._2 && out(3L)._2 < out(2L)._2)
+    // mean log-prob is always <= 0 (probabilities <= 1)
+    assert(out.values.forall(_._2 <= 0.0))
+  }
+
   test("chunkByTokens: full windows + ragged tail, ordinals dense, blank docs dropped") {
     val df = Seq(
       (1L, (1 to 7).map(i => s"w$i").mkString(" ")), // 7 tokens → 3+3+1
