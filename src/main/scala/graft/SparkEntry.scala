@@ -741,6 +741,16 @@ object SparkEntry {
     "ns_epoch_shuffle" -> ((s, dir) =>
       graft.northstar.Sampling.epochShuffle(
         t(s, dir, "documents").select("doc_id"), nBuckets = 8, seed = 7)),
+    // length-floor curation: drop the shortest decile by token count;
+    // threshold = k-th smallest value via integer-exact histogram
+    // cumulation (no percentile-convention drift), per-lang survivors
+    "ns_length_floor" -> ((s, dir) => {
+      val q = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.northstar.Sampling.quantileFloor(q, "n_tokens")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          min("n_tokens").as("min_tokens"))
+    }),
     // benchmark decontamination: distinct word-3-gram overlap of each
     // corpus doc (id % 97 != 0) against the held-out "eval" slice
     // (id % 97 == 0); broadcast semi-join on the tiny benchmark gram set
@@ -1680,6 +1690,25 @@ object SparkEntry {
         |SELECT doc_id, h % 8 AS bucket,
         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
         |FROM h""".stripMargin,
+    // threshold = k-th smallest token count (k = ceil(n/10)) via the
+    // cumulative value histogram; keep strictly above it — identical
+    // integer arithmetic on both sides
+    "ns_length_floor" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT n_tokens AS v, count(*) AS c FROM q GROUP BY 1),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER () AS n
+        |  FROM h),
+        |thr AS (SELECT min(v) AS thr FROM cum WHERE cum * 10 >= n)
+        |SELECT lang, count(*) AS n_kept, min(n_tokens) AS min_tokens
+        |FROM q CROSS JOIN thr WHERE n_tokens > thr
+        |GROUP BY lang""".stripMargin,
     // same shingle construction as the ns_jaccard_pairs oracle; benchmark
     // slice = doc_id % 97 = 0, overlap counted on distinct shared grams
     "ns_decontam" ->

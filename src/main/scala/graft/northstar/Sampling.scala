@@ -106,6 +106,44 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Quantile-floor curation: drop every row whose `valueCol` is <= the
+    * corpus `num/den`-quantile of that column — e.g. num=1, den=10 drops
+    * (at least) the shortest decile of documents by token count, the
+    * classic length-floor rule. The threshold is the k-th smallest value
+    * (k = ceil(n * num/den)) derived ENTIRELY in integer arithmetic, so
+    * any SQL engine replays the identical cut: no percentile-interpolation
+    * or disc-boundary convention to disagree on, and ties at the
+    * threshold are all dropped (order-independent).
+    *
+    * Scale shape: the quantile comes from a histogram over DISTINCT
+    * values (one shuffle to value-domain size), then a cumulative window
+    * over that tiny frame — never a global sort or top-k over rows. Token
+    * counts / char lengths / integer scores have domains of ~1e5 distinct
+    * values at any corpus size, so the window input stays KB-sized at
+    * 100 TB. (For unbounded continuous domains, bucket first or use
+    * approx_percentile.) The 1-row threshold is broadcast back.
+    */
+  def quantileFloor(df: DataFrame, valueCol: String,
+                    num: Long = 1, den: Long = 10): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"need 0 < $num/$den <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(valueCol).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // k-th smallest value, k = ceil(n*num/den): smallest v with
+    // cum(v) >= k  ⟺  den*cum >= num*n  (integer-exact)
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") * den >= col("__n") * num)
+      .agg(min(col(valueCol)).as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(valueCol) > col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic epoch-order shuffle for training-data serving: every
     * row gets a (bucket, pos) coordinate — a seeded pseudo-random
     * permutation split into `nBuckets` independent shards. bucket =

@@ -462,6 +462,22 @@ class SamplingSpec extends SparkSpecBase {
       Seq("doc_id", "lang"))
   }
 
+  test("quantileFloor: drops the bottom num/den by value, k-th-smallest threshold, ties all dropped") {
+    val vals = (1L to 10L).toDF("v")
+    // n=10, k=ceil(10/10)=1 → thr=1 → keep 2..10
+    assert(Sampling.quantileFloor(vals, "v").collect().map(_.getLong(0)).sorted
+      .toSeq == (2L to 10L))
+    // 3/10 → k=3 → thr=3 → keep 4..10
+    assert(Sampling.quantileFloor(vals, "v", 3, 10).collect()
+      .map(_.getLong(0)).sorted.toSeq == (4L to 10L))
+    // ties at the threshold are all dropped: [1,1,1,2], k=1, thr=1 → [2]
+    val ties = Seq(1L, 1L, 1L, 2L).toDF("v")
+    assert(Sampling.quantileFloor(ties, "v").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // num=den drops everything (thr = max value)
+    assert(Sampling.quantileFloor(vals, "v", 10, 10).count() == 0)
+  }
+
   test("epochShuffle: a true permutation — pos is 1..n within each bucket, every row coordinated") {
     val out = Sampling.epochShuffle(docs, nBuckets = 8, seed = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
