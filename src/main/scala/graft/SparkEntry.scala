@@ -751,6 +751,14 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_kept"),
           min("n_tokens").as("min_tokens"))
     }),
+    // shard payload materialization: doc_id-ordered concat per
+    // (source, shard) — exposed as digest + sizes so the oracle compares
+    // the exact packed bytes without hauling them through the dump
+    "ns_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"))
+        .select(col("source"), col("shard_id"), col("n_docs"),
+          col("shard_tokens"), length(col("packed")).as("packed_chars"),
+          md5(col("packed").cast("binary")).as("packed_md5"))),
     // benchmark decontamination: distinct word-3-gram overlap of each
     // corpus doc (id % 97 != 0) against the held-out "eval" slice
     // (id % 97 == 0); broadcast semi-join on the tiny benchmark gram set
@@ -1709,6 +1717,25 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_kept, min(n_tokens) AS min_tokens
         |FROM q CROSS JOIN thr WHERE n_tokens > thr
         |GROUP BY lang""".stripMargin,
+    // same shard window as ns_shard_pack; packed payload compared by
+    // md5 over the identical doc_id-ordered concatenation
+    "ns_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, text, nt,
+        |    CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - nt) / 2000.0) AS BIGINT) AS shard_id
+        |  FROM t)
+        |SELECT source, shard_id, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS shard_tokens,
+        |  CAST(length(string_agg(text, ' <eot> ' ORDER BY doc_id)) AS INT)
+        |    AS packed_chars,
+        |  md5(string_agg(text, ' <eot> ' ORDER BY doc_id)) AS packed_md5
+        |FROM sh GROUP BY source, shard_id""".stripMargin,
     // same shingle construction as the ns_jaccard_pairs oracle; benchmark
     // slice = doc_id % 97 = 0, overlap counted on distinct shared grams
     "ns_decontam" ->

@@ -248,6 +248,38 @@ object TextAnalysis {
           sum(col("tf"))).as("mean_lp"))
   }
 
+  /** Sequence-packing materialization: the step after shard ASSIGNMENT
+    * (see `ns_shard_pack`) that actually builds each training shard's
+    * payload — documents of a (source, shard) group concatenated in
+    * doc_id order with a separator token. Output: one row per shard with
+    * n_docs, shard_tokens, and the packed text. The concat is
+    * deterministic on any cluster (collect_list order is not — the
+    * struct array is sorted by doc_id BEFORE joining), and per-shard
+    * state is bounded by the token budget (~budget tokens of text), so
+    * executor memory is budget-bound at any corpus size. Same scale
+    * shape as shard assignment: per-source cumulative window, then one
+    * groupBy on (source, shard).
+    */
+  def packSequences(df: DataFrame, tokenBudget: Long = 2000L,
+                    sep: String = " <eot> ",
+                    idCol: String = "doc_id", textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+    df.select(col(sourceCol), col(idCol), col(textCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          lit(tokenBudget.toDouble)).cast("long"))
+      .groupBy(col(sourceCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          e => e.getField(textCol)), sep).as("packed"))
+  }
+
   /** One frame with all per-document text-analysis columns. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityScore(df, textCol)

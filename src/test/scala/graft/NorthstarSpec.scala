@@ -377,6 +377,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out.values.forall(_._2 <= 0.0))
   }
 
+  test("packSequences: doc_id-ordered concat per shard, budget splits, stable on any layout") {
+    val df = Seq(
+      (3L, "s1", "c c"),        // cumsum-before: 4 → shard 1 (budget 4)
+      (1L, "s1", "a a"),        // 0 → shard 0
+      (2L, "s1", "b b"),        // 2 → shard 0
+      (4L, "s1", "d"),          // 6 → shard 1
+      (9L, "s2", "x y z"),      // 0 → shard 0
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(df, tokenBudget = 4L, sep = " | ")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // shard (s1,0) holds docs 1,2 (cumsum-before 0 and 2 < 4), in id order
+    assert(out(("s1", 0L)) == ((2L, 4L, "a a | b b")))
+    assert(out(("s1", 1L)) == ((2L, 3L, "c c | d")))
+    assert(out(("s2", 0L)) == ((1L, 3L, "x y z")))
+    // deterministic concat regardless of input partitioning
+    val re = TextAnalysis.packSequences(df.repartition(5), tokenBudget = 4L,
+      sep = " | ").collect().map(r => r.getString(4)).sorted.toSeq
+    assert(re == out.values.map(_._3).toSeq.sorted)
+  }
+
   test("chunkByTokens: full windows + ragged tail, ordinals dense, blank docs dropped") {
     val df = Seq(
       (1L, (1 to 7).map(i => s"w$i").mkString(" ")), // 7 tokens → 3+3+1
