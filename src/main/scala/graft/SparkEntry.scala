@@ -439,6 +439,22 @@ object SparkEntry {
           |WHERE (SELECT count(*) FROM orders o
           |       WHERE o.o_custkey = c.c_custkey) >= 15""".stripMargin)
     }),
+    // correlated EXISTS / NOT EXISTS (the remaining subquery family
+    // beside the scalar form above): both plan as one semi/anti hash
+    // join on the correlation key — no per-row re-execution at any scale
+    "q_sql_exists" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("customer", "orders", "nation"))
+      Sql.strictSql(s,
+        """SELECT n_name, count(*) AS n_inactive FROM customer c
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'O')
+          |GROUP BY n_name""".stripMargin)
+    }),
     // FULL OUTER JOIN (SURVEY §2.9: outer joins enter via the Q1 SQL
     // path) — null-side counts expose both unmatched directions as exact
     // integers; identical SQL runs in DuckDB. At scale this is one
@@ -1221,6 +1237,16 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE (SELECT count(*) FROM orders o
         |       WHERE o.o_custkey = c.c_custkey) >= 15""".stripMargin,
+    "q_sql_exists" ->
+      """SELECT n_name, count(*) AS n_inactive FROM customer c
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'O')
+        |GROUP BY n_name""".stripMargin,
     "q_sql_outer_join" ->
       """SELECT
         |  count(*) AS n_rows,

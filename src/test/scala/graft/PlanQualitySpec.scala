@@ -169,4 +169,38 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "session windows should be join-free")
     assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n${p.take(800)}")
   }
+
+  test("exists/not-exists: both rewrite to semi/anti hash joins, never per-row subqueries") {
+    val p = planOf("q_sql_exists")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
+    assertNoQuadratic(p)
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("temperature sample: rate frame broadcast-joined on the stratum key") {
+    val p = planOf("ns_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("epoch shuffle: exactly one exchange — the bucket-partitioned window, no global sort") {
+    val p = planOf("ns_epoch_shuffle")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n${p.take(800)}")
+    assert(!p.contains("Join"), "epoch shuffle must be join-free")
+  }
+
+  test("length floor: scalar threshold rides a 1-row broadcast, data side never sort-merged") {
+    val p = planOf("ns_length_floor")
+    // the only nested-loop allowed is the 1-row threshold broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("pack sequences: at most two keyed shuffles (source window, shard agg), no join") {
+    val p = planOf("ns_pack_sequences")
+    assert(shuffles(p) <= 2, s"expected <=2 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
+    assert(!p.contains("Join"), "pack sequences must be join-free")
+  }
 }
