@@ -717,6 +717,19 @@ object SparkEntry {
         .select(col("vec_id"),
           round(col("score") * 10000).cast("long").as("score_e4"))
         .withColumn("pred", (col("score_e4") >= 500).cast("int"))),
+    // int8 embedding quantization: per-vector scale + quantized checksum
+    // columns (sum, sum-of-squares — integer-exact) instead of hauling
+    // the 64-wide arrays through the dump
+    "ns_quantize_embed" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          // widen BEFORE the multiply: float*int stays float in Spark
+          // (~7 significant digits) while DuckDB promotes to double —
+          // the e6 exposure needs the double product on both sides
+          round(col("maxabs").cast("double") * 1000000).cast("long")
+            .as("maxabs_e6"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("q_sqsum"))),
     // PII scrub: deterministic synthetic contacts (email/url/phone built
     // from doc_id) injected identically on both sides, then the 3-stage
     // URL→email→phone redaction — RE2-safe patterns, so the oracle runs
@@ -1657,6 +1670,23 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, rank FROM ranked
         |WHERE rank <= 3 AND doc_id < 100""".stripMargin,
+    "ns_quantize_embed" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS m
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, m,
+        |    CASE WHEN m = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |             x -> CAST(round(x * 127.0 / m) AS BIGINT)) END AS qv
+        |  FROM m)
+        |SELECT vec_id,
+        |  CAST(round(CAST(m AS DOUBLE) * 1000000) AS BIGINT) AS maxabs_e6,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sqsum
+        |FROM qv""".stripMargin,
     "ns_unigram_lm" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(

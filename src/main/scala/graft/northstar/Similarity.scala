@@ -133,6 +133,27 @@ object Similarity {
       (score >= threshold).cast("int").as("pred"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage/IO reduction before vectors are shipped to an ANN
+    * index or training job: q_i = round(127 · x_i / max|x|) per vector,
+    * with the per-vector scale kept alongside for dequantization.
+    * Zero vectors quantize to zeros (scale kept as 0). Pure narrow
+    * arithmetic on codegen'd higher-order functions — no shuffle, no
+    * UDF, no driver state; every value is reproducible by any engine
+    * (float→double widening is exact; |x| ≤ max|x| bounds q to ±127, so
+    * there is no clipping branch to disagree on).
+    * Output: input columns + `maxabs` (the scale) + `q` (array<long>).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val m = array_max(transform(col(vecCol), x => abs(x)))
+    df.withColumn("maxabs", m)
+      .withColumn("q",
+        when(col("maxabs") === 0,
+          transform(col(vecCol), _ => lit(0L)))
+          .otherwise(transform(col(vecCol),
+            x => round(x * lit(127.0) / col("maxabs")).cast("long"))))
+  }
+
   /** Embedding-cosine near-duplicate pairs: corpus self-joined within LSH
     * buckets, kept when cosine >= threshold (the embedding flavor of
     * near-dup dedup).

@@ -163,6 +163,22 @@ class DedupSpec extends SparkSpecBase {
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("quantizeInt8: scale = max|x|, extremes map to ±127, zero vectors stay zero") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),   // maxabs 1.0 → q = (64, -127, 32)
+      (2L, Seq(0f, 0f, 0f)),           // zero vector → scale 0, q all 0
+      (3L, Seq(-2.0f, 1.0f, 0f)),      // maxabs 2.0 → q = (-127, 64, 0)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getFloat(2), r.getSeq[Long](3).toSeq))).toMap
+    assert(out(1L) == ((1.0f, Seq(64L, -127L, 32L))))
+    assert(out(2L) == ((0.0f, Seq(0L, 0L, 0L))))
+    assert(out(3L) == ((2.0f, Seq(-127L, 64L, 0L))))
+    // |q| never exceeds 127 on real data shapes (|x| <= max|x|)
+    assert(out.values.flatMap(_._2).forall(q => q >= -127 && q <= 127))
+  }
+
   test("cosine: orthogonal → 0, identical → 1, zero-norm → 0") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),
