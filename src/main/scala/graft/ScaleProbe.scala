@@ -148,6 +148,35 @@ object ScaleProbe {
       gsetsCount(replicate(orders, 10, "o_orderkey", 10000000L)))
     println(f"[scale] grouping-sets 10x-data ratio   ${gs10 / gs1}%.1fx (linear-ish expected)")
 
+    // ---- r7 additions: unigram-LM scoring (tf shuffle + vocab join),
+    // epoch shuffle (bucket-partitioned window), and shard packing
+    // (bounded collect_list state). All should grow ~linearly; the LM's
+    // vocab join side is corpus-vocabulary-sized, not corpus-sized.
+    val lm1 = timed("unigramLogProb 5k docs (1x)") {
+      TextAnalysis.unigramLogProb(docs1).count()
+    }
+    val lm10 = timed("unigramLogProb 50k docs (10x)") {
+      TextAnalysis.unigramLogProb(replicate(docs1, 10, "doc_id", 1000000L)).count()
+    }
+    println(f"[scale] unigramLogProb 10x-data ratio  ${lm10 / lm1}%.1fx (linear-ish expected)")
+    val es1 = timed("epochShuffle 5k docs (1x)") {
+      Sampling.epochShuffle(docs1.select("doc_id"), nBuckets = 64).count()
+    }
+    val es10 = timed("epochShuffle 50k docs (10x)") {
+      Sampling.epochShuffle(
+        replicate(docs1.select("doc_id"), 10, "doc_id", 1000000L),
+        nBuckets = 64).count()
+    }
+    println(f"[scale] epochShuffle 10x-data ratio    ${es10 / es1}%.1fx (linear-ish expected)")
+    val pk1 = timed("packSequences 5k docs (1x)") {
+      TextAnalysis.packSequences(docs1).count()
+    }
+    val pk10 = timed("packSequences 50k docs (10x)") {
+      TextAnalysis.packSequences(
+        replicate(docs1, 10, "doc_id", 1000000L)).count()
+    }
+    println(f"[scale] packSequences 10x-data ratio   ${pk10 / pk1}%.1fx (linear-ish expected)")
+
     val emb = replicate(Tables.table(spark, dir, "embeddings"), 5, "vec_id", 1000000L)
     timed("lshTopK 10k corpus, 50 queries") {
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 10).count()
