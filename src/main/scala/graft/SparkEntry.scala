@@ -540,6 +540,24 @@ object SparkEntry {
     "ns_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.languageId(col("text")).as("lang_guess"))),
+    // language-ID confusion matrix vs the labeled lang column — the
+    // curation-eval report that catches a drifting heuristic; one keyed
+    // aggregate over the langid pass, all integer cells
+    "ns_langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("lang"),
+          TextAnalysis.languageId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))),
+    // per-label embedding centroids (class prototypes / k-means E-step):
+    // posexplode → (label, dim) mean — one shuffle of (labels × dims)
+    // cells, e4-rounded means with exact counts
+    "ns_label_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+        .groupBy("label", "dim")
+        .agg(round(avg(col("x")) * 10000).cast("long").as("c_e4"),
+          count(lit(1)).as("n"))),
     // the integrated curation pass a training-data pipeline runs: quality
     // gate + language gate + token budget, one narrow projection + filter
     // (composes the individually-verified quality/langid/token oracles)
@@ -1294,6 +1312,39 @@ object SparkEntry {
         |       WHEN en = greatest(en, de, fr, es) THEN 'en'
         |       ELSE 'de' END AS lang_guess
         |FROM h""".stripMargin,
+    // the ns_langid heuristic re-aggregated into a confusion matrix
+    "ns_langid_confusion" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','für'))) AS de,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','pas','une','dans','pour','que'))) AS fr,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('el','la','los','y','es','no','una','en','para','que'))) AS es
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |         WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |         WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM h)
+        |SELECT lang, lang_guess, count(*) AS n
+        |FROM g GROUP BY lang, lang_guess""".stripMargin,
+    "ns_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  CAST(round(avg(CAST(embedding[i] AS DOUBLE)) * 10000) AS BIGINT)
+        |    AS c_e4,
+        |  count(*) AS n
+        |FROM x GROUP BY label, dim""".stripMargin,
     // composition of the ns_quality + ns_langid + ns_token_count oracles
     "ns_curation" ->
       """WITH f AS (
