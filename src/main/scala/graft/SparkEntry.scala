@@ -455,6 +455,23 @@ object SparkEntry {
           |                    AND o.o_orderstatus = 'O')
           |GROUP BY n_name""".stripMargin)
     }),
+    // event funnel (view → click → purchase): per-user stage timestamps
+    // in one conditional-min aggregate, then one global rollup — two
+    // keyed aggregations, no self-joins. ts compared at µs (the largest
+    // precision DuckDB reads from nanos parquet).
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+      ev.groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("tsu"))).as("t_view"),
+          min(when(col("event_type") === "click", col("tsu"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("tsu"))).as("t_buy"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("t_view").isNotNull, 1)).as("n_view"),
+          count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+          count(when(col("t_view") < col("t_click") &&
+            col("t_click") < col("t_buy"), 1)).as("n_converted"))
+    }),
     // FULL OUTER JOIN (SURVEY §2.9: outer joins enter via the Q1 SQL
     // path) — null-side counts expose both unmatched directions as exact
     // integers; identical SQL runs in DuckDB. At scale this is one
@@ -547,6 +564,29 @@ object SparkEntry {
       t(s, dir, "documents").select(col("lang"),
           TextAnalysis.languageId(col("text")).as("lang_guess"))
         .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))),
+    // vocabulary frequency-of-frequencies (the Zipf / Good-Turing
+    // spectrum): two keyed aggregates, second input is vocabulary-sized;
+    // the corpus-health view that exposes tokenizer or crawl regressions
+    "ns_zipf_spectrum" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\W+")).as("term"))
+        .filter(length(col("term")) >= 1)
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_terms"))),
+    // cross-source contamination matrix: distinct word-3-grams shared
+    // between each pair of crawl sources (the source-granular form of
+    // benchmark decontamination) — distinct (gram, source) pairs
+    // self-joined on the gram; per-gram fan-out is bounded by the source
+    // count, so the join never goes quadratic in documents
+    "ns_source_overlap" -> ((s, dir) => {
+      val keys = t(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"))).as("g"), col("source"))
+        .distinct()
+      keys.withColumnRenamed("source", "src_a")
+        .join(keys.withColumnRenamed("source", "src_b"), "g")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    }),
     // per-label embedding centroids (class prototypes / k-means E-step):
     // posexplode → (label, dim) mean — one shuffle of (labels × dims)
     // cells, e4-rounded means with exact counts
@@ -1335,6 +1375,42 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, lang_guess, count(*) AS n
         |FROM g GROUP BY lang, lang_guess""".stripMargin,
+    "ns_zipf_spectrum" ->
+      """WITH terms AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |freqs AS (SELECT term, count(*) AS freq FROM terms GROUP BY 1)
+        |SELECT freq, count(*) AS n_terms FROM freqs GROUP BY freq""".stripMargin,
+    // same 3-gram shingle construction as the ns_jaccard_pairs /
+    // ns_decontam oracles
+    "ns_source_overlap" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(1, len(w) - 2)),
+        |    i -> array_to_string(w[i:least(i + 2, len(w))], ' ')))) AS g
+        |  FROM w)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM k a JOIN k b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+        |  count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 END)
+        |    AS n_converted
+        |FROM f""".stripMargin,
     "ns_label_centroids" ->
       """WITH x AS (
         |  SELECT label, embedding,
