@@ -455,6 +455,20 @@ object SparkEntry {
           |                    AND o.o_orderstatus = 'O')
           |GROUP BY n_name""".stripMargin)
     }),
+    // ntile percentile banding (the remaining window family beside
+    // ranking, offset, and frames): quartiles of customers by order
+    // count, deterministic under the (cnt, custkey) total order
+    "q_sql_ntile" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("orders"))
+      Sql.strictSql(s,
+        """SELECT quartile, count(*) AS n_customers,
+          |  min(cnt) AS min_orders, max(cnt) AS max_orders
+          |FROM (SELECT o_custkey, count(*) AS cnt,
+          |        CAST(ntile(4) OVER (ORDER BY count(*), o_custkey)
+          |          AS BIGINT) AS quartile
+          |      FROM orders GROUP BY o_custkey)
+          |GROUP BY quartile""".stripMargin)
+    }),
     // event funnel (view → click → purchase): per-user stage timestamps
     // in one conditional-min aggregate, then one global rollup — two
     // keyed aggregations, no self-joins. ts compared at µs (the largest
@@ -1398,6 +1412,14 @@ object SparkEntry {
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
         |FROM k a JOIN k b ON a.g = b.g AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    "q_sql_ntile" ->
+      """SELECT quartile, count(*) AS n_customers,
+        |  min(cnt) AS min_orders, max(cnt) AS max_orders
+        |FROM (SELECT o_custkey, count(*) AS cnt,
+        |        CAST(ntile(4) OVER (ORDER BY count(*), o_custkey)
+        |          AS BIGINT) AS quartile
+        |      FROM orders GROUP BY o_custkey)
+        |GROUP BY quartile""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
