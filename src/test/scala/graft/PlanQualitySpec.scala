@@ -203,4 +203,33 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffles(p) <= 2, s"expected <=2 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
     assert(!p.contains("Join"), "pack sequences must be join-free")
   }
+
+  test("quantize embed: pure narrow arithmetic — zero exchanges, no join") {
+    val p = planOf("ns_quantize_embed")
+    assert(shuffles(p) == 0, s"expected 0 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
+    assert(!p.contains("Join"), "quantization must be join-free")
+  }
+
+  test("unigram LM: only the 1-row total broadcast beyond keyed joins — no cartesian, no sort-merge") {
+    val p = planOf("ns_unigram_lm")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(800))
+  }
+
+  test("label centroids: one keyed shuffle, no join") {
+    val p = planOf("ns_label_centroids")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n${p.take(800)}")
+    assert(!p.contains("Join"), "centroid aggregation must be join-free")
+  }
+
+  test("source overlap: gram self-join stays an equi-join, never a nested loop") {
+    val p = planOf("ns_source_overlap")
+    assertNoQuadratic(p)
+  }
+
+  test("funnel: two keyed aggregations, no self-joins") {
+    val p = planOf("q_funnel")
+    assert(!p.contains("Join"), "funnel must be join-free")
+    assert(shuffles(p) <= 1, s"expected <=1 keyed shuffle, got ${shuffles(p)}:\n${p.take(800)}")
+  }
 }
