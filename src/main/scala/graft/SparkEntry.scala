@@ -578,6 +578,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("lang"),
           TextAnalysis.languageId(col("text")).as("lang_guess"))
         .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))),
+    // the train-offline/score-online LM split: top-50 head trained by
+    // lmHead (cap deterministic via (cnt desc, term) order), scoring is
+    // a stateless narrow pass with the head as a literal map — the
+    // stream-servable form of ns_unigram_lm, OOV floored at 0.5
+    "ns_lm_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (vocab, total) = TextAnalysis.lmHead(docs, topK = 50)
+      TextAnalysis.scoreWithLm(docs, vocab, total)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_lp") * 10000).cast("long").as("s_e4"))
+    }),
     // vocabulary frequency-of-frequencies (the Zipf / Good-Turing
     // spectrum): two keyed aggregates, second input is vocabulary-sized;
     // the corpus-health view that exposes tokenizer or crawl regressions
@@ -1389,6 +1400,30 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, lang_guess, count(*) AS n
         |FROM g GROUP BY lang, lang_guess""".stripMargin,
+    // DuckDB 1.0 map indexing returns a LIST ([v] or []), hence lm[t][1];
+    // the per-doc list_sum walks tokens sequentially exactly like the
+    // Spark aggregate, so the doubles match before rounding
+    "ns_lm_serve" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        |head AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 50),
+        |m AS (SELECT map(list(term), list(cnt)) AS lm FROM head),
+        |toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(list_sum(list_transform(toks, t ->
+        |    ln(coalesce(CAST(lm[t][1] AS DOUBLE), 0.5) / total)))
+        |    / len(toks) * 10000) AS BIGINT) AS s_e4
+        |FROM toks CROSS JOIN tot CROSS JOIN m
+        |WHERE len(toks) > 0""".stripMargin,
     "ns_zipf_spectrum" ->
       """WITH terms AS (
         |  SELECT unnest(list_filter(

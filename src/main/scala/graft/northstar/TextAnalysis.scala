@@ -248,6 +248,53 @@ object TextAnalysis {
           sum(col("tf"))).as("mean_lp"))
   }
 
+  /** Frozen-LM head: the deployable artifact of an offline LM train —
+    * the top-`topK` corpus terms by count (ties broken by term, so the
+    * cap is deterministic) plus the FULL corpus token total. The collect
+    * is bounded by topK at any corpus size (the tail lives on as the
+    * smoothing floor in [[scoreWithLm]]); the total is one scalar
+    * aggregate. This is the "train nightly" half of the serving split.
+    */
+  def lmHead(df: DataFrame, topK: Int,
+             textCol: String = "text"): (Map[String, Long], Long) = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.select(
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(length(col("term")) >= 1)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).first().getLong(0)
+    val head = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    (head.toMap, total)
+  }
+
+  /** Serving-time unigram-LM scoring against a frozen head from
+    * [[lmHead]] — the online half of the split: the vocab rides the plan
+    * as a literal map (no join, no shuffle, no state store), unknown
+    * tokens fall back to `floorCount` (add-k style smoothing), and the
+    * per-document summation is SEQUENTIAL over the token array, so the
+    * resulting double is bit-reproducible by any engine that walks the
+    * same tokens (unlike a partial-aggregated sum). Stateless and
+    * narrow ⇒ runs unchanged on a Structured-Streaming source — the
+    * "score the incoming crawl against last night's LM" path. Blank
+    * documents (no tokens) produce no row.
+    */
+  def scoreWithLm(df: DataFrame, vocab: Map[String, Long], total: Long,
+                  floorCount: Double = 0.5, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(total > 0, s"total token count must be positive, got $total")
+    val toks = filter(split(lower(col(textCol)), "\\W+"),
+      t => length(t) >= 1)
+    val lm = typedLit(vocab)
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
+        (aggregate(col("__toks"), lit(0.0), (acc, t) =>
+          acc + log(coalesce(try_element_at(lm, t).cast("double"),
+            lit(floorCount)) / lit(total.toDouble))) /
+          size(col("__toks"))).as("mean_lp"))
+  }
+
   /** Sequence-packing materialization: the step after shard ASSIGNMENT
     * (see `ns_shard_pack`) that actually builds each training shard's
     * payload — documents of a (source, shard) group concatenated in

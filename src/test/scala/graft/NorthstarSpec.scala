@@ -372,6 +372,12 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!out.contains((2L, "rare")))
   }
 
+  test("unigramLogProb: blank documents produce no row (no tokens to score)") {
+    val df = Seq((1L, "a b"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val ids = TextAnalysis.unigramLogProb(df).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+
   test("unigramLogProb: mean token log-prob from corpus-trained counts, hand-computed") {
     // corpus tokens: a a b | a b | c  → total 6, counts a=3, b=2, c=1
     val df = Seq(
@@ -498,6 +504,16 @@ class SamplingSpec extends SparkSpecBase {
     assert(a == b)
     assert(Sampling.temperatureSample(skewed, "lang").columns.toSeq ==
       Seq("doc_id", "lang"))
+  }
+
+  test("temperatureSample: single stratum is the identity (rate 1 everywhere)") {
+    val one = (0L until 100L).map((_, "en")).toDF("doc_id", "lang")
+    assert(Sampling.temperatureSample(one, "lang").count() == 100)
+  }
+
+  test("quantileFloor: single distinct value drops everything (threshold ties)") {
+    val same = Seq.fill(5)(42L).toDF("v")
+    assert(Sampling.quantileFloor(same, "v").count() == 0)
   }
 
   test("quantileFloor: drops the bottom num/den by value, k-th-smallest threshold, ties all dropped") {

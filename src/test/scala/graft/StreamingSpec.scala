@@ -144,6 +144,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("scoreWithLm: the frozen-head scorer runs unchanged on a stream and matches batch") {
+    import graft.northstar.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$src/docs.parquet")
+    val batchDocs = spark.read.parquet(s"$src/docs.parquet")
+    // train offline on the batch corpus, then serve the SAME scorer on
+    // a stream — stateless narrow plan, no state store, no shuffle
+    val (vocab, total) = TextAnalysis.lmHead(batchDocs, topK = 30)
+    val schema = batchDocs.schema
+    val q = TextAnalysis.scoreWithLm(
+        IncrementalStream.readTableStream(spark, src, "docs", schema),
+        vocab, total)
+      .writeStream.format("memory").queryName("lm_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("lm_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = TextAnalysis.scoreWithLm(batchDocs, vocab, total).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // every score is a proper mean log-prob: negative, finite
+    assert(batch.forall { case (_, _, lp) => lp < 0 && !lp.isNaN })
+  }
+
   test("batch session_window and streaming sessionize agree on a replayed fixture") {
     import org.apache.spark.sql.functions._
     val src = tmp(); val ckpt = tmp()
