@@ -589,6 +589,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
     }),
+    // greedy token-budget mixture fill: per language, admit best-quality
+    // documents first (q_score desc, doc_id ties) until the stratum's
+    // token budget is reached — per-stratum windows, parallel across
+    // languages, never a global sort
+    "ns_budget_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("q_score"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("q_score").desc, col("doc_id"))
+      q.withColumn("cum_before",
+          sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .filter(col("cum_before") < 3000L)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_selected"))
+    }),
+    // tokenizer induction's inner loop: adjacent character-pair counts
+    // over in-vocabulary words (the first BPE merge-step statistics);
+    // pair explosion is linear in corpus chars, top-k plans as TakeOrdered
+    "ns_bpe_pairs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\W+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)),
     // vocabulary frequency-of-frequencies (the Zipf / Good-Turing
     // spectrum): two keyed aggregates, second input is vocabulary-sized;
     // the corpus-health view that exposes tokenizer or crawl regressions
@@ -1424,6 +1453,48 @@ object SparkEntry {
         |    / len(toks) * 10000) AS BIGINT) AS s_e4
         |FROM toks CROSS JOIN tot CROSS JOIN m
         |WHERE len(toks) > 0""".stripMargin,
+    // q_score CTE identical to the ns_quality oracle; greedy admission
+    // replayed by the same per-lang cumulative window
+    "ns_budget_fill" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |                  AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |             THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score
+        |  FROM f),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        |  FROM g)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected
+        |FROM c WHERE cum_before < 3000 GROUP BY lang""".stripMargin,
+    "ns_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 2)) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM w)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "ns_zipf_spectrum" ->
       """WITH terms AS (
         |  SELECT unnest(list_filter(
