@@ -232,4 +232,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "funnel must be join-free")
     assert(shuffles(p) <= 1, s"expected <=1 keyed shuffle, got ${shuffles(p)}:\n${p.take(800)}")
   }
+
+  test("lm serve: the frozen head is a literal in a pure narrow plan — zero shuffles, no join") {
+    val p = planOf("ns_lm_serve")
+    assert(shuffles(p) == 0, s"expected 0 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
+    assert(!p.contains("Join"), "serving-time scoring must be join-free")
+  }
+
+  test("budget fill: per-stratum window + rollup only, no join") {
+    val p = planOf("ns_budget_fill")
+    assert(shuffles(p) <= 2, s"expected <=2 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
+    assert(!p.contains("Join"), "budget fill must be join-free")
+  }
+
+  test("bpe pairs: top-k plans as TakeOrdered after partial aggregation — no global sort") {
+    val p = planOf("ns_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Join"), "pair counting must be join-free")
+  }
 }
