@@ -455,6 +455,18 @@ object SparkEntry {
           |                    AND o.o_orderstatus = 'O')
           |GROUP BY n_name""".stripMargin)
     }),
+    // ROWS-frame moving window (RANGE frames covered by
+    // q_sql_range_frame): 7-row trailing sum of daily order counts —
+    // all-integer cells, deterministic under the date total order
+    "q_sql_moving" -> ((s, dir) => {
+      Tables.open(s, dir, Seq("orders"))
+      Sql.strictSql(s,
+        """SELECT o_orderdate, n,
+          |  sum(n) OVER (ORDER BY o_orderdate
+          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+          |FROM (SELECT o_orderdate, count(*) AS n
+          |      FROM orders GROUP BY o_orderdate)""".stripMargin)
+    }),
     // ntile percentile banding (the remaining window family beside
     // ranking, offset, and frames): quartiles of customers by order
     // count, deterministic under the (cnt, custkey) total order
@@ -1518,6 +1530,14 @@ object SparkEntry {
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
         |FROM k a JOIN k b ON a.g = b.g AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    // CAST on the window sum: DuckDB sums BIGINT into HUGEINT, which
+    // pandas renders as float ("35.0" vs "35" in the str-compare)
+    "q_sql_moving" ->
+      """SELECT o_orderdate, n,
+        |  CAST(sum(n) OVER (ORDER BY o_orderdate
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM (SELECT o_orderdate, count(*) AS n
+        |      FROM orders GROUP BY o_orderdate)""".stripMargin,
     "q_sql_ntile" ->
       """SELECT quartile, count(*) AS n_customers,
         |  min(cnt) AS min_orders, max(cnt) AS max_orders

@@ -516,6 +516,23 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.quantileFloor(same, "v").count() == 0)
   }
 
+  test("quantileFloor: matches the scala reference on seeded random multisets") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 8) {
+      val n = 1 + rnd.nextInt(200)
+      val vals = Seq.fill(n)(rnd.nextInt(20).toLong)
+      val num = 1 + rnd.nextInt(10); val den = 10
+      // reference: threshold = k-th smallest (k = ceil(n*num/den)),
+      // keep strictly above it
+      val k = ((n.toLong * num + den - 1) / den).toInt
+      val thr = vals.sorted.apply(k - 1)
+      val expected = vals.filter(_ > thr).sorted
+      val got = Sampling.quantileFloor(vals.toDF("v"), "v", num, den)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected, s"n=$n num=$num: got $got expected $expected")
+    }
+  }
+
   test("quantileFloor: drops the bottom num/den by value, k-th-smallest threshold, ties all dropped") {
     val vals = (1L to 10L).toDF("v")
     // n=10, k=ceil(10/10)=1 → thr=1 → keep 2..10
