@@ -641,18 +641,21 @@ object SparkEntry {
         .groupBy("freq").agg(count(lit(1)).as("n_terms"))),
     // cross-source contamination matrix: distinct word-3-grams shared
     // between each pair of crawl sources (the source-granular form of
-    // benchmark decontamination) — distinct (gram, source) pairs
-    // self-joined on the gram; per-gram fan-out is bounded by the source
-    // count, so the join never goes quadratic in documents
-    "ns_source_overlap" -> ((s, dir) => {
-      val keys = t(s, dir, "documents")
+    // benchmark decontamination). JOIN-FREE shape: one aggregate to the
+    // per-gram source set (state bounded by the source count), pairs
+    // expanded LOCALLY from the sorted set (≤ C(sources,2) per gram),
+    // one keyed rollup — the gram table is shuffled once, never twice
+    "ns_source_overlap" -> ((s, dir) =>
+      t(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"))).as("g"), col("source"))
-        .distinct()
-      keys.withColumnRenamed("source", "src_a")
-        .join(keys.withColumnRenamed("source", "src_b"), "g")
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-    }),
+        .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+          .as("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))),
     // per-label embedding centroids (class prototypes / k-means E-step):
     // posexplode → (label, dim) mean — one shuffle of (labels × dims)
     // cells, e4-rounded means with exact counts

@@ -222,9 +222,10 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "centroid aggregation must be join-free")
   }
 
-  test("source overlap: gram self-join stays an equi-join, never a nested loop") {
+  test("source overlap: join-free — per-gram source sets expanded locally, two keyed shuffles") {
     val p = planOf("ns_source_overlap")
-    assertNoQuadratic(p)
+    assert(!p.contains("Join"), "source overlap must be join-free")
+    assert(shuffles(p) <= 2, s"expected <=2 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
   }
 
   test("funnel: two keyed aggregations, no self-joins") {
