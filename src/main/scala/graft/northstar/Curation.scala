@@ -1,0 +1,95 @@
+package graft.northstar
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Config-driven corpus curation: the r7 operator set composed into ONE
+  * declarative pipeline, in the same JSON-replay style as the
+  * reference's config files (SURVEY.md §1.1 — configs drive stages;
+  * ours drives the training-data curation stages the reference never
+  * had). Stage order is FIXED and semantic, not configurable, because
+  * each stage's statistics are computed on its INPUT:
+  *
+  *   1. quality gate   (q_score >= minQuality)
+  *   2. language gate  (lang ∈ langs)
+  *   3. length floor   (drop bottom num/den by token count — threshold
+  *                      from the gated survivors, not the raw corpus)
+  *   4. temperature    (per-lang rebalance over the floored survivors)
+  *   5. budget fill    (greedy best-quality-first per lang)
+  *
+  * Every stage is optional (absent key = skipped). The whole composition
+  * stays one lazy plan — histogram/count aggregates ride as broadcast
+  * 1-row/stratum-row sides, nothing materializes between stages — and
+  * every decision is deterministic integer/hash arithmetic, so an
+  * external SQL engine can replay the full pipeline (see the
+  * `ns_curation_config` oracle).
+  */
+object Curation {
+
+  case class CurationConfig(
+      minQuality: Option[Double] = None,
+      langs: Option[Seq[String]] = None,
+      lengthFloorNum: Option[Long] = None,
+      lengthFloorDen: Option[Long] = None,
+      temperatureAlpha: Option[Double] = None,
+      budgetPerLang: Option[Long] = None)
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse a curation config from JSON, e.g.
+    * `{"min_quality": 0.5, "langs": ["en","de"], "length_floor": "1/10",
+    *   "temperature_alpha": 0.5, "budget_per_lang": 3000}`.
+    */
+  def parseConfig(json: String): CurationConfig = {
+    val root = mapper.readTree(json)
+    val floor = Option(root.get("length_floor")).map(_.asText())
+      .map { s =>
+        val Array(n, d) = s.split("/", 2)
+        (n.trim.toLong, d.trim.toLong)
+      }
+    CurationConfig(
+      minQuality = Option(root.get("min_quality")).map(_.asDouble()),
+      langs = Option(root.get("langs"))
+        .map(_.elements().asScala.map(_.asText()).toSeq),
+      lengthFloorNum = floor.map(_._1),
+      lengthFloorDen = floor.map(_._2),
+      temperatureAlpha = Option(root.get("temperature_alpha"))
+        .map(_.asDouble()),
+      budgetPerLang = Option(root.get("budget_per_lang")).map(_.asLong()))
+  }
+
+  /** Run the curation pipeline over a documents frame (doc_id, text,
+    * lang, ...). Output: (doc_id, lang, n_tokens, q_e4) for every
+    * surviving document.
+    */
+  def run(df: DataFrame, cfg: CurationConfig,
+          idCol: String = "doc_id", textCol: String = "text",
+          langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(df, textCol)
+      .select(col(idCol), col(langCol), col("q_score"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val gated0 = cfg.minQuality.fold(scored)(q =>
+      scored.filter(col("q_score") >= q))
+    val gated = cfg.langs.fold(gated0)(ls =>
+      gated0.filter(col(langCol).isin(ls: _*)))
+    val floored = (cfg.lengthFloorNum, cfg.lengthFloorDen) match {
+      case (Some(n), Some(d)) => Sampling.quantileFloor(gated, "n_tokens", n, d)
+      case _ => gated
+    }
+    val sampled = cfg.temperatureAlpha.fold(floored)(a =>
+      Sampling.temperatureSample(floored, langCol, a, idCol))
+    val filled = cfg.budgetPerLang.fold(sampled) { budget =>
+      val w = Window.partitionBy(langCol)
+        .orderBy(col("q_score").desc, col(idCol))
+      sampled.withColumn("__cum_before",
+          sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .filter(col("__cum_before") < budget)
+        .drop("__cum_before")
+    }
+    filled.select(col(idCol), col(langCol), col("n_tokens"),
+      round(col("q_score") * 10000).cast("long").as("q_e4"))
+  }
+}

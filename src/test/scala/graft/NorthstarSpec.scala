@@ -571,6 +571,74 @@ class SamplingSpec extends SparkSpecBase {
   }
 }
 
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.northstar.Curation
+
+  test("parseConfig: full and empty forms") {
+    val cfg = Curation.parseConfig(
+      """{"min_quality": 0.5, "langs": ["en","de"], "length_floor": "3/10",
+        |"temperature_alpha": 0.5, "budget_per_lang": 2000}""".stripMargin)
+    assert(cfg.minQuality.contains(0.5))
+    assert(cfg.langs.contains(Seq("en", "de")))
+    assert((cfg.lengthFloorNum, cfg.lengthFloorDen) == (Some(3L), Some(10L)))
+    assert(cfg.temperatureAlpha.contains(0.5))
+    assert(cfg.budgetPerLang.contains(2000L))
+    val empty = Curation.parseConfig("{}")
+    assert(empty == Curation.CurationConfig())
+  }
+
+  private val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("empty config is the identity selection") {
+    val out = Curation.run(docs, Curation.CurationConfig())
+    assert(out.count() == docs.count())
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "n_tokens", "q_e4"))
+  }
+
+  test("stages compose: gates enforced, budget bounded, deterministic rerun") {
+    val cfg = Curation.parseConfig(
+      """{"min_quality": 0.5, "langs": ["en","de"], "length_floor": "1/10",
+        |"temperature_alpha": 0.5, "budget_per_lang": 1000}""".stripMargin)
+    val out = Curation.run(docs, cfg).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._4 >= 5000), "quality gate: q_e4 >= 5000")
+    assert(out.map(_._2).toSet.subsetOf(Set("en", "de")), "language gate")
+    // budget: per-lang tokens minus the (admitted) boundary doc stay
+    // under the budget — greedy fill admits the doc that crosses it
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val toks = rows.map(_._3).sum
+      assert(toks - rows.map(_._3).max < 1000,
+        s"$lang cumulative-before must be < budget, total $toks")
+    }
+    val again = Curation.run(docs, cfg).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("length floor derives from the gated survivors, not the raw corpus") {
+    // all-'z' docs fail the quality gate (mean token length 2 < 3, no
+    // stopwords); among the 23 gated survivors
+    // k = ceil(23/10) = 3, so the floor lands exactly on the three
+    // 10-token docs — they are dropped even though raw-corpus
+    // percentiles (41 docs, k=5) would put the threshold elsewhere
+    val fixture = (
+      (1L to 20L).map(i => (i, "the and of to in is it that for with " * 5, "en")) ++
+      (21L to 23L).map(i => (i, "the and of to in is it that for with", "en")) ++
+      (24L to 41L).map(i => (i, "z " * 2, "en"))
+    ).toDF("doc_id", "text", "lang")
+    val cfg = Curation.CurationConfig(minQuality = Some(0.5),
+      lengthFloorNum = Some(1L), lengthFloorDen = Some(10L))
+    val kept = Curation.run(fixture, cfg).collect().map(_.getLong(0)).toSet
+    assert(!kept.exists(id => id >= 24L), "low-quality docs gated out")
+    assert(Set(21L, 22L, 23L).forall(!kept.contains(_)),
+      "shortest decile of the GATED set dropped")
+    assert(kept == (1L to 20L).toSet)
+  }
+}
+
 class DecontamSpec extends SparkSpecBase {
   import spark.implicits._
 
