@@ -251,4 +251,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
     assert(!p.contains("Join"), "pair counting must be join-free")
   }
+
+  test("curation pipeline: one composed plan, stats ride broadcasts, no sort-merge or cartesian") {
+    val p = planOf("ns_curation_config")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the data path is scanned per derived-statistic branch but every
+    // join back is a broadcast (threshold, rates) — keyed exchanges stay
+    // bounded by the stage count
+    assert(shuffles(p) <= 6, s"expected <=6 keyed shuffles, got ${shuffles(p)}:\n${p.take(1200)}")
+  }
 }
