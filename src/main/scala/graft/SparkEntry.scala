@@ -612,6 +612,16 @@ object SparkEntry {
           |"budget_per_lang": 3000}""".stripMargin)
       graft.northstar.Curation.run(t(s, dir, "documents"), cfg)
     }),
+    // the same pipeline's stage-survivor funnel: docs + tokens through
+    // each curation stage, the observability row logged beside a
+    // nightly run's output
+    "ns_curation_funnel" -> ((s, dir) => {
+      val cfg = graft.northstar.Curation.parseConfig(
+        """{"min_quality": 0.5, "langs": ["de", "en", "es", "fr"],
+          |"length_floor": "1/10", "temperature_alpha": 0.5,
+          |"budget_per_lang": 3000}""".stripMargin)
+      graft.northstar.Curation.funnel(t(s, dir, "documents"), cfg)
+    }),
     // greedy token-budget mixture fill: per language, admit best-quality
     // documents first (q_score desc, doc_id ties) until the stratum's
     // token budget is reached — per-stratum windows, parallel across
@@ -1528,6 +1538,62 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens,
         |  CAST(round(q_score * 10000) AS BIGINT) AS q_e4
         |FROM fill WHERE cb < 3000""".stripMargin,
+    // identical stage CTEs, reduced to per-stage doc/token counts
+    "ns_curation_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |                  AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |             THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score
+        |  FROM f),
+        |gated AS (
+        |  SELECT * FROM g
+        |  WHERE q_score >= 0.5 AND lang IN ('de', 'en', 'es', 'fr')),
+        |h AS (SELECT n_tokens AS v, count(*) AS c FROM gated GROUP BY 1),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER () AS n
+        |  FROM h),
+        |thr AS (SELECT min(v) AS thr FROM cum WHERE cum * 10 >= n),
+        |fl AS (SELECT gated.* FROM gated CROSS JOIN thr WHERE n_tokens > thr),
+        |c2 AS (SELECT lang, count(*) AS c FROM fl GROUP BY 1),
+        |m2 AS (SELECT min(c) AS cmin FROM c2),
+        |r2 AS (SELECT lang, sqrt(CAST(cmin AS DOUBLE) / c) AS rate
+        |       FROM c2 CROSS JOIN m2),
+        |sam AS (
+        |  SELECT fl.* FROM fl JOIN r2 USING (lang)
+        |  WHERE doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 < rate),
+        |fill AS (
+        |  SELECT doc_id, lang, n_tokens, q_score,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+        |  FROM sam),
+        |sel AS (SELECT * FROM fill WHERE cb < 3000)
+        |SELECT
+        |  (SELECT count(*) FROM g) AS n_input,
+        |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM g) AS tok_input,
+        |  (SELECT count(*) FROM gated) AS n_gated,
+        |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM gated) AS tok_gated,
+        |  (SELECT count(*) FROM fl) AS n_floored,
+        |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM fl) AS tok_floored,
+        |  (SELECT count(*) FROM sam) AS n_sampled,
+        |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM sam) AS tok_sampled,
+        |  (SELECT count(*) FROM sel) AS n_selected,
+        |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM sel) AS tok_selected""".stripMargin,
     // q_score CTE identical to the ns_quality oracle; greedy admission
     // replayed by the same per-lang cumulative window
     "ns_budget_fill" ->

@@ -24,7 +24,9 @@ import scala.jdk.CollectionConverters._
   * 1-row/stratum-row sides, nothing materializes between stages — and
   * every decision is deterministic integer/hash arithmetic, so an
   * external SQL engine can replay the full pipeline (see the
-  * `ns_curation_config` oracle).
+  * `ns_curation_config` oracle). At 100 TB, persist the scored frame
+  * before the fan-out if the repeated text-kernel scan matters (same
+  * tradeoff note as TextAnalysis.tfIdf).
   */
 object Curation {
 
@@ -60,13 +62,11 @@ object Curation {
       budgetPerLang = Option(root.get("budget_per_lang")).map(_.asLong()))
   }
 
-  /** Run the curation pipeline over a documents frame (doc_id, text,
-    * lang, ...). Output: (doc_id, lang, n_tokens, q_e4) for every
-    * surviving document.
+  /** The five stage frames (input, gated, floored, sampled, selected),
+    * lazily composed; shared by [[run]] and [[funnel]].
     */
-  def run(df: DataFrame, cfg: CurationConfig,
-          idCol: String = "doc_id", textCol: String = "text",
-          langCol: String = "lang"): DataFrame = {
+  private def stages(df: DataFrame, cfg: CurationConfig, idCol: String,
+                     textCol: String, langCol: String): Seq[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val scored = TextAnalysis.qualityScore(df, textCol)
       .select(col(idCol), col(langCol), col("q_score"),
@@ -89,7 +89,34 @@ object Curation {
         .filter(col("__cum_before") < budget)
         .drop("__cum_before")
     }
-    filled.select(col(idCol), col(langCol), col("n_tokens"),
-      round(col("q_score") * 10000).cast("long").as("q_e4"))
+    Seq(scored, gated, floored, sampled, filled)
+  }
+
+  /** Run the curation pipeline over a documents frame (doc_id, text,
+    * lang, ...). Output: (doc_id, lang, n_tokens, q_e4) for every
+    * surviving document.
+    */
+  def run(df: DataFrame, cfg: CurationConfig,
+          idCol: String = "doc_id", textCol: String = "text",
+          langCol: String = "lang"): DataFrame =
+    stages(df, cfg, idCol, textCol, langCol).last
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        round(col("q_score") * 10000).cast("long").as("q_e4"))
+
+  /** Stage-survivor funnel for the same pipeline: how many documents
+    * (and tokens) survive each curation stage — the observability row a
+    * nightly run logs next to its output. One row; each stage count is
+    * an independent aggregate branch of the shared lazy stage frames.
+    */
+  def funnel(df: DataFrame, cfg: CurationConfig,
+             idCol: String = "doc_id", textCol: String = "text",
+             langCol: String = "lang"): DataFrame = {
+    val names = Seq("input", "gated", "floored", "sampled", "selected")
+    stages(df, cfg, idCol, textCol, langCol).zip(names)
+      .map { case (d, name) =>
+        d.agg(count(lit(1)).as(s"n_$name"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as(s"tok_$name"))
+      }
+      .reduce(_ crossJoin _)
   }
 }

@@ -618,6 +618,18 @@ class CurationSpec extends SparkSpecBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("funnel: stage counts are monotone non-increasing and match run()'s output") {
+    val cfg = Curation.parseConfig(
+      """{"min_quality": 0.5, "langs": ["en","de"], "length_floor": "1/10",
+        |"temperature_alpha": 0.5, "budget_per_lang": 1000}""".stripMargin)
+    val row = Curation.funnel(docs, cfg).collect()(0)
+    val ns = Seq("n_input", "n_gated", "n_floored", "n_sampled", "n_selected")
+      .map(n => row.getLong(row.fieldIndex(n)))
+    assert(ns == ns.sorted.reverse, s"stage counts must not increase: $ns")
+    assert(ns.head == docs.count())
+    assert(ns.last == Curation.run(docs, cfg).count())
+  }
+
   test("length floor derives from the gated survivors, not the raw corpus") {
     // all-'z' docs fail the quality gate (mean token length 2 < 3, no
     // stopwords); among the 23 gated survivors
