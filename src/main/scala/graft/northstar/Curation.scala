@@ -103,6 +103,83 @@ object Curation {
       .select(col(idCol), col(langCol), col("n_tokens"),
         round(col("q_score") * 10000).cast("long").as("q_e4"))
 
+  /** The deployable artifact of a batch curation run: every data-derived
+    * statistic frozen to plain values — the length-floor threshold and
+    * the per-language temperature rates. Gates become pure per-row
+    * predicates, so [[serve]] can apply them to a STREAM (the
+    * "nightly-train, continuously-serve" split, mirroring
+    * TextAnalysis.lmHead / scoreWithLm). The budget-fill stage is
+    * deliberately absent: admission under a cumulative budget is a
+    * batch decision, not a per-row one.
+    */
+  case class FrozenCuration(
+      minQuality: Option[Double],
+      langs: Option[Seq[String]],
+      lengthThreshold: Option[Long],
+      rates: Option[Map[String, Double]])
+
+  /** Freeze a config's data-derived statistics from a batch corpus.
+    * Driver collects are bounded: one scalar threshold + one row per
+    * language.
+    */
+  def freeze(df: DataFrame, cfg: CurationConfig,
+             idCol: String = "doc_id", textCol: String = "text",
+             langCol: String = "lang"): FrozenCuration = {
+    val Seq(_, gated, _, _, _) =
+      stages(df, cfg, idCol, textCol, langCol)
+    val thr = (cfg.lengthFloorNum, cfg.lengthFloorDen) match {
+      case (Some(n), Some(d)) =>
+        // the exact k-th-smallest cut the batch floor used — NOT derived
+        // from the kept set's minimum, which would misplace stream
+        // values absent from the training corpus
+        Some(Sampling.quantileThresholdFrame(gated, "n_tokens", n, d)
+          .first() match {
+            case r if r.isNullAt(0) => Long.MaxValue // empty input
+            case r => r.getLong(0)
+          })
+      case _ => None
+    }
+    val rates = cfg.temperatureAlpha.map { a =>
+      val counts = (thr match {
+          case Some(t) => gated.filter(col("n_tokens") > t)
+          case None => gated
+        }).groupBy(langCol).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val cmin = counts.map(_._2).min.toDouble
+      counts.map { case (l, c) =>
+        l -> (if (a == 0.5) math.sqrt(cmin / c)
+              else math.pow(cmin / c, 1.0 - a))
+      }.toMap
+    }
+    FrozenCuration(cfg.minQuality, cfg.langs, thr, rates)
+  }
+
+  /** Apply a frozen curation policy as a stateless narrow pass — no
+    * aggregates, no joins, no state; runs unchanged on a streaming
+    * frame. Unseen languages (absent from the frozen rates) are dropped:
+    * the policy has no admission rate for them.
+    */
+  def serve(df: DataFrame, frozen: FrozenCuration,
+            idCol: String = "doc_id", textCol: String = "text",
+            langCol: String = "lang"): DataFrame = {
+    val scored = TextAnalysis.qualityScore(df, textCol)
+      .select(col(idCol), col(langCol), col("q_score"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val q = frozen.minQuality.fold(scored)(x =>
+      scored.filter(col("q_score") >= x))
+    val l = frozen.langs.fold(q)(ls => q.filter(col(langCol).isin(ls: _*)))
+    val f = frozen.lengthThreshold.fold(l)(t =>
+      l.filter(col("n_tokens") > t))
+    val s = frozen.rates.fold(f) { rs =>
+      val rate = rs.foldLeft(lit(-1.0)) { case (acc, (k, v)) =>
+        when(col(langCol) === k, lit(v)).otherwise(acc)
+      }
+      f.filter(Sampling.hashUnit(col(idCol)) < rate)
+    }
+    s.select(col(idCol), col(langCol), col("n_tokens"),
+      round(col("q_score") * 10000).cast("long").as("q_e4"))
+  }
+
   /** Stage-survivor funnel for the same pipeline: how many documents
     * (and tokens) survive each curation stage — the observability row a
     * nightly run logs next to its output. One row; each stage count is

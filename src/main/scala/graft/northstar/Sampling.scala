@@ -124,7 +124,17 @@ object Sampling {
     * approx_percentile.) The 1-row threshold is broadcast back.
     */
   def quantileFloor(df: DataFrame, valueCol: String,
-                    num: Long = 1, den: Long = 10): DataFrame = {
+                    num: Long = 1, den: Long = 10): DataFrame =
+    df.crossJoin(broadcast(quantileThresholdFrame(df, valueCol, num, den)))
+      .filter(col(valueCol) > col("__thr"))
+      .select(df.columns.map(col): _*)
+
+  /** The [[quantileFloor]] cut as a 1-row frame (`__thr` = the k-th
+    * smallest value, k = ceil(n*num/den)) — also the freezable artifact
+    * for serving the same cut statelessly (Curation.freeze).
+    */
+  def quantileThresholdFrame(df: DataFrame, valueCol: String,
+                             num: Long, den: Long): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"need 0 < $num/$den <= 1")
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(valueCol).agg(count(lit(1)).as("__c"))
@@ -132,16 +142,12 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // k-th smallest value, k = ceil(n*num/den): smallest v with
-    // cum(v) >= k  ⟺  den*cum >= num*n  (integer-exact)
-    val thr = hist
+    // smallest v with cum(v) >= k  ⟺  den*cum >= num*n  (integer-exact)
+    hist
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
       .filter(col("__cum") * den >= col("__n") * num)
       .agg(min(col(valueCol)).as("__thr"))
-    df.crossJoin(broadcast(thr))
-      .filter(col(valueCol) > col("__thr"))
-      .select(df.columns.map(col): _*)
   }
 
   /** Deterministic epoch-order shuffle for training-data serving: every

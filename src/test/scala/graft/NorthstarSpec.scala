@@ -630,6 +630,31 @@ class CurationSpec extends SparkSpecBase {
     assert(ns.last == Curation.run(docs, cfg).count())
   }
 
+  test("freeze/serve reproduces the batch pipeline exactly (budget stage excluded by design)") {
+    val cfg = Curation.parseConfig(
+      """{"min_quality": 0.5, "langs": ["en","de","fr","es"],
+        |"length_floor": "1/10", "temperature_alpha": 0.5}""".stripMargin)
+    val frozen = Curation.freeze(docs, cfg)
+    assert(frozen.lengthThreshold.nonEmpty && frozen.rates.nonEmpty)
+    // every frozen rate is a valid Bernoulli rate with max 1 (smallest
+    // stratum keeps everything)
+    val rates = frozen.rates.get
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    assert(rates.values.max == 1.0)
+    val served = Curation.serve(docs, frozen).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Curation.run(docs, cfg).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(served == batch && batch.nonEmpty)
+  }
+
+  test("serve drops languages absent from the frozen rates") {
+    val frozen = Curation.FrozenCuration(None, None, None,
+      Some(Map("en" -> 1.0)))
+    val out = Curation.serve(docs, frozen).collect().map(_.getString(1)).toSet
+    assert(out == Set("en"))
+  }
+
   test("length floor derives from the gated survivors, not the raw corpus") {
     // all-'z' docs fail the quality gate (mean token length 2 < 3, no
     // stopwords); among the 23 gated survivors

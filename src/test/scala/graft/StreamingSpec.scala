@@ -171,6 +171,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.forall { case (_, _, lp) => lp < 0 && !lp.isNaN })
   }
 
+  test("frozen curation policy serves a stream and matches the batch application") {
+    import graft.northstar.Curation
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$src/docs.parquet")
+    val batchDocs = spark.read.parquet(s"$src/docs.parquet")
+    val cfg = Curation.parseConfig(
+      """{"min_quality": 0.5, "langs": ["en","de","fr","es"],
+        |"length_floor": "1/10", "temperature_alpha": 0.5}""".stripMargin)
+    val frozen = Curation.freeze(batchDocs, cfg)
+    val schema = batchDocs.schema
+    val q = Curation.serve(
+        IncrementalStream.readTableStream(spark, src, "docs", schema), frozen)
+      .writeStream.format("memory").queryName("cur_serve_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cur_serve_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Curation.serve(batchDocs, frozen).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("batch session_window and streaming sessionize agree on a replayed fixture") {
     import org.apache.spark.sql.functions._
     val src = tmp(); val ckpt = tmp()
