@@ -176,6 +176,38 @@ object ScaleProbe {
         replicate(docs1, 10, "doc_id", 1000000L)).count()
     }
     println(f"[scale] packSequences 10x-data ratio   ${pk10 / pk1}%.1fx (linear-ish expected)")
+    // vocab growth: the explode-heaviest new op (one row per distinct
+    // (doc, 3-gram)); both keyed shuffles get map-side partials, the
+    // cumsum window input stays bucket-count rows at any corpus size
+    val vg1 = timed("vocabGrowth 5k docs (1x)") {
+      TextAnalysis.vocabGrowth(docs1,
+        floor(col("doc_id") / 50).cast("long"), ngram = 3).count()
+    }
+    val vg10 = timed("vocabGrowth 50k docs (10x)") {
+      TextAnalysis.vocabGrowth(replicate(docs1, 10, "doc_id", 1000000L),
+        floor(col("doc_id") / 50).cast("long"), ngram = 3).count()
+    }
+    println(f"[scale] vocabGrowth 10x-data ratio     ${vg10 / vg1}%.1fx (linear-ish expected)")
+    // oov stats: wordcount shuffle + K-row broadcast; the vocab side is
+    // constant-size regardless of corpus growth
+    val ov1 = timed("oovStats 5k docs (1x)") {
+      TextAnalysis.oovStats(docs1, topK = 100).count()
+    }
+    val ov10 = timed("oovStats 50k docs (10x)") {
+      TextAnalysis.oovStats(
+        replicate(docs1, 10, "doc_id", 1000000L), topK = 100).count()
+    }
+    println(f"[scale] oovStats 10x-data ratio        ${ov10 / ov1}%.1fx (linear-ish expected)")
+    // source cap: one row_number window partitioned by source
+    import graft.northstar.Curation
+    val sc1 = timed("sourceCap 5k docs (1x)") {
+      Curation.sourceCap(docs1, cap = 15).count()
+    }
+    val sc10 = timed("sourceCap 50k docs (10x)") {
+      Curation.sourceCap(
+        replicate(docs1, 10, "doc_id", 1000000L), cap = 15).count()
+    }
+    println(f"[scale] sourceCap 10x-data ratio       ${sc10 / sc1}%.1fx (linear-ish expected)")
 
     val emb = replicate(Tables.table(spark, dir, "embeddings"), 5, "vec_id", 1000000L)
     timed("lshTopK 10k corpus, 50 queries") {

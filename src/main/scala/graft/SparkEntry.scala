@@ -660,6 +660,20 @@ object SparkEntry {
         .filter(length(col("term")) >= 1)
         .groupBy("term").agg(count(lit(1)).as("freq"))
         .groupBy("freq").agg(count(lit(1)).as("n_terms"))),
+    // Heaps-law vocabulary growth by corpus slice (50-doc ingest
+    // buckets): new distinct terms per bucket + cumulative vocabulary —
+    // the does-more-data-still-buy-vocabulary saturation curve, over
+    // word-3-gram phrase vocabulary (unigram vocab saturates in the
+    // first bucket). Distinct BEFORE explode, two keyed shuffles, cumsum
+    // over bucket-count rows
+    "ns_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"),
+        floor(col("doc_id") / 50).cast("long"), ngram = 3)),
+    // tokenizer coverage: per-doc token instances a frozen top-100
+    // vocabulary would miss (OOV count). Vocab = top-K by corpus
+    // frequency, term tiebreak; K-row broadcast against the token stream
+    "ns_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovStats(t(s, dir, "documents"), topK = 100)),
     // cross-source contamination matrix: distinct word-3-grams shared
     // between each pair of crawl sources (the source-granular form of
     // benchmark decontamination). JOIN-FREE shape: one aggregate to the
@@ -718,6 +732,14 @@ object SparkEntry {
       scored.join(broadcast(reputable), Seq("source"))
         .select(col("doc_id"), col("source"), col("src_q_sum_e4"),
           col("n_docs"))
+    }),
+    // per-source document cap (the C4/RefinedWeb domain-cap step): no
+    // source may contribute more than K docs; keep the longest, doc_id
+    // tiebreak. One row_number window = one shuffle on source
+    "ns_source_cap" -> ((s, dir) => {
+      import graft.northstar.Curation
+      Curation.sourceCap(t(s, dir, "documents"), cap = 15)
+        .select("doc_id", "source", "n_chars")
     }),
     // corpus health report: per-language doc/token/quality rollup — the
     // dashboard a corpus build publishes nightly. One narrow scoring pass
@@ -1645,6 +1667,42 @@ object SparkEntry {
         |freqs AS (SELECT term, count(*) AS freq FROM terms GROUP BY 1)
         |SELECT freq, count(*) AS n_terms FROM freqs GROUP BY freq""".stripMargin,
     // same 3-gram shingle construction as the ns_jaccard_pairs /
+    // ns_source_overlap oracles
+    "ns_vocab_growth" ->
+      """WITH w AS (
+        |  SELECT doc_id // 50 AS bucket,
+        |    string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |terms AS (
+        |  SELECT DISTINCT bucket, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(1, len(w) - 2)),
+        |    i -> array_to_string(w[i:least(i + 2, len(w))], ' ')))) AS term
+        |  FROM w),
+        |first_seen AS (
+        |  SELECT term, min(bucket) AS bucket FROM terms
+        |  WHERE len(term) >= 1 GROUP BY term),
+        |growth AS (
+        |  SELECT bucket, count(*) AS new_terms FROM first_seen GROUP BY bucket)
+        |SELECT bucket, new_terms,
+        |  CAST(sum(new_terms) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM growth""".stripMargin,
+    "ns_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, 1 AS in_vocab FROM (
+        |    SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        |    ORDER BY cnt DESC, term LIMIT 100)),
+        |j AS (SELECT t.doc_id, v.in_vocab FROM toks t
+        |      LEFT JOIN vocab v USING (term))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // same 3-gram shingle construction as the ns_jaccard_pairs /
     // ns_decontam oracles
     "ns_source_overlap" ->
       """WITH w AS (
@@ -1765,6 +1823,13 @@ object SparkEntry {
         |SELECT g.doc_id, g.source, src.src_q_sum_e4, src.n_docs
         |FROM g JOIN src ON g.source = src.source
         |WHERE src.src_q_sum_e4 >= 8600 * src.n_docs""".stripMargin,
+    "ns_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
     // same f/g fragments as ns_curation, rolled up per language
     "ns_corpus_report" ->
       """WITH f AS (

@@ -1,7 +1,7 @@
 package graft.northstar
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -178,6 +178,33 @@ object Curation {
     }
     s.select(col(idCol), col(langCol), col("n_tokens"),
       round(col("q_score") * 10000).cast("long").as("q_e4"))
+  }
+
+  /** Per-source document cap — the C4/RefinedWeb "domain cap" curation
+    * step: no single source (domain, crawl host, feed) may contribute
+    * more than `cap` documents, so a few mega-domains can't dominate the
+    * training mixture the way raw web frequency would make them. Keeps
+    * the `cap` BEST documents per source, "best" = the given ordering
+    * (default: longest `n_chars` first, `doc_id` as the deterministic
+    * tiebreak so reruns and external replays pick identical survivors).
+    *
+    * Shape: ONE window (row_number partitioned by source) = one shuffle
+    * on the source key. At 100 TB the partition count is the domain
+    * count (millions), so partitions stay small; a single pathological
+    * mega-domain skews its one partition, but the window only needs the
+    * top `cap` rows — if that ever matters, pre-filter with a capped
+    * groupBy-count semi-join before the window. No collect, no driver
+    * state.
+    */
+  def sourceCap(df: DataFrame, cap: Int, sourceCol: String = "source",
+                orderBy: Seq[Column] = Seq(col("n_chars").desc,
+                  col("doc_id").asc)): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol)).orderBy(orderBy: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
   }
 
   /** Stage-survivor funnel for the same pipeline: how many documents

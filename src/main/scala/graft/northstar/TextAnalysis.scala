@@ -327,6 +327,75 @@ object TextAnalysis {
           e => e.getField(textCol)), sep).as("packed"))
   }
 
+  /** Heaps-law vocabulary-growth curve: how many NEW distinct terms each
+    * corpus slice (bucket) contributes, and the cumulative vocabulary
+    * size — the saturation diagnostic a corpus build watches to decide
+    * whether more crawl data still buys new vocabulary (sub-linear
+    * growth = diminishing returns). Buckets are any caller expression
+    * (ingest day, doc_id decile, crawl snapshot); a term is charged to
+    * the EARLIEST bucket containing it.
+    *
+    * Shape: per-document `array_distinct` BEFORE the explode (the shuffle
+    * carries at most one row per (doc, term)), then a term-keyed min
+    * aggregate (one shuffle, map-side partial), then a bucket-keyed
+    * count (second shuffle, bucket-cardinality-sized). The cumulative
+    * sum is a single-partition window — safe because its input is one
+    * row PER BUCKET (days/deciles, not documents) at any corpus size.
+    * Output: (bucket, new_terms, cum_vocab) ordered by bucket.
+    */
+  def vocabGrowth(df: DataFrame, bucket: Column,
+                  textCol: String = "text",
+                  minTermLen: Int = 1, ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ngram > 1 measures PHRASE vocabulary (word n-gram shingles, the
+    // Dedup.shingles kernel) — unigram vocab saturates almost immediately
+    // on any real corpus, n-grams keep discriminating much deeper
+    val terms =
+      if (ngram <= 1) split(lower(col(textCol)), "\\W+")
+      else graft.functions.texthash.shingles(col(textCol), ngram)
+    val firstSeen = df.select(bucket.as("bucket"),
+        explode(array_distinct(terms)).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy("term").agg(min(col("bucket")).as("first_bucket"))
+    firstSeen.groupBy(col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_vocab",
+        sum(col("new_terms")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Out-of-vocabulary statistics against a frozen top-`topK` corpus
+    * vocabulary — the tokenizer-coverage metric: what fraction of each
+    * document's token INSTANCES a vocab of the K most frequent terms
+    * would miss. High OOV rate flags the documents a fixed vocab (or
+    * BPE merge table) serves worst. Ties at the vocabulary boundary
+    * break by term, so the cap is deterministic and externally
+    * replayable.
+    *
+    * Shape: term counts (one wordcount-shaped shuffle) → top-K cap
+    * (TakeOrdered, no full sort) → the vocab frame is K rows, BROADCAST
+    * to a left join against the exploded token stream → one final
+    * groupBy on the doc id. Output: one row per non-blank document,
+    * all-integer (n_tokens, n_oov). At 100 TB the vocab side stays K
+    * rows regardless of corpus size; the token explode is the same
+    * shape every wordcount already survives.
+    */
+  def oovStats(df: DataFrame, topK: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = df.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(length(col("term")) >= 1)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topK)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** One frame with all per-document text-analysis columns. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityScore(df, textCol)

@@ -286,6 +286,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fps(0).matches("[0-9a-f]{32}"))
   }
 
+  test("vocabGrowth: terms charged to earliest bucket, cumulative curve exact") {
+    val df = Seq(
+      (0L, "a b a"), (0L, "b c"), (1L, "c d"), (2L, "a e"),
+    ).toDF("b", "text")
+    val out = TextAnalysis.vocabGrowth(df, $"b").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("new_terms"),
+        r.getAs[Long]("cum_vocab"))).sortBy(_._1)
+    // a,b,c first seen in bucket 0; d in 1; e in 2
+    assert(out.toSeq == Seq((0L, 3L, 3L), (1L, 1L, 4L), (2L, 1L, 5L)))
+  }
+
+  test("oovStats: frozen top-K vocab, instance-level OOV counts, blanks dropped") {
+    val df = Seq(
+      (1L, "a a b x"), (2L, "a b y"), (3L, "b z z"), (4L, ""),
+    ).toDF("doc_id", "text")
+    // counts: a=3 b=3 z=2 x=1 y=1 → top-2 (cnt desc, term asc) = {a, b}
+    val out = TextAnalysis.oovStats(df, topK = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov")))).toMap
+    assert(out == Map(1L -> ((4L, 1L)), 2L -> ((3L, 1L)), 3L -> ((3L, 2L))))
+  }
+
   test("text_stats kernel matches the column formulations on edge cases") {
     import org.apache.spark.sql.functions.{get, length, lit}
     val df = Seq(
@@ -616,6 +638,24 @@ class CurationSpec extends SparkSpecBase {
     val again = Curation.run(docs, cfg).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSet == again.toSet)
+  }
+
+  test("sourceCap: per-source cap enforced, longest-first with doc_id tiebreak") {
+    val df = Seq(
+      (1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L), (4L, "s1", 5L),
+      (5L, "s2", 7L),
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Curation.sourceCap(df, cap = 2).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // s1 keeps the two longest (20,20) with doc_id breaking the tie; s2 all
+    assert(out == Set(2L, 3L, 5L))
+    // cap respected on the real table, deterministic rerun
+    val capped = Curation.sourceCap(docs, cap = 3)
+    val bySrc = capped.groupBy("source").count().collect()
+      .map(_.getLong(1))
+    assert(bySrc.forall(_ <= 3))
+    assert(capped.collect().map(_.getLong(0)).toSet ==
+      Curation.sourceCap(docs, cap = 3).collect().map(_.getLong(0)).toSet)
   }
 
   test("funnel: stage counts are monotone non-increasing and match run()'s output") {

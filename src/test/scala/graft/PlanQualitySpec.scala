@@ -252,6 +252,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "pair counting must be join-free")
   }
 
+  test("source cap: one keyed shuffle for the per-source window, no join") {
+    val p = planOf("ns_source_cap")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n${p.take(800)}")
+    assert(!p.contains("Join"), "source cap must be join-free")
+  }
+
+  test("vocab growth: distinct-before-explode, two keyed shuffles + bucket-rows window only") {
+    val p = planOf("ns_vocab_growth")
+    assert(!p.contains("Join"), "vocab growth must be join-free")
+    // term min-agg + bucket count-agg + single-partition cumsum window
+    // (its input is one row per bucket, so the single partition is safe)
+    assert(shuffles(p) <= 3, s"expected <=3 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
+  }
+
+  test("oov stats: K-row vocab broadcast against the token stream, never sort-merged") {
+    val p = planOf("ns_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("curation pipeline: one composed plan, stats ride broadcasts, no sort-merge or cartesian") {
     val p = planOf("ns_curation_config")
     assert(!p.contains("SortMergeJoin"), p.take(800))
