@@ -209,6 +209,23 @@ object ScaleProbe {
     }
     println(f"[scale] sourceCap 10x-data ratio       ${sc10 / sc1}%.1fx (linear-ish expected)")
 
+    // bloom decontamination: filter built ONCE from the benchmark slice;
+    // the probe is a narrow per-row pass, so wall time tracks corpus
+    // size only (the artifact is corpus-size-independent)
+    val bench = docs1.filter(col("doc_id") % 97 === 0)
+    val bloomBytes = Dedup.benchmarkBloom(bench)
+    println(f"[scale] bloom artifact size            ${bloomBytes.length}%d bytes")
+    val bd1 = timed("bloomDecontam 5k docs (1x)") {
+      Dedup.decontaminateBloom(docs1, bloomBytes)
+        .filter(col("bloom_gram_hits") === 0).count()
+    }
+    val bd10 = timed("bloomDecontam 50k docs (10x)") {
+      Dedup.decontaminateBloom(
+        replicate(docs1, 10, "doc_id", 1000000L), bloomBytes)
+        .filter(col("bloom_gram_hits") === 0).count()
+    }
+    println(f"[scale] bloomDecontam 10x-data ratio   ${bd10 / bd1}%.1fx (linear-ish expected)")
+
     val emb = replicate(Tables.table(spark, dir, "embeddings"), 5, "vec_id", 1000000L)
     timed("lshTopK 10k corpus, 50 queries") {
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 10).count()

@@ -967,6 +967,19 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0))
     }),
+    // the 100 TB decontamination shape: benchmark grams frozen into a
+    // Bloom filter (treeAggregate build, ~1.2 B/gram), corpus screened
+    // by a PURE NARROW probe — no join, no shuffle, no broadcast set.
+    // Rows-only (the filter's bit layout has no DuckDB analogue); its
+    // exact companion ns_decontam is hash-checked, and DecontamSpec pins
+    // the one-sided-error contract (bloom hits ⊇ exact hits, zero false
+    // negatives) plus fpp quality on the clean side
+    "ns_decontam_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val bloom = Dedup.benchmarkBloom(d.filter(col("doc_id") % 97 === 0))
+      Dedup.decontaminateBloom(d.filter(col("doc_id") % 97 =!= 0), bloom)
+        .select("doc_id", "bloom_gram_hits")
+    }),
     "ns_minhash_pairs" -> ((s, dir) =>  // rows-only: hash family not in DuckDB
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)),
     // THE flagship end-to-end corpus dedup: collapseByPairs ∘ minhashPairs

@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter membership kernels: the scale path for decontamination
+  * when the reference set outgrows a broadcast hash set. A Bloom filter
+  * of m items at 1% false-positive rate is ~1.2 bytes/item — 100M
+  * benchmark grams ride in ~120 MB where the exact gram set (strings +
+  * hash-set overhead) would be tens of GB and force the corpus-side
+  * shuffle of a sort-merge join. Bloom errs one-sided: NO false
+  * negatives, so a contaminated document is never missed; a clean one
+  * is flagged with probability fpp and the broadcast-exact path
+  * ([[graft.northstar.Dedup.benchmarkOverlap]]) re-checks survivors
+  * when exactness matters (sketch screen → exact verify, the same
+  * two-phase shape as minhashPairs' estimate screen).
+  *
+  * Key encoding is pinned to UTF-8 gram bytes on BOTH the build
+  * ([[BloomOps.buildGramBloom]], putBinary) and probe
+  * ([[BloomOps.gramHits]], mightContainBinary) sides — never the
+  * engine-version-dependent putString path.
+  */
+object BloomOps {
+
+  /** Number of the text's word n-gram shingles (the
+    * [[TextOps.shingles]] kernel, same construction as minhash/decontam)
+    * that hit the filter. One tokenization pass per row; no per-row
+    * deserialization — the filter is a plan-reference object.
+    */
+  def gramHits(s: UTF8String, bloom: BloomFilter, n: Int): Int = {
+    val grams = TextOps.shingles(s, n)
+    var hits = 0
+    var i = 0
+    val m = grams.numElements()
+    while (i < m) {
+      if (bloom.mightContainBinary(grams.getUTF8String(i).getBytes)) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  def serialize(bloom: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+}
+
+/** bloom_gram_hits(text) → int: count of the text's word n-gram shingles
+  * present (maybe — one-sided fpp) in the frozen Bloom filter. The
+  * deserialized filter rides into generated code as a reference object
+  * (one instance per plan, serialized once to each executor), so the hot
+  * path is hash-probe-only and stays inside whole-stage codegen.
+  */
+case class BloomGramHits(child: Expression, filterBytes: Array[Byte],
+                         n: Int) extends UnaryExpression {
+  // input: string
+  @transient private lazy val bloom: BloomFilter =
+    BloomOps.deserialize(filterBytes)
+
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    BloomOps.gramHits(v.asInstanceOf[UTF8String], bloom, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramBloom", bloom,
+      classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, v => s"graft.functions.BloomOps.gramHits($v, $ref, $n)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomGramHits =
+    copy(child = newChild)
+}
+
+object bloomops {
+  def bloom_gram_hits(text: Column, filterBytes: Array[Byte],
+                      n: Int = 3): Column =
+    Bridge.column(BloomGramHits(Bridge.expression(text), filterBytes, n))
+}

@@ -215,6 +215,49 @@ object Dedup {
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
   }
 
+  /** Freeze a benchmark's distinct word n-grams into a serialized Bloom
+    * filter — the deployable decontamination artifact for when the gram
+    * set outgrows [[benchmarkOverlap]]'s broadcast hash set (~1.2
+    * bytes/gram at 1% fpp vs tens of bytes/gram for exact strings; 100M
+    * grams ≈ 120 MB). The build is a distributed treeAggregate of
+    * per-partition filters (the sketch-build analogue of Ivf's bounded
+    * driver fit): each task folds its grams into a local filter, merges
+    * combine pairwise up the tree, and only the final ~MB artifact
+    * reaches the driver. Key encoding is pinned to UTF-8 gram bytes
+    * (putBinary), matching [[graft.functions.BloomOps.gramHits]] on the
+    * probe side.
+    */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String = "text",
+                     n: Int = 3, expectedGrams: Long = 1L << 20,
+                     fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val grams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+    val bf = grams.rdd.treeAggregate(BloomFilter.create(expectedGrams, fpp))(
+      (f, g) => {
+        f.putBinary(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f
+      },
+      (a, b) => { a.mergeInPlace(b); a })
+    graft.functions.BloomOps.serialize(bf)
+  }
+
+  /** Probe a corpus against a frozen benchmark Bloom filter from
+    * [[benchmarkBloom]]: every document annotated with the number of its
+    * word n-grams that (maybe) hit the benchmark set. A PURE NARROW pass
+    * — no join, no shuffle, no broadcast set; the filter rides the plan
+    * as a reference object, so this runs unchanged on a streaming frame
+    * (the "screen the incoming crawl against last night's eval suite"
+    * path). One-sided error: `bloom_gram_hits = 0` is PROVABLY clean (no
+    * false negatives); flagged documents are re-checked by the exact
+    * [[benchmarkOverlap]] when the fpp matters — sketch screen → exact
+    * verify, the same two-phase shape as minhashPairs' estimate screen.
+    */
+  def decontaminateBloom(corpus: DataFrame, filterBytes: Array[Byte],
+                         textCol: String = "text", n: Int = 3): DataFrame =
+    corpus.withColumn("bloom_gram_hits",
+      graft.functions.bloomops.bloom_gram_hits(col(textCol), filterBytes, n))
+
   // ------------------------------------------------------- cluster collapse
 
   /** Connected components over an undirected pair list (doc_a, doc_b) →

@@ -731,6 +731,37 @@ class DecontamSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
   }
+
+  test("bloom decontamination: no false negatives vs exact, deterministic, key-encoding pinned") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val bloom = graft.northstar.Dedup.benchmarkBloom(bench)
+    val byBloom = graft.northstar.Dedup.decontaminateBloom(corpus, bloom)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Int]("bloom_gram_hits")).toMap
+    val byExact = graft.northstar.Dedup.benchmarkOverlap(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBloom.keySet == byExact.keySet)
+    // one-sided error: every exact hit must be a bloom hit (a false
+    // negative here means build/probe key encodings diverged)
+    byExact.foreach { case (id, exactHits) =>
+      assert(byBloom(id) >= exactHits,
+        s"doc $id: bloom=${byBloom(id)} < exact=$exactHits — false negative")
+    }
+    // quality: at 1% fpp, clean docs stay overwhelmingly clean
+    val clean = byExact.collect { case (id, 0L) => id }
+    val falsePos = clean.count(id => byBloom(id) > 0)
+    assert(falsePos <= math.max(2, clean.size / 20),
+      s"$falsePos of ${clean.size} clean docs false-flagged")
+    // deterministic: same frozen artifact → identical screen
+    val again = graft.northstar.Dedup.decontaminateBloom(corpus, bloom)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Int]("bloom_gram_hits")).toMap
+    assert(byBloom == again)
+  }
 }
 
 class MultimodalSpec extends SparkSpecBase {

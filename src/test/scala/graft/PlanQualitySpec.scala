@@ -252,6 +252,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "pair counting must be join-free")
   }
 
+  test("bloom decontamination: pure narrow probe — zero shuffles, no join, no broadcast set") {
+    val p = planOf("ns_decontam_bloom")
+    assert(shuffles(p) == 0, s"expected 0 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
+    assert(!p.contains("Join"), "bloom screen must be join-free")
+  }
+
   test("source cap: one keyed shuffle for the per-source window, no join") {
     val p = planOf("ns_source_cap")
     assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n${p.take(800)}")
