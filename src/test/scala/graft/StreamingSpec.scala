@@ -195,6 +195,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("bloom decontamination screens a stream and matches the batch screen") {
+    import graft.northstar.Dedup
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").write.parquet(s"$src/docs.parquet")
+    val batchDocs = spark.read.parquet(s"$src/docs.parquet")
+    // freeze the eval-suite filter offline, screen the incoming crawl
+    // stream with the SAME artifact — stateless narrow plan, no state
+    val bloom = Dedup.benchmarkBloom(batchDocs.filter(col("doc_id") % 97 === 0))
+    val schema = batchDocs.schema
+    val q = Dedup.decontaminateBloom(
+        IncrementalStream.readTableStream(spark, src, "docs", schema), bloom)
+      .select("doc_id", "bloom_gram_hits")
+      .writeStream.format("memory").queryName("bloom_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("bloom_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = Dedup.decontaminateBloom(batchDocs, bloom)
+      .select("doc_id", "bloom_gram_hits").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the benchmark slice itself must self-hit (its grams built the filter)
+    assert(batch.collect { case (id, h) if id % 97 == 0 => h }.forall(_ > 0))
+  }
+
   test("batch session_window and streaming sessionize agree on a replayed fixture") {
     import org.apache.spark.sql.functions._
     val src = tmp(); val ckpt = tmp()
