@@ -1002,6 +1002,23 @@ object SparkEntry {
       Dedup.collapseByPairs(corpus, Dedup.minhashPairs(corpus, threshold = 0.5))
         .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
     }),
+    // the nightly-ingest NEAR-dedup: an incoming crawl (word-level-edited
+    // re-collections of existing pages, same derivation as
+    // ns_neardup_collapse) screened against the existing corpus by
+    // cross-slice banded LSH + exact-Jaccard verify. Oracle-exact by the
+    // same measured-gap argument as the collapse flagship: cross-pair
+    // jaccards are either >= 0.9 (copy vs its origin) or < 0.07
+    // (unrelated), so the j>=0.5 exact filter admits exactly the
+    // population LSH detects deterministically; DuckDB replays the
+    // exact cross pairs
+    "ns_neardup_incoming" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val w = split(trim(col("text")), "\\s+")
+      val incoming = base.filter(size(w) >= 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+      Dedup.minhashPairsAgainst(incoming, base, threshold = 0.5)
+    }),
     // hash-checked companion to ns_minhash_pairs: the EXACT-Jaccard
     // verification half (jaccardForPairs + the shingle kernel) over a
     // fixed pair list both engines can build — each doc vs its first-20-
@@ -1933,6 +1950,37 @@ object SparkEntry {
     // shingles (same normalization + gram rule as the Spark kernel:
     // lower/trim/split-\s+, max(1, len-2) grams, distinct), fixed pairs =
     // doc vs its 20-word truncation (+10000) and consecutive ids
+    // incoming slice = the ns_neardup_collapse copy derivation; exact
+    // cross-slice Jaccard >= 0.5 (the same measured-gap argument makes
+    // the LSH screen + exact verify equal the pure exact population)
+    "ns_neardup_incoming" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |inc AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(w[1:len(w)-1], ' ') AS text
+        |  FROM w0 WHERE len(w) >= 30),
+        |shi AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(1, len(w) - 2)),
+        |    i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |        FROM inc)),
+        |shc AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(1, len(w) - 2)),
+        |    i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |        FROM documents))
+        |SELECT i.doc_id AS doc_a, c.doc_id AS doc_b,
+        |  CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) /
+        |       len(list_distinct(list_concat(i.sh, c.sh))) AS jaccard
+        |FROM shi i JOIN shc c ON
+        |  CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(i.sh, c.sh))) >= 0.5""".stripMargin,
     "ns_jaccard_pairs" ->
       """WITH w AS (
         |  SELECT doc_id,

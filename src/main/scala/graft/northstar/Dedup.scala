@@ -215,6 +215,44 @@ object Dedup {
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
   }
 
+  /** Cross-slice MinHash-LSH: near-dup pairs between an INCOMING batch
+    * and an EXISTING corpus — the nightly-ingest near-dedup (the exact
+    * half is [[graft.northstar]]'s fingerprint anti-join, `ns_corpus_merge`;
+    * this catches re-crawled pages with small edits that exact
+    * fingerprints miss). Same banded construction, estimate screen, and
+    * exact-Jaccard verify as [[minhashPairs]], but the band-bucket join
+    * is incoming ⋈ corpus instead of a self-join: candidates are only
+    * cross-slice, never within-slice, so the incoming side's (small)
+    * signature table joins the corpus's banded table on band_hash — at
+    * 100 TB the corpus bands can be precomputed and bucketed/persisted,
+    * making the nightly screen a join against a static index. Output:
+    * (doc_a ∈ incoming, doc_b ∈ corpus, jaccard ≥ threshold). Ids must
+    * be unique across the two frames.
+    */
+  def minhashPairsAgainst(incoming: DataFrame, corpus: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          k: Int = 16, bands: Int = 8,
+                          threshold: Double = 0.7,
+                          maxBucket: Int = 1000): DataFrame = {
+    val rowsPer = k / bands
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
+    def banded(df: DataFrame): DataFrame = capBuckets(
+      df.select(col(idCol).as("id"),
+          texthash.minhash_sig(col(textCol), 3, k).as("mh"))
+        .select(col("id"), col("mh"), explode(bandHashes).as("band_hash")),
+      Seq("band_hash"), maxBucket)
+    val screened = banded(incoming)
+      .select(col("band_hash"), col("id").as("doc_a"), col("mh").as("mh_a"))
+      .join(banded(corpus).select(col("band_hash"), col("id").as("doc_b"),
+        col("mh").as("mh_b")), Seq("band_hash"))
+      .filter(estimatedJaccard(col("mh_a"), col("mh_b"))
+        >= threshold - 2.0 / k)
+      .select("doc_a", "doc_b").distinct()
+    jaccardForPairs(incoming.unionByName(corpus), screened, textCol, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Freeze a benchmark's distinct word n-grams into a serialized Bloom
     * filter — the deployable decontamination artifact for when the gram
     * set outgrows [[benchmarkOverlap]]'s broadcast hash set (~1.2

@@ -30,6 +30,22 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashPairsAgainst: cross-slice pairs only, exact-verified, unrelated stay out") {
+    val corpus = docs // ids 1-4
+    val incoming = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // near-dup of 1 (suffix dropped)
+      (12L, "nothing in common with any existing corpus document at all"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashPairsAgainst(incoming, corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((11L, 1L)))
+    assert(!out.exists(_._1 == 12L), "unrelated incoming doc must not pair")
+    // never within-slice: doc_a always from incoming, doc_b from corpus
+    val all = Dedup.minhashPairsAgainst(incoming, corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.forall { case (a, b) => a >= 11L && b <= 4L })
+  }
+
   test("collapseByPairsBest: keeper is the highest-scoring cluster member, not the min id") {
     val scored = Seq(
       (1L, "a", 0.2), (2L, "a dup", 0.9), (3L, "a dup dup", 0.5), // cluster of 1-2-3

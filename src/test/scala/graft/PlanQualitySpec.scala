@@ -252,6 +252,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "pair counting must be join-free")
   }
 
+  test("incoming near-dup: band-bucket equi-join, never a cartesian or nested loop") {
+    val p = planOf("ns_neardup_incoming")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("bloom decontamination: pure narrow probe — zero shuffles, no join, no broadcast set") {
     val p = planOf("ns_decontam_bloom")
     assert(shuffles(p) == 0, s"expected 0 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
