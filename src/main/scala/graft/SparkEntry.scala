@@ -481,6 +481,20 @@ object SparkEntry {
           |      FROM orders GROUP BY o_custkey)
           |GROUP BY quartile""".stripMargin)
     }),
+    // ordered string aggregation (LISTAGG): Spark has no ORDER BY inside
+    // string_agg, so the deterministic form is sort-the-array-then-join —
+    // array_sort(collect_list) ≡ DuckDB string_agg(... ORDER BY ...).
+    // Per-group state is bounded by the group's member count (5 nations
+    // per region; at scale, cap or sketch any group that could be huge)
+    "q_sql_stringagg" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(
+          count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))
+    }),
     // event funnel (view → click → purchase): per-user stage timestamps
     // in one conditional-min aggregate, then one global rollup — two
     // keyed aggregations, no self-joins. ts compared at µs (the largest
@@ -674,6 +688,15 @@ object SparkEntry {
     // frequency, term tiebreak; K-row broadcast against the token stream
     "ns_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovStats(t(s, dir, "documents"), topK = 100)),
+    // per-source token-entropy diversity: low entropy = templated/spam
+    // domains (the diversity half of source-reputation filtering).
+    // Exact-integer discipline: each (source, term) contributes
+    // round(tf·ln(tf/N)·1e4) — identical integer operands through one
+    // ln and one round on both engines (the ns_tfidf pattern) — and the
+    // per-source sum is an order-independent integer. Wordcount shuffle
+    // + a 1-row-per-source totals join (broadcast at any corpus size)
+    "ns_source_entropy" -> ((s, dir) =>
+      TextAnalysis.sourceEntropy(t(s, dir, "documents"))),
     // cross-source contamination matrix: distinct word-3-grams shared
     // between each pair of crawl sources (the source-granular form of
     // benchmark decontamination). JOIN-FREE shape: one aggregate to the
@@ -1717,6 +1740,20 @@ object SparkEntry {
         |  CAST(sum(new_terms) OVER (ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
         |FROM growth""".stripMargin,
+    // per-term e4 rounding BEFORE the sum (the ns_tfidf discipline): the
+    // summed quantity is an integer, so accumulation order can't differ
+    "ns_source_entropy" ->
+      """WITH terms AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |n AS (SELECT source, sum(tf) AS n_tokens FROM tf GROUP BY 1)
+        |SELECT source, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(-sum(CAST(round(tf * ln(CAST(tf AS DOUBLE) / n_tokens) * 10000)
+        |    AS BIGINT)) AS BIGINT) AS entropy_e4
+        |FROM tf JOIN n USING (source) GROUP BY source""".stripMargin,
     "ns_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(
@@ -1755,6 +1792,11 @@ object SparkEntry {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
         |FROM (SELECT o_orderdate, count(*) AS n
         |      FROM orders GROUP BY o_orderdate)""".stripMargin,
+    "q_sql_stringagg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q_sql_ntile" ->
       """SELECT quartile, count(*) AS n_customers,
         |  min(cnt) AS min_orders, max(cnt) AS max_orders

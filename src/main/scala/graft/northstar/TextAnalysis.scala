@@ -396,6 +396,35 @@ object TextAnalysis {
         sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Per-group token-entropy diversity — the diversity half of
+    * source-reputation filtering: a source whose token distribution has
+    * low Shannon entropy is templated/repetitive (boilerplate farms,
+    * auto-generated spam) even when its per-document quality scores look
+    * fine. Exact-integer discipline for external replay: each
+    * (group, term) contributes round(tf·ln(tf/N)·1e4) — one ln and one
+    * round over identical integer operands on any engine — and the
+    * per-group sum is an order-independent integer (`entropy_e4` ≈
+    * H·N·1e4, negated to be positive). Shape: one wordcount-shaped
+    * shuffle + a group-count-row totals join (broadcastable at any
+    * corpus size) + one keyed rollup.
+    */
+  def sourceEntropy(df: DataFrame, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col(groupCol),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(length(col("term")) >= 1)
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
+    val n = tf.groupBy(groupCol).agg(sum("tf").as("n_tokens"))
+    tf.join(broadcast(n), Seq(groupCol))
+      .withColumn("t_e4", round(col("tf") *
+        log(col("tf").cast("double") / col("n_tokens")) * 10000)
+        .cast("long"))
+      .groupBy(groupCol).agg(
+        max(col("n_tokens")).as("n_tokens"),
+        (-sum(col("t_e4"))).as("entropy_e4"))
+  }
+
   /** One frame with all per-document text-analysis columns. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityScore(df, textCol)

@@ -324,6 +324,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out == Map(1L -> ((4L, 1L)), 2L -> ((3L, 1L)), 3L -> ((3L, 2L))))
   }
 
+  test("sourceEntropy: repetitive source scores below diverse source; integers exact") {
+    val df = Seq(
+      ("spam", "buy buy buy buy buy buy buy buy"),
+      ("spam", "buy buy buy buy buy buy buy now"),
+      ("wiki", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("wiki", "iota kappa lambda mu nu xi omicron pi"),
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceEntropy(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("entropy_e4")))).toMap
+    assert(out("spam")._1 == 16L && out("wiki")._1 == 16L)
+    // 16 uniform singleton terms: H = ln(16), entropy_e4 = 16·round(ln(1/16)·1e4)
+    assert(out("wiki")._2 == 16L * math.round(-math.log(1.0 / 16) * 10000))
+    assert(out("spam")._2 < out("wiki")._2 / 4,
+      s"near-constant source must score far below uniform: $out")
+  }
+
   test("text_stats kernel matches the column formulations on edge cases") {
     import org.apache.spark.sql.functions.{get, length, lit}
     val df = Seq(

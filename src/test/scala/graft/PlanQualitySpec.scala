@@ -278,6 +278,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffles(p) <= 3, s"expected <=3 shuffles, got ${shuffles(p)}:\n${p.take(800)}")
   }
 
+  test("source entropy: totals frame broadcast back onto tf, never sort-merged") {
+    val p = planOf("ns_source_entropy")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("oov stats: K-row vocab broadcast against the token stream, never sort-merged") {
     val p = planOf("ns_oov_rate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
