@@ -697,6 +697,23 @@ object SparkEntry {
     // + a 1-row-per-source totals join (broadcast at any corpus size)
     "ns_source_entropy" -> ((s, dir) =>
       TextAnalysis.sourceEntropy(t(s, dir, "documents"))),
+    // tokenizer fertility per language: subword pieces per whitespace
+    // word — the tokenizer-efficiency metric that decides whether a
+    // vocab serves a language well (fertility ≫ 1 = the language is
+    // being shredded). Single narrow scoring pass + one keyed rollup;
+    // fertility exposed as round(1e4·sum/sum) — one division of exact
+    // integer aggregates, identical on any engine
+    "ns_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("nsw"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("total_tokens"),
+          sum("nsw").as("total_subwords"),
+          round(sum("nsw") * lit(10000.0) / sum("nt")).cast("long")
+            .as("fertility_e4"))),
     // cross-source contamination matrix: distinct word-3-grams shared
     // between each pair of crawl sources (the source-granular form of
     // benchmark decontamination). JOIN-FREE shape: one aggregate to the
@@ -1740,6 +1757,20 @@ object SparkEntry {
         |  CAST(sum(new_terms) OVER (ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
         |FROM growth""".stripMargin,
+    // same token/subword kernels as ns_token_count / ns_subword_count;
+    // fertility = one double division of exact integer sums, then round
+    "ns_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nsw
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nsw) AS BIGINT) AS total_subwords,
+        |  CAST(round(sum(nsw) * 10000.0 / sum(nt)) AS BIGINT) AS fertility_e4
+        |FROM d GROUP BY lang""".stripMargin,
     // per-term e4 rounding BEFORE the sum (the ns_tfidf discipline): the
     // summed quantity is an integer, so accumulation order can't differ
     "ns_source_entropy" ->
