@@ -87,6 +87,80 @@ class SparkPropertySpec extends SparkSpecBase {
     assert(rows(Transforms.removeNullRows(t2)) == rows(t2))
   }
 
+  private def randomDocs(n: Int) = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    (0 until n).map { i =>
+      val words = Seq.fill(3 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size)))
+      val text = words.mkString(" ")
+      (i.toLong, s"s${rng.nextInt(6)}", text, text.length.toLong)
+    }.toDF("doc_id", "source", "text", "n_chars")
+  }
+
+  test("sourceCap: exact per-group counts, output subset, idempotent") {
+    import graft.northstar.Curation
+    (1 to 3).foreach { cap =>
+      val df = randomDocs(60)
+      val out = Curation.sourceCap(df, cap)
+      val expected = df.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> math.min(cap.toLong, r.getLong(1))).toMap
+      val got = out.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"cap=$cap")
+      assert(out.exceptAll(df).count() == 0, "no invented rows")
+      assert(rows(Curation.sourceCap(out, cap)) == rows(out), "idempotent")
+    }
+  }
+
+  test("oovStats: bounded by token count, zero OOV under a full vocab, monotone in K") {
+    import graft.northstar.TextAnalysis
+    val df = randomDocs(40).select("doc_id", "text")
+    val full = TextAnalysis.oovStats(df, topK = 10000).collect()
+    assert(full.nonEmpty)
+    assert(full.forall(_.getAs[Long]("n_oov") == 0L),
+      "a vocab covering every term leaves no OOV instance")
+    def oov(k: Int) = TextAnalysis.oovStats(df, k).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov")))).toMap
+    val k3 = oov(3); val k6 = oov(6)
+    assert(k3.forall { case (_, (nt, no)) => no <= nt })
+    assert(k6.forall { case (id, (_, no)) => no <= k3(id)._2 },
+      "growing the vocab never increases OOV")
+  }
+
+  test("vocabGrowth: new terms partition the vocabulary, cumulative hits the total") {
+    import graft.northstar.TextAnalysis
+    import org.apache.spark.sql.functions.{col, explode, lower, split}
+    val df = randomDocs(50).withColumn("b", col("doc_id") % 5)
+    val out = TextAnalysis.vocabGrowth(df, col("b")).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("new_terms"),
+        r.getAs[Long]("cum_vocab"))).sortBy(_._1)
+    val total = df.select(explode(split(lower(col("text")), "\\W+")))
+      .distinct().count()
+    assert(out.map(_._2).sum == total, "every term charged exactly once")
+    assert(out.last._3 == total)
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted, "cumulative monotone")
+    assert(out.forall(_._2 > 0), "empty buckets produce no row")
+  }
+
+  test("minhashPairsAgainst agrees with self-join LSH restricted to cross-slice pairs") {
+    import graft.northstar.Dedup
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val w = split(trim(col("text")), "\\s+")
+    val incoming = base.filter(size(w) >= 30)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+    val cross = Dedup.minhashPairsAgainst(incoming, base, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = Dedup.minhashPairs(base.union(incoming), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 100000L && b >= 100000L }
+      .map { case (a, b) => (b, a) }.toSet
+    assert(cross == self && cross.nonEmpty)
+  }
+
   test("incremental-load invariant on generated monotone batches") {
     val dir = java.nio.file.Files.createTempDirectory("prop").toString
     val all = (1L to 60L).map(i => (i, s"r$i")).toDF("id", "v")
