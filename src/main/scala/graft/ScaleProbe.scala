@@ -209,6 +209,29 @@ object ScaleProbe {
     }
     println(f"[scale] sourceCap 10x-data ratio       ${sc10 / sc1}%.1fx (linear-ish expected)")
 
+    // incremental near-dedup: a fixed-size incoming batch screened
+    // against a growing corpus — the nightly-ingest shape. Cost should
+    // track the corpus's banded-signature build (~linear), never
+    // incoming × corpus
+    val incoming = docs1.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val ni1 = timed("incomingNearDup vs 5k (1x)") {
+      Dedup.minhashPairsAgainst(incoming, docs1, threshold = 0.5).count()
+    }
+    val ni10 = timed("incomingNearDup vs 50k (10x)") {
+      Dedup.minhashPairsAgainst(incoming,
+        replicate(docs1, 10, "doc_id", 1000000L), threshold = 0.5).count()
+    }
+    println(f"[scale] incomingNearDup 10x-corpus ratio ${ni10 / ni1}%.1fx (linear-ish expected)")
+    // source entropy: wordcount shuffle + group-count-row broadcast
+    val se1 = timed("sourceEntropy 5k docs (1x)") {
+      TextAnalysis.sourceEntropy(docs1).count()
+    }
+    val se10 = timed("sourceEntropy 50k docs (10x)") {
+      TextAnalysis.sourceEntropy(
+        replicate(docs1, 10, "doc_id", 1000000L)).count()
+    }
+    println(f"[scale] sourceEntropy 10x-data ratio   ${se10 / se1}%.1fx (linear-ish expected)")
     // bloom decontamination: filter built ONCE from the benchmark slice;
     // the probe is a narrow per-row pass, so wall time tracks corpus
     // size only (the artifact is corpus-size-independent)

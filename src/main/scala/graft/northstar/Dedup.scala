@@ -249,7 +249,12 @@ object Dedup {
       .filter(estimatedJaccard(col("mh_a"), col("mh_b"))
         >= threshold - 2.0 / k)
       .select("doc_a", "doc_b").distinct()
-    jaccardForPairs(incoming.unionByName(corpus), screened, textCol, idCol)
+    // project to (id, text) first: the two frames may carry different
+    // extra columns, and the verify join needs only these two
+    jaccardForPairs(
+      incoming.select(col(idCol), col(textCol))
+        .unionByName(corpus.select(col(idCol), col(textCol))),
+      screened, textCol, idCol)
       .filter(col("jaccard") >= threshold)
   }
 
