@@ -58,6 +58,49 @@ class KernelEdgeSpec extends SparkSpecBase {
     assert(buckets.map(_ >> 32).toSeq == (0L until 8L))
   }
 
+  test("bloom_gram_hits: null → null, empty/blank deterministic, empty filter hits nothing") {
+    import graft.northstar.Dedup
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bloom = Dedup.benchmarkBloom(bench)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, null), Row(2L, ""), Row(3L, "   "),
+      Row(4L, "alpha beta gamma")).asJava, schema)
+    val out = Dedup.decontaminateBloom(df, bloom).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(out(1L).isEmpty, "null text → null hits")
+    assert(out(2L).exists(_ >= 0) && out(3L).exists(_ >= 0),
+      "blank text must not throw")
+    assert(out(4L).contains(1), "the one shared 3-gram hits")
+    // a filter built from an empty benchmark flags nothing
+    val empty = Dedup.benchmarkBloom(bench.filter($"doc_id" < 0))
+    val clean = Dedup.decontaminateBloom(
+      Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"), empty)
+      .collect()(0).getInt(2)
+    assert(clean == 0)
+  }
+
+  test("minhashPairsAgainst / sourceEntropy: empty slices and blank text are safe") {
+    import graft.northstar.{Dedup, TextAnalysis}
+    val docs = Seq((1L, "s1", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "source", "text")
+    val emptySlice = docs.filter($"doc_id" < 0).select("doc_id", "text")
+    // empty incoming OR empty corpus → empty pair list, no crash
+    assert(Dedup.minhashPairsAgainst(
+      emptySlice, docs.select("doc_id", "text"), threshold = 0.5).count() == 0)
+    assert(Dedup.minhashPairsAgainst(
+      docs.select("doc_id", "text"), emptySlice, threshold = 0.5).count() == 0)
+    // blank-only source contributes no terms (filtered), never a NaN ln
+    val blanks = Seq((1L, "s1", "alpha beta"), (2L, "s2", "  "))
+      .toDF("doc_id", "source", "text")
+    val ent = TextAnalysis.sourceEntropy(blanks).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("entropy_e4")).toMap
+    assert(ent.keySet == Set("s1"), "all-blank source yields no row")
+    assert(ent("s1") >= 0)
+  }
+
   test("profile_hits: one-pass counts match HOF filters; null/empty/dup semantics") {
     val profiles = Seq(Seq("the", "and"), Seq("der", "und"))
     val df = Seq(Some("The the AND cat"), Some(""), Some("   "), None,
