@@ -879,6 +879,13 @@ object SparkEntry {
       TextAnalysis.chunkByTokens(t(s, dir, "documents"), 50)
         .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
           col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))),
+    // overlapping context windows (50-token chunks, stride 25 = 50%
+    // overlap): the pretraining/RAG form where boundary-straddling
+    // spans must appear in some window. Same narrow explode shape
+    "ns_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(t(s, dir, "documents"), 50, stride = 25)
+        .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+          col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))),
     // exact-substring overlap (fixed 50-token windows, stride 1): derived
     // "quoting" copies (original + appended tail) share every original
     // window, which fingerprint dedup misses entirely; docs under 50
@@ -2228,6 +2235,18 @@ object SparkEntry {
         |SELECT doc_id, i AS chunk_ix,
         |  array_to_string(w[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text,
         |  least(50, len(w) - i * 50) AS chunk_tokens
+        |FROM x""".stripMargin,
+    "ns_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |x AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) - 1) // 25)) AS i
+        |  FROM d)
+        |SELECT doc_id, i AS chunk_ix,
+        |  array_to_string(w[i * 25 + 1 : i * 25 + 50], ' ') AS chunk_text,
+        |  least(50, len(w) - i * 25) AS chunk_tokens
         |FROM x""".stripMargin,
     "ns_substring_overlap" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

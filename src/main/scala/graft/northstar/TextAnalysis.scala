@@ -198,19 +198,25 @@ object TextAnalysis {
     */
   def chunkByTokens(df: DataFrame, chunkSize: Int,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    stride: Int = 0): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    // stride < chunkSize = OVERLAPPING windows (the pretraining/RAG
+    // context form: each window shares chunkSize - stride tokens with
+    // its predecessor, so no boundary-straddling span is ever unseen);
+    // 0 (default) = non-overlapping consecutive windows
+    val step = if (stride <= 0) chunkSize else stride
     val w = split(trim(col(textCol)), "\\s+")
     df.select(col(idCol), w.as("w"), tokenCount(col(textCol)).as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .select(col(idCol), col("w"), col("n_tokens"),
         explode(sequence(lit(0),
-          floor((col("n_tokens") - 1) / chunkSize).cast("int"))).as("chunk_ix"))
+          floor((col("n_tokens") - 1) / step).cast("int"))).as("chunk_ix"))
       .select(col(idCol), col("chunk_ix"),
         concat_ws(" ",
-          expr(s"slice(w, chunk_ix * $chunkSize + 1, $chunkSize)")).as("chunk_text"),
+          expr(s"slice(w, chunk_ix * $step + 1, $chunkSize)")).as("chunk_text"),
         least(lit(chunkSize),
-          col("n_tokens") - col("chunk_ix") * chunkSize).as("chunk_tokens"))
+          col("n_tokens") - col("chunk_ix") * step).as("chunk_tokens"))
   }
 
   /** Corpus-trained unigram language-model score per document — the

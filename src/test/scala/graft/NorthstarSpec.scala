@@ -492,6 +492,20 @@ class TextAnalysisSpec extends SparkSpecBase {
       Seq((0, "single", 1)))
     assert(!out.exists(_._1 == 3L))
   }
+
+  test("chunkByTokens with stride: 50% overlap, every adjacent span covered, tail ragged") {
+    val df = Seq((1L, (1 to 5).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, chunkSize = 4, stride = 2).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0, "w1 w2 w3 w4", 4), (1, "w3 w4 w5", 3), (2, "w5", 1)))
+    // stride = chunkSize reproduces the non-overlapping form exactly
+    val plain = TextAnalysis.chunkByTokens(df, chunkSize = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    val strided = TextAnalysis.chunkByTokens(df, chunkSize = 3, stride = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(plain == strided)
+  }
 }
 
 class SamplingSpec extends SparkSpecBase {
