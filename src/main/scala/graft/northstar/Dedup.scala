@@ -233,18 +233,47 @@ object Dedup {
                           textCol: String = "text", idCol: String = "doc_id",
                           k: Int = 16, bands: Int = 8,
                           threshold: Double = 0.7,
-                          maxBucket: Int = 1000): DataFrame = {
+                          maxBucket: Int = 1000): DataFrame =
+    minhashPairsAgainstIndex(incoming,
+      bandIndex(corpus, textCol, idCol, k, bands, maxBucket),
+      corpus.select(col(idCol), col(textCol)),
+      textCol, idCol, k, bands, threshold, maxBucket)
+
+  /** The corpus's banded-signature index as a plain frame
+    * (id, mh, band_hash) — every column is hash-deterministic, so the
+    * index can be WRITTEN ONCE (parquet, bucketed by band_hash at scale)
+    * and reused by every subsequent [[minhashPairsAgainstIndex]] screen:
+    * the nightly ingest then pays only the incoming batch's signature
+    * build plus one equi-join against the stored index. Bucket caps are
+    * applied at BUILD time, so they're part of the artifact.
+    */
+  def bandIndex(df: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
+                maxBucket: Int = 1000): DataFrame = {
     val rowsPer = k / bands
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
-    def banded(df: DataFrame): DataFrame = capBuckets(
+    capBuckets(
       df.select(col(idCol).as("id"),
           texthash.minhash_sig(col(textCol), 3, k).as("mh"))
         .select(col("id"), col("mh"), explode(bandHashes).as("band_hash")),
       Seq("band_hash"), maxBucket)
-    val screened = banded(incoming)
+  }
+
+  /** [[minhashPairsAgainst]] with a PREBUILT corpus index (from
+    * [[bandIndex]], possibly parquet-round-tripped) plus the (id, text)
+    * corpus frame for the exact-Jaccard verify of the candidates.
+    */
+  def minhashPairsAgainstIndex(incoming: DataFrame, corpusIndex: DataFrame,
+                               corpusTexts: DataFrame,
+                               textCol: String = "text",
+                               idCol: String = "doc_id",
+                               k: Int = 16, bands: Int = 8,
+                               threshold: Double = 0.7,
+                               maxBucket: Int = 1000): DataFrame = {
+    val screened = bandIndex(incoming, textCol, idCol, k, bands, maxBucket)
       .select(col("band_hash"), col("id").as("doc_a"), col("mh").as("mh_a"))
-      .join(banded(corpus).select(col("band_hash"), col("id").as("doc_b"),
+      .join(corpusIndex.select(col("band_hash"), col("id").as("doc_b"),
         col("mh").as("mh_b")), Seq("band_hash"))
       .filter(estimatedJaccard(col("mh_a"), col("mh_b"))
         >= threshold - 2.0 / k)
@@ -253,7 +282,7 @@ object Dedup {
     // extra columns, and the verify join needs only these two
     jaccardForPairs(
       incoming.select(col(idCol), col(textCol))
-        .unionByName(corpus.select(col(idCol), col(textCol))),
+        .unionByName(corpusTexts.select(col(idCol), col(textCol))),
       screened, textCol, idCol)
       .filter(col("jaccard") >= threshold)
   }

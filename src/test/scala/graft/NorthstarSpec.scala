@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpecBase {
     assert(all.forall { case (a, b) => a >= 11L && b <= 4L })
   }
 
+  test("bandIndex round-trips through parquet: stored-index screen equals direct screen") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val w = split(trim(col("text")), "\\s+")
+    val incoming = base.filter(size(w) >= 30)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    Dedup.bandIndex(base).write.parquet(s"$dir/index.parquet")
+    val stored = spark.read.parquet(s"$dir/index.parquet")
+    val viaIndex = Dedup.minhashPairsAgainstIndex(
+        incoming, stored, base, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minhashPairsAgainst(incoming, base, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("collapseByPairsBest: keeper is the highest-scoring cluster member, not the min id") {
     val scored = Seq(
       (1L, "a", 0.2), (2L, "a dup", 0.9), (3L, "a dup dup", 0.5), // cluster of 1-2-3
