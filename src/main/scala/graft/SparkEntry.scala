@@ -781,6 +781,18 @@ object SparkEntry {
       Curation.sourceCap(t(s, dir, "documents"), cap = 15)
         .select("doc_id", "source", "n_chars")
     }),
+    // exact-N-per-stratum sampling ("take 25 eval docs per language"):
+    // sourceCap ordered by a shared-definition hash (md5 of the id
+    // string, identical hex in any engine) — uniform-ish, deterministic,
+    // replayable; one window shuffle on the stratum key
+    "ns_sample_exact_n" -> ((s, dir) => {
+      import graft.northstar.Curation
+      Curation.sourceCap(t(s, dir, "documents"), cap = 25,
+          sourceCol = "lang",
+          orderBy = Seq(md5(col("doc_id").cast("string")).asc,
+            col("doc_id").asc))
+        .select("doc_id", "lang")
+    }),
     // corpus health report: per-language doc/token/quality rollup — the
     // dashboard a corpus build publishes nightly. One narrow scoring pass
     // + one groupBy on the language guess; every aggregate exposed as an
@@ -1933,6 +1945,13 @@ object SparkEntry {
         |SELECT g.doc_id, g.source, src.src_q_sum_e4, src.n_docs
         |FROM g JOIN src ON g.source = src.source
         |WHERE src.src_q_sum_e4 >= 8600 * src.n_docs""".stripMargin,
+    "ns_sample_exact_n" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25""".stripMargin,
     "ns_source_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
