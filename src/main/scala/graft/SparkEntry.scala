@@ -665,6 +665,14 @@ object SparkEntry {
           .as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(20)),
+    // the tokenizer-training outer loop: 5 iterated BPE merge rounds
+    // over a localCheckpointed word-frequency vocab (corpus tokenized
+    // once; each round is one aggregate over the vocabulary-sized frame
+    // + a 1-row collect — the merge table is the bounded driver
+    // artifact). Oracle replays the rounds as unrolled CTEs with
+    // literal-replace merge application
+    "ns_bpe_induct" -> ((s, dir) =>
+      TextAnalysis.bpeInduct(t(s, dir, "documents"), rounds = 5)),
     // vocabulary frequency-of-frequencies (the Zipf / Good-Turing
     // spectrum): two keyed aggregates, second input is vocabulary-sized;
     // the corpus-health view that exposes tokenizer or crawl regressions
@@ -1640,7 +1648,7 @@ object SparkEntry {
         |       FROM c2 CROSS JOIN m2),
         |sam AS (
         |  SELECT fl.* FROM fl JOIN r2 USING (lang)
-        |  WHERE doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 < rate),
+        |  WHERE doc_id % 2147483647 * 2654435761 % 2147483647 * 2246822519 % 2147483647 / 2147483647.0 < rate),
         |fill AS (
         |  SELECT doc_id, lang, n_tokens, q_score,
         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id
@@ -1687,7 +1695,7 @@ object SparkEntry {
         |       FROM c2 CROSS JOIN m2),
         |sam AS (
         |  SELECT fl.* FROM fl JOIN r2 USING (lang)
-        |  WHERE doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 < rate),
+        |  WHERE doc_id % 2147483647 * 2654435761 % 2147483647 * 2246822519 % 2147483647 / 2147483647.0 < rate),
         |fill AS (
         |  SELECT doc_id, lang, n_tokens, q_score,
         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id
@@ -1747,6 +1755,80 @@ object SparkEntry {
         |  FROM w)
         |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // 5 unrolled BPE merge rounds: words ride as pipe-delimited symbol
+    // strings; each round's winner (a 1-row CTE) is applied by LITERAL
+    // replace — left-to-right non-overlapping in both engines
+    "ns_bpe_induct" ->
+      """WITH w0 AS (
+        |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, count(*) AS freq
+        |  FROM (SELECT unnest(list_filter(
+        |          regexp_split_to_array(lower(text), '\W+'),
+        |          x -> len(x) >= 1)) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w0)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m1 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |w1 AS (SELECT replace(s, '|'||a||'||'||b||'|', '|'||a||b||'|') AS s, freq
+        |       FROM w0 CROSS JOIN m1),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w1)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m2 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |w2 AS (SELECT replace(s, '|'||a||'||'||b||'|', '|'||a||b||'|') AS s, freq
+        |       FROM w1 CROSS JOIN m2),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w2)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m3 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |w3 AS (SELECT replace(s, '|'||a||'||'||b||'|', '|'||a||b||'|') AS s, freq
+        |       FROM w2 CROSS JOIN m3),
+        |p4 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w3)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m4 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p4 ORDER BY cnt DESC, pair LIMIT 1),
+        |w4 AS (SELECT replace(s, '|'||a||'||'||b||'|', '|'||a||b||'|') AS s, freq
+        |       FROM w3 CROSS JOIN m4),
+        |p5 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w4)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m5 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p5 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, cnt FROM m1
+        |UNION ALL SELECT 2, a, b, cnt FROM m2
+        |UNION ALL SELECT 3, a, b, cnt FROM m3
+        |UNION ALL SELECT 4, a, b, cnt FROM m4
+        |UNION ALL SELECT 5, a, b, cnt FROM m5""".stripMargin,
     "ns_zipf_spectrum" ->
       """WITH terms AS (
         |  SELECT unnest(list_filter(
@@ -2197,7 +2279,7 @@ object SparkEntry {
         |  SELECT min(doc_id) AS doc_id FROM cur
         |  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |SELECT c.doc_id, c.n_tokens FROM cur c JOIN k USING (doc_id)
-        |WHERE c.doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 < 0.6""".stripMargin,
+        |WHERE c.doc_id % 2147483647 * 2654435761 % 2147483647 * 2246822519 % 2147483647 / 2147483647.0 < 0.6""".stripMargin,
     "ns_shard_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -2367,7 +2449,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "ns_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 <
+        |WHERE doc_id % 2147483647 * 2654435761 % 2147483647 * 2246822519 % 2147483647 / 2147483647.0 <
         |  CASE WHEN lang = 'en' THEN 0.5
         |       WHEN lang = 'zh' THEN 0.3 ELSE 0.1 END""".stripMargin,
     "ns_split_assign" ->
@@ -2375,7 +2457,7 @@ object SparkEntry {
         |  CASE WHEN h < 0.9 THEN 'train'
         |       WHEN h < 0.95 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id, lang,
-        |        doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 AS h
+        |        doc_id % 2147483647 * 2654435761 % 2147483647 * 2246822519 % 2147483647 / 2147483647.0 AS h
         |      FROM documents)""".stripMargin,
     // rate_l = sqrt(cmin / c_l): both engines compute the identical
     // correctly-rounded double, and the hash unit is exact rational
@@ -2386,11 +2468,12 @@ object SparkEntry {
         |r AS (SELECT lang, sqrt(CAST(cmin AS DOUBLE) / c) AS rate
         |      FROM c CROSS JOIN m)
         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
-        |WHERE doc_id % 1000000 * 2654435761 % 1000000 / 1000000.0 < rate""".stripMargin,
+        |WHERE doc_id % 2147483647 * 2654435761 % 2147483647 * 2246822519 % 2147483647 / 2147483647.0 < rate""".stripMargin,
     "ns_epoch_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    (doc_id + 7) % 1000000 * 2654435761 % 1000000 AS h
+        |    (doc_id + 7) % 2147483647 * 2654435761 % 2147483647
+        |      * 2246822519 % 2147483647 AS h
         |  FROM documents)
         |SELECT doc_id, h % 8 AS bucket,
         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos

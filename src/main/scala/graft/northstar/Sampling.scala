@@ -14,24 +14,40 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative hash constant (2^32 / golden ratio). */
+  /** Knuth multiplicative hash constant (2^32 / golden ratio; also
+    * xxHash32 PRIME32_1) — first-round multiplier.
+    */
   val Knuth = 2654435761L
 
-  /** Hash-unit denominator: 1e6 buckets ≈ 6 decimal digits of rate
-    * resolution.
+  /** xxHash32 PRIME32_2 — second-round multiplier, coprime to both
+    * [[Knuth]] and [[MixMod]].
     */
-  val Buckets = 1000000L
+  val Mix2 = 2246822519L
+
+  /** Mixing modulus: the Mersenne prime 2^31 - 1. Large enough that
+    * whole-corpus id ranges (billions of documents) occupy distinct
+    * residues, small enough that every intermediate product stays under
+    * 2^63: (MixMod-1) * max(Knuth, Mix2) ≈ 5.7e18 < 9.2e18, so the
+    * arithmetic is overflow-exact in Spark ANSI mode AND in any int64
+    * SQL engine replaying the oracle.
+    */
+  val MixMod = 2147483647L
 
   /** Pseudo-uniform unit value in [0,1) from a non-negative integer id.
-    * Not cryptographic — just well-spread for consecutive ids. The id is
-    * reduced mod Buckets BEFORE the multiply: `id * Knuth` raw would
-    * overflow Long (ANSI error) past ids of ~3.4e9, which a 100 TB
-    * corpus exceeds; since gcd(Knuth, Buckets) = 1 the multiply is a
-    * bijection on residues, so the reduced form keeps the spread and
-    * stays exact for ANY id.
+    * Not cryptographic — just well-spread for consecutive ids. Two
+    * multiplicative rounds over Z_{2^31-1}: each round is a bijection on
+    * residues (MixMod is prime and divides neither constant), so the
+    * unit is EXACTLY uniform over the 2^31 - 1 buckets — keep fractions
+    * are exact to ~4.7e-10 — and only ids congruent mod 2^31 - 1 ever
+    * share a fate (the r7 single-round form folded ids mod 1e6 first,
+    * which correlated every sampling decision across ids 1e6 apart).
+    * The id is reduced mod MixMod BEFORE the first multiply: `id *
+    * Knuth` raw would overflow Long past ids of ~3.4e9, which a 100 TB
+    * corpus exceeds.
     */
   def hashUnit(id: Column): Column =
-    id.cast("long") % Buckets * Knuth % Buckets / lit(Buckets.toDouble)
+    id.cast("long") % MixMod * Knuth % MixMod * Mix2 % MixMod /
+      lit(MixMod.toDouble)
 
   /** Deterministic train/val/test (or any named) split assignment: the
     * hash-unit value falls into cumulative weight bands. Every row gets
@@ -92,18 +108,26 @@ object Sampling {
     */
   def temperatureSample(df: DataFrame, stratumCol: String,
                         alpha: Double = 0.5,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id"): DataFrame =
+    df.join(broadcast(temperatureRates(df, stratumCol, alpha)), stratumCol)
+      .filter(hashUnit(col(idCol)) < col("__rate"))
+      .select(df.columns.map(col): _*)
+
+  /** The per-stratum keep rates [[temperatureSample]] derives, as a tiny
+    * (stratumCol, __rate) frame — one row per stratum, broadcastable.
+    * Factored out so composed pipelines (Curation.funnel's single-pass
+    * stage flags) share the EXACT rate arithmetic with the sampler.
+    */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+                       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1] required, got $alpha")
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
     val cmin = counts.agg(min(col("__c")).as("__cmin"))
     val ratio = col("__cmin").cast("double") / col("__c").cast("double")
     val rateExpr =
       if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
-    val rates = counts.crossJoin(broadcast(cmin))
+    counts.crossJoin(broadcast(cmin))
       .select(col(stratumCol), rateExpr.as("__rate"))
-    df.join(broadcast(rates), stratumCol)
-      .filter(hashUnit(col(idCol)) < col("__rate"))
-      .select(df.columns.map(col): _*)
   }
 
   /** Quantile-floor curation: drop every row whose `valueCol` is <= the
@@ -157,8 +181,10 @@ object Sampling {
     * bucket (ties broken by id). Reading shards in bucket order, each
     * sorted by pos, replays the exact same global order on any cluster
     * size or retry; a different `seed` yields a different permutation
-    * per epoch. The seed is mixed ADDITIVELY before the Knuth multiply,
-    * which stays a bijection on residues, so no two ids collide more
+    * per epoch. The seed is mixed ADDITIVELY before the two-round
+    * multiplicative mix (same [[hashUnit]] arithmetic, kept as an
+    * integer), which stays a bijection on residues mod 2^31 - 1, so the
+    * sort key takes ~2.1e9 distinct values and no two ids collide more
     * under one seed than another.
     *
     * Scale shape: the only wide op is one window partitioned by bucket —
@@ -170,7 +196,8 @@ object Sampling {
                    idCol: String = "doc_id"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     import org.apache.spark.sql.expressions.Window
-    val h = (col(idCol).cast("long") + lit(seed)) % Buckets * Knuth % Buckets
+    val h = (col(idCol).cast("long") + lit(seed)) % MixMod * Knuth %
+      MixMod * Mix2 % MixMod
     val withKey = df.withColumn("__h", h)
       .withColumn("bucket", (col("__h") % nBuckets).cast("long"))
     val w = Window.partitionBy("bucket").orderBy(col("__h"), col(idCol))

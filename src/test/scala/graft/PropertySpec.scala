@@ -161,6 +161,48 @@ class SparkPropertySpec extends SparkSpecBase {
     assert(cross == self && cross.nonEmpty)
   }
 
+  test("hashUnit: ids 1e6 apart do not share sampling fate (r7 defect)") {
+    // the r7 single-round mix folded ids mod 1e6 first, so ids in the
+    // same residue class received IDENTICAL hash units and every
+    // sampling decision was perfectly correlated across classes; the
+    // two-round mix over 2^31-1 must break that
+    import graft.northstar.Sampling
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(0, 1000).toDF("doc_id")
+    val both = ids.select(col("doc_id"),
+      Sampling.hashUnit(col("doc_id")).as("h0"),
+      Sampling.hashUnit(col("doc_id") + 1000000L).as("h1"))
+    val rows = both.collect()
+    val sameUnit = rows.count(r => r.getDouble(1) == r.getDouble(2))
+    assert(sameUnit == 0, s"$sameUnit ids share the exact unit across +1e6")
+    // fate at a 0.5-rate gate must differ for roughly half the pairs
+    val sameFate = rows.count(r => (r.getDouble(1) < 0.5) == (r.getDouble(2) < 0.5))
+    assert(sameFate < 700 && sameFate > 300,
+      s"fate correlation across +1e6 looks degenerate: $sameFate/1000 agree")
+    // units stay in [0,1) and are well-spread (no 1e6-bucket quantization:
+    // 1000 consecutive ids must produce 1000 distinct units)
+    assert(rows.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) < 1))
+    assert(rows.map(_.getDouble(1)).distinct.length == 1000)
+  }
+
+  test("epochShuffle: sort keys are not quantized to 1e6 buckets") {
+    // with the r7 mix, rows whose ids differ by 1e6 got the same hash
+    // key and fell back to raw-id order inside a bucket (a strided
+    // interleave, not a permutation); now their (bucket, pos) paths
+    // must diverge for most pairs
+    import graft.northstar.Sampling
+    import org.apache.spark.sql.functions._
+    val n = 2000L
+    val df = spark.range(0, n).toDF("doc_id")
+      .union(spark.range(1000000L, 1000000L + n).toDF("doc_id"))
+    val out = Sampling.epochShuffle(df, nBuckets = 8, seed = 3)
+      .select("doc_id", "bucket", "pos").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sameBucket = (0L until n).count(i => out(i)._1 == out(i + 1000000L)._1)
+    assert(sameBucket < n * 0.3,
+      s"$sameBucket/$n id-pairs 1e6 apart landed in the same bucket")
+  }
+
   test("incremental-load invariant on generated monotone batches") {
     val dir = java.nio.file.Files.createTempDirectory("prop").toString
     val all = (1L to 60L).map(i => (i, s"r$i")).toDF("id", "v")
