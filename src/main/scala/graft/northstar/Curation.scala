@@ -202,25 +202,91 @@ object Curation {
     require(cap > 0, s"cap must be positive, got $cap")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(sourceCol)).orderBy(orderBy: _*)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= cap)
-      .drop("__rk")
+    // temp rank column name must not collide with (and silently
+    // overwrite) a caller column — suffix until unique
+    val rk = Iterator.iterate("__rk")(_ + "_")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= cap)
+      .drop(rk)
   }
 
   /** Stage-survivor funnel for the same pipeline: how many documents
     * (and tokens) survive each curation stage — the observability row a
-    * nightly run logs next to its output. One row; each stage count is
-    * an independent aggregate branch of the shared lazy stage frames.
+    * nightly run logs next to its output.
+    *
+    * SINGLE-PASS shape (the r7 form aggregated the five shared lazy
+    * stage frames independently, re-deriving the text-scoring kernel
+    * ~12×; at 100 TB that is ~12 corpus scans for one report row):
+    * every stage's survival is decidable PER ROW once the stage
+    * statistics are known, so the funnel scores each document once,
+    * derives monotone stage flags s2..s5 from broadcast statistic
+    * sides, and reduces with ONE conditional aggregate. The statistic
+    * subtrees (quantile threshold, temperature rates) still re-derive
+    * the scored frame — 3 extra kernel scans, the irreducible
+    * stage-stats data dependency — but the main pass, the budget
+    * window, and the final aggregate all ride one scan. Stage
+    * membership is IDENTICAL to [[run]]/[[stages]]: same threshold
+    * frame, same [[Sampling.temperatureRates]] arithmetic, same budget
+    * window order; the budget stage's cumulative sum treats
+    * non-survivors of stage 4 as zero-token rows, which leaves every
+    * survivor's running total unchanged (ids are unique, so the
+    * RANGE/ROWS frame distinction is moot).
     */
   def funnel(df: DataFrame, cfg: CurationConfig,
              idCol: String = "doc_id", textCol: String = "text",
              langCol: String = "lang"): DataFrame = {
-    val names = Seq("input", "gated", "floored", "sampled", "selected")
-    stages(df, cfg, idCol, textCol, langCol).zip(names)
-      .map { case (d, name) =>
-        d.agg(count(lit(1)).as(s"n_$name"),
-          coalesce(sum(col("n_tokens")), lit(0L)).as(s"tok_$name"))
-      }
-      .reduce(_ crossJoin _)
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(df, textCol)
+      .select(col(idCol), col(langCol), col("q_score"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val gatePred = Seq(
+        cfg.minQuality.map(q => col("q_score") >= q),
+        cfg.langs.map(ls => col(langCol).isin(ls: _*)))
+      .flatten.reduceOption(_ && _).getOrElse(lit(true))
+    // statistic subtrees replicate stages(): threshold from the GATED
+    // survivors, temperature rates from the FLOORED survivors
+    val gated = scored.filter(gatePred)
+    val floored = (cfg.lengthFloorNum, cfg.lengthFloorDen) match {
+      case (Some(n), Some(d)) => Sampling.quantileFloor(gated, "n_tokens", n, d)
+      case _ => gated
+    }
+    val s2 = scored.withColumn("__s2", gatePred)
+    val s3 = (cfg.lengthFloorNum, cfg.lengthFloorDen) match {
+      case (Some(n), Some(d)) =>
+        s2.crossJoin(broadcast(
+            Sampling.quantileThresholdFrame(gated, "n_tokens", n, d)))
+          .withColumn("__s3", col("__s2") && col("n_tokens") > col("__thr"))
+      case _ => s2.withColumn("__s3", col("__s2"))
+    }
+    val s4 = cfg.temperatureAlpha match {
+      case Some(a) =>
+        // left join: rows already dead at stage 3 may carry languages
+        // absent from the rates side; null rate => flag stays false
+        s3.join(broadcast(Sampling.temperatureRates(floored, langCol, a)),
+            Seq(langCol), "left")
+          .withColumn("__s4", col("__s3") &&
+            Sampling.hashUnit(col(idCol)) < col("__rate"))
+      case None => s3.withColumn("__s4", col("__s3"))
+    }
+    val s5 = cfg.budgetPerLang match {
+      case Some(budget) =>
+        val w = Window.partitionBy(langCol)
+          .orderBy(col("q_score").desc, col(idCol))
+        val contrib = when(col("__s4"), col("n_tokens")).otherwise(0L)
+        s4.withColumn("__s5",
+          col("__s4") && (sum(contrib).over(w) - contrib) < budget)
+      case None => s4.withColumn("__s5", col("__s4"))
+    }
+    def n(flag: String) = coalesce(sum(when(col(flag), 1L)), lit(0L))
+    def tok(flag: String) =
+      coalesce(sum(when(col(flag), col("n_tokens"))), lit(0L))
+    s5.agg(
+      count(lit(1)).as("n_input"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("tok_input"),
+      n("__s2").as("n_gated"), tok("__s2").as("tok_gated"),
+      n("__s3").as("n_floored"), tok("__s3").as("tok_floored"),
+      n("__s4").as("n_sampled"), tok("__s4").as("tok_sampled"),
+      n("__s5").as("n_selected"), tok("__s5").as("tok_selected"))
   }
 }
