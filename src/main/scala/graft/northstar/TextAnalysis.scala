@@ -204,7 +204,16 @@ object TextAnalysis {
     // stride < chunkSize = OVERLAPPING windows (the pretraining/RAG
     // context form: each window shares chunkSize - stride tokens with
     // its predecessor, so no boundary-straddling span is ever unseen);
-    // 0 (default) = non-overlapping consecutive windows
+    // 0 (default) = non-overlapping consecutive windows. stride >
+    // chunkSize is REJECTED: it would leave stride - chunkSize tokens
+    // between windows unseen — the opposite of the coverage contract.
+    // Window starts are enumerated to the last token (a trailing window
+    // fully contained in its predecessor still gets its own row — at
+    // 50% overlap that's one stub row per document); kept as-is: the
+    // enumeration is pinned by the ns_chunk_overlap oracle, and
+    // downstream exact-dedup collapses identical stubs.
+    require(stride <= chunkSize,
+      s"stride $stride > chunkSize $chunkSize would skip tokens")
     val step = if (stride <= 0) chunkSize else stride
     val w = split(trim(col(textCol)), "\\s+")
     df.select(col(idCol), w.as("w"), tokenCount(col(textCol)).as("n_tokens"))
@@ -331,6 +340,70 @@ object TextAnalysis {
         array_join(transform(
           array_sort(collect_list(struct(col(idCol), col(textCol)))),
           e => e.getField(textCol)), sep).as("packed"))
+  }
+
+  /** Iterated BPE induction — the first `rounds` merges of byte-pair
+    * encoding learned from the corpus (the tokenizer-training outer
+    * loop; `ns_bpe_pairs` is its round-1 statistics). Returns one row
+    * per merge round: (step, lhs, rhs, cnt) — the winning adjacent
+    * symbol pair (highest summed frequency, pair string as the
+    * deterministic tiebreak) and its count at the time it was chosen.
+    *
+    * Scale shape (the lmHead train-offline pattern): the corpus is
+    * tokenized ONCE into a word-frequency vocab frame — vocabulary-
+    * sized, not corpus-sized (~1e7 rows at 100 TB) — which is
+    * `localCheckpoint`ed so each merge round re-reads the materialized
+    * vocab, never the corpus. Every round is one pair-count aggregate
+    * over that small frame plus a LIMIT-1 collect; the merge table
+    * itself is the bounded driver artifact (`rounds` rows).
+    *
+    * Replayability: each word rides as a pipe-delimited symbol string
+    * (`hello` → `|h||e||l||l||o|`), and applying a merge (a,b) is the
+    * LITERAL string replace `|a||b|` → `|ab|` — no regex, no lookaround
+    * — which scans left-to-right non-overlapping identically in Java
+    * and every SQL engine, reproducing standard BPE's one-pass merge
+    * order (`aaa` + merge(a,a) → `aa a`). Symbols only ever contain \w
+    * characters (words come from a \W+ split), so the delimiters are
+    * unambiguous. The `ns_bpe_induct` oracle unrolls the rounds as
+    * CTEs, carrying each round's winner via a 1-row cross join.
+    */
+  def bpeInduct(df: DataFrame, rounds: Int = 5,
+                textCol: String = "text"): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    var vocab = df
+      .select(explode(split(lower(col(textCol)), "\\W+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("s"))
+      .groupBy("s").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val win = vocab
+        .withColumn("syms", split(trim(col("s"), "|"), "\\|\\|"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (win.isEmpty) dry = true
+      else {
+        val Array(a, b) = win(0).getString(0).split(" ", 2)
+        merges += ((r.toLong, a, b, win(0).getLong(1)))
+        // symbols are \w-only, safe to embed in the literal-replace SQL
+        vocab = vocab
+          .select(expr(s"replace(s, '|$a||$b|', '|$a$b|')").as("s"),
+            col("freq"))
+          .localCheckpoint() // truncate lineage, keep rounds O(1) each
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
   /** Heaps-law vocabulary-growth curve: how many NEW distinct terms each

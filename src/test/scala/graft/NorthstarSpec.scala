@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpecBase {
     assert(viaIndex == direct && direct.nonEmpty)
   }
 
+  test("minhashPairsAgainstIndex: k/bands mismatch vs stored index fails loudly, not zero-pairs") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("bandidx2").toString
+    Dedup.bandIndex(base).write.parquet(s"$dir/index.parquet") // k=16, bands=8
+    val stored = spark.read.parquet(s"$dir/index.parquet")
+    // silent outcome would be 0 candidate pairs (band hashes of different
+    // parameters never collide) — the artifact's __k/__bands must trip
+    intercept[Throwable] {
+      Dedup.minhashPairsAgainstIndex(base, stored, base,
+        k = 16, bands = 4, threshold = 0.5).count()
+    }
+  }
+
   test("collapseByPairsBest: keeper is the highest-scoring cluster member, not the min id") {
     val scored = Seq(
       (1L, "a", 0.2), (2L, "a dup", 0.9), (3L, "a dup dup", 0.5), // cluster of 1-2-3
@@ -523,6 +537,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     val strided = TextAnalysis.chunkByTokens(df, chunkSize = 3, stride = 3)
       .collect().map(r => (r.getInt(1), r.getString(2))).toSet
     assert(plain == strided)
+    // stride > chunkSize would leave token gaps unseen — rejected
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(df, chunkSize = 3, stride = 4)
+    }
+    assert(e.getMessage.contains("skip tokens"))
+  }
+
+  test("bpeInduct: hand-computed merge sequence, greedy left-to-right, count-desc/pair-asc winner") {
+    val df = Seq((1L, "aaab aaab banana")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeInduct(df, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // r1: aa wins 4 (aaab has TWO overlapping 'a a' but one-pass merge
+    //     counts both occurrences; merging leaves [aa, a, b]);
+    // r2: tie at 2 between 'a b', 'a n', 'aa a', 'n a' → 'a b' by pair
+    //     order; r3: 'a n' (banana → [b, an, an, a]); r4: 'aa ab' = 2
+    //     beats the 1-count banana pairs; r5: 'an a' at count 1
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 2L), (3L, "a", "n", 2L),
+      (4L, "aa", "ab", 2L), (5L, "an", "a", 1L)))
+    // merge supply exhausts → rounds stop early, no padding rows
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val short = TextAnalysis.bpeInduct(tiny, rounds = 5).collect()
+    assert(short.length == 1 && short(0).getString(1) == "a"
+      && short(0).getString(2) == "b")
   }
 }
 
@@ -723,6 +762,15 @@ class CurationSpec extends SparkSpecBase {
       Curation.sourceCap(docs, cap = 3).collect().map(_.getLong(0)).toSet)
   }
 
+  test("sourceCap: a caller's own __rk column is neither overwritten nor dropped") {
+    val df = Seq(
+      (1L, "s1", 10L, 7L), (2L, "s1", 20L, 8L), (3L, "s2", 5L, 9L),
+    ).toDF("doc_id", "source", "n_chars", "__rk")
+    val out = Curation.sourceCap(df, cap = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("__rk")).toMap
+    assert(out == Map(2L -> 8L, 3L -> 9L))
+  }
+
   test("funnel: stage counts are monotone non-increasing and match run()'s output") {
     val cfg = Curation.parseConfig(
       """{"min_quality": 0.5, "langs": ["en","de"], "length_floor": "1/10",
@@ -826,6 +874,16 @@ class DecontamSpec extends SparkSpecBase {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Int]("bloom_gram_hits")).toMap
     assert(byBloom == again)
+  }
+
+  test("benchmarkBloom: undersized expectedGrams fails loudly instead of silently degrading fpp") {
+    val bench = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val e = intercept[IllegalArgumentException] {
+      graft.northstar.Dedup.benchmarkBloom(bench, expectedGrams = 10L)
+    }
+    assert(e.getMessage.contains("expectedGrams"))
   }
 }
 
