@@ -79,11 +79,24 @@ object Mapping {
     * joined outputs are named {t1}_{t2}_merged; tables in no successful pair
     * pass through unchanged. Deterministic iteration: insertion order of
     * `names`.
+    *
+    * GUARD: the sweep is a driver loop QUADRATIC in table count — the
+    * right shape for the reference's interactive 5-table world, but a
+    * 10k-table catalog would enqueue ~100M inference attempts (each
+    * O(columns²) fuzzy name scoring) and, worse, potentially thousands
+    * of join plans. `maxPairs` fails fast instead; callers with wide
+    * catalogs should pre-group tables (by schema, subject area, or FK
+    * graph) and sweep within groups.
     */
   def mergeTables(tables: Map[String, DataFrame],
                   metas: Map[String, TableMeta] = Map.empty,
-                  names: Seq[String] = Nil): Map[String, DataFrame] = {
+                  names: Seq[String] = Nil,
+                  maxPairs: Long = 1000000L): Map[String, DataFrame] = {
     val order = if (names.nonEmpty) names else tables.keys.toSeq.sorted
+    val nPairs = order.size.toLong * (order.size - 1)
+    require(nPairs <= maxPairs,
+      s"${order.size} tables => $nPairs ordered pairs exceeds maxPairs=" +
+        s"$maxPairs; partition the catalog before sweeping")
     val joined = scala.collection.mutable.Set.empty[(String, String)]
     val out = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     for (n1 <- order; n2 <- order if n1 != n2 && !joined((n1, n2))) {

@@ -68,6 +68,18 @@ case class BloomGramHits(child: Expression, filterBytes: Array[Byte],
   @transient private lazy val bloom: BloomFilter =
     BloomOps.deserialize(filterBytes)
 
+  // Array[Byte] equality is reference-based, which would make two
+  // semantically identical probe expressions never compare equal —
+  // defeating canonicalization / common-subexpression elimination and
+  // plan-cache hits. Compare the filter CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case BloomGramHits(c, fb, m) =>
+      c == child && m == n && java.util.Arrays.equals(fb, filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Int.box(n), Int.box(java.util.Arrays.hashCode(filterBytes)))
+
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any =
     BloomOps.gramHits(v.asInstanceOf[UTF8String], bloom, n)

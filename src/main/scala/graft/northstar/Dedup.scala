@@ -245,7 +245,12 @@ object Dedup {
     * and reused by every subsequent [[minhashPairsAgainstIndex]] screen:
     * the nightly ingest then pays only the incoming batch's signature
     * build plus one equi-join against the stored index. Bucket caps are
-    * applied at BUILD time, so they're part of the artifact.
+    * applied at BUILD time, so they're part of the artifact — and so are
+    * the signature parameters: `__k`/`__bands` ride as constant columns,
+    * letting [[minhashPairsAgainstIndex]] FAIL LOUDLY when a reader's
+    * k/bands disagree with what the index was built with (band hashes of
+    * mismatched parameters never collide, so the silent outcome would be
+    * zero pairs — a false-clean at the safety-critical dedup layer).
     */
   def bandIndex(df: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
@@ -258,11 +263,18 @@ object Dedup {
           texthash.minhash_sig(col(textCol), 3, k).as("mh"))
         .select(col("id"), col("mh"), explode(bandHashes).as("band_hash")),
       Seq("band_hash"), maxBucket)
+      .withColumn("__k", lit(k)).withColumn("__bands", lit(bands))
   }
 
   /** [[minhashPairsAgainst]] with a PREBUILT corpus index (from
     * [[bandIndex]], possibly parquet-round-tripped) plus the (id, text)
     * corpus frame for the exact-Jaccard verify of the candidates.
+    *
+    * INVARIANT: the caller's k/bands MUST match the parameters the index
+    * was built with. When the index carries the `__k`/`__bands` artifact
+    * columns (every index built since they were added does; older stored
+    * indexes may not), the check rides the plan as an `assert_true` and
+    * a mismatch fails the job instead of silently screening zero pairs.
     */
   def minhashPairsAgainstIndex(incoming: DataFrame, corpusIndex: DataFrame,
                                corpusTexts: DataFrame,
@@ -271,9 +283,19 @@ object Dedup {
                                k: Int = 16, bands: Int = 8,
                                threshold: Double = 0.7,
                                maxBucket: Int = 1000): DataFrame = {
+    val checked =
+      if (corpusIndex.columns.contains("__k")
+          && corpusIndex.columns.contains("__bands"))
+        corpusIndex.withColumn("band_hash",
+          when(assert_true(col("__k") === k && col("__bands") === bands,
+              concat(lit(s"band index built with k/bands = "), col("__k"),
+                lit("/"), col("__bands"),
+                lit(s", probed with $k/$bands"))).isNull,
+            col("band_hash")))
+      else corpusIndex
     val screened = bandIndex(incoming, textCol, idCol, k, bands, maxBucket)
       .select(col("band_hash"), col("id").as("doc_a"), col("mh").as("mh_a"))
-      .join(corpusIndex.select(col("band_hash"), col("id").as("doc_b"),
+      .join(checked.select(col("band_hash"), col("id").as("doc_b"),
         col("mh").as("mh_b")), Seq("band_hash"))
       .filter(estimatedJaccard(col("mh_a"), col("mh_b"))
         >= threshold - 2.0 / k)
@@ -306,11 +328,23 @@ object Dedup {
     val grams = benchmark
       .select(explode(shingles(col(textCol), n)).as("g")).distinct()
       .as[String](org.apache.spark.sql.Encoders.STRING)
-    val bf = grams.rdd.treeAggregate(BloomFilter.create(expectedGrams, fpp))(
-      (f, g) => {
-        f.putBinary(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f
+    // the fold carries the exact distinct-gram count alongside the
+    // filter: a benchmark whose gram set exceeds `expectedGrams` would
+    // silently saturate the bits and degrade the fpp toward all-hits —
+    // gutting the clean-side screen (one-sided safety still holds, but
+    // every document would need the exact re-check). Fail loudly
+    // instead: the caller must size expectedGrams to the benchmark.
+    val (bf, nGrams) = grams.rdd.treeAggregate(
+      (BloomFilter.create(expectedGrams, fpp), 0L))(
+      { case ((f, c), g) =>
+        f.putBinary(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (f, c + 1)
       },
-      (a, b) => { a.mergeInPlace(b); a })
+      { case ((a, ca), (b, cb)) => a.mergeInPlace(b); (a, ca + cb) })
+    require(nGrams <= expectedGrams,
+      s"benchmark has $nGrams distinct $n-grams but the filter was sized " +
+        s"for $expectedGrams — raise expectedGrams or the advertised fpp " +
+        s"of $fpp is void")
     graft.functions.BloomOps.serialize(bf)
   }
 

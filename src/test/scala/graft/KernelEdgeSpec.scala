@@ -126,4 +126,20 @@ class KernelEdgeSpec extends SparkSpecBase {
       hof.as("hof"))
     assert(cmp.filter($"kernel" =!= $"hof").count() == 0)
   }
+
+  test("BloomGramHits: content-equal filters compare equal (canonicalization/CSE-able)") {
+    import graft.functions.{BloomGramHits, BloomOps}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putBinary("alpha beta gamma".getBytes("UTF-8"))
+    val bytes = BloomOps.serialize(bf)
+    val a = BloomGramHits(Literal("x"), bytes, 3)
+    val b = BloomGramHits(Literal("x"), bytes.clone(), 3) // distinct array, same content
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    assert(a != BloomGramHits(Literal("x"), bytes, 4))
+    val other = BloomOps.serialize(
+      org.apache.spark.util.sketch.BloomFilter.create(100, 0.01))
+    assert(a != BloomGramHits(Literal("x"), other, 3))
+  }
 }

@@ -66,6 +66,17 @@ class MappingSpec extends SparkSpecBase {
       names = Seq("customers", "misc"))
     assert(out.keySet == Set("customers", "misc"))
   }
+
+  test("J6 sweep: quadratic pair cap fails fast on a too-wide catalog") {
+    val tables = (1 to 5).map(i => s"t$i" -> misc).toMap
+    val e = intercept[IllegalArgumentException] {
+      Mapping.mergeTables(tables, maxPairs = 10) // 5 tables → 20 ordered pairs
+    }
+    assert(e.getMessage.contains("maxPairs"))
+    // under the cap, behavior unchanged: the 5 identical tables pair up
+    // into C(5,2) = 10 merged outputs
+    assert(Mapping.mergeTables(tables, maxPairs = 20).size == 10)
+  }
 }
 
 class SaltedJoinSpec extends SparkSpecBase {
