@@ -223,6 +223,46 @@ object ScaleProbe {
         replicate(docs1, 10, "doc_id", 1000000L), threshold = 0.5).count()
     }
     println(f"[scale] incomingNearDup 10x-corpus ratio ${ni10 / ni1}%.1fx (linear-ish expected)")
+    // same nightly-ingest screen against a MATERIALIZED band index (the
+    // r7 write-once artifact): probe cost = incoming signature build +
+    // one equi-join vs the stored parquet — corpus growth should show up
+    // only through index size (~linear), never incoming x corpus
+    val idxDir = java.nio.file.Files.createTempDirectory("scaleidx").toString
+    Dedup.bandIndex(docs1).write.parquet(s"$idxDir/i1")
+    Dedup.bandIndex(replicate(docs1, 10, "doc_id", 1000000L))
+      .write.parquet(s"$idxDir/i10")
+    val si1 = timed("incoming vs stored index (1x)") {
+      Dedup.minhashPairsAgainstIndex(incoming,
+        spark.read.parquet(s"$idxDir/i1"), docs1, threshold = 0.5).count()
+    }
+    val si10 = timed("incoming vs stored index (10x)") {
+      Dedup.minhashPairsAgainstIndex(incoming,
+        spark.read.parquet(s"$idxDir/i10"),
+        replicate(docs1, 10, "doc_id", 1000000L), threshold = 0.5).count()
+    }
+    println(f"[scale] storedIndexScreen 10x-corpus ratio ${si10 / si1}%.1fx (linear-ish expected)")
+    // config-driven curation pipeline + its single-pass funnel: the
+    // quantile-histogram and temperature-count statistic sides must stay
+    // tiny broadcasts (value-domain / language-count sized) while the
+    // main pass grows linearly
+    val curCfg = Curation.parseConfig(
+      """{"min_quality": 0.5, "langs": ["de", "en", "es", "fr"],
+        |"length_floor": "1/10", "temperature_alpha": 0.5,
+        |"budget_per_lang": 3000}""".stripMargin)
+    val cc1r = timed("curation config 5k docs (1x)") {
+      Curation.run(docs1, curCfg).count()
+    }
+    val cc10r = timed("curation config 50k docs (10x)") {
+      Curation.run(replicate(docs1, 10, "doc_id", 1000000L), curCfg).count()
+    }
+    println(f"[scale] curationConfig 10x-data ratio  ${cc10r / cc1r}%.1fx (linear-ish expected)")
+    val fu1 = timed("curation funnel 5k docs (1x)") {
+      Curation.funnel(docs1, curCfg).count()
+    }
+    val fu10 = timed("curation funnel 50k docs (10x)") {
+      Curation.funnel(replicate(docs1, 10, "doc_id", 1000000L), curCfg).count()
+    }
+    println(f"[scale] curationFunnel 10x-data ratio  ${fu10 / fu1}%.1fx (linear-ish expected)")
     // source entropy: wordcount shuffle + group-count-row broadcast
     val se1 = timed("sourceEntropy 5k docs (1x)") {
       TextAnalysis.sourceEntropy(docs1).count()
