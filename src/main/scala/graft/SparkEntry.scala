@@ -673,6 +673,18 @@ object SparkEntry {
     // literal-replace merge application
     "ns_bpe_induct" -> ((s, dir) =>
       TextAnalysis.bpeInduct(t(s, dir, "documents"), rounds = 5)),
+    // the serve half of the tokenizer ladder: train the 5-merge table
+    // offline (bounded driver artifact), then tokenize the corpus with
+    // it as a stateless narrow pass — per-doc word and BPE-piece
+    // counts under the learned tokenizer
+    "ns_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeInduct(docs, rounds = 5).collect()
+        .sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeApply(docs, merges)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"))
+    }),
     // vocabulary frequency-of-frequencies (the Zipf / Good-Turing
     // spectrum): two keyed aggregates, second input is vocabulary-sized;
     // the corpus-health view that exposes tokenizer or crawl regressions
@@ -1829,6 +1841,92 @@ object SparkEntry {
         |UNION ALL SELECT 3, a, b, cnt FROM m3
         |UNION ALL SELECT 4, a, b, cnt FROM m4
         |UNION ALL SELECT 5, a, b, cnt FROM m5""".stripMargin,
+    // same 5 induction rounds, then tokenize every document with the
+    // learned merges: nested literal replaces in learned order (m1
+    // innermost), winners carried by 1-row cross joins
+    "ns_bpe_tokenize" ->
+      """WITH w0 AS (
+        |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, count(*) AS freq
+        |  FROM (SELECT unnest(list_filter(
+        |          regexp_split_to_array(lower(text), '\W+'),
+        |          x -> len(x) >= 1)) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w0)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m1 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |w1 AS (SELECT replace(s, '|'||a||'||'||b||'|', '|'||a||b||'|') AS s, freq
+        |       FROM w0 CROSS JOIN m1),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w1)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m2 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |w2 AS (SELECT replace(s, '|'||a||'||'||b||'|', '|'||a||b||'|') AS s, freq
+        |       FROM w1 CROSS JOIN m2),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w2)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m3 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |w3 AS (SELECT replace(s, '|'||a||'||'||b||'|', '|'||a||b||'|') AS s, freq
+        |       FROM w2 CROSS JOIN m3),
+        |p4 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w3)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m4 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p4 ORDER BY cnt DESC, pair LIMIT 1),
+        |w4 AS (SELECT replace(s, '|'||a||'||'||b||'|', '|'||a||b||'|') AS s, freq
+        |       FROM w3 CROSS JOIN m4),
+        |p5 AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l FROM w4)
+        |    WHERE len(l) >= 2)
+        |  GROUP BY 1),
+        |m5 AS (SELECT split_part(pair, ' ', 1) AS a,
+        |              split_part(pair, ' ', 2) AS b, cnt
+        |       FROM p5 ORDER BY cnt DESC, pair LIMIT 1),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1) AS ws
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(ws, w ->
+        |    len(string_split(trim(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(w, '(.)', '|\1|', 'g'),
+        |        '|'||m1.a||'||'||m1.b||'|', '|'||m1.a||m1.b||'|'),
+        |        '|'||m2.a||'||'||m2.b||'|', '|'||m2.a||m2.b||'|'),
+        |        '|'||m3.a||'||'||m3.b||'|', '|'||m3.a||m3.b||'|'),
+        |        '|'||m4.a||'||'||m4.b||'|', '|'||m4.a||m4.b||'|'),
+        |        '|'||m5.a||'||'||m5.b||'|', '|'||m5.a||m5.b||'|'),
+        |      '|'), '||')))), 0) AS BIGINT) AS n_pieces
+        |FROM tok CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
+        |  CROSS JOIN m4 CROSS JOIN m5""".stripMargin,
     "ns_zipf_spectrum" ->
       """WITH terms AS (
         |  SELECT unnest(list_filter(

@@ -406,6 +406,40 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** Tokenize with a FROZEN merge table — the serve half of the BPE
+    * train-offline/apply-online split ([[bpeInduct]] is the train half;
+    * same deployment shape as lmHead/scoreWithLm and Curation.freeze/
+    * serve). The merge list (a bounded driver artifact, \w-only
+    * symbols) is unrolled into the plan as nested literal replaces over
+    * the pipe-delimited symbol encoding, so application is a STATELESS
+    * NARROW pass — no joins, no aggregates, no shuffle; it runs
+    * unchanged on a streaming frame. Output: the input plus `n_words`
+    * (whitespace-ish words after the \W+ split) and `n_pieces` (total
+    * BPE symbols after applying the merges in learned order) — the
+    * tokenizer-budget columns (pieces/words = fertility under the
+    * learned tokenizer).
+    */
+  def bpeApply(df: DataFrame, merges: Seq[(String, String)],
+               textCol: String = "text"): DataFrame = {
+    merges.foreach { case (a, b) =>
+      require((a + b).matches("\\w+"),
+        s"BPE symbols must be \\w-only, got ('$a','$b')")
+    }
+    // merge application in learned order: literal replaces compose
+    // left-to-right non-overlapping, same semantics as bpeInduct
+    val applied = merges.foldLeft("regexp_replace(__w, '(.)', '|$1|')") {
+      case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+    df.withColumn("__ws",
+        filter(split(lower(col(textCol)), "\\W+"), w => length(w) >= 1))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("n_pieces", expr(
+        s"aggregate(transform(__ws, __w -> " +
+          s"size(split(trim(BOTH '|' FROM $applied), '\\\\|\\\\|'))), " +
+          "0L, (acc, x) -> acc + x)").cast("long"))
+      .drop("__ws")
+  }
+
   /** Heaps-law vocabulary-growth curve: how many NEW distinct terms each
     * corpus slice (bucket) contributes, and the cumulative vocabulary
     * size — the saturation diagnostic a corpus build watches to decide

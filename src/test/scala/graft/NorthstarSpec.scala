@@ -563,6 +563,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(short.length == 1 && short(0).getString(1) == "a"
       && short(0).getString(2) == "b")
   }
+
+  test("bpeApply: frozen merges tokenize per learned order; piece counts hand-checked") {
+    val df = Seq((1L, "aaab aaab banana")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("a", "n"), ("aa", "ab"), ("an", "a"))
+    val out = TextAnalysis.bpeApply(df, merges)
+      .select("doc_id", "n_words", "n_pieces").collect()(0)
+    // aaab → [aaab] (1 piece, via aa+ab then aaab); banana → [b, an, ana]
+    assert((out.getLong(1), out.getLong(2)) == ((3L, 5L)))
+    // no merges = character tokenization
+    val none = TextAnalysis.bpeApply(df, Nil)
+      .select("n_pieces").collect()(0).getLong(0)
+    assert(none == 4 + 4 + 6)
+    // non-\w symbols are rejected (they would break the regex-free
+    // delimiter scheme)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeApply(df, Seq(("a", "|")))
+    }
+  }
 }
 
 class SamplingSpec extends SparkSpecBase {

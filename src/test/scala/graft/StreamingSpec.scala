@@ -171,6 +171,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.forall { case (_, _, lp) => lp < 0 && !lp.isNaN })
   }
 
+  test("bpeApply: the frozen merge table tokenizes a stream and matches batch") {
+    import graft.northstar.TextAnalysis
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$src/docs.parquet")
+    val batchDocs = spark.read.parquet(s"$src/docs.parquet")
+    // train the merge table offline, tokenize the SAME corpus as a
+    // stream — the apply side is a stateless narrow pass
+    val merges = TextAnalysis.bpeInduct(batchDocs, rounds = 3).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val schema = batchDocs.schema
+    val q = TextAnalysis.bpeApply(
+        IncrementalStream.readTableStream(spark, src, "docs", schema), merges)
+      .select("doc_id", "n_words", "n_pieces")
+      .writeStream.format("memory").queryName("bpe_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("bpe_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.bpeApply(batchDocs, merges)
+      .select("doc_id", "n_words", "n_pieces").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // merges only ever reduce piece counts below the char count and
+    // never below the word count
+    assert(batch.forall { case (_, w, p) => p >= w })
+  }
+
   test("frozen curation policy serves a stream and matches the batch application") {
     import graft.northstar.Curation
     val src = tmp(); val ckpt = tmp()
