@@ -121,13 +121,21 @@ object Sampling {
   def temperatureRates(df: DataFrame, stratumCol: String,
                        alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1] required, got $alpha")
+    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
-    val cmin = counts.agg(min(col("__c")).as("__cmin"))
-    val ratio = col("__cmin").cast("double") / col("__c").cast("double")
+    // cmin as a whole-frame window over the counts, NOT a second
+    // aggregate branch: an agg + crossJoin would expand the `df`
+    // subtree twice, doubling the upstream corpus scans everywhere the
+    // rates ride as a broadcast side (Curation run/funnel). The window
+    // input is one row per stratum — single-partition is safe at any
+    // corpus size.
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ratio = min(col("__c")).over(wAll).cast("double") /
+      col("__c").cast("double")
     val rateExpr =
       if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
-    counts.crossJoin(broadcast(cmin))
-      .select(col(stratumCol), rateExpr.as("__rate"))
+    counts.select(col(stratumCol), rateExpr.as("__rate"))
   }
 
   /** Quantile-floor curation: drop every row whose `valueCol` is <= the

@@ -301,4 +301,18 @@ class PlanQualitySpec extends SparkSpecBase {
     // bounded by the stage count
     assert(shuffles(p) <= 6, s"expected <=6 keyed shuffles, got ${shuffles(p)}:\n${p.take(1200)}")
   }
+
+  test("curation funnel: single-pass — corpus scans bounded by the stat subtrees, not the stage count") {
+    val p = planOf("ns_curation_funnel")
+    // the r7 form aggregated 5 independent stage frames and re-derived
+    // the scoring kernel ~12x (~12 parquet scans of documents); the
+    // single-pass rewrite carries one main scan plus the quantile-
+    // threshold and temperature-rate subtrees (which re-derive gated =
+    // 1 and floored = 2 scans). A regression back to per-stage
+    // aggregation would push this past 4.
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"expected <=4 corpus scans, got $scans:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
 }
