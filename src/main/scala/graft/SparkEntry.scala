@@ -615,6 +615,49 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
     }),
+    // eval-leakage audit: documents whose normalized text is EXACTLY
+    // duplicated across a train/val/test boundary — the deterministic
+    // split is safe against id shuffling but not against content dupes,
+    // so a nightly split must be screened before eval numbers are
+    // trusted. One shuffle on the fingerprint key + a co-partitioned
+    // semi-join back; output = every member of a boundary-spanning group
+    "ns_split_leak" -> ((s, dir) => {
+      // deterministic duplicate injection (the ns_redact_pii pattern —
+      // the raw corpus happens to carry no cross-boundary exact dupes
+      // at small sf): every 5th document rides in twice under a far id,
+      // whose independent hash lands a fifth of the copies across a
+      // split boundary
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val sp = graft.northstar.Sampling.assignSplit(aug,
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"),
+          graft.northstar.Dedup.normText(col("text")).as("__k"), col("split"))
+      val leaky = sp.groupBy("__k")
+        .agg(countDistinct(col("split")).as("__ns"))
+        .filter(col("__ns") >= 2)
+      sp.join(leaky.select("__k"), Seq("__k"), "left_semi")
+        .select(col("doc_id"), col("split"))
+    }),
+    // CCNet-style perplexity bucketing: score every document with the
+    // corpus-trained LM, then band into quartiles (0 = least probable
+    // tail .. 3 = head) — ALL three cuts from ONE histogram pass
+    // (Sampling.quantileCuts), integer-exact, the bucket label a pure
+    // count of cuts below the score
+    "ns_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (vocab, total) = TextAnalysis.lmHead(docs, topK = 50)
+      val scored = TextAnalysis.scoreWithLm(docs, vocab, total)
+        .select(col("doc_id"),
+          round(col("mean_lp") * 10000).cast("long").as("s_e4"))
+      scored.crossJoin(broadcast(
+          graft.northstar.Sampling.quantileCuts(scored, "s_e4", 4)))
+        .select(col("doc_id"), col("s_e4"),
+          size(filter(col("__cuts"), c => col("s_e4") > c))
+            .cast("long").as("bucket"))
+    }),
     // the full config-driven curation pipeline (quality gate → lang
     // gate → length floor → temperature rebalance → budget fill) from
     // one JSON config, one lazy plan; every stage's statistics derive
@@ -1620,6 +1663,63 @@ object SparkEntry {
         |    / len(toks) * 10000) AS BIGINT) AS s_e4
         |FROM toks CROSS JOIN tot CROSS JOIN m
         |WHERE len(toks) > 0""".stripMargin,
+    // split replay identical to ns_split_assign; leaky groups via
+    // HAVING count(DISTINCT split) >= 2 on the normalized text key
+    "ns_split_leak" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |sp AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k,
+        |    CASE WHEN h < 0.9 THEN 'train'
+        |         WHEN h < 0.95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |          doc_id % 2147483647 * 2654435761 % 2147483647 * 2246822519 % 2147483647 / 2147483647.0 AS h
+        |        FROM aug)),
+        |g AS (SELECT k FROM sp GROUP BY k HAVING count(DISTINCT split) >= 2)
+        |SELECT doc_id, split FROM sp JOIN g USING (k)""".stripMargin,
+    // same LM chain as ns_lm_serve, then quartile cuts as three scalar
+    // min-over-cumulative-histogram subqueries; bucket = count of cuts
+    // strictly below the score (duplicate cuts skip swallowed bands on
+    // both sides)
+    "ns_ppl_buckets" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        |head AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 50),
+        |m AS (SELECT map(list(term), list(cnt)) AS lm FROM head),
+        |toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(round(list_sum(list_transform(toks, t ->
+        |      ln(coalesce(CAST(lm[t][1] AS DOUBLE), 0.5) / total)))
+        |      / len(toks) * 10000) AS BIGINT) AS s_e4
+        |  FROM toks CROSS JOIN tot CROSS JOIN m
+        |  WHERE len(toks) > 0),
+        |h AS (SELECT s_e4 AS v, count(*) AS c FROM s GROUP BY 1),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER () AS n
+        |  FROM h),
+        |c1 AS (SELECT min(v) AS t FROM cum WHERE cum * 4 >= n),
+        |c2 AS (SELECT min(v) AS t FROM cum WHERE cum * 4 >= 2 * n),
+        |c3 AS (SELECT min(v) AS t FROM cum WHERE cum * 4 >= 3 * n)
+        |SELECT doc_id, s_e4,
+        |  CAST((CASE WHEN s_e4 > c1.t THEN 1 ELSE 0 END)
+        |     + (CASE WHEN s_e4 > c2.t THEN 1 ELSE 0 END)
+        |     + (CASE WHEN s_e4 > c3.t THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |FROM s CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN c3""".stripMargin,
     // stage-by-stage replay of the config pipeline: gate → floor
     // (threshold from gated survivors) → temperature (counts from
     // floored survivors) → budget window

@@ -182,6 +182,41 @@ object Sampling {
       .agg(min(col(valueCol)).as("__thr"))
   }
 
+  /** ALL nBuckets-1 quantile cuts of `valueCol` from ONE value-histogram
+    * pass, as a single broadcastable row holding the sorted cut array —
+    * the statistic side for quantile BUCKETING (perplexity head/middle/
+    * tail bands, length deciles) where [[quantileThresholdFrame]] yields
+    * one cut. Computing each cut as its own aggregate branch would
+    * expand the input subtree B-1 times (B-1 corpus scans); here the
+    * cumulative histogram emits, per distinct value, exactly the k's
+    * for which that value is the cut: cut_k = min{v : B*cum(v) >= k*n},
+    * so row v covers k in ((B*cumPrev) div n, (B*cum) div n]. All
+    * integer arithmetic (`div`), replayable as plain SQL; a value that
+    * spans multiple quantile bands appears multiple times, so bucket =
+    * count(cuts < x) correctly skips the swallowed bands. The collect
+    * side is B-1 values — broadcastable at any corpus size.
+    */
+  def quantileCuts(df: DataFrame, valueCol: String,
+                   nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(valueCol).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__hi",
+        least(lit(nBuckets - 1L), expr(s"__cum * $nBuckets div __n")))
+      .withColumn("__lo",
+        greatest(lit(1L), expr(s"(__cum - __c) * $nBuckets div __n + 1")))
+      .filter(col("__hi") >= col("__lo"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__k"),
+        col(valueCol).cast("long").as("__cut"))
+      .agg(sort_array(collect_list(col("__cut"))).as("__cuts"))
+  }
+
   /** Deterministic epoch-order shuffle for training-data serving: every
     * row gets a (bucket, pos) coordinate — a seeded pseudo-random
     * permutation split into `nBuckets` independent shards. bucket =

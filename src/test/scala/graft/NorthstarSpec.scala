@@ -693,6 +693,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.quantileFloor(vals, "v", 10, 10).count() == 0)
   }
 
+  test("quantileCuts: every cut agrees with quantileThresholdFrame; one histogram pass") {
+    val vals = (1L to 10L).toDF("v")
+    val cuts = Sampling.quantileCuts(vals, "v", 4).collect()(0)
+      .getSeq[Long](0)
+    // quartile cuts of 1..10: k=ceil(10k/4)-th smallest = 3, 5, 8
+    assert(cuts == Seq(3L, 5L, 8L))
+    for ((c, k) <- cuts.zipWithIndex) {
+      val single = Sampling.quantileThresholdFrame(vals, "v", k + 1, 4)
+        .collect()(0).getLong(0)
+      assert(c == single, s"cut ${k + 1}/4: array $c vs single $single")
+    }
+    // bucket = count(cuts < x): 1..3→0, 4..5→1, 6..8→2, 9..10→3
+    val bucketOf = (x: Long) => cuts.count(_ < x)
+    assert((1L to 10L).map(bucketOf) ==
+      Seq(0, 0, 0, 1, 1, 2, 2, 2, 3, 3))
+    // a value spanning multiple bands yields DUPLICATE cuts, so higher
+    // values skip the swallowed bucket (9x42 + one 100: all three cuts
+    // are 42, 100 lands in bucket 3, the 42s in bucket 0)
+    val skew = (Seq.fill(9)(42L) :+ 100L).toDF("v")
+    val dcuts = Sampling.quantileCuts(skew, "v", 4).collect()(0)
+      .getSeq[Long](0)
+    assert(dcuts == Seq(42L, 42L, 42L))
+    // deterministic under repartition
+    assert(Sampling.quantileCuts(vals.repartition(7), "v", 4).collect()(0)
+      .getSeq[Long](0) == Seq(3L, 5L, 8L))
+  }
+
   test("epochShuffle: a true permutation — pos is 1..n within each bucket, every row coordinated") {
     val out = Sampling.epochShuffle(docs, nBuckets = 8, seed = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
