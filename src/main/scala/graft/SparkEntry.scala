@@ -615,6 +615,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
     }),
+    // the Gopher web-curation rule set (word-count band, mean word
+    // length, symbol/bullet/ellipsis ratios, alphabetic-word floor) —
+    // raw integer numerators + the combined pass flag, every rule an
+    // integer comparison, one narrow pass
+    "ns_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), minWords = 20)),
     // eval-leakage audit: documents whose normalized text is EXACTLY
     // duplicated across a train/val/test boundary — the deterministic
     // split is safe against id shuffling but not against content dupes,
@@ -1663,6 +1669,43 @@ object SparkEntry {
         |    / len(toks) * 10000) AS BIGINT) AS s_e4
         |FROM toks CROSS JOIN tot CROSS JOIN m
         |WHERE len(toks) > 0""".stripMargin,
+    // every Gopher rule replayed as the same integer comparisons over
+    // list kernels; '...' counting is literal-replace length deltas on
+    // both sides (identical left-to-right non-overlap semantics)
+    "ns_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      w -> len(w) >= 1) AS ws,
+        |    list_filter(regexp_split_to_array(text, '\n'),
+        |      l -> len(trim(l)) >= 1) AS ls
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |      AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS sym_marks,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*]')))
+        |      AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$')))
+        |      AS BIGINT) AS ellipsis_lines
+        |  FROM d)
+        |SELECT doc_id, n_words, sum_wlen, alpha_words, sym_marks, n_lines,
+        |  bullet_lines, ellipsis_lines,
+        |  CAST(CASE WHEN n_words >= 20 AND n_words <= 100000
+        |    AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words
+        |    AND sym_marks * 10 <= n_words
+        |    AND bullet_lines * 10 <= n_lines * 9
+        |    AND ellipsis_lines * 10 <= n_lines * 3
+        |    AND alpha_words * 10 >= n_words * 8
+        |    THEN 1 ELSE 0 END AS BIGINT) AS passes
+        |FROM sig""".stripMargin,
     // split replay identical to ns_split_assign; leaky groups via
     // HAVING count(DISTINCT split) >= 2 on the normalized text key
     "ns_split_leak" ->

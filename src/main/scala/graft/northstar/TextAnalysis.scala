@@ -406,6 +406,59 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 heuristics — public knowledge;
+    * the widely-reused web-curation rule set alongside C4's): per
+    * document, the raw INTEGER signals each rule inspects plus the
+    * combined pass flag. Exposing numerators/denominators instead of
+    * ratios keeps every rule an integer comparison — no float
+    * thresholds to disagree on, so any SQL engine replays the screen
+    * bit-for-bit:
+    *
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10]     (3n <= Σlen(w) <= 10n)
+    *   - '#' or '...' marks <= 0.1/word  (10·marks <= n)
+    *   - bullet-started lines <= 90%     (10·bullets <= 9·lines)
+    *   - '...'-ended lines   <= 30%      (10·ellipses <= 3·lines)
+    *   - words with an alphabetic char >= 80% (10·alpha >= 8n)
+    *
+    * One narrow pass — per-row string kernels only, no shuffle, no
+    * state; composes with [[qualityScore]] (the reference-shaped
+    * heuristic) as independent curation gates.
+    */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", minWords: Long = 50,
+                  maxWords: Long = 100000): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) >= 1)
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) >= 1)
+    df.select(
+        col(idCol),
+        size(words).cast("long").as("n_words"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_wlen"),
+        size(filter(words, w => w.rlike("[A-Za-z]")))
+          .cast("long").as("alpha_words"),
+        ((length(col(textCol))
+            - length(regexp_replace(col(textCol), "#", "")))
+          + (length(col(textCol))
+            - length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("sym_marks"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.rlike("^\\s*[-*]")))
+          .cast("long").as("bullet_lines"),
+        size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+          .cast("long").as("ellipsis_lines"))
+      .withColumn("passes",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("sum_wlen") >= col("n_words") * 3 &&
+          col("sum_wlen") <= col("n_words") * 10 &&
+          col("sym_marks") * 10 <= col("n_words") &&
+          col("bullet_lines") * 10 <= col("n_lines") * 9 &&
+          col("ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+          col("alpha_words") * 10 >= col("n_words") * 8)
+          .cast("long"))
+  }
+
   /** Tokenize with a FROZEN merge table — the serve half of the BPE
     * train-offline/apply-online split ([[bpeInduct]] is the train half;
     * same deployment shape as lmHead/scoreWithLm and Curation.freeze/

@@ -564,6 +564,30 @@ class TextAnalysisSpec extends SparkSpecBase {
       && short(0).getString(2) == "b")
   }
 
+  test("gopherRules: each rule trips on a crafted violator, clean doc passes") {
+    val ok = (1 to 60).map(i => s"word$i").mkString(" ")   // 60 sane words
+    val docs = Seq(
+      (1L, ok),                                            // passes all
+      (2L, "too few words here"),                          // word-count floor
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),         // mean len < 3
+      (4L, (1 to 60).map(i => s"w$i ###").mkString(" ")),  // symbol ratio
+      (5L, (1 to 60).map(i => s"- bullet $i").mkString("\n")), // bullets > 90%
+      (6L, (1 to 60).map(i => s"line $i word ...").mkString("\n")), // ellipses
+      (7L, (1 to 60).map(i => s"$i$i$i").mkString(" ")),   // alpha words < 80%
+      (8L, ""),                                            // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("passes")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L))
+    // signal integers exposed for audit, not just the flag
+    val row = TextAnalysis.gopherRules(docs, minWords = 20)
+      .filter($"doc_id" === 1L).collect()(0)
+    assert(row.getAs[Long]("n_words") == 60)
+    assert(row.getAs[Long]("alpha_words") == 60)
+    assert(row.getAs[Long]("n_lines") == 1)
+  }
+
   test("bpeApply: frozen merges tokenize per learned order; piece counts hand-checked") {
     val df = Seq((1L, "aaab aaab banana")).toDF("doc_id", "text")
     val merges = Seq(("a", "a"), ("a", "b"), ("a", "n"), ("aa", "ab"), ("an", "a"))
