@@ -615,6 +615,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
     }),
+    // bigram LM with unigram backoff — the KenLM-shaped perplexity rung
+    // above ns_lm_serve: both heads trained offline (bounded driver
+    // artifacts), scoring a stateless narrow pass; the IEEE fold is
+    // replayed term-for-term by the oracle
+    "ns_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (vocab, total) = TextAnalysis.lmHead(docs, topK = 50)
+      val bigrams = TextAnalysis.bigramHead(docs, topK = 100)
+      TextAnalysis.scoreWithBigramLm(docs, bigrams, vocab, total)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_lp2") * 10000).cast("long").as("b_e4"))
+    }),
     // the Gopher web-curation rule set (word-count band, mean word
     // length, symbol/bullet/ellipsis ratios, alphabetic-word floor) —
     // raw integer numerators + the combined pass flag, every rule an
@@ -1669,6 +1681,42 @@ object SparkEntry {
         |    / len(toks) * 10000) AS BIGINT) AS s_e4
         |FROM toks CROSS JOIN tot CROSS JOIN m
         |WHERE len(toks) > 0""".stripMargin,
+    // unigram + bigram heads as map CTEs; the per-doc fold walks pair
+    // indices 2..n exactly like the Spark aggregate so the doubles
+    // match before the e4 rounding
+    "ns_bigram_lm" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        |uhead AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 50),
+        |ug AS (SELECT map(list(term), list(cnt)) AS ug FROM uhead),
+        |toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1) AS toks
+        |  FROM documents),
+        |bgs AS (
+        |  SELECT unnest(list_transform(range(2, len(toks) + 1),
+        |    i -> toks[i-1] || ' ' || toks[i])) AS bgr
+        |  FROM toks WHERE len(toks) >= 2),
+        |bc AS (SELECT bgr, count(*) AS cnt FROM bgs GROUP BY 1),
+        |bhead AS (SELECT bgr, cnt FROM bc ORDER BY cnt DESC, bgr LIMIT 100),
+        |bg AS (SELECT map(list(bgr), list(cnt)) AS bg FROM bhead)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(list_sum(list_transform(range(2, len(toks) + 1), i ->
+        |    CASE WHEN bg[toks[i-1] || ' ' || toks[i]][1] IS NOT NULL
+        |          AND ug[toks[i-1]][1] IS NOT NULL
+        |         THEN ln(CAST(bg[toks[i-1] || ' ' || toks[i]][1] AS DOUBLE)
+        |                 / CAST(ug[toks[i-1]][1] AS DOUBLE))
+        |         ELSE ln(coalesce(CAST(ug[toks[i]][1] AS DOUBLE), 0.5)
+        |                 / total) END))
+        |    / (len(toks) - 1) * 10000) AS BIGINT) AS b_e4
+        |FROM toks CROSS JOIN tot CROSS JOIN ug CROSS JOIN bg
+        |WHERE len(toks) >= 2""".stripMargin,
     // every Gopher rule replayed as the same integer comparisons over
     // list kernels; '...' counting is literal-replace length deltas on
     // both sides (identical left-to-right non-overlap semantics)

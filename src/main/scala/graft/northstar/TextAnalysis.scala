@@ -406,6 +406,67 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** The bigram head of the corpus — top-K adjacent-token pairs (keyed
+    * "prev cur") by frequency, (cnt desc, pair) deterministic order —
+    * the second rung of the train-offline LM ladder above [[lmHead]].
+    * Bounded driver artifact: K rows regardless of corpus size.
+    */
+  def bigramHead(df: DataFrame, topK: Int,
+                 textCol: String = "text"): Map[String, Long] = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = filter(split(lower(col(textCol)), "\\W+"),
+      t => length(t) >= 1)
+    df.select(toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(__toks)), i -> " +
+          "concat(element_at(__toks, cast(i - 1 as int)), ' ', " +
+          "element_at(__toks, cast(i as int))))")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg")).limit(topK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Score documents with a frozen bigram LM with unigram backoff —
+    * the CCNet/KenLM-shaped perplexity signal one order above
+    * [[scoreWithLm]]: each adjacent pair contributes
+    * ln(cnt(prev,cur)/cnt(prev)) when both live in the frozen heads,
+    * else backs off to the unigram probability (OOV floored at
+    * `floorCount`). Like the unigram scorer this is a STATELESS NARROW
+    * pass — both heads ride as literal maps, no joins, stream-safe —
+    * and every arithmetic step is an IEEE-deterministic left-to-right
+    * fold, so an external engine replays the doubles bit-for-bit.
+    * Documents need >= 2 tokens to have a pair; others are dropped.
+    * Output: (idCol, n_tokens, mean_lp2 = mean pairwise log-prob).
+    */
+  def scoreWithBigramLm(df: DataFrame, bigrams: Map[String, Long],
+                        vocab: Map[String, Long], total: Long,
+                        floorCount: Double = 0.5,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(total > 0, s"total token count must be positive, got $total")
+    val toks = filter(split(lower(col(textCol)), "\\W+"),
+      t => length(t) >= 1)
+    val bg = typedLit(bigrams)
+    val ug = typedLit(vocab)
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
+        (aggregate(sequence(lit(2), size(col("__toks"))), lit(0.0),
+          (acc, i) => {
+            val prev = element_at(col("__toks"), (i - 1).cast("int"))
+            val cur = element_at(col("__toks"), i.cast("int"))
+            val pairCnt =
+              try_element_at(bg, concat(prev, lit(" "), cur)).cast("double")
+            val prevCnt = try_element_at(ug, prev).cast("double")
+            acc + when(pairCnt.isNotNull && prevCnt.isNotNull,
+                log(pairCnt / prevCnt))
+              .otherwise(log(
+                coalesce(try_element_at(ug, cur).cast("double"),
+                  lit(floorCount)) / lit(total.toDouble)))
+          }) / (size(col("__toks")) - 1)).as("mean_lp2"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", §A1.1 heuristics — public knowledge;
     * the widely-reused web-curation rule set alongside C4's): per

@@ -564,6 +564,29 @@ class TextAnalysisSpec extends SparkSpecBase {
       && short(0).getString(2) == "b")
   }
 
+  test("bigramHead/scoreWithBigramLm: hand-computed pair probabilities with backoff") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z a"), (4L, "a z"))
+      .toDF("doc_id", "text")
+    // unigrams: a:5, b:3, z:2, total 10; bigrams: "a b":3, "a z"/"b a"/"z a":1
+    val (vocab, total) = TextAnalysis.lmHead(docs, topK = 10)
+    assert(vocab == Map("a" -> 5L, "b" -> 3L, "z" -> 2L) && total == 10L)
+    val bgs = TextAnalysis.bigramHead(docs, topK = 2)
+    // top-2 by (cnt desc, pair asc): "a b":3 then "a z":1
+    assert(bgs == Map("a b" -> 3L, "a z" -> 1L))
+    val out = TextAnalysis.scoreWithBigramLm(docs, bgs, vocab, total)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val eps = 1e-12
+    // d1: ln(3/5) + backoff("b a" miss → ug[a]/total) ln(5/10) + ln(3/5), /3
+    assert(math.abs(out(1L) -
+      (2 * math.log(3.0 / 5) + math.log(0.5)) / 3) < eps)
+    // d2: single in-head pair
+    assert(math.abs(out(2L) - math.log(3.0 / 5)) < eps)
+    // d3: "z a" not in head → backoff to ug[a]
+    assert(math.abs(out(3L) - math.log(0.5)) < eps)
+    // d4: "a z" in head AND prev in ug → ln(1/5)
+    assert(math.abs(out(4L) - math.log(1.0 / 5)) < eps)
+  }
+
   test("gopherRules: each rule trips on a crafted violator, clean doc passes") {
     val ok = (1 to 60).map(i => s"word$i").mkString(" ")   // 60 sane words
     val docs = Seq(
