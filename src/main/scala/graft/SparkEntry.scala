@@ -615,6 +615,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
     }),
+    // per-source KL divergence from the corpus unigram distribution —
+    // the drift diagnostic beside ns_source_entropy; exact-integer
+    // per-term contributions, order-independent sums
+    "ns_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceKl(t(s, dir, "documents"))),
     // bigram LM with unigram backoff — the KenLM-shaped perplexity rung
     // above ns_lm_serve: both heads trained offline (bounded driver
     // artifacts), scoring a stateless narrow pass; the IEEE fold is
@@ -1681,6 +1686,27 @@ object SparkEntry {
         |    / len(toks) * 10000) AS BIGINT) AS s_e4
         |FROM toks CROSS JOIN tot CROSS JOIN m
         |WHERE len(toks) > 0""".stripMargin,
+    // identical integer-operand discipline to the ns_source_entropy
+    // oracle; double chain CAST*N/n_s/tf is left-to-right on both sides
+    "ns_source_kl" ->
+      """WITH t AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |tfs AS (SELECT source, term, count(*) AS tf_s FROM t GROUP BY 1, 2),
+        |tfc AS (SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf
+        |        FROM tfs GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s
+        |       FROM tfs GROUP BY 1),
+        |ntot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tfc)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  CAST(sum(CAST(round(tf_s *
+        |    ln(CAST(tf_s AS DOUBLE) * n_total / n_s / tf) * 10000)
+        |    AS BIGINT)) AS BIGINT) AS kl_e4
+        |FROM tfs JOIN tfc USING (term) JOIN ns USING (source)
+        |  CROSS JOIN ntot
+        |GROUP BY source""".stripMargin,
     // unigram + bigram heads as map CTEs; the per-doc fold walks pair
     // indices 2..n exactly like the Spark aggregate so the doubles
     // match before the e4 rounding

@@ -406,6 +406,47 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the source-drift / source-similarity diagnostic next to
+    * [[sourceEntropy]]: KL(p_source ‖ p_corpus) answers "how unlike the
+    * rest of the corpus is this source's vocabulary?" (templated spam
+    * and wrong-language feeds score high; mainstream prose scores near
+    * 0). Reported n_s-scaled as an exact integer:
+    * kl_e4 = Σ_t round(tf_s·ln(tf_s·N / n_s / tf)·1e4) — each term's
+    * operands are integers through one ln and one round (the
+    * sourceEntropy discipline), so the per-source sum is
+    * order-independent and replays bit-for-bit in any engine; divide by
+    * n_tokens for the conventional per-token KL.
+    *
+    * Shape: one tokenize, one (source, term) shuffle; corpus tf and
+    * per-source totals re-aggregate from that frame (no second
+    * tokenize); the term join is vocabulary-sized (broadcastable after
+    * a heavy-hitter cap at corpus scale), totals ride as broadcast
+    * 1-row/source sides. Same repeated-subtree caveat as tfIdf:
+    * persist the tf frame before fan-out if the double derivation
+    * matters.
+    */
+  def sourceKl(df: DataFrame, groupCol: String = "source",
+               textCol: String = "text"): DataFrame = {
+    val tfs = df
+      .select(col(groupCol),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(length(col("term")) >= 1)
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf_s"))
+    val tfc = tfs.groupBy("term").agg(sum("tf_s").as("tf"))
+    val ns = tfs.groupBy(groupCol).agg(sum("tf_s").as("n_s"))
+    val ntot = tfc.agg(sum(col("tf")).as("n_total"))
+    tfs.join(tfc, "term")
+      .join(broadcast(ns), Seq(groupCol))
+      .crossJoin(broadcast(ntot))
+      .withColumn("t_e4", round(col("tf_s") *
+        log(col("tf_s").cast("double") * col("n_total") / col("n_s")
+          / col("tf")) * 10000).cast("long"))
+      .groupBy(groupCol).agg(
+        max(col("n_s")).as("n_tokens"),
+        sum(col("t_e4")).as("kl_e4"))
+  }
+
   /** The bigram head of the corpus — top-K adjacent-token pairs (keyed
     * "prev cur") by frequency, (cnt desc, pair) deterministic order —
     * the second rung of the train-offline LM ladder above [[lmHead]].

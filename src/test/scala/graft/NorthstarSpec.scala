@@ -564,6 +564,26 @@ class TextAnalysisSpec extends SparkSpecBase {
       && short(0).getString(2) == "b")
   }
 
+  test("sourceKl: identical distribution scores 0, skewed source positive, Gibbs holds") {
+    val docs = Seq(
+      (1L, "s1", "a b"), (2L, "s1", "a b"),   // p_s1 = corpus-marginal-ish
+      (3L, "s2", "a b"), (4L, "s2", "a b"),   // p_s2 identical to s1
+      (5L, "s3", "z z z z"),                  // s3 concentrated on z
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceKl(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus: a:4 b:4 z:4, N=12. s1/s2: p(a)=p(b)=1/2 vs corpus 1/3 →
+    // KL = ln(3/2) > 0; s3: p(z)=1 vs 1/3 → KL = ln 3
+    assert(out("s1")._1 == 4 && out("s3")._1 == 4)
+    assert(out("s1") == out("s2"), "identical distributions must tie")
+    val kl13 = out("s1")._2 / 4.0 / 10000
+    assert(math.abs(kl13 - math.log(1.5)) < 1e-3, s"s1 per-token KL $kl13")
+    val kl3 = out("s3")._2 / 4.0 / 10000
+    assert(math.abs(kl3 - math.log(3.0)) < 1e-3, s"s3 per-token KL $kl3")
+    // Gibbs: KL >= 0 for every source
+    assert(out.values.forall(_._2 >= 0))
+  }
+
   test("bigramHead/scoreWithBigramLm: hand-computed pair probabilities with backoff") {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z a"), (4L, "a z"))
       .toDF("doc_id", "text")
