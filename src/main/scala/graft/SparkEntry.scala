@@ -615,6 +615,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
     }),
+    // canonical text normalization (control-char strip + horizontal-
+    // whitespace collapse + trim) with before/after audit lengths and
+    // the post-clean fingerprint — the narrow pass upstream of every
+    // dedup/tokenize stage. Control chars are injected deterministically
+    // (the ns_redact_pii pattern: the synthetic corpus is clean)
+    "ns_normalize_text" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\u0001ctl\t\t end ")).as("text"))
+      aug.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_before"),
+        length(TextAnalysis.normalizeText(col("text"))).cast("long")
+          .as("n_after"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("fp"))
+    }),
     // per-source KL divergence from the corpus unigram distribution —
     // the drift diagnostic beside ns_source_entropy; exact-integer
     // per-term contributions, order-independent sums
@@ -1686,6 +1701,22 @@ object SparkEntry {
         |    / len(toks) * 10000) AS BIGINT) AS s_e4
         |FROM toks CROSS JOIN tot CROSS JOIN m
         |WHERE len(toks) > 0""".stripMargin,
+    // same injected suffix via chr(); RE2 hex classes mirror the Java
+    // pattern; md5 hex is lowercase in both engines
+    "ns_normalize_text" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || chr(1) || 'ctl' || chr(9) || chr(9) || ' end ' AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(text,
+        |      '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+        |      '[ \t]+', ' ', 'g')) AS clean
+        |  FROM aug)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+        |  CAST(length(clean) AS BIGINT) AS n_after, md5(clean) AS fp
+        |FROM n""".stripMargin,
     // identical integer-operand discipline to the ns_source_entropy
     // oracle; double chain CAST*N/n_s/tf is left-to-right on both sides
     "ns_source_kl" ->

@@ -406,6 +406,19 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** Training-text normalization: strip control characters (keeping
+    * newline/tab structure), collapse horizontal whitespace runs, trim —
+    * the canonical cleanup EVERY downstream fingerprint/dedup/tokenize
+    * pass should see, so near-identical crawls don't diverge on
+    * invisible bytes. Pure per-row kernel (codegen'd regex), no
+    * shuffle; character classes are hex-escaped so the same pattern
+    * means the same thing to Java regex and RE2.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(c, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** Per-source KL divergence from the corpus unigram distribution —
     * the source-drift / source-similarity diagnostic next to
     * [[sourceEntropy]]: KL(p_source ‖ p_corpus) answers "how unlike the

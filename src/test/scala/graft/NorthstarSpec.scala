@@ -564,6 +564,18 @@ class TextAnalysisSpec extends SparkSpecBase {
       && short(0).getString(2) == "b")
   }
 
+  test("normalizeText: strips control chars, keeps newline structure, collapses runs, trims") {
+    val df = Seq(
+      ("a\u0001\u0002bc", "abc"),             // control chars removed
+      ("  x \t\t y\t", "x y"),                // runs collapsed, trimmed
+      ("l1  \nl2\t\tl2b", "l1 \nl2 l2b"),     // newline preserved
+      ("\u007f\u001b[0m", "[0m"),             // DEL + ESC stripped
+    ).toDF("raw", "want")
+    val out = df.select(TextAnalysis.normalizeText($"raw"), $"want").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}' want '${r.getString(1)}'"))
+  }
+
   test("sourceKl: identical distribution scores 0, skewed source positive, Gibbs holds") {
     val docs = Seq(
       (1L, "s1", "a b"), (2L, "s1", "a b"),   // p_s1 = corpus-marginal-ish
