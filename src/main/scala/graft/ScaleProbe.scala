@@ -263,6 +263,19 @@ object ScaleProbe {
       Curation.funnel(replicate(docs1, 10, "doc_id", 1000000L), curCfg).count()
     }
     println(f"[scale] curationFunnel 10x-data ratio  ${fu10 / fu1}%.1fx (linear-ish expected)")
+    // iterated BPE induction: the corpus is tokenized ONCE into a
+    // localCheckpointed vocab, so 5 merge rounds should cost ~one
+    // corpus pass plus 5 cheap vocab-frame aggregates — growth tracks
+    // the tokenize, and replicated docs (identical word multiset x10)
+    // leave the vocab frame the same size
+    val bi1 = timed("bpeInduct 5k docs (1x)") {
+      TextAnalysis.bpeInduct(docs1, rounds = 5).count()
+    }
+    val bi10 = timed("bpeInduct 50k docs (10x)") {
+      TextAnalysis.bpeInduct(
+        replicate(docs1, 10, "doc_id", 1000000L), rounds = 5).count()
+    }
+    println(f"[scale] bpeInduct 10x-data ratio       ${bi10 / bi1}%.1fx (linear-ish expected)")
     // source entropy: wordcount shuffle + group-count-row broadcast
     val se1 = timed("sourceEntropy 5k docs (1x)") {
       TextAnalysis.sourceEntropy(docs1).count()
