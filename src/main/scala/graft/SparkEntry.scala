@@ -615,6 +615,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
     }),
+    // mixture planning: integer shares + a token budget → per-source
+    // targets, e6 admission rates, expected tokens, and deficits (incl.
+    // a declared-but-absent source) — all integer `div` arithmetic
+    "ns_mix_plan" -> ((s, dir) =>
+      graft.northstar.Sampling.mixturePlan(t(s, dir, "documents"),
+        Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src_missing" -> 1L),
+        budgetTokens = 3000L)),
     // canonical text normalization (control-char strip + horizontal-
     // whitespace collapse + trim) with before/after audit lengths and
     // the post-clean fingerprint — the narrow pass upstream of every
@@ -1701,6 +1708,33 @@ object SparkEntry {
         |    / len(toks) * 10000) AS BIGINT) AS s_e4
         |FROM toks CROSS JOIN tot CROSS JOIN m
         |WHERE len(toks) > 0""".stripMargin,
+    // shares as a VALUES literal; the whitespace token count is the
+    // pinned expression every token oracle uses; integer div throughout
+    "ns_mix_plan" ->
+      """WITH shares(source, share) AS (
+        |  VALUES ('src0', 5), ('src1', 3), ('src2', 2), ('src_missing', 1)),
+        |stats AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |j AS (
+        |  SELECT s.source, coalesce(n_docs, 0) AS n_docs,
+        |    coalesce(n_tokens, 0) AS n_tokens, CAST(share AS BIGINT) AS share,
+        |    CAST(share * 3000 // 11 AS BIGINT) AS target_tokens
+        |  FROM shares s LEFT JOIN stats USING (source)),
+        |r AS (
+        |  SELECT *, CASE WHEN n_tokens > 0
+        |      THEN least(1000000, target_tokens * 1000000 // n_tokens)
+        |      ELSE 0 END AS rate_e6
+        |  FROM j)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, share,
+        |  target_tokens, CAST(rate_e6 AS BIGINT) AS rate_e6,
+        |  CAST(n_tokens * rate_e6 // 1000000 AS BIGINT) AS expected_tokens,
+        |  CAST(greatest(0, target_tokens - n_tokens * rate_e6 // 1000000)
+        |    AS BIGINT) AS deficit_tokens
+        |FROM r""".stripMargin,
     // same injected suffix via chr(); RE2 hex classes mirror the Java
     // pattern; md5 hex is lowercase in both engines
     "ns_normalize_text" ->

@@ -182,6 +182,47 @@ object Sampling {
       .agg(min(col(valueCol)).as("__thr"))
   }
 
+  /** Mixture planning: given target per-source SHARES (integer
+    * proportions, e.g. web 5 : wiki 3 : books 2) and an epoch token
+    * budget, derive per source the token target, the Bernoulli
+    * admission rate that realizes it, the expected admitted tokens, and
+    * the deficit where the corpus cannot supply its share — the
+    * "can we hit this mix?" planning row a training run signs off on
+    * before sampling. EVERY derived number is integer arithmetic
+    * (`div`, e6-scaled rates), so the plan replays exactly in any SQL
+    * engine; feed `rate_e6 / 1e6` per source to [[stratifiedSample]]
+    * to execute it. Declared sources absent from the corpus surface as
+    * full-deficit rows (n_tokens 0) — the under-supply alarm. Shape:
+    * one per-source aggregate + a shares-literal left join; budgets up
+    * to ~9e12 tokens stay overflow-exact (budget × 1e6 < 2^63).
+    */
+  def mixturePlan(df: DataFrame, shares: Map[String, Long],
+                  budgetTokens: Long, sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(shares.nonEmpty && shares.values.forall(_ >= 0)
+      && shares.values.sum > 0, s"need non-negative shares with a sum > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totalShares = shares.values.sum
+    val sharesDf = shares.toSeq.toDF(sourceCol, "share")
+    val stats = df.groupBy(sourceCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    sharesDf.join(stats, Seq(sourceCol), "left")
+      .select(col(sourceCol),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("share"),
+        expr(s"share * $budgetTokens div $totalShares").as("target_tokens"))
+      .withColumn("rate_e6", when(col("n_tokens") > 0,
+          least(lit(1000000L), expr("target_tokens * 1000000 div n_tokens")))
+        .otherwise(lit(0L)))
+      .withColumn("expected_tokens", expr("n_tokens * rate_e6 div 1000000"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("expected_tokens")))
+  }
+
   /** ALL nBuckets-1 quantile cuts of `valueCol` from ONE value-histogram
     * pass, as a single broadcastable row holding the sorted cut array —
     * the statistic side for quantile BUCKETING (perplexity head/middle/

@@ -772,6 +772,28 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.quantileFloor(vals, "v", 10, 10).count() == 0)
   }
 
+  test("mixturePlan: targets, capped rates, deficits hand-checked; absent source alarms") {
+    val corpus = ((1L to 10L).map(i => (i, "s1", "w w")) ++
+        (11L to 15L).map(i => (i, "s2", "w")))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.mixturePlan(corpus,
+        Map("s1" -> 1L, "s2" -> 1L, "s3" -> 2L), budgetTokens = 40L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // s1: 20 tokens, target 10 → rate 0.5, expected 10, no deficit
+    assert(out("s1") == ((10L, 20L, 10L, 500000L, 10L, 0L)))
+    // s2: 5 tokens can't supply target 10 → rate capped at 1, deficit 5
+    assert(out("s2") == ((5L, 5L, 10L, 1000000L, 5L, 5L)))
+    // s3 declared but absent from the corpus: full deficit
+    assert(out("s3") == ((0L, 0L, 20L, 0L, 0L, 20L)))
+    // executing the plan: feeding rate_e6/1e6 to stratifiedSample admits
+    // ~expected tokens for the in-corpus sources
+    val kept = Sampling.stratifiedSample(corpus, "source",
+      Map("s1" -> 0.5, "s2" -> 1.0), 0.0)
+    assert(kept.filter($"source" === "s2").count() == 5)
+  }
+
   test("quantileCuts: every cut agrees with quantileThresholdFrame; one histogram pass") {
     val vals = (1L to 10L).toDF("v")
     val cuts = Sampling.quantileCuts(vals, "v", 4).collect()(0)

@@ -302,6 +302,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffles(p) <= 6, s"expected <=6 keyed shuffles, got ${shuffles(p)}:\n${p.take(1200)}")
   }
 
+  test("quality screens and frozen-LM scorers: pure narrow passes — zero exchanges") {
+    // gopher rules and normalization are per-row kernels; the bigram
+    // scorer's heads ride as literal maps (no join side at all). Any
+    // Exchange here means a statistic side leaked out of its artifact.
+    for (q <- Seq("ns_gopher_rules", "ns_normalize_text", "ns_bigram_lm")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q has a shuffle:\n" + p.take(800))
+      assert(!p.contains("Join"), s"$q has a join:\n" + p.take(800))
+    }
+  }
+
+  test("source KL: keyed equi-joins only (term join left to AQE), never cartesian") {
+    val p = planOf("ns_source_kl")
+    // the per-source totals ride a broadcast hash join; the 1-row
+    // corpus-total side is a broadcast cross join (the standard tiny-
+    // stat shape, NOT quadratic — one build row); the vocabulary-sized
+    // term join is deliberately unhinted (AQE decides at runtime)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("curation funnel: single-pass — corpus scans bounded by the stat subtrees, not the stage count") {
     val p = planOf("ns_curation_funnel")
     // the r7 form aggregated 5 independent stage frames and re-derived
