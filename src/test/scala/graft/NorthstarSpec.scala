@@ -772,6 +772,23 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.quantileFloor(vals, "v", 10, 10).count() == 0)
   }
 
+  test("quantileCuts: matches the k-th-smallest reference on seeded random multisets") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 8) {
+      val n = 1 + rnd.nextInt(200)
+      val b = 2 + rnd.nextInt(6)
+      val vals = Seq.fill(n)(rnd.nextInt(15).toLong)
+      val sorted = vals.sorted
+      // reference: cut_k = k-th smallest with k = ceil(n*k/b)
+      val expect = (1 until b).map { k =>
+        sorted(((n.toLong * k + b - 1) / b).toInt - 1)
+      }
+      val got = Sampling.quantileCuts(vals.toDF("v"), "v", b)
+        .collect()(0).getSeq[Long](0)
+      assert(got == expect, s"n=$n b=$b: got $got expect $expect")
+    }
+  }
+
   test("mixturePlan: targets, capped rates, deficits hand-checked; absent source alarms") {
     val corpus = ((1L to 10L).map(i => (i, "s1", "w w")) ++
         (11L to 15L).map(i => (i, "s2", "w")))
