@@ -171,6 +171,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.forall { case (_, _, lp) => lp < 0 && !lp.isNaN })
   }
 
+  test("gopher rules + normalization run unchanged on a stream and match batch") {
+    import graft.northstar.TextAnalysis
+    import org.apache.spark.sql.functions.{col, md5}
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$src/docs.parquet")
+    val batchDocs = spark.read.parquet(s"$src/docs.parquet")
+    val schema = batchDocs.schema
+    val streamIn = IncrementalStream.readTableStream(spark, src, "docs", schema)
+    val q = TextAnalysis.gopherRules(streamIn, minWords = 20)
+      .writeStream.format("memory").queryName("gopher_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("gopher_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("passes")).toMap
+    val batch = TextAnalysis.gopherRules(batchDocs, minWords = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("passes")).toMap
+    assert(streamed == batch && batch.nonEmpty)
+    // normalization parity, same stream source
+    val ckpt2 = tmp()
+    val q2 = IncrementalStream.readTableStream(spark, src, "docs", schema)
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("fp"))
+      .writeStream.format("memory").queryName("norm_out")
+      .option("checkpointLocation", ckpt2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val sFp = spark.table("norm_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bFp = batchDocs.select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sFp == bFp)
+  }
+
   test("bpeApply: the frozen merge table tokenizes a stream and matches batch") {
     import graft.northstar.TextAnalysis
     val src = tmp(); val ckpt = tmp()
