@@ -63,10 +63,14 @@ object Bench {
     // JIT/GC/codegen wobble at this scale, which swamps round-over-round
     // deltas; the median discards the warm-up-heavy first run and any
     // one-off stall
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // optional comma-separated query-name filter: lets an A/B run time a
-    // SUBSET in a fresh JVM (how the r6→r7 drift was root-caused to
-    // total-query-count JVM pressure, not plan changes)
+    // 5 reps (VERDICT r8 task 4): the ±25% per-query noise band produced a
+    // spurious "regressions" paragraph in three straight verdicts; a 5-rep
+    // median halves the sampling error of the 3-rep one
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // optional comma-separated query-name filter: runs a SUBSET in a fresh
+    // JVM — used r8 to TEST (and refute) the "shared-JVM pressure"
+    // hypothesis for the r6→r7 drift; see the header for the verdict
+    // (environment variance, not plan changes or JVM debt)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries
@@ -96,10 +100,19 @@ object Bench {
       .mkString("{", ",", "}")
     val contractLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir"}"""
+    // full-precision artifact next to the checkout (not a hardcoded
+    // absolute path): SPARK_GRAFT_BENCH_OUT overrides; a failed write is
+    // WARNED, not swallowed — the compact stdout lines below are the
+    // driver contract either way
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"${sys.props("user.dir")}/BENCH_FULL.json")
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
+      val w = new java.io.PrintWriter(benchOut)
       try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () } // read-only FS must not kill the run
+    } catch {
+      case e: Throwable =>
+        Console.err.println(s"[bench] WARN: could not write $benchOut: $e")
+    }
     println(fullLine)
     println(contractLine)
     spark.stop()

@@ -20,6 +20,15 @@ object ScaleProbe {
     (0 until times).map(i =>
       df.withColumn(idCol, col(idCol) + lit(i * stride))).reduce(_ unionAll _)
 
+  /** Remove a probe's temp artifact dir so repeated runs don't
+    * accumulate parquet garbage in /tmp.
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -228,19 +237,21 @@ object ScaleProbe {
     // one equi-join vs the stored parquet — corpus growth should show up
     // only through index size (~linear), never incoming x corpus
     val idxDir = java.nio.file.Files.createTempDirectory("scaleidx").toString
-    Dedup.bandIndex(docs1).write.parquet(s"$idxDir/i1")
-    Dedup.bandIndex(replicate(docs1, 10, "doc_id", 1000000L))
-      .write.parquet(s"$idxDir/i10")
-    val si1 = timed("incoming vs stored index (1x)") {
-      Dedup.minhashPairsAgainstIndex(incoming,
-        spark.read.parquet(s"$idxDir/i1"), docs1, threshold = 0.5).count()
-    }
-    val si10 = timed("incoming vs stored index (10x)") {
-      Dedup.minhashPairsAgainstIndex(incoming,
-        spark.read.parquet(s"$idxDir/i10"),
-        replicate(docs1, 10, "doc_id", 1000000L), threshold = 0.5).count()
-    }
-    println(f"[scale] storedIndexScreen 10x-corpus ratio ${si10 / si1}%.1fx (linear-ish expected)")
+    try {
+      Dedup.bandIndex(docs1).write.parquet(s"$idxDir/i1")
+      Dedup.bandIndex(replicate(docs1, 10, "doc_id", 1000000L))
+        .write.parquet(s"$idxDir/i10")
+      val si1 = timed("incoming vs stored index (1x)") {
+        Dedup.minhashPairsAgainstIndex(incoming,
+          spark.read.parquet(s"$idxDir/i1"), docs1, threshold = 0.5).count()
+      }
+      val si10 = timed("incoming vs stored index (10x)") {
+        Dedup.minhashPairsAgainstIndex(incoming,
+          spark.read.parquet(s"$idxDir/i10"),
+          replicate(docs1, 10, "doc_id", 1000000L), threshold = 0.5).count()
+      }
+      println(f"[scale] storedIndexScreen 10x-corpus ratio ${si10 / si1}%.1fx (linear-ish expected)")
+    } finally deleteRecursively(new java.io.File(idxDir))
     // config-driven curation pipeline + its single-pass funnel: the
     // quantile-histogram and temperature-count statistic sides must stay
     // tiny broadcasts (value-domain / language-count sized) while the

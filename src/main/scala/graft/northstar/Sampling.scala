@@ -44,6 +44,14 @@ object Sampling {
     * The id is reduced mod MixMod BEFORE the first multiply: `id *
     * Knuth` raw would overflow Long past ids of ~3.4e9, which a 100 TB
     * corpus exceeds.
+    *
+    * MIGRATION (r8): the two-round mix reassigned every hash-derived
+    * decision — train/val/test splits, stratified/temperature samples,
+    * epoch shuffles — relative to the pre-r8 single-round form. Any
+    * split or sample PERSISTED by an earlier build must be regenerated
+    * wholesale, never mixed with newly computed assignments: an old
+    * persisted train split joined with a new val split would overlap
+    * (eval leakage by construction). See CHANGELOG.md.
     */
   def hashUnit(id: Column): Column =
     id.cast("long") % MixMod * Knuth % MixMod * Mix2 % MixMod /
@@ -253,8 +261,11 @@ object Sampling {
       .withColumn("__lo",
         greatest(lit(1L), expr(s"(__cum - __c) * $nBuckets div __n + 1")))
       .filter(col("__hi") >= col("__lo"))
+      // cuts keep the value column's NATIVE type (the
+      // quantileThresholdFrame convention): a cast("long") here would
+      // silently truncate fractional cuts for double-typed value columns
       .select(explode(sequence(col("__lo"), col("__hi"))).as("__k"),
-        col(valueCol).cast("long").as("__cut"))
+        col(valueCol).as("__cut"))
       .agg(sort_array(collect_list(col("__cut"))).as("__cuts"))
   }
 

@@ -836,6 +836,11 @@ class SamplingSpec extends SparkSpecBase {
     // deterministic under repartition
     assert(Sampling.quantileCuts(vals.repartition(7), "v", 4).collect()(0)
       .getSeq[Long](0) == Seq(3L, 5L, 8L))
+    // double-typed value columns keep fractional cuts intact (the
+    // pre-r9 cast("long") silently truncated them)
+    val dbl = Seq(0.5, 1.5, 2.5, 3.5).toDF("v")
+    assert(Sampling.quantileCuts(dbl, "v", 4).collect()(0)
+      .getSeq[Double](0) == Seq(0.5, 1.5, 2.5))
   }
 
   test("epochShuffle: a true permutation — pos is 1..n within each bucket, every row coordinated") {
