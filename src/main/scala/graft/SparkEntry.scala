@@ -761,15 +761,15 @@ object SparkEntry {
     // literal-replace merge application
     "ns_bpe_induct" -> ((s, dir) =>
       TextAnalysis.bpeInduct(t(s, dir, "documents"), rounds = 5)),
-    // the serve half of the tokenizer ladder: train the 5-merge table
-    // offline (bounded driver artifact), then tokenize the corpus with
-    // it as a stateless narrow pass — per-doc word and BPE-piece
-    // counts under the learned tokenizer
+    // the serve half of the tokenizer ladder: tokenize with a PERSISTED
+    // merge-table artifact (train-once on first request, pinned-rounds
+    // parquet, Artifacts.bpeMergesFor) — the serving query never
+    // retrains; application is a stateless narrow pass with per-doc
+    // word and BPE-piece counts under the learned tokenizer
     "ns_bpe_tokenize" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = TextAnalysis.bpeInduct(docs, rounds = 5).collect()
-        .sortBy(_.getLong(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = graft.northstar.Artifacts.bpeMergesFor(
+        docs, cacheKey = s"$dir/documents", rounds = 5)
       TextAnalysis.bpeApply(docs, merges)
         .select(col("doc_id"), col("n_words"), col("n_pieces"))
     }),
@@ -1243,7 +1243,10 @@ object SparkEntry {
     // bucket-join + filter path with a non-empty result
     "ns_knn_ivf" -> ((s, dir) => {      // rows-only: ANN, recall-tested vs brute
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.northstar.Ivf.fitCentroids(emb, nCells = 8)
+      // serve from the persisted quantizer artifact (train-once, pinned
+      // nCells/seed parquet) instead of refitting per query
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = s"$dir/embeddings", nCells = 8)
       graft.northstar.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 3)
     }),
@@ -1262,7 +1265,8 @@ object SparkEntry {
     // the oracle is the same SQL as ns_knn_brute
     "ns_knn_ivf_exhaustive" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.northstar.Ivf.fitCentroids(emb, nCells = 8)
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = s"$dir/embeddings", nCells = 8)
       graft.northstar.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 8)
     }),
@@ -1285,7 +1289,10 @@ object SparkEntry {
     "ns_knn_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
-      val centroids = graft.northstar.Ivf.fitCentroids(emb, nCells = 8)
+      // the recall floor holds AGAINST THE STORED INDEX — the quality
+      // tripwire covers the artifact path a production probe would use
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = s"$dir/embeddings", nCells = 8)
       Similarity.recallCounts(
         graft.northstar.Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 3),
         Similarity.bruteForceTopK(q, emb, k = 10))

@@ -1,0 +1,151 @@
+package graft.northstar
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pinned-parameter parquet artifacts for the train-offline /
+  * serve-online operators — the [[Dedup.bandIndex]] deployment pattern
+  * (train once, persist with the hyperparameters PINNED INSIDE the
+  * artifact, fail loudly on a parameter mismatch at load) extended to
+  * the BPE tokenizer ladder and the IVF coarse quantizer. At 100 TB
+  * "retrain to serve" is not a real serving path: induction/fitting
+  * runs once in the training pipeline, the bounded artifact (merge
+  * table: `rounds` rows; centroids: nCells × dim floats) is written to
+  * shared storage, and every serving query — batch or streaming — loads
+  * it and applies a stateless pass.
+  *
+  * Mismatch discipline: a tokenizer applied with the wrong merge table,
+  * or a probe against centroids fit with different nCells/seed, would
+  * not error on its own — it would silently produce plausible wrong
+  * numbers (the false-clean failure mode band-index pinning closed for
+  * near-dedup). Every load checks the pinned parameters and throws.
+  */
+object Artifacts {
+
+  /** Artifact layout version: rides in every path so an artifact
+    * persisted by an older build with different training SEMANTICS can
+    * never be served by a newer one (pinned hyperparameters catch
+    * parameter drift, not algorithm drift).
+    */
+  val Version = "v1"
+
+  /** Process-local artifact store root (tests and the bench/verify
+    * mains; production would point at shared storage via the explicit
+    * save/load path arguments).
+    */
+  private def defaultRoot: java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft-artifacts-$Version")
+
+  /** Filesystem-safe store path for a cache key. */
+  private def pathFor(kind: String, key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new java.io.File(defaultRoot, s"$kind-$md").toString
+  }
+
+  // ---------------------------------------------------------------- BPE
+
+  /** Persist a [[TextAnalysis.bpeInduct]] merge table as the serving
+    * artifact: the (step, lhs, rhs, cnt) rows plus the pinned `__rounds`
+    * the induction was asked for. One file — the table is `rounds` rows
+    * by construction.
+    */
+  def saveBpeMerges(merges: DataFrame, path: String, rounds: Int): Unit =
+    merges.withColumn("__rounds", lit(rounds))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a merge table for serving, in learned order. Throws when the
+    * artifact was induced with a different `rounds` than the caller
+    * serves with (a tokenizer mismatch silently mis-counts pieces —
+    * fail loudly instead). An empty table (corpus dried up before round
+    * 1) is valid: zero merges = character tokenization.
+    */
+  def loadBpeMerges(spark: SparkSession, path: String,
+                    rounds: Int): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path).collect()
+    rows.foreach { r =>
+      val stored = r.getAs[Int]("__rounds")
+      require(stored == rounds,
+        s"BPE merge artifact at $path was induced with rounds=$stored, " +
+          s"serving requested rounds=$rounds")
+    }
+    rows.sortBy(_.getAs[Long]("step"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+  }
+
+  /** Train-once / serve-many merge table for a corpus identified by
+    * `cacheKey` (e.g. its table directory): the first caller runs the
+    * induction and persists the artifact; EVERY caller — including the
+    * first — serves by loading the stored parquet, so the serving path
+    * never depends on which process did the training.
+    */
+  def bpeMergesFor(docs: DataFrame, cacheKey: String,
+                   rounds: Int): Seq[(String, String)] = {
+    val path = pathFor("bpe", s"$cacheKey-r$rounds")
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        saveBpeMerges(TextAnalysis.bpeInduct(docs, rounds), path, rounds)
+    }
+    loadBpeMerges(docs.sparkSession, path, rounds)
+  }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Persist an [[Ivf.fitCentroids]] coarse quantizer: one row per
+    * centroid (cell id, float vector) with `__n_cells`/`__seed` pinned
+    * on every row. nCells × dim floats — KB-sized at any corpus scale.
+    */
+  def saveIvfCentroids(spark: SparkSession, centroids: Array[Array[Float]],
+                       path: String, nCells: Int, seed: Long): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, nCells, seed) }.toSeq
+      .toDF("cell", "vec", "__n_cells", "__seed")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a stored quantizer for probing. Floats round-trip parquet
+    * exactly, so probing the loaded centroids is bit-identical to
+    * probing the in-memory fit. Throws on a pinned-parameter mismatch
+    * or a malformed artifact (wrong row count, missing cells).
+    */
+  def loadIvfCentroids(spark: SparkSession, path: String,
+                       nCells: Int, seed: Long): Array[Array[Float]] = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty IVF centroid artifact at $path")
+    rows.foreach { r =>
+      val (sc, ss) = (r.getAs[Int]("__n_cells"), r.getAs[Long]("__seed"))
+      require(sc == nCells && ss == seed,
+        s"IVF centroid artifact at $path was fit with nCells=$sc/seed=$ss, " +
+          s"probe requested nCells=$nCells/seed=$seed")
+    }
+    require(rows.length == nCells,
+      s"IVF centroid artifact at $path holds ${rows.length} centroids, " +
+        s"expected $nCells")
+    val byCell = rows.map(r =>
+      r.getAs[Int]("cell") -> r.getSeq[Float](1).toArray).toMap
+    require(byCell.size == nCells,
+      s"IVF centroid artifact at $path has duplicate cell ids")
+    Array.tabulate(nCells)(i => byCell.getOrElse(i,
+      throw new IllegalArgumentException(
+        s"IVF centroid artifact at $path is missing cell $i")))
+  }
+
+  /** Train-once / serve-many quantizer for a corpus identified by
+    * `cacheKey`: fit + persist on first request, serve by loading the
+    * stored artifact on every request (the [[bpeMergesFor]] contract).
+    */
+  def ivfCentroidsFor(corpus: DataFrame, cacheKey: String, nCells: Int,
+                      vecCol: String = "embedding",
+                      seed: Long = 42L): Array[Array[Float]] = {
+    val path = pathFor("ivf", s"$cacheKey-c$nCells-s$seed-$vecCol")
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        saveIvfCentroids(corpus.sparkSession,
+          Ivf.fitCentroids(corpus, nCells, vecCol, seed = seed),
+          path, nCells, seed)
+    }
+    loadIvfCentroids(corpus.sparkSession, path, nCells, seed)
+  }
+}
