@@ -1017,6 +1017,20 @@ object SparkEntry {
         concat(col("text"), lit(" quoted with appended commentary")).as("text")))
       Dedup.substringOverlapPairs(aug)
     }),
+    // duplicated-span REMOVAL (the remedy half of substring dedup, Lee
+    // et al.'s excision): same augmented corpus as ns_substring_overlap;
+    // the derived quoting copies lose exactly the spans their lower-id
+    // originals hold, originals survive intact (keep-min convention).
+    // Output audited by md5 of the rewritten text — the
+    // ns_pack_sequences pattern, so the oracle replays the whole
+    // rewrite bit-for-bit
+    "ns_substring_remove" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val aug = base.unionAll(base.select(
+        (col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" quoted with appended commentary")).as("text")))
+      Dedup.substringRemove(aug)
+    }),
     // per-document salient terms: TF-IDF top-3, rank-exact exposure —
     // ranking keys on the e4-rounded integer score (then term), so both
     // engines order identically and no float crosses the compare
@@ -2761,6 +2775,51 @@ object SparkEntry {
         |  WHERE a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, count(*) AS n_shared_windows
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+    "ns_substring_remove" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |aug AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' quoted with appended commentary'
+        |  FROM base),
+        |w0 AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    END AS w
+        |  FROM aug),
+        |wins AS (
+        |  SELECT doc_id, i, md5(array_to_string(w[i : i + 49], ' ')) AS wh,
+        |    least(50, len(w) - i + 1) AS wlen
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, greatest(1, len(w) - 49))) AS i
+        |        FROM w0)
+        |  WHERE len(w) > 0),
+        |stats AS (
+        |  SELECT wh, min(doc_id) AS min_doc, count(DISTINCT doc_id) AS n_docs
+        |  FROM wins GROUP BY 1),
+        |flagged AS (
+        |  SELECT doc_id, i, wlen FROM wins JOIN stats USING (wh)
+        |  WHERE n_docs <= 1000 AND min_doc < doc_id),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(generate_series(i, i + wlen - 1)) AS pos
+        |    FROM flagged)),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, w[i] AS tok
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        |        FROM w0 WHERE len(w) > 0)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS text_md5
+        |  FROM kept GROUP BY 1)
+        |SELECT w0.doc_id, len(w0.w) AS n_tokens,
+        |  len(w0.w) - coalesce(r.n_kept, 0) AS n_removed,
+        |  coalesce(r.text_md5, md5('')) AS text_md5
+        |FROM w0 LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "ns_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -115,6 +115,81 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** Duplicated-span REMOVAL — the remedy half of exact-substring dedup
+    * ([[substringOverlapPairs]] is the detection half): every token
+    * position covered by a `windowTokens`-token window that also occurs
+    * in a LOWER-id document is excised, and the document is rewritten
+    * from its surviving tokens (Lee et al., ACL'22: remove all but one
+    * occurrence of each duplicated span; the keeper is the lowest id
+    * holding the span — the keep-min convention of [[exactByText]] /
+    * [[collapseByPairs]], so originals survive intact and derived
+    * quoting copies lose exactly the quoted span). Whole-document
+    * collapse handles full copies; this handles the boilerplate-heavy
+    * crawls where documents share paragraphs but are not duplicates.
+    *
+    * Output: one row per input document — (idCol, n_tokens, n_removed,
+    * text_md5) with text_md5 = md5 of the space-joined surviving tokens
+    * (md5('') for fully-excised or empty docs) — the audit frame; join
+    * back on id when the rewritten text itself is wanted.
+    *
+    * Plan: ONE tokenize pass feeds both the window fingerprints and the
+    * token stream; per-window stats (min holder id, holder count) are
+    * one md5-keyed shuffle; flagged occurrences explode to covered
+    * positions — ≤ windowTokens rows per flagged window BEFORE
+    * map-side-combine distinct collapses them to ≤ n_tokens per doc
+    * (positions of one doc originate in one upstream partition, so the
+    * amplification dies in the partial aggregate, not the shuffle) —
+    * then one anti-join and one per-doc rebuild. Boilerplate windows
+    * held by > maxBucket docs are left IN PLACE (same cap as the
+    * detection side): "shared with thousands of documents" is
+    * line/paragraph-dedup's job ([[graft.northstar.TextAnalysis]]), and
+    * excising them here would 1000×-amplify the covered explode.
+    * Documents shorter than the window carry one whole-text window —
+    * exact-dup semantics for shorts.
+    */
+  def substringRemove(docs: DataFrame, windowTokens: Int = 50,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxBucket: Int = 1000): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive")
+    // normalization matches substringOverlapPairs' shingle kernel:
+    // lower, trim, whitespace runs to one space
+    val base = docs.select(col(idCol).as("doc"),
+      when(length(trim(col(textCol))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(regexp_replace(lower(trim(col(textCol))),
+          "\\s+", " "), " ")).as("w"))
+    val wins = base.filter(size(col("w")) > 0)
+      .select(col("doc"), col("w"), explode(sequence(lit(1),
+        greatest(lit(1), size(col("w")) - lit(windowTokens - 1)))).as("i"))
+      .select(col("doc"), col("i"),
+        md5(array_join(slice(col("w"), col("i"), lit(windowTokens)), " ")
+          .cast("binary")).as("wh"),
+        least(size(col("w")) - col("i") + 1, lit(windowTokens)).as("wlen"))
+    val stats = wins.groupBy("wh").agg(
+      min(col("doc")).as("__min_doc"),
+      countDistinct(col("doc")).as("__n_docs"))
+    val flagged = wins.join(stats, Seq("wh"))
+      .filter(col("__n_docs") <= maxBucket && col("__min_doc") < col("doc"))
+    val covered = flagged
+      .select(col("doc"), explode(
+        sequence(col("i"), col("i") + col("wlen") - 1)).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc"), posexplode(col("w")))
+      .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc").agg(
+      count(lit(1)).as("__n_kept"),
+      md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").cast("binary")).as("__md5"))
+    base.join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - coalesce(col("__n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("__md5"), md5(lit("").cast("binary"))).as("text_md5"))
+  }
+
   /** Estimated Jaccard from two minhash signatures: fraction of matching
     * components (the classic unbiased MinHash estimator). Kernel
     * expression (graft.functions.MinHashEst).

@@ -110,6 +110,40 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.contains((1L, 4L)))
   }
 
+  test("substringRemove: copies lose exactly the shared spans, originals and unrelated docs survive intact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs2 = Seq(
+      (1L, "a b c d e f"),      // original: keeps everything (lowest holder)
+      (2L, "x y a b c d z"),    // shares 3-windows "a b c"/"b c d" with 1
+      (3L, "p q r"),            // unrelated
+      (4L, "a b c"),            // short: whole-text window dup of doc 1's
+      (5L, "   "),              // blank: 0 tokens, md5('')
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRemove(docs2, windowTokens = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((6L, 0L, md5hex("a b c d e f"))))
+    // doc 2: flagged windows at i=3,4 cover positions 3..6 → "x y z" kept
+    assert(out(2L) == ((7L, 4L, md5hex("x y z"))))
+    assert(out(3L) == ((3L, 0L, md5hex("p q r"))))
+    // doc 4 is one whole-text window held lower by doc 1 → fully excised
+    assert(out(4L) == ((3L, 3L, md5hex(""))))
+    assert(out(5L) == ((0L, 0L, md5hex(""))))
+    // boilerplate cap: a window held by more docs than maxBucket is left
+    // in place everywhere (line-dedup's job, not span excision's)
+    val boiler = Seq((1L, "m n o"), (2L, "m n o"), (3L, "m n o"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.substringRemove(boiler, windowTokens = 3, maxBucket = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // ...and with the cap open, keep-min excises the two higher copies
+    val open = Dedup.substringRemove(boiler, windowTokens = 3, maxBucket = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(open == Map(1L -> 0L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("jaccard: identical → 1.0, disjoint → 0.0") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d")),
                  (Seq("a b c"), Seq("x y z"))).toDF("a", "b")
