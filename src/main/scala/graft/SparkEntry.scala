@@ -1031,6 +1031,18 @@ object SparkEntry {
         concat(col("text"), lit(" quoted with appended commentary")).as("text")))
       Dedup.substringRemove(aug)
     }),
+    // CCNet-style line-level boilerplate dedup: a synthetic crawl footer
+    // and header ride on every document (the cookie-banner shape), a
+    // per-doc id line is unique; lines whose normalized form occurs in
+    // > 10 docs are dropped from every doc, blanks and unique lines
+    // survive. Distinct-before-count keeps the df shuffle one row per
+    // (doc, line); output md5-audited like ns_substring_remove
+    "ns_line_dedup" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared boilerplate header\n"), col("text"),
+          lit("\nid line "), col("doc_id")).as("text"))
+      TextAnalysis.lineDedup(aug, maxDocFreq = 10)
+    }),
     // per-document salient terms: TF-IDF top-3, rank-exact exposure —
     // ranking keys on the e4-rounded integer score (then term), so both
     // engines order identically and no float crosses the compare
@@ -2820,6 +2832,33 @@ object SparkEntry {
         |  len(w0.w) - coalesce(r.n_kept, 0) AS n_removed,
         |  coalesce(r.text_md5, md5('')) AS text_md5
         |FROM w0 LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    "ns_line_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    'shared boilerplate header' || chr(10) || text || chr(10)
+        |      || 'id line ' || doc_id AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+        |lines AS (
+        |  SELECT doc_id, i AS ix, l[i] AS raw,
+        |    regexp_replace(lower(trim(l[i])), '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |        FROM l0)),
+        |dfreq AS (
+        |  SELECT norm, count(DISTINCT doc_id) AS df FROM lines
+        |  WHERE norm <> '' GROUP BY 1),
+        |boiler AS (SELECT norm FROM dfreq WHERE df > 10),
+        |kept AS (
+        |  SELECT doc_id, ix, raw FROM lines
+        |  WHERE norm = '' OR norm NOT IN (SELECT norm FROM boiler)),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(raw, chr(10) ORDER BY ix)) AS text_md5
+        |  FROM kept GROUP BY 1)
+        |SELECT l0.doc_id, len(l0.l) AS n_lines,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.text_md5, md5('')) AS text_md5
+        |FROM l0 LEFT JOIN reb r USING (doc_id)""".stripMargin,
     "ns_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -608,6 +608,56 @@ object TextAnalysis {
       .drop("__ws")
   }
 
+  /** Line-level boilerplate dedup (the CCNet remedy: Wenzek et al. 2020
+    * dedupe at the PARAGRAPH level before any document-level pass —
+    * cookie banners, nav menus, share buttons repeat across a crawl far
+    * more than whole documents do). A line is boilerplate when its
+    * NORMALIZED form (lower, trim, whitespace runs collapsed) occurs in
+    * more than `maxDocFreq` distinct documents; every occurrence of a
+    * boilerplate line is dropped from every document (unlike span
+    * excision's keep-min: a line shared by thousands of docs has no
+    * meaningful "original" to keep). Blank lines are structural, never
+    * counted, never removed. Output: one row per input document —
+    * (idCol, n_lines, n_kept, text_md5) with text_md5 = md5 of the
+    * newline-joined surviving RAW lines (md5('') when nothing survives)
+    * — the audit frame; join back on id for the rewritten text.
+    *
+    * Plan: one line explode; doc-frequency counts DISTINCT (doc, line)
+    * first — the shuffle carries one row per (doc, line-hash), not per
+    * occurrence — then one count to the line-hash domain; the
+    * boilerplate set (lines with df > threshold: a tiny fraction of the
+    * line domain) anti-joins back on the 128-bit line digest; one
+    * per-doc rebuild. No driver state, no collects — runs identically
+    * at any corpus size.
+    */
+  def lineDedup(df: DataFrame, maxDocFreq: Long, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
+    val base = df.select(col(idCol).as("doc"),
+      split(col(textCol), "\n").as("l"))
+    val lines = base.select(col("doc"), posexplode(col("l")))
+      .select(col("doc"), (col("pos") + 1).as("ix"), col("col").as("raw"))
+      .withColumn("norm",
+        regexp_replace(lower(trim(col("raw"))), "\\s+", " "))
+      .withColumn("nh", md5(col("norm").cast("binary")))
+    val dfreq = lines.filter(col("norm") =!= "")
+      .select("doc", "nh").distinct()
+      .groupBy("nh").agg(count(lit(1)).as("__df"))
+    val boiler = dfreq.filter(col("__df") > maxDocFreq).select("nh")
+    // blank lines never enter dfreq, so the anti-join keeps them
+    val kept = lines.join(boiler, Seq("nh"), "left_anti")
+    val rebuilt = kept.groupBy("doc").agg(
+      count(lit(1)).as("__n_kept"),
+      md5(array_join(transform(
+          array_sort(collect_list(struct(col("ix"), col("raw")))),
+          e => e.getField("raw")), "\n").cast("binary")).as("__md5"))
+    base.join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        size(col("l")).cast("long").as("n_lines"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__md5"), md5(lit("").cast("binary"))).as("text_md5"))
+  }
+
   /** Heaps-law vocabulary-growth curve: how many NEW distinct terms each
     * corpus slice (bucket) contributes, and the cumulative vocabulary
     * size — the saturation diagnostic a corpus build watches to decide

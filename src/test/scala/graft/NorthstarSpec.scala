@@ -322,6 +322,39 @@ class SimilaritySpec extends SparkSpecBase {
 class TextAnalysisSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("lineDedup: boilerplate lines dropped everywhere, unique and blank lines survive, edge docs exact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "Footer!" normalized appears in docs 1,2,3 (> maxDocFreq 2);
+    // "unique N" lines are singletons; doc 4 is ONLY boilerplate;
+    // doc 5 is empty text; blank middle lines are structural
+    val docs2 = Seq(
+      (1L, "unique one\n\n  footer!  \ntail one"),
+      (2L, "unique two\nFooter!"),
+      (3L, "footer!\nunique three"),
+      (4L, "FOOTER!"),
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(docs2, maxDocFreq = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // normalization: lower + trim + collapse, so all four footer
+    // variants hash alike and every occurrence is dropped
+    assert(out(1L) == ((4L, 3L, md5hex("unique one\n\ntail one"))))
+    assert(out(2L) == ((2L, 1L, md5hex("unique two"))))
+    assert(out(3L) == ((2L, 1L, md5hex("unique three"))))
+    // all-boilerplate doc: nothing survives
+    assert(out(4L) == ((1L, 0L, md5hex(""))))
+    // empty text splits to one blank line, which is structural and kept
+    assert(out(5L) == ((1L, 1L, md5hex(""))))
+    // threshold boundary: the footer's df is exactly 4, and removal
+    // requires df > maxDocFreq, so at maxDocFreq = 4 every line survives
+    val boundary = TextAnalysis.lineDedup(docs2, maxDocFreq = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(boundary.forall { case (_, (n, k)) => n == k })
+  }
+
   test("tokenCount / subwordCount / punctCount") {
     val df = Seq("hello world", "", "  ", "don't-stop123 now!").toDF("text")
     val out = df.select(
