@@ -287,6 +287,54 @@ object ScaleProbe {
         replicate(docs1, 10, "doc_id", 1000000L), rounds = 5).count()
     }
     println(f"[scale] bpeInduct 10x-data ratio       ${bi10 / bi1}%.1fx (linear-ish expected)")
+    // frozen-tokenizer SERVING (the r9 artifact path): merges trained
+    // once, application is a stateless narrow pass — pure linear scan
+    val merges9 = TextAnalysis.bpeInduct(docs1, rounds = 5).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val ba1 = timed("bpeApply serve 5k docs (1x)") {
+      TextAnalysis.bpeApply(docs1, merges9).count()
+    }
+    val ba10 = timed("bpeApply serve 50k docs (10x)") {
+      TextAnalysis.bpeApply(
+        replicate(docs1, 10, "doc_id", 1000000L), merges9).count()
+    }
+    println(f"[scale] bpeApply serve 10x-data ratio  ${ba10 / ba1}%.1fx (linear-ish expected)")
+    // quantileCuts: the cumulative window's input is the value DOMAIN,
+    // not the row count — replication grows histogram counts, not
+    // distinct values, so cost tracks the one aggregate pass and the
+    // window side stays KB-sized
+    val scored9 = docs1.select(col("doc_id"),
+      length(col("text")).cast("long").as("v"))
+    val qc1 = timed("quantileCuts 5k rows (1x)") {
+      Sampling.quantileCuts(scored9, "v", 10).count()
+    }
+    val qc10 = timed("quantileCuts 50k rows (10x)") {
+      Sampling.quantileCuts(
+        replicate(scored9, 10, "doc_id", 1000000L), "v", 10).count()
+    }
+    println(f"[scale] quantileCuts 10x-data ratio    ${qc10 / qc1}%.1fx (linear-ish expected)")
+    // duplicated-span removal: mangled replicas share no cross-replica
+    // windows, so flagged-window volume grows 10x and the covered
+    // explode must die in the map-side partials, never 100x
+    val sr1 = timed("substringRemove 5k docs (1x)") {
+      Dedup.substringRemove(docs1).count()
+    }
+    val sr10 = timed("substringRemove 50k docs (10x)") {
+      Dedup.substringRemove(docs10).count()
+    }
+    println(f"[scale] substringRemove 10x-data ratio ${sr10 / sr1}%.1fx (quadratic ~100x)")
+    // line-level boilerplate dedup: one (doc, line-hash) distinct
+    // shuffle + line-domain count + anti-join — all linear-ish; plain
+    // replication makes EVERY line boilerplate (df 10x), the worst-case
+    // removal volume
+    val ld1 = timed("lineDedup 5k docs (1x)") {
+      TextAnalysis.lineDedup(docs1, maxDocFreq = 10).count()
+    }
+    val ld10 = timed("lineDedup 50k docs (10x)") {
+      TextAnalysis.lineDedup(
+        replicate(docs1, 10, "doc_id", 1000000L), maxDocFreq = 10).count()
+    }
+    println(f"[scale] lineDedup 10x-data ratio       ${ld10 / ld1}%.1fx (linear-ish expected)")
     // source entropy: wordcount shuffle + group-count-row broadcast
     val se1 = timed("sourceEntropy 5k docs (1x)") {
       TextAnalysis.sourceEntropy(docs1).count()

@@ -142,10 +142,19 @@ object Dedup {
     * then one anti-join and one per-doc rebuild. Boilerplate windows
     * held by > maxBucket docs are left IN PLACE (same cap as the
     * detection side): "shared with thousands of documents" is
-    * line/paragraph-dedup's job ([[graft.northstar.TextAnalysis]]), and
+    * line/paragraph-dedup's job ([[TextAnalysis.lineDedup]]), and
     * excising them here would 1000×-amplify the covered explode.
     * Documents shorter than the window carry one whole-text window —
     * exact-dup semantics for shorts.
+    *
+    * Repeated-subtree caveat (the tfIdf note): the window-fingerprint
+    * frame feeds both the stats aggregate and the flag join, so the
+    * tokenize pass runs twice. That is deliberate — the alternative
+    * (per-window stats as whole-partition window functions) sorts each
+    * fingerprint's full occurrence list on one reducer, a skew cliff on
+    * boilerplate windows, while partial aggregation absorbs them; the
+    * extra pass is linear narrow IO. Persist the input before calling
+    * when the double scan matters.
     */
   def substringRemove(docs: DataFrame, windowTokens: Int = 50,
                       idCol: String = "doc_id", textCol: String = "text",

@@ -628,7 +628,11 @@ object TextAnalysis {
     * boilerplate set (lines with df > threshold: a tiny fraction of the
     * line domain) anti-joins back on the 128-bit line digest; one
     * per-doc rebuild. No driver state, no collects — runs identically
-    * at any corpus size.
+    * at any corpus size. The line explode feeds both the df branch and
+    * the anti-join (the tfIdf repeated-subtree caveat: two narrow
+    * passes, deliberately — partial aggregation absorbs the mega-line
+    * skew that a per-line window sort would concentrate on one
+    * reducer); persist the input first when the double scan matters.
     */
   def lineDedup(df: DataFrame, maxDocFreq: Long, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {

@@ -130,6 +130,23 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
   }
 
+  test("substring remove: flagged spans via equi-joins + anti-join on position, no quadratic node") {
+    val p = planOf("ns_substring_remove")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("line dedup: boilerplate set anti-joined on the line digest, no quadratic node") {
+    val p = planOf("ns_line_dedup")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assertNoQuadratic(p)
+    // the df count aggregates DISTINCT (doc, line-hash) pairs with a
+    // partial phase — the skew-resistant shape (a window over the line
+    // partition would sort a cookie banner's entire occurrence list on
+    // one reducer)
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
   test("tfidf: doc-subset filter pushed into the tf scan, df branch stays corpus-global") {
     val p = planOf("ns_tfidf")
     assert(p.contains("LessThan(doc_id,100)"), p.take(1200))
