@@ -23,6 +23,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Artifact cache key for a corpus table: path plus file size/mtime,
+    * so a REGENERATED corpus under the same path invalidates the stored
+    * train-once artifacts (pinned hyperparameters catch parameter
+    * drift; this catches content drift — serving a stale merge table or
+    * quantizer against new data would be silently wrong).
+    */
+  private def corpusKey(dir: String, name: String): String = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    s"$dir/$name-${f.length}-${f.lastModified}"
+  }
+
   /** Deterministic 64-dim probe direction for `ns_embed_probe`. Values
     * are k/1024 with k in [-512, 512]: exactly representable in float32
     * AND in a finite decimal literal, so the Spark Array[Float] and the
@@ -769,7 +780,7 @@ object SparkEntry {
     "ns_bpe_tokenize" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.northstar.Artifacts.bpeMergesFor(
-        docs, cacheKey = s"$dir/documents", rounds = 5)
+        docs, cacheKey = corpusKey(dir, "documents"), rounds = 5)
       TextAnalysis.bpeApply(docs, merges)
         .select(col("doc_id"), col("n_words"), col("n_pieces"))
     }),
@@ -1272,7 +1283,7 @@ object SparkEntry {
       // serve from the persisted quantizer artifact (train-once, pinned
       // nCells/seed parquet) instead of refitting per query
       val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
-        emb, cacheKey = s"$dir/embeddings", nCells = 8)
+        emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
       graft.northstar.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 3)
     }),
@@ -1292,7 +1303,7 @@ object SparkEntry {
     "ns_knn_ivf_exhaustive" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
-        emb, cacheKey = s"$dir/embeddings", nCells = 8)
+        emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
       graft.northstar.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 8)
     }),
@@ -1318,7 +1329,7 @@ object SparkEntry {
       // the recall floor holds AGAINST THE STORED INDEX — the quality
       // tripwire covers the artifact path a production probe would use
       val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
-        emb, cacheKey = s"$dir/embeddings", nCells = 8)
+        emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
       Similarity.recallCounts(
         graft.northstar.Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 3),
         Similarity.bruteForceTopK(q, emb, k = 10))
