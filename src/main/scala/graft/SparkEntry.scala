@@ -1054,6 +1054,25 @@ object SparkEntry {
           lit("\nid line "), col("doc_id")).as("text"))
       TextAnalysis.lineDedup(aug, maxDocFreq = 10)
     }),
+    // the serve half of line dedup (nightly-ingest shape): boilerplate
+    // line set trained on the corpus, applied to an INCOMING batch as a
+    // stateless anti-join. FROZEN semantics pinned by construction: the
+    // batch-repeated "breaking news" banner is absent from the trained
+    // set and survives in all 100 docs, while the trained header is
+    // dropped — serve applies last night's statistics, it doesn't learn
+    // from the batch
+    "ns_line_dedup_serve" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared boilerplate header\n"), col("text"),
+          lit("\nid line "), col("doc_id")).as("text"))
+      val boiler = TextAnalysis.boilerplateLines(aug, maxDocFreq = 10)
+      val incoming = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(lit("shared boilerplate header\n"), col("text"),
+            lit("\nbreaking news repeated banner\nfresh line "),
+            col("doc_id")).as("text"))
+      TextAnalysis.lineDedupServe(incoming, boiler)
+    }),
     // per-document salient terms: TF-IDF top-3, rank-exact exposure —
     // ranking keys on the e4-rounded integer score (then term), so both
     // engines order identically and no float crosses the compare
@@ -1168,6 +1187,19 @@ object SparkEntry {
     "ns_decontam" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       Dedup.benchmarkOverlap(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+    }),
+    // decontamination by SPAN EXCISION (the GPT-3 13-gram remedy):
+    // instead of dropping whole contaminated documents, every corpus
+    // token position covered by a 13-token window occurring in the
+    // benchmark slice is excised and the doc rewritten — clean tokens
+    // of lightly-contaminated docs survive. Same corpus/benchmark
+    // split as ns_decontam; md5-audited rewrite like
+    // ns_substring_remove
+    "ns_decontam_remove" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.decontaminateRemove(
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0))
     }),
@@ -2843,6 +2875,53 @@ object SparkEntry {
         |  len(w0.w) - coalesce(r.n_kept, 0) AS n_removed,
         |  coalesce(r.text_md5, md5('')) AS text_md5
         |FROM w0 LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    "ns_decontam_remove" ->
+      """WITH cw AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    END AS w
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |bw AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    END AS w
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cwin AS (
+        |  SELECT doc_id, i, md5(array_to_string(w[i : i + 12], ' ')) AS wh,
+        |    least(13, len(w) - i + 1) AS wlen
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, greatest(1, len(w) - 12))) AS i
+        |        FROM cw)
+        |  WHERE len(w) > 0),
+        |bwh AS (
+        |  SELECT DISTINCT md5(array_to_string(w[i : i + 12], ' ')) AS wh
+        |  FROM (SELECT w,
+        |          unnest(generate_series(1, greatest(1, len(w) - 12))) AS i
+        |        FROM bw)
+        |  WHERE len(w) > 0),
+        |flagged AS (
+        |  SELECT doc_id, i, wlen FROM cwin
+        |  WHERE wh IN (SELECT wh FROM bwh)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(generate_series(i, i + wlen - 1)) AS pos
+        |    FROM flagged)),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, w[i] AS tok
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        |        FROM cw WHERE len(w) > 0)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS text_md5
+        |  FROM kept GROUP BY 1)
+        |SELECT cw.doc_id, len(cw.w) AS n_tokens,
+        |  len(cw.w) - coalesce(r.n_kept, 0) AS n_removed,
+        |  coalesce(r.text_md5, md5('')) AS text_md5
+        |FROM cw LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "ns_line_dedup" ->
       """WITH aug AS (
         |  SELECT doc_id,
@@ -2870,6 +2949,44 @@ object SparkEntry {
         |  coalesce(r.n_kept, 0) AS n_kept,
         |  coalesce(r.text_md5, md5('')) AS text_md5
         |FROM l0 LEFT JOIN reb r USING (doc_id)""".stripMargin,
+    "ns_line_dedup_serve" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    'shared boilerplate header' || chr(10) || text || chr(10)
+        |      || 'id line ' || doc_id AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+        |lines AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(l[i])), '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |        FROM l0)),
+        |dfreq AS (
+        |  SELECT norm, count(DISTINCT doc_id) AS df FROM lines
+        |  WHERE norm <> '' GROUP BY 1),
+        |boiler AS (SELECT norm FROM dfreq WHERE df > 10),
+        |inc AS (
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    'shared boilerplate header' || chr(10) || text || chr(10)
+        |      || 'breaking news repeated banner' || chr(10)
+        |      || 'fresh line ' || doc_id AS text
+        |  FROM documents WHERE doc_id < 100),
+        |il0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM inc),
+        |ilines AS (
+        |  SELECT doc_id, i AS ix, l[i] AS raw,
+        |    regexp_replace(lower(trim(l[i])), '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |        FROM il0)),
+        |kept AS (
+        |  SELECT doc_id, ix, raw FROM ilines
+        |  WHERE norm NOT IN (SELECT norm FROM boiler)),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(raw, chr(10) ORDER BY ix)) AS text_md5
+        |  FROM kept GROUP BY 1)
+        |SELECT il0.doc_id, len(il0.l) AS n_lines,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.text_md5, md5('')) AS text_md5
+        |FROM il0 LEFT JOIN reb r USING (doc_id)""".stripMargin,
     "ns_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -160,25 +160,50 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       maxBucket: Int = 1000): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive")
-    // normalization matches substringOverlapPairs' shingle kernel:
-    // lower, trim, whitespace runs to one space
-    val base = docs.select(col(idCol).as("doc"),
+    val base = tokenized(docs, idCol, textCol)
+    val wins = windowFingerprints(base, windowTokens)
+    val stats = wins.groupBy("wh").agg(
+      min(col("doc")).as("__min_doc"),
+      countDistinct(col("doc")).as("__n_docs"))
+    val flagged = wins.join(stats, Seq("wh"))
+      .filter(col("__n_docs") <= maxBucket && col("__min_doc") < col("doc"))
+    exciseFlagged(base, flagged, idCol)
+  }
+
+  /** (doc, w) frame with the normalized token array
+    * (substringOverlapPairs' shingle-kernel rule: lower, trim,
+    * whitespace runs to one space; blank text → empty array).
+    */
+  private def tokenized(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
       when(length(trim(col(textCol))) === 0,
           array().cast("array<string>"))
         .otherwise(split(regexp_replace(lower(trim(col(textCol))),
           "\\s+", " "), " ")).as("w"))
-    val wins = base.filter(size(col("w")) > 0)
+
+  /** Stride-1 window fingerprints with positions: (doc, i, wh, wlen) —
+    * every `windowTokens`-token window's 128-bit md5 digest plus its
+    * start position and (end-clamped) length; documents shorter than
+    * the window carry one whole-text window.
+    */
+  private def windowFingerprints(base: DataFrame,
+                                 windowTokens: Int): DataFrame =
+    base.filter(size(col("w")) > 0)
       .select(col("doc"), col("w"), explode(sequence(lit(1),
         greatest(lit(1), size(col("w")) - lit(windowTokens - 1)))).as("i"))
       .select(col("doc"), col("i"),
         md5(array_join(slice(col("w"), col("i"), lit(windowTokens)), " ")
           .cast("binary")).as("wh"),
         least(size(col("w")) - col("i") + 1, lit(windowTokens)).as("wlen"))
-    val stats = wins.groupBy("wh").agg(
-      min(col("doc")).as("__min_doc"),
-      countDistinct(col("doc")).as("__n_docs"))
-    val flagged = wins.join(stats, Seq("wh"))
-      .filter(col("__n_docs") <= maxBucket && col("__min_doc") < col("doc"))
+
+  /** Excise every token position covered by a flagged (doc, i, wlen)
+    * window occurrence and rebuild: the shared tail of
+    * [[substringRemove]] and [[decontaminateRemove]]. Output:
+    * (idCol, n_tokens, n_removed, text_md5).
+    */
+  private def exciseFlagged(base: DataFrame, flagged: DataFrame,
+                            idCol: String): DataFrame = {
     val covered = flagged
       .select(col("doc"), explode(
         sequence(col("i"), col("i") + col("wlen") - 1)).as("pos"))
@@ -197,6 +222,43 @@ object Dedup {
         (size(col("w")) - coalesce(col("__n_kept"), lit(0L)))
           .cast("long").as("n_removed"),
         coalesce(col("__md5"), md5(lit("").cast("binary"))).as("text_md5"))
+  }
+
+  /** Decontamination by SPAN EXCISION — the remedy form of benchmark
+    * decontamination ([[benchmarkOverlap]] detects; this rewrites): every
+    * corpus token position covered by a `windowTokens`-token window that
+    * also occurs anywhere in the benchmark is excised, GPT-3's 13-gram
+    * collision removal at window granularity (Brown et al. 2020, §C —
+    * they cut a fixed span around each colliding 13-gram; excising
+    * exactly the colliding windows is the deterministic, replayable
+    * form). Whole-document dropping ([[benchmarkOverlap]] + filter)
+    * loses every clean token of a document that quotes one benchmark
+    * sentence; excision keeps them.
+    *
+    * Output: the [[substringRemove]] audit frame (idCol, n_tokens,
+    * n_removed, text_md5). Default windowTokens=13 (the GPT-3 n-gram);
+    * benchmark documents shorter than the window contribute their
+    * whole normalized text, so short eval questions still match
+    * verbatim quotes of themselves.
+    *
+    * Plan: corpus window fingerprints (one tokenize pass) semi-joined
+    * against the DISTINCT benchmark window-digest set — benchmark-sized,
+    * BROADCAST like [[benchmarkOverlap]]'s gram set — then the shared
+    * excise tail. No corpus-keyed shuffle beyond the rebuild; the
+    * benchmark side is scanned once.
+    */
+  def decontaminateRemove(corpus: DataFrame, benchmark: DataFrame,
+                          windowTokens: Int = 13,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive")
+    val base = tokenized(corpus, idCol, textCol)
+    val wins = windowFingerprints(base, windowTokens)
+    val benchWhs = windowFingerprints(
+      tokenized(benchmark, idCol, textCol), windowTokens)
+      .select("wh").distinct()
+    val flagged = wins.join(broadcast(benchWhs), Seq("wh"), "left_semi")
+    exciseFlagged(base, flagged, idCol)
   }
 
   /** Estimated Jaccard from two minhash signatures: fraction of matching

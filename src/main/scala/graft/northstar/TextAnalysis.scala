@@ -636,20 +636,46 @@ object TextAnalysis {
     */
   def lineDedup(df: DataFrame, maxDocFreq: Long, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
-    val base = df.select(col(idCol).as("doc"),
-      split(col(textCol), "\n").as("l"))
-    val lines = base.select(col("doc"), posexplode(col("l")))
+    val base = docLines(df, idCol, textCol)
+    rebuildLines(base,
+      explodedLines(base).join(
+        boilerplateFrom(base, maxDocFreq), Seq("nh"), "left_anti"),
+      idCol)
+  }
+
+  /** (doc, l) frame with the raw line array. */
+  private def docLines(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), split(col(textCol), "\n").as("l"))
+
+  /** Per-line stream: (doc, ix, raw, norm, nh) with the normalized form
+    * and its 128-bit digest.
+    */
+  private def explodedLines(base: DataFrame): DataFrame =
+    base.select(col("doc"), posexplode(col("l")))
       .select(col("doc"), (col("pos") + 1).as("ix"), col("col").as("raw"))
       .withColumn("norm",
         regexp_replace(lower(trim(col("raw"))), "\\s+", " "))
       .withColumn("nh", md5(col("norm").cast("binary")))
-    val dfreq = lines.filter(col("norm") =!= "")
+
+  /** The boilerplate line-hash set of a corpus: (nh) for every
+    * normalized non-blank line occurring in > maxDocFreq distinct
+    * documents. Blank lines never enter (structural, never removed).
+    */
+  private def boilerplateFrom(base: DataFrame,
+                              maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
+    explodedLines(base).filter(col("norm") =!= "")
       .select("doc", "nh").distinct()
       .groupBy("nh").agg(count(lit(1)).as("__df"))
-    val boiler = dfreq.filter(col("__df") > maxDocFreq).select("nh")
-    // blank lines never enter dfreq, so the anti-join keeps them
-    val kept = lines.join(boiler, Seq("nh"), "left_anti")
+      .filter(col("__df") > maxDocFreq).select("nh")
+  }
+
+  /** Rebuild + audit tail shared by [[lineDedup]] and
+    * [[lineDedupServe]]: (idCol, n_lines, n_kept, text_md5).
+    */
+  private def rebuildLines(base: DataFrame, kept: DataFrame,
+                           idCol: String): DataFrame = {
     val rebuilt = kept.groupBy("doc").agg(
       count(lit(1)).as("__n_kept"),
       md5(array_join(transform(
@@ -660,6 +686,47 @@ object TextAnalysis {
         size(col("l")).cast("long").as("n_lines"),
         coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("__md5"), md5(lit("").cast("binary"))).as("text_md5"))
+  }
+
+  /** The TRAIN half of the line-dedup train-offline/serve-online split:
+    * the corpus's boilerplate line-hash set as a (nh) frame — the
+    * freezable artifact (write once, parquet; line-domain-sized, far
+    * smaller than the corpus). [[lineDedupServe]] is the serve half.
+    */
+  def boilerplateLines(df: DataFrame, maxDocFreq: Long,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    boilerplateFrom(docLines(df, idCol, textCol), maxDocFreq)
+
+  /** Drop every line of a (possibly STREAMING) frame whose normalized
+    * digest is in a frozen boilerplate set: the stream-safe core of the
+    * serve half — a narrow line explode plus one stream-static anti-join,
+    * no aggregation, no state. Returns the per-line frame
+    * (idCol, ix, raw); [[lineDedupServe]] adds the per-doc audit rollup
+    * for batch use. FROZEN semantics: a line repeated heavily within
+    * the incoming batch but absent from the trained set is KEPT — the
+    * nightly screen applies last night's statistics, it does not learn
+    * from the batch (retrain via [[boilerplateLines]] to refresh).
+    */
+  def dropBoilerplateLines(df: DataFrame, boiler: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    explodedLines(docLines(df, idCol, textCol))
+      .join(boiler, Seq("nh"), "left_anti")
+      .select(col("doc").as(idCol), col("ix").cast("long").as("ix"),
+        col("raw"))
+
+  /** Serve line dedup against a frozen boilerplate set — the batch
+    * audit form: same output schema as [[lineDedup]], but the
+    * boilerplate statistics come from the trained artifact, not the
+    * incoming frame.
+    */
+  def lineDedupServe(df: DataFrame, boiler: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val base = docLines(df, idCol, textCol)
+    rebuildLines(base,
+      explodedLines(base).join(boiler, Seq("nh"), "left_anti"), idCol)
   }
 
   /** Heaps-law vocabulary-growth curve: how many NEW distinct terms each

@@ -144,6 +144,31 @@ class DedupSpec extends SparkSpecBase {
     assert(open == Map(1L -> 0L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("decontaminateRemove: benchmark-colliding windows excised, window-granular, clean docs intact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bench = Seq((100L, "a b c d"), (101L, "q r")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x a b c d y"),          // quotes bench 100: 3-windows abc, bcd
+      (2L, "no overlap here at all"),
+      (3L, "q r"),                   // short: whole-text window = bench 101's
+      (4L, "p q r s"),               // contains "q r" but no 3-window matches
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateRemove(corpus, bench, windowTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // flagged windows at i=2 ("a b c") and i=3 ("b c d") cover 2..5
+    assert(out(1L) == ((6L, 4L, md5hex("x y"))))
+    assert(out(2L) == ((5L, 0L, md5hex("no overlap here at all"))))
+    // short corpus doc = one whole-text window, equal to the short
+    // benchmark doc's whole-text window → fully excised
+    assert(out(3L) == ((2L, 2L, md5hex(""))))
+    // window-granular: "q r" inside a longer doc only matches via full
+    // 3-token windows ("p q r"/"q r s"), which the benchmark lacks
+    assert(out(4L) == ((4L, 0L, md5hex("p q r s"))))
+  }
+
   test("jaccard: identical → 1.0, disjoint → 0.0") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d")),
                  (Seq("a b c"), Seq("x y z"))).toDF("a", "b")
@@ -353,6 +378,39 @@ class TextAnalysisSpec extends SparkSpecBase {
     val boundary = TextAnalysis.lineDedup(docs2, maxDocFreq = 4).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(boundary.forall { case (_, (n, k)) => n == k })
+  }
+
+  test("lineDedup train/serve split: serving the trained set reproduces the one-shot pass; frozen semantics pinned") {
+    val corpus = Seq(
+      (1L, "unique one\nfooter!"),
+      (2L, "unique two\nFooter!"),
+      (3L, "footer!\nunique three"),
+    ).toDF("doc_id", "text")
+    val boiler = TextAnalysis.boilerplateLines(corpus, maxDocFreq = 2)
+    // parity: serve(corpus, train(corpus)) == one-shot lineDedup
+    val served = TextAnalysis.lineDedupServe(corpus, boiler)
+      .collect().map(_.toSeq).toSet
+    val oneShot = TextAnalysis.lineDedup(corpus, maxDocFreq = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served == oneShot && served.nonEmpty)
+    // frozen semantics: a line repeated across the whole INCOMING batch
+    // but absent from the trained set is KEPT; the trained footer drops
+    val incoming = Seq(
+      (10L, "batch banner\nfooter!\nnew a"),
+      (11L, "batch banner\nFOOTER!\nnew b"),
+      (12L, "batch banner\nnew c"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedupServe(incoming, boiler).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((3L, 2L))) // banner + new a kept, footer dropped
+    assert(out(11L) == ((3L, 2L)))
+    assert(out(12L) == ((2L, 2L))) // nothing trained matches
+    // line-level serve core is join+projection only (the stream-safe
+    // shape StreamingSpec drives end-to-end)
+    val keptLines = TextAnalysis.dropBoilerplateLines(incoming, boiler)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(keptLines.contains((10L, "batch banner")) &&
+      !keptLines.exists(_._2.equalsIgnoreCase("footer!")))
   }
 
   test("tokenCount / subwordCount / punctCount") {

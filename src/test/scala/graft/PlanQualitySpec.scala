@@ -147,6 +147,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p.take(800))
   }
 
+  test("decontam remove: benchmark window set broadcast into a semi-join, no quadratic node") {
+    val p = planOf("ns_decontam_remove")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("line dedup serve: frozen set anti-joined, no quadratic node") {
+    val p = planOf("ns_line_dedup_serve")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("tfidf: doc-subset filter pushed into the tf scan, df branch stays corpus-global") {
     val p = planOf("ns_tfidf")
     assert(p.contains("LessThan(doc_id,100)"), p.take(1200))

@@ -36,6 +36,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(out) == Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
   }
 
+  test("dropBoilerplateLines: the frozen line set screens a stream and matches the batch screen") {
+    import graft.northstar.TextAnalysis
+    val src = tmp(); val ckpt = tmp()
+    val corpus = Seq(
+      (1L, "keep me\ncookie banner"),
+      (2L, "other\ncookie banner"),
+      (3L, "cookie banner\nmore"),
+    ).toDF("doc_id", "text")
+    val boiler = TextAnalysis.boilerplateLines(corpus, maxDocFreq = 2)
+    Seq(
+      (10L, "fresh\ncookie banner\nlines"),
+      (11L, "Cookie  Banner"), // normalization variant → fully screened
+    ).toDF("doc_id", "text").write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    // stream-static anti-join + narrow explode: runs unchanged on a stream
+    val q = TextAnalysis.dropBoilerplateLines(
+        IncrementalStream.readTableStream(spark, src, "in", schema), boiler)
+      .writeStream.format("memory").queryName("line_serve_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("line_serve_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = TextAnalysis.dropBoilerplateLines(
+        spark.read.parquet(s"$src/in.parquet"), boiler).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((10L, 1L, "fresh"), (10L, 3L, "lines")))
+  }
+
   test("streamingDedup: duplicate keys within the watermark horizon collapse") {
     val src = tmp(); val ckpt = tmp()
     val base = 1704067200L * 1000000000L
