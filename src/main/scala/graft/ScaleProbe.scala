@@ -323,6 +323,16 @@ object ScaleProbe {
       Dedup.substringRemove(docs10).count()
     }
     println(f"[scale] substringRemove 10x-data ratio ${sr10 / sr1}%.1fx (quadratic ~100x)")
+    // winnowing: the selected-min sketch join must track the (thinner)
+    // sketch stream, with the same mangled-replica 10x-true-pairs setup
+    // as substringOverlap
+    val wp1 = timed("winnowPairs 5k docs (1x)") {
+      Dedup.winnowPairs(docs1).count()
+    }
+    val wp10 = timed("winnowPairs 50k docs (10x)") {
+      Dedup.winnowPairs(docs10).count()
+    }
+    println(f"[scale] winnowPairs 10x-data ratio     ${wp10 / wp1}%.1fx (quadratic ~100x)")
     // line-level boilerplate dedup: one (doc, line-hash) distinct
     // shuffle + line-domain count + anti-join — all linear-ish; plain
     // replication makes EVERY line boilerplate (df 10x), the worst-case

@@ -1028,6 +1028,18 @@ object SparkEntry {
         concat(col("text"), lit(" quoted with appended commentary")).as("text")))
       Dedup.substringOverlapPairs(aug)
     }),
+    // winnowing-sketch overlap (MOSS fingerprint selection): the same
+    // derived-copy pairs as ns_substring_overlap's stride-1 windows, but
+    // the candidate join runs on the ~2/(window+1)-density selected-min
+    // sketch — the index-size lever at 100 TB. k=5/window=4: spans >= 8
+    // tokens guaranteed detected
+    "ns_winnow_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val aug = base.unionAll(base.select(
+        (col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" quoted with appended commentary")).as("text")))
+      Dedup.winnowPairs(aug)
+    }),
     // duplicated-span REMOVAL (the remedy half of substring dedup, Lee
     // et al.'s excision): same augmented corpus as ns_substring_overlap;
     // the derived quoting copies lose exactly the spans their lower-id
@@ -2829,6 +2841,38 @@ object SparkEntry {
         |  FROM wins a JOIN wins b USING (wh)
         |  WHERE a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, count(*) AS n_shared_windows
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
+    "ns_winnow_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |aug AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' quoted with appended commentary'
+        |  FROM base),
+        |w0 AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    END AS w
+        |  FROM aug),
+        |grams AS (
+        |  SELECT doc_id, i, md5(array_to_string(w[i : i + 4], ' ')) AS fp
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, greatest(1, len(w) - 4))) AS i
+        |        FROM w0)
+        |  WHERE len(w) > 0),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, min(fp) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM grams),
+        |capped AS (
+        |  SELECT fp FROM (SELECT fp, count(*) AS c FROM sel GROUP BY 1)
+        |  WHERE c <= 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sel a JOIN sel b USING (fp)
+        |  WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM capped))
+        |SELECT doc_a, doc_b, count(*) AS n_shared_fps
         |FROM pairs GROUP BY 1, 2""".stripMargin,
     "ns_substring_remove" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

@@ -224,6 +224,63 @@ object Dedup {
         coalesce(col("__md5"), md5(lit("").cast("binary"))).as("text_md5"))
   }
 
+  /** Winnowing document sketch (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * — the MOSS local-fingerprinting algorithm; public knowledge): from
+    * the stride-1 k-gram fingerprint stream, SELECT the minimum
+    * fingerprint of every `window` consecutive fingerprints. The
+    * guarantee: any shared token run of >= window + k - 1 tokens shares
+    * at least one SELECTED fingerprint — the same detection contract as
+    * [[substringOverlapPairs]]'s full window set at matching span
+    * length — while the expected sketch density is 2/(window+1), so the
+    * index the candidate join shuffles is ~window/2× THINNER. That is
+    * the 100 TB lever: stride-1 fingerprints are O(total tokens) rows;
+    * winnowing stores the same guarantee in a fraction of them.
+    *
+    * Selection is the plain windowed min (not the rightmost-tie
+    * refinement — ties only affect which position is charged, and the
+    * sketch is a distinct fingerprint SET); min over md5 hex strings is
+    * deterministic and engine-portable, and the end-clamped tail
+    * windows only ever ADD selections (a superset never misses).
+    * Output: (doc, fp) distinct sketch rows.
+    */
+  def winnowSketch(docs: DataFrame, k: Int = 5, window: Int = 4,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(k > 0 && window > 0, s"need positive k/window, got $k/$window")
+    import org.apache.spark.sql.expressions.Window
+    val base = tokenized(docs, idCol, textCol)
+    val grams = base.filter(size(col("w")) > 0)
+      .select(col("doc"), col("w"), explode(sequence(lit(1),
+        greatest(lit(1), size(col("w")) - lit(k - 1)))).as("i"))
+      .select(col("doc"), col("i"),
+        md5(array_join(slice(col("w"), col("i"), lit(k)), " ")
+          .cast("binary")).as("fp"))
+    val wMin = Window.partitionBy("doc").orderBy("i")
+      .rowsBetween(Window.currentRow, window - 1)
+    grams.withColumn("sel", min(col("fp")).over(wMin))
+      .select(col("doc"), col("sel").as("fp")).distinct()
+  }
+
+  /** Overlap pairs from winnowing sketches: documents sharing at least
+    * one selected fingerprint, with the shared-selection count — the
+    * sketch-economical alternative to [[substringOverlapPairs]] (same
+    * guarantee for spans >= window + k - 1 tokens, ~window/2× thinner
+    * candidate join). Mega-buckets capped like every LSH join here.
+    * Output: (doc_a, doc_b, n_shared_fps).
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 5, window: Int = 4,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxBucket: Int = 1000): DataFrame = {
+    val sk = winnowSketch(docs, k, window, idCol, textCol)
+    // sketch rows are distinct (doc, fp), so rows-per-fp == docs-per-fp
+    val capped = capBuckets(sk, Seq("fp"), maxBucket)
+    capped.select(col("fp"), col("doc").as("doc_a"))
+      .join(capped.select(col("fp"), col("doc").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** Decontamination by SPAN EXCISION — the remedy form of benchmark
     * decontamination ([[benchmarkOverlap]] detects; this rewrites): every
     * corpus token position covered by a `windowTokens`-token window that

@@ -144,6 +144,29 @@ class DedupSpec extends SparkSpecBase {
     assert(open == Map(1L -> 0L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("winnowing: guarantee holds at window+k-1 span, sketch thinner than the gram stream, disjoint docs unpaired") {
+    val words = (1 to 30).map(i => s"w$i")
+    val docs2 = Seq(
+      (1L, words.mkString(" ")),                           // 30 tokens
+      (2L, (words ++ Seq("tail", "extra")).mkString(" ")), // contains doc 1
+      (3L, (1 to 30).map(i => s"x$i").mkString(" ")),      // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs2, k = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shared 30-token run >= window + k - 1 = 8 → guaranteed detection
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // density: the selected sketch is a strict subset of the gram stream
+    // (expected ~2/(window+1) = 40%)
+    val sketch = Dedup.winnowSketch(docs2, k = 5, window = 4)
+      .filter($"doc" === 1L).count()
+    assert(sketch < 26 && sketch > 0, s"sketch $sketch of 26 grams")
+    // determinism under repartition (windowed min is per-doc, ordered)
+    val again = Dedup.winnowPairs(docs2.repartition(7), k = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs)
+  }
+
   test("decontaminateRemove: benchmark-colliding windows excised, window-granular, clean docs intact") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

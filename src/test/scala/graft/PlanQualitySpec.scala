@@ -147,6 +147,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p.take(800))
   }
 
+  test("winnow pairs: bucket-cap semi-joins guard the sketch self-join, no quadratic node") {
+    val p = planOf("ns_winnow_pairs")
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("decontam remove: benchmark window set broadcast into a semi-join, no quadratic node") {
     val p = planOf("ns_decontam_remove")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
