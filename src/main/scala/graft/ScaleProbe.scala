@@ -375,6 +375,18 @@ object ScaleProbe {
     timed("lshTopK 10k corpus, 50 queries") {
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 10).count()
     }
+    // SemDeDup: cell-scoped pair join — quadratic per cell, never per
+    // corpus; the k-means fit stays sample-bounded either way
+    val emb1s = Tables.table(spark, dir, "embeddings")
+    val sd1 = timed("semanticDedup 2k (1x)") {
+      Similarity.semanticDedup(emb1s,
+        Ivf.fitCentroids(emb1s, nCells = 8), thresholdE4 = 3000).count()
+    }
+    val sd5 = timed("semanticDedup 10k (5x)") {
+      Similarity.semanticDedup(emb,
+        Ivf.fitCentroids(emb, nCells = 8), thresholdE4 = 3000).count()
+    }
+    println(f"[scale] semanticDedup 5x-data ratio    ${sd5 / sd1}%.1fx (per-cell quadratic ~25x)")
     timed("cosineNearDupPairs 10k") {
       Similarity.cosineNearDupPairs(emb, threshold = 0.35).count()
     }

@@ -1380,6 +1380,28 @@ object SparkEntry {
     }),
     "ns_neardup_cosine" -> ((s, dir) => // rows-only
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
+    // SemDeDup: cluster-scoped semantic dedup over the STORED quantizer
+    // artifact — pairs compared within k-means cells only, connected
+    // groups collapsed keep-min. Rows-only (cell scoping derives from
+    // the driver-fit centroids DuckDB can't replay); threshold e4 3000
+    // matches the near-orthogonal testdata (see the ns_knn_ivf note);
+    // the exhaustive companion pins the collapse math
+    "ns_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
+      Similarity.semanticDedup(emb, centroids, thresholdE4 = 3000)
+    }),
+    // hash-checked companion to ns_semdedup: ONE trivial cell makes the
+    // cluster scoping a no-op, so the full SemDeDup plumbing
+    // (assignment, subcells, pair join, CC collapse) must reproduce the
+    // flat all-pairs collapse — replayed by a recursive-CTE oracle on
+    // the bounded ns_neardup_cosine_exact subset
+    "ns_semdedup_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Similarity.semanticDedup(emb,
+        Array(Array.fill(64)(1.0f)), thresholdE4 = 3000)
+    }),
     // hash-checked companion to ns_neardup_cosine: the EXACT cosine
     // threshold-pair semantics the LSH buckets approximate, on a bounded
     // id subset (the all-pairs join is the oracle baseline, not the scale
@@ -3254,6 +3276,25 @@ object SparkEntry {
         |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT c.doc_id, l.cluster_id, c.doc_id = l.cluster_id AS is_keeper
         |FROM corpus c JOIN lbl l ON l.id = c.doc_id""".stripMargin,
+    // the flat all-pairs collapse the single-cell SemDeDup must equal:
+    // exact e4-integer cosine pairs on the bounded subset, recursive-CTE
+    // reachability, keep-min labels (the ns_neardup_collapse pattern)
+    "ns_semdedup_exact" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE CAST(round(list_cosine_similarity(a.embedding, b.embedding)
+        |        * 10000) AS BIGINT) >= 3000),
+        |edges AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM e
+        |  UNION
+        |  SELECT reach.id, g.pb FROM reach JOIN edges g ON g.pa = reach.r),
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT e.vec_id, l.cluster_id, e.vec_id = l.cluster_id AS is_keeper
+        |FROM e JOIN lbl l ON l.id = e.vec_id""".stripMargin,
     "ns_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,

@@ -166,9 +166,13 @@ object Ivf {
              lit(i).as("cell"))
     }.toSeq
 
-  /** Nearest-centroid cell id (struct max over per-centroid sims). */
+  /** Nearest-centroid cell id (struct max over per-centroid sims; a
+    * single-cell quantizer is the degenerate constant — `greatest`
+    * requires two args).
+    */
   def cellOf(vec: Column, centroids: Array[Array[Float]]): Column =
-    greatest(centroidSims(vec, centroids): _*).getField("cell")
+    if (centroids.length == 1) lit(0)
+    else greatest(centroidSims(vec, centroids): _*).getField("cell")
 
   /** The `nProbe` nearest cell ids for a query vector, as an array to
     * explode: sort the (sim, cell) structs descending, take the heads.

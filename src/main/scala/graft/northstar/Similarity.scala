@@ -174,4 +174,47 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .groupBy("doc_a", "doc_b").agg(max("sim").as("sim"))
   }
+
+  /** SemDeDup — cluster-scoped semantic deduplication (Abbas et al.
+    * 2023, arXiv:2303.09540; public knowledge): assign every embedding
+    * to its k-means cell, compare pairs WITHIN a cell only, and
+    * collapse connected groups above the cosine threshold to one
+    * keeper (keep-min). The cluster scoping is what makes semantic
+    * dedup tractable at corpus scale — the pair join is quadratic per
+    * cell, never per corpus, and the published recipe accepts the
+    * cross-cell miss rate (semantic duplicates land in the same cell
+    * with high probability because they are near-identical vectors).
+    *
+    * Composes the existing machinery end-to-end: the quantizer is the
+    * stored IVF artifact ([[Artifacts.ivfCentroidsFor]] — train-once,
+    * pinned parameters), mega-cells are re-split by [[Ivf.subcellOf]]'s
+    * secondary hyperplane bits exactly like the probe join (so one
+    * boilerplate-region cell can't go quadratic), and the collapse is
+    * [[Dedup.collapseByPairs]]'s path-halving CC. The threshold
+    * compares the e4-rounded INTEGER cosine, so near-threshold pair
+    * membership replays exactly in an external engine. With a single
+    * trivial cell the scoping is a no-op and the result must equal the
+    * flat all-pairs collapse — the exhaustive-companion identity
+    * `ns_semdedup_exact` pins. Output: (idCol, cluster_id, is_keeper).
+    */
+  def semanticDedup(emb: DataFrame, centroids: Array[Array[Float]],
+                    thresholdE4: Long, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxCell: Int = 100000): DataFrame = {
+    val splits = Ivf.splitBitsByCell(emb, centroids, vecCol, maxCell)
+    val c = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Ivf.cellOf(col(vecCol), centroids).as("cell"))
+      .withColumn("subcell",
+        Ivf.subcellOf(col("v"), col("cell"), centroids, splits))
+    val a = c.select(col("cell"), col("subcell"),
+      col("id").as("doc_a"), col("v").as("va"))
+    val b = c.select(col("cell"), col("subcell"),
+      col("id").as("doc_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell", "subcell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(round(cosine(col("va"), col("vb")) * 10000).cast("long")
+        >= thresholdE4)
+      .select("doc_a", "doc_b")
+    Dedup.collapseByPairs(emb.select(col(idCol)), pairs, idCol)
+  }
 }

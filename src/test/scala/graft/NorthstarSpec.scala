@@ -309,6 +309,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.values.flatMap(_._2).forall(q => q >= -127 && q <= 127))
   }
 
+  test("semanticDedup: within-cell collapse keep-min; single trivial cell equals the flat all-pairs collapse") {
+    // 1 and 2 share a direction (cos = 1), 3 and 4 are mutually and
+    // jointly near-orthogonal to them
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(2f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f)),
+      (4L, Seq(0f, 0f, 1f)),
+    ).toDF("vec_id", "embedding")
+    val one = Array(Array(1.0f, 1.0f, 1.0f))
+    val out = Similarity.semanticDedup(emb, one, thresholdE4 = 9000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false))) // collapsed into 1's cluster
+    assert(out(3L) == ((3L, true)))
+    assert(out(4L) == ((4L, true)))
+    // cluster scoping with a real multi-cell quantizer still labels
+    // every row exactly once, keepers = one per cluster
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 100)
+    val cents = Ivf.fitCentroids(corpus, nCells = 4)
+    val sem = Similarity.semanticDedup(corpus, cents, thresholdE4 = 3000)
+      .collect()
+    assert(sem.length == 100)
+    val byCluster = sem.groupBy(_.getLong(1))
+    assert(byCluster.values.forall(_.count(_.getBoolean(2)) == 1))
+    // scoping only ever MISSES cross-cell pairs: single-cell (flat)
+    // collapse has <= as many clusters as the scoped one
+    val flat = Similarity.semanticDedup(corpus,
+      Array(Array.fill(64)(1.0f)), thresholdE4 = 3000).collect()
+    assert(flat.count(_.getBoolean(2)) <= sem.count(_.getBoolean(2)))
+  }
+
   test("cosine: orthogonal → 0, identical → 1, zero-norm → 0") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),

@@ -147,6 +147,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p.take(800))
   }
 
+  test("semdedup: cell-scoped pair join materialized through the CC checkpoint, no quadratic node") {
+    val p = planOf("ns_semdedup")
+    // collapseByPairs checkpoints the pair list: the final plan scans the
+    // materialized RDD instead of re-running the cell join per CC branch
+    assert(p.contains("ExistingRDD"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("winnow pairs: bucket-cap semi-joins guard the sketch self-join, no quadratic node") {
     val p = planOf("ns_winnow_pairs")
     assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
