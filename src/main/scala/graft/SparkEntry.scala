@@ -615,13 +615,15 @@ object SparkEntry {
       t(s, dir, "documents").select(col("lang"),
           TextAnalysis.languageId(col("text")).as("lang_guess"))
         .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))),
-    // the train-offline/score-online LM split: top-50 head trained by
-    // lmHead (cap deterministic via (cnt desc, term) order), scoring is
-    // a stateless narrow pass with the head as a literal map — the
-    // stream-servable form of ns_unigram_lm, OOV floored at 0.5
+    // the train-offline/score-online LM split: top-50 head PERSISTED as
+    // a pinned parquet artifact (Artifacts.lmHeadFor — train-once,
+    // serve-by-load like the BPE merge table), scoring a stateless
+    // narrow pass with the head as a literal map — the stream-servable
+    // form of ns_unigram_lm, OOV floored at 0.5
     "ns_lm_serve" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (vocab, total) = TextAnalysis.lmHead(docs, topK = 50)
+      val (vocab, total) = graft.northstar.Artifacts.lmHeadFor(
+        docs, cacheKey = corpusKey(dir, "documents"), topK = 50)
       TextAnalysis.scoreWithLm(docs, vocab, total)
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
@@ -659,8 +661,10 @@ object SparkEntry {
     // replayed term-for-term by the oracle
     "ns_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (vocab, total) = TextAnalysis.lmHead(docs, topK = 50)
-      val bigrams = TextAnalysis.bigramHead(docs, topK = 100)
+      val (vocab, total) = graft.northstar.Artifacts.lmHeadFor(
+        docs, cacheKey = corpusKey(dir, "documents"), topK = 50)
+      val bigrams = graft.northstar.Artifacts.bigramHeadFor(
+        docs, cacheKey = corpusKey(dir, "documents"), topK = 100)
       TextAnalysis.scoreWithBigramLm(docs, bigrams, vocab, total)
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp2") * 10000).cast("long").as("b_e4"))
@@ -704,7 +708,8 @@ object SparkEntry {
     // count of cuts below the score
     "ns_ppl_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (vocab, total) = TextAnalysis.lmHead(docs, topK = 50)
+      val (vocab, total) = graft.northstar.Artifacts.lmHeadFor(
+        docs, cacheKey = corpusKey(dir, "documents"), topK = 50)
       val scored = TextAnalysis.scoreWithLm(docs, vocab, total)
         .select(col("doc_id"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))

@@ -90,6 +90,96 @@ object Artifacts {
     loadBpeMerges(docs.sparkSession, path, rounds)
   }
 
+  // ----------------------------------------------------------- LM heads
+
+  /** Persist a frozen unigram-LM head ([[TextAnalysis.lmHead]]): the
+    * (term, cnt) rows with the pinned `__top_k` and the FULL-corpus
+    * token `__total` riding on every row — both are part of the model
+    * (the total is the smoothing denominator), so serving with either
+    * wrong silently mis-scores.
+    */
+  def saveLmHead(spark: SparkSession, vocab: Map[String, Long],
+                 total: Long, path: String, topK: Int): Unit = {
+    import spark.implicits._
+    require(total > 0, s"total token count must be positive, got $total")
+    vocab.toSeq.map { case (t, c) => (t, c, topK, total) }
+      .toDF("term", "cnt", "__top_k", "__total")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a unigram head for serving. Throws on a topK mismatch or an
+    * empty artifact (a head trained on an empty corpus has no total to
+    * serve with).
+    */
+  def loadLmHead(spark: SparkSession, path: String,
+                 topK: Int): (Map[String, Long], Long) = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty LM head artifact at $path")
+    rows.foreach { r =>
+      val stored = r.getAs[Int]("__top_k")
+      require(stored == topK,
+        s"LM head artifact at $path was trained with topK=$stored, " +
+          s"serving requested topK=$topK")
+    }
+    (rows.map(r => r.getAs[String]("term") -> r.getAs[Long]("cnt")).toMap,
+      rows.head.getAs[Long]("__total"))
+  }
+
+  /** Train-once / serve-by-load unigram head (the [[bpeMergesFor]]
+    * contract).
+    */
+  def lmHeadFor(docs: DataFrame, cacheKey: String,
+                topK: Int): (Map[String, Long], Long) = {
+    val path = pathFor("lmhead", s"$cacheKey-k$topK")
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val (vocab, total) = TextAnalysis.lmHead(docs, topK)
+        saveLmHead(docs.sparkSession, vocab, total, path, topK)
+      }
+    }
+    loadLmHead(docs.sparkSession, path, topK)
+  }
+
+  /** Persist a frozen bigram head ([[TextAnalysis.bigramHead]]):
+    * ("prev cur" pair, cnt) rows with pinned `__top_k`. Pairs with the
+    * unigram head artifact for backoff serving.
+    */
+  def saveBigramHead(spark: SparkSession, bigrams: Map[String, Long],
+                     path: String, topK: Int): Unit = {
+    import spark.implicits._
+    bigrams.toSeq.map { case (p, c) => (p, c, topK) }
+      .toDF("pair", "cnt", "__top_k")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a bigram head for serving; throws on a topK mismatch. An
+    * empty head (corpus with no 2-token documents) is valid — scoring
+    * backs off to unigrams everywhere.
+    */
+  def loadBigramHead(spark: SparkSession, path: String,
+                     topK: Int): Map[String, Long] = {
+    val rows = spark.read.parquet(path).collect()
+    rows.foreach { r =>
+      val stored = r.getAs[Int]("__top_k")
+      require(stored == topK,
+        s"bigram head artifact at $path was trained with topK=$stored, " +
+          s"serving requested topK=$topK")
+    }
+    rows.map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt")).toMap
+  }
+
+  /** Train-once / serve-by-load bigram head. */
+  def bigramHeadFor(docs: DataFrame, cacheKey: String,
+                    topK: Int): Map[String, Long] = {
+    val path = pathFor("bghead", s"$cacheKey-k$topK")
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        saveBigramHead(docs.sparkSession,
+          TextAnalysis.bigramHead(docs, topK), path, topK)
+    }
+    loadBigramHead(docs.sparkSession, path, topK)
+  }
+
   // ---------------------------------------------------------------- IVF
 
   /** Persist an [[Ivf.fitCentroids]] coarse quantizer: one row per

@@ -60,6 +60,40 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(r2 == first.take(2))
   }
 
+  test("LM heads round-trip parquet; serving with loaded heads is bit-identical; mismatch fails loudly") {
+    val (vocab, total) = TextAnalysis.lmHead(docs, topK = 25)
+    val path = s"${tempDir("lmart")}/head"
+    Artifacts.saveLmHead(spark, vocab, total, path, topK = 25)
+    val (lv, lt) = Artifacts.loadLmHead(spark, path, topK = 25)
+    assert(lv == vocab && lt == total)
+    val a = TextAnalysis.scoreWithLm(docs, vocab, total)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.scoreWithLm(docs, lv, lt)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadLmHead(spark, path, topK = 50)
+    }.getMessage.contains("topK=25"))
+    // bigram head: round-trip + mismatch
+    val bg = TextAnalysis.bigramHead(docs, topK = 40)
+    val bpath = s"${tempDir("lmart")}/bg"
+    Artifacts.saveBigramHead(spark, bg, bpath, topK = 40)
+    assert(Artifacts.loadBigramHead(spark, bpath, topK = 40) == bg)
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadBigramHead(spark, bpath, topK = 10)
+    }.getMessage.contains("topK=40"))
+  }
+
+  test("lmHeadFor / bigramHeadFor serve by loading the stored heads") {
+    val key = s"artifacts-spec-lm-${System.nanoTime()}"
+    val first = Artifacts.lmHeadFor(docs, key, topK = 10)
+    val other = Seq((1L, "zz zz zz")).toDF("doc_id", "text")
+    // same key, different corpus: serve-by-load returns the stored head
+    assert(Artifacts.lmHeadFor(other, key, topK = 10) == first)
+    val bfirst = Artifacts.bigramHeadFor(docs, key, topK = 10)
+    assert(Artifacts.bigramHeadFor(other, key, topK = 10) == bfirst)
+  }
+
   test("IVF centroids round-trip parquet with exact float equality; probing parity") {
     val fit = Ivf.fitCentroids(emb, nCells = 4)
     val path = s"${tempDir("ivfart")}/centroids"
