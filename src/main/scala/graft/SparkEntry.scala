@@ -994,6 +994,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.repetitionRatio(col("text"), 2).as("rep2"),
         TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))),
+    // within-doc duplicate-line stats (the Gopher repetition rules next
+    // to ns_rep_ngrams' n-gram form): two planted repeats per doc — one
+    // a normalization variant, so the dup-char charge must pick the
+    // longest representative — plus a unique tail line; all-integer
+    // output, Gopher's 30% dup-char threshold replays as a comparison
+    "ns_dup_lines" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nRepeat Me\nrepeat  me\nunique tail "),
+          col("doc_id")).as("text"))
+      TextAnalysis.dupLineStats(aug)
+    }),
     // per-source duplication report: how polluted is each crawl source —
     // n_docs, distinct normalized texts, duplicate ratio
     "ns_dup_stats" -> ((s, dir) =>
@@ -2993,6 +3004,25 @@ object SparkEntry {
         |  len(cw.w) - coalesce(r.n_kept, 0) AS n_removed,
         |  coalesce(r.text_md5, md5('')) AS text_md5
         |FROM cw LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    "ns_dup_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || chr(10) || 'Repeat Me' || chr(10)
+        |    || 'repeat  me' || chr(10) || 'unique tail ' || doc_id AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+        |lines AS (
+        |  SELECT doc_id, l[i] AS raw,
+        |    regexp_replace(lower(trim(l[i])), '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |        FROM l0)),
+        |per AS (
+        |  SELECT doc_id, norm, count(*) AS cnt,
+        |    sum(length(raw)) AS chars, max(length(raw)) AS maxchars
+        |  FROM lines WHERE norm <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |  CAST(sum(cnt - 1) AS BIGINT) AS dup_lines,
+        |  CAST(sum(chars - maxchars) AS BIGINT) AS dup_chars
+        |FROM per GROUP BY 1""".stripMargin,
     "ns_line_dedup" ->
       """WITH aug AS (
         |  SELECT doc_id,

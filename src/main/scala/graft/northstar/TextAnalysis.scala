@@ -688,6 +688,44 @@ object TextAnalysis {
         coalesce(col("__md5"), md5(lit("").cast("binary"))).as("text_md5"))
   }
 
+  /** Within-document duplicate-line statistics — the repetition half of
+    * the Gopher screen ([[gopherRules]] carries §A1.1's quality
+    * heuristics; the same appendix's repetition rules measure the
+    * fraction of a document that is its OWN boilerplate: auto-generated
+    * pages repeat their lines). Per document, over non-blank normalized
+    * lines (the [[lineDedup]] rule): `n_lines`, `dup_lines` = the
+    * occurrences beyond the first of each distinct line, and
+    * `dup_chars` = the raw characters those repeats carry — all
+    * integers, so the thresholds (Gopher drops docs with > 30% dup-line
+    * chars) replay as integer comparisons in any engine.
+    *
+    * Shape: line explode → one (doc, line-hash) aggregate → one per-doc
+    * rollup; both aggregates get map-side partials and the state is
+    * bounded by distinct lines per doc. Blank lines are structural and
+    * excluded from both numerator and denominator.
+    */
+  def dupLineStats(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val base = docLines(df, idCol, textCol)
+    val perLine = explodedLines(base).filter(col("norm") =!= "")
+      .groupBy(col("doc"), col("nh")).agg(
+        count(lit(1)).as("__cnt"),
+        sum(length(col("raw"))).as("__chars"),
+        max(length(col("raw"))).as("__maxchars"))
+    val stats = perLine.groupBy("doc").agg(
+      sum(col("__cnt")).as("n_lines"),
+      sum(col("__cnt") - 1).as("dup_lines"),
+      // chars charged to the repeats: total minus one representative
+      // occurrence (the longest raw form, so normalization variants
+      // never overcount)
+      sum(col("__chars") - col("__maxchars")).as("dup_chars"))
+    base.select(col("doc")).join(stats, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("dup_lines"), lit(0L)).as("dup_lines"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
   /** The TRAIN half of the line-dedup train-offline/serve-online split:
     * the corpus's boilerplate line-hash set as a (nh) frame — the
     * freezable artifact (write once, parquet; line-domain-sized, far

@@ -471,6 +471,24 @@ class TextAnalysisSpec extends SparkSpecBase {
       !keptLines.exists(_._2.equalsIgnoreCase("footer!")))
   }
 
+  test("dupLineStats: repeats counted beyond the first, longest representative charged, blanks excluded") {
+    val docs2 = Seq(
+      (1L, "A\na\n  a  \nb"), // "a" occurs 3x (two are variants), "b" once
+      (2L, "x\ny"),
+      (3L, ""),
+      (4L, "same\n\nsame"),   // blank middle line is structural
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupLineStats(docs2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 4 non-blank lines, 2 repeats; raw lengths of the "a" group
+    // are 1, 1, 5 → chars charged = 7 - 5 = 2
+    assert(out(1L) == ((4L, 2L, 2L)))
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+    assert(out(4L) == ((2L, 1L, 4L)))
+  }
+
   test("tokenCount / subwordCount / punctCount") {
     val df = Seq("hello world", "", "  ", "don't-stop123 now!").toDF("text")
     val out = df.select(

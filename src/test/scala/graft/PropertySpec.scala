@@ -143,6 +143,31 @@ class SparkPropertySpec extends SparkSpecBase {
     assert(out.forall(_._2 > 0), "empty buckets produce no row")
   }
 
+  test("winnowing guarantee: every planted shared run of >= window+k-1 tokens is detected") {
+    import graft.northstar.Dedup
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      // two docs of unique per-doc tokens with a shared 8-token run
+      // (window + k - 1 = 4 + 5 - 1) planted at random offsets
+      val shared = (1 to 8).map(i => s"s${trial}_$i")
+      def doc(prefix: String): Seq[String] = {
+        val n = 10 + rnd.nextInt(30)
+        val toks = (1 to n).map(i => s"${prefix}_$i")
+        val at = rnd.nextInt(n + 1)
+        toks.take(at) ++ shared ++ toks.drop(at)
+      }
+      val docs = Seq(
+        (1L, doc("a").mkString(" ")),
+        (2L, doc("b").mkString(" ")),
+        (3L, (1 to 40).map(i => s"c_$i").mkString(" ")), // no shared run
+      ).toDF("doc_id", "text")
+      val pairs = Dedup.winnowPairs(docs, k = 5, window = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"trial $trial missed the planted run")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"trial $trial false pair")
+    }
+  }
+
   test("minhashPairsAgainst agrees with self-join LSH restricted to cross-slice pairs") {
     import graft.northstar.Dedup
     import org.apache.spark.sql.functions._
