@@ -628,6 +628,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_lp") * 10000).cast("long").as("s_e4"))
     }),
+    // DSIR importance weights: mean log-likelihood ratio between the
+    // src0-trained target head and the whole-corpus head (both PERSISTED
+    // lmHead artifacts — the raw head is the same artifact ns_lm_serve
+    // loads), computed in ONE narrow dual-fold pass. w_e4 > 0 = looks
+    // like the target domain; the importance-resampling selection signal
+    "ns_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = corpusKey(dir, "documents")
+      val (tv, tt) = graft.northstar.Artifacts.lmHeadFor(
+        docs.filter(col("source") === "src0"), s"$key-src0", topK = 50)
+      val (rv, rt) = graft.northstar.Artifacts.lmHeadFor(docs, key, topK = 50)
+      TextAnalysis.dsirWeights(docs, tv, tt, rv, rt)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("llr") * 10000).cast("long").as("w_e4"))
+    }),
     // mixture planning: integer shares + a token budget → per-source
     // targets, e6 admission rates, expected tokens, and deficits (incl.
     // a declared-but-absent source) — all integer `div` arithmetic
@@ -1833,6 +1848,42 @@ object SparkEntry {
         |    ln(coalesce(CAST(lm[t][1] AS DOUBLE), 0.5) / total)))
         |    / len(toks) * 10000) AS BIGINT) AS s_e4
         |FROM toks CROSS JOIN tot CROSS JOIN m
+        |WHERE len(toks) > 0""".stripMargin,
+    // two lm_serve-shaped head chains (target = src0 slice, raw = whole
+    // corpus), folds subtracted before the one e4 rounding — the same
+    // list_sum arithmetic ns_lm_serve pins against Spark's fold
+    "ns_dsir_weights" ->
+      """WITH tterms AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents WHERE source = 'src0'),
+        |tcnt AS (SELECT term, count(*) AS cnt FROM tterms GROUP BY 1),
+        |ttot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS ttotal FROM tcnt),
+        |thead AS (SELECT term, cnt FROM tcnt ORDER BY cnt DESC, term LIMIT 50),
+        |tmap AS (SELECT map(list(term), list(cnt)) AS tm FROM thead),
+        |rterms AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1)) AS term
+        |  FROM documents),
+        |rcnt AS (SELECT term, count(*) AS cnt FROM rterms GROUP BY 1),
+        |rtot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS rtotal FROM rcnt),
+        |rhead AS (SELECT term, cnt FROM rcnt ORDER BY cnt DESC, term LIMIT 50),
+        |rmap AS (SELECT map(list(term), list(cnt)) AS rm FROM rhead),
+        |toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) >= 1) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round((list_sum(list_transform(toks, t ->
+        |      ln(coalesce(CAST(tm[t][1] AS DOUBLE), 0.5) / ttotal)))
+        |    - list_sum(list_transform(toks, t ->
+        |      ln(coalesce(CAST(rm[t][1] AS DOUBLE), 0.5) / rtotal))))
+        |    / len(toks) * 10000) AS BIGINT) AS w_e4
+        |FROM toks CROSS JOIN ttot CROSS JOIN tmap
+        |CROSS JOIN rtot CROSS JOIN rmap
         |WHERE len(toks) > 0""".stripMargin,
     // shares as a VALUES literal; the whitespace token count is the
     // pinned expression every token oracle uses; integer div throughout

@@ -521,6 +521,43 @@ object TextAnalysis {
           }) / (size(col("__toks")) - 1)).as("mean_lp2"))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public; the hashed
+    * n-gram features reduced to the unigram case): per document, the
+    * mean log-likelihood RATIO between a frozen TARGET-domain LM head
+    * and the frozen raw-corpus head — weight > 0 means the document
+    * looks more like the target domain than the crawl at large, the
+    * signal importance resampling selects on. Both heads are the
+    * [[lmHead]] artifacts the serving ladder already persists.
+    *
+    * ONE narrow pass: both heads ride as literal maps and the two
+    * sequential folds share a single tokenize — no joins, no shuffle,
+    * stream-safe like [[scoreWithLm]]; each fold is the IEEE
+    * left-to-right sum scoreWithLm pins, and the ratio is one
+    * subtraction of those reproducible doubles. Blank documents
+    * produce no row. Output: (idCol, n_tokens, llr).
+    */
+  def dsirWeights(df: DataFrame, targetVocab: Map[String, Long],
+                  targetTotal: Long, rawVocab: Map[String, Long],
+                  rawTotal: Long, floorCount: Double = 0.5,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(targetTotal > 0 && rawTotal > 0,
+      s"head totals must be positive, got $targetTotal/$rawTotal")
+    val toks = filter(split(lower(col(textCol)), "\\W+"),
+      t => length(t) >= 1)
+    def fold(m: Column, total: Long): Column =
+      aggregate(col("__toks"), lit(0.0), (acc, t) =>
+        acc + log(coalesce(try_element_at(m, t).cast("double"),
+          lit(floorCount)) / lit(total.toDouble)))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
+        ((fold(typedLit(targetVocab), targetTotal)
+          - fold(typedLit(rawVocab), rawTotal))
+          / size(col("__toks"))).as("llr"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", §A1.1 heuristics — public knowledge;
     * the widely-reused web-curation rule set alongside C4's): per

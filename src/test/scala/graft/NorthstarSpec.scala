@@ -471,6 +471,25 @@ class TextAnalysisSpec extends SparkSpecBase {
       !keptLines.exists(_._2.equalsIgnoreCase("footer!")))
   }
 
+  test("dsirWeights: hand-computed log-likelihood ratios; target-like docs score positive") {
+    val tv = Map("aa" -> 3L); val tt = 3L
+    val rv = Map("aa" -> 3L, "bb" -> 3L); val rt = 6L
+    val docs2 = Seq(
+      (1L, "aa aa"), // per token: ln(3/3) - ln(3/6) = +ln 2
+      (2L, "bb"),    // ln(0.5/3) - ln(3/6) = ln(1/6) + ln 2
+      (3L, ""),      // blank → no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(docs2, tv, tt, rv, rt).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.size == 2)
+    assert(out(1L)._1 == 2L &&
+      math.abs(out(1L)._2 - math.log(2.0)) < 1e-12)
+    assert(out(2L)._1 == 1L &&
+      math.abs(out(2L)._2 - (math.log(0.5 / 3) - math.log(0.5))) < 1e-12)
+    // the target-domain doc is preferred, the off-domain doc penalized
+    assert(out(1L)._2 > 0 && out(2L)._2 < 0)
+  }
+
   test("dupLineStats: repeats counted beyond the first, longest representative charged, blanks excluded") {
     val docs2 = Seq(
       (1L, "A\na\n  a  \nb"), // "a" occurs 3x (two are variants), "b" once
