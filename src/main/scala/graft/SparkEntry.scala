@@ -755,6 +755,21 @@ object SparkEntry {
           |"budget_per_lang": 3000}""".stripMargin)
       graft.northstar.Curation.funnel(t(s, dir, "documents"), cfg)
     }),
+    // dedup-rewrite → curate: the composed nightly shape where line
+    // dedup REWRITES the corpus first (rewriteLines keeps every other
+    // column) and the quality/language gates then score the text that
+    // will actually be trained on — boilerplate no longer inflates
+    // stopword or length signals. One boilerplate train + one narrow
+    // rewrite + the standard curation chain
+    "ns_pipeline_rewrite" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(lit("shared boilerplate header\n"), col("text"),
+          lit("\nid line "), col("doc_id")).as("text"))
+      val boiler = TextAnalysis.boilerplateLines(aug, maxDocFreq = 10)
+      val clean = TextAnalysis.rewriteLines(aug, boiler)
+      graft.northstar.Curation.run(clean, graft.northstar.Curation.parseConfig(
+        """{"min_quality": 0.5, "langs": ["de", "en", "es", "fr"]}"""))
+    }),
     // greedy token-budget mixture fill: per language, admit best-quality
     // documents first (q_score desc, doc_id ties) until the stratum's
     // token budget is reached — per-stratum windows, parallel across
@@ -2082,6 +2097,57 @@ object SparkEntry {
     // stage-by-stage replay of the config pipeline: gate → floor
     // (threshold from gated survivors) → temperature (counts from
     // floored survivors) → budget window
+    // line-dedup rewrite CTEs (the ns_line_dedup_serve shape) feeding
+    // the quality/lang gates of the curation chain, over the REWRITTEN
+    // text
+    "ns_pipeline_rewrite" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |    'shared boilerplate header' || chr(10) || text || chr(10)
+        |      || 'id line ' || doc_id AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, lang, string_split(text, chr(10)) AS l FROM aug),
+        |lines AS (
+        |  SELECT doc_id, i AS ix, l[i] AS raw,
+        |    regexp_replace(lower(trim(l[i])), '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |        FROM l0)),
+        |dfreq AS (
+        |  SELECT norm, count(DISTINCT doc_id) AS df FROM lines
+        |  WHERE norm <> '' GROUP BY 1),
+        |boiler AS (SELECT norm FROM dfreq WHERE df > 10),
+        |kept AS (
+        |  SELECT doc_id, ix, raw FROM lines
+        |  WHERE norm = '' OR norm NOT IN (SELECT norm FROM boiler)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(raw, chr(10) ORDER BY ix) AS text
+        |  FROM kept GROUP BY 1),
+        |clean AS (
+        |  SELECT l0.doc_id, l0.lang, coalesce(r.text, '') AS text
+        |  FROM l0 LEFT JOIN reb r USING (doc_id)),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns
+        |  FROM clean),
+        |g AS (
+        |  SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |                  AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |             THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score
+        |  FROM f)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(round(q_score * 10000) AS BIGINT) AS q_e4
+        |FROM g WHERE q_score >= 0.5 AND lang IN ('de', 'en', 'es', 'fr')""".stripMargin,
     "ns_curation_config" ->
       """WITH f AS (
         |  SELECT doc_id, lang,

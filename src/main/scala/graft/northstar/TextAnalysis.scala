@@ -804,6 +804,29 @@ object TextAnalysis {
       explodedLines(base).join(boiler, Seq("nh"), "left_anti"), idCol)
   }
 
+  /** Rewrite documents IN PLACE against a frozen boilerplate set: the
+    * input frame with `textCol` replaced by the newline-joined
+    * surviving lines ('' when nothing survives), every other column
+    * untouched — the composable form that feeds a curation pipeline
+    * (dedup-rewrite first, then score the text that will actually be
+    * trained on). [[lineDedupServe]] is the audit form of the same
+    * pass.
+    */
+  def rewriteLines(df: DataFrame, boiler: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val base = docLines(df, idCol, textCol)
+    val kept = explodedLines(base).join(boiler, Seq("nh"), "left_anti")
+    val rebuilt = kept.groupBy("doc").agg(
+      array_join(transform(
+          array_sort(collect_list(struct(col("ix"), col("raw")))),
+          e => e.getField("raw")), "\n").as("__new_text"))
+      .withColumnRenamed("doc", idCol)
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__new_text"), lit("")))
+      .drop("__new_text")
+  }
+
   /** Heaps-law vocabulary-growth curve: how many NEW distinct terms each
     * corpus slice (bucket) contributes, and the cumulative vocabulary
     * size — the saturation diagnostic a corpus build watches to decide

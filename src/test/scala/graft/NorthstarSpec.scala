@@ -471,6 +471,30 @@ class TextAnalysisSpec extends SparkSpecBase {
       !keptLines.exists(_._2.equalsIgnoreCase("footer!")))
   }
 
+  test("rewriteLines: text replaced in place, other columns untouched, audit md5 agrees with the serve form") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = Seq(
+      (1L, "en", "keep a\nfooter!"),
+      (2L, "de", "keep b\nfooter!"),
+      (3L, "fr", "footer!\nkeep c"),
+      (4L, "es", "FOOTER!"),
+    ).toDF("doc_id", "lang", "text")
+    val boiler = TextAnalysis.boilerplateLines(corpus, maxDocFreq = 2)
+    val out = TextAnalysis.rewriteLines(corpus, boiler).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L) == (("en", "keep a")))
+    assert(out(3L) == (("fr", "keep c")))
+    assert(out(4L) == (("es", ""))) // fully boilerplate → empty text
+    // the rewritten text's md5 is exactly what lineDedupServe audits
+    val audits = TextAnalysis.lineDedupServe(corpus, boiler).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.foreach { case (id, (_, text)) =>
+      assert(audits(id) == md5hex(text), s"doc $id audit mismatch")
+    }
+  }
+
   test("dsirWeights: hand-computed log-likelihood ratios; target-like docs score positive") {
     val tv = Map("aa" -> 3L); val tt = 3L
     val rv = Map("aa" -> 3L, "bb" -> 3L); val rt = 6L
