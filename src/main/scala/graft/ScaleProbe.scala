@@ -323,6 +323,18 @@ object ScaleProbe {
       Dedup.substringRemove(docs10).count()
     }
     println(f"[scale] substringRemove 10x-data ratio ${sr10 / sr1}%.1fx (quadratic ~100x)")
+    // decontamination by excision: the benchmark side is FIXED, so 10x
+    // corpus growth should cost ~10x through the broadcast semi-join +
+    // excise tail — never corpus x benchmark
+    val dbench = docs1.filter(col("doc_id") % 97 === 0)
+    val dr1 = timed("decontamRemove 5k docs (1x)") {
+      Dedup.decontaminateRemove(docs1, dbench).count()
+    }
+    val dr10 = timed("decontamRemove 50k docs (10x)") {
+      Dedup.decontaminateRemove(
+        replicate(docs1, 10, "doc_id", 1000000L), dbench).count()
+    }
+    println(f"[scale] decontamRemove 10x-data ratio  ${dr10 / dr1}%.1fx (linear-ish expected)")
     // winnowing: the selected-min sketch join must track the (thinner)
     // sketch stream, with the same mangled-replica 10x-true-pairs setup
     // as substringOverlap

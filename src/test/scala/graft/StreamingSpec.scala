@@ -66,6 +66,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == Set((10L, 1L, "fresh"), (10L, 3L, "lines")))
   }
 
+  test("dsirWeights: frozen heads score a stream and match batch") {
+    import graft.northstar.TextAnalysis
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50).write.parquet(s"$src/d.parquet")
+    val batchDf = spark.read.parquet(s"$src/d.parquet")
+    val (tv, tt) = TextAnalysis.lmHead(batchDf.limit(20), topK = 15)
+    val (rv, rt) = TextAnalysis.lmHead(batchDf, topK = 15)
+    val schema = batchDf.schema
+    val q = TextAnalysis.dsirWeights(
+        IncrementalStream.readTableStream(spark, src, "d", schema),
+        tv, tt, rv, rt)
+      .writeStream.format("memory").queryName("dsir_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("dsir_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = TextAnalysis.dsirWeights(batchDf, tv, tt, rv, rt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streamingDedup: duplicate keys within the watermark horizon collapse") {
     val src = tmp(); val ckpt = tmp()
     val base = 1704067200L * 1000000000L
