@@ -1078,13 +1078,16 @@ object SparkEntry {
     // derived-copy pairs as ns_substring_overlap's stride-1 windows, but
     // the candidate join runs on the ~2/(window+1)-density selected-min
     // sketch — the index-size lever at 100 TB. k=5/window=4: spans >= 8
-    // tokens guaranteed detected
+    // tokens guaranteed detected. maxBucket 100, not the 50-token-window
+    // default: a 5-gram shared by hundreds of documents is template
+    // idiom, not overlap evidence, and each such bucket costs its
+    // square in join pairs
     "ns_winnow_pairs" -> ((s, dir) => {
       val base = t(s, dir, "documents").select("doc_id", "text")
       val aug = base.unionAll(base.select(
         (col("doc_id") + 300000).as("doc_id"),
         concat(col("text"), lit(" quoted with appended commentary")).as("text")))
-      Dedup.winnowPairs(aug)
+      Dedup.winnowPairs(aug, maxBucket = 100)
     }),
     // duplicated-span REMOVAL (the remedy half of substring dedup, Lee
     // et al.'s excision): same augmented corpus as ns_substring_overlap;
@@ -3022,7 +3025,7 @@ object SparkEntry {
         |  FROM grams),
         |capped AS (
         |  SELECT fp FROM (SELECT fp, count(*) AS c FROM sel GROUP BY 1)
-        |  WHERE c <= 1000),
+        |  WHERE c <= 100),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sel a JOIN sel b USING (fp)

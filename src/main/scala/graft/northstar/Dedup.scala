@@ -271,7 +271,13 @@ object Dedup {
   def winnowPairs(docs: DataFrame, k: Int = 5, window: Int = 4,
                   idCol: String = "doc_id", textCol: String = "text",
                   maxBucket: Int = 1000): DataFrame = {
-    val sk = winnowSketch(docs, k, window, idCol, textCol)
+    // materialize the sketch ONCE: the cap's count branch and both
+    // sides of the candidate self-join would otherwise re-run the
+    // gram build + per-doc window sort 4x (the subtree dominates the
+    // op). At scale this materialization IS the winnowing index — the
+    // write-once artifact the sketch exists to be (parquet it via
+    // winnowSketch directly for the incremental-ingest path).
+    val sk = winnowSketch(docs, k, window, idCol, textCol).localCheckpoint()
     // sketch rows are distinct (doc, fp), so rows-per-fp == docs-per-fp
     val capped = capBuckets(sk, Seq("fp"), maxBucket)
     capped.select(col("fp"), col("doc").as("doc_a"))
