@@ -104,7 +104,12 @@ object Dedup {
         explode(shingles(col(textCol), windowTokens)).as("win"))
       .filter(length(col("win")) > 0)
       .select(col("doc"), md5(col("win").cast("binary")).as("wh"))
-    val capped = capBuckets(wins, Seq("wh"), maxBucket)
+    // materialize the fingerprints ONCE: the bucket-cap count branch
+    // and both sides of the candidate self-join would otherwise re-run
+    // the tokenize + shingle + md5 pass 4x (it dominates the op). The
+    // materialized frame is the window index — the write-once artifact
+    // the incremental-ingest path stores as parquet anyway.
+    val capped = capBuckets(wins.localCheckpoint(), Seq("wh"), maxBucket)
     val a = capped.select(col("wh"), col("doc").as("doc_a"))
     val b = capped.select(col("wh"), col("doc").as("doc_b"))
     // windows are distinct per doc, so each shared window contributes
