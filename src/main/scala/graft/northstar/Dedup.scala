@@ -368,8 +368,14 @@ object Dedup {
         texthash.minhash_sig(col(textCol), 3, k).as("mh"))
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
+    // materialize the banded signatures ONCE (~150 B/row): the cap's
+    // count branch and both sides of the candidate self-join would
+    // otherwise re-run the minhash kernel over the corpus 4x — the
+    // same recompute shape the winnowing/substring fixes removed. The
+    // persisted form of this frame is exactly [[bandIndex]].
     val banded = capBuckets(
-      sig.select(col("id"), col("mh"), explode(bandHashes).as("band_hash")),
+      sig.select(col("id"), col("mh"), explode(bandHashes).as("band_hash"))
+        .localCheckpoint(),
       Seq("band_hash"), maxBucket)
     // estimate BEFORE the pair dedupe: the filter is narrow per-row math,
     // so losers never reach the dedupe shuffle
