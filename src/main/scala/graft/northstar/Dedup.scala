@@ -152,21 +152,25 @@ object Dedup {
     * Documents shorter than the window carry one whole-text window —
     * exact-dup semantics for shorts.
     *
-    * Repeated-subtree caveat (the tfIdf note): the window-fingerprint
-    * frame feeds both the stats aggregate and the flag join, so the
-    * tokenize pass runs twice. That is deliberate — the alternative
-    * (per-window stats as whole-partition window functions) sorts each
-    * fingerprint's full occurrence list on one reducer, a skew cliff on
-    * boilerplate windows, while partial aggregation absorbs them; the
-    * extra pass is linear narrow IO. Persist the input before calling
-    * when the double scan matters.
+    * Repeated-subtree note: the window-fingerprint frame feeds both the
+    * stats aggregate and the flag join, so it is CHECKPOINTED once —
+    * one tokenize pass, while the stats stay a partial-aggregated
+    * groupBy (the alternative, per-window stats as whole-partition
+    * window functions, sorts each fingerprint's full occurrence list on
+    * one reducer — a skew cliff on boilerplate windows that partial
+    * aggregation absorbs).
     */
   def substringRemove(docs: DataFrame, windowTokens: Int = 50,
                       idCol: String = "doc_id", textCol: String = "text",
                       maxBucket: Int = 1000): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive")
     val base = tokenized(docs, idCol, textCol)
-    val wins = windowFingerprints(base, windowTokens)
+    // materialize the fingerprints once: the stats aggregate and the
+    // flag join would otherwise re-run the tokenize + window pass twice
+    // (see the repeated-subtree note below — checkpointing beats both
+    // documented alternatives: one pass AND skew-safe partial
+    // aggregation)
+    val wins = windowFingerprints(base, windowTokens).localCheckpoint()
     val stats = wins.groupBy("wh").agg(
       min(col("doc")).as("__min_doc"),
       countDistinct(col("doc")).as("__n_docs"))
@@ -766,8 +770,11 @@ object Dedup {
     val chunkVals = array((0 until 4).map(i =>
       // chunk index folded into the key so the join is single-column
       shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)) + lit(i.toLong << 16)): _*)
+    // materialize once: cap count branch + both join sides would re-run
+    // the simhash kernel 4x (the minhashPairs recompute shape)
     val chunked = capBuckets(
-      sigs.select(col("id"), col("sig"), explode(chunkVals).as("chunk_val")),
+      sigs.select(col("id"), col("sig"), explode(chunkVals).as("chunk_val"))
+        .localCheckpoint(),
       Seq("chunk_val"), maxBucket)
     val a = chunked.select(col("chunk_val"),
       col("id").as("doc_a"), col("sig").as("sig_a"))
