@@ -482,10 +482,15 @@ object Dedup {
     val rowsPer = k / bands
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
+    // materialize once before the cap: its count branch and semi-join
+    // would re-run the minhash kernel (the minhashPairs recompute shape
+    // — matters for the in-query incoming-batch screens; the parquet
+    // artifact path materializes anyway)
     capBuckets(
       df.select(col(idCol).as("id"),
           texthash.minhash_sig(col(textCol), 3, k).as("mh"))
-        .select(col("id"), col("mh"), explode(bandHashes).as("band_hash")),
+        .select(col("id"), col("mh"), explode(bandHashes).as("band_hash"))
+        .localCheckpoint(),
       Seq("band_hash"), maxBucket)
       .withColumn("__k", lit(k)).withColumn("__bands", lit(bands))
   }
