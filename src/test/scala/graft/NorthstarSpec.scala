@@ -167,6 +167,30 @@ class DedupSpec extends SparkSpecBase {
     assert(again == pairs)
   }
 
+  test("excision/winnowing edges: empty benchmark is identity, blank docs sketch to nothing, single-token docs") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = Seq((1L, "a b c"), (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
+    // empty benchmark: nothing flagged, every doc rewritten to itself
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup.decontaminateRemove(corpus, empty, windowTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, md5hex("a b c"))))
+    assert(out(2L) == ((0L, md5hex(""))))
+    assert(out(3L) == ((0L, md5hex("solo"))))
+    // blank docs contribute no sketch rows; single-token docs carry one
+    // whole-text gram; identical single tokens pair via it
+    val sk = Dedup.winnowSketch(corpus, k = 5, window = 4)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(sk == Set(1L, 3L))
+    val solos = Seq((1L, "solo"), (2L, "solo"), (3L, "other")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(solos, k = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("decontaminateRemove: benchmark-colliding windows excised, window-granular, clean docs intact") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
@@ -469,6 +493,18 @@ class TextAnalysisSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(keptLines.contains((10L, "batch banner")) &&
       !keptLines.exists(_._2.equalsIgnoreCase("footer!")))
+  }
+
+  test("serve edges: empty boilerplate set keeps everything; dsirWeights rejects non-positive totals") {
+    val docs2 = Seq((1L, "a\nb"), (2L, "")).toDF("doc_id", "text")
+    val noBoiler = TextAnalysis.boilerplateLines(docs2, maxDocFreq = 100)
+    assert(noBoiler.count() == 0)
+    val out = TextAnalysis.lineDedupServe(docs2, noBoiler).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 2L)) && out(2L) == ((1L, 1L)))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(docs2, Map("a" -> 1L), 0L, Map("a" -> 1L), 1L)
+    }.getMessage.contains("positive"))
   }
 
   test("rewriteLines: text replaced in place, other columns untouched, audit md5 agrees with the serve form") {
