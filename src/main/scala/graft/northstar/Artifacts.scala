@@ -31,10 +31,14 @@ object Artifacts {
 
   /** Process-local artifact store root (tests and the bench/verify
     * mains; production would point at shared storage via the explicit
-    * save/load path arguments).
+    * save/load path arguments). `-Dgraft.artifacts.root=...` overrides —
+    * the test build points it under target/ so throwaway artifacts
+    * (tests key by nanoTime) don't accumulate in the shared tmp store.
     */
   private def defaultRoot: java.io.File =
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft-artifacts-$Version")
+    sys.props.get("graft.artifacts.root").map(new java.io.File(_))
+      .getOrElse(new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-artifacts-$Version"))
 
   /** Filesystem-safe store path for a cache key. */
   private def pathFor(kind: String, key: String): String = {
@@ -43,6 +47,41 @@ object Artifacts {
       .map("%02x".format(_)).mkString
     new java.io.File(defaultRoot, s"$kind-$md").toString
   }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete()
+  }
+
+  /** Cross-process train-once guard (ADVICE r9 #1): the trainer writes
+    * to a process-unique temp directory and RENAMES it into place.
+    * Directory rename is atomic on a local/POSIX filesystem and FAILS
+    * when the destination already exists, so when two JVMs (Bench and
+    * Verify in parallel, concurrent CI jobs) both miss the `_SUCCESS`
+    * probe, both may train but exactly ONE publishes; the loser
+    * discards its copy and serves the winner's. No reader can ever see
+    * a partially-committed artifact — the former in-place
+    * `write.mode("overwrite")` deleted the live directory before
+    * rewriting it. `this.synchronized` still keeps one JVM from
+    * training the same artifact twice. (On object stores without
+    * atomic rename, swap this for the store's conditional-put.)
+    */
+  private def ensureTrained(path: String)(train: String => Unit): Unit =
+    this.synchronized {
+      val dst = new java.io.File(path)
+      if (!new java.io.File(dst, "_SUCCESS").exists()) {
+        val tmp = new java.io.File(path + ".tmp-" +
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+          "-" + System.nanoTime())
+        train(tmp.toString)
+        if (!tmp.renameTo(dst)) {
+          deleteRec(tmp)
+          require(new java.io.File(dst, "_SUCCESS").exists(),
+            s"artifact publish race at $path left no valid artifact")
+        }
+      }
+    }
 
   // ---------------------------------------------------------------- BPE
 
@@ -83,9 +122,8 @@ object Artifacts {
   def bpeMergesFor(docs: DataFrame, cacheKey: String,
                    rounds: Int): Seq[(String, String)] = {
     val path = pathFor("bpe", s"$cacheKey-r$rounds")
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists())
-        saveBpeMerges(TextAnalysis.bpeInduct(docs, rounds), path, rounds)
+    ensureTrained(path) { tmp =>
+      saveBpeMerges(TextAnalysis.bpeInduct(docs, rounds), tmp, rounds)
     }
     loadBpeMerges(docs.sparkSession, path, rounds)
   }
@@ -131,11 +169,9 @@ object Artifacts {
   def lmHeadFor(docs: DataFrame, cacheKey: String,
                 topK: Int): (Map[String, Long], Long) = {
     val path = pathFor("lmhead", s"$cacheKey-k$topK")
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
-        val (vocab, total) = TextAnalysis.lmHead(docs, topK)
-        saveLmHead(docs.sparkSession, vocab, total, path, topK)
-      }
+    ensureTrained(path) { tmp =>
+      val (vocab, total) = TextAnalysis.lmHead(docs, topK)
+      saveLmHead(docs.sparkSession, vocab, total, tmp, topK)
     }
     loadLmHead(docs.sparkSession, path, topK)
   }
@@ -172,10 +208,9 @@ object Artifacts {
   def bigramHeadFor(docs: DataFrame, cacheKey: String,
                     topK: Int): Map[String, Long] = {
     val path = pathFor("bghead", s"$cacheKey-k$topK")
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists())
-        saveBigramHead(docs.sparkSession,
-          TextAnalysis.bigramHead(docs, topK), path, topK)
+    ensureTrained(path) { tmp =>
+      saveBigramHead(docs.sparkSession,
+        TextAnalysis.bigramHead(docs, topK), tmp, topK)
     }
     loadBigramHead(docs.sparkSession, path, topK)
   }
@@ -230,12 +265,60 @@ object Artifacts {
                       vecCol: String = "embedding",
                       seed: Long = 42L): Array[Array[Float]] = {
     val path = pathFor("ivf", s"$cacheKey-c$nCells-s$seed-$vecCol")
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists())
-        saveIvfCentroids(corpus.sparkSession,
-          Ivf.fitCentroids(corpus, nCells, vecCol, seed = seed),
-          path, nCells, seed)
+    ensureTrained(path) { tmp =>
+      saveIvfCentroids(corpus.sparkSession,
+        Ivf.fitCentroids(corpus, nCells, vecCol, seed = seed),
+        tmp, nCells, seed)
     }
     loadIvfCentroids(corpus.sparkSession, path, nCells, seed)
+  }
+
+  // ------------------------------------------------------- winnow sketch
+
+  /** Persist a [[Dedup.winnowIndex]] frame as the overlap-index artifact
+    * — (doc, fp, __k, __window) rows, bucket cap already applied at
+    * build. The sketch is corpus-sized (density ~2/(window+1) of the
+    * token stream), so unlike the bounded heads it keeps its natural
+    * partitioning (bucket by fp on a real cluster).
+    */
+  def saveWinnowSketch(index: DataFrame, path: String): Unit = {
+    require(index.columns.contains("__k")
+        && index.columns.contains("__window"),
+      "winnow sketch artifact must carry pinned __k/__window columns " +
+        "(build it with Dedup.winnowIndex)")
+    index.write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a stored winnow sketch for probing. The driver-side check
+    * fails fast on a k/window mismatch; the pinned columns stay on the
+    * frame so [[Dedup.winnowPairsAgainstIndex]]'s in-plan `assert_true`
+    * also guards any row the head probe missed.
+    */
+  def loadWinnowSketch(spark: SparkSession, path: String,
+                       k: Int, window: Int): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.select("__k", "__window").head(1).foreach { r =>
+      val (sk, sw) = (r.getAs[Int]("__k"), r.getAs[Int]("__window"))
+      require(sk == k && sw == window,
+        s"winnow sketch artifact at $path was built with k=$sk/window=$sw, " +
+          s"probe requested k=$k/window=$window")
+    }
+    df
+  }
+
+  /** Train-once / serve-by-load winnow overlap index (the
+    * [[bpeMergesFor]] contract): built + persisted on first request,
+    * every probe — including the first — joins the STORED parquet.
+    */
+  def winnowSketchFor(corpus: DataFrame, cacheKey: String,
+                      k: Int = 5, window: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxBucket: Int = 1000): DataFrame = {
+    val path = pathFor("winnow", s"$cacheKey-k$k-w$window-b$maxBucket")
+    ensureTrained(path) { tmp =>
+      saveWinnowSketch(
+        Dedup.winnowIndex(corpus, k, window, idCol, textCol, maxBucket), tmp)
+    }
+    loadWinnowSketch(corpus.sparkSession, path, k, window)
   }
 }

@@ -250,24 +250,33 @@ object Dedup {
     * sketch is a distinct fingerprint SET); min over md5 hex strings is
     * deterministic and engine-portable, and the end-clamped tail
     * windows only ever ADD selections (a superset never misses).
-    * Output: (doc, fp) distinct sketch rows.
+    * Output: (doc, fp) distinct sketch rows (requires one row per id —
+    * the contract every dedup op here assumes).
+    *
+    * Plan: ARRAY-NATIVE — both the gram fingerprints and the windowed
+    * min are `transform()`s over the in-row token array, the distinct
+    * is `array_distinct` within the row, and the only explode emits the
+    * ~2/(window+1)-density selected set. Zero shuffle, zero sort, no
+    * materialization: the per-token explode + per-doc window sort this
+    * replaces was the single largest avoidable Exchange in the codebase
+    * (VERDICT r9 — 9.7 s under the driver bench), and its
+    * localCheckpoint pinned non-recomputable blocks in the bench JVM's
+    * contended block manager.
     */
   def winnowSketch(docs: DataFrame, k: Int = 5, window: Int = 4,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(k > 0 && window > 0, s"need positive k/window, got $k/$window")
-    import org.apache.spark.sql.expressions.Window
     val base = tokenized(docs, idCol, textCol)
-    val grams = base.filter(size(col("w")) > 0)
-      .select(col("doc"), col("w"), explode(sequence(lit(1),
-        greatest(lit(1), size(col("w")) - lit(k - 1)))).as("i"))
-      .select(col("doc"), col("i"),
-        md5(array_join(slice(col("w"), col("i"), lit(k)), " ")
-          .cast("binary")).as("fp"))
-    val wMin = Window.partitionBy("doc").orderBy("i")
-      .rowsBetween(Window.currentRow, window - 1)
-    grams.withColumn("sel", min(col("fp")).over(wMin))
-      .select(col("doc"), col("sel").as("fp")).distinct()
+    base.filter(size(col("w")) > 0)
+      .select(col("doc"),
+        transform(
+          sequence(lit(1), greatest(lit(1), size(col("w")) - lit(k - 1))),
+          i => md5(array_join(slice(col("w"), i, lit(k)), " ")
+            .cast("binary"))).as("fps"))
+      .select(col("doc"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("fps"))),
+          j => array_min(slice(col("fps"), j, lit(window)))))).as("fp"))
   }
 
   /** Overlap pairs from winnowing sketches: documents sharing at least
@@ -280,18 +289,78 @@ object Dedup {
   def winnowPairs(docs: DataFrame, k: Int = 5, window: Int = 4,
                   idCol: String = "doc_id", textCol: String = "text",
                   maxBucket: Int = 1000): DataFrame = {
-    // materialize the sketch ONCE: the cap's count branch and both
-    // sides of the candidate self-join would otherwise re-run the
-    // gram build + per-doc window sort 4x (the subtree dominates the
-    // op). At scale this materialization IS the winnowing index — the
-    // write-once artifact the sketch exists to be (parquet it via
-    // winnowSketch directly for the incremental-ingest path).
-    val sk = winnowSketch(docs, k, window, idCol, textCol).localCheckpoint()
-    // sketch rows are distinct (doc, fp), so rows-per-fp == docs-per-fp
-    val capped = capBuckets(sk, Seq("fp"), maxBucket)
-    capped.select(col("fp"), col("doc").as("doc_a"))
-      .join(capped.select(col("fp"), col("doc").as("doc_b")), Seq("fp"))
+    // ONE pass over the sketch, no self-join, no materialization: the
+    // sketch (distinct (doc, fp) by construction) groups by fp into the
+    // per-fingerprint doc list — the bucket cap is a size() filter on
+    // that list, and the candidate pairs fall out of exploding its
+    // within-bucket combinations. One shuffle on fp + the pair rollup,
+    // vs the former checkpoint + count branch + semi-join + self-join.
+    // Per-fp aggregation state is O(bucket) doc ids with map-side
+    // partial merge — transient kilobytes at the default cap; a corpus
+    // with truly pathological boilerplate fingerprints should go
+    // through the stored-sketch path ([[winnowPairsAgainstIndex]]),
+    // which caps at artifact-build time.
+    val sk = winnowSketch(docs, k, window, idCol, textCol)
+    val buckets = sk.groupBy("fp").agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")) <= maxBucket)
+    buckets.select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
+  /** The corpus's winnowing sketch as the write-once overlap INDEX —
+    * [[winnowSketch]] with the bucket cap applied and the selection
+    * parameters pinned as `__k`/`__window` constant columns (the
+    * [[bandIndex]] artifact discipline: a sketch probed with mismatched
+    * k/window would silently report zero overlap — fingerprints of
+    * different gram sizes never collide — so the parameters ride the
+    * artifact and the probe FAILS LOUDLY on disagreement). Persist via
+    * [[Artifacts.saveWinnowSketch]]; the nightly ingest then pays only
+    * the incoming batch's in-row sketch plus one equi-join against the
+    * stored index.
+    */
+  def winnowIndex(docs: DataFrame, k: Int = 5, window: Int = 4,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxBucket: Int = 1000): DataFrame = {
+    val sk = winnowSketch(docs, k, window, idCol, textCol)
+    // cap at BUILD time so it is part of the artifact: fp buckets wider
+    // than maxBucket are template idiom, not overlap evidence. The
+    // sketch is in-row (narrow, no shuffle), so the cap's count branch
+    // and semi-join probe recompute a cheap codegen pass instead of
+    // forcing a checkpoint.
+    capBuckets(sk, Seq("fp"), maxBucket)
+      .withColumn("__k", lit(k)).withColumn("__window", lit(window))
+  }
+
+  /** Overlap pairs between an INCOMING batch and a PREBUILT corpus
+    * winnowing index (from [[winnowIndex]], typically parquet-round-
+    * tripped via [[Artifacts.winnowSketchFor]]) — the incremental-ingest
+    * form of [[winnowPairs]]: candidates are cross-slice only, the
+    * corpus side is never re-sketched. Ids must be unique across the
+    * two frames. When the index carries the `__k`/`__window` artifact
+    * columns the parameter check rides the plan as an `assert_true`;
+    * a mismatch fails the job instead of silently finding no overlap.
+    * Output: (doc_a ∈ incoming, doc_b ∈ corpus, n_shared_fps).
+    */
+  def winnowPairsAgainstIndex(incoming: DataFrame, corpusIndex: DataFrame,
+                              k: Int = 5, window: Int = 4,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val checked =
+      if (corpusIndex.columns.contains("__k")
+          && corpusIndex.columns.contains("__window"))
+        corpusIndex.withColumn("fp",
+          when(assert_true(col("__k") === k && col("__window") === window,
+              concat(lit("winnow sketch built with k/window = "), col("__k"),
+                lit("/"), col("__window"),
+                lit(s", probed with $k/$window"))).isNull,
+            col("fp")))
+      else corpusIndex
+    winnowSketch(incoming, k, window, idCol, textCol)
+      .select(col("fp"), col("doc").as("doc_a"))
+      .join(checked.select(col("fp"), col("doc").as("doc_b")), Seq("fp"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_fps"))
   }

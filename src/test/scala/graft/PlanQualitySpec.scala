@@ -155,9 +155,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
   }
 
-  test("winnow pairs: bucket-cap semi-joins guard the sketch self-join, no quadratic node") {
+  test("winnow pairs: in-row sketch (no Window/Sort/checkpoint), one fp shuffle, no quadratic node") {
     val p = planOf("ns_winnow_pairs")
-    assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
+    // the r9 shape exploded one row per token and ran a per-doc window
+    // sort through a localCheckpoint — 9.7 s / 15% of the driver bench;
+    // the array-native sketch must never reintroduce any of the three
+    assert(!p.contains("Window"), "per-doc window sort is back: " + p.take(800))
+    assert(!p.contains("Sort "), "sort before the sketch is back: " + p.take(800))
+    assert(!p.contains("ExistingRDD"), "checkpoint is back: " + p.take(800))
+    // one pass: sketch → groupBy(fp) collect_list → size cap → pair
+    // explode → pair rollup. Exactly two key exchanges (fp, pair).
+    assert(shuffles(p) == 2, s"expected 2 exchanges, got ${shuffles(p)}: " + p.take(800))
     assertNoQuadratic(p)
   }
 
