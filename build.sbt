@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// throwaway test artifacts (suites key caches by nanoTime) land under
+// target/ — sbt-clean-able — instead of accumulating in the shared
+// /tmp store the bench/verify mains use
+Test / javaOptions +=
+  s"-Dgraft.artifacts.root=${baseDirectory.value / "target" / "graft-artifacts-test"}"
 // Forked-run stdout goes STRAIGHT to the console, not through sbt's
 // logger: the logger prefixes every line with "[info] ", which breaks
 // any line-wise JSON parser reading the log tail (graft.Bench's output

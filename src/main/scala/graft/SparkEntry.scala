@@ -906,6 +906,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("q_score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    // the frozen-policy serve: Curation.freeze's data-derived statistics
+    // (quality floor, language allowlist, the exact k-th-smallest length
+    // cut) PERSISTED via Artifacts.frozenCurationFor and applied as a
+    // stateless narrow pass — the nightly-train/continuously-serve split
+    // for the whole curation policy, not just the LM heads. No
+    // temperature stage, so the policy is fully deterministic and the
+    // oracle replays threshold + gates exactly
+    "ns_curation_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cfg = graft.northstar.Curation.parseConfig(
+        """{"min_quality": 0.5, "langs": ["en", "de"], "length_floor": "1/10"}""")
+      val frozen = graft.northstar.Artifacts.frozenCurationFor(
+        docs, cacheKey = corpusKey(dir, "documents"), cfg)
+      graft.northstar.Curation.serve(docs, frozen)
+    }),
     // source-reputation gate (the C4/RefinedWeb-style curation step):
     // drop every document whose SOURCE's average quality falls below a
     // threshold — bulk domain filtering, not per-doc filtering. The
@@ -1089,6 +1104,20 @@ object SparkEntry {
         concat(col("text"), lit(" quoted with appended commentary")).as("text")))
       Dedup.winnowPairs(aug, maxBucket = 100)
     }),
+    // the incremental-ingest half of winnowing (the ns_neardup_incoming
+    // shape for exact-substring overlap): the corpus sketch is the
+    // PERSISTED winnow index (Artifacts.winnowSketchFor — train-once,
+    // k/window pinned in the artifact, mismatch raises in-plan), and an
+    // incoming batch of quoting copies joins it cross-slice — the
+    // nightly screen never re-sketches the corpus
+    "ns_winnow_incoming" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val incoming = corpus.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" quoted with appended commentary")).as("text"))
+      val index = graft.northstar.Artifacts.winnowSketchFor(
+        corpus, cacheKey = corpusKey(dir, "documents"), maxBucket = 100)
+      Dedup.winnowPairsAgainstIndex(incoming, index)
+    }),
     // duplicated-span REMOVAL (the remedy half of substring dedup, Lee
     // et al.'s excision): same augmented corpus as ns_substring_overlap;
     // the derived quoting copies lose exactly the spans their lower-id
@@ -1116,17 +1145,21 @@ object SparkEntry {
       TextAnalysis.lineDedup(aug, maxDocFreq = 10)
     }),
     // the serve half of line dedup (nightly-ingest shape): boilerplate
-    // line set trained on the corpus, applied to an INCOMING batch as a
-    // stateless anti-join. FROZEN semantics pinned by construction: the
-    // batch-repeated "breaking news" banner is absent from the trained
-    // set and survives in all 100 docs, while the trained header is
-    // dropped — serve applies last night's statistics, it doesn't learn
-    // from the batch
+    // line set trained on the corpus, PERSISTED as a pinned artifact
+    // (Artifacts.boilerplateLinesFor — train-once, maxDocFreq pinned,
+    // mismatch raises at load), applied to an INCOMING batch as a
+    // stateless anti-join against the STORED set. FROZEN semantics
+    // pinned by construction: the batch-repeated "breaking news" banner
+    // is absent from the trained set and survives in all 100 docs,
+    // while the trained header is dropped — serve applies last night's
+    // statistics, it doesn't learn from the batch
     "ns_line_dedup_serve" -> ((s, dir) => {
       val aug = t(s, dir, "documents").select(col("doc_id"),
         concat(lit("shared boilerplate header\n"), col("text"),
           lit("\nid line "), col("doc_id")).as("text"))
-      val boiler = TextAnalysis.boilerplateLines(aug, maxDocFreq = 10)
+      val boiler = graft.northstar.Artifacts.boilerplateLinesFor(
+        aug, cacheKey = s"${corpusKey(dir, "documents")}-hdr-aug",
+        maxDocFreq = 10)
       val incoming = t(s, dir, "documents").filter(col("doc_id") < 100)
         .select((col("doc_id") + 500000).as("doc_id"),
           concat(lit("shared boilerplate header\n"), col("text"),
@@ -2623,6 +2656,41 @@ object SparkEntry {
         |  FROM f)
         |SELECT doc_id, lang_guess, q_score, CAST(nt AS BIGINT) AS n_tokens
         |FROM g WHERE q_score >= 0.5 AND lang_guess = 'en'""".stripMargin,
+    // frozen-policy serve: quality + labeled-lang gates, then the exact
+    // k-th-smallest length cut (the ns_length_floor threshold CTE) the
+    // freeze derived from the GATED set
+    "ns_curation_serve" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |                  AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |             THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |             THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score
+        |  FROM f),
+        |gated AS (
+        |  SELECT * FROM g WHERE q_score >= 0.5 AND lang IN ('en', 'de')),
+        |h AS (SELECT n_tokens AS v, count(*) AS c FROM gated GROUP BY 1),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER () AS n
+        |  FROM h),
+        |thr AS (SELECT min(v) AS thr FROM cum WHERE cum * 10 >= n)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(round(q_score * 10000) AS BIGINT) AS q_e4
+        |FROM gated CROSS JOIN thr WHERE n_tokens > thr""".stripMargin,
     // same f/g quality fragments, rolled up per source then joined back —
     // the source-reputation gate replayed exactly (integer threshold math)
     "ns_source_filter" ->
@@ -3032,6 +3100,49 @@ object SparkEntry {
         |  WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM capped))
         |SELECT doc_a, doc_b, count(*) AS n_shared_fps
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+    // the cross-slice replay: corpus-side sketch capped at 100 (the
+    // artifact build cap), incoming side uncapped, join on fp
+    "ns_winnow_incoming" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |incoming AS (
+        |  SELECT doc_id + 300000 AS doc_id,
+        |         text || ' quoted with appended commentary' AS text
+        |  FROM corpus),
+        |cw AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    END AS w
+        |  FROM corpus),
+        |csel AS (
+        |  SELECT DISTINCT doc_id, min(fp) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM (SELECT doc_id, i, md5(array_to_string(w[i : i + 4], ' ')) AS fp
+        |        FROM (SELECT doc_id, w,
+        |                unnest(generate_series(1, greatest(1, len(w) - 4))) AS i
+        |              FROM cw)
+        |        WHERE len(w) > 0)),
+        |capped AS (
+        |  SELECT doc_id, fp FROM csel
+        |  WHERE fp IN (SELECT fp FROM (SELECT fp, count(*) AS c FROM csel GROUP BY 1)
+        |               WHERE c <= 100)),
+        |iw AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    END AS w
+        |  FROM incoming),
+        |isel AS (
+        |  SELECT DISTINCT doc_id, min(fp) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM (SELECT doc_id, i, md5(array_to_string(w[i : i + 4], ' ')) AS fp
+        |        FROM (SELECT doc_id, w,
+        |                unnest(generate_series(1, greatest(1, len(w) - 4))) AS i
+        |              FROM iw)
+        |        WHERE len(w) > 0))
+        |SELECT i.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_fps
+        |FROM isel i JOIN capped c USING (fp)
+        |GROUP BY 1, 2""".stripMargin,
     "ns_substring_remove" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |aug AS (

@@ -130,4 +130,93 @@ class ArtifactsSpec extends SparkSpecBase {
     val again = Artifacts.ivfCentroidsFor(shifted, key, nCells = 4)
     assert(again.map(_.toSeq).toSeq == first.map(_.toSeq).toSeq)
   }
+
+  test("winnow sketch round-trips parquet; stored-index probe equals the direct pairs; mismatch fails loudly") {
+    val index = graft.northstar.Dedup.winnowIndex(docs, maxBucket = 100)
+    val path = s"${tempDir("winart")}/sketch"
+    Artifacts.saveWinnowSketch(index, path)
+    val loaded = Artifacts.loadWinnowSketch(spark, path, k = 5, window = 4)
+    assert(loaded.select("doc", "fp").collect().map(_.toSeq).toSet ==
+      index.select("doc", "fp").collect().map(_.toSeq).toSet)
+    // driver-side pinned-parameter check
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadWinnowSketch(spark, path, k = 7, window = 4)
+    }.getMessage.contains("k=5"))
+    // probing the STORED index equals probing the in-memory one
+    val incoming = docs.select((col("doc_id") + 900000).as("doc_id"),
+      concat(col("text"), lit(" quoted tail")).as("text"))
+    val viaStored = graft.northstar.Dedup
+      .winnowPairsAgainstIndex(incoming, loaded)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.northstar.Dedup
+      .winnowPairsAgainstIndex(incoming, index)
+      .collect().map(_.toSeq).toSet
+    assert(viaStored == direct && direct.nonEmpty)
+    // cross-slice only: doc_a from incoming, doc_b from corpus
+    assert(direct.forall(r => r.head.asInstanceOf[Long] >= 900000L
+      && r(1).asInstanceOf[Long] < 900000L))
+    // in-plan guard: a k/window mismatch fails the JOB, not zero-pairs
+    // (fingerprints of different gram sizes never collide)
+    intercept[Throwable] {
+      graft.northstar.Dedup
+        .winnowPairsAgainstIndex(incoming, loaded, k = 7, window = 4).count()
+    }
+  }
+
+  test("boilerplate line set round-trips parquet; serving the stored set equals in-query training; mismatch fails loudly") {
+    val aug = docs.select(col("doc_id"),
+      concat(lit("shared header line\n"), col("text")).as("text"))
+    val trained = TextAnalysis.boilerplateLines(aug, maxDocFreq = 10)
+    val path = s"${tempDir("boilart")}/lines"
+    Artifacts.saveBoilerplateLines(trained, path, maxDocFreq = 10)
+    val loaded = Artifacts.loadBoilerplateLines(spark, path, maxDocFreq = 10)
+    assert(loaded.collect().map(_.getString(0)).toSet ==
+      trained.collect().map(_.getString(0)).toSet)
+    assert(loaded.collect().nonEmpty, "header must cross the df threshold")
+    // serving with the STORED set is bit-identical to the in-query set
+    val a = TextAnalysis.lineDedupServe(aug, trained)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.lineDedupServe(aug, loaded)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadBoilerplateLines(spark, path, maxDocFreq = 5)
+    }.getMessage.contains("maxDocFreq=10"))
+  }
+
+  test("frozen curation policy round-trips parquet; serving the stored policy equals the in-memory freeze; cfg mismatch fails loudly") {
+    import graft.northstar.Curation
+    val cfg = Curation.parseConfig(
+      """{"min_quality": 0.5, "langs": ["en", "de"],
+        | "length_floor": "1/10", "temperature_alpha": 0.5}""".stripMargin)
+    val corpus = docs.join(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang"), Seq("doc_id"))
+    val frozen = Curation.freeze(corpus, cfg)
+    val path = s"${tempDir("curart")}/policy"
+    Artifacts.saveFrozenCuration(spark, frozen, path, cfg.toString)
+    val loaded = Artifacts.loadFrozenCuration(spark, path, cfg.toString)
+    assert(loaded == frozen)
+    val a = Curation.serve(corpus, frozen).collect().map(_.toSeq).toSet
+    val b = Curation.serve(corpus, loaded).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    val other = cfg.copy(minQuality = Some(0.9))
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadFrozenCuration(spark, path, other.toString)
+    }.getMessage.contains("frozen from config"))
+  }
+
+  test("winnowSketchFor serves by loading the stored index, not a re-sketch") {
+    val key = s"artifacts-spec-win-${System.nanoTime()}"
+    val first = Artifacts.winnowSketchFor(docs, key)
+      .select("doc", "fp").collect().map(_.toSeq).toSet
+    assert(first.nonEmpty)
+    // different corpus content, same key: a re-sketch would differ;
+    // serve-by-load returns the stored rows unchanged
+    val other = Seq((1L, "totally different text about nothing at all here"))
+      .toDF("doc_id", "text")
+    val again = Artifacts.winnowSketchFor(other, key)
+      .select("doc", "fp").collect().map(_.toSeq).toSet
+    assert(again == first)
+  }
 }
