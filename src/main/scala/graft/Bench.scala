@@ -84,7 +84,19 @@ object Bench {
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // free THIS rep's materializations outside the timed region:
+        // cached relations (Dedup.materializeOnce persists) via
+        // clearCache, lineage-truncated checkpoint blocks (the CC loop's
+        // localCheckpoint) via explicit unpersist — getPersistentRDDs
+        // sees both. Blocks left pinned by rep k contended the block
+        // manager for everything after it (the r9 mechanism that made
+        // ns_winnow_pairs 6.4x slower under the driver's full sweep
+        // than isolated).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
       }.sorted
       name -> times(times.size / 2)
     }

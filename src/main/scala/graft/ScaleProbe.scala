@@ -399,6 +399,29 @@ object ScaleProbe {
         Ivf.fitCentroids(emb, nCells = 8), thresholdE4 = 3000).count()
     }
     println(f"[scale] semanticDedup 5x-data ratio    ${sd5 / sd1}%.1fx (per-cell quadratic ~25x)")
+    // SemDeDup under SKEW (VERDICT r9 task 6): a boilerplate-region
+    // mega-cell — 30% of the corpus biased toward one direction, cell
+    // assignment frozen to centroids fit on the UNBIASED corpus so the
+    // whole biased mass lands in ONE cell. Uniform 5x growth above never
+    // exercises the subcell split; this does: with the cap at 600 the
+    // ~3k-vector mega-cell re-splits into centroid-centered angular
+    // subcells, and the pair join must drop well below the no-split
+    // quadratic (the no-split run IS the quadratic baseline — one
+    // (cell,subcell) key holding the full mega-cell's pair square).
+    val skew = emb.withColumn("embedding",
+      when(col("vec_id") % 3 === 0,
+          transform(col("embedding"), x => x + lit(0.5f)))
+        .otherwise(col("embedding")))
+    val cents = Ivf.fitCentroids(emb, nCells = 8)
+    val sdq = timed("semanticDedup 10k skew nosplit") {
+      Similarity.semanticDedup(skew, cents, thresholdE4 = 3000,
+        maxCell = 100000).count()
+    }
+    val sds = timed("semanticDedup 10k skew split600") {
+      Similarity.semanticDedup(skew, cents, thresholdE4 = 3000,
+        maxCell = 600).count()
+    }
+    println(f"[scale] semanticDedup mega-cell split  ${sdq / sds}%.1fx speedup vs no-split quadratic")
     timed("cosineNearDupPairs 10k") {
       Similarity.cosineNearDupPairs(emb, threshold = 0.35).count()
     }

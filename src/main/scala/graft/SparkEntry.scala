@@ -23,15 +23,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** Artifact cache key for a corpus table: path plus file size/mtime,
-    * so a REGENERATED corpus under the same path invalidates the stored
-    * train-once artifacts (pinned hyperparameters catch parameter
-    * drift; this catches content drift — serving a stale merge table or
-    * quantizer against new data would be silently wrong).
+  /** Artifact cache key for a corpus table: path plus a content
+    * fingerprint, so a REGENERATED corpus under the same path
+    * invalidates the stored train-once artifacts (pinned
+    * hyperparameters catch parameter drift; this catches content drift
+    * — serving a stale merge table or quantizer against new data would
+    * be silently wrong). For a single file the fingerprint is
+    * size+mtime; for a DIRECTORY-backed parquet table (normal Spark
+    * output) the directory's own length is filesystem noise (~4096
+    * constant), so the fingerprint folds every part file's
+    * name/size/mtime instead (ADVICE r9 #2).
     */
   private def corpusKey(dir: String, name: String): String = {
     val f = new java.io.File(s"$dir/$name.parquet")
-    s"$dir/$name-${f.length}-${f.lastModified}"
+    val fp =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+          .mkString("|").hashCode.toHexString
+      else s"${f.length}-${f.lastModified}"
+    s"$dir/$name-$fp"
   }
 
   /** Deterministic 64-dim probe direction for `ns_embed_probe`. Values
@@ -1483,6 +1495,18 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
       Similarity.semanticDedup(emb,
         Array(Array.fill(64)(1.0f)), thresholdE4 = 3000)
+    }),
+    // SemDeDup with the quality-aware keeper (collapseByPairsBest's
+    // rule): same single-cell bounded subset as ns_semdedup_exact so the
+    // whole pipeline is hash-checked, with quality = vec_id % 7 — a
+    // score both engines derive that makes the keeper provably NOT the
+    // min id for any cluster holding an id with a larger residue
+    "ns_semdedup_keep_best" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .withColumn("q", (col("vec_id") % 7).cast("long"))
+      Similarity.semanticDedupBest(emb, Array(Array.fill(64)(1.0f)),
+          thresholdE4 = 3000, scoreCol = "q")
+        .select(col("vec_id"), col("cluster_id"), col("is_keeper"))
     }),
     // hash-checked companion to ns_neardup_cosine: the EXACT cosine
     // threshold-pair semantics the LSH buckets approximate, on a bounded
@@ -3249,11 +3273,16 @@ object SparkEntry {
         |per AS (
         |  SELECT doc_id, norm, count(*) AS cnt,
         |    sum(length(raw)) AS chars, max(length(raw)) AS maxchars
-        |  FROM lines WHERE norm <> '' GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
-        |  CAST(sum(cnt - 1) AS BIGINT) AS dup_lines,
-        |  CAST(sum(chars - maxchars) AS BIGINT) AS dup_chars
-        |FROM per GROUP BY 1""".stripMargin,
+        |  FROM lines WHERE norm <> '' GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |    CAST(sum(cnt - 1) AS BIGINT) AS dup_lines,
+        |    CAST(sum(chars - maxchars) AS BIGINT) AS dup_chars
+        |  FROM per GROUP BY 1)
+        |SELECT a.doc_id, coalesce(r.n_lines, 0) AS n_lines,
+        |  coalesce(r.dup_lines, 0) AS dup_lines,
+        |  coalesce(r.dup_chars, 0) AS dup_chars
+        |FROM aug a LEFT JOIN roll r ON r.doc_id = a.doc_id""".stripMargin,
     "ns_line_dedup" ->
       """WITH aug AS (
         |  SELECT doc_id,
@@ -3561,6 +3590,29 @@ object SparkEntry {
         |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT e.vec_id, l.cluster_id, e.vec_id = l.cluster_id AS is_keeper
         |FROM e JOIN lbl l ON l.id = e.vec_id""".stripMargin,
+    // keep-best replay: same recursive-CTE labels, keeper re-derived as
+    // the max-(vec_id % 7) member per cluster (tie -> lowest id)
+    "ns_semdedup_keep_best" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE CAST(round(list_cosine_similarity(a.embedding, b.embedding)
+        |        * 10000) AS BIGINT) >= 3000),
+        |edges AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM e
+        |  UNION
+        |  SELECT reach.id, g.pb FROM reach JOIN edges g ON g.pa = reach.r),
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT e.vec_id, l.cluster_id,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY (e.vec_id % 7) DESC, e.vec_id) AS rnk
+        |  FROM e JOIN lbl l ON l.id = e.vec_id)
+        |SELECT vec_id, cluster_id, rnk = 1 AS is_keeper
+        |FROM ranked""".stripMargin,
     "ns_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,

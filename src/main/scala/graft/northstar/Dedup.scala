@@ -60,6 +60,23 @@ object Dedup {
       i => array_min(transform(shingleCol,
         s => xxhash64(s, i))))
 
+  /** Materialize a frame the surrounding plan references more than once
+    * (the 4x-recompute shape: capBuckets' count branch + both candidate
+    * self-join sides re-running an expensive kernel subtree).
+    * persist(MEMORY_AND_DISK), NOT localCheckpoint (ADVICE r9): persist
+    * is LAZY — constructing the DataFrame runs nothing — and its blocks
+    * are RECOMPUTABLE from lineage, so an executor loss or cache
+    * eviction recomputes instead of killing a multi-hour 100 TB run the
+    * way localCheckpoint's truncated-lineage executor-local blocks do.
+    * The blocks are also freeable (`spark.catalog.clearCache()` —
+    * Bench's per-query hygiene), where pinned localCheckpoint blocks
+    * were the block-manager pressure behind r9's 6.4x driver/builder
+    * divergence on ns_winnow_pairs. localCheckpoint remains only where
+    * lineage truncation is the point (the CC / BPE iteration loops).
+    */
+  private def materializeOnce(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Drop LSH buckets larger than `maxBucket`: a bucket of B rows costs
     * B² candidate pairs, so one boilerplate-heavy mega-bucket dominates the
     * whole job. Capping is standard practice at scale — membership in a
@@ -109,7 +126,7 @@ object Dedup {
     // the tokenize + shingle + md5 pass 4x (it dominates the op). The
     // materialized frame is the window index — the write-once artifact
     // the incremental-ingest path stores as parquet anyway.
-    val capped = capBuckets(wins.localCheckpoint(), Seq("wh"), maxBucket)
+    val capped = capBuckets(materializeOnce(wins), Seq("wh"), maxBucket)
     val a = capped.select(col("wh"), col("doc").as("doc_a"))
     val b = capped.select(col("wh"), col("doc").as("doc_b"))
     // windows are distinct per doc, so each shared window contributes
@@ -170,7 +187,7 @@ object Dedup {
     // (see the repeated-subtree note below — checkpointing beats both
     // documented alternatives: one pass AND skew-safe partial
     // aggregation)
-    val wins = windowFingerprints(base, windowTokens).localCheckpoint()
+    val wins = materializeOnce(windowFingerprints(base, windowTokens))
     val stats = wins.groupBy("wh").agg(
       min(col("doc")).as("__min_doc"),
       countDistinct(col("doc")).as("__n_docs"))
@@ -447,8 +464,8 @@ object Dedup {
     // same recompute shape the winnowing/substring fixes removed. The
     // persisted form of this frame is exactly [[bandIndex]].
     val banded = capBuckets(
-      sig.select(col("id"), col("mh"), explode(bandHashes).as("band_hash"))
-        .localCheckpoint(),
+      materializeOnce(sig.select(col("id"), col("mh"),
+        explode(bandHashes).as("band_hash"))),
       Seq("band_hash"), maxBucket)
     // estimate BEFORE the pair dedupe: the filter is narrow per-row math,
     // so losers never reach the dedupe shuffle
@@ -556,10 +573,9 @@ object Dedup {
     // — matters for the in-query incoming-batch screens; the parquet
     // artifact path materializes anyway)
     capBuckets(
-      df.select(col(idCol).as("id"),
+      materializeOnce(df.select(col(idCol).as("id"),
           texthash.minhash_sig(col(textCol), 3, k).as("mh"))
-        .select(col("id"), col("mh"), explode(bandHashes).as("band_hash"))
-        .localCheckpoint(),
+        .select(col("id"), col("mh"), explode(bandHashes).as("band_hash"))),
       Seq("band_hash"), maxBucket)
       .withColumn("__k", lit(k)).withColumn("__bands", lit(bands))
   }
@@ -847,8 +863,8 @@ object Dedup {
     // materialize once: cap count branch + both join sides would re-run
     // the simhash kernel 4x (the minhashPairs recompute shape)
     val chunked = capBuckets(
-      sigs.select(col("id"), col("sig"), explode(chunkVals).as("chunk_val"))
-        .localCheckpoint(),
+      materializeOnce(sigs.select(col("id"), col("sig"),
+        explode(chunkVals).as("chunk_val"))),
       Seq("chunk_val"), maxBucket)
     val a = chunked.select(col("chunk_val"),
       col("id").as("doc_a"), col("sig").as("sig_a"))

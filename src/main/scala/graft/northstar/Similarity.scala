@@ -200,7 +200,37 @@ object Similarity {
   def semanticDedup(emb: DataFrame, centroids: Array[Array[Float]],
                     thresholdE4: Long, idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    maxCell: Int = 100000): DataFrame = {
+                    maxCell: Int = 100000): DataFrame =
+    Dedup.collapseByPairs(emb.select(col(idCol)),
+      semanticDedupPairs(emb, centroids, thresholdE4, idCol, vecCol,
+        maxCell), idCol)
+
+  /** [[semanticDedup]] with a quality-aware keeper (the
+    * [[Dedup.collapseByPairsBest]] rule): within each semantic cluster
+    * the keeper is the row maximizing `scoreCol` (ties → lowest id)
+    * instead of the minimum id — curation keeps the BEST copy of a
+    * near-duplicate group (highest quality score, preferred source),
+    * not the one that happened to be crawled first. Same cell-scoped
+    * pair generation and CC labels; one extra row_number window.
+    */
+  def semanticDedupBest(emb: DataFrame, centroids: Array[Array[Float]],
+                        thresholdE4: Long, scoreCol: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxCell: Int = 100000): DataFrame =
+    Dedup.collapseByPairsBest(emb.select(col(idCol), col(scoreCol)),
+      semanticDedupPairs(emb, centroids, thresholdE4, idCol, vecCol,
+        maxCell), scoreCol, idCol)
+
+  /** The cell-scoped above-threshold pair list shared by
+    * [[semanticDedup]] and [[semanticDedupBest]]: one row per unordered
+    * in-cell pair with e4-integer cosine >= thresholdE4.
+    */
+  private def semanticDedupPairs(emb: DataFrame,
+                                 centroids: Array[Array[Float]],
+                                 thresholdE4: Long, idCol: String,
+                                 vecCol: String,
+                                 maxCell: Int): DataFrame = {
     val splits = Ivf.splitBitsByCell(emb, centroids, vecCol, maxCell)
     val c = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         Ivf.cellOf(col(vecCol), centroids).as("cell"))
@@ -210,11 +240,10 @@ object Similarity {
       col("id").as("doc_a"), col("v").as("va"))
     val b = c.select(col("cell"), col("subcell"),
       col("id").as("doc_b"), col("v").as("vb"))
-    val pairs = a.join(b, Seq("cell", "subcell"))
+    a.join(b, Seq("cell", "subcell"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(round(cosine(col("va"), col("vb")) * 10000).cast("long")
         >= thresholdE4)
       .select("doc_a", "doc_b")
-    Dedup.collapseByPairs(emb.select(col(idCol)), pairs, idCol)
   }
 }

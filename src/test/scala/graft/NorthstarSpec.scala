@@ -556,6 +556,7 @@ class TextAnalysisSpec extends SparkSpecBase {
       (2L, "x\ny"),
       (3L, ""),
       (4L, "same\n\nsame"),   // blank middle line is structural
+      (5L, "\n  \n"),         // ALL-blank doc: must still emit a row
     ).toDF("doc_id", "text")
     val out = TextAnalysis.dupLineStats(docs2).collect()
       .map(r => r.getLong(0) ->
@@ -566,6 +567,11 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(2L) == ((2L, 0L, 0L)))
     assert(out(3L) == ((0L, 0L, 0L)))
     assert(out(4L) == ((2L, 1L, 4L)))
+    // the ADVICE r9 #4 convention, now shared with the ns_dup_lines
+    // oracle (which left-joins its rollup back to the documents table):
+    // a document whose lines are all blank is PRESENT with zero stats,
+    // not omitted
+    assert(out(5L) == ((0L, 0L, 0L)))
   }
 
   test("tokenCount / subwordCount / punctCount") {
