@@ -74,8 +74,39 @@ object Dedup {
     * divergence on ns_winnow_pairs. localCheckpoint remains only where
     * lineage truncation is the point (the CC / BPE iteration loops).
     */
-  private def materializeOnce(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def materializeOnce(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(p)
+    p
+  }
+
+  /** Frames [[materializeOnce]] has persisted and nobody released yet
+    * (ADVICE r10 #4): persist is lazy and recomputable, but its blocks
+    * — including disk-spilled ones — live until someone unpersists, and
+    * a long-lived application calling dedup ops per job would otherwise
+    * accumulate them until `spark.catalog.clearCache()`.
+    */
+  private val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release every cached frame the dedup ops have created so far — the
+    * caller-side contract for LONG-LIVED applications: ops like
+    * [[minhashPairs]]/[[winnowPairs]]/[[connectedComponents]] persist
+    * intermediate frames (lazily, recomputable) and deliberately do NOT
+    * unpersist them before returning, because the returned plan still
+    * references the cached subtree. Call this after each job's results
+    * are materialized/written (or run `spark.catalog.clearCache()`, a
+    * superset, as Bench/Verify do per query) to free the blocks.
+    * Unpersist is non-blocking and lineage-safe: a released frame that
+    * is referenced again simply recomputes.
+    */
+  def releasePersisted(): Unit = {
+    var df = persisted.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = persisted.poll()
+    }
+  }
 
   /** Drop LSH buckets larger than `maxBucket`: a bucket of B rows costs
     * B² candidate pairs, so one boilerplate-heavy mega-bucket dominates the
@@ -279,21 +310,63 @@ object Dedup {
     * (VERDICT r9 — 9.7 s under the driver bench), and its
     * localCheckpoint pinned non-recomputable blocks in the bench JVM's
     * contended block manager.
+    *
+    * Long-document bound (VERDICT r10 watch #2): the in-row shape
+    * allocates two O(n_tokens) arrays per row, so one multi-MB outlier
+    * document would cost per-ROW memory the old exploded shape
+    * amortized across rows. Documents longer than `chunkTokens` are
+    * therefore sketched in overlapping CHUNKS: token slices of
+    * `chunkTokens` at stride `chunkTokens - (window + k - 2)`, each
+    * sketched independently, selections flattened + deduped in-row.
+    * The window+k-2 overlap means every full fingerprint window lies
+    * inside some chunk, so the chunked selection set is a SUPERSET of
+    * the unchunked one (chunk-tail clamped windows only ADD real
+    * fingerprints of the document) — the detection guarantee is
+    * preserved, and a probe sketched under a DIFFERENT chunkTokens
+    * still matches (both sides contain the full unchunked selection
+    * set), which is why chunkTokens is a memory bound, not a pinned
+    * artifact parameter like k/window. Peak per-row memory drops to
+    * O(chunkTokens + selections); density gains only the chunk-tail
+    * term (~window/chunkTokens). Short rows take the single-chunk path
+    * unchanged — at the default 8192-token bound, no testdata document
+    * chunks, and the sketch is bit-identical to r10's.
     */
+  val DefaultChunkTokens: Int = 8192
+
   def winnowSketch(docs: DataFrame, k: Int = 5, window: Int = 4,
-                   idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   chunkTokens: Int = DefaultChunkTokens): DataFrame = {
     require(k > 0 && window > 0, s"need positive k/window, got $k/$window")
+    require(chunkTokens >= window + k - 1,
+      s"chunkTokens=$chunkTokens must cover one full window+gram span " +
+        s"(>= ${window + k - 1})")
+    // gram fingerprints then windowed-min selections of one token slice
+    def fpsOf(toks: Column): Column =
+      transform(
+        sequence(lit(1), greatest(lit(1), size(toks) - lit(k - 1))),
+        i => md5(array_join(slice(toks, i, lit(k)), " ").cast("binary")))
+    def selsOf(fps: Column): Column =
+      transform(sequence(lit(1), size(fps)),
+        j => array_min(slice(fps, j, lit(window))))
+    // bind-once: selsOf references its fps argument twice (sequence
+    // bound + the sliced windows), so inlining fpsOf there would run
+    // the md5 gram pass twice per row — a transform over the singleton
+    // array binds it to a lambda variable, evaluated once
+    def sketchOf(toks: Column): Column =
+      element_at(transform(array(fpsOf(toks)), fps => selsOf(fps)), 1)
+    val stride = chunkTokens - (window + k - 2)
+    val w = col("w")
+    // chunk starts: arithmetic progression bounded so every chunk spans
+    // at least one full window (the last chunk runs to the doc end)
+    val chunked = flatten(transform(
+      sequence(lit(1),
+        greatest(lit(1), size(w) - lit(window + k - 2)), lit(stride)),
+      s => sketchOf(slice(w, s, lit(chunkTokens)))))
     val base = tokenized(docs, idCol, textCol)
-    base.filter(size(col("w")) > 0)
-      .select(col("doc"),
-        transform(
-          sequence(lit(1), greatest(lit(1), size(col("w")) - lit(k - 1))),
-          i => md5(array_join(slice(col("w"), i, lit(k)), " ")
-            .cast("binary"))).as("fps"))
+    base.filter(size(w) > 0)
       .select(col("doc"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("fps"))),
-          j => array_min(slice(col("fps"), j, lit(window)))))).as("fp"))
+        when(size(w) <= chunkTokens, sketchOf(w))
+          .otherwise(chunked))).as("fp"))
   }
 
   /** Overlap pairs from winnowing sketches: documents sharing at least
@@ -312,13 +385,19 @@ object Dedup {
     // that list, and the candidate pairs fall out of exploding its
     // within-bucket combinations. One shuffle on fp + the pair rollup,
     // vs the former checkpoint + count branch + semi-join + self-join.
-    // Per-fp aggregation state is O(bucket) doc ids with map-side
-    // partial merge — transient kilobytes at the default cap; a corpus
-    // with truly pathological boilerplate fingerprints should go
-    // through the stored-sketch path ([[winnowPairsAgainstIndex]]),
-    // which caps at artifact-build time.
+    // The collect is the CAPPED kernel (ADVICE r10 #2): built-in
+    // collect_list would materialize a pathological boilerplate
+    // fingerprint's ENTIRE bucket in aggregation state before the
+    // size() filter dropped it; collect_list_capped stops appending at
+    // maxBucket+1 elements in both the partial and merge paths, so
+    // per-fp state is O(maxBucket) no matter how hot the fingerprint —
+    // the memory guard the old count+semi-join capBuckets provided,
+    // without its extra shuffle. Kept buckets (<= maxBucket) are
+    // complete, over-cap buckets report maxBucket+1 and are dropped.
     val sk = winnowSketch(docs, k, window, idCol, textCol)
-    val buckets = sk.groupBy("fp").agg(collect_list(col("doc")).as("docs"))
+    val buckets = sk.groupBy("fp")
+      .agg(graft.functions.aggkernels
+        .collect_list_capped(col("doc"), maxBucket + 1).as("docs"))
       .filter(size(col("docs")) <= maxBucket)
     buckets.select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))

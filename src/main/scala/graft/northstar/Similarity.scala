@@ -222,11 +222,59 @@ object Similarity {
       semanticDedupPairs(emb, centroids, thresholdE4, idCol, vecCol,
         maxCell), scoreCol, idCol)
 
+  /** Collapse a PRECOMPUTED semantic pair list (typically the stored
+    * [[Artifacts.semanticPairsFor]] artifact) keep-min — the serving
+    * half of [[semanticDedup]] with the expensive in-cell cosine join
+    * factored out. `ids` must hold one row per document id.
+    */
+  def semanticDedupFromPairs(ids: DataFrame, pairs: DataFrame,
+                             idCol: String = "vec_id"): DataFrame =
+    Dedup.collapseByPairs(ids, pairs, idCol)
+
+  /** Collapse a precomputed semantic pair list with the quality-aware
+    * keeper ([[semanticDedupBest]]'s rule); `ids` must carry `scoreCol`.
+    */
+  def semanticDedupBestFromPairs(ids: DataFrame, pairs: DataFrame,
+                                 scoreCol: String,
+                                 idCol: String = "vec_id"): DataFrame =
+    Dedup.collapseByPairsBest(ids, pairs, scoreCol, idCol)
+
+  /** Keep-min collapse served from PRECOMPUTED cluster labels (the
+    * stored [[Artifacts.semanticLabelsFor]] artifact — one row per
+    * document, `cluster_id` = its connected-component label). The CC
+    * label is the minimum member id by construction
+    * ([[Dedup.connectedComponents]]), so the keep-min keeper flag is a
+    * narrow per-row comparison — no join, no iteration: the cheapest
+    * honest serving form of [[semanticDedup]].
+    */
+  def semanticDedupFromLabels(labels: DataFrame,
+                              idCol: String = "vec_id"): DataFrame =
+    labels.withColumn("is_keeper",
+      col(idCol).cast("long") === col("cluster_id"))
+
+  /** Quality-aware keeper over precomputed cluster labels
+    * ([[semanticDedupBest]]'s rule): `scored` carries (idCol, scoreCol),
+    * the stored labels supply cluster membership, and the keeper is one
+    * row_number window per cluster — bit-identical to
+    * [[Dedup.collapseByPairsBest]] over the same pairs.
+    */
+  def semanticDedupBestFromLabels(scored: DataFrame, labels: DataFrame,
+                                  scoreCol: String,
+                                  idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.join(labels, Seq(idCol))
+      .withColumn("is_keeper", row_number().over(w) === 1)
+  }
+
   /** The cell-scoped above-threshold pair list shared by
     * [[semanticDedup]] and [[semanticDedupBest]]: one row per unordered
-    * in-cell pair with e4-integer cosine >= thresholdE4.
+    * in-cell pair with e4-integer cosine >= thresholdE4. Public so the
+    * pair list can be persisted once ([[Artifacts.semanticPairsFor]])
+    * and served to every collapse variant.
     */
-  private def semanticDedupPairs(emb: DataFrame,
+  def semanticDedupPairs(emb: DataFrame,
                                  centroids: Array[Array[Float]],
                                  thresholdE4: Long, idCol: String,
                                  vecCol: String,

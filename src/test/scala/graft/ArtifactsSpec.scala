@@ -206,6 +206,126 @@ class ArtifactsSpec extends SparkSpecBase {
     }.getMessage.contains("frozen from config"))
   }
 
+  test("semantic pair artifact: stored pairs equal the direct list; both collapse variants identical through the store; mismatch fails loudly") {
+    import graft.northstar.Similarity
+    val centroids = Array(Array.fill(64)(1.0f))
+    val sub = emb.filter(col("vec_id") < 120)
+    val direct = Similarity.semanticDedupPairs(sub, centroids,
+      thresholdE4 = 3000, "vec_id", "embedding", 100000)
+    val key = s"artifacts-spec-sp-${System.nanoTime()}"
+    val stored = Artifacts.semanticPairsFor(sub, key, centroids,
+      thresholdE4 = 3000)
+    assert(rows(stored) == rows(direct) && stored.count() > 0)
+    // keep-min collapse through the stored list == the one-shot op
+    val ids = sub.select(col("vec_id"))
+    assert(rows(Similarity.semanticDedupFromPairs(ids, stored)) ==
+      rows(Similarity.semanticDedup(sub, centroids, thresholdE4 = 3000)))
+    // keep-best collapse through the stored list == the one-shot op
+    val scored = sub.withColumn("q", (col("vec_id") % 7).cast("long"))
+    assert(rows(Similarity.semanticDedupBestFromPairs(
+        scored.select(col("vec_id"), col("q")), stored, scoreCol = "q")) ==
+      rows(Similarity.semanticDedupBest(scored, centroids,
+        thresholdE4 = 3000, scoreCol = "q")))
+    // serve-by-load: different corpus under the same key returns the
+    // stored pairs, not a recompute
+    val again = Artifacts.semanticPairsFor(sub.filter(col("vec_id") < 10),
+      key, centroids, thresholdE4 = 3000)
+    assert(rows(again) == rows(stored))
+    // threshold / quantizer mismatch at load fails loudly
+    val path = s"${tempDir("spart")}/pairs"
+    Artifacts.saveSemanticPairs(direct, path, thresholdE4 = 3000, "ckey")
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadSemanticPairs(spark, path, thresholdE4 = 4000, "ckey")
+    }.getMessage.contains("thresholdE4=3000"))
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadSemanticPairs(spark, path, thresholdE4 = 3000, "other")
+    }.getMessage.contains("centroids=ckey"))
+  }
+
+  test("semantic label artifact: stored labels serve both keeper rules bit-identical to the one-shot ops; mismatch fails loudly") {
+    import graft.northstar.Similarity
+    val centroids = Array(Array.fill(64)(1.0f))
+    val sub = emb.filter(col("vec_id") < 120)
+    val key = s"artifacts-spec-sl-${System.nanoTime()}"
+    val labels = Artifacts.semanticLabelsFor(sub, key, centroids,
+      thresholdE4 = 3000)
+    // keep-min over stored labels == the one-shot op (narrow flag only)
+    assert(rows(Similarity.semanticDedupFromLabels(labels)) ==
+      rows(Similarity.semanticDedup(sub, centroids, thresholdE4 = 3000)))
+    // keep-best over stored labels == the one-shot op (one window only)
+    val scored = sub.select(col("vec_id"))
+      .withColumn("q", (col("vec_id") % 7).cast("long"))
+    assert(rows(Similarity.semanticDedupBestFromLabels(scored, labels,
+        scoreCol = "q")
+        .select(col("vec_id"), col("cluster_id"), col("is_keeper"))) ==
+      rows(Similarity.semanticDedupBest(
+        sub.withColumn("q", (col("vec_id") % 7).cast("long")),
+        centroids, thresholdE4 = 3000, scoreCol = "q")
+        .select(col("vec_id"), col("cluster_id"), col("is_keeper"))))
+    // serve-by-load: a different corpus under the same key returns the
+    // stored labels, not a recompute
+    val again = Artifacts.semanticLabelsFor(sub.filter(col("vec_id") < 10),
+      key, centroids, thresholdE4 = 3000)
+    assert(rows(again) == rows(labels))
+    // threshold / quantizer mismatch at load fails loudly
+    val path = s"${tempDir("slart")}/labels"
+    Artifacts.saveSemanticLabels(labels, path, thresholdE4 = 3000, "ckey")
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadSemanticLabels(spark, path, "vec_id",
+        thresholdE4 = 4000, "ckey")
+    }.getMessage.contains("thresholdE4=3000"))
+  }
+
+  test("pruneStore: TTL-stale entries and trainer leftovers deleted, overflow dropped oldest-first, foreign children untouched") {
+    val root = new java.io.File(tempDir("prunestore"))
+    val now = System.currentTimeMillis()
+    def mk(name: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(root, name)
+      d.mkdirs()
+      new java.io.File(d, "part-00000").createNewFile()
+      d.setLastModified(now - ageMs)
+      d
+    }
+    val h = "0123456789abcdef0123456789abcdef"
+    val day = 24L * 3600 * 1000
+    val stale = mk(s"bpe-$h", 10 * day)
+    val tmpLeftover = mk(s"lmhead-$h.tmp-123@host-99", 10 * day)
+    val old1 = mk(s"ivf-${h.reverse}", 3 * day)
+    val new1 = mk(s"winnow-${h.replace('0', 'f')}", 1 * day)
+    val new2 = mk(s"boiler-${h.replace('1', 'e')}", 2 * 3600 * 1000L)
+    // foreign children must survive: wrong-pattern dir and a plain file
+    val foreignDir = mk("user-data-not-an-artifact", 30 * day)
+    val foreignFile = new java.io.File(root, "notes.txt")
+    foreignFile.createNewFile()
+    val n = Artifacts.pruneStore(root, ttlMs = 7 * day, maxEntries = 2)
+    assert(n == 3, "stale + tmp leftover + one overflow")
+    assert(!stale.exists() && !tmpLeftover.exists())
+    assert(!old1.exists(), "overflow drops oldest-first beyond maxEntries")
+    assert(new1.exists() && new2.exists())
+    assert(foreignDir.exists() && foreignFile.exists())
+    // a second prune is a no-op
+    assert(Artifacts.pruneStore(root, ttlMs = 7 * day, maxEntries = 2) == 0)
+  }
+
+  test("stale destination without _SUCCESS is cleared and retrained (crashed-trainer recovery)") {
+    val key = s"artifacts-spec-stale-${System.nanoTime()}"
+    val first = Artifacts.bpeMergesFor(docs, key, rounds = 3)
+    // locate the published artifact dir (pathFor layout: kind-md5(key))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key-r3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dst = new java.io.File(
+      sys.props("graft.artifacts.root"), s"bpe-$md")
+    assert(dst.isDirectory, s"expected artifact at $dst")
+    // simulate a crashed trainer: destination exists but has no _SUCCESS
+    assert(new java.io.File(dst, "_SUCCESS").delete())
+    // next request must clear the wreck and retrain — on a DIFFERENT
+    // corpus, so a successful retrain is observable in the result
+    val other = Seq((1L, "zz zz zz zz qq qq zz qq")).toDF("doc_id", "text")
+    val retrained = Artifacts.bpeMergesFor(other, key, rounds = 3)
+    assert(new java.io.File(dst, "_SUCCESS").exists(), "retrain must republish")
+    assert(retrained != first, "recovery must retrain, not serve the wreck")
+  }
+
   test("winnowSketchFor serves by loading the stored index, not a re-sketch") {
     val key = s"artifacts-spec-win-${System.nanoTime()}"
     val first = Artifacts.winnowSketchFor(docs, key)

@@ -1,0 +1,93 @@
+package graft
+
+import graft.northstar.Dedup
+import org.apache.spark.sql.functions._
+
+/** Chunked winnowing sketch (VERDICT r10 watch #2): documents longer
+  * than `chunkTokens` are sketched in overlapping token chunks so peak
+  * per-row memory is O(chunkTokens), not O(doc length). The contract
+  * under test: short documents are bit-identical to the unchunked
+  * sketch (the default bound chunks nothing in testdata), a chunked
+  * long-document sketch is a SUPERSET of its unchunked sketch with only
+  * the small chunk-tail density overhead, and the window+k-1 detection
+  * guarantee survives the two sides of a join using DIFFERENT
+  * chunkTokens (the bound is a memory knob, not a pinned sketch
+  * parameter).
+  *
+  * Also here: the [[Dedup.releasePersisted]] caller-side cache-release
+  * contract (ADVICE r10 #4).
+  */
+class WinnowChunkSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val corpus = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text")
+
+  private def skRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("short documents: default chunk bound is bit-identical to the unchunked sketch") {
+    val chunkedDefault = skRows(Dedup.winnowSketch(corpus))
+    val unchunked = skRows(Dedup.winnowSketch(corpus, chunkTokens = 1 << 20))
+    assert(chunkedDefault == unchunked && chunkedDefault.nonEmpty)
+  }
+
+  test("long document: chunked sketch is a superset with only chunk-tail overhead") {
+    val k = 5; val window = 4; val chunk = 64
+    val doc = Seq((1L, (1 to 600).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val unchunked = skRows(Dedup.winnowSketch(doc, k, window,
+      chunkTokens = 1 << 20))
+    val chunked = skRows(Dedup.winnowSketch(doc, k, window,
+      chunkTokens = chunk))
+    assert(unchunked.subsetOf(chunked), "chunking must never LOSE a selection")
+    // overhead is bounded by the per-chunk tail term: each chunk's
+    // end-clamped windows can add at most window-1 distinct extra
+    // selections beyond the unchunked set
+    val stride = chunk - (window + k - 2)
+    val nChunks = math.ceil((600 - (window + k - 2)).toDouble / stride).toInt
+    assert(chunked.size <= unchunked.size + nChunks * (window - 1),
+      s"chunked=${chunked.size} unchunked=${unchunked.size} nChunks=$nChunks")
+  }
+
+  test("detection guarantee holds across mismatched chunkTokens on the two join sides") {
+    val shared = (1 to 8).map(i => s"sh_$i") // window + k - 1 = 8 tokens
+    val a = Seq((1L, ((1 to 200).map(i => s"a_$i").take(97) ++ shared ++
+      (98 to 200).map(i => s"a_$i")).mkString(" "))).toDF("doc_id", "text")
+    val b = Seq((2L, ((1 to 50).map(i => s"b_$i").take(13) ++ shared ++
+      (14 to 50).map(i => s"b_$i")).mkString(" "))).toDF("doc_id", "text")
+    // side A sketched with a tiny memory bound (chunks), side B unchunked
+    val skA = Dedup.winnowSketch(a, chunkTokens = 16)
+    val skB = Dedup.winnowSketch(b, chunkTokens = 1 << 20)
+    val hits = skA.select(col("fp"))
+      .join(skB.select(col("fp")), Seq("fp")).count()
+    assert(hits > 0, "shared run must surface a shared selected fingerprint")
+    // and a disjoint doc pairs with neither
+    val c = Seq((3L, (1 to 60).map(i => s"c_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val skC = Dedup.winnowSketch(c, chunkTokens = 16)
+    assert(skA.select("fp").join(skC.select("fp"), Seq("fp")).count() == 0)
+  }
+
+  test("chunkTokens below one window+gram span is rejected") {
+    intercept[IllegalArgumentException] {
+      Dedup.winnowSketch(corpus, k = 5, window = 4, chunkTokens = 7).count()
+    }
+  }
+
+  test("releasePersisted frees the frames dedup ops cached (caller-side contract)") {
+    val sc = spark.sparkContext
+    Dedup.releasePersisted() // drain anything earlier suites left behind
+    val before = sc.getPersistentRDDs.keySet
+    // minhashPairs persists its banded-signature frame via materializeOnce
+    Dedup.minhashPairs(corpus.limit(100)).count()
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "op must have registered persisted blocks")
+    Dedup.releasePersisted()
+    assert((sc.getPersistentRDDs.keySet & during).isEmpty,
+      "release must unpersist every frame the ops registered")
+    // idempotent and safe to call with nothing pending
+    Dedup.releasePersisted()
+  }
+}
