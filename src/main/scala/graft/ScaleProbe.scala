@@ -345,6 +345,29 @@ object ScaleProbe {
       Dedup.winnowPairs(docs10).count()
     }
     println(f"[scale] winnowPairs 10x-data ratio     ${wp10 / wp1}%.1fx (quadratic ~100x)")
+    // winnow long-DOCUMENT skew (VERDICT r10 watch #2): the in-row
+    // sketch allocates two O(n_tokens) arrays per row, so a multi-MB
+    // outlier doc concentrates memory in one task where the old
+    // per-token shape amortized across rows. Probe: same 5k docs with
+    // every text repeated 10x (~10x tokens per ROW, row count
+    // unchanged) — expect ~linear time in tokens and no OOM; then the
+    // chunked path (chunkTokens bound) on the same long mix, which
+    // bounds per-row peak memory at O(chunkTokens) and should cost
+    // about the same wall time (the chunk overlap is window+k-1 tokens
+    // per ~chunkTokens-token stride, <1% extra work).
+    val longDocs = docs1.withColumn("text",
+      concat_ws(" ", array_repeat(col("text"), 10)))
+    val ws1 = timed("winnowSketch 5k docs (1x len)") {
+      Dedup.winnowSketch(docs1).count()
+    }
+    val ws10 = timed("winnowSketch 5k docs (10x len)") {
+      Dedup.winnowSketch(longDocs).count()
+    }
+    println(f"[scale] winnowSketch 10x-LENGTH ratio  ${ws10 / ws1}%.1fx (linear ~10x)")
+    val wsc = timed("winnowSketch 10x len, chunked") {
+      Dedup.winnowSketch(longDocs, chunkTokens = 4096).count()
+    }
+    println(f"[scale] chunked/unchunked long-doc     ${wsc / ws10}%.2fx (~1x expected; peak row mem O(4096))")
     // line-level boilerplate dedup: one (doc, line-hash) distinct
     // shuffle + line-domain count + anti-join — all linear-ish; plain
     // replication makes EVERY line boilerplate (df 10x), the worst-case

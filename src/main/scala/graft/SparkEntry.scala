@@ -958,6 +958,20 @@ object SparkEntry {
         docs, cacheKey = corpusKey(dir, "documents"), cfg)
       graft.northstar.Curation.serve(docs, frozen)
     }),
+    // semantic keep-best composed into the curation chain (VERDICT r10
+    // task 6): within each semantic near-dup cluster keep the HIGHEST-
+    // QUALITY member — the same q_score the curation gates use feeds
+    // the keeper choice — then quality-gate the keepers. Cluster labels
+    // are the SAME stored semanticLabelsFor artifact the two SemDeDup
+    // pins serve from (zero extra training); docs join embeddings on
+    // the shared id. Fully hash-checked: labels replay via the
+    // recursive-CTE collapse, q_score via the ns_quality fragment.
+    "ns_curation_semantic" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      graft.northstar.Curation.semanticKeepBest(
+        docs, semdedupPinLabels(emb, dir), minQuality = Some(0.3))
+    }),
     // source-reputation gate (the C4/RefinedWeb-style curation step):
     // drop every document whose SOURCE's average quality falls below a
     // threshold — bulk domain filtering, not per-doc filtering. The
@@ -1561,22 +1575,26 @@ object SparkEntry {
       // even ids carry REAL synthesized PNG payloads (ImageCodec path:
       // true 16x16 dims, png format, luminance features); ids ≡1 mod 4
       // carry REAL minimal MP4 containers (VideoCodec path: true tkhd
-      // dims, mp4 format); remaining odd ids carry utf-8 text bytes
-      // (stub path) — one driver-visible query exercises the codec
-      // dispatch deterministically. The typed map is fixture synthesis,
-      // not an operator.
+      // dims, mp4 format); ids ≡3 mod 8 carry REAL minimal Matroska
+      // containers (MkvCodec EBML walk: true pixel dims, mkv format);
+      // remaining odd ids carry utf-8 text bytes (stub path) — one
+      // driver-visible query exercises the codec dispatch
+      // deterministically. The typed map is fixture synthesis, not an
+      // operator.
       val payloads = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("source"))
         .as[(Long, String, String)]
         .map { case (id, text, src) =>
           val p = if (id % 2 == 0) Multimodal.syntheticPng(id)
                   else if (id % 4 == 1) Multimodal.syntheticMp4(id)
+                  else if (id % 8 == 3) Multimodal.syntheticMkv(id)
                   else text.getBytes("UTF-8")
           (id, p, src)
         }.toDF("asset_id", "payload", "source")
       val assets = payloads.select(col("asset_id"),
         when(col("asset_id") % 2 === 0, "image")
-          .when(col("asset_id") % 4 === 1, "video").otherwise("text")
+          .when(col("asset_id") % 4 === 1, "video")
+          .when(col("asset_id") % 8 === 3, "video").otherwise("text")
           .as("modality"),
         col("payload"),
         struct(coalesce(length(col("payload")).cast("long"), lit(0L))
@@ -3622,6 +3640,50 @@ object SparkEntry {
         |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT e.vec_id, l.cluster_id, e.vec_id = l.cluster_id AS is_keeper
         |FROM e JOIN lbl l ON l.id = e.vec_id""".stripMargin,
+    // curation-chain semantic keep-best: recursive-CTE cluster labels
+    // (the ns_semdedup_exact collapse) + the ns_quality score fragment
+    // feeding the keeper window, keepers then quality-gated
+    "ns_curation_semantic" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE CAST(round(list_cosine_similarity(a.embedding, b.embedding)
+        |        * 10000) AS BIGINT) >= 3000),
+        |edges AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM e
+        |  UNION
+        |  SELECT reach.id, g.pb FROM reach JOIN edges g ON g.pa = reach.r),
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns
+        |  FROM documents WHERE doc_id < 200),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(((CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) >= 3
+        |              AND (CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END) <= 12
+        |              THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) <= 0.1
+        |              THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) >= 0.05
+        |              THEN 1.0 ELSE 0.0 END)) / 3, 4) AS q_score
+        |  FROM f),
+        |ranked AS (
+        |  SELECT q.doc_id, l.cluster_id, q.q_score,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY q.q_score DESC, q.doc_id) AS rnk
+        |  FROM q JOIN lbl l ON l.id = q.doc_id)
+        |SELECT doc_id, cluster_id, q_score
+        |FROM ranked WHERE rnk = 1 AND q_score >= 0.3""".stripMargin,
     // keep-best replay: same recursive-CTE labels, keeper re-derived as
     // the max-(vec_id % 7) member per cluster (tie -> lowest id)
     "ns_semdedup_keep_best" ->

@@ -289,4 +289,34 @@ object Curation {
       n("__s4").as("n_sampled"), tok("__s4").as("tok_sampled"),
       n("__s5").as("n_selected"), tok("__s5").as("tok_selected"))
   }
+
+  /** Semantic-dedup stage for the curation chain: within each semantic
+    * near-duplicate cluster (precomputed labels — one row per document,
+    * `cluster_id` from [[Artifacts.semanticLabelsFor]] or an in-query
+    * [[Similarity.semanticDedup]] run) keep the HIGHEST-QUALITY member,
+    * with the same quality score the curation gates use feeding the
+    * keeper choice (SemDeDup's "keep one per cluster" upgraded from
+    * keep-first to keep-best — curation keeps the best copy of a
+    * semantic duplicate group, not the one crawled first). Keeper rule
+    * is [[Similarity.semanticDedupBestFromLabels]]'s: max q_score, tie
+    * → lowest id. The optional `minQuality` gate then screens the
+    * KEEPERS (a low-quality cluster contributes nothing, rather than
+    * promoting its least-bad member past the gate). One lazy plan: the
+    * text-kernel scoring pass is narrow, labels join on the id, keeper
+    * selection is one window per cluster. Output: (idCol, cluster_id,
+    * q_score) for each surviving keeper.
+    */
+  def semanticKeepBest(docs: DataFrame, labels: DataFrame,
+                       minQuality: Option[Double] = None,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val labelIdCol = labels.columns.filterNot(_ == "cluster_id").head
+    val scored = TextAnalysis.qualityScore(docs, textCol)
+      .select(col(idCol).as(labelIdCol), col("q_score"))
+    val kept = Similarity.semanticDedupBestFromLabels(
+        scored, labels, scoreCol = "q_score", idCol = labelIdCol)
+      .filter(col("is_keeper"))
+    minQuality.fold(kept)(q => kept.filter(col("q_score") >= q))
+      .select(col(labelIdCol).as(idCol), col("cluster_id"), col("q_score"))
+  }
 }

@@ -319,6 +319,215 @@ object Multimodal {
       }
   }
 
+  /** Matroska (MKV/WebM) container metadata via a pure-JVM EBML walk —
+    * the sibling of [[VideoCodec]] for the other ubiquitous public
+    * video container (Matroska spec / RFC 9559): EBML header magic
+    * `1A 45 DF A3`, then Segment → Info (TimestampScale, Duration) and
+    * Segment → Tracks → TrackEntry → Video (PixelWidth, PixelHeight).
+    * EBML is all variable-length integers — element IDs keep their
+    * length-marker bit, sizes clear it, an all-value-bits-ones size
+    * means "unknown, runs to EOF" (streamed files) — so unlike ISO-BMFF
+    * the walk needs a vint reader, not fixed offsets. Same contract as
+    * the MP4 side: metadata is a REAL parse, content features reuse the
+    * deterministic payload fingerprint (no av libraries here), non-MKV
+    * payloads return None, malformed vints bail to None rather than
+    * throwing.
+    */
+  object MkvCodec {
+
+    /** Parsed container metadata: first sized video track's pixel dims,
+      * duration in ms (Duration float × TimestampScale ns / 1e6).
+      */
+    case class MkvMeta(width: Int, height: Int, durationMs: Long)
+
+    private val EbmlMagic = 0x1A45DFA3L
+    private val SegmentId = 0x18538067L
+    private val InfoId = 0x1549A966L
+    private val TimestampScaleId = 0x2AD7B1L
+    private val DurationId = 0x4489L
+    private val TracksId = 0x1654AE6BL
+    private val TrackEntryId = 0xAEL
+    private val VideoId = 0xE0L
+    private val PixelWidthId = 0xB0L
+    private val PixelHeightId = 0xBAL
+
+    def looksLikeMkv(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 &&
+        (p(0) & 0xFF) == 0x1A && (p(1) & 0xFF) == 0x45 &&
+        (p(2) & 0xFF) == 0xDF && (p(3) & 0xFF) == 0xA3
+
+    /** Element ID vint at `off`: value INCLUDES the marker bit (IDs are
+      * compared with it, per spec). Returns (id, byteLen); None on
+      * malformed/truncated input.
+      */
+    private def readId(p: Array[Byte], off: Int): Option[(Long, Int)] = {
+      if (off >= p.length) return None
+      val b0 = p(off) & 0xFF
+      if (b0 == 0) return None
+      val n = Integer.numberOfLeadingZeros(b0) - 23
+      if (n > 4 || off + n > p.length) return None
+      var v = b0.toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (p(off + i) & 0xFF); i += 1 }
+      Some((v, n))
+    }
+
+    /** Size vint at `off`: marker bit cleared; all value bits set means
+      * unknown size (returned as -1 — caller clamps to EOF).
+      */
+    private def readSize(p: Array[Byte], off: Int): Option[(Long, Int)] = {
+      if (off >= p.length) return None
+      val b0 = p(off) & 0xFF
+      if (b0 == 0) return None
+      val n = Integer.numberOfLeadingZeros(b0) - 23
+      if (n > 8 || off + n > p.length) return None
+      val mask = 0xFF >>> n
+      var v = (b0 & mask).toLong
+      var allOnes = (b0 & mask) == mask
+      var i = 1
+      while (i < n) {
+        val b = p(off + i) & 0xFF
+        v = (v << 8) | b; allOnes &&= b == 0xFF; i += 1
+      }
+      Some((if (allOnes) -1L else v, n))
+    }
+
+    /** Iterate sibling elements in [start, end); yields (id,
+      * payloadStart, payloadEnd). Malformed input ends iteration.
+      */
+    private def elements(p: Array[Byte], start: Int,
+                         end: Int): Iterator[(Long, Int, Int)] =
+      new Iterator[(Long, Int, Int)] {
+        private var off = start
+        private var nextEl: Option[(Long, Int, Int)] = advance()
+        private def advance(): Option[(Long, Int, Int)] =
+          for {
+            (id, idLen) <- readId(p, off) if off + idLen < end
+            (size, szLen) <- readSize(p, off + idLen)
+          } yield {
+            val ps = off + idLen + szLen
+            val pe = if (size < 0 || ps + size > end) end
+                     else ps + size.toInt
+            (id, ps, pe)
+          }
+        def hasNext: Boolean = nextEl.isDefined
+        def next(): (Long, Int, Int) = {
+          val res = nextEl.get
+          off = res._3
+          nextEl = if (off >= end) None else advance()
+          res
+        }
+      }
+
+    private def findEl(p: Array[Byte], start: Int, end: Int,
+                       id: Long): Option[(Int, Int)] =
+      elements(p, start, end).collectFirst { case (`id`, s, e) => (s, e) }
+
+    /** Big-endian unsigned int of the element payload (1-8 bytes). */
+    private def uintAt(p: Array[Byte], s: Int, e: Int): Long = {
+      var v = 0L; var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | (p(i) & 0xFF); i += 1 }
+      v
+    }
+
+    /** EBML float payload: 4-byte IEEE single or 8-byte double. */
+    private def floatAt(p: Array[Byte], s: Int, e: Int): Double =
+      (e - s) match {
+        case 4 => java.lang.Float.intBitsToFloat(uintAt(p, s, e).toInt)
+          .toDouble
+        case 8 => java.lang.Double.longBitsToDouble(uintAt(p, s, e))
+        case _ => 0.0
+      }
+
+    /** Parse container metadata; None if not Matroska or no Segment. */
+    def parse(p: Array[Byte]): Option[MkvMeta] =
+      if (!looksLikeMkv(p)) None
+      else for {
+        (EbmlMagic, hdrIdLen) <- readId(p, 0)
+        (hdrSize, hdrSzLen) <- readSize(p, hdrIdLen) if hdrSize >= 0
+        segOff = hdrIdLen + hdrSzLen + hdrSize.toInt
+        (SegmentId, segIdLen) <- readId(p, segOff)
+        (segSize, segSzLen) <- readSize(p, segOff + segIdLen)
+      } yield {
+        val ss = segOff + segIdLen + segSzLen
+        val se = if (segSize < 0) p.length
+                 else math.min(p.length.toLong, ss + segSize).toInt
+        val durMs = findEl(p, ss, se, InfoId).map { case (is, ie) =>
+          val scaleNs = findEl(p, is, ie, TimestampScaleId)
+            .map { case (s, e) => uintAt(p, s, e) }.getOrElse(1000000L)
+          val dur = findEl(p, is, ie, DurationId)
+            .map { case (s, e) => floatAt(p, s, e) }.getOrElse(0.0)
+          math.round(dur * scaleNs / 1e6)
+        }.getOrElse(0L)
+        val dims = findEl(p, ss, se, TracksId).iterator.flatMap {
+          case (ts, te) =>
+            elements(p, ts, te).collect { case (TrackEntryId, es, ee) =>
+              findEl(p, es, ee, VideoId).map { case (vs, ve) =>
+                (findEl(p, vs, ve, PixelWidthId)
+                   .map { case (s, e) => uintAt(p, s, e).toInt }.getOrElse(0),
+                 findEl(p, vs, ve, PixelHeightId)
+                   .map { case (s, e) => uintAt(p, s, e).toInt }.getOrElse(0))
+              }
+            }.flatten
+        }.find { case (w, h) => w > 0 && h > 0 }.getOrElse((0, 0))
+        MkvMeta(dims._1, dims._2, durMs)
+      }
+
+    def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
+      parse(payload).map { m =>
+        Decoded(assetId, m.width, m.height, "mkv",
+          StubCodec.decode(assetId, payload).features)
+      }
+  }
+
+  /** Deterministic minimal Matroska payload from an id — EBML header +
+    * Segment(Info(TimestampScale, Duration), Tracks(TrackEntry(Video(
+    * PixelWidth, PixelHeight)))), vint-assembled to the RFC 9559
+    * layout. Same role as [[syntheticMp4]]: driver-visible queries
+    * exercise the REAL EBML walk without shipping binary fixtures.
+    */
+  def syntheticMkv(id: Long, w: Int = 640, h: Int = 360,
+                   durationMs: Long = 5000L): Array[Byte] = {
+    def idBytes(v: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+    }
+    // 1-byte size vint (payloads here are all < 127 bytes)
+    def el(eid: Long, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      idBytes(eid) ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def uintPayload(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+    }
+    def floatPayload(v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).map(i => ((bits >> (8 * (7 - i))) & 0xFF).toByte).toArray
+    }
+    // EBML header: DocType "matroska", versions 1
+    val hdr = el(0x1A45DFA3L,
+      el(0x4286L, uintPayload(1)) ++      // EBMLVersion
+      el(0x42F7L, uintPayload(1)) ++      // EBMLReadVersion
+      el(0x4282L, "matroska".getBytes("ISO-8859-1")) ++ // DocType
+      el(0x4287L, uintPayload(1)))        // DocTypeVersion
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintPayload(1000000L)) ++          // scale: 1 ms
+      el(0x4489L, floatPayload(durationMs.toDouble)))  // duration
+    val video = el(0xE0L,
+      el(0xB0L, uintPayload(w)) ++ el(0xBAL, uintPayload(h)))
+    val track = el(0xAEL,
+      el(0xD7L, uintPayload(1)) ++        // TrackNumber
+      el(0x83L, uintPayload(1)) ++        // TrackType: video
+      video)
+    val tracks = el(0x1654AE6BL, track)
+    // deterministic content bytes from the id ride as a Void element
+    val pad = el(0xECL,
+      (0 until 32).map(i => (((id * 31 + i * 7) % 256) + 256).toByte).toArray)
+    hdr ++ el(SegmentMagicForSynth, info ++ tracks ++ pad)
+  }
+  private val SegmentMagicForSynth = 0x18538067L
+
   /** Deterministic minimal MP4 payload from an id — ftyp + moov(mvhd,
     * trak(tkhd)) + mdat, byte-assembled to the ISO-BMFF v0 box layout.
     * Payload synthesizer for tests and harness runs so driver-visible
@@ -400,8 +609,8 @@ object Multimodal {
     * once per partition); output is a compact feature frame, payloads are
     * dropped immediately after decode. Image payloads get the real
     * [[ImageCodec]], WAV audio the real [[AudioCodec]], MP4 video the
-    * real [[VideoCodec]] metadata parse; everything else falls back to
-    * the deterministic stub.
+    * real [[VideoCodec]] metadata parse, Matroska the real [[MkvCodec]]
+    * EBML walk; everything else falls back to the deterministic stub.
     */
   def decodeAssets(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
@@ -417,6 +626,7 @@ object Multimodal {
           ImageCodec.decode(id, p)
             .orElse(AudioCodec.decode(id, p))
             .orElse(VideoCodec.decode(id, p))
+            .orElse(MkvCodec.decode(id, p))
             .getOrElse(StubCodec.decode(id, p))
         }
       }

@@ -93,6 +93,35 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L) == ((4L, true)))  // singleton keeps itself
   }
 
+  test("Curation.semanticKeepBest: quality score picks the keeper; the gate screens whole clusters via their keeper") {
+    import graft.northstar.Curation
+    // q_score components: mean token length in [3,12], punct ratio
+    // <= 0.1, stopword ratio >= 0.05 — each 1/3 of the score
+    val docs2 = Seq(
+      (1L, "the cat sat on the mat"), // all three pass -> 1.0
+      (2L, "?!?!?!"),                 // only mean-tok passes -> 0.3333
+      (3L, "the fox runs by the den"),// all three pass -> 1.0
+      (4L, "!!!!!!"),                 // 0.3333
+      (5L, "??????"),                 // 0.3333
+    ).toDF("doc_id", "text")
+    // labels use the vec_id column name (the stored-artifact shape)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("vec_id", "cluster_id")
+    val kept = Curation.semanticKeepBest(docs2, labels,
+        minQuality = Some(0.7)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Double]("q_score"))).toSet
+    // cluster 1: doc 1 wins on quality; cluster 3: singleton keeper;
+    // cluster 4: keeper (0.3333) fails the gate -> the whole cluster
+    // contributes nothing, its members do NOT get promoted past it
+    assert(kept == Set((1L, 1L, 1.0), (3L, 3L, 1.0)))
+    // without the gate the low-quality cluster still elects ONE keeper
+    // deterministically (tie on q_score -> lowest id)
+    val ungated = Curation.semanticKeepBest(docs2, labels).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(ungated == Set(1L, 3L, 4L))
+  }
+
   test("substringOverlapPairs: containment found at window size, disjoint and sub-window docs not") {
     val words = (1 to 12).map(i => s"w$i")
     val docs2 = Seq(
@@ -1440,6 +1469,38 @@ class MultimodalSpec extends SparkSpecBase {
     // corrupt interior box size must not throw either
     val corrupt = p.clone(); corrupt(24) = 0x7F
     Multimodal.VideoCodec.parse(corrupt) // no exception = pass
+  }
+
+  test("mkv payloads decode for real: EBML walk finds pixel dims and scaled duration") {
+    val p = Multimodal.syntheticMkv(9L, w = 1280, h = 720, durationMs = 98765L)
+    assert(Multimodal.MkvCodec.looksLikeMkv(p))
+    val meta = Multimodal.MkvCodec.parse(p).get
+    assert(meta.width == 1280 && meta.height == 720)
+    assert(meta.durationMs == 98765L)
+    // mp4/png/text payloads are rejected by the EBML magic screen — and
+    // vice versa, MKV doesn't look like MP4
+    assert(Multimodal.MkvCodec.parse(
+      Multimodal.syntheticMp4(9L)).isEmpty)
+    assert(!Multimodal.VideoCodec.looksLikeMp4(p))
+    // truncated container (EBML header only, no Segment) → None, no throw
+    assert(Multimodal.MkvCodec.parse(p.take(20)).isEmpty)
+    // corrupt interior vint must not throw either
+    val corrupt = p.clone(); corrupt(p.length / 2) = 0x00
+    Multimodal.MkvCodec.parse(corrupt) // no exception = pass
+  }
+
+  test("mkv payloads route through decodeAssets with the mkv format tag") {
+    val df = Seq(
+      (40L, Multimodal.syntheticMkv(40L, w = 640, h = 480, durationMs = 3000L)),
+      (41L, Multimodal.syntheticMp4(41L, w = 320, h = 240, durationMs = 2000L))
+    ).toDF("asset_id", "payload")
+      .selectExpr("asset_id", "'video' as modality", "payload",
+        "named_struct('n_bytes', cast(length(payload) as long), 'source', 'test') as meta")
+    val out = Multimodal.decodeAssets(df).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(out(40L).getAs[String]("format") == "mkv")
+    assert(out(40L).getAs[Int]("width") == 640 && out(40L).getAs[Int]("height") == 480)
+    assert(out(41L).getAs[String]("format") == "mp4")
   }
 
   test("mp4 payloads route through decodeAssets as real video metadata") {

@@ -169,6 +169,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
   }
 
+  test("curation semantic keep-best: one lazy plan — stored-label scan + score join + ONE keeper window, no in-plan CC") {
+    val p = planOf("ns_curation_semantic")
+    // labels come from the pinned artifact (parquet scan), never an
+    // in-query CC iteration (that would plan as ExistingRDD checkpoint
+    // scans); keeper choice is exactly one row_number window
+    assert(!p.contains("ExistingRDD"), "in-plan CC is back: " + p.take(800))
+    // exactly one Window NODE (the plan also shows windowspecdefinition
+    // and the WindowGroupLimit rank-pushdown — both belong to it)
+    assert("\\+- Window \\[".r.findAllIn(p).size == 1,
+      "expected exactly one keeper window: " + p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("decontam remove: benchmark window set broadcast into a semi-join, no quadratic node") {
     val p = planOf("ns_decontam_remove")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))

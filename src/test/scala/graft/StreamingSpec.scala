@@ -170,6 +170,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set(12L))
   }
 
+  test("winnow ingest: a streamed batch against the stored winnow index matches batch winnowPairsAgainstIndex") {
+    import graft.northstar.{Artifacts, Dedup}
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 200)
+    // the stored index IS the corpus-side state (ns_winnow_incoming's
+    // serving shape); the incoming batch reuses corpus text under
+    // shifted ids so true overlaps exist
+    val stored = Artifacts.winnowSketchFor(corpus,
+      s"streaming-spec-win-${System.nanoTime()}")
+    corpus.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    // the full serving op applied VERBATIM to the streaming frame: the
+    // in-row sketch is narrow, the index probe is a stream-static
+    // equi-join, and the shared-fp rollup is a streaming aggregation
+    // (complete mode — the batch is finite under AvailableNow)
+    val q = Dedup.winnowPairsAgainstIndex(
+        IncrementalStream.readTableStream(spark, src, "in", schema), stored)
+      .writeStream.format("memory").queryName("win_ingest_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("win_ingest_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.winnowPairsAgainstIndex(
+        spark.read.parquet(s"$src/in.parquet"), stored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // every incoming doc must at least rediscover its own corpus source
+    val selfPairs = streamed.filter { case (a, b, _) => a - 1000000L == b }
+    assert(selfPairs.size == batch.count { case (a, b, _) => a - 1000000L == b }
+      && selfPairs.nonEmpty)
+  }
+
   test("curation projection runs unchanged on a stream and matches the batch result") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.DataFrame
