@@ -71,6 +71,38 @@ object SparkEntry {
       cacheKey = corpusKey(dir, "embeddings") + "-lt200",
       centroids = Array(Array.fill(64)(1.0f)), thresholdE4 = 3000)
 
+  /** Deterministic mangled-duplicate corpus shared by `ns_dedup_clusters`
+    * (live in-plan CC — the multi-hop min-propagation oracle pin) and
+    * `ns_dedup_keep_best` (served from the stored collapse-label
+    * artifact): documents is dup-free at every SF, so every 5th doc gets
+    * a case/whitespace-mangled copy at +10000 and every 10th a second at
+    * +20000 — clusters of size 2 and 3 whose min must propagate 2 hops.
+    * Mirrored in both oracle SQLs.
+    */
+  private def chainCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    base
+      .union(base.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(lit("  "), upper(col("text"))).as("text")))
+      .union(base.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 20000).as("doc_id"),
+        concat(upper(col("text")), lit(" \t ")).as("text")))
+  }
+
+  /** CHAIN pairs over [[chainCorpus]]: rank i ↔ i+1 inside each
+    * exact-dup group, so pair→cluster resolution must propagate the min
+    * id transitively (multi-hop topology), not just join one pair.
+    */
+  private def chainPairs(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("nt").orderBy("doc_id")
+    corpus.select(col("doc_id"), Dedup.normText(col("text")).as("nt"))
+      .withColumn("nxt", lead("doc_id", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+  }
+
   /** Deterministic 64-dim probe direction for `ns_embed_probe`. Values
     * are k/1024 with k in [-512, 512]: exactly representable in float32
     * AND in a finite decimal literal, so the Spark Array[Float] and the
@@ -580,53 +612,31 @@ object SparkEntry {
     "ns_exact_dedup" -> ((s, dir) =>
       Dedup.exactByText(t(s, dir, "documents"))),
     "ns_dedup_clusters" -> ((s, dir) => {
-      // pair→cluster resolution over CHAIN pairs (rank i ↔ i+1 inside each
-      // exact-dup group): multi-hop topology, so the oracle verifies the
-      // transitive min-id propagation itself, not just a pair join. The
-      // same collapse runs unchanged on minhashPairs/simhashPairs output.
-      // documents is dup-free at every SF, so derive duplicates
-      // deterministically (mirrored in the oracle SQL): every 5th doc gets
-      // a case/whitespace-mangled copy at +10000, every 10th a second at
-      // +20000 — clusters of size 2 and 3 whose min must propagate 2 hops.
-      import org.apache.spark.sql.expressions.Window
-      val base = t(s, dir, "documents").select("doc_id", "text")
-      val corpus = base
-        .union(base.filter(col("doc_id") % 5 === 0).select(
-          (col("doc_id") + 10000).as("doc_id"),
-          concat(lit("  "), upper(col("text"))).as("text")))
-        .union(base.filter(col("doc_id") % 10 === 0).select(
-          (col("doc_id") + 20000).as("doc_id"),
-          concat(upper(col("text")), lit(" \t ")).as("text")))
-      val w = Window.partitionBy("nt").orderBy("doc_id")
-      val pairs = corpus
-        .select(col("doc_id"), Dedup.normText(col("text")).as("nt"))
-        .withColumn("nxt", lead("doc_id", 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
-      Dedup.collapseByPairs(corpus, pairs)
+      // pair→cluster resolution over CHAIN pairs (chainCorpus/chainPairs):
+      // multi-hop topology, so the oracle verifies the transitive min-id
+      // propagation itself, not just a pair join. The same collapse runs
+      // unchanged on minhashPairs/simhashPairs output. This is the LIVE
+      // in-plan CC pin — its keep-best twin serves from the stored
+      // collapse-label artifact instead.
+      val corpus = chainCorpus(s, dir)
+      Dedup.collapseByPairs(corpus, chainPairs(corpus))
         .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
     }),
     // quality-aware collapse over the SAME derived chains: keeper = the
     // LONGEST copy (mangled copies add 2-3 chars), the opposite of the
-    // min-id rule — proving the selection is score-driven, not positional
+    // min-id rule — proving the selection is score-driven, not positional.
+    // Cluster labels come from the stored collapse-label artifact
+    // (Artifacts.collapseLabelsFor — chain pairs + path-halving CC run
+    // once per corpus fingerprint), so steady-state serving is one score
+    // join + one row_number window; live CC coverage stays with
+    // ns_dedup_clusters / ns_neardup_collapse / ns_semdedup.
     "ns_dedup_keep_best" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = t(s, dir, "documents").select("doc_id", "text")
-      val corpus = base
-        .union(base.filter(col("doc_id") % 5 === 0).select(
-          (col("doc_id") + 10000).as("doc_id"),
-          concat(lit("  "), upper(col("text"))).as("text")))
-        .union(base.filter(col("doc_id") % 10 === 0).select(
-          (col("doc_id") + 20000).as("doc_id"),
-          concat(upper(col("text")), lit(" \t ")).as("text")))
-      val w = Window.partitionBy("nt").orderBy("doc_id")
-      val pairs = corpus
-        .select(col("doc_id"), Dedup.normText(col("text")).as("nt"))
-        .withColumn("nxt", lead("doc_id", 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
-      Dedup.collapseByPairsBest(
-          corpus.withColumn("n_chars_d", length(col("text"))), pairs, "n_chars_d")
+      val corpus = chainCorpus(s, dir)
+      val labels = graft.northstar.Artifacts.collapseLabelsFor(
+        corpus, corpusKey(dir, "documents") + "-chain")(chainPairs(corpus))
+      Similarity.semanticDedupBestFromLabels(
+          corpus.select(col("doc_id"), length(col("text")).as("n_chars_d")),
+          labels, scoreCol = "n_chars_d", idCol = "doc_id")
         .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
     }),
     "ns_fingerprint" -> ((s, dir) =>

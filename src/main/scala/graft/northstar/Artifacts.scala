@@ -468,6 +468,56 @@ object Artifacts {
     loadSemanticLabels(emb.sparkSession, path, idCol, thresholdE4, ck)
   }
 
+  // --------------------------------------------- generic collapse labels
+
+  /** Persist generic connected-component collapse labels — (id,
+    * cluster_id) for every document of a corpus, from ANY deterministic
+    * pair generator (exact-chain, minhash, simhash, metadata joins) —
+    * with the id column name pinned inside the artifact: labels joined
+    * back on the wrong id column would silently label the wrong rows.
+    */
+  def saveCollapseLabels(labels: DataFrame, path: String,
+                         idCol: String): Unit =
+    labels.withColumn("__id_col", lit(idCol))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load stored collapse labels; throws on an id-column mismatch. */
+  def loadCollapseLabels(spark: SparkSession, path: String,
+                         idCol: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.select("__id_col").head(1).foreach { r =>
+      val stored = r.getAs[String]("__id_col")
+      require(stored == idCol,
+        s"collapse label artifact at $path was generated with " +
+          s"idCol=$stored, serving requested idCol=$idCol")
+    }
+    df.select(idCol, "cluster_id")
+  }
+
+  /** Train-once / serve-by-load cluster labels for an arbitrary pair
+    * generator — [[semanticLabelsFor]] generalized past embeddings: the
+    * by-name `pairs` thunk (typically an expensive LSH join or window
+    * chain over `ids`) and the path-halving CC both run only on first
+    * request for a cache key; every keeper rule thereafter is a narrow
+    * flag ([[Similarity.semanticDedupFromLabels]]) or one window
+    * ([[Similarity.semanticDedupBestFromLabels]]) over the stored
+    * (id, cluster_id) frame. Key the cache by corpus CONTENT (e.g.
+    * [[graft.SparkEntry]]'s corpusKey fingerprint) plus a derivation
+    * tag, so a regenerated corpus or a changed pair rule retrains
+    * rather than serving stale membership.
+    */
+  def collapseLabelsFor(ids: DataFrame, cacheKey: String,
+                        idCol: String = "doc_id")
+                       (pairs: => DataFrame): DataFrame = {
+    val path = pathFor("cclabels", s"$cacheKey-$idCol")
+    ensureTrained(path) { tmp =>
+      saveCollapseLabels(
+        Dedup.collapseByPairs(ids.select(idCol), pairs, idCol)
+          .select(col(idCol), col("cluster_id")), tmp, idCol)
+    }
+    loadCollapseLabels(ids.sparkSession, path, idCol)
+  }
+
   // ------------------------------------------------------- winnow sketch
 
   /** Persist a [[Dedup.winnowIndex]] frame as the overlap-index artifact

@@ -276,6 +276,46 @@ class ArtifactsSpec extends SparkSpecBase {
     }.getMessage.contains("thresholdE4=3000"))
   }
 
+  test("collapse label artifact: stored labels serve both keeper rules bit-identical to collapseByPairs/Best; trains once; idCol mismatch fails loudly") {
+    import graft.northstar.{Dedup, Similarity}
+    import spark.implicits._
+    // 3-node chain {1,2,3} + pair {10,11} + singleton 20: multi-hop
+    // min propagation plus a row CC never sees
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairList = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    var trainRuns = 0
+    val key = s"artifacts-spec-ccl-${System.nanoTime()}"
+    def labels() = Artifacts.collapseLabelsFor(ids, key) {
+      trainRuns += 1; pairList
+    }
+    val stored = labels()
+    assert(trainRuns == 1)
+    // keep-min over stored labels == the one-shot collapse
+    assert(rows(Similarity.semanticDedupFromLabels(stored, idCol = "doc_id")) ==
+      rows(Dedup.collapseByPairs(ids, pairList)
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper"))))
+    // keep-best over stored labels == the one-shot op (score favors the
+    // HIGHEST id, the opposite of the min-id label rule)
+    val scored = ids.withColumn("sc", col("doc_id").cast("long"))
+    assert(rows(Similarity.semanticDedupBestFromLabels(scored, stored,
+        scoreCol = "sc", idCol = "doc_id")
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper"))) ==
+      rows(Dedup.collapseByPairsBest(scored, pairList, scoreCol = "sc")
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper"))))
+    // serve-by-load: a second request under the same key does NOT re-run
+    // the pair generator or the CC
+    val again = labels()
+    assert(trainRuns == 1)
+    assert(rows(again) == rows(stored))
+    // pinned id column mismatch at load fails loudly
+    val path = s"${tempDir("cclart")}/labels"
+    Artifacts.saveCollapseLabels(stored, path, "doc_id")
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadCollapseLabels(spark, path, "vec_id")
+    }.getMessage.contains("idCol=doc_id"))
+  }
+
   test("pruneStore: TTL-stale entries and trainer leftovers deleted, overflow dropped oldest-first, foreign children untouched") {
     val root = new java.io.File(tempDir("prunestore"))
     val now = System.currentTimeMillis()

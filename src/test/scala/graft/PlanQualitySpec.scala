@@ -182,6 +182,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
   }
 
+  test("dedup keep-best: served from the stored collapse-label artifact — no in-plan CC, ONE keeper window") {
+    val p = planOf("ns_dedup_keep_best")
+    // cluster labels come from Artifacts.collapseLabelsFor (parquet
+    // scan), never an in-query CC iteration (that would plan as
+    // ExistingRDD checkpoint scans); keeper choice is one row_number
+    // window. Live in-plan CC stays with ns_dedup_clusters.
+    assert(!p.contains("ExistingRDD"), "in-plan CC is back: " + p.take(800))
+    assert("\\+- Window \\[".r.findAllIn(p).size == 1,
+      "expected exactly one keeper window: " + p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("decontam remove: benchmark window set broadcast into a semi-join, no quadratic node") {
     val p = planOf("ns_decontam_remove")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
