@@ -26,14 +26,54 @@ object Tables {
 
   /** S1 full scan: one table from a layer directory.
     *
-    * Parquet TIMESTAMP(NANOS) (events.ts) has no lossless TimestampType
-    * representation (Spark is µs); read it as raw int64 nanos instead
-    * (legacy.parquet.nanosAsLong) so values stay exact. Consumers needing a
-    * timestamp view use [[nanosToTimestamp]] explicitly (lossy, µs).
+    * Timestamp columns surface as epoch-NANOS int64, whatever the parquet
+    * physical type. Parquet TIMESTAMP(NANOS) has no lossless TimestampType
+    * representation (Spark is µs), so it is read as raw int64 nanos
+    * (legacy.parquet.nanosAsLong); TIMESTAMP(MICROS) — what the driver's
+    * pandas writer emits for events.ts since r11 — reads as
+    * TIMESTAMP_NTZ/TIMESTAMP and is converted to nanos by
+    * [[normalizeTimestamps]] (exact: µs·1000 is far inside long range).
+    * One contract for every consumer; those needing a timestamp view use
+    * [[nanosToTimestamp]] explicitly (lossy below µs, exact here).
+    *
+    * Scale note: the conversion is a narrow per-row projection appended to
+    * the scan; filters on OTHER columns still push to parquet. No query
+    * filters on raw `ts` at scan time (watermark predicates key on
+    * `event_id`), so nothing loses pushdown — if one ever does, filter on
+    * the timestamp column before calling normalize.
     */
+  /** Columns under the epoch-nanos contract, per table. Other timestamp
+    * columns (o_orderdate, l_shipdate) keep their native TimestampType —
+    * queries use them with date functions directly.
+    */
+  private val nanosContract: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"))
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"),
+      nanosContract.getOrElse(name, Nil))
+  }
+
+  /** Rewrite the named timestamp-typed columns to epoch-nanos long
+    * (exact: µs·1000). TIMESTAMP_NTZ is interpreted in UTC — the session
+    * timezone every graft entrypoint pins — matching DuckDB's epoch_us()
+    * of the same naive value. Columns already long (pre-r11 int64-nanos
+    * parquet via nanosAsLong) pass through untouched, as do columns not
+    * named; order is preserved.
+    */
+  def normalizeTimestamps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(f => cols.contains(f.name)).foldLeft(df) {
+      (acc, f) =>
+        f.dataType match {
+          case TimestampNTZType | TimestampType =>
+            acc.withColumn(f.name,
+              unix_micros(col(f.name).cast(TimestampType)) * lit(1000L))
+          case _ => acc
+        }
+    }
   }
 
   /** Explicit lossy ns→µs timestamp view of an int64-nanos column.
