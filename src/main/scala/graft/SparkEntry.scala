@@ -1241,6 +1241,21 @@ object SparkEntry {
         .filter(col("rank") <= 3 && col("doc_id") < 100)
         .select("doc_id", "term", "rank")
     }),
+    // Okapi BM25 relevance against a fixed probe query (the retrieval
+    // relevance-filter shape): integer e4 scores end-to-end (per-term
+    // rounding before the sum — the ns_tfidf discipline), top-20
+    // rank-exposed with doc_id tie-break. orderBy+limit plans as
+    // TakeOrdered; the rank window runs over 20 rows.
+    "ns_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.bm25(t(s, dir, "documents"),
+          Seq("hash", "join", "scan"))
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(20)
+      scored.withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25_e4").desc, col("doc_id"))))
+        .select(col("doc_id"), col("dl").cast("long").as("dl"),
+          col("bm25_e4"), col("rank"))
+    }),
     // corpus-trained unigram-LM scoring (the CCNet perplexity-filter
     // signal): bottom-20 most-improbable documents, rank-exposed like
     // ns_tfidf (e4-rounded score orders, doc_id breaks ties, values never
@@ -3427,6 +3442,42 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, rank FROM ranked
         |WHERE rank <= 3 AND doc_id < 100""".stripMargin,
+    // BM25: arithmetic mirrors the Spark expression tree token-for-token
+    // (same parenthesization, avgdl as the exact integer pair n·dl/Σdl),
+    // so e4 rounding sees the identical IEEE double on both engines
+    "ns_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |                x -> len(x) >= 3) AS toks
+        |  FROM documents),
+        |docs AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM docs),
+        |hits AS (
+        |  SELECT doc_id, dl,
+        |    unnest(list_filter(toks,
+        |      x -> list_contains(['hash','join','scan'], x))) AS term
+        |  FROM docs),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM hits GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT doc_id, dl,
+        |    CAST(round(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * (1.0 - 0.75 +
+        |        0.75 * (dl * n_docs / CAST(dl_sum AS DOUBLE)))) * 10000)
+        |      AS BIGINT) AS c_e4
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        |scored AS (
+        |  SELECT doc_id, dl, CAST(sum(c_e4) AS BIGINT) AS bm25_e4
+        |  FROM contrib GROUP BY 1, 2),
+        |top AS (SELECT * FROM scored
+        |        ORDER BY bm25_e4 DESC, doc_id LIMIT 20)
+        |SELECT doc_id, dl, bm25_e4,
+        |  row_number() OVER (ORDER BY bm25_e4 DESC, doc_id) AS rank
+        |FROM top""".stripMargin,
     "ns_quantize_embed" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

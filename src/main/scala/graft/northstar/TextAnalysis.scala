@@ -186,6 +186,64 @@ object TextAnalysis {
         (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
   }
 
+  /** Okapi BM25 scoring of every document against a small query-term
+    * set — the retrieval-relevance filter of a training-data pipeline
+    * (rank corpus documents by relevance to a probe query; keep/weight
+    * the head). Standard formulation (Robertson & Walker; the Lucene
+    * variant of idf): per query term t,
+    *   idf(t)   = ln((N - df + 0.5)/(df + 0.5) + 1)
+    *   score(D) = Σ idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    * with dl = the document's qualifying-term count and avgdl its corpus
+    * mean.
+    *
+    * Output: one row per document with ≥1 query-term hit —
+    * (idCol, dl, bm25_e4) where bm25_e4 is the integer sum of PER-TERM
+    * e4-rounded contributions (the ns_tfidf float discipline: round
+    * before the sum so partial-aggregation order can't change the
+    * result, and the oracle compares integers, never floats). avgdl
+    * enters as the exact integer pair (n_docs, dl_sum) — `b·dl·N/Σdl` —
+    * not a pre-divided double, so both engines evaluate the identical
+    * IEEE expression tree.
+    *
+    * Scale shape: the token array is built and FILTERED to query hits
+    * in-row (narrow), so the only explode is over per-document HITS of
+    * a handful of terms, not the whole token stream; corpus stats are a
+    * 1-row broadcast crossJoin; per-term df is a |Q|-row broadcast
+    * join. One shuffle total — the (doc, term) tf aggregate — of the
+    * hits subset. At 100 TB the hit explode is the only data-sized
+    * intermediate and it is query-selective by construction.
+    */
+  def bm25(df: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text",
+           minTermLen: Int = 3): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(lower(col(textCol)), "\\W+"),
+      t => length(t) >= minTermLen)
+    val docs = df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"), col("__toks"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("dl_sum"))
+    val hits = docs.select(col(idCol), col("dl"),
+      explode(filter(col("__toks"), t => t.isin(queryTerms.map(x => lit(x)): _*)))
+        .as("term"))
+    val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"),
+        round(log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+                  (col("df") + lit(0.5)) + lit(1.0)) *
+              (col("tf") * (lit(k1) + lit(1.0))) /
+              (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+                lit(b) * (col("dl") * col("n_docs") /
+                          col("dl_sum").cast("double")))) * 10000)
+          .cast("long").as("c_e4"))
+    contrib.groupBy(col(idCol), col("dl"))
+      .agg(sum(col("c_e4")).as("bm25_e4"))
+  }
+
   /** Token-window chunking: split each document into consecutive
     * `chunkSize`-token windows — the context-length packing precursor
     * (long documents must be chunked before sequence packing; see

@@ -15,6 +15,38 @@ class MiscSpec extends SparkSpecBase {
     assert(back.columns.toSeq == Seq("id", "v") && back.count() == 2)
   }
 
+  test("normalizeTimestamps: µs TIMESTAMP_NTZ surfaces as exact epoch-nanos long, UTC") {
+    import org.apache.spark.sql.functions.col
+    // the r11 driver regen writes events.ts as parquet TIMESTAMP(MICROS)
+    // (pandas, no tz) — Spark reads TIMESTAMP_NTZ; the engine contract is
+    // epoch-nanos int64 whatever the physical type
+    val dir = Files.createTempDirectory("tsnorm").toString
+    Seq(
+      (1L, LocalDateTime.of(1970, 1, 1, 0, 0, 1, 500000 * 1000)),
+      (2L, LocalDateTime.of(2026, 8, 13, 12, 0, 0))
+    ).toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val back = Tables.table(spark, dir, "events")
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(back.schema.fieldNames.toSeq == Seq("event_id", "ts"),
+      "column order preserved")
+    val m = back.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 1500000000L) // 1.5 s → ns, exact
+    assert(m(2L) == java.time.Instant.parse("2026-08-13T12:00:00Z")
+      .getEpochSecond * 1000000000L) // NTZ interpreted in UTC
+  }
+
+  test("normalizeTimestamps: legacy int64 columns and unnamed timestamps pass through") {
+    val df = Seq((1L, 42L, LocalDateTime.of(2000, 1, 1, 0, 0)))
+      .toDF("id", "ts", "other_ts")
+    val out = Tables.normalizeTimestamps(df, Seq("ts"))
+    // ts already long → untouched; other_ts not under the contract → stays NTZ
+    assert(out.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema("other_ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(out.collect()(0).getLong(1) == 42L)
+  }
+
   test("S11 resetLayers drops and recreates directories") {
     val dir = Files.createTempDirectory("layers").toString
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/raw/t.parquet")

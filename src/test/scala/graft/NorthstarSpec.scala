@@ -774,6 +774,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!out.contains((2L, "rare")))
   }
 
+  test("bm25: hand-computed scores, tf saturation, length normalization, no-hit docs absent") {
+    // corpus (minTermLen=3 keeps all words): dl = 4,4,2; N=3, Σdl=10
+    val df = Seq(
+      (1L, "cat cat dog bird"),
+      (2L, "dog dog dog dog"),
+      (3L, "fish fish"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, Seq("cat", "dog")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val (k1, b) = (1.2, 0.75)
+    def contrib(tf: Long, dfq: Long, dl: Long): Long = {
+      val idf = math.log((3.0 - dfq + 0.5) / (dfq + 0.5) + 1.0)
+      math.round(idf * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * (dl * 3 / 10.0))) * 10000)
+    }
+    // doc 1: cat (tf=2, df=1) + dog (tf=1, df=2); doc 2: dog tf=4
+    assert(out(1L) == ((4, contrib(2, 1, 4) + contrib(1, 2, 4))))
+    assert(out(2L) == ((4, contrib(4, 2, 4))))
+    assert(!out.contains(3L)) // no query hits → no row
+    // tf saturation: doc 2's 4 dog-hits score < 4× one hit
+    assert(out(2L)._2 < 4 * contrib(1, 2, 4))
+  }
+
   test("unigramLogProb: blank documents produce no row (no tokens to score)") {
     val df = Seq((1L, "a b"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
     val ids = TextAnalysis.unigramLogProb(df).collect().map(_.getLong(0)).toSet

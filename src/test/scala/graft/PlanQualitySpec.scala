@@ -399,6 +399,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("bm25: df and corpus-stat sides broadcast, hit-filtered explode, no sort-merge") {
+    val p = planOf("ns_bm25")
+    // |Q|-row dfreq and the 1-row stats frame both broadcast; the only
+    // shuffles are the tf/df/doc aggregates. A SortMergeJoin here would
+    // mean the hint was lost and the vocabulary join shuffles the corpus.
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    // the explode feeds from an in-row filtered array (query hits only),
+    // never the raw token stream: the generator input carries the
+    // array_filter lambda
+    assert(p.contains("Generate explode"), p.take(800))
+    assert(p.contains("filter(split(lower("), p.take(1200))
+  }
+
   test("curation funnel: single-pass — corpus scans bounded by the stat subtrees, not the stage count") {
     val p = planOf("ns_curation_funnel")
     // the r7 form aggregated 5 independent stage frames and re-derived
