@@ -1241,6 +1241,25 @@ object SparkEntry {
         .filter(col("rank") <= 3 && col("doc_id") < 100)
         .select("doc_id", "term", "rank")
     }),
+    // distributed Lloyd refinement of IVF coarse centroids — the live
+    // full-corpus training pin next to the driver-sample fitCentroids
+    // cost model. Two iterations in exact quantized-integer space (every
+    // distance/sum/argmin is 64-bit integer or a rounded ratio of
+    // integers — Ivf.lloydStepQ scaladoc), so the DuckDB unrolled replay
+    // is bit-identical, including argmin ties (lowest cell wins on both
+    // engines). Init = the quantized vectors of vec_id 0..3.
+    "ns_kmeans_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val init: Seq[Seq[Long]] = emb.filter(col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(graft.northstar.Ivf.quantizeVec(col("embedding")).as("q"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      val c2 = graft.northstar.Ivf.lloydStepQ(emb,
+        graft.northstar.Ivf.lloydStepQ(emb, init))
+      emb.select(col("vec_id"),
+        graft.northstar.Ivf.assignQ(
+          graft.northstar.Ivf.quantizeVec(col("embedding")), c2).as("cell"))
+    }),
     // Okapi BM25 relevance against a fixed probe query (the retrieval
     // relevance-filter shape): integer e4 scores end-to-end (per-term
     // rounding before the sum — the ns_tfidf discipline), top-20
@@ -3442,6 +3461,72 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, rank FROM ranked
         |WHERE rank <= 3 AND doc_id < 100""".stripMargin,
+    // k-means: the two Lloyd iterations unrolled as CTE pairs; all
+    // arithmetic in the same quantized-integer domain as Ivf.lloydStepQ
+    // (BIGINT distances, round(sum/count) centroid updates), argmin via
+    // row_number ordered (dist2, cell) = Spark's first-min array_position
+    "ns_kmeans_refine" ->
+      """WITH qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, q AS qc FROM qv WHERE vec_id < 4),
+        |d1 AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (v.q[i] - c.qc[i]) * (v.q[i] - c.qc[i]))) AS dist2
+        |  FROM qv v CROSS JOIN c0 c),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist2, cell) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a1.cell, g.pos, sum(v.q[g.pos]) AS s, count(*) AS n
+        |  FROM a1 JOIN qv v USING (vec_id)
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) g
+        |  GROUP BY 1, 2),
+        |u1 AS (
+        |  SELECT cell, list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+        |                    ORDER BY pos) AS qc
+        |  FROM s1 GROUP BY 1),
+        |c1 AS (
+        |  SELECT c0.cell, coalesce(u1.qc, c0.qc) AS qc
+        |  FROM c0 LEFT JOIN u1 USING (cell)),
+        |d2 AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (v.q[i] - c.qc[i]) * (v.q[i] - c.qc[i]))) AS dist2
+        |  FROM qv v CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist2, cell) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |s2 AS (
+        |  SELECT a2.cell, g.pos, sum(v.q[g.pos]) AS s, count(*) AS n
+        |  FROM a2 JOIN qv v USING (vec_id)
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) g
+        |  GROUP BY 1, 2),
+        |u2 AS (
+        |  SELECT cell, list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+        |                    ORDER BY pos) AS qc
+        |  FROM s2 GROUP BY 1),
+        |c2 AS (
+        |  SELECT c1.cell, coalesce(u2.qc, c1.qc) AS qc
+        |  FROM c1 LEFT JOIN u2 USING (cell)),
+        |df AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (v.q[i] - c.qc[i]) * (v.q[i] - c.qc[i]))) AS dist2
+        |  FROM qv v CROSS JOIN c2 c)
+        |SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY dist2, cell) AS rn
+        |  FROM df) WHERE rn = 1""".stripMargin,
     // BM25: arithmetic mirrors the Spark expression tree token-for-token
     // (same parenthesization, avgdl as the exact integer pair n·dl/Σdl),
     // so e4 rounding sees the identical IEEE double on both engines

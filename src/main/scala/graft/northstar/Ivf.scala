@@ -282,4 +282,66 @@ object Ivf {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  // ---- distributed Lloyd refinement, exact quantized-integer space ----
+  //
+  // The driver-sample fit above is the right TRAINING cost model, but
+  // refining those centroids against the FULL corpus is a distributed
+  // job: assignment is a narrow pass, the mean update one shuffle. Done
+  // in a quantized integer domain so the whole iteration is
+  // cross-engine/partition-order deterministic: components round to a
+  // 1e-4 grid (exact: float32 widens to double losslessly), squared
+  // distances and per-dim sums are 64-bit integer arithmetic (|q| ≤
+  // 1e4·|x|, dist² ≤ dim·4e8 — no overflow for unit-scale embeddings),
+  // argmin ties break to the lowest cell, and updated centroids round
+  // back to the grid before the next pass. No float ever crosses an
+  // aggregation boundary, so a DuckDB replay of the same arithmetic
+  // produces bit-identical assignments.
+
+  /** Quantize a float vector column to the 1e-`scale` integer grid. */
+  def quantizeVec(vec: Column, scale: Int = 10000): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Integer squared distance to each centroid; cell = first argmin
+    * (0-based, ties to the lowest cell id).
+    */
+  def assignQ(qv: Column, centroidsQ: Seq[Seq[Long]]): Column = {
+    val dists = array(centroidsQ.map { c =>
+      aggregate(zip_with(qv, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
+  /** One distributed Lloyd iteration: assign every corpus vector to its
+    * nearest centroid, then recompute each centroid as the per-dim mean
+    * of its members, rounded back to the quantized grid. Cells that
+    * lose every member keep their previous centroid. The k·dim update
+    * table (≤ a few thousand rows for any real quantizer) is the only
+    * driver-side materialization — the sanctioned bounded collect, same
+    * contract as [[fitCentroids]].
+    *
+    * Plan shape: narrow quantize+assign pass → posexplode (dim rows per
+    * vector) → one (cell, pos) aggregate. At 100 TB the explode is the
+    * data-sized intermediate; partial aggregation collapses it to
+    * k·dim·shufflePartitions rows before the exchange.
+    */
+  def lloydStepQ(emb: DataFrame, centroidsQ: Seq[Seq[Long]],
+                 vecCol: String = "embedding",
+                 scale: Int = 10000): Seq[Seq[Long]] = {
+    val qv = quantizeVec(col(vecCol), scale)
+    val sums = emb
+      .select(assignQ(qv, centroidsQ).as("cell"), qv.as("qv"))
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val updated = sums.groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        x => round(x.getField("s").cast("double") / x.getField("n"))
+          .cast("long")).as("qc"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    centroidsQ.indices.map(j => updated.getOrElse(j.toLong, centroidsQ(j)))
+  }
 }

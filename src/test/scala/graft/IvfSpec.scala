@@ -92,4 +92,34 @@ class IvfSpec extends SparkSpecBase {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall > 0.5, s"recall@10 was $recall (nProbe=4 of 8 cells)")
   }
+
+  test("assignQ: exact integer argmin; ties break to the lowest cell") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)),   // dist² 0 to c0, 8e8 to c1 → cell 0
+      (2L, Seq(2.0f, 2.0f)),   // dist² 8e8 to c0, 0 to c1 → cell 1
+      (3L, Seq(1.0f, 1.0f)),   // equidistant (2e8 each) → tie → cell 0
+    ).toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Long]] = Seq(Seq(0L, 0L), Seq(20000L, 20000L))
+    val out = df.select(col("vec_id"),
+        Ivf.assignQ(Ivf.quantizeVec(col("embedding")), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("lloydStepQ: hand-computed mean update; emptied cells keep their centroid") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.2f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(1.0f, 1.2f)),
+    ).toDF("vec_id", "embedding")
+    // init at the two natural groups → means (0, 0.1) and (1, 1.1)
+    val c1 = Ivf.lloydStepQ(df,
+      Seq(Seq(0L, 0L), Seq(10000L, 10000L)))
+    assert(c1 == Seq(Seq(0L, 1000L), Seq(10000L, 11000L)))
+    // a far-away centroid attracts nothing and survives unchanged
+    val c2 = Ivf.lloydStepQ(df,
+      Seq(Seq(0L, 0L), Seq(900000L, 900000L)))
+    assert(c2(1) == Seq(900000L, 900000L))
+    assert(c2(0) == Seq(5000L, 6000L)) // all four points: mean (.5, .6)
+  }
 }
