@@ -425,26 +425,52 @@ object ScaleProbe {
     // SemDeDup under SKEW (VERDICT r9 task 6): a boilerplate-region
     // mega-cell — 30% of the corpus biased toward one direction, cell
     // assignment frozen to centroids fit on the UNBIASED corpus so the
-    // whole biased mass lands in ONE cell. Uniform 5x growth above never
-    // exercises the subcell split; this does: with the cap at 600 the
-    // ~3k-vector mega-cell re-splits into centroid-centered angular
-    // subcells, and the pair join must drop well below the no-split
-    // quadratic (the no-split run IS the quadratic baseline — one
-    // (cell,subcell) key holding the full mega-cell's pair square).
-    val skew = emb.withColumn("embedding",
-      when(col("vec_id") % 3 === 0,
-          transform(col("embedding"), x => x + lit(0.5f)))
-        .otherwise(col("embedding")))
+    // biased mass lands in ONE cell. The split's governed quantity is
+    // CANDIDATE volume (Σ n·(n−1)/2 over (cell, subcell) groups), and it
+    // behaves differently in two regimes the r11 testdata regen exposed
+    // (measured 2026-08-13 at 10k rows, 3 split bits):
+    // (a) angularly-WIDE mega-cell (moderate +0.25 blanket shift): the
+    //     centroid-centered hyperplane bits have geometric room — 2.1x
+    //     whole-corpus candidate cut, 1.5x end-to-end;
+    // (b) angularly-TIGHT blob (+0.5 blanket shift — shift norm 4x the
+    //     data norm, every member near one direction): the bits lose
+    //     traction (1.6x cut, toward the Ivf.subcellOf degenerate case
+    //     of zero) — and no candidate scheme can beat this shape: ~90%
+    //     of the blob's pairs are TRUE above-threshold near-dups
+    //     (313k surviving of 347k possible at the 2.5k probe), so the
+    //     quadratic lives in the answer itself. Exact dedup upstream,
+    //     not ANN scoping, is the scale relief for that shape.
     val cents = Ivf.fitCentroids(emb, nCells = 8)
-    val sdq = timed("semanticDedup 10k skew nosplit") {
-      Similarity.semanticDedup(skew, cents, thresholdE4 = 3000,
+    def skewed(shift: Float) = emb.withColumn("embedding",
+      when(col("vec_id") % 3 === 0,
+          transform(col("embedding"), x => x + lit(shift)))
+        .otherwise(col("embedding")))
+    def candidateVolume(df: org.apache.spark.sql.DataFrame,
+                        maxCell: Int): Long = {
+      val splits = Ivf.splitBitsByCell(df, cents, "embedding", maxCell)
+      df.select(Ivf.cellOf(col("embedding"), cents).as("cell"),
+          col("embedding").as("v"))
+        .withColumn("subcell",
+          Ivf.subcellOf(col("v"), col("cell"), cents, splits))
+        .groupBy("cell", "subcell").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+        .collect()(0).getLong(0)
+    }
+    for (shift <- Seq(0.25f, 0.5f)) {
+      val sk = skewed(shift)
+      val cq = candidateVolume(sk, 100000)
+      val cs = candidateVolume(sk, 600)
+      println(f"[scale] semanticDedup skew $shift%.2f split600 candidates ${cs}%d vs nosplit ${cq}%d (${cq.toDouble / cs}%.1fx cut)")
+    }
+    val sdq = timed("semanticDedup 10k wide-skew nosplit") {
+      Similarity.semanticDedup(skewed(0.25f), cents, thresholdE4 = 3000,
         maxCell = 100000).count()
     }
-    val sds = timed("semanticDedup 10k skew split600") {
-      Similarity.semanticDedup(skew, cents, thresholdE4 = 3000,
+    val sds = timed("semanticDedup 10k wide-skew split600") {
+      Similarity.semanticDedup(skewed(0.25f), cents, thresholdE4 = 3000,
         maxCell = 600).count()
     }
-    println(f"[scale] semanticDedup mega-cell split  ${sdq / sds}%.1fx speedup vs no-split quadratic")
+    println(f"[scale] semanticDedup mega-cell split  ${sdq / sds}%.1fx speedup vs no-split quadratic (wide regime)")
     timed("cosineNearDupPairs 10k") {
       Similarity.cosineNearDupPairs(emb, threshold = 0.35).count()
     }
@@ -457,6 +483,19 @@ object ScaleProbe {
     timed("ivf fitCentroids 10k corpus (x5)") {
       Ivf.fitCentroids(emb, nCells = 8).length.toLong
     }
+    // distributed Lloyd refinement: one narrow assign pass + one
+    // (cell, pos) aggregate per iteration — wall time should track the
+    // corpus ~linearly, with fixed job overhead dominating the small end
+    val initQ = emb1.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(Ivf.quantizeVec(col("embedding")).as("q"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val lr1 = timed("lloydStepQ 2k corpus (1x)") {
+      Ivf.lloydStepQ(emb1, initQ).length.toLong
+    }
+    val lr5 = timed("lloydStepQ 10k corpus (5x)") {
+      Ivf.lloydStepQ(emb, initQ).length.toLong
+    }
+    println(f"[scale] lloydStepQ 5x-data ratio       ${lr5 / lr1}%.1fx (linear-ish expected)")
     spark.stop()
   }
 }

@@ -414,6 +414,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("filter(split(lower("), p.take(1200))
   }
 
+  test("kmeans refine: final assignment is one narrow pass — no exchange, no join") {
+    val p = planOf("ns_kmeans_refine")
+    // the Lloyd iterations run eagerly (bounded k·dim collects); the
+    // exposed frame is pure per-row arithmetic against centroid
+    // literals — a regression that turns serving into a shuffle or a
+    // join would show here
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(800))
+  }
+
   test("curation funnel: single-pass — corpus scans bounded by the stat subtrees, not the stage count") {
     val p = planOf("ns_curation_funnel")
     // the r7 form aggregated 5 independent stage frames and re-derived
