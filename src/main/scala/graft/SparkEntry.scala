@@ -1275,6 +1275,25 @@ object SparkEntry {
         .select(col("doc_id"), col("dl").cast("long").as("dl"),
           col("bm25_e4"), col("rank"))
     }),
+    // BM25 served from the pinned stats artifact (Artifacts.bm25StatsFor
+    // — df/avgdl trained once per corpus fingerprint): scoring is then a
+    // completely narrow pass (in-row tf counts against driver-side idf
+    // constants, NO shuffle — plan-guarded), the nightly-ingest shape.
+    // Bit-identical to the in-query ns_bm25 fit, so the oracle is the
+    // same SQL.
+    "ns_bm25_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val terms = Seq("hash", "join", "scan")
+      val (dfMap, n, dlSum) = graft.northstar.Artifacts.bm25StatsFor(
+        docs, cacheKey = corpusKey(dir, "documents"), queryTerms = terms)
+      val scored = TextAnalysis.scoreWithBm25(docs, dfMap, n, dlSum)
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(20)
+      scored.withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25_e4").desc, col("doc_id"))))
+        .select(col("doc_id"), col("dl").cast("long").as("dl"),
+          col("bm25_e4"), col("rank"))
+    }),
     // corpus-trained unigram-LM scoring (the CCNet perplexity-filter
     // signal): bottom-20 most-improbable documents, rank-exposed like
     // ns_tfidf (e4-rounded score orders, doc_id breaks ties, values never
@@ -1653,6 +1672,47 @@ object SparkEntry {
         col("format")) ++ featCols: _*)
     }),
   )
+
+  /** Shared by `ns_bm25` (in-query fit) and `ns_bm25_serve` (pinned
+    * stats artifact): the serve path is bit-identical to the fit by
+    * construction, so both replay against the same SQL. Arithmetic
+    * mirrors the Spark expression tree token-for-token (same
+    * parenthesization, avgdl as the exact integer pair n·dl/Σdl), so e4
+    * rounding sees the identical IEEE double on both engines.
+    */
+  private val bm25OracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |                x -> len(x) >= 3) AS toks
+      |  FROM documents),
+      |docs AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM docs),
+      |hits AS (
+      |  SELECT doc_id, dl,
+      |    unnest(list_filter(toks,
+      |      x -> list_contains(['hash','join','scan'], x))) AS term
+      |  FROM docs),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+      |       FROM hits GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT doc_id, dl,
+      |    CAST(round(
+      |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 +
+      |        0.75 * (dl * n_docs / CAST(dl_sum AS DOUBLE)))) * 10000)
+      |      AS BIGINT) AS c_e4
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT doc_id, dl, CAST(sum(c_e4) AS BIGINT) AS bm25_e4
+      |  FROM contrib GROUP BY 1, 2),
+      |top AS (SELECT * FROM scored
+      |        ORDER BY bm25_e4 DESC, doc_id LIMIT 20)
+      |SELECT doc_id, dl, bm25_e4,
+      |  row_number() OVER (ORDER BY bm25_e4 DESC, doc_id) AS rank
+      |FROM top""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3527,42 +3587,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id
         |                       ORDER BY dist2, cell) AS rn
         |  FROM df) WHERE rn = 1""".stripMargin,
-    // BM25: arithmetic mirrors the Spark expression tree token-for-token
-    // (same parenthesization, avgdl as the exact integer pair n·dl/Σdl),
-    // so e4 rounding sees the identical IEEE double on both engines
-    "ns_bm25" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\W+'),
-        |                x -> len(x) >= 3) AS toks
-        |  FROM documents),
-        |docs AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM docs),
-        |hits AS (
-        |  SELECT doc_id, dl,
-        |    unnest(list_filter(toks,
-        |      x -> list_contains(['hash','join','scan'], x))) AS term
-        |  FROM docs),
-        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
-        |       FROM hits GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |contrib AS (
-        |  SELECT doc_id, dl,
-        |    CAST(round(
-        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
-        |      (tf * (1.2 + 1.0)) /
-        |      (tf + 1.2 * (1.0 - 0.75 +
-        |        0.75 * (dl * n_docs / CAST(dl_sum AS DOUBLE)))) * 10000)
-        |      AS BIGINT) AS c_e4
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
-        |scored AS (
-        |  SELECT doc_id, dl, CAST(sum(c_e4) AS BIGINT) AS bm25_e4
-        |  FROM contrib GROUP BY 1, 2),
-        |top AS (SELECT * FROM scored
-        |        ORDER BY bm25_e4 DESC, doc_id LIMIT 20)
-        |SELECT doc_id, dl, bm25_e4,
-        |  row_number() OVER (ORDER BY bm25_e4 DESC, doc_id) AS rank
-        |FROM top""".stripMargin,
+    "ns_bm25" -> bm25OracleSql,
+    "ns_bm25_serve" -> bm25OracleSql,
     "ns_quantize_embed" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

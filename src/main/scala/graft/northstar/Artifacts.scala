@@ -270,6 +270,66 @@ object Artifacts {
     loadBigramHead(docs.sparkSession, path, topK)
   }
 
+  // --------------------------------------------------------- BM25 stats
+
+  /** Persist frozen BM25 corpus stats ([[TextAnalysis.bm25Stats]]):
+    * one (term, df) row per query term with the corpus scalars
+    * `__n_docs`/`__dl_sum` and `__min_term_len` pinned on every row —
+    * all three are part of the model (idf and the length normalizer
+    * come from them), so serving with any of them wrong silently
+    * mis-ranks.
+    */
+  def saveBm25Stats(spark: SparkSession, dfMap: Map[String, Long],
+                    nDocs: Long, dlSum: Long, path: String,
+                    minTermLen: Int): Unit = {
+    import spark.implicits._
+    require(nDocs > 0 && dlSum > 0,
+      s"refusing to pin BM25 stats of an empty corpus (n=$nDocs)")
+    dfMap.toSeq.map { case (t, d) => (t, d, nDocs, dlSum, minTermLen) }
+      .toDF("term", "df", "__n_docs", "__dl_sum", "__min_term_len")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load BM25 stats for serving. Throws on an empty artifact, a
+    * minTermLen mismatch, or a query-term set that differs from what
+    * the stats were trained for (df of an untrained term is simply
+    * absent — the silent outcome would be a scoreless term).
+    */
+  def loadBm25Stats(spark: SparkSession, path: String,
+                    queryTerms: Seq[String],
+                    minTermLen: Int): (Map[String, Long], Long, Long) = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty BM25 stats artifact at $path")
+    rows.foreach { r =>
+      val stored = r.getAs[Int]("__min_term_len")
+      require(stored == minTermLen,
+        s"BM25 stats at $path were trained with minTermLen=$stored, " +
+          s"serving requested $minTermLen")
+    }
+    val dfMap = rows.map(r =>
+      r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    require(dfMap.keySet == queryTerms.toSet,
+      s"BM25 stats at $path cover terms ${dfMap.keySet.toSeq.sorted}, " +
+        s"serving requested ${queryTerms.sorted}")
+    (dfMap, rows.head.getAs[Long]("__n_docs"),
+      rows.head.getAs[Long]("__dl_sum"))
+  }
+
+  /** Train-once / serve-by-load BM25 stats (the [[lmHeadFor]]
+    * contract).
+    */
+  def bm25StatsFor(docs: DataFrame, cacheKey: String,
+                   queryTerms: Seq[String],
+                   minTermLen: Int = 3): (Map[String, Long], Long, Long) = {
+    val termKey = queryTerms.sorted.mkString("~")
+    val path = pathFor("bm25", s"$cacheKey-l$minTermLen-q$termKey")
+    ensureTrained(path) { tmp =>
+      val (dfMap, n, s) = TextAnalysis.bm25Stats(docs, queryTerms, minTermLen)
+      saveBm25Stats(docs.sparkSession, dfMap, n, s, tmp, minTermLen)
+    }
+    loadBm25Stats(docs.sparkSession, path, queryTerms, minTermLen)
+  }
+
   // ---------------------------------------------------------------- IVF
 
   /** Persist an [[Ivf.fitCentroids]] coarse quantizer: one row per

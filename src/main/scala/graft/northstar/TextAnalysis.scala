@@ -244,6 +244,69 @@ object TextAnalysis {
       .agg(sum(col("c_e4")).as("bm25_e4"))
   }
 
+  /** The trainable half of [[bm25]]: per-query-term document frequency
+    * plus the corpus stats (doc count, total qualifying-token count)
+    * that fix idf and the length normalizer. df counts DOCUMENTS
+    * containing the term — `array_distinct` before the explode, so the
+    * exploded stream is bounded by |Q| rows per doc, never tf.
+    * Bounded result (|Q| + 2 scalars): the natural pinned artifact
+    * ([[Artifacts.bm25StatsFor]]).
+    */
+  def bm25Stats(df: DataFrame, queryTerms: Seq[String],
+                minTermLen: Int = 3,
+                textCol: String = "text"): (Map[String, Long], Long, Long) = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(lower(col(textCol)), "\\W+"),
+      t => length(t) >= minTermLen)
+    val docs = df.select(size(toks).as("dl"), toks.as("__toks"))
+    val st = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).first()
+    val dfMap = docs.select(explode(array_distinct(
+        filter(col("__toks"),
+          t => t.isin(queryTerms.map(x => lit(x)): _*)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (queryTerms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap,
+      st.getLong(0), st.getLong(1))
+  }
+
+  /** Serve BM25 from frozen stats — the nightly-ingest twin of [[bm25]]
+    * (score an incoming batch against the CORPUS's df/avgdl, exactly how
+    * a trained relevance filter is applied). Completely narrow: per-term
+    * tf is an in-row array count, idf a driver-side constant (same
+    * java.lang.Math.log the in-query Spark plan folds), so there is NO
+    * shuffle at all — streams pass through unchanged (stream-static
+    * parity in StreamingSpec). Output matches [[bm25]] row-for-row on
+    * the training corpus itself: docs with zero query hits produce no
+    * row, scores are the same per-term-e4-rounded integer sums.
+    */
+  def scoreWithBm25(df: DataFrame, dfMap: Map[String, Long],
+                    nDocs: Long, dlSum: Long,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    minTermLen: Int = 3): DataFrame = {
+    require(dfMap.nonEmpty, "bm25 stats carry no query terms")
+    require(nDocs > 0 && dlSum > 0,
+      s"bm25 stats need a non-empty corpus, got n=$nDocs dlSum=$dlSum")
+    val toks = filter(split(lower(col(textCol)), "\\W+"),
+      t => length(t) >= minTermLen)
+    val norm = col("dl") * lit(nDocs) / lit(dlSum.toDouble)
+    val contribs = dfMap.toSeq.sortBy(_._1).map { case (term, dfq) =>
+      val idf = math.log((nDocs.toDouble - dfq + 0.5) / (dfq + 0.5) + 1.0)
+      val tf = size(filter(col("__toks"), x => x === lit(term)))
+      (round(lit(idf) * (tf * (lit(k1) + lit(1.0))) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * norm)) * 10000)
+        .cast("long"),
+        tf)
+    }
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"), col("__toks"))
+      .select(col(idCol), col("dl"),
+        contribs.map(_._1).reduce(_ + _).as("bm25_e4"),
+        contribs.map(_._2).reduce(_ + _).as("__hits"))
+      .filter(col("__hits") > 0)
+      .select(col(idCol), col("dl"), col("bm25_e4"))
+  }
+
   /** Token-window chunking: split each document into consecutive
     * `chunkSize`-token windows — the context-length packing precursor
     * (long documents must be chunked before sequence packing; see

@@ -84,6 +84,32 @@ class ArtifactsSpec extends SparkSpecBase {
     }.getMessage.contains("topK=40"))
   }
 
+  test("BM25 stats round-trip parquet; serving equals the in-query fit; mismatches fail loudly") {
+    val terms = Seq("the", "and")
+    val (dfm, n, s) = TextAnalysis.bm25Stats(docs, terms, minTermLen = 1)
+    val path = s"${tempDir("bmart")}/stats"
+    Artifacts.saveBm25Stats(spark, dfm, n, s, path, minTermLen = 1)
+    val (ld, ln, ls) = Artifacts.loadBm25Stats(spark, path, terms, minTermLen = 1)
+    assert(ld == dfm && ln == n && ls == s)
+    // serving from the loaded stats == serving the in-memory fit,
+    // and == the one-plan bm25 on the same corpus
+    val a = TextAnalysis.scoreWithBm25(docs, dfm, n, s, minTermLen = 1)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.scoreWithBm25(docs, ld, ln, ls, minTermLen = 1)
+      .collect().map(_.toSeq).toSet
+    val c = TextAnalysis.bm25(docs, terms, minTermLen = 1)
+      .select("doc_id", "dl", "bm25_e4")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    assert(a == c)
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadBm25Stats(spark, path, terms, minTermLen = 3)
+    }.getMessage.contains("minTermLen=1"))
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadBm25Stats(spark, path, Seq("the", "of"), minTermLen = 1)
+    }.getMessage.contains("cover terms"))
+  }
+
   test("lmHeadFor / bigramHeadFor serve by loading the stored heads") {
     val key = s"artifacts-spec-lm-${System.nanoTime()}"
     val first = Artifacts.lmHeadFor(docs, key, topK = 10)

@@ -414,6 +414,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("filter(split(lower("), p.take(1200))
   }
 
+  test("bm25 serve: scoring from pinned stats is narrow — no hash exchange, no join") {
+    val p = planOf("ns_bm25_serve")
+    // idf/df/avgdl are driver-side constants from the artifact; per-term
+    // tf is an in-row array count. The only exchange allowed is the
+    // single-partition move of the 20 TakeOrdered survivors under the
+    // rank window.
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1000))
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("kmeans refine: final assignment is one narrow pass — no exchange, no join") {
     val p = planOf("ns_kmeans_refine")
     // the Lloyd iterations run eagerly (bounded k·dim collects); the

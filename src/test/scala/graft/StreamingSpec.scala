@@ -262,6 +262,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.forall { case (_, _, lp) => lp < 0 && !lp.isNaN })
   }
 
+  test("scoreWithBm25: the frozen-stats scorer runs unchanged on a stream and matches batch") {
+    import graft.northstar.TextAnalysis
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$src/docs.parquet")
+    val batchDocs = spark.read.parquet(s"$src/docs.parquet")
+    // train the df/avgdl stats offline, then serve the SAME scorer on a
+    // stream — in-row tf against driver-side idf constants: stateless,
+    // narrow, zero shuffle
+    val (dfm, n, s) = TextAnalysis.bm25Stats(batchDocs, Seq("hash", "join"))
+    val q = TextAnalysis.scoreWithBm25(
+        IncrementalStream.readTableStream(spark, src, "docs", batchDocs.schema),
+        dfm, n, s)
+      .writeStream.format("memory").queryName("bm25_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("bm25_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.scoreWithBm25(batchDocs, dfm, n, s).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("gopher rules + normalization run unchanged on a stream and match batch") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.functions.{col, md5}
