@@ -1048,6 +1048,21 @@ object SparkEntry {
         .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
       inc.join(ex, Seq("fp"), "left_anti").select("doc_id")
     }),
+    // corpus-version diff (dataset versioning between snapshots): a
+    // derived "next snapshot" — 1/7 of ids removed, 1/5 content-edited,
+    // 1/11 re-keyed as additions — classified added/removed/changed/kept
+    // by the canonical normText md5. One full outer join on id over
+    // (id, digest) pairs; documents never cross the shuffle.
+    "ns_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val next = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.corpusDiff(docs, next)
+    }),
     // range join without the nested loop Spark would plan for a raw
     // BETWEEN join: events matched to their containing session interval
     // via bin-bucketed equi-join (RangeJoin.binned) + exact filter
@@ -3087,6 +3102,26 @@ object SparkEntry {
         |WHERE a.doc_id % 3 <> 0
         |  AND NOT EXISTS (
         |    SELECT 1 FROM fp b WHERE b.doc_id % 3 = 0 AND b.fp = a.fp)""".stripMargin,
+    "ns_corpus_diff" ->
+      """WITH neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |o AS (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old
+        |      FROM documents),
+        |n AS (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_new
+        |      FROM neu)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp_old IS NULL THEN 'added'
+        |       WHEN n.fp_new IS NULL THEN 'removed'
+        |       WHEN o.fp_old = n.fp_new THEN 'kept'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     // session derivation as in the x_session_windows oracle (lag/gap in
     // epoch-µs), then a plain BETWEEN containment join
     "ns_range_join" ->

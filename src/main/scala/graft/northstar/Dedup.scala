@@ -39,6 +39,34 @@ object Dedup {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Corpus-version diff — the dataset-versioning report an incremental
+    * pipeline runs between snapshots: every id classified as `added`
+    * (new only), `removed` (old only), `changed` (both, content
+    * fingerprint differs), or `kept` (both, fingerprint equal). Content
+    * identity is the md5 of [[normText]] — the same canonical form the
+    * exact-dedup layer keys on, so a whitespace-only edit reads `kept`.
+    *
+    * One shuffle: both sides reduce to (id, fingerprint) in-row, then a
+    * single full outer join on id. At 100 TB both inputs prune to two
+    * columns at the scan and the join carries 16-byte digests, not
+    * documents; the per-status rollup is a free second aggregate over
+    * the join output.
+    */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame) = df.select(col(idCol),
+      md5(normText(col(textCol)).cast("binary")).as("fp"))
+    val o = fp(oldCorpus).withColumnRenamed("fp", "fp_old")
+    val n = fp(newCorpus).withColumnRenamed("fp", "fp_new")
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("kept"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Word n-gram shingles of the normalized text (distinct). Kernel

@@ -22,6 +22,21 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Set((1L, 2L), (2L, 1L), (4L, 1L))) // 1 & 3 collapse
   }
 
+  test("corpusDiff: added/removed/changed/kept classified; whitespace-only edits read kept") {
+    val old = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"),
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "  ALPHA   beta "), // normText-equal → kept
+      (2L, "gamma delta prime"), // content edit → changed
+      (4L, "zeta"), // new id → added; id 3 absent → removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "kept", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("minhash LSH: near-dups found, unrelated not; pairs deduped across bands") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
