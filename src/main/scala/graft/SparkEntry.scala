@@ -1048,6 +1048,23 @@ object SparkEntry {
         .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
       inc.join(ex, Seq("fp"), "left_anti").select("doc_id")
     }),
+    // dataset-card report: per (source, lang) doc/token/char totals,
+    // exact-distinct content fingerprints (dup-rate numerator), and the
+    // e4-integer quality mass — one narrow scoring pass + ONE keyed
+    // aggregate (countDistinct plans as the standard two-phase expand).
+    // All cells integers: sums of per-doc e4 scores, never float means.
+    "ns_corpus_report" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"))
+      q.select(col("source"), col("lang"), col("q_tokens"), col("q_chars"),
+          round(col("q_score") * 10000).cast("long").as("q_e4"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q_tokens")).as("n_tokens"),
+          sum(col("q_chars")).as("n_chars"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("q_e4")).as("q_e4_sum"))
+    }),
     // corpus-version diff (dataset versioning between snapshots): a
     // derived "next snapshot" — 1/7 of ids removed, 1/5 content-edited,
     // 1/11 re-keyed as additions — classified added/removed/changed/kept
@@ -3102,6 +3119,41 @@ object SparkEntry {
         |WHERE a.doc_id % 3 <> 0
         |  AND NOT EXISTS (
         |    SELECT 1 FROM fp b WHERE b.doc_id % 3 = 0 AND b.fp = a.fp)""".stripMargin,
+    // the ns_quality fragment grouped: per-doc q_score e4-rounded BEFORE
+    // the sum, so the group mass is an exact integer on both engines
+    "ns_corpus_report" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, lang, text,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS nt,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','be','this'))) AS DOUBLE) AS ns
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang, text,
+        |    CAST(nt AS BIGINT) AS ntl, CAST(nc AS BIGINT) AS ncl,
+        |    CASE WHEN nt = 0 THEN 0.0 ELSE nc / nt END AS mean_tok,
+        |    CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END AS punct_ratio,
+        |    CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END AS stop_ratio
+        |  FROM f),
+        |q AS (
+        |  SELECT source, lang, ntl, ncl,
+        |    CAST(round(round(
+        |      ((CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 1.0 ELSE 0.0 END)
+        |     + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        |     + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3, 4)
+        |      * 10000) AS BIGINT) AS q_e4,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM g)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(ntl) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ncl) AS BIGINT) AS n_chars,
+        |  count(DISTINCT fp) AS n_unique,
+        |  CAST(sum(q_e4) AS BIGINT) AS q_e4_sum
+        |FROM q GROUP BY 1, 2""".stripMargin,
     "ns_corpus_diff" ->
       """WITH neu AS (
         |  SELECT doc_id,
