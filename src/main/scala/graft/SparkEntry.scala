@@ -1053,7 +1053,9 @@ object SparkEntry {
     // e4-integer quality mass — one narrow scoring pass + ONE keyed
     // aggregate (countDistinct plans as the standard two-phase expand).
     // All cells integers: sums of per-doc e4 scores, never float means.
-    "ns_corpus_report" -> ((s, dir) => {
+    // (ns_corpus_report is the per-language HEALTH rollup; this is the
+    // per-(source, lang) provenance card.)
+    "ns_dataset_card" -> ((s, dir) => {
       val q = TextAnalysis.qualityScore(t(s, dir, "documents"))
       q.select(col("source"), col("lang"), col("q_tokens"), col("q_chars"),
           round(col("q_score") * 10000).cast("long").as("q_e4"),
@@ -3121,7 +3123,7 @@ object SparkEntry {
         |    SELECT 1 FROM fp b WHERE b.doc_id % 3 = 0 AND b.fp = a.fp)""".stripMargin,
     // the ns_quality fragment grouped: per-doc q_score e4-rounded BEFORE
     // the sum, so the group mass is an exact integer on both engines
-    "ns_corpus_report" ->
+    "ns_dataset_card" ->
       """WITH f AS (
         |  SELECT doc_id, source, lang, text,
         |    CAST(length(text) AS DOUBLE) AS nc,

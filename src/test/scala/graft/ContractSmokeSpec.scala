@@ -39,4 +39,24 @@ class ContractSmokeSpec extends SparkSpecBase {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no shadowed query keys in source; every oracle key names a query") {
+    // a Map literal silently keeps the LAST duplicate key — a name
+    // collision drops the original query from the contract with no
+    // runtime signal (caught live in r11: a second ns_corpus_report
+    // shadowed the per-language health rollup). Scan the source for
+    // duplicate `"name" -> ((s, dir)` entries.
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/SparkEntry.scala")(scala.io.Codec.UTF8).mkString
+    val names = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dups.isEmpty, s"duplicate query keys shadow earlier ones: $dups")
+    assert(names.size == SparkEntry.queries.size,
+      s"${names.size} query literals in source but " +
+        s"${SparkEntry.queries.size} map entries — a key is shadowed")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracleSql keys with no matching query (rename drift): $orphans")
+  }
 }
