@@ -55,15 +55,20 @@ object Dedup {
   def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    def fp(df: DataFrame) = df.select(col(idCol),
-      md5(normText(col(textCol)).cast("binary")).as("fp"))
-    val o = fp(oldCorpus).withColumnRenamed("fp", "fp_old")
-    val n = fp(newCorpus).withColumnRenamed("fp", "fp_new")
-    o.join(n, Seq(idCol), "full_outer")
+    // presence is carried by an explicit flag, NOT fingerprint nullness:
+    // a null text fingerprints to null, and reading that as absence
+    // would misclassify a present-but-null doc as added/removed. The
+    // fingerprint compare is null-safe, so null text == null text reads
+    // kept.
+    def side(df: DataFrame, tag: String) = df.select(col(idCol),
+      md5(normText(col(textCol)).cast("binary")).as(s"fp_$tag"),
+      lit(true).as(s"in_$tag"))
+    side(oldCorpus, "old").join(side(newCorpus, "new"),
+        Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("fp_old").isNull, lit("added"))
-          .when(col("fp_new").isNull, lit("removed"))
-          .when(col("fp_old") === col("fp_new"), lit("kept"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("fp_old") <=> col("fp_new"), lit("kept"))
           .otherwise(lit("changed")).as("status"))
   }
 

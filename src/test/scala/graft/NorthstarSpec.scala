@@ -35,6 +35,15 @@ class DedupSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "kept", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
+    // null text is content, not absence: present on both sides with
+    // null text → kept; null → text → changed
+    val o2 = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, null: String), (2L, "now real"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.corpusDiff(o2, n2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> "kept", 2L -> "changed"))
   }
 
   test("minhash LSH: near-dups found, unrelated not; pairs deduped across bands") {
