@@ -142,4 +142,29 @@ class KernelEdgeSpec extends SparkSpecBase {
       org.apache.spark.util.sketch.BloomFilter.create(100, 0.01))
     assert(a != BloomGramHits(Literal("x"), other, 3))
   }
+
+  test("bm25: blank/short/null-free edges — no hits no row, sub-minLen terms invisible") {
+    import graft.northstar.TextAnalysis
+    val docs = Seq(
+      (1L, ""),              // blank: dl=0... no hits → no row
+      (2L, "a b c"),         // all tokens below minTermLen=3 → no row
+      (3L, "cat cat"),       // hits
+      (4L, "   cat   "),     // whitespace-heavy, still tokenizes
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("cat")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet == Set(3L, 4L))
+    assert(out(3L) == 2 && out(4L) == 1) // dl counts qualifying terms only
+    // serve path agrees on the same edges
+    val (dfm, n, s) = TextAnalysis.bm25Stats(docs, Seq("cat"))
+    assert(dfm == Map("cat" -> 2L) && n == 4L && s == 3L)
+    val served = TextAnalysis.scoreWithBm25(docs, dfm, n, s).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(served.keySet == Set(3L, 4L))
+    // a query term absent from the corpus: df=0 pins idf at the max —
+    // finite, and docs still produce no row (no hits)
+    val (dfm2, n2, s2) = TextAnalysis.bm25Stats(docs, Seq("zzz"))
+    assert(dfm2 == Map("zzz" -> 0L))
+    assert(TextAnalysis.scoreWithBm25(docs, dfm2, n2, s2).count() == 0)
+  }
 }
