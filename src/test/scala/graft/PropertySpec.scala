@@ -240,4 +240,47 @@ class SparkPropertySpec extends SparkSpecBase {
     assert(got.count() == 60)
     assert(rows(got) == rows(all))
   }
+
+  test("bm25 score is strictly monotone in query-term frequency on random docs") {
+    import graft.northstar.TextAnalysis
+    val words = Seq("cat", "dog", "fish", "bird", "lion")
+    (1 to 3).foreach { _ =>
+      val docs = (1L to 20L).map { i =>
+        val n = 1 + rng.nextInt(12)
+        (i, Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" "))
+      }
+      // append one extra query-term occurrence under FROZEN corpus
+      // stats. In real arithmetic the score strictly rises: the +1 on
+      // (tf, dl) changes the contribution by a factor whose sign is
+      // A + B·(dl − tf) with A = k1(1−b) > 0 and dl ≥ tf — a theorem,
+      // not a tendency. e4 rounding can collapse a sub-1e-4 rise for
+      // high-df terms, so the pinned property is non-decrease plus
+      // presence.
+      val df = docs.toDF("doc_id", "text")
+      val (dfm, n, s) = TextAnalysis.bm25Stats(df, Seq("cat"))
+      val plus = docs.map { case (i, t) => (i, t + " cat") }.toDF("doc_id", "text")
+      val base = TextAnalysis.scoreWithBm25(df, dfm, n, s).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val more = TextAnalysis.scoreWithBm25(plus, dfm, n, s).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      docs.foreach { case (i, _) =>
+        assert(more(i) >= base.getOrElse(i, 0L) && more(i) > 0,
+          s"doc $i: +1 tf lowered the score (${base.get(i)} -> ${more(i)})")
+      }
+    }
+  }
+
+  test("corpusDiff identities: self-diff is all kept; vs empty is all added/removed") {
+    import graft.northstar.Dedup
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(1 + rng.nextInt(6))(s"w${rng.nextInt(9)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val self = Dedup.corpusDiff(docs, docs).collect().map(_.getString(1))
+    assert(self.length == 30 && self.forall(_ == "kept"))
+    assert(Dedup.corpusDiff(empty, docs).collect()
+      .map(_.getString(1)).forall(_ == "added"))
+    assert(Dedup.corpusDiff(docs, empty).collect()
+      .map(_.getString(1)).forall(_ == "removed"))
+  }
 }
