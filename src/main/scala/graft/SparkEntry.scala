@@ -1082,6 +1082,20 @@ object SparkEntry {
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
       Dedup.corpusDiff(docs, next)
     }),
+    // the ingest-side diff: the same derived next snapshot classified
+    // against the static old corpus by a stream-static-safe LEFT join
+    // (no removed class — unobservable from the incoming side).
+    // Stream==batch pinned in StreamingSpec.
+    "ns_corpus_diff_incoming" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val next = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.corpusDiffIncoming(next, docs)
+    }),
     // range join without the nested loop Spark would plan for a raw
     // BETWEEN join: events matched to their containing session interval
     // via bin-bucketed equi-join (RangeJoin.binned) + exact filter
@@ -3156,6 +3170,25 @@ object SparkEntry {
         |  count(DISTINCT fp) AS n_unique,
         |  CAST(sum(q_e4) AS BIGINT) AS q_e4_sum
         |FROM q GROUP BY 1, 2""".stripMargin,
+    "ns_corpus_diff_incoming" ->
+      """WITH neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |o AS (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old
+        |      FROM documents),
+        |n AS (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_new
+        |      FROM neu)
+        |SELECT n.doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN o.fp_old = n.fp_new THEN 'kept'
+        |       ELSE 'changed' END AS status
+        |FROM n LEFT JOIN o ON o.doc_id = n.doc_id""".stripMargin,
     "ns_corpus_diff" ->
       """WITH neu AS (
         |  SELECT doc_id,

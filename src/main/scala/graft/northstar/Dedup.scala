@@ -72,6 +72,31 @@ object Dedup {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** The ingest-side half of [[corpusDiff]]: classify an INCOMING batch
+    * (or stream) against the static previous snapshot — `added` (id
+    * unseen), `changed` (id present, content digest differs), `kept`
+    * (digest equal). `removed` is unobservable from the incoming side
+    * by construction (it needs the full outer view; run [[corpusDiff]]
+    * batch-side for that). A stream-static LEFT join on id, so it runs
+    * unchanged under Structured Streaming in append mode with no state
+    * store (StreamingSpec parity) — the continuous flavor of snapshot
+    * versioning.
+    */
+  def corpusDiffIncoming(incoming: DataFrame, oldCorpus: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val fpIn = incoming.select(col(idCol),
+      md5(normText(col(textCol)).cast("binary")).as("fp_new"))
+    val fpOld = oldCorpus.select(col(idCol),
+      md5(normText(col(textCol)).cast("binary")).as("fp_old"),
+      lit(true).as("in_old"))
+    fpIn.join(fpOld, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("in_old").isNull, lit("added"))
+          .when(col("fp_old") <=> col("fp_new"), lit("kept"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Word n-gram shingles of the normalized text (distinct). Kernel

@@ -262,6 +262,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.forall { case (_, _, lp) => lp < 0 && !lp.isNaN })
   }
 
+  test("corpusDiffIncoming: streamed batch vs static snapshot matches batch diff") {
+    import graft.northstar.Dedup
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val src = tmp(); val ckpt = tmp()
+    val old = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // incoming: some edited, some re-keyed (added), rest kept
+    old.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" edit")))
+          .otherwise(col("text")).as("text"))
+      .union(old.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      .write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    val q = Dedup.corpusDiffIncoming(
+        IncrementalStream.readTableStream(spark, src, "in", schema), old)
+      .writeStream.format("memory").queryName("diff_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("diff_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Dedup.corpusDiffIncoming(
+        spark.read.parquet(s"$src/in.parquet"), old).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(Set("added", "changed", "kept").subsetOf(batch.map(_._2)))
+  }
+
   test("scoreWithBm25: the frozen-stats scorer runs unchanged on a stream and matches batch") {
     import graft.northstar.TextAnalysis
     val src = tmp(); val ckpt = tmp()
