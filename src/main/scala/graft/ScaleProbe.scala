@@ -446,16 +446,13 @@ object ScaleProbe {
           transform(col("embedding"), x => x + lit(shift)))
         .otherwise(col("embedding")))
     def candidateVolume(df: org.apache.spark.sql.DataFrame,
-                        maxCell: Int): Long = {
-      val splits = Ivf.splitBitsByCell(df, cents, "embedding", maxCell)
-      df.select(Ivf.cellOf(col("embedding"), cents).as("cell"),
-          col("embedding").as("v"))
-        .withColumn("subcell",
-          Ivf.subcellOf(col("v"), col("cell"), cents, splits))
+                        maxCell: Int): Long =
+      // the EXACT keying semanticDedupPairs joins on — shared code, so
+      // the census can't drift from the operator it characterizes
+      Similarity.cellSubcellKeys(df, cents, maxCell)
         .groupBy("cell", "subcell").count()
         .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
         .collect()(0).getLong(0)
-    }
     for (shift <- Seq(0.25f, 0.5f)) {
       val sk = skewed(shift)
       val cq = candidateVolume(sk, 100000)

@@ -1074,13 +1074,7 @@ object SparkEntry {
     // (id, digest) pairs; documents never cross the shuffle.
     "ns_corpus_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val next = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .union(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      Dedup.corpusDiff(docs, next)
+      Dedup.corpusDiff(docs, nextSnapshot(docs))
     }),
     // the ingest-side diff: the same derived next snapshot classified
     // against the static old corpus by a stream-static-safe LEFT join
@@ -1088,13 +1082,7 @@ object SparkEntry {
     // Stream==batch pinned in StreamingSpec.
     "ns_corpus_diff_incoming" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val next = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .union(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      Dedup.corpusDiffIncoming(next, docs)
+      Dedup.corpusDiffIncoming(nextSnapshot(docs), docs)
     }),
     // range join without the nested loop Spark would plan for a raw
     // BETWEEN join: events matched to their containing session interval
@@ -1313,16 +1301,8 @@ object SparkEntry {
     // rounding before the sum — the ns_tfidf discipline), top-20
     // rank-exposed with doc_id tie-break. orderBy+limit plans as
     // TakeOrdered; the rank window runs over 20 rows.
-    "ns_bm25" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = TextAnalysis.bm25(t(s, dir, "documents"),
-          Seq("hash", "join", "scan"))
-        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(20)
-      scored.withColumn("rank",
-          row_number().over(Window.orderBy(col("bm25_e4").desc, col("doc_id"))))
-        .select(col("doc_id"), col("dl").cast("long").as("dl"),
-          col("bm25_e4"), col("rank"))
-    }),
+    "ns_bm25" -> ((s, dir) =>
+      bm25Top20(TextAnalysis.bm25(t(s, dir, "documents"), bm25Terms))),
     // BM25 served from the pinned stats artifact (Artifacts.bm25StatsFor
     // — df/avgdl trained once per corpus fingerprint): scoring is then a
     // completely narrow pass (in-row tf counts against driver-side idf
@@ -1330,17 +1310,10 @@ object SparkEntry {
     // Bit-identical to the in-query ns_bm25 fit, so the oracle is the
     // same SQL.
     "ns_bm25_serve" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val terms = Seq("hash", "join", "scan")
       val (dfMap, n, dlSum) = graft.northstar.Artifacts.bm25StatsFor(
-        docs, cacheKey = corpusKey(dir, "documents"), queryTerms = terms)
-      val scored = TextAnalysis.scoreWithBm25(docs, dfMap, n, dlSum)
-        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(20)
-      scored.withColumn("rank",
-          row_number().over(Window.orderBy(col("bm25_e4").desc, col("doc_id"))))
-        .select(col("doc_id"), col("dl").cast("long").as("dl"),
-          col("bm25_e4"), col("rank"))
+        docs, cacheKey = corpusKey(dir, "documents"), queryTerms = bm25Terms)
+      bm25Top20(TextAnalysis.scoreWithBm25(docs, dfMap, n, dlSum))
     }),
     // corpus-trained unigram-LM scoring (the CCNet perplexity-filter
     // signal): bottom-20 most-improbable documents, rank-exposed like
@@ -1720,6 +1693,50 @@ object SparkEntry {
         col("format")) ++ featCols: _*)
     }),
   )
+
+  /** The probe query and the top-20 rank-exact exposure shared by
+    * `ns_bm25` and `ns_bm25_serve`. ONE definition: the pair's premise
+    * is that serve is provably the fit (same oracle SQL), so the
+    * limit/tie-break scaffold must not be able to drift one-sided.
+    */
+  private val bm25Terms: Seq[String] = Seq("hash", "join", "scan")
+
+  private def bm25Top20(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("bm25_e4").desc, col("doc_id")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25_e4").desc, col("doc_id"))))
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        col("bm25_e4"), col("rank"))
+  }
+
+  /** The derived "next snapshot" both corpus-diff queries classify:
+    * 1/7 of ids removed, 1/5 content-edited, 1/11 re-keyed as
+    * additions. ONE definition on each engine — the whole premise of
+    * `ns_corpus_diff` vs `ns_corpus_diff_incoming` is that they see
+    * the SAME snapshot, so the derivation must not be able to drift
+    * between them.
+    */
+  private def nextSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+
+  /** The DuckDB CTE of [[nextSnapshot]] (open-ended: callers append
+    * further CTEs and the final SELECT).
+    */
+  private val nextSnapshotCte: String =
+    """WITH neu AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |""".stripMargin
 
   /** Shared by `ns_bm25` (in-query fit) and `ns_bm25_serve` (pinned
     * stats artifact): the serve path is bit-identical to the fit by
@@ -3171,14 +3188,8 @@ object SparkEntry {
         |  CAST(sum(q_e4) AS BIGINT) AS q_e4_sum
         |FROM q GROUP BY 1, 2""".stripMargin,
     "ns_corpus_diff_incoming" ->
-      """WITH neu AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 200000 AS doc_id, text
-        |  FROM documents WHERE doc_id % 11 = 0),
-        |o AS (SELECT doc_id,
+      (nextSnapshotCte +
+      """o AS (SELECT doc_id,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old
         |      FROM documents),
         |n AS (SELECT doc_id,
@@ -3186,29 +3197,28 @@ object SparkEntry {
         |      FROM neu)
         |SELECT n.doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
-        |       WHEN o.fp_old = n.fp_new THEN 'kept'
+        |       WHEN o.fp_old IS NOT DISTINCT FROM n.fp_new THEN 'kept'
         |       ELSE 'changed' END AS status
-        |FROM n LEFT JOIN o ON o.doc_id = n.doc_id""".stripMargin,
+        |FROM n LEFT JOIN o ON o.doc_id = n.doc_id""".stripMargin),
+    // presence from JOIN-SIDE id nullness and a null-safe digest
+    // compare — mirroring Dedup.corpusDiff's explicit presence flags,
+    // so a null-text doc reads kept/changed/removed identically on
+    // both engines (the misclassification corpusDiff's scaladoc warns
+    // about must not survive in the pin)
     "ns_corpus_diff" ->
-      """WITH neu AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 200000 AS doc_id, text
-        |  FROM documents WHERE doc_id % 11 = 0),
-        |o AS (SELECT doc_id,
+      (nextSnapshotCte +
+      """o AS (SELECT doc_id,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old
         |      FROM documents),
         |n AS (SELECT doc_id,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_new
         |      FROM neu)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-        |  CASE WHEN o.fp_old IS NULL THEN 'added'
-        |       WHEN n.fp_new IS NULL THEN 'removed'
-        |       WHEN o.fp_old = n.fp_new THEN 'kept'
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp_old IS NOT DISTINCT FROM n.fp_new THEN 'kept'
         |       ELSE 'changed' END AS status
-        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin),
     // session derivation as in the x_session_windows oracle (lag/gap in
     // epoch-µs), then a plain BETWEEN containment join
     "ns_range_join" ->

@@ -24,6 +24,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Columns under the epoch-nanos contract, per table. Other timestamp
+    * columns (o_orderdate, l_shipdate) keep their native TimestampType —
+    * queries use them with date functions directly.
+    */
+  private val nanosContract: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"))
+
   /** S1 full scan: one table from a layer directory.
     *
     * Timestamp columns surface as epoch-NANOS int64, whatever the parquet
@@ -42,13 +49,6 @@ object Tables {
     * `event_id`), so nothing loses pushdown — if one ever does, filter on
     * the timestamp column before calling normalize.
     */
-  /** Columns under the epoch-nanos contract, per table. Other timestamp
-    * columns (o_orderdate, l_shipdate) keep their native TimestampType —
-    * queries use them with date functions directly.
-    */
-  private val nanosContract: Map[String, Seq[String]] = Map(
-    "events" -> Seq("ts"))
-
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"),

@@ -274,16 +274,30 @@ object Similarity {
     * pair list can be persisted once ([[Artifacts.semanticPairsFor]])
     * and served to every collapse variant.
     */
+  /** The (cell, subcell) scoping key every SemDeDup pair join groups
+    * by: coarse cell from the quantizer, oversized cells re-split by
+    * centroid-centered hyperplane bits. Public so diagnostics
+    * (ScaleProbe's candidate-volume census) measure the EXACT keying
+    * the pair generator uses — a probe with its own copy would keep
+    * measuring a stale grouping if the split policy ever changed.
+    * Output: (id, v, cell, subcell).
+    */
+  def cellSubcellKeys(emb: DataFrame, centroids: Array[Array[Float]],
+                      maxCell: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val splits = Ivf.splitBitsByCell(emb, centroids, vecCol, maxCell)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Ivf.cellOf(col(vecCol), centroids).as("cell"))
+      .withColumn("subcell",
+        Ivf.subcellOf(col("v"), col("cell"), centroids, splits))
+  }
+
   def semanticDedupPairs(emb: DataFrame,
                                  centroids: Array[Array[Float]],
                                  thresholdE4: Long, idCol: String,
                                  vecCol: String,
                                  maxCell: Int): DataFrame = {
-    val splits = Ivf.splitBitsByCell(emb, centroids, vecCol, maxCell)
-    val c = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        Ivf.cellOf(col(vecCol), centroids).as("cell"))
-      .withColumn("subcell",
-        Ivf.subcellOf(col("v"), col("cell"), centroids, splits))
+    val c = cellSubcellKeys(emb, centroids, maxCell, idCol, vecCol)
     val a = c.select(col("cell"), col("subcell"),
       col("id").as("doc_a"), col("v").as("va"))
     val b = c.select(col("cell"), col("subcell"),
