@@ -49,6 +49,16 @@ object Artifacts {
     * crash-safe: pruning deletes only store-pattern children, and a
     * reader racing a prune of a week-stale artifact fails loudly on the
     * next load (then retrains) rather than serving partial data.
+    *
+    * Caveat for PERPETUAL readers: the mtime touch happens at
+    * `ensureTrained` time, so a single streaming query scanning a
+    * stored artifact continuously for longer than the TTL — without
+    * ever re-resolving it through the `*For` entrypoints — can have the
+    * files pruned underneath it by another JVM and fail with
+    * FileNotFound (no in-query retrain). Streams that outlive the TTL
+    * should raise `graft.artifacts.ttlMs`, point
+    * `graft.artifacts.root` at a private store, or re-resolve the
+    * artifact per restart cycle.
     */
   private lazy val defaultRoot: java.io.File = {
     val root = sys.props.get("graft.artifacts.root").map(new java.io.File(_))
@@ -394,6 +404,39 @@ object Artifacts {
     * these cells" inside pair-list artifacts: float bits, not rendered
     * decimals, so two fits that differ anywhere produce different keys.
     */
+  /** Pinned-parameter sidecar: a `_params` file inside the artifact
+    * directory (underscore prefix — invisible to parquet readers, like
+    * `_SUCCESS`). Row-borne `__pin` columns validate only when data
+    * rows exist, so an EMPTY artifact (a zero-row pair list saved at a
+    * threshold nothing crossed) would silently serve under ANY
+    * requested parameters — the false-clean the mismatch discipline
+    * exists to close. The sidecar validates unconditionally; artifacts
+    * written before it existed fall back to the row-borne check.
+    */
+  private def writeParams(path: String,
+                          params: Map[String, String]): Unit = {
+    val out = params.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+    java.nio.file.Files.write(
+      new java.io.File(path, "_params").toPath, out.getBytes("UTF-8"))
+  }
+
+  private def checkParams(path: String, expected: Map[String, String],
+                          what: String): Unit = {
+    val f = new java.io.File(path, "_params")
+    if (f.isFile) {
+      val stored = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      def fmt(m: Map[String, String]) = m.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("/")
+      require(stored == expected,
+        s"$what artifact at $path was generated with ${fmt(stored)}, " +
+          s"serving requested ${fmt(expected)}")
+    }
+  }
+
   private def centroidDigest(centroids: Array[Array[Float]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val bb = java.nio.ByteBuffer.allocate(4)
@@ -415,10 +458,13 @@ object Artifacts {
     * stored list is the same train-once split as every artifact here.
     */
   def saveSemanticPairs(pairs: DataFrame, path: String, thresholdE4: Long,
-                        centroidKey: String): Unit =
+                        centroidKey: String): Unit = {
     pairs.withColumn("__threshold_e4", lit(thresholdE4))
       .withColumn("__centroids", lit(centroidKey))
       .write.mode("overwrite").parquet(path)
+    writeParams(path, Map("thresholdE4" -> thresholdE4.toString,
+      "centroids" -> centroidKey))
+  }
 
   /** Load a stored pair list; throws when it was generated under a
     * different threshold or quantizer (either mismatch silently changes
@@ -427,6 +473,8 @@ object Artifacts {
     */
   def loadSemanticPairs(spark: SparkSession, path: String,
                         thresholdE4: Long, centroidKey: String): DataFrame = {
+    checkParams(path, Map("thresholdE4" -> thresholdE4.toString,
+      "centroids" -> centroidKey), "semantic pair")
     val df = spark.read.parquet(path)
     df.select("__threshold_e4", "__centroids").head(1).foreach { r =>
       val (st, sc) = (r.getAs[Long]("__threshold_e4"),
@@ -475,16 +523,21 @@ object Artifacts {
     * frame.
     */
   def saveSemanticLabels(labels: DataFrame, path: String, thresholdE4: Long,
-                         centroidKey: String): Unit =
+                         centroidKey: String): Unit = {
     labels.withColumn("__threshold_e4", lit(thresholdE4))
       .withColumn("__centroids", lit(centroidKey))
       .write.mode("overwrite").parquet(path)
+    writeParams(path, Map("thresholdE4" -> thresholdE4.toString,
+      "centroids" -> centroidKey))
+  }
 
   /** Load stored cluster labels; throws on threshold/quantizer mismatch
     * (either silently changes cluster membership).
     */
   def loadSemanticLabels(spark: SparkSession, path: String, idCol: String,
                          thresholdE4: Long, centroidKey: String): DataFrame = {
+    checkParams(path, Map("thresholdE4" -> thresholdE4.toString,
+      "centroids" -> centroidKey), "semantic label")
     val df = spark.read.parquet(path)
     df.select("__threshold_e4", "__centroids").head(1).foreach { r =>
       val (st, sc) = (r.getAs[Long]("__threshold_e4"),
@@ -537,13 +590,16 @@ object Artifacts {
     * back on the wrong id column would silently label the wrong rows.
     */
   def saveCollapseLabels(labels: DataFrame, path: String,
-                         idCol: String): Unit =
+                         idCol: String): Unit = {
     labels.withColumn("__id_col", lit(idCol))
       .write.mode("overwrite").parquet(path)
+    writeParams(path, Map("idCol" -> idCol))
+  }
 
   /** Load stored collapse labels; throws on an id-column mismatch. */
   def loadCollapseLabels(spark: SparkSession, path: String,
                          idCol: String): DataFrame = {
+    checkParams(path, Map("idCol" -> idCol), "collapse label")
     val df = spark.read.parquet(path)
     df.select("__id_col").head(1).foreach { r =>
       val stored = r.getAs[String]("__id_col")

@@ -135,14 +135,32 @@ object Dedup {
   private def materializeOnce(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persisted.add(p)
+    // self-bounding: past MaxTracked the oldest tracked frame is
+    // unpersisted and dropped. Safe — persist is lazy and recomputable,
+    // so an old frame still referenced simply recomputes — and it keeps
+    // the queue from accumulating DataFrame (plan/session) references
+    // forever in applications that free blocks via
+    // spark.catalog.clearCache() and never call releasePersisted (the
+    // clearCache path frees the BLOCKS but cannot drain this queue).
+    while (persisted.size() > MaxTracked) {
+      val old = persisted.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
     p
   }
+
+  /** Cap on tracked persists; above it the oldest is released. 32
+    * comfortably covers the deepest op chain (a pipeline composing
+    * every dedup family still registers < 20 frames per job).
+    */
+  private val MaxTracked = 32
 
   /** Frames [[materializeOnce]] has persisted and nobody released yet
     * (ADVICE r10 #4): persist is lazy and recomputable, but its blocks
     * — including disk-spilled ones — live until someone unpersists, and
     * a long-lived application calling dedup ops per job would otherwise
-    * accumulate them until `spark.catalog.clearCache()`.
+    * accumulate them until `spark.catalog.clearCache()`. Bounded at
+    * [[MaxTracked]] so the tracking itself can't leak.
     */
   private val persisted =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

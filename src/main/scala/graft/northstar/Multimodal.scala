@@ -361,7 +361,9 @@ object Multimodal {
       * malformed/truncated input.
       */
     private def readId(p: Array[Byte], off: Int): Option[(Long, Int)] = {
-      if (off >= p.length) return None
+      // off < 0 guards offsets computed from an overflowed size vint
+      // (e.g. a crafted header size of 2^31) — bail, never index
+      if (off < 0 || off >= p.length) return None
       val b0 = p(off) & 0xFF
       if (b0 == 0) return None
       val n = Integer.numberOfLeadingZeros(b0) - 23
@@ -376,7 +378,7 @@ object Multimodal {
       * unknown size (returned as -1 — caller clamps to EOF).
       */
     private def readSize(p: Array[Byte], off: Int): Option[(Long, Int)] = {
-      if (off >= p.length) return None
+      if (off < 0 || off >= p.length) return None
       val b0 = p(off) & 0xFF
       if (b0 == 0) return None
       val n = Integer.numberOfLeadingZeros(b0) - 23
@@ -403,7 +405,12 @@ object Multimodal {
         private def advance(): Option[(Long, Int, Int)] =
           for {
             (id, idLen) <- readId(p, off) if off + idLen < end
+            // the size vint must also live inside the parent extent:
+            // without the ps <= end bound a child straddling the parent
+            // boundary would parse its extent from the next sibling's
+            // bytes
             (size, szLen) <- readSize(p, off + idLen)
+            if off + idLen + szLen <= end
           } yield {
             val ps = off + idLen + szLen
             val pe = if (size < 0 || ps + size > end) end
@@ -444,7 +451,11 @@ object Multimodal {
       if (!looksLikeMkv(p)) None
       else for {
         (EbmlMagic, hdrIdLen) <- readId(p, 0)
-        (hdrSize, hdrSzLen) <- readSize(p, hdrIdLen) if hdrSize >= 0
+        // hdrSize bounded by the payload: an 8-byte vint can encode up
+        // to 2^56, and .toInt of anything past Int.MaxValue would
+        // overflow segOff negative
+        (hdrSize, hdrSzLen) <- readSize(p, hdrIdLen)
+        if hdrSize >= 0 && hdrSize < p.length
         segOff = hdrIdLen + hdrSzLen + hdrSize.toInt
         (SegmentId, segIdLen) <- readId(p, segOff)
         (segSize, segSzLen) <- readSize(p, segOff + segIdLen)

@@ -257,6 +257,13 @@ object Similarity {
     * the stored labels supply cluster membership, and the keeper is one
     * row_number window per cluster — bit-identical to
     * [[Dedup.collapseByPairsBest]] over the same pairs.
+    *
+    * Documents ABSENT from the labels frame (labels computed over a
+    * subset, or a label artifact predating newly ingested ids) are
+    * singleton clusters labeled by their own id — kept, keeper = true —
+    * matching the live collapse ops, which keep every input row. An
+    * inner join here would silently drop unlabeled documents from the
+    * curated corpus.
     */
   def semanticDedupBestFromLabels(scored: DataFrame, labels: DataFrame,
                                   scoreCol: String,
@@ -264,7 +271,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster_id")
       .orderBy(col(scoreCol).desc, col(idCol))
-    scored.join(labels, Seq(idCol))
+    scored.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
       .withColumn("is_keeper", row_number().over(w) === 1)
   }
 

@@ -110,6 +110,27 @@ class ArtifactsSpec extends SparkSpecBase {
     }.getMessage.contains("cover terms"))
   }
 
+  test("EMPTY semantic-pair artifact still validates pinned parameters at load") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // zero pairs crossed the threshold: row-borne __pins have no rows to
+    // check, so the _params sidecar must carry the validation — without
+    // it an empty list would serve 'no duplicates' under ANY threshold
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_a", LongType),
+        StructField("doc_b", LongType))))
+    val path = s"${tempDir("semart")}/pairs"
+    Artifacts.saveSemanticPairs(empty, path, thresholdE4 = 9999L, "ckA")
+    // matching parameters: the empty frame serves fine
+    assert(Artifacts.loadSemanticPairs(spark, path, 9999L, "ckA").count() == 0)
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadSemanticPairs(spark, path, 3000L, "ckA")
+    }.getMessage.contains("9999"))
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadSemanticPairs(spark, path, 9999L, "ckB")
+    }.getMessage.contains("ckA"))
+  }
+
   test("lmHeadFor / bigramHeadFor serve by loading the stored heads") {
     val key = s"artifacts-spec-lm-${System.nanoTime()}"
     val first = Artifacts.lmHeadFor(docs, key, topK = 10)

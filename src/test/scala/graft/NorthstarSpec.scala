@@ -144,6 +144,13 @@ class DedupSpec extends SparkSpecBase {
     val ungated = Curation.semanticKeepBest(docs2, labels).collect()
       .map(r => r.getAs[Long]("doc_id")).toSet
     assert(ungated == Set(1L, 3L, 4L))
+    // docs ABSENT from the labels (subset labels, stale artifact) are
+    // singleton clusters, kept — not silently dropped from the corpus
+    val partial = Seq((1L, 1L), (2L, 1L)).toDF("vec_id", "cluster_id")
+    val kept2 = Curation.semanticKeepBest(docs2, partial).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    assert(kept2 == Set((1L, 1L), (3L, 3L), (4L, 4L), (5L, 5L)))
   }
 
   test("substringOverlapPairs: containment found at window size, disjoint and sub-window docs not") {
@@ -1534,6 +1541,15 @@ class MultimodalSpec extends SparkSpecBase {
     // corrupt interior vint must not throw either
     val corrupt = p.clone(); corrupt(p.length / 2) = 0x00
     Multimodal.MkvCodec.parse(corrupt) // no exception = pass
+    // crafted header size of 2^31: .toInt would overflow segOff
+    // negative — must bail to None, never index p(negative)
+    val overflow = Array[Byte](0x1A, 0x45.toByte, 0xDF.toByte, 0xA3.toByte,
+      0x08, 0x80.toByte, 0x00, 0x00, 0x00)
+    assert(Multimodal.MkvCodec.parse(overflow).isEmpty)
+    // size vint straddling the parent extent: iteration must stop at
+    // the boundary, not read the next sibling's bytes
+    val straddle = p.clone(); straddle(p.length - 1) = 0xFE.toByte
+    Multimodal.MkvCodec.parse(straddle) // no exception = pass
   }
 
   test("mkv payloads route through decodeAssets with the mkv format tag") {
