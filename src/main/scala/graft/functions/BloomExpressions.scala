@@ -23,7 +23,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * two-phase shape as minhashPairs' estimate screen).
   *
   * Key encoding is pinned to UTF-8 gram bytes on BOTH the build
-  * ([[BloomOps.buildGramBloom]], putBinary) and probe
+  * ([[graft.northstar.Dedup.benchmarkBloom]], putBinary) and probe
   * ([[BloomOps.gramHits]], mightContainBinary) sides — never the
   * engine-version-dependent putString path.
   */

@@ -16,6 +16,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextOps {
 
+  /** The canonical stopword list every surface shares: the Scala quality
+    * kernels (graft.northstar.TextAnalysis.defaultStopwords aliases
+    * this) AND the SQL-registered `text_stats` — registering the SQL
+    * surface with an empty set would silently pin stopHits at 0 for
+    * pure-SQL users.
+    */
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
   /** FNV-1a 64-bit over UTF-8 bytes, then splitmix-finalized with seed —
     * a cheap deterministic seeded hash family for minhash.
     */
@@ -43,13 +53,21 @@ object TextOps {
                          seed: Long): Long =
     mixSeed(fnvCore(bytes, from, until), seed)
 
-  /** Normalized word tokens: lower-case, split on whitespace runs. */
+  /** Normalized word tokens: lower-case (Locale.ROOT — a tr-locale
+    * executor JVM would otherwise lowercase "I" to dotless ı and every
+    * fingerprint/signature would depend on the machine it ran on),
+    * split on whitespace runs.
+    */
   def normTokens(s: UTF8String): Array[String] =
-    s.toString.toLowerCase.trim.split("\\s+")
+    s.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
 
-  /** Byte offsets of distinct word n-gram shingles of the normalized
-    * text, materialized as one separator-joined byte buffer + offsets so
-    * hashing never allocates per-gram strings.
+  /** k-component minhash signature over word n-gram shingles of the
+    * normalized text. Each gram is joined into one reused
+    * StringBuilder; its UTF-8 bytes are hashed ONCE through the
+    * seed-independent FNV core, then each of the k signature slots pays
+    * only a cheap splitmix finalization — k byte passes collapse to
+    * one. Duplicate grams re-hash (harmless for the min; dedup would
+    * cost a set allocation per row).
     */
   def minhash(s: UTF8String, n: Int, k: Int): ArrayData = {
     val words = normTokens(s)
@@ -169,8 +187,11 @@ object TextOps {
     * the oracles verify:
     * - nChars  = length(text) (character count, not UTF-16 units)
     * - nTokens = size(split(trim(text), "\s+")) with blank → 0: trim
-    *   strips 0x20 only, so non-space leading whitespace yields the
-    *   same leading-empty-token artifact Java split produces
+    *   strips 0x20 only, and Spark's split (limit -1) KEEPS empty
+    *   tokens, so non-space whitespace at EITHER boundary of the
+    *   space-trimmed view yields an empty-token artifact the kernel
+    *   must count to stay column-formulation-exact (leading: like Java
+    *   split; trailing: unlike Java split, which drops it)
     * - nPunct  = count of [.,;:!?]
     * - stopHits = lower-cased whitespace tokens contained in the set
     *   (String.trim bounds, like [[normTokens]])
@@ -201,9 +222,13 @@ object TextOps {
         else inRun = false
         j += 1
       }
+      // Spark split keeps the TRAILING empty token too (limit -1):
+      // "hello world\n" space-trims to itself and splits to 3
+      if (isWs(str.charAt(hi - 1))) nt += 1
     }
-    // stopword hits over lower-cased, String.trim-bounded tokens
-    val lower = str.toLowerCase
+    // stopword hits over lower-cased (Locale.ROOT, see normTokens),
+    // String.trim-bounded tokens
+    val lower = str.toLowerCase(java.util.Locale.ROOT)
     var lo2 = 0; var hi2 = lower.length
     while (lo2 < hi2 && lower.charAt(lo2) <= ' ') lo2 += 1
     while (hi2 > lo2 && lower.charAt(hi2 - 1) <= ' ') hi2 -= 1
@@ -221,9 +246,16 @@ object TextOps {
     new GenericArrayData(Array(s.numChars().toLong, nt, np, sh))
   }
 
-  /** MinHash Jaccard estimate: fraction of equal components. */
+  /** MinHash Jaccard estimate: fraction of equal components. Signatures
+    * of DIFFERENT k fail loudly: silently comparing the common prefix
+    * would return a plausible estimate with the wrong variance, and the
+    * dedup layer's threshold slack (threshold - 2/k) would be computed
+    * from a k the data doesn't have.
+    */
   def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"minhash signatures of different k: ${n} vs ${b.numElements()}")
     if (n == 0) return 0.0
     var eq = 0; var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
@@ -333,29 +365,34 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
-/** SQL registration for all graft kernel expressions, so the arbitrary-SQL
-  * surface (Q1) can call them: vec_cosine, vec_dot, lsh_buckets,
-  * minhash_sig, simhash64, minhash_est.
+/** The ONE canonical (name → builder) list both SQL surfaces install —
+  * a second hand-maintained copy in either registrar would let the
+  * per-session and session-extensions surfaces silently drift (caught
+  * drifting in r11: `text_stats` was registered with Nil stopwords, so
+  * SQL users got stopHits ≡ 0 while the Scala surface counted).
+  */
+private[functions] object kernelBuilders {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_cosine" -> (es => FloatVecCosine(es(0), es(1))),
+    "vec_dot" -> (es => FloatVecDot(es(0), es(1))),
+    "lsh_buckets" -> (es => HyperplaneBuckets(es.head, 4, 8)),
+    "minhash_sig" -> (es => MinHashSig(es.head, 3, 16)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "minhash_est" -> (es => MinHashEst(es(0), es(1))),
+    "shingles" -> (es => ShinglesExpr(es.head, 3)),
+    "text_stats" -> (es => TextStats(es.head, TextOps.DefaultStopwords)))
+}
+
+/** SQL registration for all graft kernel expressions
+  * ([[kernelBuilders]]), so the arbitrary-SQL surface (Q1) can call
+  * them.
   */
 object registry {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
-    fr.createOrReplaceTempFunction("vec_cosine",
-      es => FloatVecCosine(es(0), es(1)), "scala_udf")
-    fr.createOrReplaceTempFunction("vec_dot",
-      es => FloatVecDot(es(0), es(1)), "scala_udf")
-    fr.createOrReplaceTempFunction("lsh_buckets",
-      es => HyperplaneBuckets(es.head, 4, 8), "scala_udf")
-    fr.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es.head, 3, 16), "scala_udf")
-    fr.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "scala_udf")
-    fr.createOrReplaceTempFunction("minhash_est",
-      es => MinHashEst(es(0), es(1)), "scala_udf")
-    fr.createOrReplaceTempFunction("shingles",
-      es => ShinglesExpr(es.head, 3), "scala_udf")
-    fr.createOrReplaceTempFunction("text_stats",
-      es => TextStats(es.head, Nil), "scala_udf")
+    kernelBuilders.all.foreach { case (name, builder) =>
+      fr.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
 
@@ -363,24 +400,17 @@ object registry {
   * pure-SQL users through the standard deployment hook —
   * `spark.sql.extensions=graft.functions.GraftExtensions` — with no code
   * access needed (SQL gateways, thrift servers, notebook-only users).
-  * Same surface as [[registry.registerAll]], but bound at session build
-  * time instead of per-session mutation.
+  * Same [[kernelBuilders]] surface as [[registry.registerAll]], bound at
+  * session build time instead of per-session mutation.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+    kernelBuilders.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
-    reg("vec_cosine", es => FloatVecCosine(es(0), es(1)))
-    reg("vec_dot", es => FloatVecDot(es(0), es(1)))
-    reg("lsh_buckets", es => HyperplaneBuckets(es.head, 4, 8))
-    reg("minhash_sig", es => MinHashSig(es.head, 3, 16))
-    reg("simhash64", es => SimHash64(es.head))
-    reg("minhash_est", es => MinHashEst(es(0), es(1)))
-    reg("shingles", es => ShinglesExpr(es.head, 3))
-    reg("text_stats", es => TextStats(es.head, Nil))
+    }
   }
 }
 

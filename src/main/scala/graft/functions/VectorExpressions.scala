@@ -50,22 +50,54 @@ object VecOps {
     mix64(dim.toLong * 1000003L + plane.toLong * 10007L + table.toLong)
       .toDouble / Long.MaxValue.toDouble
 
+  /** Plane-matrix cache: components depend only on (i, plane, table) —
+    * fixed at plan time — but the splitmix chain used to be recomputed
+    * PER ROW, roughly doubling the per-row cost of the LSH bucketing
+    * hot path (dim × nPlanes × nTables mixes next to the same number of
+    * multiply-adds that are the actual work). Volatile immutable
+    * snapshot keyed by (nPlanes, nTables), rows grown to the largest
+    * dim seen; concurrent tasks race only into a redundant recompute of
+    * the same deterministic values.
+    */
+  @volatile private var planeCache: Map[(Int, Int), Array[Array[Double]]] =
+    Map.empty
+
+  private def planesFor(nPlanes: Int, nTables: Int,
+                        dim: Int): Array[Array[Double]] = {
+    if (nPlanes == 0) return Array.empty // exhaustive degenerate
+    val key = (nPlanes, nTables)
+    planeCache.get(key) match {
+      case Some(m) if m(0).length >= dim => m
+      case _ =>
+        val width = math.max(dim, 64)
+        val grown = Array.tabulate(nTables * nPlanes) { tp =>
+          val t = tp / nPlanes; val p = tp % nPlanes
+          Array.tabulate(width)(i => planeComponent(i, p, t))
+        }
+        planeCache = planeCache.updated(key, grown)
+        grown
+    }
+  }
+
   /** All nTables bucket ids for one vector: sign bits of nPlanes
     * hyperplane dot products per table, table id folded into bits 32+.
-    * One pass over the vector per (table, plane).
+    * One pass over the vector per (table, plane), against the cached
+    * plane matrix.
     */
   def hyperplaneBuckets(v: ArrayData, nPlanes: Int, nTables: Int): ArrayData = {
     val dim = v.numElements()
+    val planes = planesFor(nPlanes, nTables, dim)
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
       var bucket = 0L
       var p = 0
       while (p < nPlanes) {
+        val row = planes(t * nPlanes + p)
         var d = 0.0
         var i = 0
         while (i < dim) {
-          d += v.getFloat(i).toDouble * planeComponent(i, p, t)
+          d += v.getFloat(i).toDouble * row(i)
           i += 1
         }
         if (d > 0) bucket |= (1L << p)
@@ -111,6 +143,14 @@ case class FloatVecDot(left: Expression, right: Expression)
   */
 case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int)
     extends UnaryExpression {
+  // plane bits live below bit 32 and the table id above: a 33rd plane
+  // would silently flip apparent table ids and merge candidate sets
+  // across tables. nPlanes = 0 is the legitimate exhaustive degenerate
+  // (every vector lands in table-id-only buckets — lshTopK's
+  // brute-force mode).
+  require(nPlanes >= 0 && nPlanes <= 32,
+    s"nPlanes must be in [0, 32], got $nPlanes")
+  require(nTables >= 1, s"nTables must be positive, got $nTables")
   // input: array<float>
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =

@@ -46,9 +46,11 @@ object TextAnalysis {
     regexp_replace(noEmail, "\\+?[0-9][0-9\\-]{6,}[0-9]", "<PHONE>")
   }
 
-  val defaultStopwords: Seq[String] = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+  /** Canonical list lives with the kernels so the SQL-registered
+    * `text_stats` shares it (graft.functions.TextOps.DefaultStopwords).
+    */
+  val defaultStopwords: Seq[String] =
+    graft.functions.TextOps.DefaultStopwords
 
   /** Stopword hits among lower-cased whitespace tokens. Codegen kernel
     * (graft.functions.ProfileHits): one tokenization pass, no interpreted

@@ -725,6 +725,10 @@ class TextAnalysisSpec extends SparkSpecBase {
       "", " ", "   ", "one", "a  b", "\tleading tab", "a\nb\tc",
       "The AND of IT", "no, stop; words! here?", "über straße naïve",
       " padded  with   spaces ", "the the the",
+      // trailing non-space whitespace: Spark split (limit -1) KEEPS the
+      // trailing empty token, unlike Java split — r11 found the kernel
+      // dropping it
+      "trailing tab\t", "line\n", "a\nb\n", "\n", " \n ",
     ).toDF("text")
     val stats = graft.functions.texthash.text_stats($"text",
       TextAnalysis.defaultStopwords)
