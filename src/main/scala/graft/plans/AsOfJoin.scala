@@ -43,37 +43,61 @@ object AsOfJoin {
       s"asofJoin supports inner/left, got $joinType")
     val rightPayload = right.columns.filter(c => c != rightKey && c != rightTs).toSeq
     val leftCols = left.columns.toSeq
+    // fail at the API boundary, not as an ambiguous-column
+    // AnalysisException deep inside the window plan
+    val reserved = Seq("__k", "__ts", "__side", "__p")
+    require(!(leftCols ++ right.columns.toSeq).exists(reserved.contains),
+      s"asofJoin reserves column names ${reserved.mkString(", ")}")
+    val clash = leftCols.intersect(rightPayload.map(rightPrefix + _))
+    require(clash.isEmpty,
+      s"left columns collide with prefixed right payload: ${clash.mkString(", ")}")
 
-    // __m marks "a right row has been seen": carried through the same
-    // window, it distinguishes no-match from a legitimately-null payload
+    // NULL semantics match a real (Duck-style ASOF) join: a right row
+    // with a null key or null timestamp can never match anything —
+    // unfiltered, a null timestamp sorts FIRST (ascending nulls-first)
+    // and would match every left row as if it were "before everything",
+    // and null keys would pair with null-key left rows through
+    // partitionBy's null grouping. Left rows with null key/ts simply
+    // never see a prior right row: dropped under inner, null payload
+    // under left — exactly join semantics.
+    val rr = right.filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+
+    // the right payload travels as ONE nullable struct (__p): carrying
+    // payload columns independently (per-column last(ignoreNulls)) would
+    // stitch values from DIFFERENT right rows whenever the matched row
+    // holds a null in some column — the struct is all-or-nothing, so the
+    // emitted payload is always one real right row. The constant __seen
+    // field keeps the struct non-empty (payload-less right sides) and
+    // doubles as the match marker: carried __p is null iff no prior
+    // right row exists.
+    val pType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__seen",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__m", lit(null).cast("int"))
-      .select(Seq(col("__k"), col("__ts"), col("__side"), col("__m")) ++
-        leftCols.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"$rightPrefix$c")): _*)
-    val r = right
+      .select(Seq(col("__k"), col("__ts"), col("__side"),
+        lit(null).cast(pType).as("__p")) ++ leftCols.map(col): _*)
+    val r = rr
       .withColumn("__k", col(rightKey)).withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .withColumn("__m", lit(1))
-      .select(Seq(col("__k"), col("__ts"), col("__side"), col("__m")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"$rightPrefix$c")): _*)
+      .select(Seq(col("__k"), col("__ts"), col("__side"),
+        struct((lit(1).as("__seen") +: rightPayload.map(col)): _*)
+          .cast(pType).as("__p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(Seq(col("__side"),
-        last(col("__m"), ignoreNulls = true).over(w).as("__m")) ++
-        leftCols.map(col) ++
-        rightPayload.map(c =>
-          last(col(s"$rightPrefix$c"), ignoreNulls = true).over(w)
-            .as(s"$rightPrefix$c")): _*)
+        last(col("__p"), ignoreNulls = true).over(w).as("__p")) ++
+        leftCols.map(col): _*)
     val onlyLeft = carried.filter(col("__side") === 1)
     (if (joinType == "left") onlyLeft
-     else onlyLeft.filter(col("__m").isNotNull))
-      .drop("__side", "__m")
+     else onlyLeft.filter(col("__p").isNotNull))
+      .select(leftCols.map(col) ++
+        rightPayload.map(c =>
+          col("__p").getField(c).as(s"$rightPrefix$c")): _*)
   }
 }

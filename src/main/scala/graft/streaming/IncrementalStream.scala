@@ -62,12 +62,21 @@ object IncrementalStream {
     */
   def streamingDedup(events: DataFrame, tsNanosCol: String,
                      keyCols: Seq[String],
-                     lateness: String = "30 minutes"): DataFrame =
+                     lateness: String = "30 minutes"): DataFrame = {
+    // the synthetic event-time column is internal: a plain "event_time"
+    // name would clobber a caller's column of that name AND leak an
+    // extra column into the output schema, breaking batch/stream schema
+    // parity with the T1 twin. Reserved name + dropped after the dedup
+    // (the watermark is already attached to the plan by then).
+    require(!events.columns.contains("__graft_event_time"),
+      "streamingDedup reserves the __graft_event_time column name")
     events
-      .withColumn("event_time",
+      .withColumn("__graft_event_time",
         graft.engine.Tables.nanosToTimestamp(col(tsNanosCol)))
-      .withWatermark("event_time", lateness)
+      .withWatermark("__graft_event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+      .drop("__graft_event_time")
+  }
 
   /** Continuous corpus merge: a stream of incoming documents anti-joined
     * against a STATIC existing corpus's fingerprint set — only docs whose

@@ -31,6 +31,44 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(t0.isNullAt(t0.fieldIndex("asof_px")))
   }
 
+  test("payload is atomic: a matched right row's nulls are NOT backfilled from older rows") {
+    // r11 review: per-column ignoreNulls carry stitched price from t=10
+    // with qty from t=20 — a row that never existed. The struct carry
+    // must emit the matched row verbatim, nulls included.
+    val l = Seq((1L, 30L)).toDF("k", "ts")
+    val r = Seq((1L, 10L, Some(5.0), 2L), (1L, 20L, None, 3L))
+      .toDF("k2", "rts", "price", "qty")
+    val out = AsOfJoin.asofJoin(l, r, "k", "k2", "ts", "rts").collect()(0)
+    assert(out.isNullAt(out.fieldIndex("asof_price")))
+    assert(out.getAs[Long]("asof_qty") == 3L)
+  }
+
+  test("null right timestamps and null keys never match (join semantics)") {
+    // a null rts sorted first would otherwise match EVERY left row; null
+    // keys would pair through partitionBy's null grouping
+    val l = Seq((Some(1L), 30L, "a"), (None, 30L, "nullkey"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((Some(1L), None, 42.0), (None, Some(5L), 99.0))
+      .toDF("k2", "rts", "px")
+    assert(AsOfJoin.asofJoin(l, r, "k", "k2", "ts", "rts").count() == 0)
+    val leftJoin = AsOfJoin.asofJoin(l, r, "k", "k2", "ts", "rts",
+      joinType = "left").collect()
+    assert(leftJoin.length == 2 &&
+      leftJoin.forall(_.isNullAt(3))) // kept, payload null
+  }
+
+  test("reserved/colliding column names fail loudly at the API boundary") {
+    val l = Seq((1L, 2L, 3.0)).toDF("k", "ts", "asof_px")
+    val r = Seq((1L, 1L, 9.0)).toDF("k2", "rts", "px")
+    assert(intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l, r, "k", "k2", "ts", "rts")
+    }.getMessage.contains("collide"))
+    val l2 = Seq((1L, 2L)).toDF("__k", "ts")
+    assert(intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l2, r, "__k", "k2", "ts", "rts")
+    }.getMessage.contains("reserves"))
+  }
+
   test("matches the quadratic reference implementation on a larger frame") {
     val rng = new scala.util.Random(7)
     val left = Seq.fill(200)((rng.nextInt(5).toLong, rng.nextInt(1000).toLong))

@@ -100,6 +100,9 @@ class StreamingSpec extends SparkSpecBase {
     val schema = spark.read.parquet(s"$src/events.parquet").schema
     val stream = IncrementalStream.readTableStream(spark, src, "events", schema)
     val out = IncrementalStream.streamingDedup(stream, "ts", Seq("k"))
+    // schema parity with the batch twin: the synthetic event-time
+    // column must not leak into the output
+    assert(out.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
     val q = out.writeStream.format("memory").queryName("dedup_out")
       .option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
