@@ -64,15 +64,24 @@ object SchemaMatch {
 
   /** find_similar_column (transformations_code.py:11-21): best match above
     * cutoff, case-insensitive, returning the ORIGINAL column spelling.
-    * difflib.get_close_matches keeps the first-listed column on ratio ties.
+    * difflib.get_close_matches ranks via heapq.nlargest over
+    * (ratio, lowercased-name) tuples, so a ratio TIE breaks to the
+    * lexicographically LARGER lowercased name (empirically verified:
+    * get_close_matches("ab", ["abc","abd"]) → "abd" in either input
+    * order); the reference then returns the first ORIGINAL spelling
+    * whose lowercase equals the winner.
     */
   def findSimilarColumn(target: String, columns: Seq[String],
                         cutoff: Double = 0.7): Option[String] = {
     val t = target.toLowerCase
-    val scored = columns.map(c => c -> ratio(t, c.toLowerCase))
+    val scored = columns.map(c => c.toLowerCase -> ratio(t, c.toLowerCase))
       .filter(_._2 >= cutoff)
     if (scored.isEmpty) None
-    else Some(scored.maxBy(_._2)._1) // maxBy keeps first on ties, like difflib
+    else {
+      val winner = scored.maxBy { case (lc, s) => (s, lc) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))._1
+      columns.find(_.toLowerCase == winner)
+    }
   }
 
   /** is_date_column (transformations_code.py:23-35): name contains "date" or

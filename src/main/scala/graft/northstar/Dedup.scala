@@ -149,6 +149,15 @@ object Dedup {
     p
   }
 
+  /** Materialize-once persist for sibling northstar modules (Ivf's
+    * corpus cell assignment, Similarity's cell/subcell keying): same
+    * tracked, self-bounding, lazily-recomputable contract as the
+    * in-module [[materializeOnce]] call sites; released by
+    * [[releasePersisted]]/clearCache like every other tracked frame.
+    */
+  private[northstar] def trackedPersist(df: DataFrame): DataFrame =
+    materializeOnce(df)
+
   /** Cap on tracked persists; above it the oldest is released. 32
     * comfortably covers the deepest op chain (a pipeline composing
     * every dedup family still registers < 20 frames per job).

@@ -133,20 +133,30 @@ object Ivf {
         while (x < dim) { sums(a)(x) += points(i)(x); x += 1 }
         i += 1
       }
+      // reseed tracking: when SEVERAL clusters empty in the same
+      // iteration, each must take a DIFFERENT farthest point — the
+      // unguarded scan returned the identical point for all of them,
+      // permanently merging their cells (duplicate centroids tie every
+      // row to the higher index)
+      val reseeded = new java.util.HashSet[Int]()
       var j = 0
       while (j < centers.length) {
         if (counts(j) > 0)
           centers(j) = Array.tabulate(dim)(x => (sums(j)(x) / counts(j)).toFloat)
         else {
-          // reseed an empty cluster to the point farthest from its center
-          var far = 0; var fd = -1.0
+          var far = -1; var fd = -1.0
           var p = 0
           while (p < points.length) {
-            val d = sqDist(points(p), centers(assign(p)))
-            if (d > fd) { fd = d; far = p }
+            if (!reseeded.contains(p)) {
+              val d = sqDist(points(p), centers(assign(p)))
+              if (d > fd) { fd = d; far = p }
+            }
             p += 1
           }
-          centers(j) = points(far).clone()
+          if (far >= 0) {
+            reseeded.add(far)
+            centers(j) = points(far).clone()
+          }
         }
         j += 1
       }
@@ -203,8 +213,17 @@ object Ivf {
   def splitBitsByCell(corpus: DataFrame, centroids: Array[Array[Float]],
                       vecCol: String = "embedding",
                       maxCell: Int = 100000): Map[Int, Int] =
-    corpus.select(cellOf(col(vecCol), centroids).as("cell"))
-      .groupBy("cell").count().collect()
+    splitBitsFromCensus(
+      corpus.select(cellOf(col(vecCol), centroids).as("cell"))
+        .groupBy("cell").count(), maxCell)
+
+  /** The split policy over an ALREADY-assigned (cell, count) census —
+    * callers that persist the cell assignment (ivfTopK,
+    * Similarity.cellSubcellKeys) derive the census from the cached
+    * frame instead of paying the nCells-cosine assignment pass twice.
+    */
+  def splitBitsFromCensus(census: DataFrame, maxCell: Int): Map[Int, Int] =
+    census.collect()
       .filter(_.getLong(1) > maxCell)
       .map { r =>
         val bits = math.ceil(
@@ -264,18 +283,28 @@ object Ivf {
               centroids: Array[Array[Float]], k: Int = 10, nProbe: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxCell: Int = 100000): DataFrame = {
-    val splits = splitBitsByCell(corpus, centroids, vecCol, maxCell)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        cellOf(col(vecCol), centroids).as("cell"))
-      .withColumn("subcell", subcellOf(col("cv"), col("cell"), centroids, splits))
+    // the nCells-cosines-per-row corpus assignment is the dominant
+    // narrow pass — persist it once and derive BOTH the split census
+    // and the join side from the cached frame (unpersisted, the full
+    // pass ran twice: once inside splitBitsByCell's action, again for
+    // the join build)
+    val assigned = Dedup.trackedPersist(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        cellOf(col(vecCol), centroids).as("cell")))
+    val splits = splitBitsFromCensus(
+      assigned.groupBy("cell").count(), maxCell)
+    val c = assigned.withColumn("subcell",
+      subcellOf(col("cv"), col("cell"), centroids, splits))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
       .withColumn("subcell", subcellOf(col("qv"), col("cell"), centroids, splits))
+    // (query, neighbor) pairs are unique by construction — probeCells
+    // yields DISTINCT cells and each corpus row has exactly one
+    // (cell, subcell) — so no dedup exchange is needed before ranking
     val scored = q.join(c, Seq("cell", "subcell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         vectors.vec_cosine(col("qv"), col("cv")).as("sim"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

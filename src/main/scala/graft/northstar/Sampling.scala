@@ -77,7 +77,13 @@ object Sampling {
         Some(acc.fold(when(u < hi, name))(_.when(u < hi, name)))
       }
       .fold(lit(weights.last._1): Column)(_.otherwise(weights.last._1))
-    df.withColumn(outCol, assigned)
+    // an id that hashes to null (null id, or a non-numeric string id
+    // under a lossy cast) must NOT silently land in the last split —
+    // every when() is null there, and the otherwise() fallback would
+    // route 100% of such rows into one split with no signal. A null
+    // split is visible downstream instead.
+    df.withColumn(outCol,
+      when(u.isNull, lit(null).cast("string")).otherwise(assigned))
   }
 
   /** Bernoulli sample at per-stratum rates: keep a row iff
@@ -130,7 +136,15 @@ object Sampling {
                        alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1] required, got $alpha")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    // null strata are EXCLUDED from the distribution: groupBy would
+    // give them their own (typically tiny) group, and a 10-row
+    // null-lang group setting cmin would poison every real stratum's
+    // rate by orders of magnitude. Null-stratum rows also get no rate
+    // row, so temperatureSample's inner join drops them — sample over
+    // the labeled distribution only (route unlabeled rows through
+    // stratifiedSample's defaultRate if they should be kept).
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(count(lit(1)).as("__c"))
     // cmin as a whole-frame window over the counts, NOT a second
     // aggregate branch: an agg + crossJoin would expand the `df`
     // subtree twice, doubling the upstream corpus scans everywhere the
@@ -177,7 +191,12 @@ object Sampling {
                              num: Long, den: Long): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"need 0 < $num/$den <= 1")
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(valueCol).agg(count(lit(1)).as("__c"))
+    // the quantile is over NON-NULL values: nulls sort first in the
+    // cumulative window, so an unfiltered null histogram row would
+    // absorb the low quantiles (a 20%-null column makes the 1/10 floor
+    // drop nothing) while never being an emittable cut itself
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(valueCol).agg(count(lit(1)).as("__c"))
     val wCum = Window.orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
@@ -208,6 +227,11 @@ object Sampling {
                   budgetTokens: Long, sourceCol: String = "source",
                   textCol: String = "text"): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    // the e6-scaled rate arithmetic needs target_tokens * 1e6 < 2^63;
+    // enforcing the documented bound here turns a silently-wrapped
+    // (or ANSI-thrown) negative rate into a clear error at the API
+    require(budgetTokens <= 9000000000000L,
+      s"budgetTokens > 9e12 overflows the e6 rate arithmetic, got $budgetTokens")
     require(shares.nonEmpty && shares.values.forall(_ >= 0)
       && shares.values.sum > 0, s"need non-negative shares with a sum > 0")
     val spark = df.sparkSession
@@ -253,7 +277,12 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.groupBy(valueCol).agg(count(lit(1)).as("__c"))
+    // non-null values only (see quantileThresholdFrame): an unfiltered
+    // null row claims low k's whose __cut collect_list then SKIPS
+    // (null element), silently shortening the cuts array and shifting
+    // every downstream band by one
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(valueCol).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
       .withColumn("__hi",
@@ -291,10 +320,15 @@ object Sampling {
                    idCol: String = "doc_id"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     import org.apache.spark.sql.expressions.Window
-    val h = (col(idCol).cast("long") + lit(seed)) % MixMod * Knuth %
-      MixMod * Mix2 % MixMod
+    // pmod, not %: Spark % keeps the dividend's sign, so a negative
+    // seed (or negative id) would emit negative __h and bucket ids
+    // outside the promised [0, nBuckets) — a partitionBy("bucket")
+    // writer would land rows in shards no reader enumerates. Identical
+    // to % for the non-negative inputs every existing oracle uses.
+    val h = pmod(pmod(pmod(col(idCol).cast("long") + lit(seed),
+      lit(MixMod)) * Knuth, lit(MixMod)) * Mix2, lit(MixMod))
     val withKey = df.withColumn("__h", h)
-      .withColumn("bucket", (col("__h") % nBuckets).cast("long"))
+      .withColumn("bucket", pmod(col("__h"), lit(nBuckets)).cast("long"))
     val w = Window.partitionBy("bucket").orderBy(col("__h"), col(idCol))
     withKey.withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")

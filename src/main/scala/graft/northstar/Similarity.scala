@@ -294,11 +294,17 @@ object Similarity {
   def cellSubcellKeys(emb: DataFrame, centroids: Array[Array[Float]],
                       maxCell: Int, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val splits = Ivf.splitBitsByCell(emb, centroids, vecCol, maxCell)
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        Ivf.cellOf(col(vecCol), centroids).as("cell"))
-      .withColumn("subcell",
-        Ivf.subcellOf(col("v"), col("cell"), centroids, splits))
+    // assign cells ONCE into a tracked persist: the split census and
+    // the keyed frame both need the nCells-cosine assignment — the
+    // dominant narrow pass, previously paid twice (census action +
+    // keyed build)
+    val assigned = Dedup.trackedPersist(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Ivf.cellOf(col(vecCol), centroids).as("cell")))
+    val splits = Ivf.splitBitsFromCensus(
+      assigned.groupBy("cell").count(), maxCell)
+    assigned.withColumn("subcell",
+      Ivf.subcellOf(col("v"), col("cell"), centroids, splits))
   }
 
   def semanticDedupPairs(emb: DataFrame,

@@ -35,9 +35,17 @@ class SchemaMatchSpec extends AnyFunSuite {
     assert(SchemaMatch.findSimilarColumn(
       "first name", Seq("fname", "First_Name", "id"), 0.6) == Some("First_Name"))
     assert(SchemaMatch.findSimilarColumn("first name", Seq("id", "total"), 0.6).isEmpty)
-    // difflib keeps the first-listed candidate on exact ties
+    // difflib breaks ratio ties to the lexicographically LARGER
+    // lowercased candidate (heapq.nlargest over (ratio, name) tuples) —
+    // verified against CPython: get_close_matches("ab", ["abc","abd"])
+    // returns "abd" in either input order
     assert(SchemaMatch.findSimilarColumn(
-      "ab", Seq("axb", " axb".trim.reverse.reverse), 0.1) == Some("axb"))
+      "ab", Seq("abc", "abd"), 0.6) == Some("abd"))
+    assert(SchemaMatch.findSimilarColumn(
+      "ab", Seq("abd", "abc"), 0.6) == Some("abd"))
+    // winner maps back to the first ORIGINAL spelling
+    assert(SchemaMatch.findSimilarColumn(
+      "ab", Seq("ABD", "abd"), 0.6) == Some("ABD"))
   }
 
   test("isDateColumn: contains 'date' or fuzzy-matches synonyms") {
