@@ -48,6 +48,10 @@ object Aggregations {
   def aggregate(df: DataFrame, spec: AggSpec): Option[DataFrame] = {
     val have = df.columns.toSet
     if (!(spec.groupBy ++ spec.aggCols).forall(have)) return None
+    // a malformed spec with no agg columns or no functions is SKIPPED
+    // like a missing column (A3), not a NoSuchElementException on
+    // exprs.head that would abort the whole Pipeline.run
+    if (spec.aggCols.isEmpty || spec.funcs.isEmpty) return None
     val exprs = spec.aggCols.flatMap(c =>
       spec.funcs.map(f => fn(f)(col(c)).as(s"${c}_$f")))
     val cleaned = df.na.drop(spec.groupBy)
@@ -72,7 +76,12 @@ object Aggregations {
     * cnt) ordered by bucket — the frame the UI renders.
     */
   def histogram(df: DataFrame, column: String, bins: Int = 20): DataFrame = {
-    val row = df.agg(min(col(column)).cast("double").as("mn"),
+    // NaN is dropped like the reference's dropna(): Spark's max() would
+    // return NaN (NaN sorts above every double) and poison width + every
+    // bucket expression, collapsing the whole histogram
+    val clean = df.filter(col(column).isNotNull &&
+      !isnan(col(column).cast("double")))
+    val row = clean.agg(min(col(column)).cast("double").as("mn"),
                      max(col(column)).cast("double").as("mx")).collect()(0)
     if (row.isNullAt(0))  // all-null or empty input
       return df.sparkSession.emptyDataFrame
@@ -85,7 +94,7 @@ object Aggregations {
       if (mx == mn) lit(0)
       else least(floor((col(column).cast("double") - lit(mn)) * bins /
                        lit(mx - mn)), lit(bins - 1L)).cast("int")
-    df.filter(col(column).isNotNull)
+    clean
       .select(bucket.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .select(col("bucket"),

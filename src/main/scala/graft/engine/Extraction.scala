@@ -40,8 +40,16 @@ object Extraction {
     */
   def fullRefresh(source: DataFrame, target: Store,
                   table: String): ExtractResult = {
-    target.write(source, table, mode = "overwrite")
-    ExtractResult(table, "Full Refresh", source.count())
+    // ONE source scan: the write consumes a persisted snapshot and the
+    // reported count is of THAT data — a second scan both doubles the
+    // dominant cost and, for a live JDBC source, can count rows that
+    // were never written (the reference counts the frame it wrote).
+    val snap = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      target.write(snap, table, mode = "overwrite")
+      ExtractResult(table, "Full Refresh", snap.count())
+    } finally { snap.unpersist(blocking = false): Unit }
   }
 
   /** The rows of `source` strictly past `target`'s high watermark
@@ -74,10 +82,15 @@ object Extraction {
   def incrementalLoad(spark: SparkSession, source: DataFrame,
                       target: Store, table: String): ExtractResult = {
     val existing = target.readIfExists(spark, table)
-    val delta = incrementalRows(source, existing)
-    val mode = if (existing.isDefined) "append" else "overwrite"
-    target.write(delta, table, mode)
-    ExtractResult(table, "Incremental Load", delta.count())
+    // persisted for the same one-scan/count-what-was-written contract
+    // as fullRefresh
+    val delta = incrementalRows(source, existing).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mode = if (existing.isDefined) "append" else "overwrite"
+      target.write(delta, table, mode)
+      ExtractResult(table, "Incremental Load", delta.count())
+    } finally { delta.unpersist(blocking = false): Unit }
   }
 
   /** Per-table extraction config (extraction.json,
@@ -106,6 +119,11 @@ object Extraction {
           case "Incremental Load" => incrementalLoad(spark, src, target, j.table)
           case _                  => fullRefresh(src, target, j.table)
         })
-      } catch { case e: Throwable => Left(j.table -> e) }
+      } catch {
+        // NonFatal: swallowing an OutOfMemoryError or interrupt into a
+        // per-table Left and continuing 49 more jobs on a broken JVM is
+        // worse than failing (the reference catches only Exception)
+        case scala.util.control.NonFatal(e) => Left(j.table -> e)
+      }
     }
 }

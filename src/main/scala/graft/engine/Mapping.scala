@@ -69,9 +69,19 @@ object Mapping {
     */
   def inferKey(cols1: Seq[String], meta1: TableMeta,
                cols2: Seq[String], meta2: TableMeta): Option[(String, String)] = {
-    meta1.fk.filter(k => cols2.contains(k) && cols1.contains(k)).map(k => (k, k))
-      .orElse(meta2.fk.filter(k => cols1.contains(k) && cols2.contains(k)).map(k => (k, k)))
+    // SELECTION mirrors mapping.py:146-149 exactly: fk1 if present in
+    // t2's columns, elif fk2 if present in t1's columns, else semantic —
+    // then the J5 VALIDATION (mapping.py:171-173) applies to whatever
+    // was selected. A selected key that fails validation (e.g. a stale
+    // declared FK missing from its own table) vetoes the PAIR; it does
+    // NOT fall through to the next candidate — folding validation into
+    // selection would let graft merge pairs the reference passes
+    // through unchanged.
+    val selected = meta1.fk.filter(cols2.contains).map(k => (k, k))
+      .orElse(meta2.fk.filter(cols1.contains).map(k => (k, k)))
       .orElse(inferSemanticKey(cols1, cols2).map { case (a, b, _) => (a, b) })
+    selected.filter { case (k1, k2) =>
+      cols1.contains(k1) && cols2.contains(k2) }
   }
 
   /** J6 pairwise sweep + passthrough (mapping.py:129-181): every ordered
@@ -129,6 +139,13 @@ object Mapping {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // replication breaks right/full outer equivalence: an unmatched
+    // small row would surface one null-extended output PER SALT COPY
+    // instead of once (same restriction as SkewJoin.saltedJoin — the
+    // two share the salt-and-replicate algorithm)
+    require(SkewJoin.saltSafeJoinTypes(joinType.toLowerCase),
+      s"saltedJoin supports ${SkewJoin.saltSafeJoinTypes.mkString("/")}, " +
+        s"got $joinType (outer forms would duplicate null-extended rows)")
     import org.apache.spark.sql.functions._
     // salt from a whole-row hash: deterministic, and uniform even when
     // the key column itself is constant (the exact case salting targets)

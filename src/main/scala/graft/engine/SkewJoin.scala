@@ -15,9 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types for which salt-and-replicate is result-identical to the
+    * plain join: the replicated small side makes right/full outer forms
+    * emit one null-extended row per unmatched (key, salt) COPY instead
+    * of one per row.
+    */
+  val saltSafeJoinTypes: Set[String] =
+    Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltFactor: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    require(saltSafeJoinTypes(joinType.toLowerCase),
+      s"saltedJoin supports ${saltSafeJoinTypes.mkString("/")}, " +
+        s"got $joinType (outer forms would duplicate null-extended rows)")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = small

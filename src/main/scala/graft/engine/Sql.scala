@@ -19,7 +19,18 @@ object Sql {
     * one-column "Error" table instead of throwing (front_end.py:222-224).
     */
   def runSql(spark: SparkSession, query: String): DataFrame =
-    Try(spark.sql(query)) match {
+    Try {
+      val df = spark.sql(query)
+      // execute EAGERLY: the reference materializes via pd.read_sql, so
+      // RUNTIME failures — routine under Spark 4's default ANSI mode
+      // (1/0, bad casts) — must also come back as the Error frame, not
+      // escape later at the caller's action. foreach evaluates the full
+      // plan with every column (count() would prune the projections
+      // whose evaluation we need to prove); the result frame itself
+      // stays distributed and lazy for the caller.
+      df.foreach(_ => ())
+      df
+    } match {
       case Success(df) => df
       case Failure(e) =>
         import spark.implicits._

@@ -186,9 +186,13 @@ object DateParse {
   import java.util.Locale
 
   // Ordered, day-first-preferring format list (uuuu = proleptic year,
-  // STRICT). Boolean marks 2-digit-year formats, which get dateutil's
-  // 50-year window (00-49 → 20xx, 50-99 → 19xx) instead of Java's
-  // fixed 2000-2099 base.
+  // STRICT). Boolean marks 2-digit-year formats, which get a FIXED
+  // 1950-2049 window (00-49 -> 20xx, 50-99 -> 19xx) instead of Java's
+  // fixed 2000-2099 base. NOTE this deliberately differs from dateutil,
+  // whose window is CURRENT-YEAR +/- 50 (convertyear): "70" parses to
+  // 1970 here forever, but to 2070 under dateutil once the current year
+  // passes 2020 — a fixed window keeps t5's oracle replayable across
+  // years, which matters more than moving-target parity.
   private val formats: Seq[(DateTimeFormatter, Boolean)] = Seq(
     "uuuu-M-d" -> false, "uuuu/M/d" -> false, "uuuu.M.d" -> false, // ISO-ish first
     "d/M/uuuu" -> false, "d-M-uuuu" -> false, "d.M.uuuu" -> false, // dayfirst

@@ -90,6 +90,23 @@ class AggregationsSpec extends SparkSpecBase {
     assert(Aggregations.histogram(allNull, "x", 5).count() == 0)
   }
 
+  test("A5 histogram: NaN values dropped like the reference's dropna, not poisoning width") {
+    import spark.implicits._
+    val df = Seq(0.0, 5.0, 10.0, Double.NaN).toDF("x")
+    val out = Aggregations.histogram(df, "x", bins = 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // NaN would make max()=NaN and every bucket NaN; dropped, the three
+    // real values split 2 (0,5 -> bucket 0... 5*2/10=1) correctly
+    assert(out == Map(0 -> 1L, 1 -> 2L))
+  }
+
+  test("A3 guard: empty aggCols or funcs → None (skip, not crash)") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("v", "g")
+    assert(Aggregations.aggregate(df, AggSpec(Seq("g"), Nil, Seq("sum"))).isEmpty)
+    assert(Aggregations.aggregate(df, AggSpec(Seq("g"), Seq("v"), Nil)).isEmpty)
+  }
+
   test("A6 watermark: scalar max of FIRST column") {
     import spark.implicits._
     val df = Seq((3L, "x"), (9L, "y"), (5L, "z")).toDF("event_id", "v")

@@ -41,6 +41,19 @@ class MappingSpec extends SparkSpecBase {
     assert(k == Some(("customer_id", "customer_id")))
   }
 
+  test("J5: a selected FK that fails validation vetoes the pair — no fallthrough") {
+    import Mapping.TableMeta
+    // fk1 "cust_id" IS in t2's columns (selected, mapping.py:146-147)
+    // but NOT in t1's own columns: the reference's validation then
+    // skips the pair entirely; falling through to semantic inference
+    // (which would pair shared_key) would merge a pair the reference
+    // passes through
+    val k = Mapping.inferKey(
+      Seq("a", "shared_key"), TableMeta(fk = Some("cust_id")),
+      Seq("cust_id", "shared_key"), TableMeta())
+    assert(k.isEmpty)
+  }
+
   test("J4 semantic inference: exact shared name scores 1.0; ≥0.8 similar names pair up; below-threshold → None") {
     assert(Mapping.inferSemanticKey(
       Seq("customer_id", "name"), Seq("order_id", "customer_id"))

@@ -20,6 +20,16 @@ class SqlSpec extends SparkSpecBase {
     assert(out2.columns.toSeq == Seq("Error"))
   }
 
+  test("Q1 errors-as-data: RUNTIME failures (ANSI) also come back as the Error frame") {
+    // Spark 4 default ANSI mode makes 1/0 a runtime error, which only
+    // surfaces at execution — runSql executes eagerly like the
+    // reference's pd.read_sql, so it must land in the Error frame, not
+    // escape at the caller's later action
+    val out = Sql.runSql(spark, "SELECT 1/0 AS x")
+    assert(out.columns.toSeq == Seq("Error"))
+    assert(out.collect()(0).getString(0).toLowerCase.contains("divide"))
+  }
+
   test("Q2 renderSchema: number/text type collapse, sorted tables") {
     val dfs = Map(
       "zeta" -> Seq((1, "a")).toDF("id", "name"),
