@@ -52,11 +52,19 @@ object Configs {
     val root = mapper.readTree(json)
     root.properties().asScala.map { e =>
       val p = e.getValue
-      val funcs = strings(p.get("aggregation_functions"))
+      // the "sum" default applies only when the KEY IS ABSENT
+      // (scheduler.py:155 .get(..., ["sum"])); an explicitly EMPTY list
+      // is falsy in the reference's `if ... and agg_funcs` guard and
+      // skips the table — coercing it to sum would emit an agg output
+      // the reference pipeline never produces. Empty funcs flow through
+      // and Aggregations.aggregate skips (A3).
+      val funcs =
+        if (p.get("aggregation_functions") == null) Seq("sum")
+        else strings(p.get("aggregation_functions"))
       e.getKey -> AggSpec(
         groupBy = strings(p.get("groupby_columns")),
         aggCols = strings(p.get("aggregation_columns")),
-        funcs = if (funcs.nonEmpty) funcs else Seq("sum")) // scheduler.py:155 default
+        funcs = funcs)
     }.toMap
   }
 

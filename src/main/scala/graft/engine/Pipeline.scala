@@ -56,30 +56,41 @@ object Pipeline {
     val raw = Tables.load(spark, layers.raw, rawNames)
 
     // 2. mapping: raw → silver_mapping (O4: off → verbatim copy,
-    //    scheduler.py:62-103)
-    val mapped =
-      if (cfg.mappingEnabled) Mapping.mergeTables(raw, cfg.tableMeta, rawNames)
-      else raw
-    Tables.writeAll(mapped, layers.silverMapping)
-    statuses += StageStatus("mapping", ok = true,
-      if (cfg.mappingEnabled) s"${mapped.size} outputs" else "skipped (copy)")
+    //    scheduler.py:62-103). Stage failures become a failed
+    //    StageStatus + abort — like extraction, and like the
+    //    reference's per-stage try/except status files; an escaping
+    //    exception would lose every collected status.
+    try {
+      val mapped =
+        if (cfg.mappingEnabled) Mapping.mergeTables(raw, cfg.tableMeta, rawNames)
+        else raw
+      Tables.writeAll(mapped, layers.silverMapping)
+      statuses += StageStatus("mapping", ok = true,
+        if (cfg.mappingEnabled) s"${mapped.size} outputs" else "skipped (copy)")
 
-    // 3. transformation: silver_mapping → silver, prefix "transformed"
-    //    (transformations_code.py:206-213 via scheduler.py:113-183)
-    val silverIn = Tables.load(spark, layers.silverMapping, mapped.keys.toSeq)
-    val transformed = Transforms.transformAll(silverIn, cfg.transforms)
-    Tables.writeAll(transformed, layers.silver, prefix = "transformed")
+      // 3. transformation: silver_mapping → silver, prefix "transformed"
+      //    (transformations_code.py:206-213 via scheduler.py:113-183)
+      val silverIn = Tables.load(spark, layers.silverMapping, mapped.keys.toSeq)
+      val transformed = Transforms.transformAll(silverIn, cfg.transforms)
+      Tables.writeAll(transformed, layers.silver, prefix = "transformed")
 
-    // 4. aggregation: per-table A1, prefix "agg" (scheduler.py:143-170);
-    //    ineligible specs skip (A3 guard), like the reference
-    val aggregated = for {
-      (name, spec) <- cfg.aggregations
-      df <- transformed.get(name)
-      out <- Aggregations.aggregate(df, spec)
-    } yield name -> out
-    Tables.writeAll(aggregated, layers.silver, prefix = "agg")
-    statuses += StageStatus("transformation", ok = true,
-      s"${transformed.size} transformed, ${aggregated.size} aggregated")
+      // 4. aggregation: per-table A1, prefix "agg" (scheduler.py:143-170);
+      //    ineligible specs skip (A3 guard), like the reference
+      val aggregated = for {
+        (name, spec) <- cfg.aggregations
+        df <- transformed.get(name)
+        out <- Aggregations.aggregate(df, spec)
+      } yield name -> out
+      Tables.writeAll(aggregated, layers.silver, prefix = "agg")
+      statuses += StageStatus("transformation", ok = true,
+        s"${transformed.size} transformed, ${aggregated.size} aggregated")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val stage = if (statuses.exists(_.stage == "mapping"))
+          "transformation" else "mapping"
+        statuses += StageStatus(stage, ok = false,
+          Option(e.getMessage).getOrElse(e.toString))
+    }
     statuses.toSeq
   }
 }

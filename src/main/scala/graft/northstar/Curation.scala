@@ -46,20 +46,31 @@ object Curation {
     */
   def parseConfig(json: String): CurationConfig = {
     val root = mapper.readTree(json)
-    val floor = Option(root.get("length_floor")).map(_.asText())
+    // JSON null reads as ABSENT for every key: Option(root.get(k)) is
+    // Some(NullNode), and treating {"langs": null} as Some(Nil) would
+    // make the isin() gate silently drop the ENTIRE corpus (and
+    // {"min_quality": null} would become Some(0.0))
+    def field(k: String) = Option(root.get(k)).filterNot(_.isNull)
+    val floor = field("length_floor").map(_.asText())
       .map { s =>
-        val Array(n, d) = s.split("/", 2)
-        (n.trim.toLong, d.trim.toLong)
+        s.split("/", 2) match {
+          case Array(n, d) => (n.trim.toLong, d.trim.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"length_floor must be 'num/den', got '$s'")
+        }
       }
+    val langs = field("langs").map { node =>
+      require(node.isArray,
+        s"langs must be a JSON array, got ${node.getNodeType}")
+      node.elements().asScala.map(_.asText()).toSeq
+    }
     CurationConfig(
-      minQuality = Option(root.get("min_quality")).map(_.asDouble()),
-      langs = Option(root.get("langs"))
-        .map(_.elements().asScala.map(_.asText()).toSeq),
+      minQuality = field("min_quality").map(_.asDouble()),
+      langs = langs,
       lengthFloorNum = floor.map(_._1),
       lengthFloorDen = floor.map(_._2),
-      temperatureAlpha = Option(root.get("temperature_alpha"))
-        .map(_.asDouble()),
-      budgetPerLang = Option(root.get("budget_per_lang")).map(_.asLong()))
+      temperatureAlpha = field("temperature_alpha").map(_.asDouble()),
+      budgetPerLang = field("budget_per_lang").map(_.asLong()))
   }
 
   /** The five stage frames (input, gated, floored, sampled, selected),
@@ -140,16 +151,19 @@ object Curation {
       case _ => None
     }
     val rates = cfg.temperatureAlpha.map { a =>
-      val counts = (thr match {
-          case Some(t) => gated.filter(col("n_tokens") > t)
-          case None => gated
-        }).groupBy(langCol).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val cmin = counts.map(_._2).min.toDouble
-      counts.map { case (l, c) =>
-        l -> (if (a == 0.5) math.sqrt(cmin / c)
-              else math.pow(cmin / c, 1.0 - a))
-      }.toMap
+      // the SAME rate arithmetic the batch run uses
+      // (Sampling.temperatureRates): null strata excluded (a tiny
+      // null-lang group would poison cmin for every real language —
+      // the batch side filters them, so a frozen policy must too or
+      // run/serve parity breaks) and the alpha domain require applies.
+      // Empty survivor set → empty rates map: serve() then keeps
+      // nothing, matching the batch run over the same empty input.
+      val floored = thr match {
+        case Some(t) => gated.filter(col("n_tokens") > t)
+        case None => gated
+      }
+      Sampling.temperatureRates(floored, langCol, a)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     }
     FrozenCuration(cfg.minQuality, cfg.langs, thr, rates)
   }

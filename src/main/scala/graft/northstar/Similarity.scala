@@ -269,7 +269,16 @@ object Similarity {
                                   scoreCol: String,
                                   idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("cluster_id")
+    // the keeper window partitions on a STRING key derived from the id
+    // itself for unlabeled docs: coalescing to id.cast(long) would be
+    // null for non-numeric ids (URLs, hashes), collapsing every
+    // unlabeled document into ONE null-cluster window and silently
+    // dropping all but one — the opposite of the singleton contract.
+    // The exposed cluster_id keeps the numeric form (null for a
+    // non-numeric unlabeled id — visible, not wrong).
+    val wKey = coalesce(col("cluster_id").cast("string"),
+      concat(lit("s:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(wKey)
       .orderBy(col(scoreCol).desc, col(idCol))
     scored.join(labels, Seq(idCol), "left")
       .withColumn("cluster_id",

@@ -70,7 +70,10 @@ final case class CsvStore(dir: String,
     schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
     extends Store {
   override def read(spark: SparkSession, table: String): DataFrame = {
-    val r = spark.read.option("header", "true")
+    // multiLine: corpus text routinely embeds newlines; the writer
+    // quotes them, and a multiLine=false reader would split records at
+    // every embedded newline — silent row corruption in PERMISSIVE mode
+    val r = spark.read.option("header", "true").option("multiLine", "true")
     schemas.get(table) match {
       case Some(s) => r.schema(s).csv(s"$dir/$table.csv")
       case None    => r.option("inferSchema", "true").csv(s"$dir/$table.csv")
@@ -163,13 +166,33 @@ final case class JdbcStore(
     }
   }
 
-  override def write(df: DataFrame, table: String, mode: String): Unit =
+  override def write(df: DataFrame, table: String, mode: String): Unit = {
+    // explicit mapping, case-insensitive like the file stores (which
+    // hand the string to Spark for validation): anything else fails
+    // loudly — the old `else Overwrite` silently DROPPED the table for
+    // modes like "ignore" or "error"
+    val saveMode = mode.toLowerCase match {
+      case "append"    => SaveMode.Append
+      case "overwrite" => SaveMode.Overwrite
+      case other => throw new IllegalArgumentException(
+        s"JdbcStore supports append/overwrite, got $other")
+    }
     df.write
-      .mode(if (mode == "append") SaveMode.Append else SaveMode.Overwrite)
+      .mode(saveMode)
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, connProps)
+  }
 
-  override def exists(spark: SparkSession, table: String): Boolean =
+  override def exists(spark: SparkSession, table: String): Boolean = {
+    // a transient connection failure must NOT read as "table absent":
+    // incrementalLoad turns absent into mode=overwrite, so the old
+    // catch-all converted a DB blip into dropping the accumulated
+    // target. Probe CONNECTIVITY first with a raw driver connection
+    // (dialect-neutral — Derby has no FROM-less SELECT) and let that
+    // failure propagate; only a failed probe of the TABLE itself means
+    // absent.
+    java.sql.DriverManager.getConnection(url, connProps).close()
     try { spark.read.jdbc(url, table, connProps).schema; true }
     catch { case _: Exception => false }
+  }
 }
