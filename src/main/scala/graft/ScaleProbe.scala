@@ -299,6 +299,26 @@ object ScaleProbe {
         replicate(docs1, 10, "doc_id", 1000000L), merges9).count()
     }
     println(f"[scale] bpeApply serve 10x-data ratio  ${ba10 / ba1}%.1fx (linear-ish expected)")
+    // batched induction: tokenizer-scale training (30k merges) must not
+    // mean one driver round-trip per merge. Count Spark jobs (job-group
+    // attribution) for ~50 effective merges, sequential vs batch=16:
+    // each batched round commits many symbol-disjoint merges from ONE
+    // pair-count aggregate, so the job count should drop >=5x
+    def jobsFor(group: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      f
+      spark.sparkContext.clearJobGroup()
+      Thread.sleep(2000) // status store drains the listener bus async
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val bpeSeqJobs = jobsFor("bpe-seq") {
+      TextAnalysis.bpeInduct(docs1, rounds = 50).count(): Unit
+    }
+    val bpeBatJobs = jobsFor("bpe-batch") {
+      TextAnalysis.bpeInduct(docs1, rounds = 50, batch = 16).count(): Unit
+    }
+    println(f"[scale] bpeInduct 50-merge driver jobs seq=$bpeSeqJobs batch16=$bpeBatJobs " +
+      f"ratio=${bpeSeqJobs.toDouble / math.max(1, bpeBatJobs)}%.1fx (>=5x expected)")
     // quantileCuts: the cumulative window's input is the value DOMAIN,
     // not the row count — replication grows histogram counts, not
     // distinct values, so cost tracks the one aggregate pass and the

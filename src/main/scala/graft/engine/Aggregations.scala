@@ -48,10 +48,13 @@ object Aggregations {
   def aggregate(df: DataFrame, spec: AggSpec): Option[DataFrame] = {
     val have = df.columns.toSet
     if (!(spec.groupBy ++ spec.aggCols).forall(have)) return None
-    // a malformed spec with no agg columns or no functions is SKIPPED
-    // like a missing column (A3), not a NoSuchElementException on
-    // exprs.head that would abort the whole Pipeline.run
-    if (spec.aggCols.isEmpty || spec.funcs.isEmpty) return None
+    // a malformed spec with no group keys, no agg columns or no
+    // functions is SKIPPED like a missing column (A3), not a failure:
+    // the reference guard is `if groupby_cols and agg_cols and
+    // agg_funcs` (scheduler.py:157), so an empty groupBy never emits a
+    // 1-row global aggregate there and must not here either
+    if (spec.groupBy.isEmpty || spec.aggCols.isEmpty || spec.funcs.isEmpty)
+      return None
     val exprs = spec.aggCols.flatMap(c =>
       spec.funcs.map(f => fn(f)(col(c)).as(s"${c}_$f")))
     val cleaned = df.na.drop(spec.groupBy)

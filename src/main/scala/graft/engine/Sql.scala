@@ -17,6 +17,17 @@ object Sql {
 
   /** Q1 execute SQL, errors-as-data: the reference returns failures as a
     * one-column "Error" table instead of throwing (front_end.py:222-224).
+    *
+    * COST CAVEAT: to surface ANSI runtime errors (1/0, bad casts) as the
+    * Error frame, the plan is executed eagerly once here and the result
+    * is still lazy — so a successful query's plan runs TWICE (validation
+    * pass + the caller's action). That mirrors the interactive Q1
+    * surface, where results are small and error-as-data matters more
+    * than a second scan; for large programmatic results use [[trySql]]
+    * (single lazy execution, analysis errors only) or [[strictSql]] and
+    * handle runtime failures at your own action. We deliberately do NOT
+    * persist() here: validation-time caching would pin every Q1 result
+    * in executor memory with no principled release point.
     */
   def runSql(spark: SparkSession, query: String): DataFrame =
     Try {

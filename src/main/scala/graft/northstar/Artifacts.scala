@@ -425,7 +425,13 @@ object Artifacts {
                           what: String): Unit = {
     val f = new java.io.File(path, "_params")
     if (f.isFile) {
-      val stored = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      // Files.readAllLines, not scala.io.Source: Source leaks the file
+      // handle unless explicitly closed, and a long-lived serving app
+      // re-resolving artifacts would accumulate descriptors until GC
+      import scala.jdk.CollectionConverters._
+      val stored = java.nio.file.Files
+        .readAllLines(f.toPath, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.iterator
         .filter(_.contains('='))
         .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
         .toMap

@@ -477,8 +477,25 @@ object TextAnalysis {
     * sized, not corpus-sized (~1e7 rows at 100 TB) — which is
     * `localCheckpoint`ed so each merge round re-reads the materialized
     * vocab, never the corpus. Every round is one pair-count aggregate
-    * over that small frame plus a LIMIT-1 collect; the merge table
+    * over that small frame plus a bounded collect; the merge table
     * itself is the bounded driver artifact (`rounds` rows).
+    *
+    * Batched induction (`batch` > 1): tokenizer-scale training (30k
+    * merges) must not mean 30k driver round-trips, so each round may
+    * commit up to `batch` merges from ONE pair-count job. Standard
+    * batched-BPE argument: if two pairs share no symbol, applying one
+    * merge cannot create or destroy adjacencies of the other (the
+    * replace only touches `|a||b|` sites and only mints the new symbol
+    * `ab`), so the counts of symbol-DISJOINT pairs are invariant under
+    * each other's merges — a greedy scan of the (cnt desc, pair)
+    * candidate list that keeps a pair only when both its symbols are
+    * unused this round commits merges whose reported counts are
+    * EXACTLY what sequential induction would have seen. The one
+    * divergence from batch=1 is intentional and standard: a pair
+    * involving a symbol minted earlier in the same round (which
+    * sequential induction could have picked next) waits for the next
+    * round. `batch = 1` (the default) reproduces sequential induction
+    * verbatim — `ns_bpe_induct` pins that hash.
     *
     * Replayability: each word rides as a pipe-delimited symbol string
     * (`hello` → `|h||e||l||l||o|`), and applying a merge (a,b) is the
@@ -491,8 +508,9 @@ object TextAnalysis {
     * CTEs, carrying each round's winner via a 1-row cross join.
     */
   def bpeInduct(df: DataFrame, rounds: Int = 5,
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text", batch: Int = 1): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
+    require(batch > 0, s"batch must be positive, got $batch")
     val spark = df.sparkSession
     var vocab = df
       .select(explode(split(lower(col(textCol)), "\\W+")).as("w"))
@@ -501,10 +519,14 @@ object TextAnalysis {
       .groupBy("s").agg(count(lit(1)).as("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var r = 1
     var dry = false
-    while (r <= rounds && !dry) {
-      val win = vocab
+    while (merges.size < rounds && !dry) {
+      val want = math.min(batch, rounds - merges.size)
+      // candidate window: greedy disjoint selection can skip at most 2
+      // symbols' worth of conflicts per kept pair, so a few× `want`
+      // candidates nearly always yields `want` picks; if the window
+      // starves we still commit what we found (progress each round)
+      val cands = vocab
         .withColumn("syms", split(trim(col("s"), "|"), "\\|\\|"))
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -512,17 +534,36 @@ object TextAnalysis {
             "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
           .as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-      if (win.isEmpty) dry = true
+        .orderBy(col("cnt").desc, col("pair")).limit(want * 4 + 4).collect()
+      if (cands.isEmpty) dry = true
       else {
-        val Array(a, b) = win(0).getString(0).split(" ", 2)
-        merges += ((r.toLong, a, b, win(0).getLong(1)))
+        // greedy disjoint selection in (cnt desc, pair) order: a pair
+        // is committed only if neither symbol was touched by an
+        // earlier commit this round, so all committed replaces are
+        // independent and their counts are sequential-exact
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = cands.iterator
+        while (picked.size < want && it.hasNext) {
+          val row = it.next()
+          val Array(a, b) = row.getString(0).split(" ", 2)
+          if (!used(a) && !used(b)) {
+            used += a; used += b
+            picked += ((a, b, row.getLong(1)))
+          }
+        }
+        picked.foreach { case (a, b, cnt) =>
+          merges += ((merges.size + 1L, a, b, cnt))
+        }
+        // one pass applies every committed merge: the replaces touch
+        // disjoint symbol sites, so chaining them is order-independent.
         // symbols are \w-only, safe to embed in the literal-replace SQL
+        val applied = picked.foldLeft("s") { case (e, (a, b, _)) =>
+          s"replace($e, '|$a||$b|', '|$a$b|')"
+        }
         vocab = vocab
-          .select(expr(s"replace(s, '|$a||$b|', '|$a$b|')").as("s"),
-            col("freq"))
+          .select(expr(applied).as("s"), col("freq"))
           .localCheckpoint() // truncate lineage, keep rounds O(1) each
-        r += 1
       }
     }
     import spark.implicits._

@@ -191,6 +191,17 @@ final case class JdbcStore(
     // (dialect-neutral — Derby has no FROM-less SELECT) and let that
     // failure propagate; only a failed probe of the TABLE itself means
     // absent.
+    //
+    // DriverManager only sees drivers visible to the CALLER's
+    // classloader; a driver jar shipped via --jars lives in Spark's
+    // executor/session loader, so a raw getConnection on a fresh JVM
+    // would throw "No suitable driver" on a healthy database. Register
+    // through Spark's DriverRegistry first — it wraps drivers from
+    // foreign classloaders so DriverManager accepts them.
+    Option(connProps.getProperty("driver")).foreach { cls =>
+      org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry
+        .register(cls)
+    }
     java.sql.DriverManager.getConnection(url, connProps).close()
     try { spark.read.jdbc(url, table, connProps).schema; true }
     catch { case _: Exception => false }

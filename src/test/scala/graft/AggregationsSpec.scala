@@ -105,6 +105,10 @@ class AggregationsSpec extends SparkSpecBase {
     val df = Seq((1L, "a")).toDF("v", "g")
     assert(Aggregations.aggregate(df, AggSpec(Seq("g"), Nil, Seq("sum"))).isEmpty)
     assert(Aggregations.aggregate(df, AggSpec(Seq("g"), Seq("v"), Nil)).isEmpty)
+    // reference guard is `if groupby_cols and agg_cols and agg_funcs`
+    // (scheduler.py:157): empty groupBy skips too — never a 1-row
+    // global aggregate the reference pipeline would not emit
+    assert(Aggregations.aggregate(df, AggSpec(Nil, Seq("v"), Seq("sum"))).isEmpty)
   }
 
   test("A6 watermark: scalar max of FIRST column") {

@@ -937,6 +937,33 @@ class TextAnalysisSpec extends SparkSpecBase {
       && short(0).getString(2) == "b")
   }
 
+  test("bpeInduct batch>1: greedy disjoint commits, sequential-exact counts, conflict deferral") {
+    // same corpus as the hand-computed sequential test: rounds 1 and 2
+    // have an all-conflicting frontier (everything touches 'a'), so a
+    // batch=4 round commits exactly ONE merge there; round 3's frontier
+    // holds the disjoint pair {a n} + {aa ab}, committed together with
+    // the counts sequential induction reports — so the full 5-merge
+    // table is IDENTICAL to batch=1 while needing 4 rounds, not 5
+    val df = Seq((1L, "aaab aaab banana")).toDF("doc_id", "text")
+    def run(b: Int) = TextAnalysis.bpeInduct(df, rounds = 5, batch = b)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(run(4) == run(1))
+    assert(run(1) == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 2L), (3L, "a", "n", 2L),
+      (4L, "aa", "ab", 2L), (5L, "an", "a", 1L)))
+    // disjoint frontier: every merge lands in ONE batched round, in
+    // (cnt desc, pair asc) order with the per-pair corpus counts
+    val disjoint = Seq((1L, "ab ab ab ab cd cd cd ef ef")).toDF("doc_id", "text")
+    val one = TextAnalysis.bpeInduct(disjoint, rounds = 3, batch = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(one == Seq(
+      (1L, "a", "b", 4L), (2L, "c", "d", 3L), (3L, "e", "f", 2L)))
+  }
+
   test("normalizeText: strips control chars, keeps newline structure, collapses runs, trims") {
     val df = Seq(
       ("a\u0001\u0002bc", "abc"),             // control chars removed

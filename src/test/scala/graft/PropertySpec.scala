@@ -168,6 +168,34 @@ class SparkPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bpeInduct batched == sequential when the merge frontier is symbol-disjoint") {
+    import graft.northstar.TextAnalysis
+    val rnd = new scala.util.Random(29)
+    // words drawn from pairwise-disjoint letter pairs: every candidate
+    // merge is symbol-disjoint from every other, which is exactly the
+    // regime where one batched round must reproduce sequential
+    // induction merge-for-merge (same pairs, same counts, same order)
+    val pool = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    for (trial <- 1 to 6) {
+      val freqs = pool.map(w => w -> (1 + rnd.nextInt(30)))
+      val text = rnd.shuffle(
+        freqs.flatMap { case (w, f) => Seq.fill(f)(w) }).mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      def run(b: Int) = TextAnalysis.bpeInduct(df, rounds = 5, batch = b)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val seq = run(1)
+      assert(seq == run(8), s"trial $trial: batch=8 diverged from sequential")
+      // and the sequential order itself is (freq desc, pair asc)
+      val want = freqs.sortBy { case (w, f) => (-f, s"${w(0)} ${w(1)}") }
+        .take(5).zipWithIndex
+        .map { case ((w, f), i) =>
+          (i + 1L, w(0).toString, w(1).toString, f.toLong) }
+      assert(seq == want, s"trial $trial: merge order wrong")
+    }
+  }
+
   test("minhashPairsAgainst agrees with self-join LSH restricted to cross-slice pairs") {
     import graft.northstar.Dedup
     import org.apache.spark.sql.functions._
