@@ -1595,6 +1595,24 @@ object SparkEntry {
         graft.northstar.Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 3),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
+    // STORED-index serving for IVF ANN: the corpus is written once,
+    // hive-partitioned by cell (Artifacts.ivfIndexFor), and the probe
+    // reads ONLY the probed cell directories — PartitionFilters at
+    // planning time, no in-plan re-assignment. Rows-only like
+    // ns_knn_ivf: by construction the output is row-identical to
+    // ns_knn_ivf (same centroids, same split census — IvfSpec asserts
+    // the equality exactly), so it inherits ns_knn_ivf's pins
+    // (rank-exact exhaustive companion + recall floor)
+    "ns_knn_ivf_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
+      val (index, splits) = graft.northstar.Artifacts.ivfIndexFor(
+        emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
+      graft.northstar.Ivf.ivfServeTopK(
+        emb.filter(col("vec_id") < 5), index, centroids, splits,
+        k = 10, nProbe = 3)
+    }),
     "ns_neardup_cosine" -> ((s, dir) => // rows-only
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
     // SemDeDup: cluster-scoped semantic dedup over the STORED quantizer

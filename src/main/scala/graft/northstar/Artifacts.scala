@@ -398,6 +398,75 @@ object Artifacts {
     loadIvfCentroids(corpus.sparkSession, path, nCells, seed)
   }
 
+  /** Persist the cell-partitioned IVF SERVING index: the corpus assigned
+    * once under `centroids`, written hive-partitioned by cell — so a
+    * probe ([[Ivf.ivfServeTopK]]) prunes unprobed cell directories at
+    * planning time instead of re-deriving assignments in-plan. Two
+    * parts under `path`: `index` (neighbor_id, cv, subcell;
+    * partitioned by cell) and `splits` (the oversized-cell split-bits
+    * census the assignment was computed with — the query side must use
+    * the SAME map or (cell, subcell) keys stop matching). The `_params`
+    * sidecar pins the centroid digest and maxCell so a serve against a
+    * stale or foreign index fails loudly.
+    */
+  def saveIvfIndex(corpus: DataFrame, path: String,
+                   centroids: Array[Array[Float]],
+                   idCol: String, vecCol: String, maxCell: Int): Unit = {
+    val spark = corpus.sparkSession
+    val assigned = Dedup.trackedPersist(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        Ivf.cellOf(col(vecCol), centroids).as("cell")))
+    val splits = Ivf.splitBitsFromCensus(
+      assigned.groupBy("cell").count(), maxCell)
+    assigned
+      .withColumn("subcell",
+        Ivf.subcellOf(col("cv"), col("cell"), centroids, splits))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new java.io.File(path, "index").toString)
+    import spark.implicits._
+    splits.toSeq.toDF("cell", "bits")
+      .repartition(1).write.mode("overwrite")
+      .parquet(new java.io.File(path, "splits").toString)
+    writeParams(path, Map(
+      "centroids" -> centroidDigest(centroids),
+      "maxCell" -> maxCell.toString, "vecCol" -> vecCol))
+    // the artifact commit marker lives at the TOP level (the parquet
+    // writers put theirs inside index/ and splits/) — ensureTrained's
+    // publish/recovery protocol keys off this file
+    java.nio.file.Files.write(
+      new java.io.File(path, "_SUCCESS").toPath, Array.empty[Byte]): Unit
+  }
+
+  /** Train-once / serve-many IVF index for a corpus identified by
+    * `cacheKey`: assign + write partitioned on first request, serve by
+    * reading the stored layout on every request. Returns the index
+    * frame (partition column `cell` included) and the split-bits map —
+    * exactly the two inputs [[Ivf.ivfServeTopK]] needs. The centroids
+    * are resolved through [[ivfCentroidsFor]] (their own artifact), so
+    * index and quantizer can never drift apart silently: the digest
+    * pin in `_params` rejects an index built under different centroids.
+    */
+  def ivfIndexFor(corpus: DataFrame, cacheKey: String, nCells: Int,
+                  vecCol: String = "embedding", seed: Long = 42L,
+                  maxCell: Int = 100000,
+                  idCol: String = "vec_id"): (DataFrame, Map[Int, Int]) = {
+    val spark = corpus.sparkSession
+    val centroids = ivfCentroidsFor(corpus, cacheKey, nCells, vecCol, seed)
+    val path = pathFor("ivfindex",
+      s"$cacheKey-c$nCells-s$seed-$vecCol-m$maxCell-$idCol")
+    ensureTrained(path) { tmp =>
+      saveIvfIndex(corpus, tmp, centroids, idCol, vecCol, maxCell)
+    }
+    checkParams(path, Map(
+      "centroids" -> centroidDigest(centroids),
+      "maxCell" -> maxCell.toString, "vecCol" -> vecCol), "IVF index")
+    val index = spark.read.parquet(new java.io.File(path, "index").toString)
+    val splits = spark.read
+      .parquet(new java.io.File(path, "splits").toString)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    (index, splits)
+  }
+
   // ------------------------------------------------ semantic dedup pairs
 
   /** Digest of a centroid set, used to pin "which quantizer produced

@@ -312,6 +312,50 @@ object Ivf {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF top-k over a STORED, cell-partitioned serving index (see
+    * [[Artifacts.ivfIndexFor]]): the corpus was assigned and written
+    * ONCE, hive-partitioned by cell, so a probe never re-derives
+    * assignments in-plan — and because the probed cell set is bounded
+    * by nCells it is collected to literals and pushed as an IN-filter
+    * on the partition column, which Spark turns into PartitionFilters
+    * at PLANNING time. At 100 TB that is the serving cost model: a
+    * query batch reads nProbe/nCells of the corpus from disk and
+    * nothing else — the unprobed cell directories are never opened.
+    *
+    * `index` must carry (neighbor_id, cv, subcell) with partition
+    * column `cell`, and `splits` must be the split-bits map the index
+    * was BUILT with (both come from [[Artifacts.ivfIndexFor]]; the
+    * `_params` sidecar pins centroids/maxCell so a mismatched serve
+    * fails loudly). Given the same centroids and splits, the result is
+    * row-identical to [[ivfTopK]] — the ranking join is the same
+    * (cell, subcell) equi-join over exact cosine.
+    */
+  def ivfServeTopK(queries: DataFrame, index: DataFrame,
+                   centroids: Array[Array[Float]], splits: Map[Int, Int],
+                   k: Int = 10, nProbe: Int = 3,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
+      .withColumn("subcell",
+        subcellOf(col("qv"), col("cell"), centroids, splits))
+    // the probed-cell census is bounded by nCells regardless of batch
+    // size — the sanctioned bounded collect; literal IN on the
+    // partition column is what makes pruning happen at planning time
+    // rather than per-row at execution time
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = index.filter(col("cell").isin(probed.map(Int.box): _*))
+    val scored = q.join(c, Seq("cell", "subcell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.vec_cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   // ---- distributed Lloyd refinement, exact quantized-integer space ----
   //
   // The driver-sample fit above is the right TRAINING cost model, but

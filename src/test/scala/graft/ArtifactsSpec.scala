@@ -178,6 +178,26 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(again.map(_.toSeq).toSeq == first.map(_.toSeq).toSeq)
   }
 
+  test("ivfIndexFor: stored cell-partitioned index serves row-identical to ivfTopK; serve-by-load") {
+    val key = s"artifacts-spec-ivfidx-${System.nanoTime()}"
+    val centroids = Artifacts.ivfCentroidsFor(emb, key, nCells = 4)
+    val (index, splits) = Artifacts.ivfIndexFor(emb, key, nCells = 4)
+    val q = emb.filter(col("vec_id") < 5)
+    val serve = Ivf.ivfServeTopK(q, index, centroids, splits,
+      k = 10, nProbe = 2).collect().map(_.toSeq).toSet
+    val mem = Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(serve == mem && serve.nonEmpty)
+    // serve-by-load: a shifted corpus under the same key must serve the
+    // STORED assignment, not re-derive one from the new vectors
+    val shifted = emb.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(10.0f)))
+    val (again, splitsAgain) = Artifacts.ivfIndexFor(shifted, key, nCells = 4)
+    assert(splitsAgain == splits)
+    assert(rows(again.select("neighbor_id", "cell", "subcell")) ==
+      rows(index.select("neighbor_id", "cell", "subcell")))
+  }
+
   test("winnow sketch round-trips parquet; stored-index probe equals the direct pairs; mismatch fails loudly") {
     val index = graft.northstar.Dedup.winnowIndex(docs, maxBucket = 100)
     val path = s"${tempDir("winart")}/sketch"

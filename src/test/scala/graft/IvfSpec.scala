@@ -80,6 +80,29 @@ class IvfSpec extends SparkSpecBase {
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
   }
 
+  test("ivfServeTopK on a split mega-cell corpus equals ivfTopK (stored-index parity under subcells)") {
+    import graft.northstar.Artifacts
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    // positive-orthant cluster → at least one cell far over maxCell=100,
+    // so the stored index genuinely carries nonzero split bits and the
+    // serve path must reproduce them to keep (cell, subcell) keys aligned
+    val corpus = (0 until 1500).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() + 0.05f))
+    }.toDF("vec_id", "embedding")
+    val key = s"ivfspec-serve-${System.nanoTime()}"
+    val centroids = Artifacts.ivfCentroidsFor(corpus, key, nCells = 2)
+    val (index, splits) = Artifacts.ivfIndexFor(corpus, key, nCells = 2,
+      maxCell = 100)
+    assert(splits.nonEmpty, "corpus was built to force a mega-cell split")
+    val q = corpus.filter(col("vec_id") < 5)
+    val serve = Ivf.ivfServeTopK(q, index, centroids, splits,
+      k = 5, nProbe = 2).collect().map(_.toSeq).toSet
+    val mem = Ivf.ivfTopK(q, corpus, centroids, k = 5, nProbe = 2,
+      maxCell = 100).collect().map(_.toSeq).toSet
+    assert(serve == mem && serve.nonEmpty)
+  }
+
   test("ivfTopK recall@10 vs brute force is reasonable with generous probing") {
     val centroids = Ivf.fitCentroids(emb, nCells = 8)
     val queries = emb.filter($"vec_id" < 20)

@@ -117,6 +117,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
   }
 
+  test("ivf serve: stored-index scan pruned to probed cells at PLANNING time, no quadratic join") {
+    val p = planOf("ns_knn_ivf_serve")
+    // the probed-cell IN-list must land in the scan node's
+    // PartitionFilters (directory pruning decided before execution),
+    // not ride as a post-scan Filter over all cells
+    val pf = "PartitionFilters: \\[[^\\]]*cell".r
+    assert(pf.findFirstIn(p).isDefined,
+      "expected non-empty PartitionFilters on cell in plan:\n" + p.take(1200))
+    assertNoQuadratic(p)
+  }
+
   test("heavy terms: top-k plans as TakeOrdered with partial aggregation — no global sort") {
     val p = planOf("ns_heavy_terms")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
