@@ -430,6 +430,26 @@ object ScaleProbe {
     timed("lshTopK 10k corpus, 50 queries") {
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 10).count()
     }
+    // linear-probe training: fixed iterations of one narrow pass + one
+    // dim-bounded aggregate each — wall time must track corpus size
+    // (the dim-row collect is constant); serve is a pure narrow map
+    val embP1 = Tables.table(spark, dir, "embeddings")
+    val embP10 = replicate(embP1, 10, "vec_id", 1000000L)
+    val pt1 = timed("probeTrain 2k (1x)") {
+      graft.northstar.Probe.trainQ(embP1, iters = 2).length.toLong
+    }
+    val pt10 = timed("probeTrain 20k (10x)") {
+      graft.northstar.Probe.trainQ(embP10, iters = 2).length.toLong
+    }
+    println(f"[scale] probeTrain 10x-data ratio      ${pt10 / pt1}%.1fx (linear-ish expected)")
+    val pw = graft.northstar.Probe.trainQ(embP1, iters = 2)
+    val ps1 = timed("probeServe 2k (1x)") {
+      graft.northstar.Probe.scoreQ(embP1, pw).count()
+    }
+    val ps10 = timed("probeServe 20k (10x)") {
+      graft.northstar.Probe.scoreQ(embP10, pw).count()
+    }
+    println(f"[scale] probeServe 10x-data ratio      ${ps10 / ps1}%.1fx (linear-ish expected)")
     // SemDeDup: cell-scoped pair join — quadratic per cell, never per
     // corpus; the k-means fit stays sample-bounded either way
     val emb1s = Tables.table(spark, dir, "embeddings")

@@ -1296,6 +1296,30 @@ object SparkEntry {
         graft.northstar.Ivf.assignQ(
           graft.northstar.Ivf.quantizeVec(col("embedding")), c2).as("cell"))
     }),
+    // Distributed linear-probe TRAINING (the model-based quality-filter
+    // fit): two full-batch least-squares gradient steps from zero
+    // weights in exact quantized-integer space (Probe scaladoc — margins
+    // 64-bit integer, gradient sums DECIMAL(38,0), update rounding =
+    // floor division of non-negatives), so the DuckDB unrolled replay is
+    // bit-identical, partition-order-proof, and corpus-size-safe. Output:
+    // the dim trained weights on the 1e4 grid.
+    "ns_probe_train" -> ((s, dir) => {
+      import s.implicits._
+      val w = graft.northstar.Probe.trainQ(t(s, dir, "embeddings"))
+      w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pos", "w")
+    }),
+    // Frozen-probe SERVING from the pinned weight artifact
+    // (Artifacts.probeWeightsFor — trained once per corpus fingerprint):
+    // scoring is a pure narrow pass (integer margin against a dim-sized
+    // literal, NO shuffle — plan-guarded), the nightly-ingest shape. The
+    // oracle re-derives the training recurrence and then scores, so this
+    // row pins fit AND serve end-to-end.
+    "ns_probe_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val w = graft.northstar.Artifacts.probeWeightsFor(
+        emb, cacheKey = corpusKey(dir, "embeddings"))
+      graft.northstar.Probe.scoreQ(emb, w)
+    }),
     // Okapi BM25 relevance against a fixed probe query (the retrieval
     // relevance-filter shape): integer e4 scores end-to-end (per-term
     // rounding before the sum — the ns_tfidf discipline), top-20
@@ -1754,6 +1778,55 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 200000 AS doc_id, text
       |  FROM documents WHERE doc_id % 11 = 0),
+      |""".stripMargin
+
+  /** Shared by `ns_probe_train` (exposed weights) and `ns_probe_serve`
+    * (artifact-pinned scoring): the two fixed-point gradient steps of
+    * [[graft.northstar.Probe.trainQ]] unrolled as CTE pairs — BIGINT
+    * margins, HUGEINT gradient sums (the DECIMAL(38,0) twin), and the
+    * round-half-away update expressed as floor division of
+    * non-negatives, exactly the Spark recurrence. Open-ended: callers
+    * append further CTEs and the final SELECT.
+    */
+  private val probeTrainCtes: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q,
+      |    CASE WHEN label < 5 THEN 1 ELSE -1 END AS y
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM qv),
+      |g1 AS (
+      |  SELECT g.pos,
+      |    sum(CAST(v.q[g.pos + 1] * (0 - v.y * 100000000) AS HUGEINT)) AS g
+      |  FROM qv v CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) g
+      |  GROUP BY 1),
+      |w1 AS (
+      |  SELECT pos,
+      |    CAST(CASE WHEN wp >= 0 THEN (2 * wp + d) // (2 * d)
+      |              ELSE -((2 * (-wp) + d) // (2 * d)) END AS BIGINT) AS w
+      |  FROM (SELECT g1.pos, 0 - g1.g AS wp,
+      |               CAST(2 AS HUGEINT) * nn.n * 100000000 AS d
+      |        FROM g1 CROSS JOIN nn)),
+      |wl1 AS (SELECT list(w ORDER BY pos) AS wl FROM w1),
+      |m2 AS (
+      |  SELECT v.vec_id, v.y, v.q,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> v.q[i] * w.wl[i])) AS BIGINT) AS m
+      |  FROM qv v CROSS JOIN wl1 w),
+      |g2 AS (
+      |  SELECT g.pos,
+      |    sum(CAST(v.q[g.pos + 1] AS HUGEINT) * (v.m - v.y * 100000000)) AS g
+      |  FROM m2 v CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) g
+      |  GROUP BY 1),
+      |w2 AS (
+      |  SELECT pos,
+      |    CAST(CASE WHEN wp >= 0 THEN (2 * wp + d) // (2 * d)
+      |              ELSE -((2 * (-wp) + d) // (2 * d)) END AS BIGINT) AS w
+      |  FROM (SELECT g2.pos,
+      |          CAST(w1.w AS HUGEINT) * 2 * nn.n * 100000000 - g2.g AS wp,
+      |          CAST(2 AS HUGEINT) * nn.n * 100000000 AS d
+      |        FROM g2 JOIN w1 USING (pos) CROSS JOIN nn))
       |""".stripMargin
 
   /** Shared by `ns_bm25` (in-query fit) and `ns_bm25_serve` (pinned
@@ -3737,6 +3810,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id
         |                       ORDER BY dist2, cell) AS rn
         |  FROM df) WHERE rn = 1""".stripMargin,
+    "ns_probe_train" ->
+      (probeTrainCtes + "SELECT CAST(pos AS BIGINT) AS pos, w FROM w2"),
+    "ns_probe_serve" ->
+      (probeTrainCtes +
+        """,
+          |wl2 AS (SELECT list(w ORDER BY pos) AS wl FROM w2),
+          |sc AS (
+          |  SELECT v.vec_id,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      i -> v.q[i] * w.wl[i])) AS BIGINT) AS score_q
+          |  FROM qv v CROSS JOIN wl2 w)
+          |SELECT vec_id, score_q,
+          |  CASE WHEN score_q >= 0 THEN 1 ELSE 0 END AS pred
+          |FROM sc""".stripMargin),
     "ns_bm25" -> bm25OracleSql,
     "ns_bm25_serve" -> bm25OracleSql,
     "ns_quantize_embed" ->

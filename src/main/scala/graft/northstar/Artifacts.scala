@@ -119,7 +119,9 @@ object Artifacts {
     * training the same artifact twice. (On object stores without
     * atomic rename, swap this for the store's conditional-put.)
     */
-  private def ensureTrained(path: String)(train: String => Unit): Unit =
+  // package-visible so the cross-JVM race test can drive the guard
+  // directly against a scratch store with a plain-file trainer
+  private[graft] def ensureTrained(path: String)(train: String => Unit): Unit =
     this.synchronized {
       val dst = new java.io.File(path)
       // stale-destination recovery (ADVICE r10 #1): a crashed trainer or
@@ -338,6 +340,68 @@ object Artifacts {
       saveBm25Stats(docs.sparkSession, dfMap, n, s, tmp, minTermLen)
     }
     loadBm25Stats(docs.sparkSession, path, queryTerms, minTermLen)
+  }
+
+  // -------------------------------------------------------- linear probe
+
+  /** Persist trained [[Probe]] weights: one (pos, w) row per dimension
+    * on the 1e4 integer grid, with the training recipe (`iters`,
+    * `splitAt`, `label_col`) pinned in the `_params` sidecar — serving
+    * a probe trained under a different recipe silently mis-filters, so
+    * a mismatch must fail loudly. dim longs — bytes at any corpus
+    * scale.
+    */
+  def saveProbeWeights(spark: SparkSession, w: Seq[Long], path: String,
+                       iters: Int, splitAt: Int, labelCol: String): Unit = {
+    import spark.implicits._
+    require(w.nonEmpty, "refusing to pin an empty probe weight vector")
+    w.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("pos", "w")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    writeParams(path, Map("iters" -> iters.toString,
+      "split_at" -> splitAt.toString, "label_col" -> labelCol,
+      "dim" -> w.length.toString))
+  }
+
+  /** Load probe weights for serving. Throws on a recipe mismatch, an
+    * empty artifact, or a malformed weight table (duplicate or missing
+    * positions).
+    */
+  def loadProbeWeights(spark: SparkSession, path: String, dim: Int,
+                       iters: Int, splitAt: Int,
+                       labelCol: String): Seq[Long] = {
+    checkParams(path, Map("iters" -> iters.toString,
+      "split_at" -> splitAt.toString, "label_col" -> labelCol,
+      "dim" -> dim.toString), "probe weight")
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty probe weight artifact at $path")
+    val byPos = rows.map(r => r.getAs[Int]("pos") -> r.getAs[Long]("w")).toMap
+    require(byPos.size == dim && byPos.size == rows.length,
+      s"probe weight artifact at $path holds ${rows.length} rows for " +
+        s"${byPos.size} positions, expected $dim")
+    (0 until dim).map(j => byPos.getOrElse(j,
+      throw new IllegalArgumentException(
+        s"probe weight artifact at $path is missing position $j")))
+  }
+
+  /** Train-once / serve-many probe weights for a labeled embedding set
+    * identified by `cacheKey` (the [[bpeMergesFor]] contract): the
+    * fixed-iteration distributed fit runs on first request; every later
+    * request serves the stored weights, so the nightly scoring pass is
+    * a pure narrow map with no training jobs in its plan.
+    */
+  def probeWeightsFor(emb: DataFrame, cacheKey: String, dim: Int = 64,
+                      iters: Int = 2, splitAt: Int = 5,
+                      labelCol: String = "label",
+                      vecCol: String = "embedding"): Seq[Long] = {
+    val path = pathFor("probe",
+      s"$cacheKey-d$dim-i$iters-s$splitAt-$labelCol-$vecCol")
+    ensureTrained(path) { tmp =>
+      saveProbeWeights(emb.sparkSession,
+        Probe.trainQ(emb, dim, iters, splitAt, labelCol, vecCol),
+        tmp, iters, splitAt, labelCol)
+    }
+    loadProbeWeights(emb.sparkSession, path, dim, iters, splitAt, labelCol)
   }
 
   // ---------------------------------------------------------------- IVF

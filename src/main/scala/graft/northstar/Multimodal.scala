@@ -124,7 +124,12 @@ object Multimodal {
 
     def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
       if (!looksLikeImage(payload)) None
-      else Option(javax.imageio.ImageIO.read(
+      // try/catch around the FULL decode, not just the read: a corrupt
+      // payload that passes the 4-byte magic screen makes ImageIO throw
+      // (IIOException/RuntimeException), and at corpus scale one bad
+      // image must fall back to the stub, not kill the task (found by
+      // the seeded codec fuzz test)
+      else try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))).map { img =>
         val w = img.getWidth
         val h = img.getHeight
@@ -148,7 +153,7 @@ object Multimodal {
         val feats = Array.tabulate(dim)(i =>
           if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
         Decoded(assetId, w, h, formatOf(payload), feats)
-      }
+      } catch { case _: Exception => None }
   }
 
   /** Real audio codec for WAV payloads over the JDK's

@@ -1,0 +1,133 @@
+package graft.northstar
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear-probe TRAINING — the model-based quality/topic
+  * filter of modern corpus curation, trained in-engine instead of
+  * imported as a fixed direction ([[Similarity.probeScore]] serves one).
+  *
+  * The trainer runs a fixed number of full-batch gradient-descent steps
+  * on squared loss (a least-squares linear classifier: the classic
+  * closed-form linear probe, fit iteratively so the per-step cost model
+  * is one distributed pass). Every step is EXACT INTEGER arithmetic in
+  * the [[Ivf.lloydStepQ]] discipline, so the result is bit-deterministic
+  * across engines, partition counts, and row orders, and a DuckDB replay
+  * of the same recurrence reproduces the weights exactly:
+  *
+  *  - vectors quantize to the 1e4 grid (qx = round(1e4·x), exact: f32
+  *    widens to double losslessly), weights live on the same 1e4 grid;
+  *  - the margin Σⱼ wⱼ·qxⱼ is 64-bit integer (|w|≤~1e5, |qx|≤~1e4,
+  *    dim·1e9 ≪ 2⁶³);
+  *  - per-dimension gradient terms are 64-bit integer per row and
+  *    accumulate in DECIMAL(38,0), so the sum is overflow-safe and
+  *    order-independent to ~1e9+ rows (headroom ~1e23 per dim at 1e9
+  *    rows vs 1e38 capacity);
+  *  - the update wⱼ ← rnd(2n·10⁸·wⱼ − Gⱼ, 2n·10⁸) — i.e. learning rate
+  *    1/2 on the AVERAGE gradient, then re-rounded to the 1e4 grid —
+  *    uses round-half-away-from-zero expressed as floor division of
+  *    non-negative integers, which every engine computes identically.
+  *
+  * Plan shape per step: one narrow pass (quantize + margin + residual) →
+  * posexplode (dim rows per vector) → one (pos) aggregate whose partial
+  * aggregation collapses the explode to dim·shufflePartitions rows
+  * before the exchange. The dim-row update table is the only driver
+  * materialization — the sanctioned bounded collect. At 100 TB each
+  * step is one scan + one tiny shuffle; iterations are fixed and small
+  * (a linear probe on normalized features converges in a handful of
+  * lr=1/2 steps because the empirical Hessian has eigenvalues ≤ 1).
+  *
+  * Labels binarize as y = +1 when `labelCol` < `splitAt` else −1 (the
+  * one-vs-rest curation shape: "keep" classes vs the rest).
+  */
+object Probe {
+
+  /** Quantization grid for vectors and weights (the [[Ivf.quantizeVec]]
+    * grid).
+    */
+  val Scale: Long = 10000L
+
+  /** ±1 target from an integer class label. */
+  def target(labelCol: Column, splitAt: Int): Column =
+    when(labelCol < splitAt, 1L).otherwise(-1L)
+
+  /** Integer margin Σⱼ wⱼ·qxⱼ of a quantized vector against integer
+    * weights (scale 1e8 = weight grid × vector grid). Pure narrow
+    * codegen'd arithmetic — the serving path has no shuffle and no
+    * driver state beyond the dim-sized literal.
+    */
+  def marginQ(vec: Column, w: Seq[Long]): Column =
+    aggregate(
+      zip_with(Ivf.quantizeVec(vec), typedLit(w), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One exact full-batch gradient step; returns the updated weight
+    * vector (1e4 grid). `w` must have one entry per embedding
+    * dimension.
+    */
+  def trainStepQ(emb: DataFrame, w: Seq[Long], splitAt: Int = 5,
+                 labelCol: String = "label",
+                 vecCol: String = "embedding"): Seq[Long] = {
+    val dim = w.length
+    // residual r = margin − y·1e8: the margin target sits on the same
+    // 1e8 scale as the margin itself
+    val r = (marginQ(col(vecCol), w) -
+      target(col(labelCol), splitAt) * lit(Scale * Scale)).as("r")
+    // per-row gradient term q·r fits a long (≤ ~1e4·7e10); the SUM
+    // accumulates in DECIMAL(38,0) so no corpus size overflows it
+    val g = emb
+      .select(r, Ivf.quantizeVec(col(vecCol)).as("qx"))
+      .select(col("r"), posexplode(col("qx")).as(Seq("pos", "q")))
+      .groupBy("pos")
+      .agg(sum((col("q") * col("r")).cast("decimal(38,0)")).as("g"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(g.nonEmpty, "probe training set is empty")
+    val n = g.head.getLong(2)
+    // a dim mismatch nulls the zip_with margin (shorter side pads with
+    // null), which surfaces here as a wrong position count or a null
+    // gradient — fail loudly instead of training on garbage
+    require(g.length == dim,
+      s"embedding dim ${g.length} != weight dim $dim")
+    val byPos = g.map { row =>
+      require(!row.isNullAt(1),
+        s"null gradient at pos ${row.getInt(0)}: embedding dim differs " +
+          s"from weight dim $dim or a vector/label is null")
+      row.getInt(0) -> BigInt(row.getDecimal(1).toBigInteger)
+    }.toMap
+    require(byPos.size == dim,
+      s"embedding dim ${byPos.size} != weight dim $dim")
+    // w' = rnd(d·w − G, d), d = 2n·10⁸: lr=1/2 on the average gradient,
+    // re-rounded to the 1e4 grid. rnd is round-half-away-from-zero via
+    // floor division of non-negatives — engine-agnostic.
+    val d = BigInt(2) * n * Scale * Scale
+    (0 until dim).map { j =>
+      val wp = BigInt(w(j)) * d - byPos(j)
+      ((wp.abs * 2 + d) / (d * 2) * wp.signum).toLong
+    }
+  }
+
+  /** Fixed-iteration training from zero weights. `iters` is small and
+    * pinned (the determinism contract: no data-dependent stopping).
+    */
+  def trainQ(emb: DataFrame, dim: Int = 64, iters: Int = 2,
+             splitAt: Int = 5, labelCol: String = "label",
+             vecCol: String = "embedding"): Seq[Long] = {
+    require(iters >= 1, "iters must be >= 1")
+    var w: Seq[Long] = Seq.fill(dim)(0L)
+    var i = 0
+    while (i < iters) { w = trainStepQ(emb, w, splitAt, labelCol, vecCol); i += 1 }
+    w
+  }
+
+  /** Frozen-probe scorer: (id, score_q, pred) with score_q the integer
+    * margin (scale 1e8) and pred = score_q ≥ 0. ZERO-shuffle narrow
+    * pass — the nightly-ingest serving shape, stream-safe (no state).
+    */
+  def scoreQ(df: DataFrame, w: Seq[Long], idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val m = marginQ(col(vecCol), w)
+    df.select(col(idCol), m.as("score_q"),
+      (m >= 0).cast("int").as("pred"))
+  }
+}

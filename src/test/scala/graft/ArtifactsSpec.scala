@@ -383,6 +383,34 @@ class ArtifactsSpec extends SparkSpecBase {
     }.getMessage.contains("idCol=doc_id"))
   }
 
+  test("probe weights round-trip parquet; probeWeightsFor trains once; recipe mismatch fails loudly") {
+    import graft.northstar.Probe
+    val key = s"artifacts-spec-probe-${System.nanoTime()}"
+    val direct = Probe.trainQ(emb, dim = 64, iters = 2)
+    val served = Artifacts.probeWeightsFor(emb, key, dim = 64, iters = 2)
+    assert(served == direct)
+    // serve-by-load: a label-flipped corpus under the same key would
+    // train the OPPOSITE direction; the store must return the pinned fit
+    val flipped = emb.withColumn("label", lit(9) - col("label"))
+    assert(Artifacts.probeWeightsFor(flipped, key, dim = 64, iters = 2)
+      == direct)
+    // recipe mismatch on the stored artifact fails loudly (sidecar pins
+    // iters/splitAt/labelCol/dim even though the weight rows look alike)
+    val path = tempDir("probe-art")
+    Artifacts.saveProbeWeights(spark, direct, path,
+      iters = 2, splitAt = 5, labelCol = "label")
+    assert(Artifacts.loadProbeWeights(spark, path, dim = 64,
+      iters = 2, splitAt = 5, labelCol = "label") == direct)
+    intercept[IllegalArgumentException] {
+      Artifacts.loadProbeWeights(spark, path, dim = 64,
+        iters = 3, splitAt = 5, labelCol = "label")
+    }
+    intercept[IllegalArgumentException] {
+      Artifacts.loadProbeWeights(spark, path, dim = 64,
+        iters = 2, splitAt = 4, labelCol = "label")
+    }
+  }
+
   test("pruneStore: TTL-stale entries and trainer leftovers deleted, overflow dropped oldest-first, foreign children untouched") {
     val root = new java.io.File(tempDir("prunestore"))
     val now = System.currentTimeMillis()

@@ -35,6 +35,42 @@ class KernelEdgeSpec extends SparkSpecBase {
     assert(out(0).getLong(1) == out(1).getLong(1))
   }
 
+  test("kernels are locale-proof: a Turkish default locale cannot move fingerprints") {
+    // VERDICT r11 task 4: the kernels lower-case with Locale.ROOT
+    // because a tr-locale executor JVM lowercases "I" to dotless ı,
+    // which would silently shift every token, signature, and stopword
+    // count with the machine's locale. Pin results under the default
+    // locale, re-evaluate with tr as the JVM default, and require
+    // equality — the pre-r11 toLowerCase() kernel fails this test.
+    import graft.functions.TextOps
+    import graft.northstar.TextAnalysis
+    val texts = Seq(
+      (1L, "IT IS A TITLE WITH CAPITAL I LETTERS"),
+      (2L, "I think It Is fine"),
+      (3L, "III II I Istanbul LIKING"))
+    val df = texts.toDF("doc_id", "text")
+    def probe() = {
+      val sigs = df.select($"doc_id", texthash.minhash_sig($"text"),
+          texthash.simhash64($"text"),
+          texthash.text_stats($"text", TextOps.DefaultStopwords))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]](1).toSeq,
+          r.getLong(2), r.getAs[scala.collection.Seq[Long]](3).toSeq)).toSet
+      val lang = df.select($"doc_id", TextAnalysis.languageId($"text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      (sigs, lang)
+    }
+    val before = probe()
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // sanity: the hostile locale really is hostile on this JVM
+      assert("TITLE".toLowerCase != "title",
+        "tr locale did not take effect — test would prove nothing")
+      assert(probe() == before)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("minhash_est: zero-length signature → 0.0; identical → 1.0") {
     val df = Seq((Seq(1L, 2L), Seq(1L, 2L)), (Seq.empty[Long], Seq.empty[Long]))
       .toDF("a", "b")

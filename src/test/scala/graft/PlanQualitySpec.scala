@@ -227,7 +227,10 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("chunking and probe scoring: pure narrow passes — zero exchanges") {
-    for (q <- Seq("ns_chunk", "ns_embed_probe")) {
+    // ns_probe_serve: the TRAINED-weight scorer — training happens in
+    // query construction (artifact-pinned), the returned plan must be
+    // the zero-shuffle narrow serving pass
+    for (q <- Seq("ns_chunk", "ns_embed_probe", "ns_probe_serve")) {
       val p = planOf(q)
       assert(!p.contains("Exchange"), s"$q has a shuffle:\n" + p.take(800))
     }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.northstar.{Ivf, Probe}
+import org.apache.spark.sql.functions.col
+
+/** Distributed linear-probe training: exact-integer recurrence,
+  * partition-order invariance, learning on separable data, and the
+  * frozen-scorer serving contract.
+  */
+class ProbeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Driver-side BigInt replay of one training step — the same
+    * recurrence [[Probe.trainStepQ]] distributes.
+    */
+  private def stepRef(rows: Seq[(Seq[Long], Long)],
+                      w: Seq[Long]): Seq[Long] = {
+    val n = rows.size
+    val d = BigInt(2) * n * 10000L * 10000L
+    w.indices.map { j =>
+      val g = rows.map { case (q, y) =>
+        val m = q.indices.map(i => BigInt(q(i)) * w(i)).sum
+        (m - BigInt(y) * 100000000L) * q(j)
+      }.sum
+      val wp = BigInt(w(j)) * d - g
+      ((wp.abs * 2 + d) / (d * 2) * wp.signum).toLong
+    }
+  }
+
+  private def quantized(df: org.apache.spark.sql.DataFrame,
+                        splitAt: Int): Seq[(Seq[Long], Long)] =
+    df.select(Ivf.quantizeVec(col("embedding")).as("q"),
+        Probe.target(col("label"), splitAt).as("y"))
+      .collect()
+      .map(r => (r.getSeq[Long](0).toSeq, r.getLong(1))).toSeq
+
+  test("trainStepQ matches the driver-side BigInt recurrence from zero and from nonzero weights") {
+    val ref = quantized(emb, splitAt = 5)
+    val w1 = Probe.trainStepQ(emb, Seq.fill(64)(0L))
+    assert(w1 == stepRef(ref, Seq.fill(64)(0L)))
+    val w2 = Probe.trainStepQ(emb, w1)
+    assert(w2 == stepRef(ref, w1))
+    assert(Probe.trainQ(emb, iters = 2) == w2)
+  }
+
+  test("training is partition-order and partition-count invariant") {
+    val w = Probe.trainQ(emb, iters = 2)
+    assert(Probe.trainQ(emb.repartition(7), iters = 2) == w)
+    assert(Probe.trainQ(emb.orderBy(col("vec_id").desc), iters = 2) == w)
+  }
+
+  test("a linearly separable direction is learned: sign(x0) labels classified perfectly") {
+    // synthetic set where y = sign of the first component: the probe
+    // must pick up a dominant w(0) and classify every training row
+    val data = (0 until 200).map { i =>
+      val x0 = if (i % 2 == 0) 0.8f else -0.8f
+      val noise = Array.tabulate(63)(j =>
+        (((i * 31 + j * 17) % 11) - 5) / 100.0f)
+      (i.toLong, (x0 +: noise).toSeq, if (i % 2 == 0) 0 else 9)
+    }.toDF("vec_id", "embedding", "label")
+    val w = Probe.trainQ(data, iters = 2)
+    assert(math.abs(w.head) == w.map(math.abs).max,
+      s"w0 not dominant: ${w.take(5)}")
+    val scored = Probe.scoreQ(data, w)
+      .join(data.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("pred"), col("label")).collect()
+    assert(scored.forall(r => r.getInt(0) == (if (r.getInt(1) < 5) 1 else 0)))
+  }
+
+  test("scoreQ margin is the exact integer dot of quantized vectors and weights") {
+    val w = Probe.trainQ(emb, iters = 1)
+    val got = Probe.scoreQ(emb, w).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val ref = emb.select(col("vec_id"), Ivf.quantizeVec(col("embedding")))
+      .collect().map { r =>
+        val m = r.getSeq[Long](1).zip(w).map { case (a, b) => a * b }.sum
+        r.getLong(0) -> ((m, if (m >= 0) 1 else 0))
+      }.toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("dimension mismatch and empty input fail loudly") {
+    intercept[IllegalArgumentException] {
+      Probe.trainStepQ(emb, Seq.fill(32)(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Probe.trainStepQ(emb.filter(col("vec_id") < 0), Seq.fill(64)(0L))
+    }
+  }
+}

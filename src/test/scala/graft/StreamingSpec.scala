@@ -265,6 +265,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.forall { case (_, _, lp) => lp < 0 && !lp.isNaN })
   }
 
+  test("scoreQ: the frozen-probe scorer runs unchanged on a stream and matches batch") {
+    import graft.northstar.Probe
+    val src = tmp(); val ckpt = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.parquet(s"$src/emb.parquet")
+    val batchEmb = spark.read.parquet(s"$src/emb.parquet")
+    // train offline on the batch corpus, then serve the SAME frozen
+    // weights on a stream — stateless narrow plan, no state store
+    val w = Probe.trainQ(batchEmb, iters = 2)
+    val schema = batchEmb.schema
+    val q = Probe.scoreQ(
+        IncrementalStream.readTableStream(spark, src, "emb", schema), w)
+      .writeStream.format("memory").queryName("probe_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("probe_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Probe.scoreQ(batchEmb, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("corpusDiffIncoming: streamed batch vs static snapshot matches batch diff") {
     import graft.northstar.Dedup
     import org.apache.spark.sql.functions.{col, concat, lit, when}
