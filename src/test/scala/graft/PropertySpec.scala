@@ -196,6 +196,50 @@ class SparkPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("probe training: update equals BigDecimal HALF_UP average-gradient step; invariant under corpus replication") {
+    import graft.northstar.Probe
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val dim = 6
+      val data = (0 until 40).map { i =>
+        // components exactly on the 1e4 grid so quantization is identity
+        // and the BigDecimal reference sees the same integers
+        val v = Seq.fill(dim)((rnd.nextInt(2001) - 1000) / 10000.0f)
+        (i.toLong, v, rnd.nextInt(10))
+      }
+      val df = data.toDF("vec_id", "embedding", "label")
+      val w0 = Seq.fill(dim)(rnd.nextInt(201).toLong - 100)
+      val got = Probe.trainStepQ(df, w0)
+      // independent formulation: exact rational average-gradient step
+      // rounded HALF_UP (round half away from zero) — the semantic the
+      // floor-division trick implements
+      val q = data.map { case (_, v, lab) =>
+        (v.map(x => math.round(x.toDouble * 10000)), if (lab < 5) 1L else -1L)
+      }
+      val n = q.size
+      val d = java.math.BigDecimal.valueOf(2L * n * 10000L * 10000L)
+      val want = (0 until dim).map { j =>
+        val g = q.map { case (x, y) =>
+          val m = x.indices.map(i => BigInt(x(i)) * w0(i)).sum
+          (m - BigInt(y) * 100000000L) * x(j)
+        }.sum
+        new java.math.BigDecimal(
+          (BigInt(w0(j)) * BigInt(d.toBigInteger) - g).bigInteger)
+          .divide(d, 0, java.math.RoundingMode.HALF_UP).longValueExact()
+      }
+      assert(got == want, s"trial $trial: integer step != HALF_UP reference")
+      // replication invariance: duplicating the corpus k× scales both the
+      // gradient and the divisor by k, so the update — and therefore the
+      // whole training trajectory — is unchanged. This is the property
+      // that makes the fixed-point recurrence corpus-size-stable.
+      val df3 = df.unionAll(df).unionAll(df)
+      assert(Probe.trainStepQ(df3, w0) == got,
+        s"trial $trial: 3x-replicated corpus moved the update")
+      assert(Probe.trainQ(df3, dim, iters = 2) == Probe.trainQ(df, dim, iters = 2),
+        s"trial $trial: 3x-replicated corpus moved the trajectory")
+    }
+  }
+
   test("minhashPairsAgainst agrees with self-join LSH restricted to cross-slice pairs") {
     import graft.northstar.Dedup
     import org.apache.spark.sql.functions._
