@@ -1629,9 +1629,10 @@ object SparkEntry {
     // (rank-exact exhaustive companion + recall floor)
     "ns_knn_ivf_serve" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
-        emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
-      val (index, splits) = graft.northstar.Artifacts.ivfIndexFor(
+      // ONE artifact resolution: ivfIndexFor resolves (and digest-pins)
+      // the quantizer internally and returns it, so the serving path
+      // pays no second ivfCentroidsFor round-trip
+      val (index, splits, centroids) = graft.northstar.Artifacts.ivfIndexFor(
         emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
       graft.northstar.Ivf.ivfServeTopK(
         emb.filter(col("vec_id") < 5), index, centroids, splits,

@@ -504,16 +504,18 @@ object Artifacts {
   /** Train-once / serve-many IVF index for a corpus identified by
     * `cacheKey`: assign + write partitioned on first request, serve by
     * reading the stored layout on every request. Returns the index
-    * frame (partition column `cell` included) and the split-bits map —
-    * exactly the two inputs [[Ivf.ivfServeTopK]] needs. The centroids
-    * are resolved through [[ivfCentroidsFor]] (their own artifact), so
-    * index and quantizer can never drift apart silently: the digest
-    * pin in `_params` rejects an index built under different centroids.
+    * frame (partition column `cell` included), the split-bits map, AND
+    * the resolved centroids — all three inputs [[Ivf.ivfServeTopK]]
+    * needs, so a serving caller pays ONE artifact resolution, not a
+    * second ivfCentroidsFor round-trip (the centroids are resolved
+    * internally anyway: their digest pin in `_params` rejects an index
+    * built under different centroids, so index and quantizer can never
+    * drift apart silently).
     */
   def ivfIndexFor(corpus: DataFrame, cacheKey: String, nCells: Int,
                   vecCol: String = "embedding", seed: Long = 42L,
-                  maxCell: Int = 100000,
-                  idCol: String = "vec_id"): (DataFrame, Map[Int, Int]) = {
+                  maxCell: Int = 100000, idCol: String = "vec_id")
+      : (DataFrame, Map[Int, Int], Array[Array[Float]]) = {
     val spark = corpus.sparkSession
     val centroids = ivfCentroidsFor(corpus, cacheKey, nCells, vecCol, seed)
     val path = pathFor("ivfindex",
@@ -528,7 +530,7 @@ object Artifacts {
     val splits = spark.read
       .parquet(new java.io.File(path, "splits").toString)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    (index, splits)
+    (index, splits, centroids)
   }
 
   // ------------------------------------------------ semantic dedup pairs

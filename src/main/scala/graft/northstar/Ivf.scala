@@ -298,9 +298,22 @@ object Ivf {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
       .withColumn("subcell", subcellOf(col("qv"), col("cell"), centroids, splits))
-    // (query, neighbor) pairs are unique by construction — probeCells
-    // yields DISTINCT cells and each corpus row has exactly one
-    // (cell, subcell) — so no dedup exchange is needed before ranking
+    rankCandidates(q, c, k)
+  }
+
+  /** Shared candidate-ranking tail of [[ivfTopK]] and [[ivfServeTopK]]:
+    * (cell, subcell) equi-join, self-pair filter, exact cosine, per-query
+    * rank with neighbor-id tie-break. The two paths' row-identity is a
+    * pinned contract (IvfSpec asserts it exactly) — sharing the tail
+    * makes that identity structural, so a ranking change cannot land on
+    * one path and silently break serve==fit parity.
+    *
+    * (query, neighbor) pairs are unique by construction — probeCells
+    * yields DISTINCT cells and each corpus row has exactly one
+    * (cell, subcell) — so no dedup exchange is needed before ranking.
+    */
+  private def rankCandidates(q: DataFrame, c: DataFrame,
+                             k: Int): DataFrame = {
     val scored = q.join(c, Seq("cell", "subcell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -345,15 +358,7 @@ object Ivf {
     // rather than per-row at execution time
     val probed = q.select("cell").distinct().collect().map(_.getInt(0))
     val c = index.filter(col("cell").isin(probed.map(Int.box): _*))
-    val scored = q.join(c, Seq("cell", "subcell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        vectors.vec_cosine(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankCandidates(q, c, k)
   }
 
   // ---- distributed Lloyd refinement, exact quantized-integer space ----

@@ -47,9 +47,14 @@ object Probe {
     */
   val Scale: Long = 10000L
 
-  /** ±1 target from an integer class label. */
+  /** ±1 target from an integer class label. A null label stays null —
+    * `when(...).otherwise(-1)` would silently assign every unlabeled
+    * row to the negative class; propagating the null instead lets
+    * [[trainStepQ]]'s strict row-count check reject the corpus loudly.
+    */
   def target(labelCol: Column, splitAt: Int): Column =
-    when(labelCol < splitAt, 1L).otherwise(-1L)
+    when(labelCol.isNull, lit(null).cast("long"))
+      .when(labelCol < splitAt, 1L).otherwise(-1L)
 
   /** Integer margin Σⱼ wⱼ·qxⱼ of a quantized vector against integer
     * weights (scale 1e8 = weight grid × vector grid). Pure narrow
@@ -69,32 +74,51 @@ object Probe {
                  labelCol: String = "label",
                  vecCol: String = "embedding"): Seq[Long] = {
     val dim = w.length
-    // residual r = margin − y·1e8: the margin target sits on the same
-    // 1e8 scale as the margin itself
-    val r = (marginQ(col(vecCol), w) -
-      target(col(labelCol), splitAt) * lit(Scale * Scale)).as("r")
-    // per-row gradient term q·r fits a long (≤ ~1e4·7e10); the SUM
-    // accumulates in DECIMAL(38,0) so no corpus size overflows it
+    // qx is projected ONCE and both the residual and the exploded
+    // gradient terms read the projection — Spark codegen does not CSE
+    // across independent expression trees, so inlining quantizeVec in
+    // both places would pay the 64-element cast+round pass twice per
+    // row in the dominant full-corpus scan
     val g = emb
-      .select(r, Ivf.quantizeVec(col(vecCol)).as("qx"))
+      .select(Ivf.quantizeVec(col(vecCol)).as("qx"),
+        target(col(labelCol), splitAt).as("y"))
+      // residual r = margin − y·1e8: the margin target sits on the same
+      // 1e8 scale as the margin itself
+      .select((aggregate(zip_with(col("qx"), typedLit(w), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) -
+          col("y") * lit(Scale * Scale)).as("r"),
+        col("qx"))
+      // per-row gradient term q·r fits a long (≤ ~1e4·7e10); the SUM
+      // accumulates in DECIMAL(38,0) so no corpus size overflows it
       .select(col("r"), posexplode(col("qx")).as(Seq("pos", "q")))
       .groupBy("pos")
       .agg(sum((col("q") * col("r")).cast("decimal(38,0)")).as("g"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"), count(col("r")).as("n_valid"))
       .collect()
     require(g.nonEmpty, "probe training set is empty")
-    val n = g.head.getLong(2)
-    // a dim mismatch nulls the zip_with margin (shorter side pads with
-    // null), which surfaces here as a wrong position count or a null
-    // gradient — fail loudly instead of training on garbage
     require(g.length == dim,
       s"embedding dim ${g.length} != weight dim $dim")
-    val byPos = g.map { row =>
-      require(!row.isNullAt(1),
-        s"null gradient at pos ${row.getInt(0)}: embedding dim differs " +
-          s"from weight dim $dim or a vector/label is null")
-      row.getInt(0) -> BigInt(row.getDecimal(1).toBigInteger)
-    }.toMap
+    // STRICT input validation: sum() silently SKIPS null gradient
+    // terms, so without these checks a corpus with mixed vector
+    // dimensions, null vectors, or null labels would train on wrong
+    // gradients under a nondeterministic row count. Any such row nulls
+    // its residual (zip_with pads the shorter side with null; a null
+    // label nulls the target), so count(r) < count(*) at every
+    // position the row emits; a short vector additionally splits the
+    // per-position row counts. Both fingerprints fail loudly here.
+    g.foreach { row =>
+      require(row.getLong(2) == row.getLong(3),
+        s"pos ${row.getInt(0)}: ${row.getLong(2) - row.getLong(3)} rows " +
+          s"with a null residual — vector dim != $dim, or null " +
+          s"$vecCol/$labelCol values; refusing to train on a partial corpus")
+    }
+    val ns = g.map(_.getLong(2)).distinct
+    require(ns.length == 1,
+      s"per-position row counts differ (${ns.sorted.mkString(",")}) — " +
+        s"corpus mixes vector dimensions; refusing to train")
+    val n = ns.head
+    val byPos = g.map(row =>
+      row.getInt(0) -> BigInt(row.getDecimal(1).toBigInteger)).toMap
     require(byPos.size == dim,
       s"embedding dim ${byPos.size} != weight dim $dim")
     // w' = rnd(d·w − G, d), d = 2n·10⁸: lr=1/2 on the average gradient,

@@ -180,8 +180,10 @@ class ArtifactsSpec extends SparkSpecBase {
 
   test("ivfIndexFor: stored cell-partitioned index serves row-identical to ivfTopK; serve-by-load") {
     val key = s"artifacts-spec-ivfidx-${System.nanoTime()}"
-    val centroids = Artifacts.ivfCentroidsFor(emb, key, nCells = 4)
-    val (index, splits) = Artifacts.ivfIndexFor(emb, key, nCells = 4)
+    val (index, splits, centroids) = Artifacts.ivfIndexFor(emb, key, nCells = 4)
+    // the returned quantizer IS the stored ivfCentroidsFor artifact
+    assert(centroids.map(_.toSeq).toSeq ==
+      Artifacts.ivfCentroidsFor(emb, key, nCells = 4).map(_.toSeq).toSeq)
     val q = emb.filter(col("vec_id") < 5)
     val serve = Ivf.ivfServeTopK(q, index, centroids, splits,
       k = 10, nProbe = 2).collect().map(_.toSeq).toSet
@@ -192,7 +194,7 @@ class ArtifactsSpec extends SparkSpecBase {
     // STORED assignment, not re-derive one from the new vectors
     val shifted = emb.withColumn("embedding",
       transform(col("embedding"), x => x + lit(10.0f)))
-    val (again, splitsAgain) = Artifacts.ivfIndexFor(shifted, key, nCells = 4)
+    val (again, splitsAgain, _) = Artifacts.ivfIndexFor(shifted, key, nCells = 4)
     assert(splitsAgain == splits)
     assert(rows(again.select("neighbor_id", "cell", "subcell")) ==
       rows(index.select("neighbor_id", "cell", "subcell")))

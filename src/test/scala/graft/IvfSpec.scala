@@ -91,9 +91,8 @@ class IvfSpec extends SparkSpecBase {
       (i.toLong, Array.fill(16)(rnd.nextFloat() + 0.05f))
     }.toDF("vec_id", "embedding")
     val key = s"ivfspec-serve-${System.nanoTime()}"
-    val centroids = Artifacts.ivfCentroidsFor(corpus, key, nCells = 2)
-    val (index, splits) = Artifacts.ivfIndexFor(corpus, key, nCells = 2,
-      maxCell = 100)
+    val (index, splits, centroids) = Artifacts.ivfIndexFor(corpus, key,
+      nCells = 2, maxCell = 100)
     assert(splits.nonEmpty, "corpus was built to force a mega-cell split")
     val q = corpus.filter(col("vec_id") < 5)
     val serve = Ivf.ivfServeTopK(q, index, centroids, splits,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.northstar.{Ivf, Probe}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Distributed linear-probe training: exact-integer recurrence,
   * partition-order invariance, learning on separable data, and the
@@ -88,5 +88,25 @@ class ProbeSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Probe.trainStepQ(emb.filter(col("vec_id") < 0), Seq.fill(64)(0L))
     }
+  }
+
+  test("mixed-dimension and null-label corpora are rejected, not silently partially trained") {
+    // sum() skips null gradient terms, so without the strict row-count
+    // checks these corpora would train on wrong gradients under a
+    // nondeterministic n (code-review r12)
+    val good = (0 until 10).map(i => (i.toLong, Seq.fill(4)(0.1f), 1))
+    val short = Seq((99L, Seq.fill(2)(0.1f), 1))
+    val mixed = (good ++ short).toDF("vec_id", "embedding", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      Probe.trainStepQ(mixed, Seq.fill(4)(0L))
+    }
+    assert(e1.getMessage.contains("refusing to train"), e1.getMessage)
+    val nullLab = good.toDF("vec_id", "embedding", "label")
+      .withColumn("label",
+        when(col("vec_id") === 3L, lit(null)).otherwise(col("label")))
+    val e2 = intercept[IllegalArgumentException] {
+      Probe.trainStepQ(nullLab, Seq.fill(4)(0L))
+    }
+    assert(e2.getMessage.contains("null residual"), e2.getMessage)
   }
 }
