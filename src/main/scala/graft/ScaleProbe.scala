@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.{Aggregations, Tables}
 import graft.engine.Aggregations.AggSpec
-import graft.northstar.{Dedup, Ivf, Similarity}
+import graft.northstar.{Dedup, Ivf, Pq, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -533,6 +533,26 @@ object ScaleProbe {
       Ivf.lloydStepQ(emb, initQ).length.toLong
     }
     println(f"[scale] lloydStepQ 5x-data ratio       ${lr5 / lr1}%.1fx (linear-ish expected)")
+    // IVF-PQ: the probe join ships m-int codes (not vectors) and the
+    // exact re-rank fetch is query-bounded, so wall time should track
+    // the corpus ~linearly as it replicates (fixed job overhead
+    // dominating the small end). Codebooks fit once on the base corpus
+    // — serving against a replicated corpus with the SAME quantizers is
+    // exactly the nightly-ingest pattern.
+    val cents1 = Ivf.fitCentroids(emb1, nCells = 8)
+    val pqCb = Pq.fitCodebooks(emb1, m = 8, ksub = 16)
+    val pq1 = timed("ivfPqTopK 2k corpus (1x)") {
+      Pq.ivfPqTopK(emb1.filter(col("vec_id") < 20), emb1, cents1, pqCb,
+        k = 10, nProbe = 3, rerank = 30).count()
+    }
+    // SAME quantizers (cents1/pqCb, both base-fit) for both timed runs:
+    // refitting centroids per corpus would let cell-balance differences
+    // skew the ratio independent of data volume
+    val pq5 = timed("ivfPqTopK 10k corpus (5x)") {
+      Pq.ivfPqTopK(emb.filter(col("vec_id") < 20), emb, cents1, pqCb,
+        k = 10, nProbe = 3, rerank = 30).count()
+    }
+    println(f"[scale] ivfPqTopK 5x-data ratio        ${pq5 / pq1}%.1fx (linear-ish expected)")
     spark.stop()
   }
 }

@@ -1619,6 +1619,30 @@ object SparkEntry {
         graft.northstar.Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 3),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
+    // JL→ANN composition quality pin: top-k computed in the PROJECTED
+    // 16-dim space (randomProject feeding the exact ranker) vs brute
+    // force in the original 64-dim space — the pinned n_hits constant is
+    // the distance-preservation contract of the projection as the ANN
+    // pipeline would actually consume it (project → index → search);
+    // a matrix-derivation or quantization regression moves it. The
+    // absolute recall is LOW BY CONSTRUCTION on this corpus: i.i.d.
+    // near-orthogonal vectors are JL's ranking worst case (all cosines
+    // ≈ 0, so the (1±ε) distortion at 64→16 reshuffles near-tied
+    // ranks — measured 6/50 at 16 dims, 13/50 at 32); real embedding
+    // corpora have cluster structure whose neighbor gaps survive the
+    // distortion. The pin is the determinism tripwire, not a quality
+    // claim — quality scales with outDim per the JL bound.
+    "ns_knn_jl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val proj = emb.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), dim = 64, outDim = 16)
+          .as("embedding"))
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.recallCounts(
+        Similarity.bruteForceTopK(proj.filter(col("vec_id") < 5), proj,
+          k = 10),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
     // STORED-index serving for IVF ANN: the corpus is written once,
     // hive-partitioned by cell (Artifacts.ivfIndexFor), and the probe
     // reads ONLY the probed cell directories — PartitionFilters at
@@ -1638,6 +1662,81 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), index, centroids, splits,
         k = 10, nProbe = 3)
     }),
+    // IVF-PQ ANN (Jégou et al. 2011): the candidate join ships m-int PQ
+    // codes instead of raw vectors (at dim=1024/m=16 a 64× reduction on
+    // the dominant shuffle edge — the 100-TB serving win), candidates
+    // rank by codegen'd ADC cosine against the reconstruction, and the
+    // top-`rerank` survivors re-rank by EXACT cosine via a keyed join
+    // back to the corpus. Rows-only like ns_knn_ivf; pinned by the
+    // rank-exact exhaustive companion + recall floor below.
+    "ns_knn_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = key, nCells = 8)
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8, ksub = 16)
+      graft.northstar.Pq.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+        centroids, codebooks, k = 10, nProbe = 3, rerank = 30)
+    }),
+    // hash-checked companion to ns_knn_ivfpq: probing ALL cells with an
+    // unbounded rerank makes the exact re-rank see every corpus row, so
+    // the IVF-PQ plumbing (codes-only probe join, ADC ranking, re-rank
+    // join) must reproduce brute force rank-exactly REGARDLESS of
+    // codebook quality — the oracle is the same SQL as ns_knn_brute
+    "ns_knn_ivfpq_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = key, nCells = 8)
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8, ksub = 16)
+      graft.northstar.Pq.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+        centroids, codebooks, k = 10, nProbe = 8, rerank = 1 << 30)
+    }),
+    // STORED-index serving for IVF-PQ: the corpus is encoded and written
+    // once, hive-partitioned by cell with ONLY (neighbor_id, codes,
+    // subcell) — the index a probe reads is ~dim/m× smaller than the raw
+    // corpus on disk, on top of planning-time partition pruning; only
+    // the rerank survivors fetch full vectors. Rows-only like
+    // ns_knn_ivfpq: by construction row-identical to ns_knn_ivfpq (same
+    // centroids, codebooks, and shared ADC-rerank tail — PqSpec asserts
+    // the equality exactly), so it inherits its pins
+    "ns_knn_ivfpq_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (index, splits, centroids, codebooks) =
+        graft.northstar.Artifacts.ivfPqIndexFor(
+          emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8, m = 8,
+          ksub = 16)
+      graft.northstar.Pq.ivfPqServeTopK(emb.filter(col("vec_id") < 5),
+        index, emb, centroids, splits, codebooks,
+        k = 10, nProbe = 3, rerank = 30)
+    }),
+    // recall tripwire for the APPROXIMATE IVF-PQ mode (the ns_knn_*_recall
+    // contract): n_hits vs brute force pinned by the DuckDB oracle — a
+    // codebook-fit, ADC, or rerank regression moves the constant
+    "ns_knn_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = key, nCells = 8)
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8, ksub = 16)
+      Similarity.recallCounts(
+        graft.northstar.Pq.ivfPqTopK(q, emb, centroids, codebooks,
+          k = 10, nProbe = 3, rerank = 30),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
+    // quantized-exact Johnson–Lindenstrauss random projection: 64→16
+    // integer dot products per vector against the stateless splitmix
+    // matrix — the dimensionality-reduction narrow pass an embedding
+    // pipeline runs before ANN indexing/clustering at scale (zero
+    // shuffle, zero driver state); the oracle replays the SAME integer
+    // arithmetic from the literal matrix, so the result is hash-exact
+    "ns_rand_proj" -> ((s, dir) =>
+      Similarity.randomProjectQ(t(s, dir, "embeddings"), dim = 64,
+        outDim = 16)),
     "ns_neardup_cosine" -> ((s, dir) => // rows-only
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)),
     // SemDeDup: cluster-scoped semantic dedup over the STORED quantizer
@@ -4165,6 +4264,56 @@ object SparkEntry {
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
         |       CAST(31 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
+    // the JL projection replayed from the literal integer matrix: the
+    // VALUES table is generated from the SAME jlMatrixQ the Spark side
+    // uses, so matrix, quantization, and dot products are all
+    // integer-exact on both engines
+    "ns_rand_proj" -> {
+      val w = graft.northstar.Similarity.jlMatrixQ(64, 16)
+      val values = w.indices.flatMap(j =>
+        w(j).indices.map(i => s"($j,$i,${w(j)(i)})")).mkString(",")
+      s"""WITH m(j, i, w) AS (VALUES $values),
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |             unnest(embedding) AS x
+         |      FROM embeddings)
+         |SELECT e.vec_id, m.j,
+         |       CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) * m.w) AS BIGINT) AS dot_q
+         |FROM e JOIN m ON m.i = e.i
+         |GROUP BY e.vec_id, m.j""".stripMargin
+    },
+    // identical to the ns_knn_brute oracle: exhaustive probing with an
+    // unbounded rerank must equal brute force regardless of codebook
+    // quality (the re-rank is exact over the full candidate set)
+    "ns_knn_ivfpq_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_jl_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(6 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
+    "ns_knn_ivfpq_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(26 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // identical to the ns_knn_brute oracle: exhaustive probing must equal
     // brute force

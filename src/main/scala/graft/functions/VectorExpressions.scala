@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -77,6 +77,159 @@ object VecOps {
         planeCache = planeCache.updated(key, grown)
         grown
     }
+  }
+
+  /** Per-THREAD single-entry identity cache for the flattened-codebook
+    * literal: the PQ kernels receive the codebook as a literal
+    * array<float> child, and within one task the generated code passes
+    * the SAME ArrayData object for every row — but reading it
+    * element-by-element through getFloat on a GenericArrayData boxes
+    * every access, so convert once per (thread, object). ThreadLocal,
+    * not a JVM-global slot: concurrent tasks each deserialize their OWN
+    * literal copy, so a shared slot would be overwritten by alternating
+    * tasks on nearly every row — per-row toFloatArray plus cache-line
+    * ping-pong on exactly the hot path the cache exists to serve.
+    */
+  private val cbCache =
+    new ThreadLocal[(AnyRef, Array[Float])] {
+      override def initialValue(): (AnyRef, Array[Float]) = null
+    }
+
+  private def cbArray(cb: ArrayData): Array[Float] = {
+    val cached = cbCache.get()
+    if (cached != null && (cached._1 eq cb)) cached._2
+    else {
+      val arr = cb.toFloatArray()
+      cbCache.set((cb, arr))
+      arr
+    }
+  }
+
+  /** Per-thread identity cache for long-array literals (the quantized JL
+    * matrix), same rationale as [[cbArray]].
+    */
+  private val lqCache =
+    new ThreadLocal[(AnyRef, Array[Long])] {
+      override def initialValue(): (AnyRef, Array[Long]) = null
+    }
+
+  private def lqArray(w: ArrayData): Array[Long] = {
+    val cached = lqCache.get()
+    if (cached != null && (cached._1 eq w)) cached._2
+    else {
+      val arr = w.toLongArray()
+      lqCache.set((w, arr))
+      arr
+    }
+  }
+
+  /** Quantized JL projection: all outDim integer dot products of the
+    * 1e-4-grid-rounded vector against the flattened [outDim][dim]
+    * integer matrix, in ONE pass (each element quantized once, then
+    * multiply-added into every output accumulator). Quantization is
+    * nearest-with-ties-away-from-zero — Math.round mirrored for
+    * negatives — which equals Spark round()'s decimal HALF_UP on every
+    * double (shortest-decimal ties coincide with binary ties; a
+    * property test pins the identity against BigDecimal).
+    */
+  def jlProject(v: ArrayData, wq: ArrayData, outDim: Int,
+                scale: Int): ArrayData = {
+    val w = lqArray(wq)
+    val dim = v.numElements()
+    if (w.length != outDim * dim)
+      throw new IllegalArgumentException(
+        s"JL shape mismatch: vector dim $dim vs matrix of ${w.length} " +
+          s"weights for outDim=$outDim (expected ${outDim * dim})")
+    val out = new Array[Long](outDim)
+    var i = 0
+    while (i < dim) {
+      val a = v.getFloat(i).toDouble * scale
+      val q = if (a < 0) -Math.round(-a) else Math.round(a)
+      var j = 0
+      while (j < outDim) { out(j) += q * w(j * dim + i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Loud shape check shared by the PQ kernels: a corpus whose dim
+    * doesn't match the codebook's fit dim would otherwise read
+    * misaligned sub-centroids — silent garbage codes for smaller dims,
+    * an opaque AIOOBE for larger. One integer compare per row.
+    */
+  private def checkPqShape(dim: Int, m: Int, ksub: Int,
+                           codeLen: Int): Int = {
+    val sub = dim / m
+    if (dim % m != 0 || codeLen != m * ksub * sub)
+      throw new IllegalArgumentException(
+        s"PQ shape mismatch: vector dim $dim vs codebook of " +
+          s"${codeLen} floats for m=$m, ksub=$ksub " +
+          s"(expected ${m * ksub * (dim / m)}; was the codebook fit on " +
+          "a different embedding dim?)")
+    sub
+  }
+
+  /** Product-quantization encode: the vector split into m contiguous
+    * subspaces, each mapped to the index of its nearest sub-centroid
+    * (squared L2; ties to the LOWEST code via strict <). `cb` is the
+    * flattened [m][ksub][dim/m] codebook. Output: m codes in [0, ksub).
+    */
+  def pqEncode(v: ArrayData, cb: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val code = cbArray(cb)
+    val dim = v.numElements()
+    val sub = checkPqShape(dim, m, ksub, code.length)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * sub
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = v.getFloat(j * sub + i).toDouble - code(base + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance cosine: the query vector against the PQ
+    * RECONSTRUCTION of a corpus row (its per-subspace sub-centroids),
+    * in one pass — dot and both norms accumulated subspace-by-subspace,
+    * identical fold order to [[cosine]] on the reconstructed vector.
+    * The corpus side ships only its m codes (4m bytes vs 4·dim for the
+    * raw embedding), which is the point: at 100 TB the candidate join
+    * shuffles codes, never vectors.
+    */
+  def pqAdcCosine(q: ArrayData, codes: ArrayData, cb: ArrayData,
+                  ksub: Int): Double = {
+    val code = cbArray(cb)
+    val m = codes.numElements()
+    val dim = q.numElements()
+    val sub = checkPqShape(dim, m, ksub, code.length)
+    var dot = 0.0; var nq = 0.0; var nr = 0.0
+    var j = 0
+    while (j < m) {
+      val base = (j * ksub + codes.getInt(j)) * sub
+      var i = 0
+      while (i < sub) {
+        val x = q.getFloat(j * sub + i).toDouble
+        val y = code(base + i).toDouble
+        dot += x * y; nq += x * x; nr += y * y
+        i += 1
+      }
+      j += 1
+    }
+    val d = math.sqrt(nq) * math.sqrt(nr)
+    if (d == 0.0) 0.0 else dot / d
   }
 
   /** All nTables bucket ids for one vector: sign bits of nPlanes
@@ -162,6 +315,69 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int)
     copy(child = newChild)
 }
 
+/** pq_encode(array<float>, codebook literal) → array<int>: per-subspace
+  * nearest-sub-centroid codes (see VecOps.pqEncode). The codebook rides
+  * as a literal child — part of the serialized plan, no broadcast, no
+  * model state at scan time.
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+  require(m >= 1, s"m must be positive, got $m")
+  require(ksub >= 1, s"ksub must be positive, got $ksub")
+  // inputs: array<float> vector, array<float> flattened [m][ksub][dim/m]
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    VecOps.pqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, cb) => s"graft.functions.VecOps.pqEncode($v, $cb, $m, $ksub)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** pq_adc_cosine(query array<float>, codes array<int>, codebook literal)
+  * → double: cosine of the query against the PQ reconstruction (see
+  * VecOps.pqAdcCosine).
+  */
+case class PqAdcCosine(first: Expression, second: Expression,
+                       third: Expression, ksub: Int)
+    extends TernaryExpression {
+  require(ksub >= 1, s"ksub must be positive, got $ksub")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(q: Any, codes: Any, cb: Any): Any =
+    VecOps.pqAdcCosine(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, codes, cb) =>
+      s"graft.functions.VecOps.pqAdcCosine($q, $codes, $cb, $ksub)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqAdcCosine =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** jl_project(array<float>, matrix literal) → array<long>: the quantized
+  * Johnson–Lindenstrauss projection (see VecOps.jlProject).
+  */
+case class JlProject(left: Expression, right: Expression, outDim: Int,
+                     scale: Int)
+    extends BinaryExpression {
+  require(outDim >= 1, s"outDim must be positive, got $outDim")
+  require(scale >= 1, s"scale must be positive, got $scale")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any, wq: Any): Any =
+    VecOps.jlProject(v.asInstanceOf[ArrayData], wq.asInstanceOf[ArrayData],
+      outDim, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, wq) => s"graft.functions.VecOps.jlProject($v, $wq, $outDim, $scale)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JlProject =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the vector kernels (graft's `functions._`). */
 object vectors {
   private def ex(c: Column) = Bridge.expression(c)
@@ -171,4 +387,12 @@ object vectors {
     Bridge.column(FloatVecDot(ex(a), ex(b)))
   def lsh_buckets(v: Column, nPlanes: Int, nTables: Int): Column =
     Bridge.column(HyperplaneBuckets(ex(v), nPlanes, nTables))
+  def pq_encode(v: Column, codebook: Column, m: Int, ksub: Int): Column =
+    Bridge.column(PqEncode(ex(v), ex(codebook), m, ksub))
+  def pq_adc_cosine(q: Column, codes: Column, codebook: Column,
+                    ksub: Int): Column =
+    Bridge.column(PqAdcCosine(ex(q), ex(codes), ex(codebook), ksub))
+  def jl_project(v: Column, matrix: Column, outDim: Int,
+                 scale: Int): Column =
+    Bridge.column(JlProject(ex(v), ex(matrix), outDim, scale))
 }

@@ -462,6 +462,67 @@ object Artifacts {
     loadIvfCentroids(corpus.sparkSession, path, nCells, seed)
   }
 
+  /** Persist a [[Pq.fitCodebooks]] product-quantization codebook: one row
+    * per (subspace, code) sub-centroid with `__m`/`__ksub`/`__seed`
+    * pinned on every row. m × ksub × dim/m floats = ksub × dim — KB-sized
+    * at any corpus scale.
+    */
+  def savePqCodebooks(spark: SparkSession,
+                      codebooks: Array[Array[Array[Float]]],
+                      path: String, m: Int, ksub: Int, seed: Long): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq, m, ksub, seed) }
+    }.toSeq
+      .toDF("sub", "code", "vec", "__m", "__ksub", "__seed")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load stored PQ codebooks for encoding/ADC. Floats round-trip parquet
+    * exactly, so serving the loaded codebooks is bit-identical to the
+    * in-memory fit. Throws on pinned-parameter mismatch or a malformed
+    * artifact (wrong shape, missing entries).
+    */
+  def loadPqCodebooks(spark: SparkSession, path: String,
+                      m: Int, ksub: Int,
+                      seed: Long): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty PQ codebook artifact at $path")
+    rows.foreach { r =>
+      val (sm, sk, ss) = (r.getAs[Int]("__m"), r.getAs[Int]("__ksub"),
+        r.getAs[Long]("__seed"))
+      require(sm == m && sk == ksub && ss == seed,
+        s"PQ codebook artifact at $path was fit with m=$sm/ksub=$sk/" +
+          s"seed=$ss, serve requested m=$m/ksub=$ksub/seed=$seed")
+    }
+    require(rows.length == m * ksub,
+      s"PQ codebook artifact at $path holds ${rows.length} sub-centroids, " +
+        s"expected ${m * ksub}")
+    val byKey = rows.map(r =>
+      (r.getAs[Int]("sub"), r.getAs[Int]("code")) ->
+        r.getSeq[Float](2).toArray).toMap
+    require(byKey.size == m * ksub,
+      s"PQ codebook artifact at $path has duplicate (sub, code) entries")
+    Array.tabulate(m, ksub)((j, c) => byKey.getOrElse((j, c),
+      throw new IllegalArgumentException(
+        s"PQ codebook artifact at $path is missing subspace $j code $c")))
+  }
+
+  /** Train-once / serve-many PQ codebooks for a corpus identified by
+    * `cacheKey` (the [[ivfCentroidsFor]] contract).
+    */
+  def pqCodebooksFor(corpus: DataFrame, cacheKey: String, m: Int,
+                     ksub: Int = 16, vecCol: String = "embedding",
+                     seed: Long = 42L): Array[Array[Array[Float]]] = {
+    val path = pathFor("pq", s"$cacheKey-m$m-k$ksub-s$seed-$vecCol")
+    ensureTrained(path) { tmp =>
+      savePqCodebooks(corpus.sparkSession,
+        Pq.fitCodebooks(corpus, m, ksub, vecCol, seed = seed),
+        tmp, m, ksub, seed)
+    }
+    loadPqCodebooks(corpus.sparkSession, path, m, ksub, seed)
+  }
+
   /** Persist the cell-partitioned IVF SERVING index: the corpus assigned
     * once under `centroids`, written hive-partitioned by cell — so a
     * probe ([[Ivf.ivfServeTopK]]) prunes unprobed cell directories at
@@ -531,6 +592,79 @@ object Artifacts {
       .parquet(new java.io.File(path, "splits").toString)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     (index, splits, centroids)
+  }
+
+  /** Persist the cell-partitioned, CODES-ONLY IVF-PQ serving index: the
+    * corpus assigned once under `centroids`, PQ-encoded under
+    * `codebooks`, written hive-partitioned by cell carrying
+    * (neighbor_id, codes, subcell) — the raw vectors stay in the corpus
+    * table; the index a probe reads is ~dim/m× smaller on disk. Same
+    * layout contract as [[saveIvfIndex]] (`index` + `splits` parts,
+    * `_params` sidecar pinning centroid digest / codebook digest /
+    * maxCell, top-level `_SUCCESS`).
+    */
+  def saveIvfPqIndex(corpus: DataFrame, path: String,
+                     centroids: Array[Array[Float]],
+                     codebooks: Array[Array[Array[Float]]],
+                     idCol: String, vecCol: String, maxCell: Int): Unit = {
+    val spark = corpus.sparkSession
+    val assigned = Dedup.trackedPersist(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        Ivf.cellOf(col(vecCol), centroids).as("cell")))
+    val splits = Ivf.splitBitsFromCensus(
+      assigned.groupBy("cell").count(), maxCell)
+    assigned
+      .select(col("neighbor_id"), col("cell"),
+        Ivf.subcellOf(col("cv"), col("cell"), centroids, splits)
+          .as("subcell"),
+        Pq.encode(col("cv"), codebooks).as("codes"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new java.io.File(path, "index").toString)
+    import spark.implicits._
+    splits.toSeq.toDF("cell", "bits")
+      .repartition(1).write.mode("overwrite")
+      .parquet(new java.io.File(path, "splits").toString)
+    writeParams(path, Map(
+      "centroids" -> centroidDigest(centroids),
+      "codebooks" -> centroidDigest(codebooks.flatten),
+      "maxCell" -> maxCell.toString, "vecCol" -> vecCol))
+    java.nio.file.Files.write(
+      new java.io.File(path, "_SUCCESS").toPath, Array.empty[Byte]): Unit
+  }
+
+  /** Train-once / serve-many IVF-PQ index for a corpus identified by
+    * `cacheKey` (the [[ivfIndexFor]] contract): returns the codes-only
+    * index frame (partition column `cell` included), the split-bits map,
+    * the resolved centroids, AND the resolved codebooks — everything
+    * [[Pq.ivfPqServeTopK]] needs from ONE artifact resolution. The
+    * `_params` digests reject an index built under different centroids
+    * or codebooks, so quantizers and index can never drift apart
+    * silently.
+    */
+  def ivfPqIndexFor(corpus: DataFrame, cacheKey: String, nCells: Int,
+                    m: Int, ksub: Int = 16,
+                    vecCol: String = "embedding", seed: Long = 42L,
+                    maxCell: Int = 100000, idCol: String = "vec_id")
+      : (DataFrame, Map[Int, Int], Array[Array[Float]],
+         Array[Array[Array[Float]]]) = {
+    val spark = corpus.sparkSession
+    val centroids = ivfCentroidsFor(corpus, cacheKey, nCells, vecCol, seed)
+    val codebooks = pqCodebooksFor(corpus, cacheKey, m, ksub, vecCol, seed)
+    val path = pathFor("ivfpqindex",
+      s"$cacheKey-c$nCells-m$m-k$ksub-s$seed-$vecCol-m$maxCell-$idCol")
+    ensureTrained(path) { tmp =>
+      saveIvfPqIndex(corpus, tmp, centroids, codebooks, idCol, vecCol,
+        maxCell)
+    }
+    checkParams(path, Map(
+      "centroids" -> centroidDigest(centroids),
+      "codebooks" -> centroidDigest(codebooks.flatten),
+      "maxCell" -> maxCell.toString, "vecCol" -> vecCol), "IVF-PQ index")
+    val index = spark.read.parquet(new java.io.File(path, "index").toString)
+    val splits = spark.read
+      .parquet(new java.io.File(path, "splits").toString)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    (index, splits, centroids, codebooks)
   }
 
   // ------------------------------------------------ semantic dedup pairs

@@ -51,22 +51,31 @@ object Ivf {
   def fitCentroids(corpus: DataFrame, nCells: Int,
                    vecCol: String = "embedding",
                    sampleFraction: Double = AutoSample,
-                   seed: Long = 42L): Array[Array[Float]] = {
+                   seed: Long = 42L): Array[Array[Float]] =
+    lloyd(boundedSample(corpus, nCells * TrainRowsPerCell, vecCol,
+      sampleFraction, seed), nCells, seed, iters = 10)
+
+  /** The bounded, corpus-size-independent training sample shared by the
+    * coarse quantizer and the PQ codebook fit ([[Pq.fitCodebooks]]):
+    * min(1, targetRows/corpusRows) Bernoulli sample, collected. The 1.2×
+    * slack compensates Bernoulli undershoot; quantizer quality only
+    * needs the order of magnitude right.
+    */
+  private[northstar] def boundedSample(corpus: DataFrame, targetRows: Long,
+                                       vecCol: String,
+                                       sampleFraction: Double,
+                                       seed: Long): Array[Array[Float]] = {
     val fraction =
       if (sampleFraction > 0.0) sampleFraction
       else {
         val n = corpus.count()
-        val target = nCells * TrainRowsPerCell
-        if (n <= target) 1.0
-        // 1.2× slack: Bernoulli sampling undershoots; k-means only needs
-        // the order of magnitude right
-        else math.min(1.0, 1.2 * target.toDouble / n)
+        if (n <= targetRows) 1.0
+        else math.min(1.0, 1.2 * targetRows.toDouble / n)
       }
     val sampled = if (fraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, fraction, seed)
-    val points = sampled.select(col(vecCol)).collect()
+    sampled.select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
-    lloyd(points, nCells, seed, iters = 10)
   }
 
   private def sqDist(a: Array[Float], b: Array[Float]): Double = {
@@ -81,7 +90,7 @@ object Ivf {
     * partition, not converged centroids — recall is governed by nProbe.
     * Empty clusters are reseeded to the point farthest from its center.
     */
-  private def lloyd(points: Array[Array[Float]], k: Int, seed: Long,
+  private[northstar] def lloyd(points: Array[Array[Float]], k: Int, seed: Long,
                     iters: Int): Array[Array[Float]] = {
     require(points.nonEmpty, "empty training sample")
     val dim = points.head.length
@@ -273,6 +282,35 @@ object Ivf {
       }
     }
 
+  /** The probe-side frame every IVF-family search builds: queries as
+    * (query_id, qv) with their nProbe cells EXPLODED and the mega-cell
+    * subcell key attached. Shared by [[ivfTopK]], [[ivfServeTopK]], and
+    * the PQ family ([[Pq.ivfPqTopK]]/[[Pq.ivfPqServeTopK]]) so a
+    * probing or subcell change cannot drift between the four paths.
+    */
+  private[northstar] def probeFrame(queries: DataFrame,
+                                    centroids: Array[Array[Float]],
+                                    splits: Map[Int, Int], nProbe: Int,
+                                    idCol: String,
+                                    vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
+      .withColumn("subcell",
+        subcellOf(col("qv"), col("cell"), centroids, splits))
+
+  /** Planning-time partition pruning for a stored cell-partitioned
+    * index: the probed-cell census is bounded by nCells regardless of
+    * batch size (the sanctioned bounded collect), and the literal IN on
+    * the partition column is what turns it into PartitionFilters at
+    * planning time rather than a per-row filter at execution time.
+    * Shared by [[ivfServeTopK]] and [[Pq.ivfPqServeTopK]].
+    */
+  private[northstar] def pruneToProbedCells(index: DataFrame,
+                                            q: DataFrame): DataFrame = {
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    index.filter(col("cell").isin(probed.map(Int.box): _*))
+  }
+
   /** IVF top-k: corpus assigned to cells once, each query probes its
     * `nProbe` best cells, candidates ranked by exact cosine. Cells larger
     * than `maxCell` are re-split by secondary hyperplane bits (see
@@ -295,9 +333,7 @@ object Ivf {
       assigned.groupBy("cell").count(), maxCell)
     val c = assigned.withColumn("subcell",
       subcellOf(col("cv"), col("cell"), centroids, splits))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
-      .withColumn("subcell", subcellOf(col("qv"), col("cell"), centroids, splits))
+    val q = probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
     rankCandidates(q, c, k)
   }
 
@@ -348,16 +384,8 @@ object Ivf {
                    k: Int = 10, nProbe: Int = 3,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
-      .withColumn("subcell",
-        subcellOf(col("qv"), col("cell"), centroids, splits))
-    // the probed-cell census is bounded by nCells regardless of batch
-    // size — the sanctioned bounded collect; literal IN on the
-    // partition column is what makes pruning happen at planning time
-    // rather than per-row at execution time
-    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
-    val c = index.filter(col("cell").isin(probed.map(Int.box): _*))
+    val q = probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
+    val c = pruneToProbedCells(index, q)
     rankCandidates(q, c, k)
   }
 

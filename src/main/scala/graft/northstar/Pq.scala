@@ -1,0 +1,189 @@
+package graft.northstar
+
+import graft.functions.vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search", IEEE TPAMI — public knowledge): each
+  * embedding is split into `m` contiguous subspaces and every subspace
+  * is vector-quantized independently against its own `ksub`-entry
+  * codebook, so a dim-float vector compresses to m small integer codes.
+  * Composed with the IVF coarse quantizer ([[Ivf]]) this is the
+  * standard IVF-PQ layout — the 100-TB ANN cost model:
+  *
+  *   - the candidate join ships m ints (4m bytes) per corpus row
+  *     instead of 4·dim bytes of raw floats — at dim=1024, m=16 that is
+  *     a 64× shuffle/storage reduction on the dominant data-sized edge;
+  *   - candidate ranking is asymmetric-distance (ADC): the full-precision
+  *     query against each candidate's RECONSTRUCTION, a codegen'd
+  *     one-pass kernel ([[graft.functions.VecOps.pqAdcCosine]]);
+  *   - the top `rerank` ADC survivors per query — a query-bounded,
+  *     corpus-independent set — are re-ranked by exact cosine after a
+  *     keyed join back to the full vectors, so final ranks use exact
+  *     similarity and the ADC approximation only decides WHICH
+  *     candidates get the exact treatment.
+  *
+  * Codebooks train like the coarse quantizer: per-subspace seeded
+  * k-means over the bounded driver sample ([[Ivf.boundedSample]] — a
+  * corpus-size-independent collect), deterministic via fixed seeds, and
+  * they ride into the plan as a flattened literal array (KB-sized: m ×
+  * ksub × dim/m floats = ksub × dim), no model state at scan time.
+  *
+  * Degenerate identity pinned by tests and the driver oracle: probing
+  * ALL cells with an unbounded rerank makes the exact re-rank see every
+  * corpus row, so the output must equal [[Similarity.bruteForceTopK]]
+  * rank-exactly regardless of codebook quality.
+  */
+object Pq {
+
+  /** Training rows the auto sample targets per sub-centroid (same budget
+    * rationale as [[Ivf.TrainRowsPerCell]]).
+    */
+  val TrainRowsPerCode: Long = 256L
+
+  /** Train the m per-subspace codebooks over a bounded corpus sample.
+    * Deterministic: subspace j clusters with seed `seed + j` (decorrelated
+    * sub-quantizers from one base seed). Requires dim % m == 0 — the
+    * standard PQ layout slices the vector into equal contiguous blocks.
+    * Returns codebooks[j][c] = the c-th sub-centroid of subspace j.
+    */
+  def fitCodebooks(corpus: DataFrame, m: Int, ksub: Int = 16,
+                   vecCol: String = "embedding",
+                   sampleFraction: Double = Ivf.AutoSample,
+                   seed: Long = 42L): Array[Array[Array[Float]]] = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(ksub >= 1, s"ksub must be positive, got $ksub")
+    val points = Ivf.boundedSample(corpus, ksub * TrainRowsPerCode, vecCol,
+      sampleFraction, seed)
+    require(points.nonEmpty, "empty PQ training sample")
+    val dim = points.head.length
+    require(dim % m == 0,
+      s"embedding dim $dim is not divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val subPoints = points.map(p =>
+        java.util.Arrays.copyOfRange(p, j * sub, (j + 1) * sub))
+      Ivf.lloyd(subPoints, ksub, seed + j, iters = 10)
+    }
+  }
+
+  /** Flatten codebooks to the [m][ksub][sub] row-major literal layout the
+    * kernels index.
+    */
+  def flatten(codebooks: Array[Array[Array[Float]]]): Array[Float] =
+    codebooks.flatten.flatten
+
+  /** PQ codes column for a vector column: array<int> of length m. */
+  def encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    vectors.pq_encode(vec, typedLit(flatten(codebooks).toSeq),
+      codebooks.length, codebooks.head.length)
+
+  /** ADC cosine of a full-precision query column against a codes column. */
+  def adcCosine(q: Column, codes: Column,
+                codebooks: Array[Array[Array[Float]]]): Column =
+    vectors.pq_adc_cosine(q, codes, typedLit(flatten(codebooks).toSeq),
+      codebooks.head.length)
+
+  /** IVF-PQ top-k: the corpus is assigned to coarse cells once and
+    * REDUCED TO CODES before the candidate join (the full vector never
+    * crosses the probe shuffle); each query probes its `nProbe` best
+    * cells, candidates rank by ADC cosine, and the top `rerank`
+    * survivors per query are re-ranked by exact cosine via a keyed join
+    * back to the corpus vectors. Mega-cells re-split by secondary
+    * hyperplane bits exactly like [[Ivf.ivfTopK]].
+    * Output: (query_id, neighbor_id, rank) — ranks from EXACT cosine.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                centroids: Array[Array[Float]],
+                codebooks: Array[Array[Array[Float]]],
+                k: Int = 10, nProbe: Int = 3, rerank: Int = 50,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxCell: Int = 100000): DataFrame = {
+    require(rerank >= k,
+      s"rerank=$rerank must be >= k=$k: the exact re-rank can only " +
+        "return candidates the ADC stage kept")
+    // one persisted assignment pass feeds both the split census and the
+    // join build (the Ivf.ivfTopK contract)
+    val assigned = Dedup.trackedPersist(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        Ivf.cellOf(col(vecCol), centroids).as("cell")))
+    val splits = Ivf.splitBitsFromCensus(
+      assigned.groupBy("cell").count(), maxCell)
+    // codes, not vectors, on the corpus side of the probe join
+    val c = assigned.select(col("neighbor_id"), col("cell"),
+      Ivf.subcellOf(col("cv"), col("cell"), centroids, splits).as("subcell"),
+      encode(col("cv"), codebooks).as("codes"))
+    val q = Ivf.probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
+    adcRerank(q, c, corpus, codebooks, k, rerank, idCol, vecCol)
+  }
+
+  /** Shared ADC-candidates → exact-re-rank tail of [[ivfPqTopK]] and
+    * [[ivfPqServeTopK]]: (cell, subcell) equi-join over codes, self-pair
+    * filter, ADC ranking, top-`rerank` cut, keyed join back to the full
+    * vectors, exact-cosine ranking with neighbor-id tie-break. The two
+    * paths' row-identity is a pinned contract (PqSpec asserts it
+    * exactly) — sharing the tail makes the identity structural.
+    *
+    * (query, neighbor) pairs are unique by construction: probeCells
+    * yields DISTINCT cells and each index row has exactly one
+    * (cell, subcell) — no dedup exchange before ranking.
+    */
+  private def adcRerank(q: DataFrame, c: DataFrame, corpus: DataFrame,
+                        codebooks: Array[Array[Array[Float]]],
+                        k: Int, rerank: Int,
+                        idCol: String, vecCol: String): DataFrame = {
+    val adc = q.join(c, Seq("cell", "subcell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"),
+        adcCosine(col("qv"), col("codes"), codebooks).as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cands = adc.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= rerank)
+      .select("query_id", "qv", "neighbor_id")
+    // exact re-rank: only the rerank survivors fetch their full vector
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = cands.join(full, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.vec_cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** IVF-PQ top-k over a STORED, cell-partitioned, CODES-ONLY serving
+    * index (see [[Artifacts.ivfPqIndexFor]]): the corpus was assigned and
+    * encoded ONCE and written hive-partitioned by cell carrying
+    * (neighbor_id, codes, subcell) — 4m bytes of codes per row instead
+    * of 4·dim of floats, so the index a probe reads is ~dim/m× smaller
+    * than the raw corpus ON DISK, on top of the [[Ivf.ivfServeTopK]]
+    * planning-time partition pruning (the probed cell set collapses to a
+    * literal IN on the partition column). Only the `rerank` ADC
+    * survivors per query — a query-bounded set — touch `corpus` for
+    * their full vectors in the exact re-rank.
+    *
+    * Given the same centroids, splits, and codebooks, the result is
+    * row-identical to [[ivfPqTopK]] (same ADC candidate generation, same
+    * shared exact-re-rank tail) — PqSpec pins the equality.
+    */
+  def ivfPqServeTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+                     centroids: Array[Array[Float]], splits: Map[Int, Int],
+                     codebooks: Array[Array[Array[Float]]],
+                     k: Int = 10, nProbe: Int = 3, rerank: Int = 50,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k,
+      s"rerank=$rerank must be >= k=$k: the exact re-rank can only " +
+        "return candidates the ADC stage kept")
+    val q = Ivf.probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
+    // bounded probed-cell census → literal IN → PartitionFilters at
+    // planning time (the Ivf.ivfServeTopK contract, shared code)
+    val c = Ivf.pruneToProbedCells(index, q)
+    adcRerank(q, c, corpus, codebooks, k, rerank, idCol, vecCol)
+  }
+}

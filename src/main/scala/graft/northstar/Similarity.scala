@@ -154,6 +154,67 @@ object Similarity {
             x => round(x * lit(127.0) / col("maxabs")).cast("long"))))
   }
 
+  /** Plane-family id for the Johnson–Lindenstrauss projection matrix,
+    * decorrelated from the LSH tables (0..nTables-1) and the IVF
+    * mega-cell split family (7777).
+    */
+  val JlTable = 424242
+
+  /** The quantized JL projection matrix: outDim × dim integer weights on
+    * the 1e-`scaleLog` grid, derived from the stateless splitmix plane
+    * family — no model state, identical on any cluster, and exactly
+    * replayable by an external engine from the emitted literals.
+    */
+  def jlMatrixQ(dim: Int, outDim: Int,
+                scale: Int = 10000): Array[Array[Long]] =
+    Array.tabulate(outDim)(j => Array.tabulate(dim)(i =>
+      math.round(
+        graft.functions.VecOps.planeComponent(i, j, JlTable) * scale)))
+
+  /** Johnson–Lindenstrauss random projection (Johnson & Lindenstrauss
+    * 1984; the database form follows Achlioptas 2003 — public
+    * knowledge) in the QUANTIZED-INTEGER domain: embeddings round to
+    * the 1e-4 grid ([[Ivf.quantizeVec]]), the projection matrix is
+    * integer weights on the same grid ([[jlMatrixQ]]), and each output
+    * component is a 64-bit integer dot product — bit-deterministic
+    * across engines and partition orders (|q|·|w| ≤ 1e8/element,
+    * dim·1e8 ≪ 2^63), so a DuckDB replay from the literal matrix is
+    * hash-exact. This is THE dimensionality-reduction pass a 100-TB
+    * embedding pipeline runs before ANN indexing or clustering: a pure
+    * narrow map (zero shuffle, zero driver state), emitting outDim ≪
+    * dim components whose pairwise distances approximate the originals
+    * within the JL bound.
+    * Output: (idCol, j, dot_q) — one row per (vector, output dim).
+    */
+  def randomProjectQ(df: DataFrame, dim: Int, outDim: Int,
+                     scale: Int = 10000, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+      posexplode(jlDots(col(vecCol), dim, outDim, scale))
+        .as(Seq("j", "dot_q")))
+
+  /** The outDim integer dots as one array column — the codegen'd
+    * one-pass kernel ([[graft.functions.VecOps.jlProject]]: each
+    * element quantized once, multiply-added into every accumulator),
+    * not an outDim × dim boxed-lambda HOF chain.
+    */
+  private def jlDots(vec: Column, dim: Int, outDim: Int,
+                     scale: Int): Column =
+    graft.functions.vectors.jl_project(vec,
+      typedLit(jlMatrixQ(dim, outDim, scale).flatten.toSeq), outDim, scale)
+
+  /** Float-vector form of the projection for in-engine composition
+    * (project, then feed [[lshTopK]]/[[Ivf.ivfTopK]] the reduced
+    * column): the same integer dots de-scaled by scale² — so the float
+    * form is a deterministic function of the exact integer one.
+    */
+  def randomProject(vec: Column, dim: Int, outDim: Int,
+                    scale: Int = 10000): Column = {
+    val denom = scale.toDouble * scale
+    transform(jlDots(vec, dim, outDim, scale),
+      d => (d / denom).cast("float"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: corpus self-joined within LSH
     * buckets, kept when cosine >= threshold (the embedding flavor of
     * near-dup dedup).

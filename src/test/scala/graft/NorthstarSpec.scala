@@ -438,6 +438,54 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sims.toSeq == Seq(0.0, 1.0, 0.0))
   }
 
+  test("randomProjectQ: BigInt replay, shape, and zero-shuffle plan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.randomProjectQ(emb, dim = 64, outDim = 16)
+    // shape: outDim rows per vector
+    assert(out.count() == emb.count() * 16)
+    // exact replay: recompute three vectors' projections with BigInt
+    // arithmetic from the same matrix — any drift in quantization,
+    // matrix derivation, or fold order breaks the equality
+    val w = Similarity.jlMatrixQ(64, 16)
+    val raw = emb.filter($"vec_id" < 3).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = out.filter($"vec_id" < 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for ((id, v) <- raw; j <- 0 until 16) {
+      val expect = v.indices.map { i =>
+        // Spark round() is HALF_UP (away from zero) — math.round would
+        // diverge on negative exact halves (-312.5 → -312, not -313)
+        val q = BigDecimal(v(i).toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+        q * BigInt(w(j)(i))
+      }.sum
+      assert(BigInt(got((id, j))) == expect, s"vec $id dim $j")
+    }
+    // the scale contract: a pure narrow map — no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("randomProject float form preserves relative distances (JL sanity)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 40)
+    val proj = emb.select($"vec_id",
+      Similarity.randomProject($"embedding", dim = 64, outDim = 16)
+        .as("embedding"))
+    assert(proj.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.FloatType)
+    // near-orthogonal inputs stay spread out after projection: the mean
+    // projected pairwise |cosine| must not collapse toward 1 (which
+    // would mean the projection destroyed the geometry)
+    val sims = proj.as("a").crossJoin(proj.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select(Similarity.cosine($"a.embedding", $"b.embedding").as("s"))
+      .agg(avg(abs($"s"))).collect().head.getDouble(0)
+    assert(sims < 0.5, s"mean |cos| after projection = $sims")
+  }
+
   test("bruteForceTopK: exact ranking, self excluded") {
     val vecs = Seq(
       (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),

@@ -1,0 +1,203 @@
+package graft
+
+import graft.northstar.{Artifacts, Ivf, Pq, Similarity}
+import org.apache.spark.sql.functions.col
+
+/** Product quantization: codebook fit determinism, encode/ADC kernel
+  * identities, and the IVF-PQ exhaustive-equals-brute contract.
+  */
+class PqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("fitCodebooks is deterministic and shaped [m][ksub][dim/m]") {
+    val c1 = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val c2 = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    assert(c1.map(_.map(_.toSeq).toSeq).toSeq == c2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(c1.length == 8)
+    assert(c1.forall(_.length == 16))
+    assert(c1.forall(_.forall(_.length == 8)))
+  }
+
+  test("subspaces train decorrelated: distinct seeds per subspace") {
+    // identical sub-distributions would STILL fit different codebooks
+    // because subspace j clusters with seed+j — feed a corpus whose 2
+    // subspaces carry the same values and assert the codebooks differ
+    val dup = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        "concat(slice(embedding, 1, 8), slice(embedding, 1, 8))")
+        .as("embedding"))
+    val cb = Pq.fitCodebooks(dup, m = 2, ksub = 4)
+    assert(cb(0).map(_.toSeq).toSeq != cb(1).map(_.toSeq).toSeq)
+  }
+
+  test("fitCodebooks rejects a dim not divisible by m") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.fitCodebooks(emb, m = 7, ksub = 4)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
+  test("encode ties break to the lowest code (duplicate sub-centroids)") {
+    // a 1-point training set pads lloyd's single center across all ksub
+    // slots → every sub-distance ties → every code must be 0
+    val one = emb.filter(col("vec_id") === 0)
+    val cb = Pq.fitCodebooks(one, m = 8, ksub = 4, sampleFraction = 1.0)
+    assert(cb(0).map(_.toSeq).distinct.length == 1)
+    val codes = one.select(Pq.encode(col("embedding"), cb).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(codes == Seq.fill(8)(0))
+  }
+
+  test("ADC cosine equals exact cosine when the codebook reconstructs exactly") {
+    // train on the full tiny corpus with ksub >= distinct sub-vectors is
+    // not guaranteed; instead hand-build the codebook FROM one vector's
+    // own sub-vectors so its reconstruction is the vector itself
+    val v = emb.filter(col("vec_id") === 3)
+    val raw = v.select("embedding").collect().head.getSeq[Float](0).toArray
+    val m = 8; val sub = raw.length / m
+    val cb: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      Array(java.util.Arrays.copyOfRange(raw, j * sub, (j + 1) * sub))
+    }
+    val q = emb.filter(col("vec_id") < 20)
+    val got = q.select(col("vec_id"),
+        Pq.adcCosine(col("embedding"), Pq.encode(
+          org.apache.spark.sql.functions.typedLit(raw.toSeq), cb), cb)
+          .as("adc"),
+        graft.functions.vectors.vec_cosine(col("embedding"),
+          org.apache.spark.sql.functions.typedLit(raw.toSeq)).as("exact"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"vec ${r.getLong(0)}: adc ${r.getDouble(1)} != exact ${r.getDouble(2)}")
+    }
+  }
+
+  test("exhaustive IVF-PQ (all cells, unbounded rerank) equals brute force rank-exactly") {
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") < 5)
+    val pq = Pq.ivfPqTopK(q, emb, centroids, codebooks,
+      k = 10, nProbe = 4, rerank = 1 << 30)
+    val brute = Similarity.bruteForceTopK(q, emb, k = 10)
+    assert(rows(pq) == rows(brute))
+  }
+
+  test("approximate IVF-PQ keeps recall above the floor and per-query k rows") {
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") < 10)
+    val pq = Pq.ivfPqTopK(q, emb, centroids, codebooks,
+      k = 10, nProbe = 2, rerank = 30)
+    val counts = pq.groupBy("query_id").count().collect()
+    assert(counts.forall(_.getLong(1) <= 10))
+    val brute = Similarity.bruteForceTopK(q, emb, k = 10)
+    val r = Similarity.recallCounts(pq, brute).collect().head
+    val recall = r.getLong(1).toDouble / (r.getLong(0) * 10.0)
+    // near-orthogonal synthetic embeddings are ANN's worst case; the
+    // floor guards against collapse, not production-grade recall
+    assert(recall >= 0.4, s"recall@10 = $recall")
+  }
+
+  test("dim-mismatched codebook fails loudly in the kernel, not silently") {
+    // fit on 16-dim vectors, encode 64-dim ones: without the shape
+    // check the kernel would read misaligned sub-centroids and emit
+    // garbage codes with no error
+    val short = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.expr("slice(embedding, 1, 16)")
+        .as("embedding"))
+    val cb = Pq.fitCodebooks(short, m = 8, ksub = 4)
+    val e = intercept[org.apache.spark.SparkException] {
+      emb.select(Pq.encode(col("embedding"), cb)).collect()
+    }
+    assert(e.getMessage.contains("PQ shape mismatch")
+      || Option(e.getCause).exists(_.getMessage.contains("PQ shape mismatch")))
+  }
+
+  test("rerank < k is rejected") {
+    val centroids = Ivf.fitCentroids(emb, nCells = 2)
+    val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 4)
+    val e = intercept[IllegalArgumentException] {
+      Pq.ivfPqTopK(emb.limit(1), emb, centroids, codebooks,
+        k = 10, rerank = 5)
+    }
+    assert(e.getMessage.contains("rerank"))
+  }
+
+  test("codebook artifact round-trips bit-exactly and pins its parameters") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-art").toFile
+    try {
+      val cb = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+      val p = new java.io.File(dir, "cb").toString
+      Artifacts.savePqCodebooks(spark, cb, p, m = 8, ksub = 16, seed = 42L)
+      val loaded = Artifacts.loadPqCodebooks(spark, p, m = 8, ksub = 16,
+        seed = 42L)
+      assert(loaded.map(_.map(_.toSeq).toSeq).toSeq ==
+        cb.map(_.map(_.toSeq).toSeq).toSeq)
+      val e = intercept[IllegalArgumentException] {
+        Artifacts.loadPqCodebooks(spark, p, m = 8, ksub = 16, seed = 7L)
+      }
+      assert(e.getMessage.contains("seed"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("stored-index serve is row-identical to the in-memory IVF-PQ path") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toFile
+    try {
+      val centroids = Ivf.fitCentroids(emb, nCells = 4)
+      val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+      val p = new java.io.File(dir, "idx").toString
+      Artifacts.saveIvfPqIndex(emb, p, centroids, codebooks,
+        idCol = "vec_id", vecCol = "embedding", maxCell = 100000)
+      val index = spark.read.parquet(new java.io.File(p, "index").toString)
+      val splits = spark.read
+        .parquet(new java.io.File(p, "splits").toString)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val q = emb.filter(col("vec_id") < 5)
+      val served = Pq.ivfPqServeTopK(q, index, emb, centroids, splits,
+        codebooks, k = 10, nProbe = 2, rerank = 30)
+      val fit = Pq.ivfPqTopK(q, emb, centroids, codebooks,
+        k = 10, nProbe = 2, rerank = 30)
+      assert(rows(served) == rows(fit))
+      // the stored index carries codes and subcell only — never the
+      // raw embedding (the dim/m on-disk reduction is the contract)
+      assert(index.columns.toSet == Set("neighbor_id", "codes",
+        "subcell", "cell"))
+      // probed-cell pruning reaches the parquet source at planning time
+      val plan = served.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*cell".r
+      assert(pf.findFirstIn(plan).isDefined,
+        "expected non-empty PartitionFilters on cell in plan:\n" +
+          plan.take(1500))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("the IVF-PQ candidate join carries codes, not corpus vectors") {
+    // the scale contract: the probe-join corpus side reduces each row to
+    // (id, cell, subcell, codes) BEFORE the shuffle — the raw embedding
+    // array must not appear in any Exchange above the corpus scan except
+    // the bounded rerank fetch (which joins on neighbor_id, not cell)
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") < 5)
+    val plan = Pq.ivfPqTopK(q, emb, centroids, codebooks, k = 10,
+      nProbe = 2, rerank = 30).queryExecution.executedPlan.toString
+    // the ADC-stage join key set (cell, subcell) must co-occur with
+    // codes but never with the corpus vector column cv
+    assert(plan.contains("codes"))
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("subcell") && l.contains("hashpartitioning") &&
+        l.contains("cv")), s"corpus vectors cross the probe shuffle:\n$plan")
+  }
+}

@@ -54,6 +54,24 @@ class PropertySpec extends AnyFunSuite {
         DateParse.parseDate(s"${months(m - 1)} $d, $y 10:30:00") == expect
     })
   }
+
+  test("jl kernel quantization (mirrored Math.round) equals Spark round's decimal HALF_UP") {
+    // the kernel quantizes with binary nearest-ties-away-from-zero; the
+    // oracle replays Spark round() = BigDecimal-decimal HALF_UP. The two
+    // agree on every float×1e4 (shortest-decimal ties coincide with
+    // binary ties) — this pins it across the float range including
+    // exact halves (x = k/2e4 are representable floats)
+    val gen = Gen.oneOf(
+      Gen.choose(-10f, 10f),
+      Gen.choose(-200000, 200000).map(_ / 20000.0f)) // dense in exact halves
+    check(Prop.forAll(gen) { x =>
+      val a = x.toDouble * 10000.0
+      val kern = if (a < 0) -Math.round(-a) else Math.round(a)
+      val bd = BigDecimal(a)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      kern == bd
+    })
+  }
 }
 
 /** Spark-level invariants on small generated frames. */
@@ -340,6 +358,52 @@ class SparkPropertySpec extends SparkSpecBase {
           s"doc $i: +1 tf lowered the score (${base.get(i)} -> ${more(i)})")
       }
     }
+  }
+
+  test("pq kernels: codes are the true sub-argmins (ties low), ADC equals independent reconstruction cosine") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def ad(a: Array[Float]) = new GenericArrayData(a.map(x => x: Any))
+    val m = 4; val ksub = 3; val sub = 4; val dim = m * sub
+    val fgen = Gen.choose(-1.0f, 1.0f)
+    val vgen = Gen.listOfN(dim, fgen).map(_.toArray)
+    val cbgen = Gen.listOfN(m * ksub * sub, fgen).map(_.toArray)
+    // pure-JVM kernel property but this suite shares a Spark session:
+    // scalacheck driven directly (the PropertySpec.check helper lives in
+    // the sessionless suite above)
+    val prop = Prop.forAll(vgen, cbgen, vgen) { (v, cb, q) =>
+      val codes = graft.functions.VecOps.pqEncode(ad(v), ad(cb), m, ksub)
+      val codesArr = (0 until m).map(codes.getInt).toArray
+      // independent argmin replay (minBy keeps the FIRST min — the
+      // kernel's ties-to-lowest-code contract)
+      val expectCodes = (0 until m).map { j =>
+        (0 until ksub).minBy { c =>
+          val base = (j * ksub + c) * sub
+          (0 until sub).map { i =>
+            val d = v(j * sub + i).toDouble - cb(base + i).toDouble
+            d * d
+          }.sum
+        }
+      }
+      // ADC must equal a from-scratch cosine of q against the
+      // reconstruction (same element order, so bit-exact)
+      val recon = (0 until m).flatMap { j =>
+        val base = (j * ksub + codesArr(j)) * sub
+        (0 until sub).map(i => cb(base + i))
+      }.toArray
+      val adc = graft.functions.VecOps.pqAdcCosine(ad(q),
+        new GenericArrayData(codesArr.map(x => x: Any)), ad(cb), ksub)
+      var dot = 0.0; var nq = 0.0; var nr = 0.0
+      q.indices.foreach { i =>
+        val x = q(i).toDouble; val y = recon(i).toDouble
+        dot += x * y; nq += x * x; nr += y * y
+      }
+      val denom = math.sqrt(nq) * math.sqrt(nr)
+      val exact = if (denom == 0.0) 0.0 else dot / denom
+      codesArr.forall(c => c >= 0 && c < ksub) &&
+        codesArr.toSeq == expectCodes && adc == exact
+    }
+    val res = SCTest.check(SCTest.Parameters.default, prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("corpusDiff identities: self-diff is all kept; vs empty is all added/removed") {
