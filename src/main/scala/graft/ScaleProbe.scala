@@ -539,6 +539,9 @@ object ScaleProbe {
     // dominating the small end). Codebooks fit once on the base corpus
     // — serving against a replicated corpus with the SAME quantizers is
     // exactly the nightly-ingest pattern.
+    // Measured 2026-08-14 (r12, local[8]): 0.7 s @ 2k → 1.1 s @ 10k =
+    // 1.6x for 5x data — job overhead still dominates at this size;
+    // no quadratic cliff.
     val cents1 = Ivf.fitCentroids(emb1, nCells = 8)
     val pqCb = Pq.fitCodebooks(emb1, m = 8, ksub = 16)
     val pq1 = timed("ivfPqTopK 2k corpus (1x)") {

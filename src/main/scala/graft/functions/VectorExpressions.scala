@@ -79,7 +79,7 @@ object VecOps {
     }
   }
 
-  /** Per-THREAD single-entry identity cache for the flattened-codebook
+  /** Per-THREAD two-entry identity cache for the flattened-codebook
     * literal: the PQ kernels receive the codebook as a literal
     * array<float> child, and within one task the generated code passes
     * the SAME ArrayData object for every row — but reading it
@@ -87,22 +87,31 @@ object VecOps {
     * every access, so convert once per (thread, object). ThreadLocal,
     * not a JVM-global slot: concurrent tasks each deserialize their OWN
     * literal copy, so a shared slot would be overwritten by alternating
-    * tasks on nearly every row — per-row toFloatArray plus cache-line
-    * ping-pong on exactly the hot path the cache exists to serve.
+    * tasks on nearly every row. TWO entries, not one: when the probe
+    * side is broadcast, pq_encode (corpus literal) and pq_adc_cosine
+    * (its own literal from a second flatten) evaluate interleaved per
+    * corpus row in ONE stage — a single slot would alternate-miss on
+    * every row of the dominant candidate join.
     */
   private val cbCache =
-    new ThreadLocal[(AnyRef, Array[Float])] {
-      override def initialValue(): (AnyRef, Array[Float]) = null
+    new ThreadLocal[Array[(AnyRef, Array[Float])]] {
+      override def initialValue(): Array[(AnyRef, Array[Float])] =
+        new Array[(AnyRef, Array[Float])](2)
     }
 
   private def cbArray(cb: ArrayData): Array[Float] = {
-    val cached = cbCache.get()
-    if (cached != null && (cached._1 eq cb)) cached._2
-    else {
-      val arr = cb.toFloatArray()
-      cbCache.set((cb, arr))
-      arr
+    val slots = cbCache.get()
+    val s0 = slots(0)
+    if (s0 != null && (s0._1 eq cb)) return s0._2
+    val s1 = slots(1)
+    if (s1 != null && (s1._1 eq cb)) {
+      // promote to slot 0 so the most-recent two alternate cheaply
+      slots(1) = s0; slots(0) = s1
+      return s1._2
     }
+    val arr = cb.toFloatArray()
+    slots(1) = s0; slots(0) = (cb, arr)
+    arr
   }
 
   /** Per-thread identity cache for long-array literals (the quantized JL
@@ -210,9 +219,18 @@ object VecOps {
     * shuffles codes, never vectors.
     */
   def pqAdcCosine(q: ArrayData, codes: ArrayData, cb: ArrayData,
-                  ksub: Int): Double = {
+                  m: Int, ksub: Int): Double = {
     val code = cbArray(cb)
-    val m = codes.numElements()
+    // m comes from the CODEBOOK (plan-time constant), not from the codes
+    // row: checkPqShape alone cannot catch a codes/codebook m mismatch
+    // because codeLen == m·ksub·(dim/m) = ksub·dim for EVERY m dividing
+    // dim — serving m=4 codes against an m=8 codebook would silently
+    // read misaligned sub-centroids that stay in bounds
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"PQ shape mismatch: ${codes.numElements()} codes per row vs " +
+          s"codebook fit with m=$m subspaces (index built under a " +
+          "different codebook?)")
     val dim = q.numElements()
     val sub = checkPqShape(dim, m, ksub, code.length)
     var dot = 0.0; var nq = 0.0; var nr = 0.0
@@ -342,16 +360,17 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
   * VecOps.pqAdcCosine).
   */
 case class PqAdcCosine(first: Expression, second: Expression,
-                       third: Expression, ksub: Int)
+                       third: Expression, m: Int, ksub: Int)
     extends TernaryExpression {
+  require(m >= 1, s"m must be positive, got $m")
   require(ksub >= 1, s"ksub must be positive, got $ksub")
   override def dataType: DataType = DoubleType
   override def nullSafeEval(q: Any, codes: Any, cb: Any): Any =
     VecOps.pqAdcCosine(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
-      cb.asInstanceOf[ArrayData], ksub)
+      cb.asInstanceOf[ArrayData], m, ksub)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (q, codes, cb) =>
-      s"graft.functions.VecOps.pqAdcCosine($q, $codes, $cb, $ksub)")
+      s"graft.functions.VecOps.pqAdcCosine($q, $codes, $cb, $m, $ksub)")
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): PqAdcCosine =
@@ -390,8 +409,8 @@ object vectors {
   def pq_encode(v: Column, codebook: Column, m: Int, ksub: Int): Column =
     Bridge.column(PqEncode(ex(v), ex(codebook), m, ksub))
   def pq_adc_cosine(q: Column, codes: Column, codebook: Column,
-                    ksub: Int): Column =
-    Bridge.column(PqAdcCosine(ex(q), ex(codes), ex(codebook), ksub))
+                    m: Int, ksub: Int): Column =
+    Bridge.column(PqAdcCosine(ex(q), ex(codes), ex(codebook), m, ksub))
   def jl_project(v: Column, matrix: Column, outDim: Int,
                  scale: Int): Column =
     Bridge.column(JlProject(ex(v), ex(matrix), outDim, scale))

@@ -536,30 +536,58 @@ object Artifacts {
     */
   def saveIvfIndex(corpus: DataFrame, path: String,
                    centroids: Array[Array[Float]],
-                   idCol: String, vecCol: String, maxCell: Int): Unit = {
+                   idCol: String, vecCol: String, maxCell: Int): Unit =
+    writeCellIndex(corpus, path, centroids, idCol, vecCol, maxCell,
+      params = Map("centroids" -> centroidDigest(centroids),
+        "maxCell" -> maxCell.toString, "vecCol" -> vecCol))(
+      (assigned, splits) => assigned.withColumn("subcell",
+        Ivf.subcellOf(col("cv"), col("cell"), centroids, splits)))
+
+  /** Shared assign-once → split-census → hive-partitioned write →
+    * splits part → `_params` sidecar → top-level `_SUCCESS` sequence
+    * behind [[saveIvfIndex]] and [[saveIvfPqIndex]] — the publish
+    * protocol exists ONCE so a change to it (marker placement, splits
+    * encoding) cannot drift between the two index families. `project`
+    * maps the persisted (neighbor_id, cv, cell) assignment + split-bits
+    * census to the stored row shape (raw vectors for IVF, codes for
+    * IVF-PQ).
+    */
+  private def writeCellIndex(corpus: DataFrame, path: String,
+                             centroids: Array[Array[Float]],
+                             idCol: String, vecCol: String, maxCell: Int,
+                             params: Map[String, String])(
+      project: (DataFrame, Map[Int, Int]) => DataFrame): Unit = {
     val spark = corpus.sparkSession
     val assigned = Dedup.trackedPersist(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         Ivf.cellOf(col(vecCol), centroids).as("cell")))
     val splits = Ivf.splitBitsFromCensus(
       assigned.groupBy("cell").count(), maxCell)
-    assigned
-      .withColumn("subcell",
-        Ivf.subcellOf(col("cv"), col("cell"), centroids, splits))
+    project(assigned, splits)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new java.io.File(path, "index").toString)
     import spark.implicits._
     splits.toSeq.toDF("cell", "bits")
       .repartition(1).write.mode("overwrite")
       .parquet(new java.io.File(path, "splits").toString)
-    writeParams(path, Map(
-      "centroids" -> centroidDigest(centroids),
-      "maxCell" -> maxCell.toString, "vecCol" -> vecCol))
+    writeParams(path, params)
     // the artifact commit marker lives at the TOP level (the parquet
     // writers put theirs inside index/ and splits/) — ensureTrained's
     // publish/recovery protocol keys off this file
     java.nio.file.Files.write(
       new java.io.File(path, "_SUCCESS").toPath, Array.empty[Byte]): Unit
+  }
+
+  /** Shared serve-side tail: pin check, index read, splits read. */
+  private def readCellIndex(spark: SparkSession, path: String,
+                            expected: Map[String, String],
+                            what: String): (DataFrame, Map[Int, Int]) = {
+    checkParams(path, expected, what)
+    val index = spark.read.parquet(new java.io.File(path, "index").toString)
+    val splits = spark.read
+      .parquet(new java.io.File(path, "splits").toString)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    (index, splits)
   }
 
   /** Train-once / serve-many IVF index for a corpus identified by
@@ -584,13 +612,9 @@ object Artifacts {
     ensureTrained(path) { tmp =>
       saveIvfIndex(corpus, tmp, centroids, idCol, vecCol, maxCell)
     }
-    checkParams(path, Map(
+    val (index, splits) = readCellIndex(spark, path, Map(
       "centroids" -> centroidDigest(centroids),
       "maxCell" -> maxCell.toString, "vecCol" -> vecCol), "IVF index")
-    val index = spark.read.parquet(new java.io.File(path, "index").toString)
-    val splits = spark.read
-      .parquet(new java.io.File(path, "splits").toString)
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     (index, splits, centroids)
   }
 
@@ -606,31 +630,15 @@ object Artifacts {
   def saveIvfPqIndex(corpus: DataFrame, path: String,
                      centroids: Array[Array[Float]],
                      codebooks: Array[Array[Array[Float]]],
-                     idCol: String, vecCol: String, maxCell: Int): Unit = {
-    val spark = corpus.sparkSession
-    val assigned = Dedup.trackedPersist(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        Ivf.cellOf(col(vecCol), centroids).as("cell")))
-    val splits = Ivf.splitBitsFromCensus(
-      assigned.groupBy("cell").count(), maxCell)
-    assigned
-      .select(col("neighbor_id"), col("cell"),
+                     idCol: String, vecCol: String, maxCell: Int): Unit =
+    writeCellIndex(corpus, path, centroids, idCol, vecCol, maxCell,
+      params = Map("centroids" -> centroidDigest(centroids),
+        "codebooks" -> centroidDigest(codebooks.flatten),
+        "maxCell" -> maxCell.toString, "vecCol" -> vecCol))(
+      (assigned, splits) => assigned.select(col("neighbor_id"), col("cell"),
         Ivf.subcellOf(col("cv"), col("cell"), centroids, splits)
           .as("subcell"),
-        Pq.encode(col("cv"), codebooks).as("codes"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(new java.io.File(path, "index").toString)
-    import spark.implicits._
-    splits.toSeq.toDF("cell", "bits")
-      .repartition(1).write.mode("overwrite")
-      .parquet(new java.io.File(path, "splits").toString)
-    writeParams(path, Map(
-      "centroids" -> centroidDigest(centroids),
-      "codebooks" -> centroidDigest(codebooks.flatten),
-      "maxCell" -> maxCell.toString, "vecCol" -> vecCol))
-    java.nio.file.Files.write(
-      new java.io.File(path, "_SUCCESS").toPath, Array.empty[Byte]): Unit
-  }
+        Pq.encode(col("cv"), codebooks).as("codes")))
 
   /** Train-once / serve-many IVF-PQ index for a corpus identified by
     * `cacheKey` (the [[ivfIndexFor]] contract): returns the codes-only
@@ -656,14 +664,10 @@ object Artifacts {
       saveIvfPqIndex(corpus, tmp, centroids, codebooks, idCol, vecCol,
         maxCell)
     }
-    checkParams(path, Map(
+    val (index, splits) = readCellIndex(spark, path, Map(
       "centroids" -> centroidDigest(centroids),
       "codebooks" -> centroidDigest(codebooks.flatten),
       "maxCell" -> maxCell.toString, "vecCol" -> vecCol), "IVF-PQ index")
-    val index = spark.read.parquet(new java.io.File(path, "index").toString)
-    val splits = spark.read
-      .parquet(new java.io.File(path, "splits").toString)
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     (index, splits, centroids, codebooks)
   }
 

@@ -384,7 +384,11 @@ object Ivf {
                    k: Int = 10, nProbe: Int = 3,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val q = probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
+    // persisted: pruneToProbedCells COLLECTS the probed-cell census, so
+    // an unpersisted probe frame would pay the per-query nCells-cosine
+    // assignment twice (census action + ranking join)
+    val q = Dedup.trackedPersist(
+      probeFrame(queries, centroids, splits, nProbe, idCol, vecCol))
     val c = pruneToProbedCells(index, q)
     rankCandidates(q, c, k)
   }

@@ -80,11 +80,15 @@ object Pq {
     vectors.pq_encode(vec, typedLit(flatten(codebooks).toSeq),
       codebooks.length, codebooks.head.length)
 
-  /** ADC cosine of a full-precision query column against a codes column. */
+  /** ADC cosine of a full-precision query column against a codes column.
+    * m rides from the codebook (a plan-time constant) so a codes column
+    * produced under a DIFFERENT m fails loudly in the kernel instead of
+    * silently reading misaligned sub-centroids.
+    */
   def adcCosine(q: Column, codes: Column,
                 codebooks: Array[Array[Array[Float]]]): Column =
     vectors.pq_adc_cosine(q, codes, typedLit(flatten(codebooks).toSeq),
-      codebooks.head.length)
+      codebooks.length, codebooks.head.length)
 
   /** IVF-PQ top-k: the corpus is assigned to coarse cells once and
     * REDUCED TO CODES before the candidate join (the full vector never
@@ -180,7 +184,10 @@ object Pq {
     require(rerank >= k,
       s"rerank=$rerank must be >= k=$k: the exact re-rank can only " +
         "return candidates the ADC stage kept")
-    val q = Ivf.probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
+    // persisted for the same reason as Ivf.ivfServeTopK: the probed-cell
+    // census below is an action over this frame
+    val q = Dedup.trackedPersist(
+      Ivf.probeFrame(queries, centroids, splits, nProbe, idCol, vecCol))
     // bounded probed-cell census → literal IN → PartitionFilters at
     // planning time (the Ivf.ivfServeTopK contract, shared code)
     val c = Ivf.pruneToProbedCells(index, q)

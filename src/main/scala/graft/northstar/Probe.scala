@@ -90,12 +90,22 @@ object Probe {
         col("qx"))
       // per-row gradient term q·r fits a long (≤ ~1e4·7e10); the SUM
       // accumulates in DECIMAL(38,0) so no corpus size overflows it
-      .select(col("r"), posexplode(col("qx")).as(Seq("pos", "q")))
+      // posexplode_OUTER: a null or EMPTY vector would emit zero rows
+      // under plain posexplode and vanish uniformly from every
+      // position — n and n_valid would agree on the silently reduced
+      // corpus and training would proceed on different weights. The
+      // outer form emits one pos=null row for such vectors, which the
+      // null-pos check below turns into the loud refusal the contract
+      // promises.
+      .select(col("r"), posexplode_outer(col("qx")).as(Seq("pos", "q")))
       .groupBy("pos")
       .agg(sum((col("q") * col("r")).cast("decimal(38,0)")).as("g"),
         count(lit(1)).as("n"), count(col("r")).as("n_valid"))
       .collect()
     require(g.nonEmpty, "probe training set is empty")
+    require(!g.exists(_.isNullAt(0)),
+      s"corpus contains null or empty $vecCol vectors; refusing to " +
+        "train on a partial corpus")
     require(g.length == dim,
       s"embedding dim ${g.length} != weight dim $dim")
     // STRICT input validation: sum() silently SKIPS null gradient

@@ -487,10 +487,12 @@ object TextAnalysis {
     * merge cannot create or destroy adjacencies of the other (the
     * replace only touches `|a||b|` sites and only mints the new symbol
     * `ab`), so the counts of symbol-DISJOINT pairs are invariant under
-    * each other's merges — a greedy scan of the (cnt desc, pair)
-    * candidate list that keeps a pair only when both its symbols are
-    * unused this round commits merges whose reported counts are
-    * EXACTLY what sequential induction would have seen. The one
+    * each other's merges — each round commits the maximal
+    * symbol-disjoint PREFIX of the (cnt desc, pair) candidate list
+    * (stopping at the first conflict, so a lower-count pair can never
+    * jump ahead of a conflicting higher-count one the way
+    * skip-and-continue selection would), which makes every committed
+    * prefix sequential-exact in both counts AND order. The one
     * divergence from batch=1 is intentional and standard: a pair
     * involving a symbol minted earlier in the same round (which
     * sequential induction could have picked next) waits for the next
@@ -537,20 +539,28 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("pair")).limit(want * 4 + 4).collect()
       if (cands.isEmpty) dry = true
       else {
-        // greedy disjoint selection in (cnt desc, pair) order: a pair
-        // is committed only if neither symbol was touched by an
-        // earlier commit this round, so all committed replaces are
-        // independent and their counts are sequential-exact
+        // maximal disjoint PREFIX of the (cnt desc, pair) order — NOT
+        // skip-and-continue: committing a lower-count pair past a
+        // conflicting higher-count one would reorder the merge table
+        // vs sequential induction (the skipped pair's count is often
+        // UNCHANGED by the earlier merge, so sequential still picks it
+        // first; e.g. ab×10/ca×9/cd×8 — skip-and-continue would commit
+        // (c,d) before (c,a)). Stopping at the first conflict keeps
+        // every committed prefix sequential-exact in both counts AND
+        // order; the only remaining divergence is the documented
+        // minted-symbol case. The first candidate always commits, so
+        // every round makes progress.
         val used = scala.collection.mutable.Set.empty[String]
         val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         val it = cands.iterator
-        while (picked.size < want && it.hasNext) {
+        var blocked = false
+        while (picked.size < want && it.hasNext && !blocked) {
           val row = it.next()
           val Array(a, b) = row.getString(0).split(" ", 2)
           if (!used(a) && !used(b)) {
             used += a; used += b
             picked += ((a, b, row.getLong(1)))
-          }
+          } else blocked = true
         }
         picked.foreach { case (a, b, cnt) =>
           merges += ((merges.size + 1L, a, b, cnt))

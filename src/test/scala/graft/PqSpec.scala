@@ -115,6 +115,25 @@ class PqSpec extends SparkSpecBase {
       || Option(e.getCause).exists(_.getMessage.contains("PQ shape mismatch")))
   }
 
+  test("codes/codebook m mismatch fails loudly (m cancels out of the size check)") {
+    // codeLen == m·ksub·(dim/m) = ksub·dim for EVERY m dividing dim, so
+    // only the plan-time m from the codebook can catch serving m=4
+    // codes against an m=8 codebook — silently misaligned reads
+    // otherwise (code-review r12)
+    val cb4 = Pq.fitCodebooks(emb, m = 4, ksub = 16)
+    val cb8 = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val codes4 = emb.select(col("vec_id"), col("embedding"),
+      Pq.encode(col("embedding"), cb4).as("codes"))
+    val e = intercept[org.apache.spark.SparkException] {
+      codes4.select(Pq.adcCosine(col("embedding"), col("codes"), cb8))
+        .collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("PQ shape mismatch"), msg(e))
+  }
+
   test("rerank < k is rejected") {
     val centroids = Ivf.fitCentroids(emb, nCells = 2)
     val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 4)

@@ -109,4 +109,28 @@ class ProbeSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("null residual"), e2.getMessage)
   }
+
+  test("null and empty embedding vectors are rejected, not silently dropped") {
+    // plain posexplode emits ZERO rows for a null/empty vector, so the
+    // row would vanish uniformly from every position — n and n_valid
+    // would agree on the reduced corpus and training would silently
+    // proceed on different weights (code-review r12); posexplode_outer
+    // + the null-pos check refuse instead
+    val good = (0 until 10).map(i => (i.toLong, Seq.fill(4)(0.1f), 1))
+    val withNull = good.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding",
+        when(col("vec_id") === 3L, lit(null)).otherwise(col("embedding")))
+    val e1 = intercept[IllegalArgumentException] {
+      Probe.trainStepQ(withNull, Seq.fill(4)(0L))
+    }
+    assert(e1.getMessage.contains("null or empty"), e1.getMessage)
+    val withEmpty = good.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding",
+        when(col("vec_id") === 3L,
+          lit(Array.empty[Float])).otherwise(col("embedding")))
+    val e2 = intercept[IllegalArgumentException] {
+      Probe.trainStepQ(withEmpty, Seq.fill(4)(0L))
+    }
+    assert(e2.getMessage.contains("null or empty"), e2.getMessage)
+  }
 }

@@ -214,6 +214,24 @@ class SparkPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bpeInduct batched matches sequential ORDER past a conflicting pair (prefix rule)") {
+    import graft.northstar.TextAnalysis
+    // ab×10, ca×9, cd×8: merging (a,b) does not change count(c,a), so
+    // sequential order is (a,b),(c,a),(c,d). Skip-and-continue batching
+    // would commit (c,d) ahead of (c,a) — the prefix rule must not.
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(9)("ca") ++
+      Seq.fill(8)("cd")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    def run(b: Int) = TextAnalysis.bpeInduct(df, rounds = 3, batch = b)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val seq = run(1)
+    assert(seq == Seq((1L, "a", "b", 10L), (2L, "c", "a", 9L),
+      (3L, "c", "d", 8L)))
+    assert(run(3) == seq, "batch=3 reordered merges past a conflict")
+  }
+
   test("probe training: update equals BigDecimal HALF_UP average-gradient step; invariant under corpus replication") {
     import graft.northstar.Probe
     val rnd = new scala.util.Random(31)
@@ -391,7 +409,7 @@ class SparkPropertySpec extends SparkSpecBase {
         (0 until sub).map(i => cb(base + i))
       }.toArray
       val adc = graft.functions.VecOps.pqAdcCosine(ad(q),
-        new GenericArrayData(codesArr.map(x => x: Any)), ad(cb), ksub)
+        new GenericArrayData(codesArr.map(x => x: Any)), ad(cb), m, ksub)
       var dot = 0.0; var nq = 0.0; var nr = 0.0
       q.indices.foreach { i =>
         val x = q(i).toDouble; val y = recon(i).toDouble
