@@ -1728,6 +1728,41 @@ object SparkEntry {
           k = 10, nProbe = 3, rerank = 30),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
+    // ingest-side embedding near-match served from the COMPRESSED codes
+    // index: incoming vectors ADC-screened against the stored IVF-PQ
+    // index, survivors confirmed by exact cosine — the embedding flavor
+    // of ns_neardup_incoming, stream-safe (StreamingSpec pins
+    // stream==batch). Rows-only: the cell scoping and codebooks derive
+    // from driver fits DuckDB can't replay; the exact companion below
+    // pins the screen+confirm math
+    "ns_ann_incoming" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (index, splits, centroids, codebooks) =
+        graft.northstar.Artifacts.ivfPqIndexFor(
+          emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8, m = 8,
+          ksub = 16)
+      val incoming = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.northstar.Pq.annMatchesIncoming(incoming, index, emb,
+        centroids, splits, codebooks, thresholdE4 = 3500)
+    }),
+    // hash-checked companion to ns_ann_incoming: ONE trivial cell and a
+    // screen margin >= 2e4 admit every (incoming, corpus) pair into the
+    // exact confirm, so the op must equal the flat exact threshold join
+    // DuckDB replays (bounded 100×500 pair space)
+    "ns_ann_incoming_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val centroids = Array(Array.fill(64)(1.0f))
+      val codebooks = graft.northstar.Pq.fitCodebooks(emb, m = 8, ksub = 4)
+      val index = emb.select(col("vec_id").as("neighbor_id"),
+        lit(0).as("cell"), lit(0L).as("subcell"),
+        graft.northstar.Pq.encode(col("embedding"), codebooks).as("codes"))
+      val incoming = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.northstar.Pq.annMatchesIncoming(incoming, index, emb,
+        centroids, splits = Map.empty, codebooks, thresholdE4 = 3500,
+        screenMarginE4 = 20001, nProbe = 1)
+    }),
     // quantized-exact Johnson–Lindenstrauss random projection: 64→16
     // integer dot products per vector against the stateless splitmix
     // matrix — the dimensionality-reduction narrow pass an embedding
@@ -4265,6 +4300,18 @@ object SparkEntry {
         |SELECT count(DISTINCT query_id) AS n_queries,
         |       CAST(31 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
+    // exact screen+confirm identity: one trivial cell + unbounded screen
+    // margin reduce the ADC path to the flat exact threshold join
+    "ns_ann_incoming_exact" ->
+      """WITH inc AS (SELECT vec_id + 100000 AS incoming_id, embedding AS qv
+        |            FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |      FROM embeddings WHERE vec_id < 500)
+        |SELECT incoming_id, neighbor_id, sim_e4 FROM (
+        |  SELECT incoming_id, neighbor_id,
+        |    CAST(round(list_cosine_similarity(qv, cv) * 10000) AS BIGINT) AS sim_e4
+        |  FROM inc, c)
+        |WHERE sim_e4 >= 3500""".stripMargin,
     // the JL projection replayed from the literal integer matrix: the
     // VALUES table is generated from the SAME jlMatrixQ the Spark side
     // uses, so matrix, quantization, and dot products are all

@@ -123,6 +123,59 @@ object Pq {
     adcRerank(q, c, corpus, codebooks, k, rerank, idCol, vecCol)
   }
 
+  /** Ingest-side embedding near-match: every INCOMING vector screened
+    * against the stored codes-only IVF-PQ index by ADC cosine, with
+    * survivors confirmed by EXACT cosine against the corpus vectors —
+    * the embedding flavor of incremental near-dedup at ingest
+    * ([[Dedup.minhashPairsAgainst]] is the text flavor), served from
+    * the compressed index.
+    *
+    * STREAM-SAFE by construction (StreamingSpec pins stream==batch):
+    * cell/subcell assignment is a narrow per-row pass — deliberately NO
+    * probed-cell collect (a stream cannot census its cells at planning
+    * time; the (cell, subcell) equi-join prunes instead), the index
+    * probe and the vector fetch are stream-static equi-joins, and there
+    * is no window — output is the match PAIR list, not top-k, so
+    * append-mode streaming works without state.
+    *
+    * The ADC screen admits candidates with adc_e4 >= thresholdE4 −
+    * screenMarginE4: reconstruction error can push a true match's ADC
+    * below the exact threshold, so the margin buys screen recall while
+    * the exact confirm keeps precision exact — every emitted pair
+    * carries its true e4 cosine >= thresholdE4. With a single trivial
+    * cell and a margin >= 2·10⁴ the screen admits everything and the
+    * result must equal the flat exact threshold join — the
+    * `ns_ann_incoming_exact` oracle identity.
+    * Output: (incoming_id, neighbor_id, sim_e4).
+    */
+  def annMatchesIncoming(incoming: DataFrame, index: DataFrame,
+                         corpus: DataFrame,
+                         centroids: Array[Array[Float]],
+                         splits: Map[Int, Int],
+                         codebooks: Array[Array[Array[Float]]],
+                         thresholdE4: Long, screenMarginE4: Long = 1500,
+                         nProbe: Int = 3,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val q = Ivf.probeFrame(incoming, centroids, splits, nProbe, idCol,
+        vecCol)
+      .withColumnRenamed("query_id", "incoming_id")
+    // (incoming, neighbor) pairs unique without dedup: distinct probed
+    // cells × one (cell, subcell) per index row — the rankCandidates
+    // argument, which is what keeps this append-safe on a stream
+    val screened = q.join(index, Seq("cell", "subcell"))
+      .filter(round(adcCosine(col("qv"), col("codes"), codebooks) * 10000)
+        .cast("long") >= thresholdE4 - screenMarginE4)
+      .select("incoming_id", "qv", "neighbor_id")
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    screened.join(full, Seq("neighbor_id"))
+      .select(col("incoming_id"), col("neighbor_id"),
+        round(vectors.vec_cosine(col("qv"), col("cv")) * 10000)
+          .cast("long").as("sim_e4"))
+      .filter(col("sim_e4") >= thresholdE4)
+  }
+
   /** Shared ADC-candidates → exact-re-rank tail of [[ivfPqTopK]] and
     * [[ivfPqServeTopK]]: (cell, subcell) equi-join over codes, self-pair
     * filter, ADC ranking, top-`rerank` cut, keyed join back to the full

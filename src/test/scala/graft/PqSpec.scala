@@ -1,7 +1,7 @@
 package graft
 
 import graft.northstar.{Artifacts, Ivf, Pq, Similarity}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, round}
 
 /** Product quantization: codebook fit determinism, encode/ADC kernel
   * identities, and the IVF-PQ exhaustive-equals-brute contract.
@@ -113,6 +113,38 @@ class PqSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("PQ shape mismatch")
       || Option(e.getCause).exists(_.getMessage.contains("PQ shape mismatch")))
+  }
+
+  test("annMatchesIncoming: trivial cell + unbounded margin equals the exact threshold join; emitted sims are exact") {
+    val sub = emb.filter(col("vec_id") < 120)
+    val centroids = Array(Array.fill(64)(1.0f))
+    val codebooks = Pq.fitCodebooks(sub, m = 8, ksub = 4)
+    val index = sub.select(col("vec_id").as("neighbor_id"),
+      lit(0).as("cell"), lit(0L).as("subcell"),
+      Pq.encode(col("embedding"), codebooks).as("codes"))
+    val incoming = sub.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val got = Pq.annMatchesIncoming(incoming, index, sub, centroids,
+      splits = Map.empty, codebooks, thresholdE4 = 3000,
+      screenMarginE4 = 20001, nProbe = 1)
+    val qv = incoming.select(col("vec_id").as("incoming_id"),
+      col("embedding").as("qv"))
+    val cv = sub.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    val exact = qv.crossJoin(cv)
+      .select(col("incoming_id"), col("neighbor_id"),
+        round(graft.functions.vectors.vec_cosine(col("qv"), col("cv"))
+          * 10000).cast("long").as("sim_e4"))
+      .filter(col("sim_e4") >= 3000)
+    assert(rows(got) == rows(exact))
+    assert(got.count() >= 30) // each copy rediscovers its source at 1.0
+    // precision is exact at ANY margin: a tighter screen can only LOSE
+    // pairs, never emit one below the exact threshold
+    val tight = Pq.annMatchesIncoming(incoming, index, sub, centroids,
+      splits = Map.empty, codebooks, thresholdE4 = 3000,
+      screenMarginE4 = 0, nProbe = 1)
+    assert(rows(tight).subsetOf(rows(got)))
+    assert(tight.filter(col("sim_e4") < 3000).count() == 0)
   }
 
   test("codes/codebook m mismatch fails loudly (m cancels out of the size check)") {

@@ -211,6 +211,43 @@ class StreamingSpec extends SparkSpecBase {
       && selfPairs.nonEmpty)
   }
 
+  test("embedding ingest: a streamed batch against the stored IVF-PQ codes index matches batch annMatchesIncoming") {
+    import graft.northstar.{Artifacts, Pq}
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (index, splits, centroids, codebooks) = Artifacts.ivfPqIndexFor(
+      emb, cacheKey = s"streaming-spec-pq-${System.nanoTime()}",
+      nCells = 4, m = 8)
+    emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    // the full serving op applied VERBATIM to the streaming frame:
+    // narrow cell/subcell assignment, two stream-static equi-joins, no
+    // window, no probed-cell collect — append mode, stateless
+    val q = Pq.annMatchesIncoming(
+        IncrementalStream.readTableStream(spark, src, "in", schema),
+        index, emb, centroids, splits, codebooks, thresholdE4 = 3500)
+      .writeStream.format("memory").queryName("pq_ingest_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("pq_ingest_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Pq.annMatchesIncoming(
+        spark.read.parquet(s"$src/in.parquet"),
+        index, emb, centroids, splits, codebooks, thresholdE4 = 3500)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // every incoming copy rediscovers its corpus source at cosine 1.0
+    val self = streamed.filter { case (a, b, s) =>
+      a - 1000000L == b && s == 10000L }
+    assert(self.size == 50)
+  }
+
   test("curation projection runs unchanged on a stream and matches the batch result") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.DataFrame
