@@ -1838,6 +1838,8 @@ object SparkEntry {
       // carry REAL minimal MP4 containers (VideoCodec path: true tkhd
       // dims, mp4 format); ids ≡3 mod 8 carry REAL minimal Matroska
       // containers (MkvCodec EBML walk: true pixel dims, mkv format);
+      // ids ≡7 mod 16 carry REAL minimal FLAC headers (FlacCodec
+      // STREAMINFO parse: true rate/channels/samples, flac format);
       // remaining odd ids carry utf-8 text bytes (stub path) — one
       // driver-visible query exercises the codec dispatch
       // deterministically. The typed map is fixture synthesis, not an
@@ -1849,13 +1851,15 @@ object SparkEntry {
           val p = if (id % 2 == 0) Multimodal.syntheticPng(id)
                   else if (id % 4 == 1) Multimodal.syntheticMp4(id)
                   else if (id % 8 == 3) Multimodal.syntheticMkv(id)
+                  else if (id % 16 == 7) Multimodal.syntheticFlac(id)
                   else text.getBytes("UTF-8")
           (id, p, src)
         }.toDF("asset_id", "payload", "source")
       val assets = payloads.select(col("asset_id"),
         when(col("asset_id") % 2 === 0, "image")
           .when(col("asset_id") % 4 === 1, "video")
-          .when(col("asset_id") % 8 === 3, "video").otherwise("text")
+          .when(col("asset_id") % 8 === 3, "video")
+          .when(col("asset_id") % 16 === 7, "audio").otherwise("text")
           .as("modality"),
         col("payload"),
         struct(coalesce(length(col("payload")).cast("long"), lit(0L))

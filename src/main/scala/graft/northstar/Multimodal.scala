@@ -218,6 +218,61 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** Real audio METADATA codec for FLAC payloads — a pure-JVM
+    * STREAMINFO parse, zero extra dependencies (RFC 9639 / the public
+    * FLAC format spec: `fLaC` magic, then length-prefixed metadata
+    * blocks; block type 0 = STREAMINFO is REQUIRED to come first and
+    * carries sample rate (20 bits), channels−1 (3), bits-per-sample−1
+    * (5), and total samples (36) in a packed big-endian layout).
+    * `width` carries the total sample count (clamped to Int.MaxValue),
+    * `height` the channel count. Decoding the compressed subframes
+    * would need a FLAC library this environment lacks, so `features`
+    * reuse the deterministic payload fingerprint — metadata real,
+    * content features a stand-in (the [[VideoCodec]] contract).
+    * Non-FLAC or malformed payloads return None.
+    */
+  object FlacCodec {
+
+    case class FlacMeta(sampleRate: Int, channels: Int,
+                        bitsPerSample: Int, totalSamples: Long) {
+      def durationMs: Long =
+        if (sampleRate <= 0) 0L else totalSamples * 1000L / sampleRate
+    }
+
+    def looksLikeFlac(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 &&
+        p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C'
+
+    /** STREAMINFO fields, or None when not FLAC / malformed. */
+    def parse(p: Array[Byte]): Option[FlacMeta] =
+      if (!looksLikeFlac(p)) None
+      else try {
+        // METADATA_BLOCK_HEADER at offset 4: 1 bit last-flag, 7 bits
+        // type, 24 bits big-endian length; STREAMINFO must be first
+        if (p.length < 8) return None
+        val blockType = p(4) & 0x7F
+        val len = ((p(5) & 0xFF) << 16) | ((p(6) & 0xFF) << 8) | (p(7) & 0xFF)
+        if (blockType != 0 || len < 34 || p.length < 8 + 34) return None
+        val d = 8 // STREAMINFO data offset
+        def u(i: Int): Int = p(d + i) & 0xFF
+        // bytes 10..17 pack: sampleRate(20) | channels-1(3) | bps-1(5)
+        // | totalSamples(36)
+        val sampleRate = (u(10) << 12) | (u(11) << 4) | (u(12) >>> 4)
+        val channels = ((u(12) >>> 1) & 0x7) + 1
+        val bps = (((u(12) & 1) << 4) | (u(13) >>> 4)) + 1
+        val totalSamples = ((u(13) & 0xF).toLong << 32) |
+          (u(14).toLong << 24) | (u(15).toLong << 16) |
+          (u(16).toLong << 8) | u(17).toLong
+        if (sampleRate == 0 && totalSamples == 0) None
+        else Some(FlacMeta(sampleRate, channels, bps, totalSamples))
+      } catch { case _: Exception => None }
+
+    def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
+      parse(payload).map(m => Decoded(assetId,
+        math.min(m.totalSamples, Int.MaxValue.toLong).toInt, m.channels,
+        "flac", StubCodec.decode(assetId, payload).features))
+  }
+
   /** Real video METADATA codec for MP4/ISO-BMFF payloads — a pure-JVM
     * box parse, zero extra dependencies (ISO/IEC 14496-12 box layout:
     * length-prefixed 4CC boxes; `moov→mvhd` carries timescale+duration,
@@ -502,6 +557,37 @@ object Multimodal {
     * layout. Same role as [[syntheticMp4]]: driver-visible queries
     * exercise the REAL EBML walk without shipping binary fixtures.
     */
+  /** Minimal valid FLAC header for tests: `fLaC` magic + a last-flagged
+    * STREAMINFO block with the given stream parameters (frame data
+    * omitted — the metadata parse never reads past the header), plus a
+    * few id-derived trailing bytes so fingerprint features vary.
+    */
+  def syntheticFlac(id: Long, sampleRate: Int = 44100, channels: Int = 2,
+                    bitsPerSample: Int = 16,
+                    totalSamples: Long = 441000L): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('f', 'L', 'a', 'C'))
+    out.write(0x80)                   // last-metadata-block flag | type 0
+    out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    // min/max blocksize (16 bits each) — fixed 4096
+    si(0) = 0x10; si(1) = 0x00; si(2) = 0x10; si(3) = 0x00
+    // min/max framesize 24 bits each: leave 0 (unknown, legal)
+    si(10) = ((sampleRate >>> 12) & 0xFF).toByte
+    si(11) = ((sampleRate >>> 4) & 0xFF).toByte
+    si(12) = (((sampleRate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bitsPerSample - 1) >>> 4) & 1)).toByte
+    si(13) = ((((bitsPerSample - 1) & 0xF) << 4) |
+      ((totalSamples >>> 32) & 0xF)).toByte
+    si(14) = ((totalSamples >>> 24) & 0xFF).toByte
+    si(15) = ((totalSamples >>> 16) & 0xFF).toByte
+    si(16) = ((totalSamples >>> 8) & 0xFF).toByte
+    si(17) = (totalSamples & 0xFF).toByte
+    out.write(si)
+    (0 until 16).foreach(i => out.write(((id * 31 + i) & 0xFF).toInt))
+    out.toByteArray
+  }
+
   def syntheticMkv(id: Long, w: Int = 640, h: Int = 360,
                    durationMs: Long = 5000L): Array[Byte] = {
     def idBytes(v: Long): Array[Byte] = {
@@ -624,9 +710,10 @@ object Multimodal {
     * mapPartitions gives the per-batch execution shape (codec initialized
     * once per partition); output is a compact feature frame, payloads are
     * dropped immediately after decode. Image payloads get the real
-    * [[ImageCodec]], WAV audio the real [[AudioCodec]], MP4 video the
-    * real [[VideoCodec]] metadata parse, Matroska the real [[MkvCodec]]
-    * EBML walk; everything else falls back to the deterministic stub.
+    * [[ImageCodec]], WAV audio the real [[AudioCodec]], FLAC the real
+    * [[FlacCodec]] STREAMINFO parse, MP4 video the real [[VideoCodec]]
+    * metadata parse, Matroska the real [[MkvCodec]] EBML walk;
+    * everything else falls back to the deterministic stub.
     */
   def decodeAssets(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
@@ -641,6 +728,7 @@ object Multimodal {
           val p = r.getAs[Array[Byte]]("payload")
           ImageCodec.decode(id, p)
             .orElse(AudioCodec.decode(id, p))
+            .orElse(FlacCodec.decode(id, p))
             .orElse(VideoCodec.decode(id, p))
             .orElse(MkvCodec.decode(id, p))
             .getOrElse(StubCodec.decode(id, p))

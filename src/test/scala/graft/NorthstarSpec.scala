@@ -1793,10 +1793,11 @@ class MultimodalSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(42)
     val valid = Seq(
       Multimodal.syntheticMp4(1L), Multimodal.syntheticMkv(2L),
-      Multimodal.syntheticPng(3L))
+      Multimodal.syntheticPng(3L), Multimodal.syntheticFlac(4L))
     def checkAll(p: Array[Byte]): Unit = {
       Multimodal.VideoCodec.parse(p)
       Multimodal.MkvCodec.parse(p)
+      Multimodal.FlacCodec.parse(p)
       Multimodal.ImageCodec.decode(0L, p)
       Multimodal.AudioCodec.decode(0L, p)
       Multimodal.StubCodec.decode(0L, p)
@@ -1826,6 +1827,31 @@ class MultimodalSpec extends SparkSpecBase {
     // truncations of valid containers at every interesting boundary
     for (v <- valid; cut <- 0 until math.min(v.length, 64))
       checkAll(v.take(cut))
+  }
+
+  test("FLAC STREAMINFO parse: rate/channels/bits/samples from the packed layout") {
+    val p = Multimodal.syntheticFlac(7L, sampleRate = 48000, channels = 2,
+      bitsPerSample = 24, totalSamples = 96000L)
+    val m = Multimodal.FlacCodec.parse(p).get
+    assert(m.sampleRate == 48000 && m.channels == 2 &&
+      m.bitsPerSample == 24 && m.totalSamples == 96000L)
+    assert(m.durationMs == 2000L)
+    // a 36-bit sample count survives the packed split across bytes 13-17
+    val big = Multimodal.FlacCodec.parse(Multimodal.syntheticFlac(8L,
+      totalSamples = (5L << 32) | 123456789L)).get
+    assert(big.totalSamples == ((5L << 32) | 123456789L))
+    // decode: width = clamped sample count, height = channels
+    val d = Multimodal.FlacCodec.decode(7L, p).get
+    assert(d.width == 96000 && d.height == 2 && d.format == "flac")
+    // cross-magic rejection: the other containers are not FLAC
+    assert(Multimodal.FlacCodec.parse(Multimodal.syntheticMp4(1L)).isEmpty)
+    assert(Multimodal.FlacCodec.parse("RIFFxxxxWAVE not flac".getBytes).isEmpty)
+    // and FLAC is not WAV/MP4/MKV
+    assert(Multimodal.AudioCodec.decode(7L, p).isEmpty)
+    assert(Multimodal.VideoCodec.parse(p).isEmpty)
+    // a payload whose STREAMINFO is not the first block is malformed
+    val wrongType = p.clone(); wrongType(4) = (0x80 | 4).toByte
+    assert(Multimodal.FlacCodec.parse(wrongType).isEmpty)
   }
 
   test("poolFeatures halves the feature grid") {
