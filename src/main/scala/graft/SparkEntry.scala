@@ -1563,6 +1563,16 @@ object SparkEntry {
     // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9
     // threshold would legitimately return zero rows; 0.35 exercises the
     // bucket-join + filter path with a non-empty result
+    // multi-probe LSH (Lv et al. 2007): same index, each query also
+    // probes its nFlips lowest-margin neighbor buckets per table —
+    // recall above plain LSH at identical corpus-side cost. Rows-only;
+    // pinned by the recall floor below (which must exceed plain LSH's)
+    // and by the nFlips=0 ≡ lshTopK identity in SimilaritySpec
+    "ns_knn_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiprobe(emb.filter(col("vec_id") < 5), emb,
+        k = 10, nFlips = 2)
+    }),
     "ns_knn_ivf" -> ((s, dir) => {      // rows-only: ANN, recall-tested vs brute
       val emb = t(s, dir, "embeddings")
       // serve from the persisted quantizer artifact (train-once, pinned
@@ -1617,6 +1627,13 @@ object SparkEntry {
         emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
       Similarity.recallCounts(
         graft.northstar.Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 3),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
+    "ns_knn_lsh_multiprobe_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.recallCounts(
+        Similarity.lshTopKMultiprobe(q, emb, k = 10, nFlips = 2),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
     // JL→ANN composition quality pin: top-k computed in the PROJECTED
@@ -4293,6 +4310,18 @@ object SparkEntry {
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
         |       CAST(29 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
+    // multi-probe must beat plain LSH's 29 at the same planes/tables —
+    // the pinned constant IS that claim
+    "ns_knn_lsh_multiprobe_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(46 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     "ns_knn_ivf_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -114,6 +114,67 @@ object VecOps {
     arr
   }
 
+  /** Multi-probe LSH buckets (Lv et al. 2007, "Multi-Probe LSH" — public
+    * knowledge): per table, the base bucket PLUS `nFlips` variants, each
+    * flipping one of the planes with the smallest |margin| (a vector
+    * near a hyperplane is nearly as likely to land on its other side,
+    * so probing those neighbor buckets buys recall without more
+    * tables). Deterministic: flip order is (|dot| asc, plane index asc).
+    * QUERY-side kernel — the corpus keeps single-bucket assignment, so
+    * the index is unchanged and the extra probes multiply only the
+    * query-side join fan-out (nTables × (1+nFlips) rows per query).
+    * Output layout: for each table t, positions [t·(1+nFlips)] = base,
+    * then the flip variants.
+    */
+  def hyperplaneBucketsMultiprobe(v: ArrayData, nPlanes: Int, nTables: Int,
+                                  nFlips: Int): ArrayData = {
+    val dim = v.numElements()
+    val planes = planesFor(nPlanes, nTables, dim)
+    val flips = math.min(nFlips, nPlanes)
+    val perTable = 1 + flips
+    val out = new Array[Long](nTables * perTable)
+    val dots = new Array[Double](math.max(nPlanes, 1))
+    val order = new Array[Int](math.max(nPlanes, 1))
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val row = planes(t * nPlanes + p)
+        var d = 0.0
+        var i = 0
+        while (i < dim) { d += v.getFloat(i).toDouble * row(i); i += 1 }
+        dots(p) = d
+        if (d > 0) bucket |= (1L << p)
+        p += 1
+      }
+      val tag = t.toLong << 32
+      out(t * perTable) = bucket | tag
+      if (flips > 0) {
+        // selection sort of the first `flips` positions by (|dot|, p) —
+        // nPlanes is tiny (<= 32), no allocation beyond the two
+        // scratch arrays hoisted out of the loop
+        p = 0
+        while (p < nPlanes) { order(p) = p; p += 1 }
+        var f = 0
+        while (f < flips) {
+          var best = f
+          var j = f + 1
+          while (j < nPlanes) {
+            val a = math.abs(dots(order(j))); val b = math.abs(dots(order(best)))
+            if (a < b || (a == b && order(j) < order(best))) best = j
+            j += 1
+          }
+          val tmp = order(f); order(f) = order(best); order(best) = tmp
+          out(t * perTable + 1 + f) = (bucket ^ (1L << order(f))) | tag
+          f += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-thread identity cache for long-array literals (the quantized JL
     * matrix), same rationale as [[cbArray]].
     */
@@ -377,6 +438,29 @@ case class PqAdcCosine(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** lsh_buckets_multiprobe(array<float>) → array<long>: base buckets plus
+  * the nFlips lowest-margin flip variants per table (see
+  * VecOps.hyperplaneBucketsMultiprobe). Query-side.
+  */
+case class HyperplaneBucketsMultiprobe(child: Expression, nPlanes: Int,
+                                       nTables: Int, nFlips: Int)
+    extends UnaryExpression {
+  require(nPlanes >= 0 && nPlanes <= 32,
+    s"nPlanes must be in [0, 32], got $nPlanes")
+  require(nTables >= 1, s"nTables must be positive, got $nTables")
+  require(nFlips >= 0, s"nFlips must be non-negative, got $nFlips")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.hyperplaneBucketsMultiprobe(v.asInstanceOf[ArrayData], nPlanes,
+      nTables, nFlips)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecOps.hyperplaneBucketsMultiprobe($v, $nPlanes, $nTables, $nFlips)")
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBucketsMultiprobe =
+    copy(child = newChild)
+}
+
 /** jl_project(array<float>, matrix literal) → array<long>: the quantized
   * Johnson–Lindenstrauss projection (see VecOps.jlProject).
   */
@@ -414,4 +498,8 @@ object vectors {
   def jl_project(v: Column, matrix: Column, outDim: Int,
                  scale: Int): Column =
     Bridge.column(JlProject(ex(v), ex(matrix), outDim, scale))
+  def lsh_buckets_multiprobe(v: Column, nPlanes: Int, nTables: Int,
+                             nFlips: Int): Column =
+    Bridge.column(HyperplaneBucketsMultiprobe(ex(v), nPlanes, nTables,
+      nFlips))
 }

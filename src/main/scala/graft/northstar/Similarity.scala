@@ -85,6 +85,40 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(hyperplaneBuckets(col(vecCol), nPlanes, nTables)).as("bucket"))
+    lshRank(q, corpus, k, nPlanes, nTables, idCol, vecCol)
+  }
+
+  /** Multi-probe LSH top-k (Lv et al. 2007): the corpus keeps its
+    * single-bucket-per-table assignment — the INDEX is unchanged — and
+    * each query additionally probes, per table, the `nFlips` neighbor
+    * buckets across its lowest-|margin| hyperplanes (a vector close to
+    * a plane is nearly as likely to be on its other side, so those
+    * buckets hold the near-miss candidates). Recall rises toward the
+    * multi-table limit without growing the corpus-side index or
+    * shuffle: the extra cost is query-side fan-out only, nTables ×
+    * (1+nFlips) rows per query. With nFlips = 0 this IS [[lshTopK]];
+    * the candidate set is always a superset of the same-plane lshTopK
+    * candidates (SimilaritySpec pins both).
+    */
+  def lshTopKMultiprobe(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                        nPlanes: Int = 4, nTables: Int = 8, nFlips: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(vectors.lsh_buckets_multiprobe(col(vecCol), nPlanes, nTables,
+        nFlips)).as("bucket"))
+    lshRank(q, corpus, k, nPlanes, nTables, idCol, vecCol)
+  }
+
+  /** Shared bucket-join → dedup → exact-cosine ranking tail of
+    * [[lshTopK]] and [[lshTopKMultiprobe]] — a single definition so a
+    * ranking change cannot drift between probe variants. Candidates
+    * must be deduped here: the same pair collides in multiple tables
+    * (and, multi-probe, in flip variants of the same table).
+    */
+  private def lshRank(q: DataFrame, corpus: DataFrame, k: Int,
+                      nPlanes: Int, nTables: Int, idCol: String,
+                      vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       explode(hyperplaneBuckets(col(vecCol), nPlanes, nTables)).as("bucket"))
     val candidates = q.join(c, Seq("bucket"))

@@ -511,6 +511,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ranks == 0)
   }
 
+  test("multi-probe LSH: flip buckets are single-bit neighbors, nFlips=0 equals plain, recall never drops") {
+    import graft.functions.vectors
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // kernel-level: per table, the probe list leads with the base
+    // bucket and each variant differs from it by exactly one plane bit
+    val kern = emb.limit(50).select(
+        vectors.lsh_buckets(org.apache.spark.sql.functions.col("embedding"), 4, 8).as("base"),
+        vectors.lsh_buckets_multiprobe(org.apache.spark.sql.functions.col("embedding"), 4, 8, 2).as("mp"))
+      .collect()
+    kern.foreach { r =>
+      val base = r.getSeq[Long](0)
+      val mp = r.getSeq[Long](1)
+      assert(mp.size == 8 * 3)
+      (0 until 8).foreach { t =>
+        val b = mp(t * 3)
+        assert(b == base(t))
+        Seq(mp(t * 3 + 1), mp(t * 3 + 2)).foreach { v =>
+          assert(v != b)
+          assert((v >> 32) == (b >> 32)) // same table tag
+          assert(java.lang.Long.bitCount((v ^ b) & 0xFFFFFFFFL) == 1)
+        }
+      }
+    }
+    val q = emb.filter($"vec_id" < 20)
+    // nFlips = 0 is exactly lshTopK
+    assert(rows(Similarity.lshTopKMultiprobe(q, emb, k = 10, nFlips = 0))
+      == rows(Similarity.lshTopK(q, emb, k = 10)))
+    // recall is monotone: the multiprobe candidate set is a superset,
+    // and exact re-ranking of a superset can only match or beat recall
+    val brute = Similarity.bruteForceTopK(q, emb, k = 10)
+    def hits(ann: org.apache.spark.sql.DataFrame): Long =
+      Similarity.recallCounts(ann, brute).collect().head.getLong(1)
+    val plain = hits(Similarity.lshTopK(q, emb, k = 10))
+    val multi = hits(Similarity.lshTopKMultiprobe(q, emb, k = 10, nFlips = 2))
+    assert(multi >= plain, s"multiprobe hits $multi < plain $plain")
+  }
+
   test("cosineNearDupPairs: duplicate vectors found at threshold 0.999") {
     val vecs = Seq(
       (0L, Seq(1f, 2f, 3f)), (1L, Seq(1f, 2f, 3f)),
