@@ -117,6 +117,40 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
   }
 
+  test("ivfpq serve: codes-only index scan pruned to probed cells at planning time, no quadratic join") {
+    val p = planOf("ns_knn_ivfpq_serve")
+    val pf = "PartitionFilters: \\[[^\\]]*cell".r
+    assert(pf.findFirstIn(p).isDefined,
+      "expected non-empty PartitionFilters on cell in plan:\n" + p.take(1200))
+    // the index scan must read codes, never a raw embedding column (the
+    // dim/m on-disk reduction is the point of the PQ index)
+    val idxScan = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("codes")).getOrElse("")
+    assert(idxScan.nonEmpty && !idxScan.contains("cv"),
+      "codes-only index scan missing or carrying raw vectors:\n" + idxScan)
+    assertNoQuadratic(p)
+  }
+
+  test("rand proj: pure narrow map — zero exchanges") {
+    val p = planOf("ns_rand_proj")
+    assert(shuffles(p) == 0,
+      s"JL projection must not shuffle:\n${p.take(800)}")
+    assertNoQuadratic(p)
+  }
+
+  test("ann incoming: stream-safe shape — equi-joins only, no window, no quadratic node") {
+    val p = planOf("ns_ann_incoming")
+    assert(!p.contains("Window"),
+      "a window would break append-mode streaming:\n" + p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("multiprobe lsh: bucket equi-join, no quadratic node") {
+    val p = planOf("ns_knn_lsh_multiprobe")
+    assert(p.contains("bucket"), p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("ivf serve: stored-index scan pruned to probed cells at PLANNING time, no quadratic join") {
     val p = planOf("ns_knn_ivf_serve")
     // the probed-cell IN-list must land in the scan node's
