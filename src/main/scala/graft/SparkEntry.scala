@@ -1559,10 +1559,6 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
     }),
-    // threshold 0.35: testdata embeddings are near-orthogonal random
-    // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9
-    // threshold would legitimately return zero rows; 0.35 exercises the
-    // bucket-join + filter path with a non-empty result
     // multi-probe LSH (Lv et al. 2007): same index, each query also
     // probes its nFlips lowest-margin neighbor buckets per table —
     // recall above plain LSH at identical corpus-side cost. Rows-only;
@@ -1573,6 +1569,10 @@ object SparkEntry {
       Similarity.lshTopKMultiprobe(emb.filter(col("vec_id") < 5), emb,
         k = 10, nFlips = 2)
     }),
+    // threshold 0.35: testdata embeddings are near-orthogonal random
+    // vectors (max pairwise cosine ≈ 0.51), so a production-style 0.9
+    // threshold would legitimately return zero rows; 0.35 exercises the
+    // bucket-join + filter path with a non-empty result
     "ns_knn_ivf" -> ((s, dir) => {      // rows-only: ANN, recall-tested vs brute
       val emb = t(s, dir, "embeddings")
       // serve from the persisted quantizer artifact (train-once, pinned

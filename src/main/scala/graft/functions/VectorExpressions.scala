@@ -122,9 +122,10 @@ object VecOps {
     * tables). Deterministic: flip order is (|dot| asc, plane index asc).
     * QUERY-side kernel — the corpus keeps single-bucket assignment, so
     * the index is unchanged and the extra probes multiply only the
-    * query-side join fan-out (nTables × (1+nFlips) rows per query).
-    * Output layout: for each table t, positions [t·(1+nFlips)] = base,
-    * then the flip variants.
+    * query-side join fan-out. nFlips is CLAMPED to nPlanes (there are
+    * only nPlanes bits to flip), so the output stride is perTable =
+    * 1 + min(nFlips, nPlanes): for each table t, position
+    * [t·perTable] = base, then the flip variants.
     */
   def hyperplaneBucketsMultiprobe(v: ArrayData, nPlanes: Int, nTables: Int,
                                   nFlips: Int): ArrayData = {

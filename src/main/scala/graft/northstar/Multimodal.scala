@@ -263,7 +263,9 @@ object Multimodal {
         val totalSamples = ((u(13) & 0xF).toLong << 32) |
           (u(14).toLong << 24) | (u(15).toLong << 16) |
           (u(16).toLong << 8) | u(17).toLong
-        if (sampleRate == 0 && totalSamples == 0) None
+        // RFC 9639: sample rate 0 is invalid — reject rather than emit
+        // a "flac" asset with bogus duration-0 metadata
+        if (sampleRate == 0) None
         else Some(FlacMeta(sampleRate, channels, bps, totalSamples))
       } catch { case _: Exception => None }
 
@@ -557,37 +559,6 @@ object Multimodal {
     * layout. Same role as [[syntheticMp4]]: driver-visible queries
     * exercise the REAL EBML walk without shipping binary fixtures.
     */
-  /** Minimal valid FLAC header for tests: `fLaC` magic + a last-flagged
-    * STREAMINFO block with the given stream parameters (frame data
-    * omitted — the metadata parse never reads past the header), plus a
-    * few id-derived trailing bytes so fingerprint features vary.
-    */
-  def syntheticFlac(id: Long, sampleRate: Int = 44100, channels: Int = 2,
-                    bitsPerSample: Int = 16,
-                    totalSamples: Long = 441000L): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(Array[Byte]('f', 'L', 'a', 'C'))
-    out.write(0x80)                   // last-metadata-block flag | type 0
-    out.write(0); out.write(0); out.write(34)
-    val si = new Array[Byte](34)
-    // min/max blocksize (16 bits each) — fixed 4096
-    si(0) = 0x10; si(1) = 0x00; si(2) = 0x10; si(3) = 0x00
-    // min/max framesize 24 bits each: leave 0 (unknown, legal)
-    si(10) = ((sampleRate >>> 12) & 0xFF).toByte
-    si(11) = ((sampleRate >>> 4) & 0xFF).toByte
-    si(12) = (((sampleRate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) |
-      (((bitsPerSample - 1) >>> 4) & 1)).toByte
-    si(13) = ((((bitsPerSample - 1) & 0xF) << 4) |
-      ((totalSamples >>> 32) & 0xF)).toByte
-    si(14) = ((totalSamples >>> 24) & 0xFF).toByte
-    si(15) = ((totalSamples >>> 16) & 0xFF).toByte
-    si(16) = ((totalSamples >>> 8) & 0xFF).toByte
-    si(17) = (totalSamples & 0xFF).toByte
-    out.write(si)
-    (0 until 16).foreach(i => out.write(((id * 31 + i) & 0xFF).toInt))
-    out.toByteArray
-  }
-
   def syntheticMkv(id: Long, w: Int = 640, h: Int = 360,
                    durationMs: Long = 5000L): Array[Byte] = {
     def idBytes(v: Long): Array[Byte] = {
@@ -629,6 +600,37 @@ object Multimodal {
     hdr ++ el(SegmentMagicForSynth, info ++ tracks ++ pad)
   }
   private val SegmentMagicForSynth = 0x18538067L
+
+  /** Minimal valid FLAC header for tests: `fLaC` magic + a last-flagged
+    * STREAMINFO block with the given stream parameters (frame data
+    * omitted — the metadata parse never reads past the header), plus a
+    * few id-derived trailing bytes so fingerprint features vary.
+    */
+  def syntheticFlac(id: Long, sampleRate: Int = 44100, channels: Int = 2,
+                    bitsPerSample: Int = 16,
+                    totalSamples: Long = 441000L): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('f', 'L', 'a', 'C'))
+    out.write(0x80)                   // last-metadata-block flag | type 0
+    out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    // min/max blocksize (16 bits each) — fixed 4096
+    si(0) = 0x10; si(1) = 0x00; si(2) = 0x10; si(3) = 0x00
+    // min/max framesize 24 bits each: leave 0 (unknown, legal)
+    si(10) = ((sampleRate >>> 12) & 0xFF).toByte
+    si(11) = ((sampleRate >>> 4) & 0xFF).toByte
+    si(12) = (((sampleRate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bitsPerSample - 1) >>> 4) & 1)).toByte
+    si(13) = ((((bitsPerSample - 1) & 0xF) << 4) |
+      ((totalSamples >>> 32) & 0xF)).toByte
+    si(14) = ((totalSamples >>> 24) & 0xFF).toByte
+    si(15) = ((totalSamples >>> 16) & 0xFF).toByte
+    si(16) = ((totalSamples >>> 8) & 0xFF).toByte
+    si(17) = (totalSamples & 0xFF).toByte
+    out.write(si)
+    (0 until 16).foreach(i => out.write(((id * 31 + i) & 0xFF).toInt))
+    out.toByteArray
+  }
 
   /** Deterministic minimal MP4 payload from an id — ftyp + moov(mvhd,
     * trak(tkhd)) + mdat, byte-assembled to the ISO-BMFF v0 box layout.

@@ -96,7 +96,8 @@ object Similarity {
     * buckets hold the near-miss candidates). Recall rises toward the
     * multi-table limit without growing the corpus-side index or
     * shuffle: the extra cost is query-side fan-out only, nTables ×
-    * (1+nFlips) rows per query. With nFlips = 0 this IS [[lshTopK]];
+    * (1 + min(nFlips, nPlanes)) rows per query (only nPlanes bits
+    * exist to flip). With nFlips = 0 this IS [[lshTopK]];
     * the candidate set is always a superset of the same-plane lshTopK
     * candidates (SimilaritySpec pins both).
     */

@@ -1889,6 +1889,13 @@ class MultimodalSpec extends SparkSpecBase {
     // a payload whose STREAMINFO is not the first block is malformed
     val wrongType = p.clone(); wrongType(4) = (0x80 | 4).toByte
     assert(Multimodal.FlacCodec.parse(wrongType).isEmpty)
+    // RFC 9639: sample rate 0 is invalid even with a sample count —
+    // zero the 20-bit rate field (bytes 10-11 + high nibble of 12,
+    // offset by the 8-byte magic+header)
+    val zeroRate = p.clone()
+    zeroRate(18) = 0; zeroRate(19) = 0
+    zeroRate(20) = (zeroRate(20) & 0x0F).toByte
+    assert(Multimodal.FlacCodec.parse(zeroRate).isEmpty)
   }
 
   test("poolFeatures halves the feature grid") {
