@@ -556,6 +556,44 @@ object ScaleProbe {
         k = 10, nProbe = 3, rerank = 30).count()
     }
     println(f"[scale] ivfPqTopK 5x-data ratio        ${pq5 / pq1}%.1fx (linear-ish expected)")
+    // ingest near-match: codes-only index join + exact confirm on the
+    // (bounded) survivors — wall time should track the INDEX size
+    // linearly at fixed incoming batch size
+    // Measured 2026-08-14 (r12, local[8]): 0.3 s @ 2k → 0.5 s @ 10k =
+    // 1.8x for 5x index (matches found scale 5x with the index: 308 →
+    // 1540); no quadratic cliff.
+    def pqIndex(corpus: DataFrame) = {
+      val assigned = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"),
+        Ivf.cellOf(col("embedding"), cents1).as("cell"))
+      assigned.select(col("neighbor_id"), col("cell"),
+        lit(0L).as("subcell"),
+        Pq.encode(col("cv"), pqCb).as("codes"))
+    }
+    val incoming1 = emb1.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    val ai1 = timed("annMatchesIncoming 2k index (1x)") {
+      Pq.annMatchesIncoming(incoming1, pqIndex(emb1), emb1, cents1,
+        Map.empty, pqCb, thresholdE4 = 3500).count()
+    }
+    val ai5 = timed("annMatchesIncoming 10k index (5x)") {
+      Pq.annMatchesIncoming(incoming1, pqIndex(emb), emb, cents1,
+        Map.empty, pqCb, thresholdE4 = 3500).count()
+    }
+    println(f"[scale] annMatchesIncoming 5x-index ratio ${ai5 / ai1}%.1fx (linear-ish expected)")
+    // multi-probe LSH: query-side fan-out only — corpus-side cost and
+    // scaling identical to plain LSH
+    // Measured 2026-08-14 (r12, local[8]): 0.8 s @ 2k → 1.4 s @ 10k =
+    // 1.7x for 5x data; no quadratic cliff.
+    val mp1 = timed("lshTopKMultiprobe 2k (1x)") {
+      Similarity.lshTopKMultiprobe(emb1.filter(col("vec_id") < 20), emb1,
+        k = 10, nFlips = 2).count()
+    }
+    val mp5 = timed("lshTopKMultiprobe 10k (5x)") {
+      Similarity.lshTopKMultiprobe(emb.filter(col("vec_id") < 20), emb,
+        k = 10, nFlips = 2).count()
+    }
+    println(f"[scale] lshTopKMultiprobe 5x-data ratio ${mp5 / mp1}%.1fx (linear-ish expected)")
     spark.stop()
   }
 }
