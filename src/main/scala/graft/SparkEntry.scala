@@ -1559,6 +1559,25 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
     }),
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998): top-10
+    // selected from a 30-candidate relevance pool maximizing
+    // λ·relevance − (1−λ)·max-cos-to-selected — the redundancy-aware
+    // selection step for eval-set / few-shot construction. Rows-only
+    // (the greedy trade-off has no SQL analogue); pinned by the λ=1
+    // companion below, which must equal brute-force top-k exactly
+    "ns_mmr_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopK(emb.filter(col("vec_id") < 5), emb,
+        k = 10, poolSize = 30, lambdaE4 = 7000)
+    }),
+    // hash-checked companion: λ = 1 makes the MMR score pure relevance,
+    // so selection must reproduce brute-force top-k rank-exactly — the
+    // oracle is the brute SQL with rnk exposed as mmr_rank
+    "ns_mmr_relevance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopK(emb.filter(col("vec_id") < 5), emb,
+        k = 10, poolSize = 30, lambdaE4 = 10000)
+    }),
     // multi-probe LSH (Lv et al. 2007): same index, each query also
     // probes its nFlips lowest-margin neighbor buckets per table —
     // recall above plain LSH at identical corpus-side cost. Rows-only;
@@ -4311,6 +4330,18 @@ object SparkEntry {
         |SELECT count(DISTINCT query_id) AS n_queries,
         |       CAST(29 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
+    // λ=1 MMR ≡ brute-force top-k: rnk exposed under the MMR schema
+    "ns_mmr_relevance" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS mmr_rank
+        |FROM r WHERE rnk <= 10""".stripMargin,
     // multi-probe must beat plain LSH's 29 at the same planes/tables —
     // the pinned constant IS that claim
     "ns_knn_lsh_multiprobe_recall" ->

@@ -176,6 +176,68 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998 —
+    * public knowledge) over ONE query's candidate pool: greedily pick k
+    * candidates maximizing λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s) — high
+    * relevance, low redundancy against what is already selected. Input
+    * is the per-query candidate array (id, rel, vector) SORTED by
+    * (rel desc, id) by the caller so evaluation order is deterministic;
+    * ties on the MMR score break to the earlier (higher-rel, lower-id)
+    * candidate. O(k·n·dim): each selection updates every unselected
+    * candidate's max-similarity-to-selected incrementally. The pool is
+    * query-bounded (an ANN top-R), so the whole selection is in-row —
+    * no shuffle beyond the pool's own grouping.
+    * Returns the selected ids in selection order.
+    */
+  def mmrSelect(cands: ArrayData, k: Int, lambdaE4: Int): ArrayData = {
+    val n = cands.numElements()
+    val take = math.min(k, n)
+    val ids = new Array[Long](n)
+    val rel = new Array[Double](n)
+    val vecs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val row = cands.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      rel(i) = row.getDouble(1)
+      vecs(i) = row.getArray(2)
+      i += 1
+    }
+    val lam = lambdaE4 / 10000.0
+    val maxSim = new Array[Double](n) // max cos to the selected set
+    val taken = new Array[Boolean](n)
+    val out = new Array[Long](take)
+    var s = 0
+    while (s < take) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          // first pick has an empty selected set: pure relevance
+          val score = if (s == 0) rel(i)
+            else lam * rel(i) - (1.0 - lam) * maxSim(i)
+          // strict >: ties keep the EARLIEST candidate in the sorted
+          // pool order (higher rel, then lower id)
+          if (score > bestScore) { bestScore = score; best = i }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(s) = ids(best)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val c = cosine(vecs(i), vecs(best))
+          if (c > maxSim(i)) maxSim(i) = c
+        }
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-thread identity cache for long-array literals (the quantized JL
     * matrix), same rationale as [[cbArray]].
     */
@@ -439,6 +501,26 @@ case class PqAdcCosine(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** mmr_select(array<struct<id,rel,vec>>) → array<long>: greedy MMR
+  * selection over a sorted per-query candidate pool (see
+  * VecOps.mmrSelect). lambdaE4 is the relevance weight on the 1e-4 grid
+  * (10000 = pure relevance ≡ top-k by rel).
+  */
+case class MmrSelect(child: Expression, k: Int, lambdaE4: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be positive, got $k")
+  require(lambdaE4 >= 0 && lambdaE4 <= 10000,
+    s"lambdaE4 must be in [0, 10000], got $lambdaE4")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(cands: Any): Any =
+    VecOps.mmrSelect(cands.asInstanceOf[ArrayData], k, lambdaE4)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.mmrSelect($c, $k, $lambdaE4)")
+  override protected def withNewChildInternal(newChild: Expression): MmrSelect =
+    copy(child = newChild)
+}
+
 /** lsh_buckets_multiprobe(array<float>) → array<long>: base buckets plus
   * the nFlips lowest-margin flip variants per table (see
   * VecOps.hyperplaneBucketsMultiprobe). Query-side.
@@ -503,4 +585,6 @@ object vectors {
                              nFlips: Int): Column =
     Bridge.column(HyperplaneBucketsMultiprobe(ex(v), nPlanes, nTables,
       nFlips))
+  def mmr_select(cands: Column, k: Int, lambdaE4: Int): Column =
+    Bridge.column(MmrSelect(ex(cands), k, lambdaE4))
 }

@@ -135,6 +135,63 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): retrieve a
+    * relevance pool, then greedily select k results maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected — the standard
+    * redundancy-aware retrieval step for eval-set construction and
+    * few-shot example selection (plain top-k returns near-duplicate
+    * neighbors; MMR spends the k slots on DISTINCT relevant results).
+    * λ rides the 1e-4 grid; λ=10000 is pure relevance and must equal
+    * [[bruteForceTopK]] exactly (the `ns_mmr_relevance` oracle pin).
+    *
+    * The selection itself is the codegen'd in-row kernel
+    * ([[graft.functions.VecOps.mmrSelect]]) over the per-query pool —
+    * O(k·pool·dim) per query, no shuffle beyond the pool grouping. Pool
+    * generation here is the exact scorer (O(q×corpus), the oracle
+    * baseline); at 100 TB feed [[mmrFromPool]] an ANN pool instead
+    * ([[lshTopKMultiprobe]]/[[Ivf.ivfTopK]] joined back to vectors) —
+    * the selection cost is identical either way.
+    * Output: (query_id, neighbor_id, mmr_rank) in selection order.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              poolSize: Int = 30, lambdaE4: Int = 7000,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cv"),
+        cosine(col("qv"), col("cv")).as("rel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    mmrFromPool(scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= poolSize)
+      .select("query_id", "neighbor_id", "rel", "cv"), k, lambdaE4)
+  }
+
+  /** MMR selection over a PRECOMPUTED candidate pool — (query_id,
+    * neighbor_id, rel, cv) rows, typically an ANN top-R joined back to
+    * its vectors. Pools are sorted (rel desc, id) in-row before the
+    * kernel so selection order is deterministic on any partition
+    * layout.
+    */
+  def mmrFromPool(pool: DataFrame, k: Int, lambdaE4: Int): DataFrame = {
+    val cands = array_sort(
+      collect_list(struct(col("neighbor_id").as("id"), col("rel"),
+        col("cv").as("v"))),
+      (l, r) => when(l.getField("rel") > r.getField("rel"), -1)
+        .when(l.getField("rel") < r.getField("rel"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1).otherwise(0))
+    pool.groupBy("query_id").agg(cands.as("cands"))
+      .select(col("query_id"),
+        posexplode(vectors.mmr_select(col("cands"), k, lambdaE4))
+          .as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("pos") + 1).cast("long").as("mmr_rank"))
+  }
+
   /** Recall tripwire for the approximate ANN variants: one exact-integer
     * row (n_queries, n_hits) with n_hits = |ann ∩ exact| on
     * (query_id, neighbor_id) pairs and n_queries from the exact side.

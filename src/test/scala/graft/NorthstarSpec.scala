@@ -548,6 +548,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(multi >= plain, s"multiprobe hits $multi < plain $plain")
   }
 
+  test("MMR: λ=1 equals brute top-k; lower λ spends slots across clusters; deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    // λ = 1: pure relevance must reproduce brute force rank-exactly
+    val pure = Similarity.mmrTopK(q, emb, k = 10, poolSize = 30,
+        lambdaE4 = 10000)
+      .select($"query_id", $"neighbor_id", $"mmr_rank".as("rank"))
+    val brute = Similarity.bruteForceTopK(q, emb, k = 10)
+      .withColumn("rank", $"rank".cast("long"))
+    assert(rows(pure) == rows(brute))
+    // diversity: a corpus of two tight clusters (copies of two base
+    // vectors) — plain top-2 picks two copies of the nearer cluster;
+    // MMR at λ=0.5 must spend slot 2 on the OTHER cluster
+    val a = Array.fill(8)(0f); a(0) = 1f
+    val b = Array.fill(8)(0f); b(1) = 1f; b(0) = 0.3f
+    val qv = Array.fill(8)(0f); qv(0) = 1f; qv(1) = 0.2f
+    val corpus = ((0 until 3).map(i => (10L + i, a.toSeq)) ++
+      (0 until 3).map(i => (20L + i, b.toSeq)) :+ (1L, qv.toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+    def picks(lambdaE4: Int) = Similarity.mmrTopK(queries, corpus, k = 2,
+        poolSize = 6, lambdaE4 = lambdaE4)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(picks(10000) == Seq(10L, 11L)) // relevance-only: twin copies
+    val diverse = picks(5000)
+    assert(diverse.head == 10L && diverse(1) >= 20L,
+      s"expected cross-cluster pick, got $diverse")
+    // determinism across runs
+    assert(picks(5000) == picks(5000))
+  }
+
   test("cosineNearDupPairs: duplicate vectors found at threshold 0.999") {
     val vecs = Seq(
       (0L, Seq(1f, 2f, 3f)), (1L, Seq(1f, 2f, 3f)),
