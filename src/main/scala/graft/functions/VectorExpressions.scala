@@ -204,7 +204,10 @@ object VecOps {
       i += 1
     }
     val lam = lambdaE4 / 10000.0
-    val maxSim = new Array[Double](n) // max cos to the selected set
+    // -inf, not 0: cosine is signed, and clamping at 0 would erase the
+    // diversity BONUS an anti-similar candidate earns (max(0, maxcos)
+    // is not the Carbonell–Goldstein formula)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val taken = new Array[Boolean](n)
     val out = new Array[Long](take)
     var s = 0
@@ -214,8 +217,10 @@ object VecOps {
       i = 0
       while (i < n) {
         if (!taken(i)) {
-          // first pick has an empty selected set: pure relevance
-          val score = if (s == 0) rel(i)
+          // first pick has an empty selected set: pure relevance. The
+          // lam >= 1 arm is NOT just an optimization: with the skipped
+          // update loop maxSim stays -inf, and 0.0 · -inf is NaN
+          val score = if (s == 0 || lam >= 1.0) rel(i)
             else lam * rel(i) - (1.0 - lam) * maxSim(i)
           // strict >: ties keep the EARLIEST candidate in the sorted
           // pool order (higher rel, then lower id)
@@ -223,15 +228,24 @@ object VecOps {
         }
         i += 1
       }
+      // every remaining score NaN (corrupt embeddings): stop with what
+      // is selected so far rather than indexing at -1 and killing the
+      // task over one bad row
+      if (best < 0)
+        return new GenericArrayData(java.util.Arrays.copyOf(out, s))
       taken(best) = true
       out(s) = ids(best)
-      i = 0
-      while (i < n) {
-        if (!taken(i)) {
-          val c = cosine(vecs(i), vecs(best))
-          if (c > maxSim(i)) maxSim(i) = c
+      // at lam = 1 the diversity term is weighted 0 — skip the
+      // O(n·dim) cosine update entirely (the ns_mmr_relevance path)
+      if (lam < 1.0) {
+        i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val c = cosine(vecs(i), vecs(best))
+            if (c > maxSim(i)) maxSim(i) = c
+          }
+          i += 1
         }
-        i += 1
       }
       s += 1
     }

@@ -47,17 +47,30 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    exactScored(queries, corpus, idCol, vecCol)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** The exact all-pairs scored frame shared by [[bruteForceTopK]] and
+    * [[mmrTopK]]'s pool builder: (query_id, neighbor_id, cv, sim),
+    * self-pairs excluded. ONE definition — the `ns_mmr_relevance`
+    * oracle pins λ=1 MMR rank-exactly to brute force, so the two paths'
+    * scorer (self-exclusion, cosine, column shapes) must be
+    * structurally the same code, not parallel copies (the lshRank
+    * discipline).
+    */
+  private def exactScored(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cv"),
+        cosine(col("qv"), col("cv")).as("sim"))
   }
 
   /** All `nTables` LSH bucket ids for a vector: per table, the sign bits
@@ -157,17 +170,14 @@ object Similarity {
               poolSize: Int = 30, lambdaE4: Int = 7000,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cv"),
-        cosine(col("qv"), col("cv")).as("rel"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("rel").desc, col("neighbor_id"))
-    mmrFromPool(scored.withColumn("r", row_number().over(w))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val pool = exactScored(queries, corpus, idCol, vecCol)
+      .withColumn("r", row_number().over(w))
       .filter(col("r") <= poolSize)
-      .select("query_id", "neighbor_id", "rel", "cv"), k, lambdaE4)
+      .select(col("query_id"), col("neighbor_id"),
+        col("sim").as("rel"), col("cv"))
+    mmrFromPool(pool, k, lambdaE4)
   }
 
   /** MMR selection over a PRECOMPUTED candidate pool — (query_id,

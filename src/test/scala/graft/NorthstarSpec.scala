@@ -579,6 +579,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(picks(5000) == picks(5000))
   }
 
+  test("MMR: anti-similar candidates earn a diversity BONUS (signed maxSim), NaN pools truncate instead of crashing") {
+    // c2 is ANTI-similar to the first pick (cos = -1): true MMR scores
+    // it 0.5·0.6 − 0.5·(−1) = 0.8 > c3's 0.35 — a kernel that clamps
+    // max-cos-to-selected at 0 would pick c3 (code-review r12)
+    val pool = Seq(
+      (1L, 10L, 0.9, Seq(1f, 0f)),
+      (1L, 20L, 0.6, Seq(-1f, 0f)),
+      (1L, 30L, 0.7, Seq(0f, 1f)),
+    ).toDF("query_id", "neighbor_id", "rel", "cv")
+    val got = Similarity.mmrFromPool(pool, k = 2, lambdaE4 = 5000)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(10L, 20L), s"expected the anti-similar pick, got $got")
+    // a NaN candidate (corrupt embedding) must not index at -1 and
+    // kill the task: selection stops with what it has
+    val bad = Seq(
+      (1L, 10L, 0.9, Seq(1f, 0f)),
+      (1L, 20L, Double.NaN, Seq(Float.NaN, 0f)),
+    ).toDF("query_id", "neighbor_id", "rel", "cv")
+    val trunc = Similarity.mmrFromPool(bad, k = 2, lambdaE4 = 5000)
+      .collect().map(_.getLong(1)).toSeq
+    assert(trunc == Seq(10L), s"expected truncated selection, got $trunc")
+  }
+
   test("cosineNearDupPairs: duplicate vectors found at threshold 0.999") {
     val vecs = Seq(
       (0L, Seq(1f, 2f, 3f)), (1L, Seq(1f, 2f, 3f)),
