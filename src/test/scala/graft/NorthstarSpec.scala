@@ -579,6 +579,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(picks(5000) == picks(5000))
   }
 
+  test("MMR composes with an ANN pool: λ=1 over the multiprobe top-30 equals multiprobe top-10") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    // the scale path mmrTopK's scaladoc promises: ANN top-R joined back
+    // to vectors as the pool — λ=1 must reduce to the ANN's own ranks
+    val pool = Similarity.lshTopKMultiprobe(q, emb, k = 30, nFlips = 2)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), Seq("neighbor_id"))
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("rel"), col("cv"))
+    val got = Similarity.mmrFromPool(pool, k = 10, lambdaE4 = 10000)
+      .select($"query_id", $"neighbor_id",
+        $"mmr_rank".cast("int").as("rank"))
+    val want = Similarity.lshTopKMultiprobe(q, emb, k = 10, nFlips = 2)
+    assert(rows(got) == rows(want))
+  }
+
   test("MMR: anti-similar candidates earn a diversity BONUS (signed maxSim), NaN pools truncate instead of crashing") {
     // c2 is ANTI-similar to the first pick (cos = -1): true MMR scores
     // it 0.5·0.6 − 0.5·(−1) = 0.8 > c3's 0.35 — a kernel that clamps
