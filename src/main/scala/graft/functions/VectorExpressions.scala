@@ -219,8 +219,14 @@ object VecOps {
         if (!taken(i)) {
           // first pick has an empty selected set: pure relevance. The
           // lam >= 1 arm is NOT just an optimization: with the skipped
-          // update loop maxSim stays -inf, and 0.0 · -inf is NaN
+          // update loop maxSim stays -inf, and 0.0 · -inf is NaN.
+          // maxSim still -inf AFTER a selection means every cosine
+          // against the selected set was NaN (corrupt vector with a
+          // finite rel) — score it NaN so it is disqualified, because
+          // -(1-lam)·(-inf) = +inf would otherwise PROMOTE the corrupt
+          // candidate to the very next pick (code-review r12)
           val score = if (s == 0 || lam >= 1.0) rel(i)
+            else if (maxSim(i) == Double.NegativeInfinity) Double.NaN
             else lam * rel(i) - (1.0 - lam) * maxSim(i)
           // strict >: ties keep the EARLIEST candidate in the sorted
           // pool order (higher rel, then lower id)
@@ -581,6 +587,27 @@ case class JlProject(left: Expression, right: Expression, outDim: Int,
 /** Column-level API for the vector kernels (graft's `functions._`). */
 object vectors {
   private def ex(c: Column) = Bridge.expression(c)
+
+  /** The codebook/matrix argument of [[pq_encode]]/[[pq_adc_cosine]]/
+    * [[jl_project]] must be a PLAN CONSTANT (`typedLit(...)` or an
+    * expression that folds to one): the kernels convert the boxed
+    * ArrayData to a primitive array once per (thread, object identity)
+    * — sound only when the generated code passes the SAME literal
+    * object for every row. A per-row column there could silently serve
+    * a stale conversion if an ArrayData implementation reused one
+    * wrapper across rows (code-review r12), so the contract is enforced
+    * here, at the public boundary, instead of documented-and-hoped.
+    * `Pq.encode`/`Pq.adcCosine`/`Similarity.randomProject*` build the
+    * literal internally from Array[Float] and are the intended
+    * entrypoints.
+    */
+  private def requireConstant(c: Column, what: String): Expression = {
+    require(Bridge.isPlanConstant(c),
+      s"$what must be a plan-constant literal (typedLit), got a per-row " +
+        s"expression: $c — the kernels cache the converted array by " +
+        "object identity, which is only sound for literals")
+    ex(c)
+  }
   def vec_cosine(a: Column, b: Column): Column =
     Bridge.column(FloatVecCosine(ex(a), ex(b)))
   def vec_dot(a: Column, b: Column): Column =
@@ -588,13 +615,16 @@ object vectors {
   def lsh_buckets(v: Column, nPlanes: Int, nTables: Int): Column =
     Bridge.column(HyperplaneBuckets(ex(v), nPlanes, nTables))
   def pq_encode(v: Column, codebook: Column, m: Int, ksub: Int): Column =
-    Bridge.column(PqEncode(ex(v), ex(codebook), m, ksub))
+    Bridge.column(PqEncode(ex(v),
+      requireConstant(codebook, "pq_encode codebook"), m, ksub))
   def pq_adc_cosine(q: Column, codes: Column, codebook: Column,
                     m: Int, ksub: Int): Column =
-    Bridge.column(PqAdcCosine(ex(q), ex(codes), ex(codebook), m, ksub))
+    Bridge.column(PqAdcCosine(ex(q), ex(codes),
+      requireConstant(codebook, "pq_adc_cosine codebook"), m, ksub))
   def jl_project(v: Column, matrix: Column, outDim: Int,
                  scale: Int): Column =
-    Bridge.column(JlProject(ex(v), ex(matrix), outDim, scale))
+    Bridge.column(JlProject(ex(v),
+      requireConstant(matrix, "jl_project matrix"), outDim, scale))
   def lsh_buckets_multiprobe(v: Column, nPlanes: Int, nTables: Int,
                              nFlips: Int): Column =
     Bridge.column(HyperplaneBucketsMultiprobe(ex(v), nPlanes, nTables,

@@ -227,6 +227,17 @@ object Pq {
     * Given the same centroids, splits, and codebooks, the result is
     * row-identical to [[ivfPqTopK]] (same ADC candidate generation, same
     * shared exact-re-rank tail) — PqSpec pins the equality.
+    *
+    * MEMBERSHIP CONTRACT (code-review r12): `corpus` must contain every
+    * id the stored index carries — the exact re-rank is an inner join
+    * on neighbor_id, so an index row whose corpus row was deleted or
+    * recompacted away silently VANISHES from the candidate set and a
+    * query can return fewer than k rows with no error. The `_params`
+    * digests pin the quantizers, not corpus membership; keep the two in
+    * sync by maintaining the index through
+    * [[Artifacts.appendIvfPqIndex]] on ingest and rebuilding on any
+    * delete/rewrite of the corpus table. (The IVF path is immune:
+    * [[Ivf.ivfServeTopK]] ranks from index-resident vectors.)
     */
   def ivfPqServeTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
                      centroids: Array[Array[Float]], splits: Map[Int, Int],

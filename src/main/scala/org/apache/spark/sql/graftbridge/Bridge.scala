@@ -14,6 +14,19 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** True when the Column is a plan constant — a literal, or an
+    * expression that constant-folds to one. The Spark 4 Column wraps a
+    * ColumnNode and [[expression]] returns a lazy ColumnNodeExpression
+    * whose `foldable` is pinned false pre-analysis, so callers that
+    * need a literal-only contract (the PQ/JL kernels' identity caches)
+    * must inspect the NODE, which this sql-subpackage bridge can.
+    */
+  def isPlanConstant(c: Column): Boolean = c.node match {
+    case _: org.apache.spark.sql.internal.Literal => true
+    case org.apache.spark.sql.classic.ExpressionColumnNode(e, _) => e.foldable
+    case _ => false
+  }
+
   /** Build a session over an existing SparkContext with the given
     * extensions applied. Builder.getOrCreate silently ignores
     * withExtensions when a session already exists, so tests (which share

@@ -203,4 +203,23 @@ class KernelEdgeSpec extends SparkSpecBase {
     assert(dfm2 == Map("zzz" -> 0L))
     assert(TextAnalysis.scoreWithBm25(docs, dfm2, n2, s2).count() == 0)
   }
+
+  test("pq/jl kernels reject a per-row codebook/matrix column at the API boundary") {
+    // ADVICE r12 #2: the kernels cache the converted codebook by object
+    // identity, sound only for plan constants — a per-row column must
+    // fail loudly at Column construction, not silently serve stale data
+    import org.apache.spark.sql.functions.typedLit
+    val perRow = $"embedding" // any non-foldable expression
+    intercept[IllegalArgumentException] {
+      vectors.pq_encode($"embedding", perRow, 2, 4)
+    }
+    intercept[IllegalArgumentException] {
+      vectors.pq_adc_cosine($"embedding", $"codes", perRow, 2, 4)
+    }
+    intercept[IllegalArgumentException] {
+      vectors.jl_project($"embedding", perRow, 4, 10000)
+    }
+    // literals still pass (the sanctioned path)
+    vectors.pq_encode($"embedding", typedLit(Seq(1f, 2f)), 1, 1): Unit
+  }
 }

@@ -620,6 +620,19 @@ class SimilaritySpec extends SparkSpecBase {
     val trunc = Similarity.mmrFromPool(bad, k = 2, lambdaE4 = 5000)
       .collect().map(_.getLong(1)).toSeq
     assert(trunc == Seq(10L), s"expected truncated selection, got $trunc")
+    // FINITE rel + NaN vector (ADVICE r12 #1): its cosine vs the
+    // selected set is NaN, so maxSim never updates off -inf and the
+    // score -(1-λ)·(-inf) = +inf would PROMOTE the corrupt candidate
+    // over a clean one — the guard must disqualify it instead
+    val mixed = Seq(
+      (1L, 10L, 0.9, Seq(1f, 0f)),
+      (1L, 20L, 0.8, Seq(Float.NaN, 0f)), // corrupt vector, finite rel
+      (1L, 30L, 0.2, Seq(0f, 1f)),
+    ).toDF("query_id", "neighbor_id", "rel", "cv")
+    val picks = Similarity.mmrFromPool(mixed, k = 3, lambdaE4 = 5000)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(picks == Seq(10L, 30L),
+      s"corrupt candidate must be disqualified, not promoted: got $picks")
   }
 
   test("cosineNearDupPairs: duplicate vectors found at threshold 0.999") {
