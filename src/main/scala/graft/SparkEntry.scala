@@ -71,6 +71,39 @@ object SparkEntry {
       cacheKey = corpusKey(dir, "embeddings") + "-lt200",
       centroids = Array(Array.fill(64)(1.0f)), thresholdE4 = 3000)
 
+  /** The append-lifecycle demo behind `ns_knn_ivfpq_append*`: the
+    * IVF-PQ serving index is BUILT on the even-id half of the corpus,
+    * the odd-id half arrives as ingest and is APPENDED with the
+    * quantizers pinned from the initial build (the production nightly
+    * pattern [[graft.northstar.Artifacts.appendIvfPqIndex]] exists
+    * for), and queries serve from the appended index. save→append is
+    * idempotent per evaluation: the save's static overwrite resets the
+    * index to the A-half before each append, so repeated runs (Verify,
+    * Bench reps, plan guards) are deterministic.
+    */
+  private def ivfPqAppendServe(s: SparkSession, dir: String, nProbe: Int,
+                               rerank: Int, maxCell: Int): DataFrame = {
+    import graft.northstar.{Artifacts, Pq}
+    val emb = t(s, dir, "embeddings")
+    val key = corpusKey(dir, "embeddings")
+    val embA = emb.filter(col("vec_id") % 2 === 0)
+    val embB = emb.filter(col("vec_id") % 2 =!= 0)
+    val centroids = Artifacts.ivfCentroidsFor(embA, s"$key/Ahalf",
+      nCells = 8)
+    val codebooks = Artifacts.pqCodebooksFor(embA, s"$key/Ahalf", m = 8,
+      ksub = 16)
+    val path = Artifacts.pathFor("ivfpqappend", s"$key-m$maxCell-p$nProbe")
+    Artifacts.saveIvfPqIndex(embA, path, centroids, codebooks, "vec_id",
+      "embedding", maxCell)
+    val splits = Artifacts.appendIvfPqIndex(embB, embA, path, centroids,
+      codebooks, maxCell = maxCell)
+    val (index, _) = Artifacts.loadIvfPqIndex(s, path, centroids,
+      codebooks, maxCell = maxCell)
+    Pq.ivfPqServeTopK(emb.filter(col("vec_id") < 5), index, emb,
+      centroids, splits, codebooks, k = 10, nProbe = nProbe,
+      rerank = rerank)
+  }
+
   /** Deterministic mangled-duplicate corpus shared by `ns_dedup_clusters`
     * (live in-plan CC — the multi-hop min-propagation oracle pin) and
     * `ns_dedup_keep_best` (served from the stored collapse-label
@@ -1748,6 +1781,26 @@ object SparkEntry {
         index, emb, centroids, splits, codebooks,
         k = 10, nProbe = 3, rerank = 30)
     }),
+    // INCREMENTAL index maintenance — the serving-lifecycle piece
+    // between "build once" and "rebuild nightly" (VERDICT r12 task 1):
+    // the index is built on HALF the corpus, the other half arrives as
+    // ingest and is APPENDED with the pinned quantizers
+    // (Artifacts.appendIvfPqIndex), then queries serve from the
+    // appended index. maxCell 40 forces the append to re-split
+    // over-cap cells, so the census-merge + cell-rewrite path runs in
+    // every contract evaluation. Rows-only; pinned by the
+    // append==rebuild hash identity (ArtifactsSpec) and by the
+    // exhaustive companion below
+    "ns_knn_ivfpq_append" -> ((s, dir) =>
+      ivfPqAppendServe(s, dir, nProbe = 3, rerank = 30, maxCell = 40)),
+    // hash-checked companion: same append lifecycle, but probing ALL
+    // cells with an unbounded rerank (and no sub-cell splits) makes the
+    // exact re-rank see every indexed row — so a lost, duplicated, or
+    // mis-celled row from the append machinery breaks the brute-force
+    // rank identity the DuckDB oracle replays (same SQL as ns_knn_brute)
+    "ns_knn_ivfpq_append_exhaustive" -> ((s, dir) =>
+      ivfPqAppendServe(s, dir, nProbe = 8, rerank = 1 << 30,
+        maxCell = 100000)),
     // recall tripwire for the APPROXIMATE IVF-PQ mode (the ns_knn_*_recall
     // contract): n_hits vs brute force pinned by the DuckDB oracle — a
     // codebook-fit, ADC, or rerank regression moves the constant
@@ -4429,6 +4482,20 @@ object SparkEntry {
     // identical to the ns_knn_brute oracle: exhaustive probing must equal
     // brute force
     "ns_knn_ivf_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    // identical to the ns_knn_brute oracle: after build-on-half +
+    // append-the-rest, exhaustive probing over the APPENDED index must
+    // still reproduce brute force over the whole corpus — any row the
+    // append lost, duplicated, or mis-celled breaks the rank identity
+    "ns_knn_ivfpq_append_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
         |             list_cosine_similarity(q.qv, e.embedding) AS sim

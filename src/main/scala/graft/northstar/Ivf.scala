@@ -232,13 +232,22 @@ object Ivf {
     * frame instead of paying the nCells-cosine assignment pass twice.
     */
   def splitBitsFromCensus(census: DataFrame, maxCell: Int): Map[Int, Int] =
-    census.collect()
-      .filter(_.getLong(1) > maxCell)
-      .map { r =>
-        val bits = math.ceil(
-          math.log(r.getLong(1).toDouble / maxCell) / math.log(2.0)).toInt
-        r.getInt(0) -> math.min(math.max(bits, 1), MaxSplitBits)
-      }.toMap
+    splitBitsFromCounts(
+      census.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
+
+  /** The split policy as a pure driver-side function of per-cell counts —
+    * the single definition [[splitBitsFromCensus]] and the index APPEND
+    * path ([[Artifacts.appendIvfIndex]]) both use, so an appended index's
+    * split map cannot drift from what a from-scratch rebuild on the same
+    * union census would compute (the append==rebuild hash identity).
+    */
+  def splitBitsFromCounts(counts: Map[Int, Long],
+                          maxCell: Int): Map[Int, Int] =
+    counts.iterator.filter(_._2 > maxCell).map { case (cell, n) =>
+      val bits = math.ceil(
+        math.log(n.toDouble / maxCell) / math.log(2.0)).toInt
+      cell -> math.min(math.max(bits, 1), MaxSplitBits)
+    }.toMap
 
   /** Plane-family id for sub-cell splitting, decorrelated from the LSH
     * index's table ids.

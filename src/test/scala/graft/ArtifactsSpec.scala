@@ -476,4 +476,114 @@ class ArtifactsSpec extends SparkSpecBase {
       .select("doc", "fp").collect().map(_.toSeq).toSet
     assert(again == first)
   }
+
+  // ------------------------------ incremental ANN index append (r13)
+
+  // the append fixtures: quantizers pinned from the INITIAL build
+  // (corpus half A), part B arrives later — the nightly-ingest story
+  private lazy val embA = emb.filter(col("vec_id") % 2 === 0)
+  private lazy val embB = emb.filter(col("vec_id") % 2 =!= 0)
+
+  test("IVF append-then-serve is hash-identical to a from-scratch rebuild on the union (over-cap cells re-split)") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    // maxCell 40: A-cells (~62 avg) already split some, the union
+    // (~125 avg) pushes bits further — the append MUST re-split
+    val maxCell = 40
+    val pA = s"${tempDir("ivfapp")}/idx"
+    Artifacts.saveIvfIndex(embA, pA, cents, "vec_id", "embedding", maxCell)
+    val (_, splits0) = Artifacts.loadIvfIndex(spark, pA, cents,
+      maxCell = maxCell)
+    val newSplits = Artifacts.appendIvfIndex(embB, pA, cents,
+      maxCell = maxCell)
+    assert(newSplits != splits0,
+      "fixture must exercise the re-split path: bits should change")
+    val pU = s"${tempDir("ivfapp")}/idx"
+    Artifacts.saveIvfIndex(emb, pU, cents, "vec_id", "embedding", maxCell)
+    val (idxU, splitsU) = Artifacts.loadIvfIndex(spark, pU, cents,
+      maxCell = maxCell)
+    assert(newSplits == splitsU, "append split map must equal rebuild's")
+    val (idxA, splitsA) = Artifacts.loadIvfIndex(spark, pA, cents,
+      maxCell = maxCell)
+    assert(splitsA == splitsU)
+    // stored CONTENT identical, not just serve results
+    assert(rows(idxA.select("neighbor_id", "cell", "subcell")) ==
+      rows(idxU.select("neighbor_id", "cell", "subcell")))
+    assert(idxA.count() == emb.count())
+    val q = emb.filter(col("vec_id") < 5)
+    assert(rows(Ivf.ivfServeTopK(q, idxA, cents, splitsA, k = 10, nProbe = 2))
+      == rows(Ivf.ivfServeTopK(q, idxU, cents, splitsU, k = 10, nProbe = 2)))
+  }
+
+  test("IVF-PQ append-then-serve equals the union rebuild; corpus drift trips the append loudly") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val cb = graft.northstar.Pq.fitCodebooks(embA, m = 8, ksub = 8)
+    val maxCell = 40
+    val pA = s"${tempDir("pqapp")}/idx"
+    Artifacts.saveIvfPqIndex(embA, pA, cents, cb, "vec_id", "embedding",
+      maxCell)
+    val newSplits = Artifacts.appendIvfPqIndex(embB, embA, pA, cents, cb,
+      maxCell = maxCell)
+    val pU = s"${tempDir("pqapp")}/idx"
+    Artifacts.saveIvfPqIndex(emb, pU, cents, cb, "vec_id", "embedding",
+      maxCell)
+    val (idxU, splitsU) = Artifacts.loadIvfPqIndex(spark, pU, cents, cb,
+      maxCell = maxCell)
+    val (idxA, splitsA) = Artifacts.loadIvfPqIndex(spark, pA, cents, cb,
+      maxCell = maxCell)
+    assert(newSplits == splitsU && splitsA == splitsU)
+    // codes included: an appended row must encode exactly as a rebuilt one
+    assert(rows(idxA) == rows(idxU))
+    val q = emb.filter(col("vec_id") < 5)
+    assert(rows(graft.northstar.Pq.ivfPqServeTopK(q, idxA, emb, cents,
+        splitsA, cb, k = 10, nProbe = 2, rerank = 30))
+      == rows(graft.northstar.Pq.ivfPqServeTopK(q, idxU, emb, cents,
+        splitsU, cb, k = 10, nProbe = 2, rerank = 30)))
+    // drift tripwire: a corpus that lost rows the index references must
+    // fail the NEXT append loudly, not silently drop candidates
+    val shrunk = emb.filter(col("vec_id") < 100)
+    val late = emb.limit(0) // empty incoming still censuses + re-splits
+    val e = intercept[IllegalArgumentException] {
+      // maxCell 10 forces every cell into the rewrite path, which is
+      // where the vectors-resolved join runs
+      val p2 = s"${tempDir("pqapp")}/idx"
+      Artifacts.saveIvfPqIndex(embA, p2, cents, cb, "vec_id", "embedding",
+        10)
+      Artifacts.appendIvfPqIndex(embB, shrunk, p2, cents, cb, maxCell = 10)
+    }
+    assert(e.getMessage.contains("drifted"), e.getMessage)
+    late.count(): Unit
+  }
+
+  test("append on a torn index fails loudly; ensureTrained recovery rebuilds the wreck") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivftorn")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    // simulate a torn append: marker gone, one cell dir half-mutated
+    assert(new java.io.File(p, "_SUCCESS").delete())
+    val someCell = new java.io.File(p, "index").listFiles()
+      .find(_.getName.startsWith("cell=")).get
+    someCell.listFiles().foreach(f => f.delete(): Unit)
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.appendIvfIndex(embB, p, cents, maxCell = 100000)
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    // the *For resolution path treats the marker-less dir as a wreck:
+    // clears it and rebuilds from scratch
+    Artifacts.ensureTrained(p) { tmp =>
+      Artifacts.saveIvfIndex(emb, tmp, cents, "vec_id", "embedding", 100000)
+    }
+    val (idx, _) = Artifacts.loadIvfIndex(spark, p, cents)
+    assert(idx.count() == emb.count())
+  }
+
+  test("append against a foreign quantizer fails the params pin") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfpin")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    val other = Ivf.fitCentroids(embA, nCells = 4, seed = 7L)
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.appendIvfIndex(embB, p, other, maxCell = 100000)
+    }
+    assert(e.getMessage.contains("generated with"), e.getMessage)
+  }
 }
