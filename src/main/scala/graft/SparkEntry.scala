@@ -398,6 +398,36 @@ object SparkEntry {
         .agg(sum(col("rev")).cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
     }),
+    // the SAME star query served from the BUCKETED fact layout
+    // (Bucketing.bucketedTableFor / Pipeline cfg.bucketBy): lineitem and
+    // orders are published to the catalog pre-shuffled into 8 buckets on
+    // their orderkey, so the fact⋈fact edge — the one per-query shuffle
+    // of q_star_revenue — plans with ZERO Exchange (plan-guarded); the
+    // merge hint pins the sort-merge shape a fact-fact join has at scale
+    // (tiny-sf AQE would otherwise broadcast and hide the property).
+    // Oracle: identical SQL to q_star_revenue — the layout must not
+    // change a single value
+    "q_star_bucketed" -> ((s, dir) => {
+      val liB = Bucketing.bucketedTableFor(t(s, dir, "lineitem"),
+        "lineitem", corpusKey(dir, "lineitem"), "l_orderkey", 8)
+      val oB = Bucketing.bucketedTableFor(t(s, dir, "orders"),
+        "orders", corpusKey(dir, "orders"), "o_orderkey", 8)
+      val li = liB.select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+         (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .as("rev"))
+      val o = oB.select("o_orderkey", "o_custkey", "o_orderpriority")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
     "q_top_customers" -> ((s, dir) => {
       val o = t(s, dir, "orders").withColumn("o_totalprice",
         col("o_totalprice").cast("decimal(12,2)"))
@@ -2261,6 +2291,19 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE sim_e4 >= 3000""".stripMargin,
     "q_star_revenue" ->
+      """SELECT r_name, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    // identical to the q_star_revenue oracle: the bucketed layout must
+    // not change a single value
+    "q_star_bucketed" ->
       """SELECT r_name, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,

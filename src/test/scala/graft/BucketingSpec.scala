@@ -36,4 +36,62 @@ class BucketingSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("bucketedTableFor: writes once per content key, reuses on repeat, re-buckets on content change") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val t1 = Bucketing.bucketedTableFor(a, "spec_demo", "contentA", "k", 2)
+    assert(rows(t1) == rows(a))
+    // repeat call with the same content key must REUSE (not rewrite):
+    // pass a different frame — a rewrite would surface its rows
+    val b = Seq((9L, "q")).toDF("k", "v")
+    val t2 = Bucketing.bucketedTableFor(b, "spec_demo", "contentA", "k", 2)
+    assert(rows(t2) == rows(a), "same content key must serve the stored table")
+    // a NEW content key is a different table: the new rows appear and
+    // the bucket metadata is real (joinable shuffle-free on k)
+    val t3 = Bucketing.bucketedTableFor(b, "spec_demo", "contentB", "k", 2)
+    assert(rows(t3) == rows(b))
+  }
+
+  test("pipeline cfg.bucketBy publishes silver facts bucketed; the downstream join is shuffle-free") {
+    import graft.engine.{Extraction, Pipeline, Tables}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root = java.nio.file.Files.createTempDirectory("bucketpipe").toString
+    try {
+      val layers = Pipeline.Layers(
+        source = "/root/testdata/sf0.001",
+        raw = s"$root/raw", silverMapping = s"$root/sm",
+        silver = s"$root/silver", gold = s"$root/gold")
+      val cfg = Pipeline.Config(
+        extraction = Seq(
+          Extraction.TableJob("lineitem", "Full Refresh"),
+          Extraction.TableJob("orders", "Full Refresh")),
+        mappingEnabled = false,
+        bucketBy = Map(
+          "lineitem" -> ("l_orderkey", 4),
+          "orders" -> ("o_orderkey", 4)))
+      val statuses = Pipeline.run(spark, layers, cfg)
+      assert(statuses.forall(_.ok), statuses.mkString("; "))
+      val joined = Bucketing.joinBucketed(spark,
+        "silver_lineitem_bucketed", "l_orderkey",
+        "silver_orders_bucketed", "o_orderkey")
+      assert(Bucketing.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString.take(600))
+      // values match the plain silver parquet join
+      val li = Tables.table(spark, s"$root/silver", "transformed_lineitem")
+      val o = Tables.table(spark, s"$root/silver", "transformed_orders")
+      assert(joined.count() ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS silver_lineitem_bucketed")
+      spark.sql("DROP TABLE IF EXISTS silver_orders_bucketed")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q_star_bucketed is value-identical to q_star_revenue — layout must not change results") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = SparkEntry.queries("q_star_revenue")(spark, dir)
+    val bucketed = SparkEntry.queries("q_star_bucketed")(spark, dir)
+    assert(rows(bucketed) == rows(plain))
+  }
 }

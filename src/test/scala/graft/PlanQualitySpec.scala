@@ -35,6 +35,23 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(n >= 3, s"expected >=3 broadcast joins, got $n")
   }
 
+  test("star bucketed: fact-fact edge joins bucket-to-bucket — zero Exchange on orderkey, only the agg shuffle remains") {
+    val p = planOf("q_star_bucketed")
+    // the one per-query shuffle q_star_revenue pays on lineitem ⋈ orders
+    // must be GONE: both sides scan pre-bucketed layout
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+      && !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "fact join still shuffles:\n" + p.take(1500))
+    // exactly one keyed exchange total: the (r_name, o_orderpriority) agg
+    assert(shuffles(p) == 1, s"expected 1 exchange, got ${shuffles(p)}:\n${p.take(1500)}")
+    // the three dims still broadcast; the fact join is the pinned SMJ
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(1500))
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    // bucket pruning metadata proves the scans are BUCKETED scans, not
+    // plain parquet directories
+    assert(p.contains("SelectedBucketsCount"), p.take(1500))
+  }
+
   test("aggregate uses map-side partial aggregation") {
     val p = planOf("a1_multi_agg")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(800))
