@@ -1641,6 +1641,17 @@ object SparkEntry {
       Similarity.mmrTopK(emb.filter(col("vec_id") < 5), emb,
         k = 10, poolSize = 30, lambdaE4 = 10000)
     }),
+    // MMR served from the ANN pool — the composition users run at
+    // corpus scale: multi-probe LSH top-30 (vectors carried through the
+    // ranking window, no second corpus scan) feeding the same greedy
+    // kernel. Rows-only; pinned by the λ=1 ≡ multiprobe-top-k identity
+    // (NorthstarSpec) and plan-guarded to contain no cartesian node —
+    // unlike ns_mmr_select's exact O(q×corpus) pool
+    "ns_mmr_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopKAnn(emb.filter(col("vec_id") < 5), emb,
+        k = 10, poolSize = 30, lambdaE4 = 7000)
+    }),
     // multi-probe LSH (Lv et al. 2007): same index, each query also
     // probes its nFlips lowest-margin neighbor buckets per table —
     // recall above plain LSH at identical corpus-side cost. Rows-only;

@@ -132,7 +132,19 @@ object Similarity {
     */
   private def lshRank(q: DataFrame, corpus: DataFrame, k: Int,
                       nPlanes: Int, nTables: Int, idCol: String,
-                      vecCol: String): DataFrame = {
+                      vecCol: String): DataFrame =
+    lshRankScored(q, corpus, k, nPlanes, nTables, idCol, vecCol)
+      .select("query_id", "neighbor_id", "rank")
+
+  /** The ranking tail with sim + candidate vector retained — the MMR
+    * pool builder ([[mmrTopKAnn]]) needs (rel, cv) per survivor, and
+    * carrying cv through the rank window costs only k·dim floats per
+    * query, versus a SECOND corpus join (another full corpus scan) to
+    * re-fetch vectors after ranking.
+    */
+  private def lshRankScored(q: DataFrame, corpus: DataFrame, k: Int,
+                            nPlanes: Int, nTables: Int, idCol: String,
+                            vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       explode(hyperplaneBuckets(col(vecCol), nPlanes, nTables)).as("bucket"))
     val candidates = q.join(c, Seq("bucket"))
@@ -140,12 +152,11 @@ object Similarity {
       .select("query_id", "neighbor_id", "qv", "cv")
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qv"), col("cv")).as("sim"))
+      cosine(col("qv"), col("cv")).as("sim"), col("cv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
   }
 
   /** MMR-diversified top-k (Carbonell & Goldstein 1998): retrieve a
@@ -200,6 +211,33 @@ object Similarity {
           .as(Seq("pos", "neighbor_id")))
       .select(col("query_id"), col("neighbor_id"),
         (col("pos") + 1).cast("long").as("mmr_rank"))
+  }
+
+  /** MMR over an ANN pool — the path to run at corpus scale. The
+    * relevance pool is the multi-probe LSH top-`poolSize`
+    * ([[lshTopKMultiprobe]]'s exact ranking tail, with the candidate
+    * vector carried through the rank window so NO second corpus scan is
+    * needed to re-fetch vectors), then the same greedy kernel as
+    * [[mmrTopK]] selects k. Total cost = one ANN retrieval at
+    * k=poolSize + O(k·poolSize·dim) in-row selection per query — the
+    * whole-corpus exact scorer never runs. λ=10000 must reproduce
+    * [[lshTopKMultiprobe]]'s own top-k rank-exactly (NorthstarSpec pins
+    * it); the `ns_mmr_ann` contract row is plan-guarded to contain no
+    * cartesian node.
+    */
+  def mmrTopKAnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                 poolSize: Int = 30, lambdaE4: Int = 7000,
+                 nPlanes: Int = 4, nTables: Int = 8, nFlips: Int = 2,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(vectors.lsh_buckets_multiprobe(col(vecCol), nPlanes, nTables,
+        nFlips)).as("bucket"))
+    val pool = lshRankScored(q, corpus, poolSize, nPlanes, nTables,
+        idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("sim").as("rel"), col("cv"))
+    mmrFromPool(pool, k, lambdaE4)
   }
 
   /** Recall tripwire for the approximate ANN variants: one exact-integer

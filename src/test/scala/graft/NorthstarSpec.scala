@@ -597,6 +597,20 @@ class SimilaritySpec extends SparkSpecBase {
         $"mmr_rank".cast("int").as("rank"))
     val want = Similarity.lshTopKMultiprobe(q, emb, k = 10, nFlips = 2)
     assert(rows(got) == rows(want))
+    // the packaged scale path (ns_mmr_ann's mmrTopKAnn, which carries
+    // vectors through the ranking window instead of re-joining the
+    // corpus) must satisfy the SAME identity
+    val gotPkg = Similarity.mmrTopKAnn(q, emb, k = 10, poolSize = 30,
+        lambdaE4 = 10000, nFlips = 2)
+      .select($"query_id", $"neighbor_id",
+        $"mmr_rank".cast("int").as("rank"))
+    assert(rows(gotPkg) == rows(want))
+    // and at λ<1 it diversifies over the identical pool: same picks as
+    // mmrFromPool over the manually-built ANN pool
+    val divPkg = Similarity.mmrTopKAnn(q, emb, k = 10, poolSize = 30,
+      lambdaE4 = 7000, nFlips = 2)
+    val divMan = Similarity.mmrFromPool(pool, k = 10, lambdaE4 = 7000)
+    assert(rows(divPkg) == rows(divMan))
   }
 
   test("MMR: anti-similar candidates earn a diversity BONUS (signed maxSim), NaN pools truncate instead of crashing") {

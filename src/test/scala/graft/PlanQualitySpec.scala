@@ -52,6 +52,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("SelectedBucketsCount"), p.take(1500))
   }
 
+  test("mmr over ANN pool: no cartesian node — the exact O(q×corpus) scorer never runs") {
+    val p = planOf("ns_mmr_ann")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "ANN-pooled MMR planned a cartesian:\n" + p.take(1500))
+    // and the pool really is the LSH bucket join: an equi-join on bucket
+    assert(p.contains("bucket"), p.take(1500))
+  }
+
   test("aggregate uses map-side partial aggregation") {
     val p = planOf("a1_multi_agg")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(800))
