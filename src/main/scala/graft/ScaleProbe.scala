@@ -317,8 +317,35 @@ object ScaleProbe {
     val bpeBatJobs = jobsFor("bpe-batch") {
       TextAnalysis.bpeInduct(docs1, rounds = 50, batch = 16).count(): Unit
     }
+    // NOTE (r13): the lazy per-round checkpoint halved BOTH paths'
+    // jobs, and strict prefix batching stalls to ~1 commit/round on
+    // this conflict-heavy corpus (measured ratio ~1.6x, down from r12's
+    // >=5x with eager checkpoints) — the tokenizer-scale lever is the
+    // greedy probe below, not strict batch width
     println(f"[scale] bpeInduct 50-merge driver jobs seq=$bpeSeqJobs batch16=$bpeBatJobs " +
-      f"ratio=${bpeSeqJobs.toDouble / math.max(1, bpeBatJobs)}%.1fx (>=5x expected)")
+      f"ratio=${bpeSeqJobs.toDouble / math.max(1, bpeBatJobs)}%.1fx (strict batching; see greedy probe)")
+    // tokenizer-scale induction (VERDICT r12 task 7): >=500 effective
+    // merges. The base 5k-doc corpus draws from a tiny shared
+    // vocabulary and runs DRY at ~89 merges, so train on 15 mangled
+    // replicas (per-replica word suffix -> ~15x distinct words, ~1300
+    // merges available). The strict prefix rule stalls to ~1
+    // commit/round on this corpus (the hot-character frontier all
+    // conflicts), so tokenizer scale uses greedy disjoint selection —
+    // merge SET and counts exact, order may defer conflicts
+    // (NorthstarSpec pins both properties).
+    // Measured 2026-08-14 (r13, local[8], lazy per-round checkpoint):
+    //   strict batch=16: 500 merges, 838 jobs (1.68 jobs/merge), 39 s
+    //   greedy batch=64: 500 merges,  60 jobs (0.12 jobs/merge),  3 s
+    // — 0.12 <= the 0.2 jobs/merge target; wall time is vocab-bound,
+    // not corpus-bound (the corpus is tokenized once either way).
+    val docsBpe = (0 until 15).map(mangled).reduce(_ unionAll _)
+    var bpe500merges = 0L
+    val bpe500jobs = jobsFor("bpe-500") {
+      bpe500merges = TextAnalysis.bpeInduct(docsBpe, rounds = 500,
+        batch = 64, greedy = true).count()
+    }
+    println(f"[scale] bpeInduct 500-merge greedy b64  merges=$bpe500merges jobs=$bpe500jobs " +
+      f"jobs/merge=${bpe500jobs.toDouble / math.max(1L, bpe500merges)}%.3f (<=0.2 expected)")
     // quantileCuts: the cumulative window's input is the value DOMAIN,
     // not the row count — replication grows histogram counts, not
     // distinct values, so cost tracks the one aggregate pass and the
@@ -594,6 +621,64 @@ object ScaleProbe {
         k = 10, nFlips = 2).count()
     }
     println(f"[scale] lshTopKMultiprobe 5x-data ratio ${mp5 / mp1}%.1fx (linear-ish expected)")
+
+    // ---- bench-scale recall floors (VERDICT r12 task 4) ----
+    // The contract pins exact n_hits at the sf0.01 oracle corpus (500
+    // vectors). Plane/cell/codebook settings that degrade as the corpus
+    // grows would pass those pins unnoticed, so measure the SAME four
+    // ANN variants at bench scale (sf0.1, 2k vectors) and at a 10k
+    // DUPLICATE-FREE deterministic corpus (20x the oracle corpus;
+    // replicated embeddings are useless here — identical copies make
+    // top-k "find the duplicates" and recall reads ~1.0). 20 queries,
+    // k=10, contract parameterization (4 planes x 8 tables, nFlips=2;
+    // 8 cells, nProbe=3; m=8 ksub=16 rerank=30; quantizers fit on the
+    // measured corpus, as Artifacts would).
+    // Measured 2026-08-14 (r13, local[8]):
+    //   recall@10 2k (sf0.1) lsh=0.77 multiprobe=0.96 ivf=0.60 ivfpq=0.25 ivfpq_r100=0.48 ivfpq_r100k64=0.56
+    //   recall@10 10k synth  lsh=0.78 multiprobe=1.00 ivf=0.66 ivfpq=0.19 ivfpq_r100=0.34 ivfpq_r100k64=0.56
+    // Verdicts: LSH/multiprobe hold (multiprobe stays ~20pts above
+    // plain LSH at every scale — the Lv 2007 claim the contract pins);
+    // IVF holds at 0.60-0.66 (nProbe 3/8 cells). The one genuine
+    // degradation is IVF-PQ at the contract's fixed settings: 0.52
+    // (sf0.01 pin) → 0.25 at 2k → 0.19 at 10k — the 32-bit code
+    // (m=8, ksub=16) ADC screen gets noisier as the corpus grows while
+    // the exact-rerank budget stays constant. RETUNE, documented here
+    // and in the Pq.ivfPqTopK scaladoc: scale BOTH knobs with corpus —
+    // rerank=100 recovers 0.48/0.34, and widening the code to ksub=64
+    // (48-bit) holds 0.56 FLAT from 2k through 10k, matching IVF at a
+    // fraction of its shuffle bytes. The contract row keeps
+    // rerank=30/ksub=16 because its oracle corpus is pinned at sf0.01.
+    def recallAt(tag: String, corpus: DataFrame): Unit = {
+      val q = corpus.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, corpus, k = 10)
+      val cents = Ivf.fitCentroids(corpus, nCells = 8)
+      val cb = Pq.fitCodebooks(corpus, m = 8, ksub = 16)
+      def pct(ann: DataFrame): Double = {
+        val r = Similarity.recallCounts(ann, exact).collect()(0)
+        r.getLong(1).toDouble / (r.getLong(0) * 10)
+      }
+      val lsh = pct(Similarity.lshTopK(q, corpus, k = 10))
+      val mp = pct(Similarity.lshTopKMultiprobe(q, corpus, k = 10, nFlips = 2))
+      val ivf = pct(Ivf.ivfTopK(q, corpus, cents, k = 10, nProbe = 3))
+      val pq = pct(Pq.ivfPqTopK(q, corpus, cents, cb, k = 10, nProbe = 3,
+        rerank = 30))
+      val pq100 = pct(Pq.ivfPqTopK(q, corpus, cents, cb, k = 10, nProbe = 3,
+        rerank = 100))
+      val cb64 = Pq.fitCodebooks(corpus, m = 8, ksub = 64)
+      val pqK64 = pct(Pq.ivfPqTopK(q, corpus, cents, cb64, k = 10,
+        nProbe = 3, rerank = 100))
+      println(f"[scale] recall@10 $tag%-10s lsh=$lsh%.2f multiprobe=$mp%.2f ivf=$ivf%.2f " +
+        f"ivfpq=$pq%.2f ivfpq_r100=$pq100%.2f ivfpq_r100k64=$pqK64%.2f")
+    }
+    recallAt("2k (sf0.1)", emb1)
+    // duplicate-free 20x corpus: pseudo-noise vectors, a pure function
+    // of (vec_id, dim index) — deterministic on any partitioning
+    val synth = spark.range(10000).selectExpr("id AS vec_id",
+      "transform(sequence(1, 64), j -> cast(" +
+        "sin(id * 12.9898 + j * 78.233) * 43758.5453 - " +
+        "floor(sin(id * 12.9898 + j * 78.233) * 43758.5453) - 0.5 " +
+        "AS float)) AS embedding")
+    recallAt("10k synth", synth)
     spark.stop()
   }
 }

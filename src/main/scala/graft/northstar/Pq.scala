@@ -98,6 +98,17 @@ object Pq {
     * back to the corpus vectors. Mega-cells re-split by secondary
     * hyperplane bits exactly like [[Ivf.ivfTopK]].
     * Output: (query_id, neighbor_id, rank) — ranks from EXACT cosine.
+    *
+    * SIZING WITH CORPUS GROWTH (ScaleProbe, measured r13): `rerank` and
+    * `ksub` are the corpus-tracking knobs — the ADC screen's rank noise
+    * grows with corpus size while a fixed exact-rerank budget stays
+    * constant, so recall@10 at (ksub=16, rerank=30) fell 0.52 → 0.25 →
+    * 0.19 across a 500 → 2k → 10k corpus. rerank=100 recovered
+    * 0.48/0.34 and widening codes to ksub=64 (48-bit) held 0.56 FLAT
+    * from 2k to 10k. Rule of thumb: grow rerank ~3x per ~4x corpus, and
+    * step ksub 16 → 64 → 256 as the corpus crosses ~1k/~100k rows —
+    * codes stay 4-8 bytes/vector, far below the dim·4 bytes the probe
+    * shuffle would otherwise carry.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 centroids: Array[Array[Float]],

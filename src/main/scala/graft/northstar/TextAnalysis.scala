@@ -508,9 +508,26 @@ object TextAnalysis {
     * characters (words come from a \W+ split), so the delimiters are
     * unambiguous. The `ns_bpe_induct` oracle unrolls the rounds as
     * CTEs, carrying each round's winner via a 1-row cross join.
+    *
+    * Greedy mode (`greedy = true`): the strict prefix rule stalls to
+    * ~1 merge per round whenever the top two candidates share a symbol
+    * (common early in training, when most pairs involve the same few
+    * hot characters) — at tokenizer scale (30k merges) that is 30k
+    * driver round-trips again. Greedy selection skips conflicting
+    * candidates and keeps walking the (cnt desc, pair) order until
+    * `batch` pairwise-disjoint pairs are found. Every committed pair's
+    * count is still EXACT for the round-start vocab (pairwise
+    * disjointness ⇒ the merges cannot affect each other's counts), but
+    * the merge-table ORDER may diverge from sequential induction: a
+    * skipped conflicting pair commits in a LATER round even though
+    * sequential might have picked it next. This is the standard
+    * batched-BPE tradeoff production tokenizer trainers make; use the
+    * default strict mode when sequential-exact replay matters (the
+    * `ns_bpe_induct` contract hash pins strict mode).
     */
   def bpeInduct(df: DataFrame, rounds: Int = 5,
-                textCol: String = "text", batch: Int = 1): DataFrame = {
+                textCol: String = "text", batch: Int = 1,
+                greedy: Boolean = false): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     require(batch > 0, s"batch must be positive, got $batch")
     val spark = df.sparkSession
@@ -528,6 +545,10 @@ object TextAnalysis {
       // symbols' worth of conflicts per kept pair, so a few× `want`
       // candidates nearly always yields `want` picks; if the window
       // starves we still commit what we found (progress each round)
+      // greedy mode walks past conflicts, so it digests a wider window
+      // per round-trip; a starved window only lowers commits-per-round
+      // (the first candidate always commits — progress is guaranteed)
+      val window = if (greedy) want * 8 + 16 else want * 4 + 4
       val cands = vocab
         .withColumn("syms", split(trim(col("s"), "|"), "\\|\\|"))
         .filter(size(col("syms")) >= 2)
@@ -536,7 +557,7 @@ object TextAnalysis {
             "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
           .as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(want * 4 + 4).collect()
+        .orderBy(col("cnt").desc, col("pair")).limit(window).collect()
       if (cands.isEmpty) dry = true
       else {
         // maximal disjoint PREFIX of the (cnt desc, pair) order — NOT
@@ -560,7 +581,7 @@ object TextAnalysis {
           if (!used(a) && !used(b)) {
             used += a; used += b
             picked += ((a, b, row.getLong(1)))
-          } else blocked = true
+          } else if (!greedy) blocked = true
         }
         picked.foreach { case (a, b, cnt) =>
           merges += ((merges.size + 1L, a, b, cnt))
@@ -571,9 +592,12 @@ object TextAnalysis {
         val applied = picked.foldLeft("s") { case (e, (a, b, _)) =>
           s"replace($e, '|$a||$b|', '|$a$b|')"
         }
+        // lazy checkpoint: lineage still truncates, but materialization
+        // happens inside the NEXT round's pair-count job instead of a
+        // dedicated job — one driver round-trip per round, not two
         vocab = vocab
           .select(expr(applied).as("s"), col("freq"))
-          .localCheckpoint() // truncate lineage, keep rounds O(1) each
+          .localCheckpoint(false)
       }
     }
     import spark.implicits._

@@ -1150,6 +1150,37 @@ class TextAnalysisSpec extends SparkSpecBase {
       (1L, "a", "b", 4L), (2L, "c", "d", 3L), (3L, "e", "f", 2L)))
   }
 
+  test("bpeInduct greedy: same merge set with exact counts; a skipped conflict defers, not disappears") {
+    // 'a b'=3, 'b c'=2, 'c d'=1: greedy batch=2 commits {a b} then skips
+    // the conflicting {b c} and takes the disjoint {c d} in round 1 —
+    // {b c} lands in round 2. Sequential order differs ({b c} second),
+    // but the SET and every count are identical: the documented
+    // batched-BPE tradeoff.
+    val df = Seq((1L, "ab ab ab bc bc cd")).toDF("doc_id", "text")
+    def tbl(greedy: Boolean, b: Int) =
+      TextAnalysis.bpeInduct(df, rounds = 3, batch = b, greedy = greedy)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val seqT = tbl(greedy = false, b = 1)
+    assert(seqT == Seq(
+      (1L, "a", "b", 3L), (2L, "b", "c", 2L), (3L, "c", "d", 1L)))
+    assert(tbl(greedy = true, b = 2) == Seq(
+      (1L, "a", "b", 3L), (2L, "c", "d", 1L), (3L, "b", "c", 2L)))
+    // batch=1 greedy degenerates to strict sequential (first candidate
+    // always commits; nothing to skip past)
+    assert(tbl(greedy = true, b = 1) == seqT)
+    // when every conflict would ALSO block sequential progress within
+    // the round, greedy reproduces the sequential table exactly
+    val df2 = Seq((1L, "aaab aaab banana")).toDF("doc_id", "text")
+    def tbl2(greedy: Boolean, b: Int) =
+      TextAnalysis.bpeInduct(df2, rounds = 5, batch = b, greedy = greedy)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(tbl2(greedy = true, b = 4) == tbl2(greedy = false, b = 1))
+  }
+
   test("normalizeText: strips control chars, keeps newline structure, collapses runs, trims") {
     val df = Seq(
       ("a\u0001\u0002bc", "abc"),             // control chars removed

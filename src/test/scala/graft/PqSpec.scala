@@ -100,6 +100,44 @@ class PqSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall@10 = $recall")
   }
 
+  test("distribution shift: stale-but-valid quantizers stay rank-exact on the exhaustive path; recall delta recorded") {
+    // the nightly-staleness scenario (VERDICT r12 task 5): quantizers
+    // trained on corpus A remain pinned (same corpus key, params valid)
+    // while the QUERY distribution shifts to B. Correctness must be
+    // shift-proof — the quantizer only routes, the exact rerank
+    // decides — so the exhaustive path (all cells, unbounded rerank)
+    // rank-matches brute force even for queries far outside the
+    // training cloud.
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val shifted = emb.filter(col("vec_id") < 10).select(col("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> x + cast(0.5 as float))").as("embedding"))
+    val exhaustive = Pq.ivfPqTopK(shifted, emb, centroids, codebooks,
+      k = 10, nProbe = 4, rerank = 1 << 30)
+    assert(rows(exhaustive) == rows(Similarity.bruteForceTopK(shifted, emb, k = 10)))
+    // the APPROXIMATE path degrades gracefully under the same shift,
+    // not to zero: same settings as the recall-floor test (nProbe=2,
+    // rerank=30), in-distribution vs shifted queries. Both corpora are
+    // deterministic, so the recalls are pinned constants; the delta is
+    // recorded in COVERAGE.md.
+    def recallOf(q: org.apache.spark.sql.DataFrame): Double = {
+      val pq = Pq.ivfPqTopK(q, emb, centroids, codebooks,
+        k = 10, nProbe = 2, rerank = 30)
+      val r = Similarity.recallCounts(pq,
+        Similarity.bruteForceTopK(q, emb, k = 10)).collect().head
+      r.getLong(1).toDouble / (r.getLong(0) * 10.0)
+    }
+    val inDist = recallOf(emb.filter(col("vec_id") < 10))
+    val outDist = recallOf(shifted)
+    // measured 2026-08-14: in-dist 0.51, shifted 0.30 — graceful ~20pt
+    // degradation; the floor guards collapse with margin for testdata
+    // regeneration
+    assert(outDist >= 0.25,
+      f"shifted-query recall collapsed: $outDist%.2f (in-dist $inDist%.2f)")
+    info(f"recall@10 nProbe=2/4 rerank=30: in-dist $inDist%.2f, shifted $outDist%.2f")
+  }
+
   test("dim-mismatched codebook fails loudly in the kernel, not silently") {
     // fit on 16-dim vectors, encode 64-dim ones: without the shape
     // check the kernel would read misaligned sub-centroids and emit
