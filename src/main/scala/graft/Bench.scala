@@ -54,6 +54,14 @@ import org.apache.spark.sql.SparkSession
   * band, judge-adjudicated in VERDICT r10). The r10 anchor ratio
   * (0.60× vs r1 on the 48-query common subset) is the comparison
   * floor for r11+; both sides of any future delta are cold-rep.
+  *
+  * MEASUREMENT-SEMANTICS note at r13 (VERDICT r12 task 6): medians
+  * are now WARM-JIT — one untimed execution per query hoists codegen
+  * compilation out of the timed reps (the `ns_winnow_pairs` variance
+  * root cause; see the inline comment at the warm-up). Expect r13
+  * per-query values to read uniformly somewhat faster than r12 and
+  * the r1-anchor ratio to shift down once; within-r13 and r14+
+  * comparisons are apples-to-apples again.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -91,6 +99,21 @@ object Bench {
       // the GC debt of queries 1..k-1 (the r7 uniform-drift mechanism)
       spark.catalog.clearCache()
       System.gc()
+      // untimed per-query JIT warm-up (r13, VERDICT r12 task 6): the
+      // ns_winnow_pairs variance (2.10/1.46/1.06 s across snapshots of
+      // identical code) was JIT, not GC/spill/persists — profiled
+      // per-rep: rep1 5.4 s with 18 s of compiler time (the in-row
+      // sketch's very large codegen method), converging to 1.45 s ±7%
+      // by rep 3; GC <60 ms every rep. A median over reps 1..5 lands on
+      // the decaying compilation slope, where the compiler-queue state
+      // left by PRECEDING queries moves the result ±40%. One untimed
+      // execution hoists compilation out of the timed reps; the hygiene
+      // below still runs after it, so medians stay cold-CACHE honest
+      // (r10 semantics) while becoming warm-JIT stable.
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
