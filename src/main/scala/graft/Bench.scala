@@ -114,6 +114,10 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // second gc barrier: the warm-up execution's own allocation debt
+      // must not bill rep 1 (the same r7 mechanism the pre-warm-up
+      // barrier above exists for)
+      System.gc()
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -79,7 +79,14 @@ object SparkEntry {
     * for), and queries serve from the appended index. save→append is
     * idempotent per evaluation: the save's static overwrite resets the
     * index to the A-half before each append, so repeated runs (Verify,
-    * Bench reps, plan guards) are deterministic.
+    * Bench reps, plan guards) are deterministic. The index path folds
+    * in the JVM's runtime name: unlike every other artifact here (which
+    * ensureTrained publishes once, atomically, and then only reads),
+    * this demo MUTATES its directory on every evaluation — overwrite,
+    * marker drop, cell renames — which must not interleave with a
+    * concurrent Bench/Verify process sharing the artifact root; the
+    * results are data-deterministic either way, so each JVM builds its
+    * own small disposable copy.
     */
   private def ivfPqAppendServe(s: SparkSession, dir: String, nProbe: Int,
                                rerank: Int, maxCell: Int): DataFrame = {
@@ -92,7 +99,10 @@ object SparkEntry {
       nCells = 8)
     val codebooks = Artifacts.pqCodebooksFor(embA, s"$key/Ahalf", m = 8,
       ksub = 16)
-    val path = Artifacts.pathFor("ivfpqappend", s"$key-m$maxCell-p$nProbe")
+    val jvmTag = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9]", "")
+    val path = Artifacts.pathFor("ivfpqappend",
+      s"$key-m$maxCell-p$nProbe-$jvmTag")
     Artifacts.saveIvfPqIndex(embA, path, centroids, codebooks, "vec_id",
       "embedding", maxCell)
     val splits = Artifacts.appendIvfPqIndex(embB, embA, path, centroids,

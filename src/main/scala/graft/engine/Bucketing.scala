@@ -48,13 +48,17 @@ object Bucketing {
     *   - regenerated source data (new contentKey) lands in a NEW table
     *     instead of silently serving stale buckets.
     *
-    * A fresh JVM forgets in-memory catalog entries while their
-    * warehouse directories persist, so a miss clears any leftover
-    * location before rewriting (same recovery stance as
-    * `Artifacts.ensureTrained`). Production deployments point
-    * `spark.sql.warehouse.dir` at shared storage (with a Hive
-    * metastore the table survives across sessions and the rewrite
-    * never happens) and apply retention to superseded content keys.
+    * The table name also folds the JVM's runtime name: the in-memory
+    * catalog is per-JVM (a second process always sees tableExists ==
+    * false), so without it two processes sharing a warehouse dir (Bench
+    * and Verify in parallel) would both rm + saveAsTable the SAME
+    * location concurrently — `this.synchronized` only serializes one
+    * JVM. Per-process names make the write single-writer by
+    * construction; a leftover directory from a recycled pid is still
+    * cleared before rewriting. Production deployments replace this
+    * whole discipline with a real shared metastore (the table then
+    * survives across sessions and is written once cluster-wide) and
+    * apply retention to superseded content keys.
     */
   def bucketedTableFor(df: DataFrame, baseName: String, contentKey: String,
                        key: String, buckets: Int): DataFrame = {
@@ -63,7 +67,9 @@ object Bucketing {
       .digest(s"$contentKey|$key|$buckets"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    val name = s"graft_b_${baseName}_$digest"
+    val jvmTag = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9]", "").toLowerCase
+    val name = s"graft_b_${baseName}_${digest}_$jvmTag"
     this.synchronized {
       if (!spark.catalog.tableExists(name)) {
         val wh = spark.conf.get("spark.sql.warehouse.dir")

@@ -80,11 +80,18 @@ object Pipeline {
       Tables.writeAll(transformed, layers.silver, prefix = "transformed")
       // bucketed-layout publication: the configured fact tables ALSO land
       // in the catalog pre-shuffled on their join key, so downstream
-      // star queries join them with zero Exchange on the fact edge
-      for {
-        (name, (key, buckets)) <- cfg.bucketBy
-        df <- transformed.get(name)
-      } Bucketing.writeBucketed(df, s"silver_${name}_bucketed", key, buckets)
+      // star queries join them with zero Exchange on the fact edge. A
+      // bucketBy name with no silver table (typo, or a table that never
+      // reached this stage) fails HERE, at the config boundary — a
+      // silent skip would surface later as table-not-found far from the
+      // cause, or worse, as the per-query shuffle quietly coming back
+      val unknown = cfg.bucketBy.keySet -- transformed.keySet
+      require(unknown.isEmpty,
+        s"bucketBy names ${unknown.mkString(", ")} have no silver table " +
+          s"(available: ${transformed.keys.toSeq.sorted.mkString(", ")})")
+      for ((name, (key, buckets)) <- cfg.bucketBy)
+        Bucketing.writeBucketed(transformed(name),
+          s"silver_${name}_bucketed", key, buckets)
 
       // 4. aggregation: per-table A1, prefix "agg" (scheduler.py:143-170);
       //    ineligible specs skip (A3 guard), like the reference

@@ -599,6 +599,12 @@ object Artifacts {
   private def readCellIndex(spark: SparkSession, path: String,
                             expected: Map[String, String],
                             what: String): (DataFrame, Map[Int, Int]) = {
+    // a torn append deletes the marker before its first mutation and
+    // `_params` stays valid throughout, so the params check alone would
+    // serve a half-mutated index; every read path refuses instead
+    require(new java.io.File(path, "_SUCCESS").exists(),
+      s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
+        "torn by a crashed append) — rebuild it before serving")
     checkParams(path, expected, what)
     val index = spark.read.parquet(new java.io.File(path, "index").toString)
     val splits = spark.read
@@ -783,10 +789,11 @@ object Artifacts {
     * rows): the stored index carries codes only, so rewriting an
     * over-cap cell needs the raw vectors back to recompute subcells —
     * a keyed join bounded by the changed cells' rows. The join carries
-    * a drift tripwire: if the corpus has lost rows the index still
-    * references (the silent-vanish hazard of the serve-path rerank
-    * join), the append fails loudly with the missing count instead of
-    * quietly dropping them.
+    * a drift tripwire on id membership: if the corpus has lost rows the
+    * index still references (the silent-vanish hazard of the serve-path
+    * rerank join) or carries duplicate rows for an indexed id, the
+    * append fails loudly with the missing/duplicate counts instead of
+    * quietly dropping or double-writing them.
     */
   def appendIvfPqIndex(incoming: DataFrame, corpus: DataFrame,
                        path: String,
@@ -802,12 +809,26 @@ object Artifacts {
           col(vecCol).as("cv"))
         val withV = stored.select("neighbor_id", "cell")
           .join(full, Seq("neighbor_id"))
-        val nStored = stored.count()
-        val nWith = withV.count()
-        require(nWith == nStored,
-          s"IVF-PQ append at $path: corpus is missing vectors for " +
-            s"${nStored - nWith} of the ${nStored} index rows in the " +
-            "cells being re-split — index and corpus have drifted; " +
+        // drift tripwire on ID MEMBERSHIP, not row counts: a raw count
+        // compare lets simultaneous corpus loss + duplication cancel
+        // out (2 stored ids, one missing + one duplicated corpus row
+        // also joins to 2 rows) and a duplicate alone reads as a
+        // negative missing count. Count per-id join matches instead:
+        // 0 matches = lost row, >1 = ambiguous duplicate — both are
+        // drift and both fail loudly.
+        val perId = stored.select("neighbor_id")
+          .join(full.select(col("neighbor_id"), lit(1).as("m")),
+            Seq("neighbor_id"), "left")
+          .groupBy("neighbor_id")
+          .agg(sum(col("m")).as("n"))
+          .agg(count(when(col("n").isNull, 1)).as("missing"),
+            count(when(col("n") > 1, 1)).as("dups"))
+          .collect()(0)
+        val (missing, dups) = (perId.getLong(0), perId.getLong(1))
+        require(missing == 0 && dups == 0,
+          s"IVF-PQ append at $path: corpus has drifted from the index " +
+            s"in the cells being re-split ($missing index ids with no " +
+            s"corpus vector, $dups with duplicate corpus rows) — " +
             "rebuild the index against the current corpus")
         withV.select("neighbor_id", "cv", "cell")
       })(

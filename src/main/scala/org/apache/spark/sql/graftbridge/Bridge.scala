@@ -24,7 +24,25 @@ object Bridge {
   def isPlanConstant(c: Column): Boolean = c.node match {
     case _: org.apache.spark.sql.internal.Literal => true
     case org.apache.spark.sql.classic.ExpressionColumnNode(e, _) => e.foldable
-    case _ => false
+    case _ =>
+      // a COMPOSED constant — array(lit(...)), a cast of a literal —
+      // arrives as an UnresolvedFunction/Cast node that the two fast
+      // paths cannot judge. Resolve it for real: analyze the column
+      // against a columnless 1-row plan and ask the resolved
+      // expression's own foldable (CreateArray of literals → true,
+      // rand(seed) → false). A node referencing any input column fails
+      // analysis → not a constant. One analyzer pass at plan-build
+      // time, nothing per-row.
+      try {
+        val spark = org.apache.spark.sql.SparkSession.active
+        spark.range(1).select(c).queryExecution.analyzed.expressions.forall {
+          // the analyzer wraps the projection in an Alias, whose
+          // foldable is pinned false — judge its child
+          case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+            a.child.foldable
+          case e => e.foldable
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** Build a session over an existing SparkContext with the given

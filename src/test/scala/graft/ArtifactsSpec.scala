@@ -541,7 +541,6 @@ class ArtifactsSpec extends SparkSpecBase {
     // drift tripwire: a corpus that lost rows the index references must
     // fail the NEXT append loudly, not silently drop candidates
     val shrunk = emb.filter(col("vec_id") < 100)
-    val late = emb.limit(0) // empty incoming still censuses + re-splits
     val e = intercept[IllegalArgumentException] {
       // maxCell 10 forces every cell into the rewrite path, which is
       // where the vectors-resolved join runs
@@ -551,7 +550,28 @@ class ArtifactsSpec extends SparkSpecBase {
       Artifacts.appendIvfPqIndex(embB, shrunk, p2, cents, cb, maxCell = 10)
     }
     assert(e.getMessage.contains("drifted"), e.getMessage)
-    late.count(): Unit
+    // duplicated corpus rows for an indexed id are drift too — and a
+    // LOSS+DUPLICATE combination keeps the row COUNT unchanged, which
+    // the pre-r13 count-based tripwire silently passed
+    val lostPlusDup = emb.filter(col("vec_id") =!= 0)
+      .unionAll(emb.filter(col("vec_id") === 2))
+    val e2 = intercept[IllegalArgumentException] {
+      val p3 = s"${tempDir("pqapp")}/idx"
+      Artifacts.saveIvfPqIndex(embA, p3, cents, cb, "vec_id", "embedding",
+        10)
+      Artifacts.appendIvfPqIndex(embB, lostPlusDup, p3, cents, cb,
+        maxCell = 10)
+    }
+    assert(e2.getMessage.contains("drifted"), e2.getMessage)
+    // empty incoming is a no-op append that still censuses, re-splits,
+    // and republishes the marker: splits and rows unchanged
+    val late = emb.limit(0)
+    val lateSplits = Artifacts.appendIvfPqIndex(late, emb, pA, cents, cb,
+      maxCell = maxCell)
+    assert(lateSplits == splitsU)
+    val (idxL, _) = Artifacts.loadIvfPqIndex(spark, pA, cents, cb,
+      maxCell = maxCell)
+    assert(rows(idxL) == rows(idxU))
   }
 
   test("append on a torn index fails loudly; ensureTrained recovery rebuilds the wreck") {

@@ -221,5 +221,19 @@ class KernelEdgeSpec extends SparkSpecBase {
     }
     // literals still pass (the sanctioned path)
     vectors.pq_encode($"embedding", typedLit(Seq(1f, 2f)), 1, 1): Unit
+    // COMPOSED constants pass too (code-review r13): array(lit...) and
+    // a cast of a literal fold to one value — the identity cache is
+    // sound for them, so rejecting them would break callers that
+    // worked before the r12 boundary check
+    import org.apache.spark.sql.functions.{array, lit}
+    vectors.pq_encode($"embedding", array(lit(1f), lit(2f)), 1, 1): Unit
+    vectors.jl_project($"embedding",
+      typedLit(Seq(1f, 2f, 3f, 4f)).cast("array<float>"), 4, 10000): Unit
+    // ...but non-deterministic expressions are NOT constants even with
+    // literal children
+    intercept[IllegalArgumentException] {
+      vectors.jl_project($"embedding",
+        array(org.apache.spark.sql.functions.rand(7).cast("float")), 1, 10000)
+    }
   }
 }
