@@ -248,6 +248,70 @@ class StreamingSpec extends SparkSpecBase {
     assert(self.size == 50)
   }
 
+  test("nightly loop: foreachBatch screens an embedding stream against the stored index and APPENDS the novel rows") {
+    // the full serving lifecycle in one stream: match incoming against
+    // the stored codes index (exact duplicates screened out at
+    // thresholdE4=9999), append only the novel vectors with the PINNED
+    // quantizers — post-stream, the index must be row-identical to a
+    // from-scratch rebuild on corpus0 + novel (the append==rebuild
+    // contract, exercised through the streaming path end-to-end)
+    import graft.northstar.{Artifacts, Ivf, Pq}
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus0 = emb.filter(col("vec_id") < 400)
+    val cents = Ivf.fitCentroids(corpus0, nCells = 4)
+    val cb = graft.northstar.Pq.fitCodebooks(corpus0, m = 8, ksub = 16)
+    val path = s"${tmp()}/idx"
+    Artifacts.saveIvfPqIndex(corpus0, path, cents, cb, "vec_id",
+      "embedding", 100000)
+    // incoming batch: 50 exact copies of indexed vectors (must be
+    // screened OUT) + the 100 genuinely novel tail vectors
+    val copies = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    copies.unionAll(
+        emb.filter(col("vec_id") >= 400).select("vec_id", "embedding"))
+      .write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    val q = IncrementalStream.readTableStream(spark, src, "in", schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (index, splits) = Artifacts.loadIvfPqIndex(spark, path,
+          cents, cb)
+        // screen with the wide proven setting (the ADC bar sits at
+        // threshold - margin; a 9999 threshold would demand ADC >= 0.85
+        // of a 32-bit code, which exact copies routinely miss), then
+        // call a survivor a duplicate on its EXACT confirmed cosine —
+        // annMatchesIncoming emits true e4 sims, so the dup decision is
+        // exact even though the screen is approximate
+        val dups = Pq.annMatchesIncoming(batch, index, corpus0, cents,
+          splits, cb, thresholdE4 = 3500)
+          .filter(col("sim_e4") >= 9999)
+          .select(col("incoming_id").as("vec_id")).distinct()
+        val novel = batch.join(dups, Seq("vec_id"), "left_anti")
+        Artifacts.appendIvfPqIndex(novel, corpus0, path, cents, cb): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val (idxA, splitsA) = Artifacts.loadIvfPqIndex(spark, path, cents, cb)
+    // rebuild on the union the screen should have produced
+    val union = corpus0.unionAll(emb.filter(col("vec_id") >= 400))
+    val pU = s"${tmp()}/idx"
+    Artifacts.saveIvfPqIndex(union, pU, cents, cb, "vec_id", "embedding",
+      100000)
+    val (idxU, splitsU) = Artifacts.loadIvfPqIndex(spark, pU, cents, cb)
+    assert(splitsA == splitsU)
+    assert(rows(idxA) == rows(idxU)) // copies screened, novel appended
+    // and the appended index serves identically to the rebuilt one
+    val probe = emb.filter(col("vec_id") < 5)
+    assert(rows(Pq.ivfPqServeTopK(probe, idxA, union, cents, splitsA, cb,
+        k = 10, nProbe = 2, rerank = 30))
+      == rows(Pq.ivfPqServeTopK(probe, idxU, union, cents, splitsU, cb,
+        k = 10, nProbe = 2, rerank = 30)))
+  }
+
   test("curation projection runs unchanged on a stream and matches the batch result") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.DataFrame
