@@ -1868,6 +1868,25 @@ object SparkEntry {
           k = 10, nProbe = 3, rerank = 30),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
+    // the CORPUS-GROWTH retune of the row above (ScaleProbe r13: fixed
+    // rerank=30/ksub=16 recall degrades 0.52 → 0.19 as the corpus grows
+    // 500 → 10k; ksub=64 + rerank=100 holds flat): same stored-artifact
+    // path at the scale-proof settings, recall floor pinned by the
+    // oracle constant — a regression in the wide-code fit or the bigger
+    // rerank fetch moves n_hits
+    "ns_knn_ivfpq_tuned_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = key, nCells = 8)
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8, ksub = 64)
+      Similarity.recallCounts(
+        graft.northstar.Pq.ivfPqTopK(q, emb, centroids, codebooks,
+          k = 10, nProbe = 3, rerank = 100),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
     // ingest-side embedding near-match served from the COMPRESSED codes
     // index: incoming vectors ADC-screened against the stored IVF-PQ
     // index, survivors confirmed by exact cosine — the embedding flavor
@@ -4542,6 +4561,18 @@ object SparkEntry {
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
         |       CAST(26 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
+    // the ksub=64/rerank=100 retune: 31 > the 26 of the row above — the
+    // corpus-growth settings must also dominate at the oracle corpus
+    "ns_knn_ivfpq_tuned_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(31 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // identical to the ns_knn_brute oracle: exhaustive probing must equal
     // brute force
