@@ -88,6 +88,64 @@ object SparkEntry {
     * results are data-deterministic either way, so each JVM builds its
     * own small disposable copy.
     */
+  /** The cross-slice winnow replay, shared verbatim by
+    * `ns_winnow_incoming` (capped build-on-everything artifact) and
+    * `ns_winnow_append` (appendable index built on the even half, odd
+    * half appended): the append lifecycle must not change a single
+    * pair, so both rows hash against the SAME oracle.
+    */
+  private val winnowIncomingOracle: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents),
+      |incoming AS (
+      |  SELECT doc_id + 300000 AS doc_id,
+      |         text || ' quoted with appended commentary' AS text
+      |  FROM corpus),
+      |cw AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+      |    END AS w
+      |  FROM corpus),
+      |csel AS (
+      |  SELECT DISTINCT doc_id, min(fp) OVER (
+      |      PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM (SELECT doc_id, i, md5(array_to_string(w[i : i + 4], ' ')) AS fp
+      |        FROM (SELECT doc_id, w,
+      |                unnest(generate_series(1, greatest(1, len(w) - 4))) AS i
+      |              FROM cw)
+      |        WHERE len(w) > 0)),
+      |capped AS (
+      |  SELECT doc_id, fp FROM csel
+      |  WHERE fp IN (SELECT fp FROM (SELECT fp, count(*) AS c FROM csel GROUP BY 1)
+      |               WHERE c <= 100)),
+      |iw AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+      |    END AS w
+      |  FROM incoming),
+      |isel AS (
+      |  SELECT DISTINCT doc_id, min(fp) OVER (
+      |      PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM (SELECT doc_id, i, md5(array_to_string(w[i : i + 4], ' ')) AS fp
+      |        FROM (SELECT doc_id, w,
+      |                unnest(generate_series(1, greatest(1, len(w) - 4))) AS i
+      |              FROM iw)
+      |        WHERE len(w) > 0))
+      |SELECT i.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_fps
+      |FROM isel i JOIN capped c USING (fp)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Per-JVM suffix for artifact paths that are MUTATED per evaluation
+    * (the append-lifecycle demos): their save→append sequence must not
+    * interleave with a concurrent Bench/Verify process sharing the
+    * artifact root; results are data-deterministic either way, so each
+    * JVM builds its own small disposable copy.
+    */
+  private lazy val jvmTag: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9]", "")
+
   private def ivfPqAppendServe(s: SparkSession, dir: String, nProbe: Int,
                                rerank: Int, maxCell: Int): DataFrame = {
     import graft.northstar.{Artifacts, Pq}
@@ -99,8 +157,6 @@ object SparkEntry {
       nCells = 8)
     val codebooks = Artifacts.pqCodebooksFor(embA, s"$key/Ahalf", m = 8,
       ksub = 16)
-    val jvmTag = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getName.replaceAll("[^A-Za-z0-9]", "")
     val path = Artifacts.pathFor("ivfpqappend",
       s"$key-m$maxCell-p$nProbe-$jvmTag")
     Artifacts.saveIvfPqIndex(embA, path, centroids, codebooks, "vec_id",
@@ -1287,6 +1343,27 @@ object SparkEntry {
       val index = graft.northstar.Artifacts.winnowSketchFor(
         corpus, cacheKey = corpusKey(dir, "documents"), maxBucket = 100)
       Dedup.winnowPairsAgainstIndex(incoming, index)
+    }),
+    // the dedup-side append lifecycle (the ns_knn_ivfpq_append pattern
+    // for text): the APPENDABLE winnow index is built on the even-doc
+    // half, the odd half appended (all sketch rows stored, bucket cap
+    // applied at load from the refreshed over-cap list), and the same
+    // quoting-copy screen serves from the capped view — append-then-
+    // serve must be hash-identical to the build-on-everything index, so
+    // the oracle is ns_winnow_incoming's cross-slice replay verbatim
+    "ns_winnow_append" -> ((s, dir) => {
+      import graft.northstar.Artifacts
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val incoming = corpus.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" quoted with appended commentary")).as("text"))
+      val path = Artifacts.pathFor("winnowappend",
+        s"${corpusKey(dir, "documents")}-$jvmTag")
+      Artifacts.saveWinnowIndexAppendable(
+        corpus.filter(col("doc_id") % 2 === 0), path, maxBucket = 100)
+      Artifacts.appendWinnowIndex(
+        corpus.filter(col("doc_id") % 2 =!= 0), path, maxBucket = 100)
+      Dedup.winnowPairsAgainstIndex(incoming,
+        Artifacts.loadWinnowIndexAppendable(s, path, maxBucket = 100))
     }),
     // duplicated-span REMOVAL (the remedy half of substring dedup, Lee
     // et al.'s excision): same augmented corpus as ns_substring_overlap;
@@ -3814,47 +3891,10 @@ object SparkEntry {
         |FROM pairs GROUP BY 1, 2""".stripMargin,
     // the cross-slice replay: corpus-side sketch capped at 100 (the
     // artifact build cap), incoming side uncapped, join on fp
-    "ns_winnow_incoming" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
-        |incoming AS (
-        |  SELECT doc_id + 300000 AS doc_id,
-        |         text || ' quoted with appended commentary' AS text
-        |  FROM corpus),
-        |cw AS (
-        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
-        |    END AS w
-        |  FROM corpus),
-        |csel AS (
-        |  SELECT DISTINCT doc_id, min(fp) OVER (
-        |      PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM (SELECT doc_id, i, md5(array_to_string(w[i : i + 4], ' ')) AS fp
-        |        FROM (SELECT doc_id, w,
-        |                unnest(generate_series(1, greatest(1, len(w) - 4))) AS i
-        |              FROM cw)
-        |        WHERE len(w) > 0)),
-        |capped AS (
-        |  SELECT doc_id, fp FROM csel
-        |  WHERE fp IN (SELECT fp FROM (SELECT fp, count(*) AS c FROM csel GROUP BY 1)
-        |               WHERE c <= 100)),
-        |iw AS (
-        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |    ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
-        |    END AS w
-        |  FROM incoming),
-        |isel AS (
-        |  SELECT DISTINCT doc_id, min(fp) OVER (
-        |      PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM (SELECT doc_id, i, md5(array_to_string(w[i : i + 4], ' ')) AS fp
-        |        FROM (SELECT doc_id, w,
-        |                unnest(generate_series(1, greatest(1, len(w) - 4))) AS i
-        |              FROM iw)
-        |        WHERE len(w) > 0))
-        |SELECT i.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_fps
-        |FROM isel i JOIN capped c USING (fp)
-        |GROUP BY 1, 2""".stripMargin,
+    "ns_winnow_incoming" -> winnowIncomingOracle,
+    // append-then-serve must replay IDENTICALLY to the
+    // build-on-everything index — same oracle, verbatim
+    "ns_winnow_append" -> winnowIncomingOracle,
     "ns_substring_remove" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |aug AS (

@@ -1215,6 +1215,170 @@ object Artifacts {
     loadWinnowSketch(corpus.sparkSession, path, k, window)
   }
 
+  // ----------------------------------- appendable capped bucket indexes
+
+  /** Shared publish/append/load protocol for the APPENDABLE flavor of
+    * the capped bucket indexes — the dedup-side counterpart of the ANN
+    * [[appendIvfIndex]] lifecycle (same gap: [[winnowSketchFor]] and the
+    * capped [[Dedup.bandIndex]] artifact are rebuild-only, so a nightly
+    * ingest could MATCH against them but not ADD to them).
+    *
+    * Why a separate flavor: the capped artifacts drop over-cap buckets
+    * AT BUILD and record nothing about them, so an append cannot
+    * reproduce a rebuild — a delta row landing in a bucket that was
+    * dropped (or that the delta pushes over the cap) needs the bucket's
+    * true census to decide, and partial resurrection of a dropped
+    * bucket silently under-reports overlap. The appendable layout keeps
+    * ALL sketch rows (`rows/`) plus the over-cap bucket list
+    * (`dropped/`, bucket → true count), and the LOAD applies the cap as
+    * a broadcast anti-join against that small list — over-cap buckets
+    * are boilerplate, a tiny fraction of distinct buckets — so
+    * append-then-load is row-identical to building the capped index on
+    * the union corpus (ArtifactsSpec pins it for both families).
+    *
+    * Append cost at scale: the incoming batch's narrow sketch pass, a
+    * parquet append, and ONE map-side-combined aggregate over the rows
+    * to refresh `dropped` (bucket-partitioned parquet on a real
+    * cluster). Crash safety is the [[appendIvfIndex]] discipline: the
+    * top-level `_SUCCESS` is dropped before the first mutation and
+    * republished after the `dropped/` refresh — a torn append refuses
+    * to load or append until rebuilt.
+    */
+  private def writeCappedIndex(rows: DataFrame, path: String,
+                               bucketCol: String, maxBucket: Int,
+                               params: Map[String, String]): Unit = {
+    val dst = new java.io.File(path)
+    rows.write.mode("overwrite")
+      .parquet(new java.io.File(dst, "rows").toString)
+    refreshDropped(rows.sparkSession, path, bucketCol, maxBucket)
+    writeParams(path, params)
+    java.nio.file.Files.write(
+      new java.io.File(dst, "_SUCCESS").toPath, Array.empty[Byte]): Unit
+  }
+
+  private def refreshDropped(spark: SparkSession, path: String,
+                             bucketCol: String, maxBucket: Int): Unit =
+    spark.read.parquet(new java.io.File(path, "rows").toString)
+      .groupBy(bucketCol).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(path, "dropped").toString)
+
+  private def appendCappedIndex(deltaRows: DataFrame, path: String,
+                                bucketCol: String, maxBucket: Int,
+                                params: Map[String, String],
+                                what: String): Unit = {
+    val dst = new java.io.File(path)
+    val marker = new java.io.File(dst, "_SUCCESS")
+    require(marker.exists(),
+      s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
+        "torn by a crashed append) — rebuild it before appending")
+    checkParams(path, params, what)
+    marker.delete(): Unit
+    deltaRows.write.mode("append")
+      .parquet(new java.io.File(dst, "rows").toString)
+    refreshDropped(deltaRows.sparkSession, path, bucketCol, maxBucket)
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+  }
+
+  private def readCappedIndex(spark: SparkSession, path: String,
+                              bucketCol: String,
+                              params: Map[String, String],
+                              what: String): DataFrame = {
+    require(new java.io.File(path, "_SUCCESS").exists(),
+      s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
+        "torn by a crashed append) — rebuild it before serving")
+    checkParams(path, params, what)
+    val rows = spark.read.parquet(new java.io.File(path, "rows").toString)
+    val dropped = spark.read
+      .parquet(new java.io.File(path, "dropped").toString)
+      .select(bucketCol)
+    rows.join(broadcast(dropped), Seq(bucketCol), "left_anti")
+  }
+
+  private def winnowAppendParams(k: Int, window: Int,
+                                 maxBucket: Int): Map[String, String] =
+    Map("kind" -> "winnow", "k" -> k.toString,
+      "window" -> window.toString, "maxBucket" -> maxBucket.toString)
+
+  /** Appendable winnow overlap index: all sketch rows stored, bucket
+    * cap applied at load. Serves through [[loadWinnowIndexAppendable]]
+    * into [[Dedup.winnowPairsAgainstIndex]] exactly like the capped
+    * artifact.
+    */
+  def saveWinnowIndexAppendable(corpus: DataFrame, path: String,
+                                k: Int = 5, window: Int = 4,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                maxBucket: Int = 1000): Unit =
+    writeCappedIndex(
+      Dedup.winnowSketch(corpus, k, window, idCol, textCol)
+        .withColumn("__k", lit(k)).withColumn("__window", lit(window)),
+      path, "fp", maxBucket, winnowAppendParams(k, window, maxBucket))
+
+  /** Append a NEW batch of documents (ids must not repeat ids already
+    * in the index) into a stored appendable winnow index.
+    */
+  def appendWinnowIndex(incoming: DataFrame, path: String,
+                        k: Int = 5, window: Int = 4,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        maxBucket: Int = 1000): Unit =
+    appendCappedIndex(
+      Dedup.winnowSketch(incoming, k, window, idCol, textCol)
+        .withColumn("__k", lit(k)).withColumn("__window", lit(window)),
+      path, "fp", maxBucket, winnowAppendParams(k, window, maxBucket),
+      "appendable winnow index")
+
+  /** Load the capped view of an appendable winnow index — row-identical
+    * to [[Dedup.winnowIndex]] on the same accumulated corpus.
+    */
+  def loadWinnowIndexAppendable(spark: SparkSession, path: String,
+                                k: Int = 5, window: Int = 4,
+                                maxBucket: Int = 1000): DataFrame =
+    readCappedIndex(spark, path, "fp",
+      winnowAppendParams(k, window, maxBucket), "appendable winnow index")
+
+  private def bandAppendParams(k: Int, bands: Int,
+                               maxBucket: Int): Map[String, String] =
+    Map("kind" -> "band", "k" -> k.toString,
+      "bands" -> bands.toString, "maxBucket" -> maxBucket.toString)
+
+  /** Appendable minhash band index (same protocol): serves through
+    * [[loadBandIndexAppendable]] into
+    * [[Dedup.minhashPairsAgainstIndex]].
+    */
+  def saveBandIndexAppendable(corpus: DataFrame, path: String,
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              k: Int = 16, bands: Int = 8,
+                              maxBucket: Int = 1000): Unit =
+    writeCappedIndex(
+      Dedup.bandRows(corpus, textCol, idCol, k, bands)
+        .withColumn("__k", lit(k)).withColumn("__bands", lit(bands)),
+      path, "band_hash", maxBucket, bandAppendParams(k, bands, maxBucket))
+
+  /** Append new documents into a stored appendable band index. */
+  def appendBandIndex(incoming: DataFrame, path: String,
+                      textCol: String = "text",
+                      idCol: String = "doc_id",
+                      k: Int = 16, bands: Int = 8,
+                      maxBucket: Int = 1000): Unit =
+    appendCappedIndex(
+      Dedup.bandRows(incoming, textCol, idCol, k, bands)
+        .withColumn("__k", lit(k)).withColumn("__bands", lit(bands)),
+      path, "band_hash", maxBucket, bandAppendParams(k, bands, maxBucket),
+      "appendable band index")
+
+  /** Load the capped view of an appendable band index — row-identical
+    * to [[Dedup.bandIndex]] on the same accumulated corpus.
+    */
+  def loadBandIndexAppendable(spark: SparkSession, path: String,
+                              k: Int = 16, bands: Int = 8,
+                              maxBucket: Int = 1000): DataFrame =
+    readCappedIndex(spark, path, "band_hash",
+      bandAppendParams(k, bands, maxBucket), "appendable band index")
+
   // -------------------------------------------------- boilerplate lines
 
   /** Persist a [[TextAnalysis.boilerplateLines]] set as the line-dedup

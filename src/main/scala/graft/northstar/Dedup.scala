@@ -728,20 +728,30 @@ object Dedup {
     */
   def bandIndex(df: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
-                maxBucket: Int = 1000): DataFrame = {
-    val rowsPer = k / bands
-    val bandHashes = array((0 until bands).map(b =>
-      xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
+                maxBucket: Int = 1000): DataFrame =
     // materialize once before the cap: its count branch and semi-join
     // would re-run the minhash kernel (the minhashPairs recompute shape
     // — matters for the in-query incoming-batch screens; the parquet
     // artifact path materializes anyway)
-    capBuckets(
-      materializeOnce(df.select(col(idCol).as("id"),
-          texthash.minhash_sig(col(textCol), 3, k).as("mh"))
-        .select(col("id"), col("mh"), explode(bandHashes).as("band_hash"))),
+    capBuckets(materializeOnce(bandRows(df, textCol, idCol, k, bands)),
       Seq("band_hash"), maxBucket)
       .withColumn("__k", lit(k)).withColumn("__bands", lit(bands))
+
+  /** The UNCAPPED banded-signature rows of [[bandIndex]] — the row
+    * stream the appendable artifact stores ([[Artifacts
+    * .saveBandIndexAppendable]] keeps all rows and applies the bucket
+    * cap at load, so an append can re-derive the over-cap set exactly
+    * as a rebuild would).
+    */
+  private[northstar] def bandRows(df: DataFrame, textCol: String,
+                                  idCol: String, k: Int,
+                                  bands: Int): DataFrame = {
+    val rowsPer = k / bands
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
+    df.select(col(idCol).as("id"),
+        texthash.minhash_sig(col(textCol), 3, k).as("mh"))
+      .select(col("id"), col("mh"), explode(bandHashes).as("band_hash"))
   }
 
   /** [[minhashPairsAgainst]] with a PREBUILT corpus index (from

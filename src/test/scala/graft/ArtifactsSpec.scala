@@ -606,4 +606,78 @@ class ArtifactsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("generated with"), e.getMessage)
   }
+
+  test("appendable winnow index: append-then-load == capped rebuild on the union; torn append refuses") {
+    import graft.northstar.Dedup
+    // 8 boilerplate copies straddling the A/B halves: their shared
+    // sketch fps sit UNDER the cap in A alone (4 copies) but OVER it on
+    // the union (8 > 5) — the exact case a memoryless append gets
+    // wrong (partial resurrection of a dropped bucket)
+    val boiler = spark.range(8).select((col("id") + 800000).as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .as("text"))
+    val corpus = docs.unionAll(boiler)
+    val docsA = corpus.filter(col("doc_id") % 2 === 0)
+    val docsB = corpus.filter(col("doc_id") % 2 =!= 0)
+    val cap = 5
+    val p = s"${tempDir("winapp")}/idx"
+    Artifacts.saveWinnowIndexAppendable(docsA, p, maxBucket = cap)
+    Artifacts.appendWinnowIndex(docsB, p, maxBucket = cap)
+    val loaded = Artifacts.loadWinnowIndexAppendable(spark, p,
+      maxBucket = cap)
+    val rebuilt = Dedup.winnowIndex(corpus, maxBucket = cap)
+    assert(rows(loaded) == rows(rebuilt))
+    // the dropped list is live (a cap of 5 on 500 shared-vocab docs
+    // must drop something) — the identity above would hold vacuously on
+    // an empty dropped set otherwise
+    assert(spark.read.parquet(s"$p/dropped").count() > 0)
+    // the capped view serves the overlap probe identically to the
+    // in-memory index
+    val probe = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    assert(rows(Dedup.winnowPairsAgainstIndex(probe, loaded))
+      == rows(Dedup.winnowPairsAgainstIndex(probe, rebuilt)))
+    // torn append: marker gone → both load and append refuse
+    assert(new java.io.File(p, "_SUCCESS").delete())
+    val e1 = intercept[IllegalArgumentException] {
+      Artifacts.loadWinnowIndexAppendable(spark, p, maxBucket = cap)
+    }
+    assert(e1.getMessage.contains("_SUCCESS"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Artifacts.appendWinnowIndex(docsB, p, maxBucket = cap)
+    }
+    assert(e2.getMessage.contains("_SUCCESS"), e2.getMessage)
+    // parameter drift (different cap) fails the params pin
+    Artifacts.saveWinnowIndexAppendable(docsA, p, maxBucket = cap)
+    val e3 = intercept[IllegalArgumentException] {
+      Artifacts.appendWinnowIndex(docsB, p, maxBucket = cap + 1)
+    }
+    assert(e3.getMessage.contains("generated with"), e3.getMessage)
+  }
+
+  test("appendable band index: append-then-load == capped rebuild; screen parity through minhashPairsAgainstIndex") {
+    import graft.northstar.Dedup
+    val docsA = docs.filter(col("doc_id") % 2 === 0)
+    val docsB = docs.filter(col("doc_id") % 2 =!= 0)
+    val cap = 50
+    val p = s"${tempDir("bandapp")}/idx"
+    Artifacts.saveBandIndexAppendable(docsA, p, maxBucket = cap)
+    Artifacts.appendBandIndex(docsB, p, maxBucket = cap)
+    val loaded = Artifacts.loadBandIndexAppendable(spark, p,
+      maxBucket = cap)
+    val rebuilt = Dedup.bandIndex(docs, maxBucket = cap)
+    assert(rows(loaded) == rows(rebuilt))
+    // nightly screen parity: quoting copies of accumulated docs must
+    // find their sources through the stored index exactly as through
+    // the in-memory one
+    val probe = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 900000).as("doc_id"),
+      concat(col("text"), lit(" trailing commentary")).as("text"))
+    val viaStored = Dedup.minhashPairsAgainstIndex(probe, loaded,
+      docs.select("doc_id", "text"), threshold = 0.5, maxBucket = cap)
+    val viaMemory = Dedup.minhashPairsAgainstIndex(probe, rebuilt,
+      docs.select("doc_id", "text"), threshold = 0.5, maxBucket = cap)
+    assert(rows(viaStored) == rows(viaMemory))
+    assert(viaStored.count() > 0)
+  }
 }
