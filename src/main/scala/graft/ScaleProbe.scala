@@ -392,6 +392,35 @@ object ScaleProbe {
       Dedup.winnowPairs(docs10).count()
     }
     println(f"[scale] winnowPairs 10x-data ratio     ${wp10 / wp1}%.1fx (quadratic ~100x)")
+    // appendable winnow index: the nightly-append cost must track the
+    // DELTA (sketch pass + parquet append + one rows aggregate for the
+    // over-cap refresh), not the corpus — vs a full rebuild, which
+    // re-sketches everything. 10% delta on the 50k corpus.
+    // Measured 2026-08-14 (r13, local[8]): rebuild 3.7 s, append 1.8 s
+    // (0.48x) — the gap is the delta sketch vs full sketch; the fixed
+    // floor is the over-cap refresh aggregate over rows/
+    // (bucket-partitioned parquet on a real cluster, map-side
+    // combined), which dominates at this corpus size and shrinks
+    // relative to the sketch as the corpus grows.
+    val wiDir = java.nio.file.Files.createTempDirectory("winidx").toString
+    val wiBase = docs10.filter(col("doc_id") % 10 =!= 3)
+    val wiDelta = docs10.filter(col("doc_id") % 10 === 3)
+    timed("winnowIdx appendable build 45k") {
+      graft.northstar.Artifacts.saveWinnowIndexAppendable(
+        wiBase, s"$wiDir/idx")
+      spark.read.parquet(s"$wiDir/idx/rows").count()
+    }
+    val wiApp = timed("winnowIdx append 5k delta") {
+      graft.northstar.Artifacts.appendWinnowIndex(wiDelta, s"$wiDir/idx")
+      spark.read.parquet(s"$wiDir/idx/rows").count()
+    }
+    val wiReb = timed("winnowIdx full rebuild 50k") {
+      graft.northstar.Artifacts.saveWinnowIndexAppendable(
+        docs10, s"$wiDir/idx2")
+      spark.read.parquet(s"$wiDir/idx2/rows").count()
+    }
+    println(f"[scale] winnowIdx append/rebuild       ${wiApp / wiReb}%.2fx (delta-bound, <1x expected)")
+    deleteRecursively(new java.io.File(wiDir))
     // winnow long-DOCUMENT skew (VERDICT r10 watch #2): the in-row
     // sketch allocates two O(n_tokens) arrays per row, so a multi-MB
     // outlier doc concentrates memory in one task where the old

@@ -575,6 +575,11 @@ object Artifacts {
                              params: Map[String, String])(
       project: (DataFrame, Map[Int, Int]) => DataFrame): Unit = {
     val spark = corpus.sparkSession
+    // overwriting a previously-published index: drop its marker FIRST,
+    // so a crash mid-overwrite leaves a refusable wreck, not a stale
+    // marker over half-new data (the ensureTrained path writes to a tmp
+    // dir and never hits this; explicit-path re-saves do)
+    new java.io.File(path, "_SUCCESS").delete(): Unit
     val assigned = Dedup.trackedPersist(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         Ivf.cellOf(col(vecCol), centroids).as("cell")))
@@ -1248,6 +1253,10 @@ object Artifacts {
                                bucketCol: String, maxBucket: Int,
                                params: Map[String, String]): Unit = {
     val dst = new java.io.File(path)
+    // overwriting a previously-published index: drop its marker FIRST,
+    // so a crash mid-overwrite leaves a refusable wreck, not a stale
+    // marker over half-new data
+    new java.io.File(dst, "_SUCCESS").delete(): Unit
     rows.write.mode("overwrite")
       .parquet(new java.io.File(dst, "rows").toString)
     refreshDropped(rows.sparkSession, path, bucketCol, maxBucket)
