@@ -52,6 +52,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("SelectedBucketsCount"), p.take(1500))
   }
 
+  test("winnow append serve: no cartesian; the bucket cap is a broadcast anti-join against the small dropped list") {
+    val p = planOf("ns_winnow_append")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.nonEmpty,
+      "expected the dropped-bucket anti-join:\n" + p.take(1200))
+    assert(antiLines.forall(_.contains("BroadcastHashJoin")),
+      "cap anti-join must broadcast, not shuffle, the dropped list:\n" +
+        antiLines.mkString("\n"))
+  }
+
   test("mmr over ANN pool: no cartesian node — the exact O(q×corpus) scorer never runs") {
     val p = planOf("ns_mmr_ann")
     assert(!p.contains("CartesianProduct")
