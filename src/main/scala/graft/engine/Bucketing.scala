@@ -35,8 +35,15 @@ object Bucketing {
   /** True when the executed plan contains no shuffle exchange — the
     * property bucketing buys. Exposed for tests/monitoring.
     */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  def isShuffleFree(df: DataFrame): Boolean = {
+    // any shuffle flavor counts — hash, range (orderBy), and
+    // SinglePartition (global agg) — but a BroadcastExchange is not a
+    // shuffle and must not fail the check
+    val p = df.queryExecution.executedPlan.toString
+    !p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition")
+  }
 
   /** Bucket-once / join-many: the content-keyed catalog table for a
     * frame (the [[graft.northstar.Artifacts]] train-once discipline

@@ -146,6 +146,8 @@ object Mapping {
     require(SkewJoin.saltSafeJoinTypes(joinType.toLowerCase),
       s"saltedJoin supports ${SkewJoin.saltSafeJoinTypes.mkString("/")}, " +
         s"got $joinType (outer forms would duplicate null-extended rows)")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column; rename it on the inputs")
     import org.apache.spark.sql.functions._
     // salt from a whole-row hash: deterministic, and uniform even when
     // the key column itself is constant (the exact case salting targets)

@@ -60,23 +60,39 @@ object Pipeline {
     val rawNames = cfg.extraction.map(_.table)
     val raw = Tables.load(spark, layers.raw, rawNames)
 
+    // Stages 2-4 each get their OWN status + abort boundary — like
+    // extraction, and like the reference's per-stage try/except status
+    // files. One shared catch here used to attribute a stage-4
+    // aggregation failure to "transformation" even though every silver
+    // transform output had been written (code-review r13), so a replay
+    // gate driven by these statuses would re-run the wrong stage.
+    def stage(name: String)(body: => String): Boolean =
+      try { statuses += StageStatus(name, ok = true, body); true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          statuses += StageStatus(name, ok = false,
+            Option(e.getMessage).getOrElse(e.toString))
+          false
+      }
+
     // 2. mapping: raw → silver_mapping (O4: off → verbatim copy,
-    //    scheduler.py:62-103). Stage failures become a failed
-    //    StageStatus + abort — like extraction, and like the
-    //    reference's per-stage try/except status files; an escaping
-    //    exception would lose every collected status.
-    try {
-      val mapped =
+    //    scheduler.py:62-103)
+    var mapped = raw
+    if (!stage("mapping") {
+      mapped =
         if (cfg.mappingEnabled) Mapping.mergeTables(raw, cfg.tableMeta, rawNames)
         else raw
       Tables.writeAll(mapped, layers.silverMapping)
-      statuses += StageStatus("mapping", ok = true,
-        if (cfg.mappingEnabled) s"${mapped.size} outputs" else "skipped (copy)")
+      if (cfg.mappingEnabled) s"${mapped.size} outputs" else "skipped (copy)"
+    }) return statuses.toSeq
 
-      // 3. transformation: silver_mapping → silver, prefix "transformed"
-      //    (transformations_code.py:206-213 via scheduler.py:113-183)
+    // 3. transformation: silver_mapping → silver, prefix "transformed"
+    //    (transformations_code.py:206-213 via scheduler.py:113-183),
+    //    plus the bucketed-layout publication
+    var transformed = Map.empty[String, org.apache.spark.sql.DataFrame]
+    if (!stage("transformation") {
       val silverIn = Tables.load(spark, layers.silverMapping, mapped.keys.toSeq)
-      val transformed = Transforms.transformAll(silverIn, cfg.transforms)
+      transformed = Transforms.transformAll(silverIn, cfg.transforms)
       Tables.writeAll(transformed, layers.silver, prefix = "transformed")
       // bucketed-layout publication: the configured fact tables ALSO land
       // in the catalog pre-shuffled on their join key, so downstream
@@ -92,23 +108,20 @@ object Pipeline {
       for ((name, (key, buckets)) <- cfg.bucketBy)
         Bucketing.writeBucketed(transformed(name),
           s"silver_${name}_bucketed", key, buckets)
+      s"${transformed.size} transformed" +
+        (if (cfg.bucketBy.nonEmpty) s", ${cfg.bucketBy.size} bucketed" else "")
+    }) return statuses.toSeq
 
-      // 4. aggregation: per-table A1, prefix "agg" (scheduler.py:143-170);
-      //    ineligible specs skip (A3 guard), like the reference
+    // 4. aggregation: per-table A1, prefix "agg" (scheduler.py:143-170);
+    //    ineligible specs skip (A3 guard), like the reference
+    stage("aggregation") {
       val aggregated = for {
         (name, spec) <- cfg.aggregations
         df <- transformed.get(name)
         out <- Aggregations.aggregate(df, spec)
       } yield name -> out
       Tables.writeAll(aggregated, layers.silver, prefix = "agg")
-      statuses += StageStatus("transformation", ok = true,
-        s"${transformed.size} transformed, ${aggregated.size} aggregated")
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        val stage = if (statuses.exists(_.stage == "mapping"))
-          "transformation" else "mapping"
-        statuses += StageStatus(stage, ok = false,
-          Option(e.getMessage).getOrElse(e.toString))
+      s"${aggregated.size} aggregated"
     }
     statuses.toSeq
   }

@@ -30,16 +30,28 @@ object SkewJoin {
     require(saltSafeJoinTypes(joinType.toLowerCase),
       s"saltedJoin supports ${saltSafeJoinTypes.mkString("/")}, " +
         s"got $joinType (outer forms would duplicate null-extended rows)")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column; rename it on the inputs")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
-    val replicated = small
+    // same-named keys: dedupe the small side's key so the output keeps
+    // ONE key column — otherwise every downstream col(bigKey) throws
+    // AMBIGUOUS_REFERENCE and the frame is unusable at first touch
+    val dropSmallKey = bigKey == smallKey &&
+      !Set("left_semi", "leftsemi", "left_anti", "leftanti")
+        .contains(joinType.toLowerCase)
+    val (smallIn, smallKeyIn) =
+      if (dropSmallKey)
+        (small.withColumnRenamed(smallKey, "__salt_rk"), "__salt_rk")
+      else (small, smallKey)
+    val replicated = smallIn
       .withColumn("__salt", explode(
         sequence(lit(0), lit(saltFactor - 1))))
     val joined = salted.join(replicated,
-      salted(bigKey) === replicated(smallKey) &&
+      salted(bigKey) === replicated(smallKeyIn) &&
         salted("__salt") === replicated("__salt"),
       joinType)
-    joined.drop("__salt")
+    (if (dropSmallKey) joined.drop("__salt_rk") else joined).drop("__salt")
   }
 
   /** Partitioned parquet write: directory-partitioned by low-cardinality

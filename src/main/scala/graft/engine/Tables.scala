@@ -213,13 +213,34 @@ object Tables {
     */
   def compact(spark: SparkSession, dir: String, name: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.spark.sql.functions.col
     val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    rewriteDir(spark, dir, name,
-      spark.read.parquet(path.toString).repartition(nFiles), fs, path)
-    nFiles
+    val read = spark.read.parquet(path.toString)
+    val partCols = partitionColsOf(fs, path)
+    // hive-partitioned layout: repartition BY the partition columns, so
+    // each partition value lands whole in one task and partitionBy
+    // writes one file per value. A round-robin repartition(nFiles) here
+    // would spread every value across every task and the rewrite would
+    // emit up to nFiles × nValues files — compaction MULTIPLYING the
+    // small-files count (code-review r13). The cost is one file per
+    // value even for an oversized value; re-partition the table on a
+    // finer key if single values outgrow the target.
+    val sized =
+      if (partCols.nonEmpty) read.repartition(nFiles, partCols.map(col): _*)
+      else read.repartition(nFiles)
+    rewriteDir(spark, dir, name, sized, fs, path)
+    // report the REAL resulting data-file count, not the task count
+    def count(p: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listStatus(p)
+      it.map { st =>
+        if (st.isDirectory) count(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+    count(path)
   }
 
   /** S11 database reset (front_end.py:850-859): drop & recreate the layer

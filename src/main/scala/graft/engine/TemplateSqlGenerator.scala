@@ -46,8 +46,12 @@ class TemplateSqlGenerator(tables: Map[String, Seq[String]])
       (for { t <- resolveTable(tableW); k <- resolveColumn(keyW, t) }
         yield s"SELECT $k, count(*) AS n FROM $t GROUP BY $k;").getOrElse(fail(question))
     case byId(tableW, colW, v) =>
+      // quote non-numeric values: interpolated bare, "with nation =
+      // brazil" would parse brazil as a COLUMN and fail resolution
+      // instead of filtering (the \w+ capture admits alphabetics)
+      val lit = if (v.forall(_.isDigit)) v else s"'$v'"
       (for { t <- resolveTable(tableW); c <- resolveColumn(colW, t) }
-        yield s"SELECT * FROM $t WHERE $c = $v;").getOrElse(fail(question))
+        yield s"SELECT * FROM $t WHERE $c = $lit;").getOrElse(fail(question))
     case countAll(tableW) =>
       resolveTable(tableW)
         .map(t => s"SELECT count(*) AS n FROM $t;").getOrElse(fail(question))

@@ -53,9 +53,21 @@ object Transforms {
     val withStrings =
       if (strs.isEmpty) df else df.na.fill("N/A", strs)
     if (nums.isEmpty) return withStrings
+    // pandas NaN fidelity (code-review r13): in pandas, NaN IS the null
+    // — mean() skips it and fillna replaces it. Spark's avg skips only
+    // SQL nulls, so a single NaN would poison the mean to NaN and then
+    // get "filled" with NaN. Normalize NaN → null on floating columns
+    // before both the census and the fill (isnan is only defined on
+    // float/double; integral columns cannot hold NaN).
+    val floats = df.schema.fields
+      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+      .map(_.name).toSet
+    def nanAsNull(c: String) =
+      if (floats(c)) when(isnan(col(c)), lit(null)).otherwise(col(c))
+      else col(c)
     val aggs = nums.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-          avg(col(c)).as(s"__mean_$c"))
+      Seq(sum(when(nanAsNull(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+          avg(nanAsNull(c)).as(s"__mean_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val cols = withStrings.columns.map { c =>
@@ -65,7 +77,7 @@ object Transforms {
           .map(_.toString.toDouble)
         (nNull, mean) match {
           case (n, Some(m)) if n > 0 =>
-            coalesce(col(c).cast(DoubleType), lit(m)).as(c)
+            coalesce(nanAsNull(c).cast(DoubleType), lit(m)).as(c)
           case _ => col(c)
         }
       } else col(c)

@@ -49,6 +49,22 @@ trait Store {
     if (exists(spark, table)) Some(read(spark, table)) else None
 }
 
+/** Existence probe through the session's HADOOP filesystem, not
+  * java.io.File: reads and writes resolve paths via Hadoop, so an
+  * HDFS/S3 layer dir (the cluster case) is invisible to a local-File
+  * check — `exists` would be permanently false there, and
+  * `Extraction.incrementalLoad` reads "absent" as create-from-scratch,
+  * silently OVERWRITING the accumulated target with the current source
+  * window every run (the same blip-to-data-loss class `JdbcStore
+  * .exists` guards against).
+  */
+private object StorePath {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
 /** The parquet-directory store the rest of the engine defaults to. */
 final case class ParquetStore(dir: String) extends Store {
   override def read(spark: SparkSession, table: String): DataFrame =
@@ -58,7 +74,7 @@ final case class ParquetStore(dir: String) extends Store {
     Tables.write(df, dir, table, mode)
 
   override def exists(spark: SparkSession, table: String): Boolean =
-    new java.io.File(s"$dir/$table.parquet").exists()
+    StorePath.exists(spark, s"$dir/$table.parquet")
 }
 
 /** CSV-directory store (`$dir/$table.csv`, header row). Reads use the
@@ -84,7 +100,7 @@ final case class CsvStore(dir: String,
     df.write.mode(mode).option("header", "true").csv(s"$dir/$table.csv")
 
   override def exists(spark: SparkSession, table: String): Boolean =
-    new java.io.File(s"$dir/$table.csv").exists()
+    StorePath.exists(spark, s"$dir/$table.csv")
 }
 
 /** JSON-Lines store (`$dir/$table.jsonl`) — the standard interchange
@@ -108,7 +124,7 @@ final case class JsonlStore(dir: String,
     df.write.mode(mode).json(s"$dir/$table.jsonl")
 
   override def exists(spark: SparkSession, table: String): Boolean =
-    new java.io.File(s"$dir/$table.jsonl").exists()
+    StorePath.exists(spark, s"$dir/$table.jsonl")
 }
 
 /** Bounded-range read parallelism for a JDBC table: `num` concurrent
@@ -202,8 +218,32 @@ final case class JdbcStore(
       org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry
         .register(cls)
     }
-    java.sql.DriverManager.getConnection(url, connProps).close()
-    try { spark.read.jdbc(url, table, connProps).schema; true }
-    catch { case _: Exception => false }
+    // answer the absence question from CATALOG METADATA on the live
+    // probe connection, not by running a query and catching everything:
+    // the old shape (schema query + catch-all false) still turned any
+    // post-connect transient — socket read timeout, statement cancel,
+    // interrupt — into "absent" → overwrite. With getTables, a failure
+    // AFTER a successful connect propagates; only a genuinely missing
+    // catalog entry returns false. Databases differ in stored identifier
+    // case (Derby/Oracle upper, Postgres lower), so probe the exact,
+    // upper, and lower spellings.
+    val conn = java.sql.DriverManager.getConnection(url, connProps)
+    try {
+      val meta = conn.getMetaData
+      val (schemaPat, namePat) = table.lastIndexOf('.') match {
+        case -1 => (null: String, table)
+        case i  => (table.substring(0, i), table.substring(i + 1))
+      }
+      def has(s: String, n: String): Boolean = {
+        val rs = meta.getTables(null, s, n, null)
+        try rs.next() finally rs.close()
+      }
+      def up(s: String) =
+        if (s == null) null else s.toUpperCase(java.util.Locale.ROOT)
+      def low(s: String) =
+        if (s == null) null else s.toLowerCase(java.util.Locale.ROOT)
+      has(schemaPat, namePat) || has(up(schemaPat), up(namePat)) ||
+        has(low(schemaPat), low(namePat))
+    } finally conn.close()
   }
 }

@@ -89,6 +89,11 @@ object IncrementalStream {
   def streamingMerge(incoming: DataFrame, existing: DataFrame,
                      textCol: String = "text"): DataFrame = {
     import graft.northstar.TextAnalysis
+    // same reserved-column guard as streamingDedup: withColumn would
+    // silently OVERWRITE a caller's __fp and the final drop would then
+    // remove it from the output schema entirely
+    require(!incoming.columns.contains("__fp"),
+      "streamingMerge reserves the __fp column; rename it on the input")
     incoming
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(existing

@@ -88,6 +88,15 @@ class BucketingSpec extends SparkSpecBase {
     }
   }
 
+  test("isShuffleFree discriminates every shuffle flavor, not just hash") {
+    // code-review r13: rangepartitioning (orderBy) and SinglePartition
+    // (global agg) shuffles previously read as "shuffle-free"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(!Bucketing.isShuffleFree(df.orderBy("k")))
+    assert(!Bucketing.isShuffleFree(df.agg(count(lit(1)))))
+    assert(Bucketing.isShuffleFree(df.filter(col("k") > 0)))
+  }
+
   test("q_star_bucketed is value-identical to q_star_revenue — layout must not change results") {
     val dir = "/root/testdata/sf0.001"
     val plain = SparkEntry.queries("q_star_revenue")(spark, dir)

@@ -110,4 +110,27 @@ class ExtractionPipelineSpec extends SparkSpecBase {
       Pipeline.Config(extraction = Seq(Extraction.TableJob("nope", "Full Refresh"))))
     assert(statuses.size == 1 && !statuses.head.ok)
   }
+
+  test("an aggregation failure is attributed to its OWN stage, after a green transformation") {
+    // code-review r13: a shared catch used to blame "transformation"
+    // for a stage-4 failure even though every silver transform output
+    // had been written — a status-driven replay gate would re-run the
+    // wrong stage
+    val src = tmp(); val raw = tmp(); val sm = tmp(); val silver = tmp()
+    Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v").write.parquet(s"$src/t.parquet")
+    val statuses = Pipeline.run(spark,
+      Pipeline.Layers(src, raw, sm, silver, tmp()),
+      Pipeline.Config(
+        extraction = Seq(Extraction.TableJob("t", "Full Refresh")),
+        mappingEnabled = false,
+        aggregations = Map("t" -> graft.engine.Aggregations.AggSpec(
+          Seq("id"), Seq("v"), Seq("variance"))))) // unsupported func
+    assert(statuses.map(s => (s.stage, s.ok)) == Seq(
+      ("extraction", true), ("mapping", true),
+      ("transformation", true), ("aggregation", false)),
+      statuses.mkString("; "))
+    assert(statuses.last.detail.contains("unsupported agg function"))
+    // the transform outputs really are on disk despite the late failure
+    assert(spark.read.parquet(s"$silver/transformed_t.parquet").count() == 2)
+  }
 }

@@ -93,6 +93,29 @@ class MiscSpec extends SparkSpecBase {
         .getLong(0) == 5000L * 4999L / 2L)
   }
 
+  test("compact on a partitioned table does not multiply files per partition") {
+    // code-review r13: a round-robin repartition(nFiles) before the
+    // partitionBy rewrite spread every partition value across every
+    // task — up to nFiles files PER partition dir, compaction
+    // multiplying the small-files count
+    val dir = Files.createTempDirectory("compactpart").toString
+    val df = (0L until 4000L).map(i => (i, s"p${i % 4}")).toDF("id", "p")
+    df.repartition(25).write.partitionBy("p").parquet(s"$dir/t.parquet")
+    def files() = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$dir/t.parquet"))
+    }
+    assert(files() > 50, "fixture should start fragmented")
+    // tiny target → nFiles > 1, the exact multiplication trigger
+    val n = Tables.compact(spark, dir, "t", targetFileBytes = 16L * 1024)
+    assert(files() <= 4, s"expected <=1 file per partition value, got ${files()}")
+    assert(n == files(), "returned count must be the REAL file count")
+    val back = spark.read.parquet(s"$dir/t.parquet")
+    assert(back.count() == 4000)
+  }
+
   test("upsert: matching keys replaced, new keys appended, data swapped atomically") {
     val dir = Files.createTempDirectory("upsert").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/t.parquet")

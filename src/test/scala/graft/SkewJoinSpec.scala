@@ -26,6 +26,21 @@ class SkewJoinSpec extends SparkSpecBase {
     assert(out.count() == 2) // exactly one match per big row
   }
 
+  test("saltedJoin with SAME-NAMED keys keeps one usable key column") {
+    // code-review r13: both key columns survived the join, so the first
+    // downstream col(\"k\") threw AMBIGUOUS_REFERENCE
+    val big = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val small = Seq((1L, "d1"), (2L, "d2")).toDF("k", "d")
+    val out = SkewJoin.saltedJoin(big, small, "k", "k")
+    assert(out.columns.count(_ == "k") == 1)
+    assert(rows(out.groupBy("k").count()) ==
+      Set(Seq(1L, 1L), Seq(2L, 1L))) // groupBy("k") resolvable
+    // reserved-column guard
+    assertThrows[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big.withColumn("__salt", lit(0)), small, "k", "k")
+    }
+  }
+
   test("writePartitioned: partition pruning visible in the scan") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("part_key", "v")

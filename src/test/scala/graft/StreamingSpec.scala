@@ -248,6 +248,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(self.size == 50)
   }
 
+  test("streamingMerge refuses a caller-supplied __fp column instead of clobbering it") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val existing = Seq((1L, "seen")).toDF("doc_id", "text")
+    val incoming = Seq((2L, "new")).toDF("doc_id", "text")
+      .withColumn("__fp", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalStream.streamingMerge(incoming, existing)
+    }
+    assert(e.getMessage.contains("__fp"), e.getMessage)
+  }
+
   test("nightly loop: foreachBatch screens an embedding stream against the stored index and APPENDS the novel rows") {
     // the full serving lifecycle in one stream: match incoming against
     // the stored codes index (exact duplicates screened out at

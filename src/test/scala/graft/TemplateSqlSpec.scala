@@ -27,6 +27,10 @@ class TemplateSqlSpec extends SparkSpecBase {
       "SELECT count(*) AS n FROM customers;")
     assert(gen.generate("orders with customer_id = 7", "") ==
       "SELECT * FROM orders WHERE customer_id = 7;")
+    // non-numeric filter values quote (code-review r13: interpolated
+    // bare, 'pending' would parse as a COLUMN reference and fail)
+    assert(gen.generate("orders with status = pending", "") ==
+      "SELECT * FROM orders WHERE status = 'pending';")
   }
 
   test("unmatched question → extractSelect None (errors-as-data surface)") {

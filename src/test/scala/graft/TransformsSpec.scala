@@ -52,6 +52,19 @@ class TransformsSpec extends SparkSpecBase {
     assert(out.schema("id").dataType == LongType)
   }
 
+  test("T3 imputeNulls: NaN counts as null, like pandas — mean skips it, fill replaces it") {
+    // code-review r13: Spark's avg skips only SQL nulls, so one NaN
+    // poisoned the mean to NaN and the null got "filled" with NaN
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(1.0)), (2L, Some(Double.NaN)), (3L, None),
+    ).toDF("id", "v")
+    val out = Transforms.imputeNulls(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pandas: mean([1.0, NaN, None]) = 1.0; fillna fills BOTH NaN and None
+    assert(out == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0), out.toString)
+  }
+
   test("T4 trimWhitespace: strips both ends of every string column") {
     val out = Transforms.trimWhitespace(people)
     assert(out.collect().map(_.getAs[String]("first_name")).contains("Ada"))
