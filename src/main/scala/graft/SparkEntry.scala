@@ -3774,12 +3774,15 @@ object SparkEntry {
         |         ROWS UNBOUNDED PRECEDING) - nt) / 2000.0) AS BIGINT) AS shard_id
         |FROM t""".stripMargin,
     "ns_rep_ngrams" ->
-      """WITH w AS (
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+        |  FROM documents),
+        |w AS (
         |  SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |         ELSE string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |    CASE WHEN t = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(regexp_replace(lower(t), '\s+', ' ', 'g'), ' ')
         |    END AS w
-        |  FROM documents)
+        |  FROM s)
         |SELECT doc_id,
         |  CASE WHEN len(w) < 2 THEN 0.0
         |       ELSE 1.0 - CAST(len(list_distinct(list_transform(

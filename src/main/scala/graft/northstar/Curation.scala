@@ -44,8 +44,18 @@ object Curation {
     * `{"min_quality": 0.5, "langs": ["en","de"], "length_floor": "1/10",
     *   "temperature_alpha": 0.5, "budget_per_lang": 3000}`.
     */
+  private val knownKeys = Set("min_quality", "langs", "length_floor",
+    "temperature_alpha", "budget_per_lang")
+
   def parseConfig(json: String): CurationConfig = {
     val root = mapper.readTree(json)
+    // a typoed key would silently DISABLE its gate (field lookup misses,
+    // stage skipped, unfiltered docs flow into the mixture) — refuse
+    // unknown keys at the config boundary instead (code-review r13)
+    val unknown = root.fieldNames().asScala.toSet -- knownKeys
+    require(unknown.isEmpty,
+      s"unknown curation config keys: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(known: ${knownKeys.toSeq.sorted.mkString(", ")})")
     // JSON null reads as ABSENT for every key: Option(root.get(k)) is
     // Some(NullNode), and treating {"langs": null} as Some(Nil) would
     // make the isin() gate silently drop the ENTIRE corpus (and
@@ -59,11 +69,15 @@ object Curation {
             s"length_floor must be 'num/den', got '$s'")
         }
       }
+    // an explicit empty array means "no language filter", same as
+    // absent: Some(Nil) would hand isin() ZERO arguments — false for
+    // every row, the whole corpus silently dropped (the exact failure
+    // the null-guard above documents; code-review r13)
     val langs = field("langs").map { node =>
       require(node.isArray,
         s"langs must be a JSON array, got ${node.getNodeType}")
       node.elements().asScala.map(_.asText()).toSeq
-    }
+    }.filter(_.nonEmpty)
     CurationConfig(
       minQuality = field("min_quality").map(_.asDouble()),
       langs = langs,

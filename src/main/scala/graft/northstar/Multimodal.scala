@@ -744,6 +744,10 @@ object Multimodal {
     * stub pools adjacent feature stripes). Pure column math.
     */
   def poolFeatures(decoded: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor > 0 && StubCodec.FeatureDim % factor == 0,
+      s"pool factor must be a positive divisor of ${StubCodec.FeatureDim}, " +
+        s"got $factor — a non-divisor would silently drop the trailing " +
+        "feature stripes")
     val n = StubCodec.FeatureDim / factor
     val pooled = array((0 until n).map { i =>
       val group = (0 until factor).map(j =>

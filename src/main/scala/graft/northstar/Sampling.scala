@@ -53,9 +53,25 @@ object Sampling {
     * persisted train split joined with a new val split would overlap
     * (eval leakage by construction). See CHANGELOG.md.
     */
-  def hashUnit(id: Column): Column =
-    id.cast("long") % MixMod * Knuth % MixMod * Mix2 % MixMod /
-      lit(MixMod.toDouble)
+  def hashUnit(id: Column): Column = {
+    // Two input fixes (code-review r13), both invisible to the pinned
+    // non-negative-numeric-id oracles:
+    //   - non-numeric ids (URL/UUID corpus keys): a lossy cast yielded
+    //     null, and `filter(null < rate)` silently dropped 100% of the
+    //     corpus from every Bernoulli sampler — hash such ids through
+    //     xxhash64 instead. Genuinely null ids still yield a null unit
+    //     (assignSplit surfaces them as a null split; pre-clean ids
+    //     before Bernoulli sampling).
+    //   - negative ids: sign-preserving % gave a unit in (-1, 0), so
+    //     samplers kept such rows UNCONDITIONALLY and assignSplit
+    //     routed them all into the first split — reduce with pmod, the
+    //     same fix epochShuffle already carries.
+    // try_cast, not cast: under ANSI a non-numeric string would THROW
+    // here rather than return null for the coalesce to catch
+    val base = coalesce(id.try_cast("long"), when(id.isNotNull, xxhash64(id)))
+    pmod(pmod(pmod(base, lit(MixMod)) * Knuth, lit(MixMod)) * Mix2,
+      lit(MixMod)) / lit(MixMod.toDouble)
+  }
 
   /** Deterministic train/val/test (or any named) split assignment: the
     * hash-unit value falls into cumulative weight bands. Every row gets

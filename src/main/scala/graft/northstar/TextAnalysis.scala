@@ -117,7 +117,12 @@ object TextAnalysis {
       struct(get(hits, lit(i)).as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*) // struct compare: hits first, then lang
-    when(best.getField("hits") === 0, lit("und"))
+    // null text: every hits field is null, the structs tie on the null
+    // field and the lexicographic tiebreak would label the doc "fr"
+    // while the ===0 guard falls through on null — return null instead
+    // (code-review r13)
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("hits") === 0, lit("und"))
       .otherwise(best.getField("lang"))
   }
 
@@ -136,7 +141,16 @@ object TextAnalysis {
     * pure token arithmetic. Narrow per-row math, no shuffle.
     */
   def repetitionRatio(text: Column, n: Int): Column = {
-    val total = tokenCount(text).cast("double") - (n - 1)
+    // the denominator must count tokens the way the SHINGLE kernel does
+    // (fully-stripped, no empty-token artifacts): tokenCount keeps the
+    // trailing empty token of text ending in non-space whitespace (its
+    // own pinned pandas-parity contract), which would charge a clean
+    // "hello world\n" one phantom token — rep2 = 0.5 on zero repetition
+    // (code-review r13)
+    val stripped = regexp_replace(text, "^\\s+|\\s+$", "")
+    val toks = when(length(stripped) === 0, lit(0))
+      .otherwise(size(split(stripped, "\\s+")))
+    val total = toks.cast("double") - (n - 1)
     when(total <= 0, lit(0.0))
       .otherwise(lit(1.0) -
         size(graft.functions.texthash.shingles(text, n)).cast("double") / total)
@@ -889,8 +903,9 @@ object TextAnalysis {
   private def explodedLines(base: DataFrame): DataFrame =
     base.select(col("doc"), posexplode(col("l")))
       .select(col("doc"), (col("pos") + 1).as("ix"), col("col").as("raw"))
-      .withColumn("norm",
-        regexp_replace(lower(trim(col("raw"))), "\\s+", " "))
+      // the SHARED canonical form — line-level dedup keys must never
+      // desynchronize from the document-level fingerprint/dedup keys
+      .withColumn("norm", Dedup.normText(col("raw")))
       .withColumn("nh", md5(col("norm").cast("binary")))
 
   /** The boilerplate line-hash set of a corpus: (nh) for every

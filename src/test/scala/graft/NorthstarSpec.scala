@@ -856,6 +856,11 @@ class TextAnalysisSpec extends SparkSpecBase {
     ).toDF("text")
     val out = df.select(TextAnalysis.languageId($"text")).collect().map(_.getString(0))
     assert(out.toSeq == Seq("en", "de", "fr", "es", "und"))
+    // null text → null lang, not "fr" (code-review r13: the null hit
+    // counts tied the argmax structs and the lexicographic tiebreak won)
+    val withNull = Seq((1L, null: String)).toDF("id", "text")
+      .select(TextAnalysis.languageId($"text")).collect()
+    assert(withNull(0).isNullAt(0))
   }
 
   test("fingerprint: whitespace/case variants collapse, distinct texts differ") {
@@ -947,6 +952,15 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(2L) == ((0.0, 0.0)))
     assert(out(3L) == ((0.0, 0.0)))
     assert(out(4L) == ((0.0, 0.0)))
+    // trailing non-space whitespace must not mint a phantom token
+    // (code-review r13: tokenCount keeps the trailing empty token by
+    // its own pandas-parity contract, which read "hello world\n" as 3
+    // tokens → rep2 = 0.5 on a zero-repetition doc)
+    val trail = Seq((1L, "hello world\n"), (2L, "  a b  \t"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.repetitionRatio($"text", 2).as("r2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(trail == Map(1L -> 0.0, 2L -> 0.0), trail.toString)
   }
 
   test("redactPii: urls, emails, phones become placeholders; clean text untouched") {
@@ -1311,6 +1325,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(counts("val") - 100) < 60, counts.toString)
   }
 
+  test("hashUnit: negative and string ids sample at the rate, not degenerately") {
+    // code-review r13: sign-preserving % put negative ids' unit in
+    // (-1,0) — every Bernoulli sampler kept them unconditionally and
+    // assignSplit routed them all into the first split; non-numeric
+    // string ids cast to null and were silently dropped entirely
+    val negDocs = docs.select((-$"doc_id" - 1).as("doc_id"), $"lang")
+    val kept = Sampling.stratifiedSample(negDocs, "lang",
+      Map.empty, defaultRate = 0.3).count()
+    assert(kept > 300 && kept < 900,
+      s"negative ids must sample at ~30%, kept $kept of 2000")
+    val neg = Sampling.assignSplit(negDocs,
+        Seq("train" -> 0.5, "val" -> 0.5))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(neg.keySet == Set("train", "val") &&
+      neg.values.forall(n => n > 700 && n < 1300), neg.toString)
+    val strDocs = docs.select(concat(lit("doc://"),
+      $"doc_id".cast("string")).as("doc_id"), $"lang")
+    val keptStr = Sampling.stratifiedSample(strDocs, "lang",
+      Map.empty, defaultRate = 0.3).count()
+    assert(keptStr > 300 && keptStr < 900,
+      s"string ids must sample at ~30%, kept $keptStr of 2000")
+    // deterministic across runs for both id shapes
+    assert(Sampling.stratifiedSample(strDocs, "lang", Map.empty, 0.3)
+      .count() == keptStr)
+  }
+
   test("monotone rates: raising a stratum's rate only adds rows") {
     val low = Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.2), 0.1)
       .collect().map(_.getLong(0)).toSet
@@ -1497,6 +1538,15 @@ class CurationSpec extends SparkSpecBase {
     assert(cfg.budgetPerLang.contains(2000L))
     val empty = Curation.parseConfig("{}")
     assert(empty == Curation.CurationConfig())
+    // an explicit empty langs array means "no filter", NOT Some(Nil) —
+    // zero-arg isin() is false for every row and would silently drop
+    // the whole corpus (code-review r13)
+    assert(Curation.parseConfig("""{"langs": []}""").langs.isEmpty)
+    // a typoed key must refuse, not silently disable its gate
+    val e = intercept[IllegalArgumentException] {
+      Curation.parseConfig("""{"min_qualty": 0.9}""")
+    }
+    assert(e.getMessage.contains("min_qualty"), e.getMessage)
   }
 
   private val docs = spark.read
@@ -2028,6 +2078,12 @@ class MultimodalSpec extends SparkSpecBase {
     zeroRate(18) = 0; zeroRate(19) = 0
     zeroRate(20) = (zeroRate(20) & 0x0F).toByte
     assert(Multimodal.FlacCodec.parse(zeroRate).isEmpty)
+  }
+
+  test("poolFeatures refuses a factor that is zero or does not divide the feature dim") {
+    val decoded = Multimodal.decodeAssets(assets)
+    assertThrows[IllegalArgumentException](Multimodal.poolFeatures(decoded, 0))
+    assertThrows[IllegalArgumentException](Multimodal.poolFeatures(decoded, 3))
   }
 
   test("poolFeatures halves the feature grid") {
