@@ -79,6 +79,9 @@ object Aggregations {
     * cnt) ordered by bucket — the frame the UI renders.
     */
   def histogram(df: DataFrame, column: String, bins: Int = 20): DataFrame = {
+    // bins = 0 divided by zero into an Infinity width and a single
+    // bucket=-1 garbage row; negative bins produced NaN bounds
+    require(bins > 0, s"bins must be positive, got $bins")
     // NaN is dropped like the reference's dropna(): Spark's max() would
     // return NaN (NaN sorts above every double) and poison width + every
     // bucket expression, collapsing the whole histogram

@@ -35,6 +35,9 @@ object Scheduler {
   def runEvery(minutes: Long, times: Option[Int] = None,
                sleep: Duration => Unit = d => Thread.sleep(d.toMillis))
               (job: () => Unit): Unit = {
+    // minutes = 0 hot-looped the job back-to-back forever; negative
+    // threw from Thread.sleep AFTER the first run
+    require(minutes > 0, s"interval must be positive minutes, got $minutes")
     var i = 0
     while (times.forall(i < _)) {
       job()

@@ -74,7 +74,13 @@ object SchemaMatch {
   def findSimilarColumn(target: String, columns: Seq[String],
                         cutoff: Double = 0.7): Option[String] = {
     val t = target.toLowerCase
-    val scored = columns.map(c => c.toLowerCase -> ratio(t, c.toLowerCase))
+    // argument order matters: get_close_matches sets seq2 = word and
+    // seq1 = each possibility, i.e. ratio(CANDIDATE, TARGET) — the
+    // matching-blocks ratio is order-asymmetric (b-side position
+    // tracking), and the swapped order diverged from difflib on ~3% of
+    // random short names (code-review r13, empirically verified against
+    // CPython difflib)
+    val scored = columns.map(c => c.toLowerCase -> ratio(c.toLowerCase, t))
       .filter(_._2 >= cutoff)
     if (scored.isEmpty) None
     else {

@@ -123,8 +123,12 @@ object Sql {
       Try(infer(prompt(question, schema))) match {
         case Success(out) if extractSelect(out).isDefined => out
         case _ =>
+          // the no-SQL sentinel must NOT embed the raw question: a
+          // question containing the word "select" would make the
+          // sentinel itself match extractSelect and execute as garbage
+          // SQL instead of surfacing as None (code-review r13)
           fallback.map(_.generate(question, schema))
-            .getOrElse(s"-- model produced no SQL for: $question")
+            .getOrElse("-- model produced no SQL")
       }
   }
 

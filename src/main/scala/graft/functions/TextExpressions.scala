@@ -42,7 +42,7 @@ object TextOps {
   }
 
   /** splitmix64 finalize with seed folded in. */
-  private def mixSeed(h: Long, seed: Long): Long = {
+  private[functions] def mixSeed(h: Long, seed: Long): Long = {
     var z = h + seed * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -61,6 +61,24 @@ object TextOps {
   def normTokens(s: UTF8String): Array[String] =
     s.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
 
+  /** The ONE n-gram construction all three signature kernels share
+    * (space-joined words g..g+n-1 into the reused builder, partial gram
+    * at the tail): minhash signatures, simhash fingerprints, and
+    * bloom/decontam shingles must never disagree on what a gram IS —
+    * the build and probe sides of every index depend on it
+    * (code-review r13: this loop was hand-copied three times).
+    */
+  private def gramInto(sb: java.lang.StringBuilder, words: Array[String],
+                       g: Int, n: Int): Unit = {
+    sb.setLength(0)
+    var j = 0
+    while (j < n && g + j < words.length) {
+      if (j > 0) sb.append(' ')
+      sb.append(words(g + j))
+      j += 1
+    }
+  }
+
   /** k-component minhash signature over word n-gram shingles of the
     * normalized text. Each gram is joined into one reused
     * StringBuilder; its UTF-8 bytes are hashed ONCE through the
@@ -76,13 +94,7 @@ object TextOps {
     val sb = new java.lang.StringBuilder
     var g = 0
     while (g < nGrams) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n && g + j < words.length) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(g + j))
-        j += 1
-      }
+      gramInto(sb, words, g, n)
       val bytes = sb.toString.getBytes("UTF-8")
       // FNV core is seed-independent: hash the gram bytes ONCE, then k
       // cheap splitmix finalizations — not k full byte passes
@@ -113,13 +125,7 @@ object TextOps {
     val sb = new java.lang.StringBuilder
     var g = 0
     while (g < nGrams) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n && g + j < words.length) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(g + j))
-        j += 1
-      }
+      gramInto(sb, words, g, n)
       val bytes = sb.toString.getBytes("UTF-8")
       val h = hashSeeded(bytes, 0, bytes.length, 0L)
       var b = 0
@@ -143,13 +149,7 @@ object TextOps {
     val sb = new java.lang.StringBuilder
     var g = 0
     while (g < nGrams) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n && g + j < words.length) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(g + j))
-        j += 1
-      }
+      gramInto(sb, words, g, n)
       seen.add(UTF8String.fromString(sb.toString)): Unit
       g += 1
     }
@@ -267,8 +267,11 @@ object TextOps {
   * shingles of the normalized text.
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression {
-  // input: string
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  // declared, not convention: on the SQL surface a non-string argument
+  // previously passed analysis and threw a ClassCastException in an
+  // executor (code-review r13) — the analyzer now coerces or rejects
+  override def kernelInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     TextOps.minhash(v.asInstanceOf[UTF8String], n, k)
@@ -279,8 +282,9 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
 }
 
 /** shingles(text) → array<string> of distinct word n-gram shingles. */
-case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
-  // input: string
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  override def kernelInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     TextOps.shingles(v.asInstanceOf[UTF8String], n)
@@ -291,8 +295,9 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** simhash64(text) → long fingerprint. */
-case class SimHash64(child: Expression) extends UnaryExpression {
-  // input: string
+case class SimHash64(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  override def kernelInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     TextOps.simhash(v.asInstanceOf[UTF8String])
@@ -307,8 +312,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * reference object, so the kernel stays inside whole-stage codegen.
   */
 case class ProfileHits(child: Expression, profiles: Seq[Seq[String]])
-    extends UnaryExpression {
-  // input: string
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  override def kernelInputTypes: Seq[DataType] = Seq(StringType)
   @transient private lazy val sets: Array[java.util.HashSet[String]] =
     profiles.map { p =>
       val s = new java.util.HashSet[String](p.size * 2)
@@ -329,8 +334,10 @@ case class ProfileHits(child: Expression, profiles: Seq[Seq[String]])
 
 /** minhash_est(sigA, sigB) → double: estimated Jaccard. */
 case class MinHashEst(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  // inputs: array<long>, array<long>
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextOps.minhashEstimate(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -347,8 +354,8 @@ case class MinHashEst(left: Expression, right: Expression)
   * into generated code as a reference object.
   */
 case class TextStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression {
-  // input: string
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  override def kernelInputTypes: Seq[DataType] = Seq(StringType)
   @transient private lazy val set: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](stopwords.size * 2)
     stopwords.foreach(s.add)

@@ -37,13 +37,13 @@ object VecOps {
     s
   }
 
-  /** splitmix64 — deterministic pseudo-random hyperplane components. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  /** splitmix64 — deterministic pseudo-random hyperplane components.
+    * Delegates to the ONE copy of the finalizer constants
+    * (TextOps.mixSeed; mix64(x) ≡ mixSeed(x, 1) — the seed multiplies
+    * the golden-ratio increment): hand-copied magic constants are the
+    * drift class the kernelBuilders comment documents.
+    */
+  private def mix64(z0: Long): Long = TextOps.mixSeed(z0, 1L)
 
   /** Hyperplane component for (dim, plane, table) in [-1, 1). */
   def planeComponent(dim: Int, plane: Int, table: Int): Double =
@@ -427,8 +427,14 @@ object VecOps {
 
 /** cosine(array<float>, array<float>) → double, codegen'd. */
 case class FloatVecCosine(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // inputs: array<float>, array<float> (enforced by the vectors.* wrappers)
+    extends BinaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  // declared input types, not wrapper-enforced convention: the SQL
+  // surface has no float-array literal (array(0.1,0.2) is
+  // array<double>), and without coercion the kernel would reinterpret
+  // 8-byte doubles as 4-byte floats — silent garbage cosines
+  // (code-review r13); the analyzer now inserts the element cast
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -441,8 +447,9 @@ case class FloatVecCosine(left: Expression, right: Expression)
 
 /** dot(array<float>, array<float>) → double, codegen'd. */
 case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // inputs: array<float>, array<float> (enforced by the vectors.* wrappers)
+    extends BinaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -457,7 +464,8 @@ case class FloatVecDot(left: Expression, right: Expression)
   * hyperplane bucket ids (deterministic; see VecOps.planeComponent).
   */
 case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  override def kernelInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   // plane bits live below bit 32 and the table id above: a 33rd plane
   // would silently flip apparent table ids and merge candidate sets
   // across tables. nPlanes = 0 is the legitimate exhaustive degenerate

@@ -10,6 +10,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * in an org.apache.spark.sql subpackage purely to satisfy that access
   * qualifier — it adds no behavior.
   */
+/** Input-type declaration for graft kernels: `AbstractDataType` (the
+  * element type of `ImplicitCastInputTypes.inputTypes`) is private[sql],
+  * so expressions living in graft.functions cannot write the override
+  * themselves — this sql-subpackage trait adapts a public `DataType`
+  * list into it. With it, the analyzer COERCES SQL-surface arguments
+  * (array(0.1,0.2) is array<double>; without coercion the float kernels
+  * reinterpreted 8-byte doubles as 4-byte floats — silent garbage) or
+  * rejects them with a clean AnalysisException instead of an executor
+  * ClassCastException.
+  */
+trait KernelInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  def kernelInputTypes: Seq[org.apache.spark.sql.types.DataType]
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    kernelInputTypes
+}
+
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

@@ -80,6 +80,13 @@ class AggregationsSpec extends SparkSpecBase {
     assert(out.last.getAs[Long]("cnt") == 11) // 90..100 incl. max
   }
 
+  test("A5 histogram: non-positive bins refused (0 divided into an Infinity-width garbage frame)") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0).toDF("x")
+    assertThrows[IllegalArgumentException](Aggregations.histogram(df, "x", 0))
+    assertThrows[IllegalArgumentException](Aggregations.histogram(df, "x", -3))
+  }
+
   test("A5 histogram: constant column → single bucket 0; all-null → empty") {
     import spark.implicits._
     val const = Seq(5.0, 5.0, 5.0).toDF("x")

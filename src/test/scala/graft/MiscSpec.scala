@@ -138,11 +138,17 @@ class MiscSpec extends SparkSpecBase {
         |  vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
         |  size(shingles('a b c d e')) AS n_sh,
-        |  text_stats('one two three')[1] AS n_toks""".stripMargin).collect()(0)
+        |  text_stats('one two three')[1] AS n_toks,
+        |  vec_cosine(array(3.0, 4.0), array(3.0, 4.0)) AS cos_dbl""".stripMargin)
+      .collect()(0)
     assert(r.getLong(0) != 0L)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
     assert(r.getInt(2) == 3)
     assert(r.getLong(3) == 3L)
+    // DOUBLE-array literals (SQL has no float-array literal) coerce to
+    // the kernel's float inputs instead of reinterpreting 8-byte
+    // doubles as 4-byte floats (code-review r13: this read garbage)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, r.getDouble(4).toString)
     // the shared base session is untouched by the injection
     assertThrows[Exception](spark.sql("SELECT simhash64_nonexistent('x')").collect())
   }
@@ -177,5 +183,11 @@ class MiscSpec extends SparkSpecBase {
     var runs = 0; var sleeps = 0
     Scheduler.runEvery(5, Some(3), _ => sleeps += 1)(() => runs += 1)
     assert(runs == 3 && sleeps == 2)
+    // zero hot-looped forever, negative threw mid-loop after the first
+    // run — both refuse up front now
+    assertThrows[IllegalArgumentException](
+      Scheduler.runEvery(0, Some(1))(() => ()))
+    assertThrows[IllegalArgumentException](
+      Scheduler.runEvery(-5, Some(1))(() => ()))
   }
 }

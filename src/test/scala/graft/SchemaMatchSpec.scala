@@ -46,6 +46,13 @@ class SchemaMatchSpec extends AnyFunSuite {
     // winner maps back to the first ORIGINAL spelling
     assert(SchemaMatch.findSimilarColumn(
       "ab", Seq("ABD", "abd"), 0.6) == Some("ABD"))
+    // ARGUMENT ORDER parity (code-review r13): the matching-blocks
+    // ratio is asymmetric and get_close_matches computes
+    // ratio(candidate, target); ratio("dcd","cbd") = 1/3 but
+    // ratio("cbd","dcd") = 2/3, so the swapped order used to return
+    // Some("dcd") here where CPython difflib returns no match
+    assert(SchemaMatch.findSimilarColumn("cbd", Seq("d", "dcd"), 0.6).isEmpty)
+    assert(SchemaMatch.findSimilarColumn("bd", Seq("dbcd"), 0.5).isEmpty)
   }
 
   test("isDateColumn: contains 'date' or fuzzy-matches synonyms") {

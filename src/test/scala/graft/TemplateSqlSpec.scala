@@ -61,6 +61,11 @@ class TemplateSqlSpec extends SparkSpecBase {
     // no fallback → errors-as-data surface (extractSelect None)
     val bare = new Sql.ModelSqlGenerator(_ => "nope")
     assert(Sql.extractSelect(bare.generate("q", "")).isEmpty)
+    // the no-SQL sentinel must survive a question CONTAINING "select":
+    // embedding the raw question used to make the sentinel itself match
+    // extractSelect and run as garbage SQL (code-review r13)
+    assert(Sql.extractSelect(
+      bare.generate("select the best suppliers for me", "")).isEmpty)
   }
 
   test("end-to-end against live tables: question → SQL → result frame") {
