@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Id types the CC/collapse layer accepts: anything else (strings,
+    * decimals) would survive a lossy cast as null and silently empty
+    * the output. (IntegralType itself is private[sql].)
+    */
+  private val integralIdTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a key expression: keep the row with the minimum id per
@@ -297,7 +307,11 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       maxBucket: Int = 1000): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive")
-    val base = tokenized(docs, idCol, textCol)
+    // materialize the TOKENIZE once too (code-review r13): base feeds
+    // the fingerprint build, exciseFlagged's token stream, AND the
+    // final length join — unpersisted, the corpus-wide regex tokenize
+    // ran three times per call
+    val base = materializeOnce(tokenized(docs, idCol, textCol))
     // materialize the fingerprints once: the stats aggregate and the
     // flag join would otherwise re-run the tokenize + window pass twice
     // (see the repeated-subtree note below — checkpointing beats both
@@ -574,7 +588,8 @@ object Dedup {
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive")
-    val base = tokenized(corpus, idCol, textCol)
+    // same three-way reuse as substringRemove: one tokenize, not three
+    val base = materializeOnce(tokenized(corpus, idCol, textCol))
     val wins = windowFingerprints(base, windowTokens)
     val benchWhs = windowFingerprints(
       tokenized(benchmark, idCol, textCol), windowTokens)
@@ -616,6 +631,13 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
                    threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    // bands must evenly partition the signature: bands > k makes
+    // rowsPer = 0 and EVERY band hash degenerate (all docs one bucket →
+    // capBuckets drops it → zero pairs, a silent false-clean at the
+    // dedup safety layer); a non-divisor silently ignores the trailing
+    // signature components (code-review r13)
+    require(bands >= 1 && k % bands == 0,
+      s"bands must divide the signature length: k=$k, bands=$bands")
     val rowsPer = k / bands
     // kernel expression (graft.functions.MinHashSig): one JVM loop per row
     val sig = df.select(col(idCol).as("id"),
@@ -746,6 +768,8 @@ object Dedup {
   private[northstar] def bandRows(df: DataFrame, textCol: String,
                                   idCol: String, k: Int,
                                   bands: Int): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands must divide the signature length: k=$k, bands=$bands")
     val rowsPer = k / bands
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
@@ -873,6 +897,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
+    // ids must be integral: a lossy string→long cast would null EVERY
+    // id, the label join would match nothing, and collapseByPairs would
+    // silently delete the whole corpus (code-review r13). URL/UUID-keyed
+    // corpora hash ids to long first (the semanticDedupBestFromLabels
+    // pattern: xxhash64 + a collision audit) rather than casting.
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(integralIdTypes(dt),
+        s"connectedComponents needs integral ids, got $c: ${dt.simpleString}" +
+          " — hash non-numeric ids to long (e.g. xxhash64) before CC")
+    }
     // Lineage truncation per round, so the plan doesn't grow with the
     // iteration count. localCheckpoint pins blocks to executor storage —
     // fast, but an executor loss kills the job mid-iteration. With a
@@ -985,9 +1020,19 @@ object Dedup {
   def collapseByPairs(docs: DataFrame, pairs: DataFrame,
                       idCol: String = "doc_id",
                       checkpointDir: Option[String] = None): DataFrame = {
+    // docs' id must be integral for the same silent-null reason the CC
+    // guard documents (a string id would coalesce every unpaired row's
+    // cluster to null and null === null keeps nothing)
+    require(integralIdTypes(docs.schema(idCol).dataType),
+      s"collapseByPairs needs an integral $idCol, got " +
+        docs.schema(idCol).dataType.simpleString)
+    // rename the CC label id before joining: with idCol == "id" a
+    // by-name drop("id") would remove BOTH columns and the docs(idCol)
+    // reference below would fail to resolve (code-review r13)
     val cc = connectedComponents(pairs, checkpointDir = checkpointDir)
-    docs.join(cc, docs(idCol) === cc("id"), "left")
-      .drop("id")
+      .withColumnRenamed("id", "__cc_id")
+    docs.join(cc, docs(idCol) === col("__cc_id"), "left")
+      .drop("__cc_id")
       .withColumn("cluster_id",
         coalesce(col("cluster_id"), docs(idCol).cast("long")))
       .withColumn("is_keeper", docs(idCol).cast("long") === col("cluster_id"))

@@ -198,10 +198,20 @@ object Ivf {
     */
   def probeCells(vec: Column, centroids: Array[Array[Float]],
                  nProbe: Int): Column = {
+    // tie-break HIGHER cell first, agreeing with cellOf's greatest()
+    // struct compare: with duplicate centroids (lloyd's degenerate
+    // padding when the training sample is smaller than nCells) the
+    // corpus assigns ties to the HIGHEST duplicate cell, so a probe
+    // order that kept the lowest first would spend its nProbe budget on
+    // cells the corpus never occupies — empty ANN results with no error
+    // (code-review r13)
     val sorted = array_sort(
       array(centroidSims(vec, centroids): _*),
       (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
-        .when(l.getField("sim") < r.getField("sim"), 1).otherwise(0))
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .when(l.getField("cell") > r.getField("cell"), -1)
+        .when(l.getField("cell") < r.getField("cell"), 1)
+        .otherwise(0))
     transform(slice(sorted, 1, nProbe), s => s.getField("cell"))
   }
 

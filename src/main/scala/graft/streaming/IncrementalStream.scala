@@ -94,10 +94,16 @@ object IncrementalStream {
     // remove it from the output schema entirely
     require(!incoming.columns.contains("__fp"),
       "streamingMerge reserves the __fp column; rename it on the input")
+    // null text fingerprints to null, and an equi anti-join never
+    // matches null keys — every re-delivered null-text doc would read
+    // as unseen and append another copy. Coalesce to a sentinel so
+    // null-text == null-text reads SEEN, matching corpusDiff's
+    // null-safe (<=>) semantics (code-review r13).
+    def fp(c: org.apache.spark.sql.Column) =
+      coalesce(TextAnalysis.fingerprint(c), lit("__null_text__"))
     incoming
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .join(existing
-        .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct(),
+      .withColumn("__fp", fp(col(textCol)))
+      .join(existing.select(fp(col(textCol)).as("__fp")).distinct(),
         Seq("__fp"), "left_anti")
       .drop("__fp")
   }
@@ -129,26 +135,42 @@ object IncrementalStream {
         state.remove()
         Iterator(SessionOut(user, s.start, s.end, s.n))
       } else {
-        val evs = rows.toSeq
-        val (lo, hi) = (evs.map(_.event_us).min, evs.map(_.event_us).max)
-        val cur = state.getOption match {
-          // a batch starting past the gap closes the previous session —
-          // emit it and start fresh (within one batch we fold, since
-          // flatMapGroupsWithState sees the batch unordered)
-          case Some(s) if lo - s.end > gapMs * 1000 =>
-            val closed = SessionOut(user, s.start, s.end, s.n)
-            state.update(SessionState(lo, hi, evs.size.toLong))
-            state.setTimeoutTimestamp(hi / 1000 + gapMs)
-            return Iterator(closed)
-          case Some(s) =>
-            SessionState(math.min(s.start, lo), math.max(s.end, hi),
-              s.n + evs.size)
-          case None => SessionState(lo, hi, evs.size.toLong)
+        // split the batch into gap-separated SEGMENTS first: a backfill
+        // or AvailableNow batch delivers a user's whole history in one
+        // call, and folding it to a single (lo, hi) would bridge every
+        // in-batch gap into one mega-session (code-review r13 — events
+        // at t=0-10min and t=5h read as a 5-hour session). Sort, split
+        // on gapMs, merge the carried state with the first segment when
+        // contiguous, emit every segment the NEXT one's gap closes, and
+        // keep only the last segment open.
+        val times = rows.map(_.event_us).toArray
+        java.util.Arrays.sort(times)
+        val gapUs = gapMs * 1000
+        val segs = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+        var segStart = times(0); var segEnd = times(0); var n = 1L
+        var i = 1
+        while (i < times.length) {
+          val t = times(i)
+          if (t - segEnd > gapUs) {
+            segs += SessionState(segStart, segEnd, n)
+            segStart = t; segEnd = t; n = 1L
+          } else { segEnd = t; n += 1 }
+          i += 1
         }
-        state.update(cur)
+        segs += SessionState(segStart, segEnd, n)
+        val merged: Seq[SessionState] = state.getOption match {
+          case Some(s) if segs.head.start - s.end <= gapUs =>
+            SessionState(math.min(s.start, segs.head.start),
+              math.max(s.end, segs.head.end),
+              s.n + segs.head.n) +: segs.tail.toSeq
+          case Some(s) => s +: segs.toSeq
+          case None => segs.toSeq
+        }
+        val open = merged.last
+        state.update(open)
         // close when the watermark passes end + gap
-        state.setTimeoutTimestamp(cur.end / 1000 + gapMs)
-        Iterator.empty
+        state.setTimeoutTimestamp(open.end / 1000 + gapMs)
+        merged.init.map(s => SessionOut(user, s.start, s.end, s.n)).iterator
       }
     }
     events

@@ -51,6 +51,21 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("duplicate centroids (degenerate padding): probe order agrees with assignment, results stay brute-exact") {
+    // lloyd pads by repetition when the training sample is smaller than
+    // nCells. cellOf ties to the HIGHEST duplicate cell; probeCells
+    // must agree (code-review r13: its stable sort kept the LOWEST
+    // first, so nProbe=1 probed a cell the corpus never occupies —
+    // empty results, no error)
+    val one = emb.limit(1).select("embedding").collect()(0)
+      .getSeq[Float](0).toArray
+    val dupCents = Array(one, one) // identical centroids, cells 0 and 1
+    val q = emb.filter($"vec_id" < 5)
+    val got = Ivf.ivfTopK(q, emb, dupCents, k = 10, nProbe = 1)
+    val brute = Similarity.bruteForceTopK(q, emb, k = 10)
+    assert(rows(got) == rows(brute))
+  }
+
   test("skewed corpus: mega-cell is re-split into bounded sub-cells, no rows dropped") {
     import org.apache.spark.sql.functions.{col, countDistinct, max => smax, sum => ssum}
     val rnd = new scala.util.Random(7)

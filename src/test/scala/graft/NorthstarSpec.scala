@@ -322,6 +322,32 @@ class DedupSpec extends SparkSpecBase {
     assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false))
       && out(3L) == ((1L, false)))
     assert(out(7L) == ((7L, true))) // in no pair → own cluster
+    // idCol == "id" must not collide with the CC label column
+    // (code-review r13: by-name drop removed BOTH and the op failed)
+    val renamed = corpus.withColumnRenamed("doc_id", "id")
+    val out2 = Dedup.collapseByPairs(renamed, pairs, idCol = "id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_keeper")).toMap
+    assert(out2 == Map(1L -> true, 2L -> false, 3L -> false, 7L -> true))
+    // string ids would cast to null and silently DELETE the corpus —
+    // both the CC and the collapse entrance refuse them loudly
+    val strCorpus = corpus.select(concat(lit("d"),
+      col("doc_id").cast("string")).as("doc_id"), col("text"))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.collapseByPairs(strCorpus,
+        pairs.selectExpr("CAST(doc_a AS STRING) doc_a",
+          "CAST(doc_b AS STRING) doc_b"))
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    // bands must divide the signature (bands > k made every band hash
+    // degenerate — a silent zero-pairs false-clean)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(corpus, k = 16, bands = 32)
+    }
+    assert(e2.getMessage.contains("bands"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(corpus, k = 20, bands = 8)
+    }
+    assert(e3.getMessage.contains("bands"), e3.getMessage)
   }
 
   test("connected components matches union-find on seeded random graphs") {

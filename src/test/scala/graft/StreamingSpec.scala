@@ -153,6 +153,55 @@ class StreamingSpec extends SparkSpecBase {
       (99L, t0 + 1 * day, t0 + 1 * day, 1L)))
   }
 
+  test("sessionize splits IN-BATCH gaps: a backfill batch with a user's whole history yields gap-separated sessions") {
+    // code-review r13: the old update() folded a whole micro-batch into
+    // one (lo, hi) — under AvailableNow backfill, events at t=0-10min
+    // and t=5h merged into a single 5-hour session
+    val src = tmp(); val ckpt = tmp()
+    val t0 = 1704067200L * 1000000L
+    val min = 60L * 1000000L; val hour = 60L * min; val day = 24L * hour
+    // ONE batch: user 1's entire history (two gap-separated bursts)
+    // plus a far-future flush user to advance the watermark next batch
+    Seq((1L, t0), (1L, t0 + 10 * min), (1L, t0 + 5 * hour),
+        (1L, t0 + 5 * hour + 5 * min))
+      .toDF("user_id", "event_us").coalesce(1).write.parquet(s"$src/s.parquet")
+    Seq((99L, t0 + 2 * day))
+      .toDF("user_id", "event_us").coalesce(1).write.mode("append")
+      .parquet(s"$src/s.parquet")
+    val schema = spark.read.parquet(s"$src/s.parquet").schema
+    val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
+      maxFilesPerTrigger = 1)
+    val sessions = IncrementalStream.sessionize(
+      stream.as[IncrementalStream.SessionEvent], "10 minutes",
+      gapMs = 30 * 60 * 1000L)
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_backfill")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_backfill").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    // burst 1 closed IN-BATCH by burst 2's gap; burst 2 closed by the
+    // flush user's watermark advance
+    assert(got == Set(
+      (1L, t0, t0 + 10 * min, 2L),
+      (1L, t0 + 5 * hour, t0 + 5 * hour + 5 * min, 2L)), got.toString)
+  }
+
+  test("streamingMerge: null-text duplicates read as SEEN, matching corpusDiff's null-safe semantics") {
+    import spark.implicits._
+    val existing = Seq((1L, null: String), (2L, "real text"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, null: String), (11L, "brand new"))
+      .toDF("doc_id", "text")
+    // batch evaluation of the same plan (stream parity is covered by
+    // the merge test above): the null-text re-delivery must NOT pass
+    val out = IncrementalStream.streamingMerge(incoming, existing)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L), out.toString)
+  }
+
   test("streamingMerge: stream-static anti-join drops docs already in the corpus") {
     val src = tmp(); val ckpt = tmp()
     val existing = Seq((1L, "the quick brown fox"), (2L, "hello world"))
