@@ -20,12 +20,24 @@ object Verify {
     // driver never sets it, so the contract path dumps everything
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // remove any PREVIOUS dump for this query first: a failing query
+      // must leave NO output, never a stale prior round's parquet that
+      // the DuckDB compare would pass on (code-review r13)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$outDir/$name"))
+      // NonFatal, not Throwable: continuing ~130 more queries after an
+      // OutOfMemoryError runs them on a corrupted JVM
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // same per-query block hygiene as Bench: drop cached relations and
@@ -35,21 +47,20 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Jackson (on Spark's classpath; Configs uses it) instead of a
+    // hand-rolled escaper: a missed escape class would break the
+    // driver's json.load and silently zero the round's correctness
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    val json = mapper.writeValueAsString(
+      new java.util.LinkedHashMap[String, String](
+        SparkEntry.oracleSql.asJava))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+    println(s"[verify] dumped ${SparkEntry.queries.size - failed.size} " +
+      s"queries, ${failed.size} failed")
     spark.stop()
   }
 }

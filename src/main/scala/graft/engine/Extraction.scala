@@ -117,7 +117,15 @@ object Extraction {
         val src = source.read(spark, j.table)
         Right(j.mode match {
           case "Incremental Load" => incrementalLoad(spark, src, target, j.table)
-          case _                  => fullRefresh(src, target, j.table)
+          case "Full Refresh"     => fullRefresh(src, target, j.table)
+          // a catch-all-to-fullRefresh turned a typo'd or re-cased mode
+          // string ("incremental load") into mode=overwrite — silently
+          // replacing an accumulated incremental target with the
+          // source's current window (code-review r13). Unknown modes
+          // fail the TABLE (a Left), like any other per-table error.
+          case other => throw new IllegalArgumentException(
+            s"unknown extraction mode '$other' for ${j.table} " +
+              "(expected 'Full Refresh' or 'Incremental Load')")
         })
       } catch {
         // NonFatal: swallowing an OutOfMemoryError or interrupt into a

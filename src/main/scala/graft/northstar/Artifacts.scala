@@ -135,8 +135,20 @@ object Artifacts {
       // (the old in-place overwrite self-healed; the atomic path must
       // clear the wreck first). A CONCURRENT trainer never exposes this
       // state: its rename lands _SUCCESS atomically or not at all.
-      if (dst.exists() && !new java.io.File(dst, "_SUCCESS").exists())
-        deleteRec(dst)
+      // The wreck is renamed ASIDE atomically and deleted there, not
+      // deleted in place (code-review r13): two processes entering
+      // recovery together could otherwise interleave — A moves the
+      // wreck, retrains, publishes; C's check-then-deleteRec, evaluated
+      // before A's publish landed, would then destroy A's fresh
+      // artifact. With rename-aside exactly ONE process wins the wreck
+      // (rename is atomic); the loser's rename fails and it falls
+      // through to the normal marker re-check.
+      if (dst.exists() && !new java.io.File(dst, "_SUCCESS").exists()) {
+        val wreck = new java.io.File(path + ".wreck-" +
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+          "-" + System.nanoTime())
+        if (dst.renameTo(wreck)) deleteRec(wreck)
+      }
       if (!new java.io.File(dst, "_SUCCESS").exists()) {
         val tmp = new java.io.File(path + ".tmp-" +
           java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
@@ -810,23 +822,27 @@ object Artifacts {
     appendCellIndex(incoming, path, centroids, idCol, vecCol, maxCell,
       ivfPqParams(centroids, codebooks, vecCol, maxCell), "IVF-PQ index",
       resolveVectors = { stored =>
+        // ONE corpus scan for both the tripwire and the rewrite: the
+        // left join is persisted, the membership audit reads it, and
+        // the rewrite filters it — unpersisted, the dominant cost (the
+        // full corpus scan + keyed shuffle) ran twice per append
+        // (code-review r13).
         val full = corpus.select(col(idCol).as("neighbor_id"),
           col(vecCol).as("cv"))
-        val withV = stored.select("neighbor_id", "cell")
-          .join(full, Seq("neighbor_id"))
+        val joined = Dedup.trackedPersist(
+          stored.select("neighbor_id", "cell")
+            .join(full, Seq("neighbor_id"), "left"))
         // drift tripwire on ID MEMBERSHIP, not row counts: a raw count
         // compare lets simultaneous corpus loss + duplication cancel
         // out (2 stored ids, one missing + one duplicated corpus row
         // also joins to 2 rows) and a duplicate alone reads as a
-        // negative missing count. Count per-id join matches instead:
-        // 0 matches = lost row, >1 = ambiguous duplicate — both are
-        // drift and both fail loudly.
-        val perId = stored.select("neighbor_id")
-          .join(full.select(col("neighbor_id"), lit(1).as("m")),
-            Seq("neighbor_id"), "left")
+        // negative missing count. Per-id non-null-vector counts: 0 =
+        // lost (or null-vector) row, >1 = ambiguous duplicate — both
+        // are drift and both fail loudly.
+        val perId = joined
           .groupBy("neighbor_id")
-          .agg(sum(col("m")).as("n"))
-          .agg(count(when(col("n").isNull, 1)).as("missing"),
+          .agg(count(col("cv")).as("n"))
+          .agg(count(when(col("n") === 0, 1)).as("missing"),
             count(when(col("n") > 1, 1)).as("dups"))
           .collect()(0)
         val (missing, dups) = (perId.getLong(0), perId.getLong(1))
@@ -835,7 +851,7 @@ object Artifacts {
             s"in the cells being re-split ($missing index ids with no " +
             s"corpus vector, $dups with duplicate corpus rows) — " +
             "rebuild the index against the current corpus")
-        withV.select("neighbor_id", "cv", "cell")
+        joined.select("neighbor_id", "cv", "cell")
       })(
       ivfPqProject(centroids, codebooks))
 
@@ -1179,12 +1195,18 @@ object Artifacts {
     * token stream), so unlike the bounded heads it keeps its natural
     * partitioning (bucket by fp on a real cluster).
     */
-  def saveWinnowSketch(index: DataFrame, path: String): Unit = {
+  def saveWinnowSketch(index: DataFrame, path: String,
+                       k: Int = 5, window: Int = 4): Unit = {
     require(index.columns.contains("__k")
         && index.columns.contains("__window"),
       "winnow sketch artifact must carry pinned __k/__window columns " +
         "(build it with Dedup.winnowIndex)")
     index.write.mode("overwrite").parquet(path)
+    // unconditional _params sidecar: the row-borne __k/__window pins
+    // validate NOTHING on an empty sketch (head(1) empty → check
+    // skipped), so a k/window-mismatched probe of an empty artifact
+    // silently reported zero overlap (code-review r13)
+    writeParams(path, Map("k" -> k.toString, "window" -> window.toString))
   }
 
   /** Load a stored winnow sketch for probing. The driver-side check
@@ -1194,6 +1216,11 @@ object Artifacts {
     */
   def loadWinnowSketch(spark: SparkSession, path: String,
                        k: Int, window: Int): DataFrame = {
+    // sidecar check first (validates even an EMPTY sketch; skipped only
+    // for pre-r13 artifacts that predate the sidecar), then the
+    // row-borne head probe for those older artifacts
+    checkParams(path, Map("k" -> k.toString, "window" -> window.toString),
+      "winnow sketch")
     val df = spark.read.parquet(path)
     df.select("__k", "__window").head(1).foreach { r =>
       val (sk, sw) = (r.getAs[Int]("__k"), r.getAs[Int]("__window"))
@@ -1212,10 +1239,15 @@ object Artifacts {
                       k: Int = 5, window: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text",
                       maxBucket: Int = 1000): DataFrame = {
-    val path = pathFor("winnow", s"$cacheKey-k$k-w$window-b$maxBucket")
+    // column names are part of the key: the same corpus sketched on a
+    // DIFFERENT text column is a different artifact, and serving the
+    // wrong one reports plausible wrong overlap with no error
+    val path = pathFor("winnow",
+      s"$cacheKey-k$k-w$window-b$maxBucket-$idCol-$textCol")
     ensureTrained(path) { tmp =>
       saveWinnowSketch(
-        Dedup.winnowIndex(corpus, k, window, idCol, textCol, maxBucket), tmp)
+        Dedup.winnowIndex(corpus, k, window, idCol, textCol, maxBucket),
+        tmp, k, window)
     }
     loadWinnowSketch(corpus.sparkSession, path, k, window)
   }
@@ -1283,7 +1315,12 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append) — rebuild it before appending")
     checkParams(path, params, what)
-    marker.delete(): Unit
+    // the delete IS the mutex, like appendCellIndex: a concurrent
+    // appender whose delete returns false aborts here instead of
+    // interleaving parquet appends into the same rows/ staging dirs
+    require(marker.delete(),
+      s"$what at $path: could not remove the commit marker " +
+        "(concurrent append, or permissions)")
     deltaRows.write.mode("append")
       .parquet(new java.io.File(dst, "rows").toString)
     refreshDropped(deltaRows.sparkSession, path, bucketCol, maxBucket)
@@ -1398,9 +1435,13 @@ object Artifacts {
     * set (VERDICT r9 missing-item #2).
     */
   def saveBoilerplateLines(boiler: DataFrame, path: String,
-                           maxDocFreq: Long): Unit =
+                           maxDocFreq: Long): Unit = {
     boiler.withColumn("__max_doc_freq", lit(maxDocFreq))
       .write.mode("overwrite").parquet(path)
+    // unconditional pin — the row-borne check is vacuous on an empty
+    // set (a high-cut training legitimately yields zero rows)
+    writeParams(path, Map("max_doc_freq" -> maxDocFreq.toString))
+  }
 
   /** Load a stored boilerplate set for serving; throws on a maxDocFreq
     * mismatch (a set trained at a different document-frequency cut
@@ -1409,6 +1450,8 @@ object Artifacts {
     */
   def loadBoilerplateLines(spark: SparkSession, path: String,
                            maxDocFreq: Long): DataFrame = {
+    checkParams(path, Map("max_doc_freq" -> maxDocFreq.toString),
+      "boilerplate line set")
     val df = spark.read.parquet(path)
     df.select("__max_doc_freq").head(1).foreach { r =>
       val stored = r.getAs[Long]("__max_doc_freq")
@@ -1425,7 +1468,7 @@ object Artifacts {
   def boilerplateLinesFor(docs: DataFrame, cacheKey: String,
                           maxDocFreq: Long, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val path = pathFor("boiler", s"$cacheKey-f$maxDocFreq")
+    val path = pathFor("boiler", s"$cacheKey-f$maxDocFreq-$idCol-$textCol")
     ensureTrained(path) { tmp =>
       saveBoilerplateLines(
         TextAnalysis.boilerplateLines(docs, maxDocFreq, idCol, textCol),
@@ -1487,7 +1530,8 @@ object Artifacts {
                         textCol: String = "text",
                         langCol: String = "lang"): Curation.FrozenCuration = {
     val cfgKey = cfg.toString
-    val path = pathFor("curation", s"$cacheKey-$cfgKey")
+    val path = pathFor("curation",
+      s"$cacheKey-$cfgKey-$idCol-$textCol-$langCol")
     ensureTrained(path) { tmp =>
       saveFrozenCuration(docs.sparkSession,
         Curation.freeze(docs, cfg, idCol, textCol, langCol), tmp, cfgKey)

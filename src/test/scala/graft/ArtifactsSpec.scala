@@ -211,6 +211,14 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException] {
       Artifacts.loadWinnowSketch(spark, path, k = 7, window = 4)
     }.getMessage.contains("k=5"))
+    // the _params sidecar makes the pin hold even for an EMPTY sketch
+    // (the row-borne head probe is vacuous there — code-review r13)
+    val emptyPath = s"${tempDir("winart")}/empty"
+    Artifacts.saveWinnowSketch(
+      graft.northstar.Dedup.winnowIndex(docs.limit(0)), emptyPath)
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadWinnowSketch(spark, emptyPath, k = 7, window = 4)
+    }.getMessage.contains("generated with"))
     // probing the STORED index equals probing the in-memory one
     val incoming = docs.select((col("doc_id") + 900000).as("doc_id"),
       concat(col("text"), lit(" quoted tail")).as("text"))
@@ -250,7 +258,16 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(a == b && a.nonEmpty)
     assert(intercept[IllegalArgumentException] {
       Artifacts.loadBoilerplateLines(spark, path, maxDocFreq = 5)
-    }.getMessage.contains("maxDocFreq=10"))
+    }.getMessage.contains("10"))
+    // an EMPTY set (legitimately zero rows at a high cut) still pins:
+    // the row-borne check is vacuous there (code-review r13)
+    val emptyPath = s"${tempDir("boilart")}/empty"
+    Artifacts.saveBoilerplateLines(
+      TextAnalysis.boilerplateLines(docs, maxDocFreq = 1000000), emptyPath,
+      maxDocFreq = 1000000)
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.loadBoilerplateLines(spark, emptyPath, maxDocFreq = 2)
+    }.getMessage.contains("generated with"))
   }
 
   test("frozen curation policy round-trips parquet; serving the stored policy equals the in-memory freeze; cfg mismatch fails loudly") {

@@ -103,6 +103,22 @@ class ExtractionPipelineSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$sm/solo.parquet").count() == 1)
   }
 
+  test("unknown extraction mode fails the table instead of silently full-refreshing") {
+    // code-review r13: the old catch-all sent "incremental load"
+    // (wrong case) to fullRefresh — mode=overwrite on an accumulated
+    // incremental target, silent history loss
+    val src = tmp(); val raw = tmp()
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$src/t.parquet")
+    val rs = Extraction.runJob(spark,
+      graft.sources.ParquetStore(src), graft.sources.ParquetStore(raw),
+      Seq(Extraction.TableJob("t", "incremental load")))
+    assert(rs.size == 1)
+    val err = rs.head.swap.toOption.get._2
+    assert(err.getMessage.contains("unknown extraction mode"), err.getMessage)
+    assert(!new java.io.File(s"$raw/t.parquet").exists(),
+      "nothing may be written for an unknown mode")
+  }
+
   test("O1 aborts on extraction failure") {
     val src = tmp(); val raw = tmp()
     val statuses = Pipeline.run(spark,
