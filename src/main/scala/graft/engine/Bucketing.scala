@@ -35,14 +35,28 @@ object Bucketing {
   /** True when the executed plan contains no shuffle exchange — the
     * property bucketing buys. Exposed for tests/monitoring.
     */
-  def isShuffleFree(df: DataFrame): Boolean = {
-    // any shuffle flavor counts — hash, range (orderBy), and
-    // SinglePartition (global agg) — but a BroadcastExchange is not a
-    // shuffle and must not fail the check
-    val p = df.queryExecution.executedPlan.toString
-    !p.contains("Exchange hashpartitioning") &&
-      !p.contains("Exchange rangepartitioning") &&
-      !p.contains("Exchange SinglePartition")
+  def isShuffleFree(df: DataFrame): Boolean =
+    !hasShuffle(df.queryExecution.executedPlan)
+
+  /** Plan-tree walk for any shuffle exchange — hash, range,
+    * SinglePartition, AND RoundRobinPartitioning (`repartition(n)`),
+    * which the old string match missed (advice r13). A
+    * BroadcastExchange is not a shuffle and must not fail the check.
+    * Recurses through the AQE wrapper and query-stage/reused-exchange
+    * leaf nodes, which hide their inner plans from a plain `collect`.
+    */
+  private def hasShuffle(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      true
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      hasShuffle(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      hasShuffle(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      hasShuffle(r.child)
+    case other => other.children.exists(hasShuffle) ||
+      other.subqueries.exists(hasShuffle)
   }
 
   /** Bucket-once / join-many: the content-keyed catalog table for a

@@ -1201,12 +1201,29 @@ object Artifacts {
         && index.columns.contains("__window"),
       "winnow sketch artifact must carry pinned __k/__window columns " +
         "(build it with Dedup.winnowIndex)")
+    // the sidecar values come from the index's OWN pinned rows when it
+    // has any, cross-checked against the args: a caller saving a
+    // k=9/w=7 sketch under the defaulted k=5/w=4 would otherwise stamp
+    // a wrong sidecar, and an EMPTY such sketch then loads silently
+    // under wrong params — the exact hazard the sidecar closes
+    // (advice r13). Only a genuinely empty index falls back to the
+    // args (nothing else to derive from).
+    val (sk, sw) = index.select("__k", "__window").head(1) match {
+      case Array(r) =>
+        val (hk, hw) = (r.getAs[Int]("__k"), r.getAs[Int]("__window"))
+        require(hk == k && hw == window,
+          s"winnow sketch carries pinned k=$hk/window=$hw but " +
+            s"saveWinnowSketch was called with k=$k/window=$window — " +
+            "pass the build parameters explicitly")
+        (hk, hw)
+      case _ => (k, window)
+    }
     index.write.mode("overwrite").parquet(path)
     // unconditional _params sidecar: the row-borne __k/__window pins
     // validate NOTHING on an empty sketch (head(1) empty → check
     // skipped), so a k/window-mismatched probe of an empty artifact
     // silently reported zero overlap (code-review r13)
-    writeParams(path, Map("k" -> k.toString, "window" -> window.toString))
+    writeParams(path, Map("k" -> sk.toString, "window" -> sw.toString))
   }
 
   /** Load a stored winnow sketch for probing. The driver-side check

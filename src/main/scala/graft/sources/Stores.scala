@@ -234,9 +234,25 @@ final case class JdbcStore(
         case -1 => (null: String, table)
         case i  => (table.substring(0, i), table.substring(i + 1))
       }
+      // getTables treats its schema/table args as LIKE patterns where
+      // '_' and '%' are wildcards — unescaped, a dropped `my_table`
+      // matches a sibling `myxtable` and exists() answers true
+      // (advice r13). Escaping via getSearchStringEscape is NOT
+      // portable (derby-10.16 reports "" and treats a backslash as a
+      // literal name character, so an escaped pattern matches
+      // nothing); instead keep the pattern as-is — wildcards only
+      // OVER-match — and require an exact TABLE_NAME/TABLE_SCHEM
+      // equality on the returned rows.
       def has(s: String, n: String): Boolean = {
         val rs = meta.getTables(null, s, n, null)
-        try rs.next() finally rs.close()
+        try {
+          var found = false
+          while (!found && rs.next()) {
+            found = rs.getString("TABLE_NAME") == n &&
+              (s == null || rs.getString("TABLE_SCHEM") == s)
+          }
+          found
+        } finally rs.close()
       }
       def up(s: String) =
         if (s == null) null else s.toUpperCase(java.util.Locale.ROOT)

@@ -158,14 +158,21 @@ object IncrementalStream {
           i += 1
         }
         segs += SessionState(segStart, segEnd, n)
-        val merged: Seq[SessionState] = state.getOption match {
-          case Some(s) if segs.head.start - s.end <= gapUs =>
-            SessionState(math.min(s.start, segs.head.start),
-              math.max(s.end, segs.head.end),
-              s.n + segs.head.n) +: segs.tail.toSeq
-          case Some(s) => s +: segs.toSeq
-          case None => segs.toSeq
-        }
+        // fold the carried state into the segment list IN SORT ORDER
+        // and re-run the gap merge over the union: merging only with
+        // segs.head by end-to-start distance read a late batch lying
+        // wholly BEFORE the carried session (large-negative difference)
+        // as contiguous, bridging an arbitrary gap into one
+        // mega-session (advice r13)
+        val allSegs = (state.getOption.toSeq ++ segs).sortBy(_.start)
+        val merged: Seq[SessionState] =
+          allSegs.tail.foldLeft(List(allSegs.head)) { (acc, s) =>
+            val cur = acc.head
+            if (s.start - cur.end <= gapUs)
+              SessionState(cur.start, math.max(cur.end, s.end),
+                cur.n + s.n) :: acc.tail
+            else s :: acc
+          }.reverse
         val open = merged.last
         state.update(open)
         // close when the watermark passes end + gap

@@ -238,6 +238,18 @@ class ArtifactsSpec extends SparkSpecBase {
       graft.northstar.Dedup
         .winnowPairsAgainstIndex(incoming, loaded, k = 7, window = 4).count()
     }
+    // advice r13: saving a non-default sketch WITHOUT passing the build
+    // params must fail loudly, not stamp a k=5/w=4 sidecar on k=7/w=6
+    // rows (an empty such sketch would then load under wrong params)
+    val k7 = graft.northstar.Dedup.winnowIndex(docs, k = 7, window = 6,
+      maxBucket = 100)
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.saveWinnowSketch(k7, s"${tempDir("winart")}/k7bad")
+    }.getMessage.contains("pass the build parameters explicitly"))
+    val k7Path = s"${tempDir("winart")}/k7good"
+    Artifacts.saveWinnowSketch(k7, k7Path, k = 7, window = 6)
+    assert(Artifacts.loadWinnowSketch(spark, k7Path, k = 7, window = 6)
+      .count() == k7.count())
   }
 
   test("boilerplate line set round-trips parquet; serving the stored set equals in-query training; mismatch fails loudly") {

@@ -94,6 +94,9 @@ class BucketingSpec extends SparkSpecBase {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     assert(!Bucketing.isShuffleFree(df.orderBy("k")))
     assert(!Bucketing.isShuffleFree(df.agg(count(lit(1)))))
+    // advice r13: RoundRobinPartitioning (repartition(n)) is a shuffle
+    // the old string match let through
+    assert(!Bucketing.isShuffleFree(df.repartition(4)))
     assert(Bucketing.isShuffleFree(df.filter(col("k") > 0)))
   }
 

@@ -40,6 +40,17 @@ class JdbcStoreSpec extends SparkSpecBase {
     assert(db.read(spark, "t").count() == 2)
   }
 
+  test("exists() escapes LIKE metacharacters: myxtable must not satisfy a my_table probe") {
+    // advice r13: getTables treats '_' as a single-char wildcard, so an
+    // unescaped probe for a dropped my_table matched a sibling myxtable
+    val db = freshDb()
+    db.write(Seq((1L, "a")).toDF("id", "v"), "myxtable", "overwrite")
+    assert(db.exists(spark, "myxtable"))
+    assert(!db.exists(spark, "my_table"))
+    db.write(Seq((1L, "a")).toDF("id", "v"), "my_table", "overwrite")
+    assert(db.exists(spark, "my_table"))
+  }
+
   test("E2 incremental through JDBC target: watermark, delta-only append") {
     val db = freshDb()
     val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

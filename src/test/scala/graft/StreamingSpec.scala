@@ -189,6 +189,47 @@ class StreamingSpec extends SparkSpecBase {
       (1L, t0 + 5 * hour, t0 + 5 * hour + 5 * min, 2L)), got.toString)
   }
 
+  test("sessionize: a late batch wholly BEFORE the carried session closes separately, never bridging the gap") {
+    // advice r13: the head-only merge condition (segs.head.start -
+    // s.end <= gapUs) was trivially true for a large-NEGATIVE
+    // difference, so a late burst hours before the carried session
+    // bridged into one mega-session
+    val src = tmp(); val ckpt = tmp()
+    val t0 = 1704067200L * 1000000L
+    val hour = 3600L * 1000000L; val day = 24L * hour
+    // batch 1 carries a session at t0+5h; batch 2 delivers a LATE event
+    // at t0 (inside the 6h lateness, 5h before the carried session —
+    // far past the 30min gap); batch 3 flushes the watermark
+    Seq((1L, t0 + 5 * hour))
+      .toDF("user_id", "event_us").coalesce(1).write.parquet(s"$src/s.parquet")
+    Seq((1L, t0))
+      .toDF("user_id", "event_us").coalesce(1).write.mode("append")
+      .parquet(s"$src/s.parquet")
+    Seq((99L, t0 + 2 * day))
+      .toDF("user_id", "event_us").coalesce(1).write.mode("append")
+      .parquet(s"$src/s.parquet")
+    val schema = spark.read.parquet(s"$src/s.parquet").schema
+    val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
+      maxFilesPerTrigger = 1)
+    val sessions = IncrementalStream.sessionize(
+      stream.as[IncrementalStream.SessionEvent], "6 hours",
+      gapMs = 30 * 60 * 1000L)
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_late")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_late").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    // the t0 burst closes as its own 1-event session (emitted in-batch,
+    // its successor being 5h away); the t0+5h session closes by
+    // watermark — NOT one (t0, t0+5h, 2) mega-session
+    assert(got.filter(_._1 == 1L) == Set(
+      (1L, t0, t0, 1L),
+      (1L, t0 + 5 * hour, t0 + 5 * hour, 1L)), got.toString)
+  }
+
   test("streamingMerge: null-text duplicates read as SEEN, matching corpusDiff's null-safe semantics") {
     import spark.implicits._
     val existing = Seq((1L, null: String), (2L, "real text"))
