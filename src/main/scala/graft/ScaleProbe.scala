@@ -665,6 +665,11 @@ object ScaleProbe {
     // Measured 2026-08-14 (r13, local[8]):
     //   recall@10 2k (sf0.1) lsh=0.77 multiprobe=0.96 ivf=0.60 ivfpq=0.25 ivfpq_r100=0.48 ivfpq_r100k64=0.56
     //   recall@10 10k synth  lsh=0.78 multiprobe=1.00 ivf=0.66 ivfpq=0.19 ivfpq_r100=0.34 ivfpq_r100k64=0.56
+    // Measured 2026-08-14 (r14, local[8]) — the AUTO defaults
+    // (autoKsub step + autoRerank budget, no parameters passed):
+    //   ivfpq_auto = 0.56 @ 2k (ksub=64, rerank=90) and 0.65 @ 10k
+    //   (ksub=64, rerank=322) — dominates the fixed base (0.25/0.19)
+    //   at both scales and beats the hand retune at 10k (0.56).
     // Verdicts: LSH/multiprobe hold (multiprobe stays ~20pts above
     // plain LSH at every scale — the Lv 2007 claim the contract pins);
     // IVF holds at 0.60-0.66 (nProbe 3/8 cells). The one genuine
@@ -696,8 +701,22 @@ object ScaleProbe {
       val cb64 = Pq.fitCodebooks(corpus, m = 8, ksub = 64)
       val pqK64 = pct(Pq.ivfPqTopK(q, corpus, cents, cb64, k = 10,
         nProbe = 3, rerank = 100))
+      // the r14 AUTO defaults end-to-end: fitCodebooks with no ksub
+      // (autoKsub step schedule) + ivfPqTopK with no rerank
+      // (autoRerank corpus-tracking budget) — the path a caller who
+      // never read the sizing scaladoc actually runs
+      val cbAuto = Pq.fitCodebooks(corpus, m = 8)
+      val pqAuto = pct(Pq.ivfPqTopK(q, corpus, cents, cbAuto, k = 10,
+        nProbe = 3))
       println(f"[scale] recall@10 $tag%-10s lsh=$lsh%.2f multiprobe=$mp%.2f ivf=$ivf%.2f " +
-        f"ivfpq=$pq%.2f ivfpq_r100=$pq100%.2f ivfpq_r100k64=$pqK64%.2f")
+        f"ivfpq=$pq%.2f ivfpq_r100=$pq100%.2f ivfpq_r100k64=$pqK64%.2f ivfpq_auto=$pqAuto%.2f")
+      // the self-scaling contract (VERDICT r13 task 1): the auto path
+      // must DOMINATE the fixed base settings at every measured scale —
+      // this is the assertion that makes the scale-honesty finding
+      // self-enforcing rather than a doc caveat
+      assert(pqAuto >= pq,
+        f"auto-tuned IVF-PQ recall $pqAuto%.2f fell below the fixed " +
+          f"rerank=30/ksub=16 base $pq%.2f at $tag")
     }
     recallAt("2k (sf0.1)", emb1)
     // duplicate-free 20x corpus: pseudo-noise vectors, a pure function

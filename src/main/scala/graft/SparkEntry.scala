@@ -170,6 +170,44 @@ object SparkEntry {
       rerank = rerank)
   }
 
+  /** The REMOVAL-lifecycle demo behind `ns_knn_ivfpq_remove*` (VERDICT
+    * r13 task 2 — takedown without a rebuild): the serving index is
+    * built on the corpus PLUS a synthetic contamination slice (every
+    * vector duplicated at +500000), the slice is then REMOVED with
+    * [[graft.northstar.Artifacts.removeFromIvfPqIndex]], and queries
+    * serve from the shrunken index — which must behave exactly like an
+    * index that never contained the slice, so the exhaustive variant
+    * hashes against the SAME brute-force oracle as the plain rows.
+    * The duplicated vectors double every cell's census, so at the
+    * non-exhaustive maxCell the removal drives the bits-shrink re-split
+    * path in every contract evaluation. Same per-JVM disposable-path
+    * discipline as [[ivfPqAppendServe]].
+    */
+  private def ivfPqRemoveServe(s: SparkSession, dir: String, nProbe: Int,
+                               rerank: Int, maxCell: Int): DataFrame = {
+    import graft.northstar.{Artifacts, Pq}
+    val emb = t(s, dir, "embeddings")
+    val key = corpusKey(dir, "embeddings")
+    val extra = emb.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"))
+    val centroids = Artifacts.ivfCentroidsFor(emb, cacheKey = key,
+      nCells = 8)
+    val codebooks = Artifacts.pqCodebooksFor(emb, cacheKey = key, m = 8,
+      ksub = 16)
+    val path = Artifacts.pathFor("ivfpqremove",
+      s"$key-m$maxCell-p$nProbe-$jvmTag")
+    Artifacts.saveIvfPqIndex(
+      emb.select("vec_id", "embedding").unionAll(extra), path, centroids,
+      codebooks, "vec_id", "embedding", maxCell)
+    val splits = Artifacts.removeFromIvfPqIndex(extra.select("vec_id"),
+      emb, path, centroids, codebooks, maxCell = maxCell)
+    val (index, _) = Artifacts.loadIvfPqIndex(s, path, centroids,
+      codebooks, maxCell = maxCell)
+    Pq.ivfPqServeTopK(emb.filter(col("vec_id") < 5), index, emb,
+      centroids, splits, codebooks, k = 10, nProbe = nProbe,
+      rerank = rerank)
+  }
+
   /** Deterministic mangled-duplicate corpus shared by `ns_dedup_clusters`
     * (live in-plan CC — the multi-hop min-propagation oracle pin) and
     * `ns_dedup_keep_best` (served from the stored collapse-label
@@ -1365,6 +1403,29 @@ object SparkEntry {
       Dedup.winnowPairsAgainstIndex(incoming,
         Artifacts.loadWinnowIndexAppendable(s, path, maxBucket = 100))
     }),
+    // dedup-side takedown REMOVAL (the ns_knn_ivfpq_remove pattern):
+    // the appendable index is built on the corpus plus a duplicated
+    // slice (+600000, same text — doubling fp buckets pushes shared
+    // ones over the cap), the slice is removed, and the probe must see
+    // exactly the corpus-only index — dropped buckets whose counts fall
+    // back under the cap RESURRECT, so all three lifecycle rows
+    // (incoming/append/remove) hash against the SAME oracle
+    "ns_winnow_remove" -> ((s, dir) => {
+      import graft.northstar.Artifacts
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val extra = corpus.select((col("doc_id") + 600000).as("doc_id"),
+        col("text"))
+      val incoming = corpus.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" quoted with appended commentary")).as("text"))
+      val path = Artifacts.pathFor("winnowremove",
+        s"${corpusKey(dir, "documents")}-$jvmTag")
+      Artifacts.saveWinnowIndexAppendable(corpus.unionAll(extra), path,
+        maxBucket = 100)
+      Artifacts.removeFromWinnowIndex(extra.select("doc_id"), path,
+        maxBucket = 100)
+      Dedup.winnowPairsAgainstIndex(incoming,
+        Artifacts.loadWinnowIndexAppendable(s, path, maxBucket = 100))
+    }),
     // duplicated-span REMOVAL (the remedy half of substring dedup, Lee
     // et al.'s excision): same augmented corpus as ns_substring_overlap;
     // the derived quoting copies lose exactly the spans their lower-id
@@ -1929,6 +1990,22 @@ object SparkEntry {
     "ns_knn_ivfpq_append_exhaustive" -> ((s, dir) =>
       ivfPqAppendServe(s, dir, nProbe = 8, rerank = 1 << 30,
         maxCell = 100000)),
+    // TAKEDOWN removal — the lifecycle piece append left open (VERDICT
+    // r13 task 2): the index is built on the corpus plus a duplicated
+    // contamination slice, the slice is REMOVED (per-cell rewrite, no
+    // rebuild), and queries serve from the shrunken index. maxCell 40
+    // with doubled cells forces the bits-SHRINK re-split path every
+    // evaluation. Rows-only; pinned by the remove==difference-rebuild
+    // hash identity (ArtifactsSpec) and the exhaustive companion below
+    "ns_knn_ivfpq_remove" -> ((s, dir) =>
+      ivfPqRemoveServe(s, dir, nProbe = 3, rerank = 30, maxCell = 40)),
+    // hash-checked companion: after remove, exhaustive probing must
+    // reproduce brute force over the ORIGINAL corpus exactly — a row
+    // the removal left behind, dropped too eagerly, or mis-celled
+    // breaks the rank identity (same SQL as ns_knn_brute)
+    "ns_knn_ivfpq_remove_exhaustive" -> ((s, dir) =>
+      ivfPqRemoveServe(s, dir, nProbe = 8, rerank = 1 << 30,
+        maxCell = 100000)),
     // recall tripwire for the APPROXIMATE IVF-PQ mode (the ns_knn_*_recall
     // contract): n_hits vs brute force pinned by the DuckDB oracle — a
     // codebook-fit, ADC, or rerank regression moves the constant
@@ -1962,6 +2039,26 @@ object SparkEntry {
       Similarity.recallCounts(
         graft.northstar.Pq.ivfPqTopK(q, emb, centroids, codebooks,
           k = 10, nProbe = 3, rerank = 100),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
+    // the SELF-SCALING default path (VERDICT r13 task 1): no rerank, no
+    // ksub — Pq.autoRerank/autoKsub derive both from corpus size, so a
+    // caller who never read the sizing scaladoc gets the corpus-tracking
+    // budget instead of silently degraded recall. At the 500-vector
+    // oracle corpus the formulas resolve to exactly the contract base
+    // (ksub=16, rerank=30), pinning auto==base at base scale; ScaleProbe
+    // asserts the auto path DOMINATES the fixed base at 2k and 10k
+    "ns_knn_ivfpq_auto_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = key, nCells = 8)
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8)
+      Similarity.recallCounts(
+        graft.northstar.Pq.ivfPqTopK(q, emb, centroids, codebooks,
+          k = 10, nProbe = 3),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
     // ingest-side embedding near-match served from the COMPRESSED codes
@@ -3898,6 +3995,9 @@ object SparkEntry {
     // append-then-serve must replay IDENTICALLY to the
     // build-on-everything index — same oracle, verbatim
     "ns_winnow_append" -> winnowIncomingOracle,
+    // build-on-(corpus ∪ slice) + remove-slice must serve the
+    // corpus-only index — same oracle as incoming/append
+    "ns_winnow_remove" -> winnowIncomingOracle,
     "ns_substring_remove" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |aug AS (
@@ -4605,6 +4705,20 @@ object SparkEntry {
         |SELECT count(DISTINCT query_id) AS n_queries,
         |       CAST(26 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
+    // at the 500-row oracle corpus autoRerank/autoKsub resolve to the
+    // contract base (rerank=30, ksub=16), so the auto row pins the SAME
+    // n_hits as ns_knn_ivfpq_recall — the formula anchors exactly at
+    // base scale (its scale behavior is ScaleProbe-asserted at 2k/10k)
+    "ns_knn_ivfpq_auto_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(26 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
     // the ksub=64/rerank=100 retune: 31 > the 26 of the row above — the
     // corpus-growth settings must also dominate at the oracle corpus
     "ns_knn_ivfpq_tuned_recall" ->
@@ -4634,6 +4748,20 @@ object SparkEntry {
     // still reproduce brute force over the whole corpus — any row the
     // append lost, duplicated, or mis-celled breaks the rank identity
     "ns_knn_ivfpq_append_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    // identical to the ns_knn_brute oracle: after build-on-(corpus ∪
+    // duplicated slice) + remove-slice, exhaustive probing must
+    // reproduce brute force over the original corpus — a leftover,
+    // over-deleted, or mis-celled row breaks the rank identity
+    "ns_knn_ivfpq_remove_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
         |             list_cosine_similarity(q.qv, e.embedding) AS sim

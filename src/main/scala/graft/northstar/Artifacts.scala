@@ -528,15 +528,21 @@ object Artifacts {
     * `cacheKey` (the [[ivfCentroidsFor]] contract).
     */
   def pqCodebooksFor(corpus: DataFrame, cacheKey: String, m: Int,
-                     ksub: Int = 16, vecCol: String = "embedding",
+                     ksub: Int = Pq.AutoKsub, vecCol: String = "embedding",
                      seed: Long = 42L): Array[Array[Array[Float]]] = {
-    val path = pathFor("pq", s"$cacheKey-m$m-k$ksub-s$seed-$vecCol")
+    // resolve the auto sentinel BEFORE the cache path: the artifact is
+    // keyed (and its rows pinned) by the CONCRETE ksub, so a corpus
+    // that grows past an autoKsub step trains a new, wider artifact
+    // instead of silently serving the narrow one
+    val ksubR =
+      if (ksub == Pq.AutoKsub) Pq.autoKsub(corpus.count()) else ksub
+    val path = pathFor("pq", s"$cacheKey-m$m-k$ksubR-s$seed-$vecCol")
     ensureTrained(path) { tmp =>
       savePqCodebooks(corpus.sparkSession,
-        Pq.fitCodebooks(corpus, m, ksub, vecCol, seed = seed),
-        tmp, m, ksub, seed)
+        Pq.fitCodebooks(corpus, m, ksubR, vecCol, seed = seed),
+        tmp, m, ksubR, seed)
     }
-    loadPqCodebooks(corpus.sparkSession, path, m, ksub, seed)
+    loadPqCodebooks(corpus.sparkSession, path, m, ksubR, seed)
   }
 
   /** Persist the cell-partitioned IVF SERVING index: the corpus assigned
@@ -706,16 +712,18 @@ object Artifacts {
     * silently.
     */
   def ivfPqIndexFor(corpus: DataFrame, cacheKey: String, nCells: Int,
-                    m: Int, ksub: Int = 16,
+                    m: Int, ksub: Int = Pq.AutoKsub,
                     vecCol: String = "embedding", seed: Long = 42L,
                     maxCell: Int = 100000, idCol: String = "vec_id")
       : (DataFrame, Map[Int, Int], Array[Array[Float]],
          Array[Array[Array[Float]]]) = {
     val spark = corpus.sparkSession
+    val ksubR =
+      if (ksub == Pq.AutoKsub) Pq.autoKsub(corpus.count()) else ksub
     val centroids = ivfCentroidsFor(corpus, cacheKey, nCells, vecCol, seed)
-    val codebooks = pqCodebooksFor(corpus, cacheKey, m, ksub, vecCol, seed)
+    val codebooks = pqCodebooksFor(corpus, cacheKey, m, ksubR, vecCol, seed)
     val path = pathFor("ivfpqindex",
-      s"$cacheKey-c$nCells-m$m-k$ksub-s$seed-$vecCol-m$maxCell-$idCol")
+      s"$cacheKey-c$nCells-m$m-k$ksubR-s$seed-$vecCol-m$maxCell-$idCol")
     ensureTrained(path) { tmp =>
       saveIvfPqIndex(corpus, tmp, centroids, codebooks, idCol, vecCol,
         maxCell)
@@ -935,6 +943,160 @@ object Artifacts {
       deleteRec(tmp)
     }
     // 3. republish the split map and the commit marker
+    if (newSplits != oldSplits) {
+      import spark.implicits._
+      newSplits.toSeq.toDF("cell", "bits")
+        .repartition(1).write.mode("overwrite")
+        .parquet(new java.io.File(dst, "splits").toString)
+    }
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+    newSplits
+  }
+
+  /** TAKEDOWN / RETENTION removal from a stored cell-partitioned IVF
+    * index — the lifecycle piece [[appendIvfIndex]] left open (VERDICT
+    * r13 task 2): without it, deleting one document forces a full index
+    * rebuild. Removal rewrites ONLY the affected cells:
+    *
+    *   - the post-removal census is the stored per-cell counts minus
+    *     the removal join's per-cell counts (both bounded collects);
+    *   - the new split map is [[Ivf.splitBitsFromCounts]] over those
+    *     counts — the same pure function a rebuild on the difference
+    *     corpus applies, so remove-then-serve is HASH-IDENTICAL to a
+    *     from-scratch rebuild on the difference (ArtifactsSpec pins
+    *     it), including cells whose split bits SHRINK back;
+    *   - cells that only lose rows (bits unchanged) rewrite from their
+    *     stored rows directly — no vector resolution, no corpus scan;
+    *     a fully-emptied cell's partition directory is deleted, exactly
+    *     the layout a rebuild would produce.
+    *
+    * Ids absent from the index are a no-op (takedown requests are
+    * replayable). Crash safety is the [[appendCellIndex]] discipline:
+    * the `_SUCCESS` marker drops before the first mutation, so a torn
+    * remove refuses to load/append/remove until rebuilt. Returns the
+    * new split map.
+    */
+  def removeFromIvfIndex(removedIds: DataFrame, path: String,
+                         centroids: Array[Array[Float]],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         maxCell: Int = 100000): Map[Int, Int] =
+    removeFromCellIndex(removedIds, path, idCol, maxCell,
+      ivfParams(centroids, vecCol, maxCell), "IVF index",
+      resolveVectors = stored => stored.select("neighbor_id", "cv", "cell"))(
+      ivfProject(centroids))
+
+  /** [[removeFromIvfIndex]] for the codes-only IVF-PQ layout. `corpus`
+    * supplies raw vectors when a cell's split bits shrink and its
+    * SURVIVING rows need their subcells re-derived (the
+    * [[appendIvfPqIndex]] resolveVectors, drift tripwire included);
+    * removals that change no cell's bits never touch it. The corpus may
+    * be the pre- or post-delete table — only the surviving ids must
+    * resolve.
+    */
+  def removeFromIvfPqIndex(removedIds: DataFrame, corpus: DataFrame,
+                           path: String,
+                           centroids: Array[Array[Float]],
+                           codebooks: Array[Array[Array[Float]]],
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxCell: Int = 100000): Map[Int, Int] =
+    removeFromCellIndex(removedIds, path, idCol, maxCell,
+      ivfPqParams(centroids, codebooks, vecCol, maxCell), "IVF-PQ index",
+      resolveVectors = { stored =>
+        val full = corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("cv"))
+        val joined = Dedup.trackedPersist(
+          stored.select("neighbor_id", "cell")
+            .join(full, Seq("neighbor_id"), "left"))
+        val perId = joined
+          .groupBy("neighbor_id")
+          .agg(count(col("cv")).as("n"))
+          .agg(count(when(col("n") === 0, 1)).as("missing"),
+            count(when(col("n") > 1, 1)).as("dups"))
+          .collect()(0)
+        val (missing, dups) = (perId.getLong(0), perId.getLong(1))
+        require(missing == 0 && dups == 0,
+          s"IVF-PQ removal at $path: corpus has drifted from the index " +
+            s"in the cells being re-split ($missing index ids with no " +
+            s"corpus vector, $dups with duplicate corpus rows) — " +
+            "rebuild the index against the current corpus")
+        joined.select("neighbor_id", "cv", "cell")
+      })(
+      ivfPqProject(centroids, codebooks))
+
+  /** Shared removal sequence behind [[removeFromIvfIndex]] and
+    * [[removeFromIvfPqIndex]] (the [[appendCellIndex]] discipline).
+    */
+  private def removeFromCellIndex(
+      removedIds: DataFrame, path: String,
+      idCol: String, maxCell: Int,
+      params: Map[String, String], what: String,
+      resolveVectors: DataFrame => DataFrame)(
+      project: (DataFrame, Map[Int, Int]) => DataFrame): Map[Int, Int] = {
+    val spark = removedIds.sparkSession
+    val dst = new java.io.File(path)
+    val marker = new java.io.File(dst, "_SUCCESS")
+    require(marker.exists(),
+      s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
+        "torn by a crashed append/remove) — rebuild it before removing")
+    checkParams(path, params, what)
+    val indexDir = new java.io.File(dst, "index").toString
+    val oldSplits = spark.read
+      .parquet(new java.io.File(dst, "splits").toString)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val rm = Dedup.trackedPersist(
+      removedIds.select(col(idCol).as("neighbor_id")).distinct())
+    val index = spark.read.parquet(indexDir)
+    // removal census: which cells lose how many rows (<= nCells rows)
+    val removedCounts = index.join(rm, Seq("neighbor_id"))
+      .groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (removedCounts.isEmpty) return oldSplits // replayed takedown
+    val storedCounts = index.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val newCounts = storedCounts.map { case (c, n) =>
+      c -> (n - removedCounts.getOrElse(c, 0L)) }.filter(_._2 > 0L)
+    val newSplits = Ivf.splitBitsFromCounts(newCounts, maxCell)
+    // bits only move on cells that lost rows (the policy is per-cell),
+    // but derive the changed set generally like the append path does
+    val changedBits = (oldSplits.keySet ++ newSplits.keySet)
+      .filter(c => newSplits.getOrElse(c, 0) != oldSplits.getOrElse(c, 0))
+    val plain = (removedCounts.keySet -- changedBits).toSeq.sorted
+    val rebit = changedBits.toSeq.sorted
+    // ---- mutation starts: the marker delete is the mutex + torn flag
+    require(marker.delete(),
+      s"$what at $path: could not remove the commit marker " +
+        "(concurrent mutation, or permissions)")
+    val tmp = new java.io.File(dst, "index.rewrite.tmp-" +
+      System.nanoTime())
+    if (plain.nonEmpty) {
+      // stored shape passes through untouched — codes/subcells of the
+      // surviving rows are still valid under unchanged bits
+      val plainCol = plain.map(Int.box)
+      index.filter(col("cell").isin(plainCol: _*))
+        .join(rm, Seq("neighbor_id"), "left_anti")
+        .write.mode("append").partitionBy("cell").parquet(tmp.toString)
+    }
+    if (rebit.nonEmpty) {
+      val rebitCol = rebit.map(Int.box)
+      val remaining = resolveVectors(
+        index.filter(col("cell").isin(rebitCol: _*))
+          .join(rm, Seq("neighbor_id"), "left_anti"))
+      project(remaining, newSplits)
+        .write.mode("append").partitionBy("cell").parquet(tmp.toString)
+    }
+    for (c <- plain ++ rebit) {
+      val cellDst = new java.io.File(indexDir, s"cell=$c")
+      val cellSrc = new java.io.File(tmp, s"cell=$c")
+      deleteRec(cellDst)
+      // a fully-emptied cell writes nothing — its directory stays
+      // deleted, the layout a rebuild on the difference would produce
+      if (cellSrc.exists())
+        require(cellSrc.renameTo(cellDst),
+          s"$what at $path: could not swap rewritten cell $c in")
+    }
+    deleteRec(tmp)
     if (newSplits != oldSplits) {
       import spark.implicits._
       newSplits.toSeq.toDF("cell", "bits")
@@ -1344,6 +1506,46 @@ object Artifacts {
     java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
   }
 
+  /** TAKEDOWN removal from an appendable capped index — the dedup-side
+    * analogue of [[removeFromIvfIndex]] (VERDICT r13 task 2): surviving
+    * rows are rewritten and the over-cap bucket list re-derived from
+    * them, so remove-then-load is row-identical to building the capped
+    * index on the difference corpus (ArtifactsSpec pins it) — including
+    * a bucket that was over cap ONLY because of the removed documents,
+    * which correctly resurrects. Ids absent from the index are a no-op.
+    * The rows rewrite is sketch-sized (what a rebuild would write
+    * anyway, minus the sketch compute); crash safety is the
+    * [[appendCappedIndex]] marker discipline.
+    */
+  private def removeFromCappedIndex(removedIds: DataFrame, path: String,
+                                    rowIdCol: String, idCol: String,
+                                    bucketCol: String, maxBucket: Int,
+                                    params: Map[String, String],
+                                    what: String): Unit = {
+    val spark = removedIds.sparkSession
+    val dst = new java.io.File(path)
+    val marker = new java.io.File(dst, "_SUCCESS")
+    require(marker.exists(),
+      s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
+        "torn by a crashed append/remove) — rebuild it before removing")
+    checkParams(path, params, what)
+    val rowsDir = new java.io.File(dst, "rows")
+    val rm = removedIds.select(col(idCol).as(rowIdCol)).distinct()
+    val kept = spark.read.parquet(rowsDir.toString)
+      .join(rm, Seq(rowIdCol), "left_anti")
+    require(marker.delete(),
+      s"$what at $path: could not remove the commit marker " +
+        "(concurrent mutation, or permissions)")
+    val tmp = new java.io.File(dst, "rows.rewrite.tmp-" +
+      System.nanoTime())
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    deleteRec(rowsDir)
+    require(tmp.renameTo(rowsDir),
+      s"$what at $path: could not swap the rewritten rows in")
+    refreshDropped(spark, path, bucketCol, maxBucket)
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+  }
+
   private def readCappedIndex(spark: SparkSession, path: String,
                               bucketCol: String,
                               params: Map[String, String],
@@ -1402,6 +1604,18 @@ object Artifacts {
     readCappedIndex(spark, path, "fp",
       winnowAppendParams(k, window, maxBucket), "appendable winnow index")
 
+  /** Remove documents from a stored appendable winnow index (takedown/
+    * retention): remove-then-load equals a rebuild on the difference
+    * corpus.
+    */
+  def removeFromWinnowIndex(removedIds: DataFrame, path: String,
+                            k: Int = 5, window: Int = 4,
+                            idCol: String = "doc_id",
+                            maxBucket: Int = 1000): Unit =
+    removeFromCappedIndex(removedIds, path, "doc", idCol, "fp",
+      maxBucket, winnowAppendParams(k, window, maxBucket),
+      "appendable winnow index")
+
   private def bandAppendParams(k: Int, bands: Int,
                                maxBucket: Int): Map[String, String] =
     Map("kind" -> "band", "k" -> k.toString,
@@ -1441,6 +1655,17 @@ object Artifacts {
                               maxBucket: Int = 1000): DataFrame =
     readCappedIndex(spark, path, "band_hash",
       bandAppendParams(k, bands, maxBucket), "appendable band index")
+
+  /** Remove documents from a stored appendable band index (the
+    * [[removeFromWinnowIndex]] contract).
+    */
+  def removeFromBandIndex(removedIds: DataFrame, path: String,
+                          k: Int = 16, bands: Int = 8,
+                          idCol: String = "doc_id",
+                          maxBucket: Int = 1000): Unit =
+    removeFromCappedIndex(removedIds, path, "id", idCol, "band_hash",
+      maxBucket, bandAppendParams(k, bands, maxBucket),
+      "appendable band index")
 
   // -------------------------------------------------- boilerplate lines
 

@@ -43,19 +43,70 @@ object Pq {
     */
   val TrainRowsPerCode: Long = 256L
 
+  /** Sentinel: derive `rerank` from corpus/index size at run time —
+    * the DEFAULT for [[ivfPqTopK]]/[[ivfPqServeTopK]], so a caller who
+    * doesn't think about corpus growth gets the scale-tracking budget
+    * instead of silently degraded recall (ScaleProbe r13 measured the
+    * fixed base settings collapsing 0.52 → 0.19 over a 20× corpus).
+    * Pass an explicit rerank to opt out (the pinned oracle rows do).
+    */
+  val AutoRerank: Int = -1
+
+  /** Sentinel: derive `ksub` from corpus size in [[fitCodebooks]] /
+    * [[Artifacts.pqCodebooksFor]] (the fit-path half of the same
+    * corpus-tracking contract).
+    */
+  val AutoKsub: Int = -1
+
+  /** Hard ceiling on the auto-derived exact-rerank budget: past ~300k
+    * rows the 3×-per-4× growth rule would ask for corpus-scale
+    * candidate fetches (3M/query at 1B rows), but rerank past a few
+    * hundred× k buys little once the ADC screen is wide enough — at
+    * extreme scale the recall burden belongs to [[autoKsub]]'s code
+    * width (and nProbe), not an unbounded exact fetch.
+    */
+  val MaxAutoRerank: Int = 5000
+
+  /** The corpus-tracking exact-rerank budget: base 30 at the 500-row
+    * oracle corpus, grown ~3× per ~4× corpus (exponent log₄3 ≈ 0.79 —
+    * the ScaleProbe r13 rule of thumb: rerank=100 recovered most of the
+    * fixed-30 recall loss at 2k–10k), clamped to [max(30, 3k),
+    * [[MaxAutoRerank]]] so the fetch stays query-bounded at any corpus
+    * size.
+    */
+  def autoRerank(corpusRows: Long, k: Int): Int = {
+    val grown = 30.0 * math.pow(math.max(corpusRows, 1L) / 500.0,
+      math.log(3) / math.log(4))
+    math.min(MaxAutoRerank,
+      math.max(math.max(3 * k, 30), math.round(grown).toInt))
+  }
+
+  /** The corpus-tracking code width: 16 sub-codes (4-bit) below ~1k
+    * rows, 64 (6-bit) through ~100k, 256 (8-bit) beyond — the ScaleProbe
+    * r13 step schedule (ksub=64 held recall@10 FLAT at 0.56 from 2k to
+    * 10k where ksub=16 decayed). Codes stay 4–8 bytes/vector at every
+    * step, far below the 4·dim bytes the probe shuffle would otherwise
+    * carry.
+    */
+  def autoKsub(corpusRows: Long): Int =
+    if (corpusRows < 1000L) 16
+    else if (corpusRows < 100000L) 64
+    else 256
+
   /** Train the m per-subspace codebooks over a bounded corpus sample.
     * Deterministic: subspace j clusters with seed `seed + j` (decorrelated
     * sub-quantizers from one base seed). Requires dim % m == 0 — the
     * standard PQ layout slices the vector into equal contiguous blocks.
     * Returns codebooks[j][c] = the c-th sub-centroid of subspace j.
     */
-  def fitCodebooks(corpus: DataFrame, m: Int, ksub: Int = 16,
+  def fitCodebooks(corpus: DataFrame, m: Int, ksub: Int = AutoKsub,
                    vecCol: String = "embedding",
                    sampleFraction: Double = Ivf.AutoSample,
                    seed: Long = 42L): Array[Array[Array[Float]]] = {
     require(m >= 1, s"m must be positive, got $m")
-    require(ksub >= 1, s"ksub must be positive, got $ksub")
-    val points = Ivf.boundedSample(corpus, ksub * TrainRowsPerCode, vecCol,
+    val ksubR = if (ksub == AutoKsub) autoKsub(corpus.count()) else ksub
+    require(ksubR >= 1, s"ksub must be positive, got $ksubR")
+    val points = Ivf.boundedSample(corpus, ksubR * TrainRowsPerCode, vecCol,
       sampleFraction, seed)
     require(points.nonEmpty, "empty PQ training sample")
     val dim = points.head.length
@@ -65,7 +116,7 @@ object Pq {
     Array.tabulate(m) { j =>
       val subPoints = points.map(p =>
         java.util.Arrays.copyOfRange(p, j * sub, (j + 1) * sub))
-      Ivf.lloyd(subPoints, ksub, seed + j, iters = 10)
+      Ivf.lloyd(subPoints, ksubR, seed + j, iters = 10)
     }
   }
 
@@ -108,22 +159,30 @@ object Pq {
     * from 2k to 10k. Rule of thumb: grow rerank ~3x per ~4x corpus, and
     * step ksub 16 → 64 → 256 as the corpus crosses ~1k/~100k rows —
     * codes stay 4-8 bytes/vector, far below the dim·4 bytes the probe
-    * shuffle would otherwise carry.
+    * shuffle would otherwise carry. Since r14 both knobs SELF-SCALE by
+    * default ([[autoRerank]]/[[autoKsub]]; ScaleProbe measured the auto
+    * path at 0.56 recall@10 on 2k and 0.65 on 10k vs 0.25/0.19 for the
+    * fixed base) — pass explicit values only to pin a configuration.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 centroids: Array[Array[Float]],
                 codebooks: Array[Array[Array[Float]]],
-                k: Int = 10, nProbe: Int = 3, rerank: Int = 50,
+                k: Int = 10, nProbe: Int = 3, rerank: Int = AutoRerank,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 maxCell: Int = 100000): DataFrame = {
-    require(rerank >= k,
-      s"rerank=$rerank must be >= k=$k: the exact re-rank can only " +
-        "return candidates the ADC stage kept")
-    // one persisted assignment pass feeds both the split census and the
-    // join build (the Ivf.ivfTopK contract)
+    // one persisted assignment pass feeds the split census, the join
+    // build, AND the auto-rerank sizing (the Ivf.ivfTopK contract)
     val assigned = Dedup.trackedPersist(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         Ivf.cellOf(col(vecCol), centroids).as("cell")))
+    // sentinel → size the exact-rerank budget from the corpus the
+    // screen actually runs over (a count on the already-persisted
+    // assignment — no extra scan)
+    val rerankR =
+      if (rerank == AutoRerank) autoRerank(assigned.count(), k) else rerank
+    require(rerankR >= k,
+      s"rerank=$rerankR must be >= k=$k: the exact re-rank can only " +
+        "return candidates the ADC stage kept")
     val splits = Ivf.splitBitsFromCensus(
       assigned.groupBy("cell").count(), maxCell)
     // codes, not vectors, on the corpus side of the probe join
@@ -131,7 +190,7 @@ object Pq {
       Ivf.subcellOf(col("cv"), col("cell"), centroids, splits).as("subcell"),
       encode(col("cv"), codebooks).as("codes"))
     val q = Ivf.probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
-    adcRerank(q, c, corpus, codebooks, k, rerank, idCol, vecCol)
+    adcRerank(q, c, corpus, codebooks, k, rerankR, idCol, vecCol)
   }
 
   /** Ingest-side embedding near-match: every INCOMING vector screened
@@ -253,11 +312,16 @@ object Pq {
   def ivfPqServeTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
                      centroids: Array[Array[Float]], splits: Map[Int, Int],
                      codebooks: Array[Array[Array[Float]]],
-                     k: Int = 10, nProbe: Int = 3, rerank: Int = 50,
+                     k: Int = 10, nProbe: Int = 3, rerank: Int = AutoRerank,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    require(rerank >= k,
-      s"rerank=$rerank must be >= k=$k: the exact re-rank can only " +
+    // sentinel → size the budget from the STORED index (a parquet
+    // count — row-group metadata, no column IO), so a serving endpoint
+    // tracks nightly appends without redeploys
+    val rerankR =
+      if (rerank == AutoRerank) autoRerank(index.count(), k) else rerank
+    require(rerankR >= k,
+      s"rerank=$rerankR must be >= k=$k: the exact re-rank can only " +
         "return candidates the ADC stage kept")
     // persisted for the same reason as Ivf.ivfServeTopK: the probed-cell
     // census below is an action over this frame
@@ -266,6 +330,6 @@ object Pq {
     // bounded probed-cell census → literal IN → PartitionFilters at
     // planning time (the Ivf.ivfServeTopK contract, shared code)
     val c = Ivf.pruneToProbedCells(index, q)
-    adcRerank(q, c, corpus, codebooks, k, rerank, idCol, vecCol)
+    adcRerank(q, c, corpus, codebooks, k, rerankR, idCol, vecCol)
   }
 }

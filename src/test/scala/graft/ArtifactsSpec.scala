@@ -603,6 +603,160 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(rows(idxL) == rows(idxU))
   }
 
+  test("IVF remove-then-serve is hash-identical to a rebuild on the difference (bits shrink back, emptied cell vanishes)") {
+    val cents = Ivf.fitCentroids(emb, nCells = 4)
+    // maxCell 40: the full corpus splits cells; removing half must
+    // SHRINK bits back exactly as a rebuild on the difference computes
+    val maxCell = 40
+    val p = s"${tempDir("ivfrm")}/idx"
+    Artifacts.saveIvfIndex(emb, p, cents, "vec_id", "embedding", maxCell)
+    val (_, splits0) = Artifacts.loadIvfIndex(spark, p, cents,
+      maxCell = maxCell)
+    val newSplits = Artifacts.removeFromIvfIndex(
+      embB.select("vec_id"), p, cents, maxCell = maxCell)
+    assert(newSplits != splits0,
+      "fixture must exercise the bits-shrink path")
+    val pD = s"${tempDir("ivfrm")}/idx"
+    Artifacts.saveIvfIndex(embA, pD, cents, "vec_id", "embedding", maxCell)
+    val (idxD, splitsD) = Artifacts.loadIvfIndex(spark, pD, cents,
+      maxCell = maxCell)
+    val (idxR, splitsR) = Artifacts.loadIvfIndex(spark, p, cents,
+      maxCell = maxCell)
+    assert(newSplits == splitsD && splitsR == splitsD,
+      "removal split map must equal the difference rebuild's")
+    assert(rows(idxR.select("neighbor_id", "cell", "subcell")) ==
+      rows(idxD.select("neighbor_id", "cell", "subcell")))
+    val q = embA.filter(col("vec_id") < 10)
+    assert(rows(Ivf.ivfServeTopK(q, idxR, cents, splitsR, k = 10, nProbe = 2))
+      == rows(Ivf.ivfServeTopK(q, idxD, cents, splitsD, k = 10, nProbe = 2)))
+    // replayed takedown (ids already gone / never indexed) is a no-op
+    val replay = Artifacts.removeFromIvfIndex(
+      embB.select("vec_id"), p, cents, maxCell = maxCell)
+    assert(replay == newSplits)
+    val (idxR2, _) = Artifacts.loadIvfIndex(spark, p, cents,
+      maxCell = maxCell)
+    assert(rows(idxR2.select("neighbor_id", "cell", "subcell")) ==
+      rows(idxD.select("neighbor_id", "cell", "subcell")))
+    // emptying a whole cell deletes its partition directory — the
+    // layout a rebuild on the difference would produce
+    val someCell = idxR2.select("cell").head().getInt(0)
+    val cellIds = idxR2.filter(col("cell") === someCell)
+      .select(col("neighbor_id").as("vec_id"))
+    Artifacts.removeFromIvfIndex(cellIds, p, cents, maxCell = maxCell)
+    assert(!new java.io.File(s"$p/index/cell=$someCell").exists())
+    val (idxR3, _) = Artifacts.loadIvfIndex(spark, p, cents,
+      maxCell = maxCell)
+    assert(idxR3.filter(col("cell") === someCell).count() == 0)
+  }
+
+  test("IVF-PQ remove-then-serve equals the difference rebuild; surviving-row drift trips the re-split loudly") {
+    val cents = Ivf.fitCentroids(emb, nCells = 4)
+    val cb = graft.northstar.Pq.fitCodebooks(emb, m = 8, ksub = 8)
+    val maxCell = 40
+    val p = s"${tempDir("pqrm")}/idx"
+    Artifacts.saveIvfPqIndex(emb, p, cents, cb, "vec_id", "embedding",
+      maxCell)
+    val newSplits = Artifacts.removeFromIvfPqIndex(
+      embB.select("vec_id"), emb, p, cents, cb, maxCell = maxCell)
+    val pD = s"${tempDir("pqrm")}/idx"
+    Artifacts.saveIvfPqIndex(embA, pD, cents, cb, "vec_id", "embedding",
+      maxCell)
+    val (idxD, splitsD) = Artifacts.loadIvfPqIndex(spark, pD, cents, cb,
+      maxCell = maxCell)
+    val (idxR, splitsR) = Artifacts.loadIvfPqIndex(spark, p, cents, cb,
+      maxCell = maxCell)
+    assert(newSplits == splitsD && splitsR == splitsD)
+    // codes included: a surviving row re-projected under the shrunken
+    // bits must encode exactly as a rebuilt one
+    assert(rows(idxR) == rows(idxD))
+    val q = embA.filter(col("vec_id") < 10)
+    assert(rows(graft.northstar.Pq.ivfPqServeTopK(q, idxR, embA, cents,
+        splitsR, cb, k = 10, nProbe = 2, rerank = 30))
+      == rows(graft.northstar.Pq.ivfPqServeTopK(q, idxD, embA, cents,
+        splitsD, cb, k = 10, nProbe = 2, rerank = 30)))
+    // a corpus that lost SURVIVING rows must trip the re-split's vector
+    // resolution loudly, not silently drop them from the rewrite
+    val p2 = s"${tempDir("pqrm")}/idx"
+    Artifacts.saveIvfPqIndex(emb, p2, cents, cb, "vec_id", "embedding", 10)
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.removeFromIvfPqIndex(embB.select("vec_id"),
+        emb.filter(col("vec_id") < 100), p2, cents, cb, maxCell = 10)
+    }
+    assert(e.getMessage.contains("drifted"), e.getMessage)
+  }
+
+  test("torn remove refuses: marker gone → remove/load/append all fail until rebuilt; successful remove republishes") {
+    val cents = Ivf.fitCentroids(emb, nCells = 4)
+    val p = s"${tempDir("ivfrmtorn")}/idx"
+    Artifacts.saveIvfIndex(emb, p, cents, "vec_id", "embedding", 100000)
+    assert(new java.io.File(p, "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.removeFromIvfIndex(embB.select("vec_id"), p, cents,
+        maxCell = 100000)
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    // rebuild, then a successful remove republishes the marker and the
+    // index stays appendable
+    Artifacts.saveIvfIndex(emb, p, cents, "vec_id", "embedding", 100000)
+    Artifacts.removeFromIvfIndex(embB.select("vec_id"), p, cents,
+      maxCell = 100000)
+    assert(new java.io.File(p, "_SUCCESS").exists())
+    Artifacts.appendIvfIndex(embB, p, cents, maxCell = 100000)
+    val (idx, _) = Artifacts.loadIvfIndex(spark, p, cents)
+    assert(idx.count() == emb.count())
+  }
+
+  test("appendable winnow/band removal == capped rebuild on the difference; under-cap bucket resurrects") {
+    import graft.northstar.Dedup
+    // 8 boilerplate copies: their shared fps are OVER the cap (8 > 5)
+    // in the full corpus but UNDER it (4) once the odd-id half is
+    // removed — a rebuild on the difference KEEPS the bucket, so the
+    // removal must resurrect it, not remember the drop
+    val boiler = spark.range(8).select((col("id") + 800000).as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .as("text"))
+    val corpus = docs.unionAll(boiler)
+    val removedHalf = corpus.filter(col("doc_id") % 2 =!= 0)
+    val difference = corpus.filter(col("doc_id") % 2 === 0)
+    val cap = 5
+    val p = s"${tempDir("winrm")}/idx"
+    Artifacts.saveWinnowIndexAppendable(corpus, p, maxBucket = cap)
+    // the boiler bucket must be dropped pre-removal (8 > cap)
+    assert(spark.read.parquet(s"$p/dropped").count() > 0)
+    Artifacts.removeFromWinnowIndex(removedHalf.select("doc_id"), p,
+      maxBucket = cap)
+    val loaded = Artifacts.loadWinnowIndexAppendable(spark, p,
+      maxBucket = cap)
+    val rebuilt = Dedup.winnowIndex(difference, maxBucket = cap)
+    assert(rows(loaded) == rows(rebuilt))
+    // resurrection is live: the surviving boiler docs serve from the
+    // previously-dropped bucket
+    assert(loaded.filter(col("doc") >= 800000).count() > 0)
+    // absent-id removal is a no-op
+    Artifacts.removeFromWinnowIndex(
+      spark.range(5).select((col("id") + 7000000).as("doc_id")), p,
+      maxBucket = cap)
+    assert(rows(Artifacts.loadWinnowIndexAppendable(spark, p,
+      maxBucket = cap)) == rows(rebuilt))
+    // band index: same protocol, same identity
+    val pb = s"${tempDir("bandrm")}/idx"
+    Artifacts.saveBandIndexAppendable(docs, pb, maxBucket = 50)
+    Artifacts.removeFromBandIndex(
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id"), pb,
+      maxBucket = 50)
+    assert(rows(Artifacts.loadBandIndexAppendable(spark, pb,
+        maxBucket = 50))
+      == rows(Dedup.bandIndex(docs.filter(col("doc_id") % 2 === 0),
+        maxBucket = 50)))
+    // torn remove refuses
+    assert(new java.io.File(pb, "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.removeFromBandIndex(docs.select("doc_id"), pb,
+        maxBucket = 50)
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+  }
+
   test("append on a torn index fails loudly; ensureTrained recovery rebuilds the wreck") {
     val cents = Ivf.fitCentroids(embA, nCells = 4)
     val p = s"${tempDir("ivftorn")}/idx"

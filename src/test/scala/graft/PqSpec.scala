@@ -204,6 +204,39 @@ class PqSpec extends SparkSpecBase {
     assert(msg(e).contains("PQ shape mismatch"), msg(e))
   }
 
+  test("auto-scaling parameters: formula anchors, monotone growth, defaulted-path identity") {
+    // anchors: base 30 at the 500-row oracle corpus, ~3x per ~4x corpus
+    assert(Pq.autoRerank(500, 10) == 30)
+    assert(Pq.autoRerank(2000, 10) == 90)
+    assert(Pq.autoRerank(8000, 10) == 270)
+    assert(Pq.autoRerank(1, 10) == 30) // floor: never below the base
+    assert(Pq.autoRerank(100, 20) == 60) // nor below 3k
+    // the ceiling keeps the fetch query-bounded at any corpus size
+    assert(Pq.autoRerank(1000000000L, 10) == Pq.MaxAutoRerank)
+    assert(Pq.autoRerank(1000000L, 10) > Pq.autoRerank(10000L, 10))
+    // code-width step schedule
+    assert(Pq.autoKsub(999) == 16)
+    assert(Pq.autoKsub(1000) == 64)
+    assert(Pq.autoKsub(99999) == 64)
+    assert(Pq.autoKsub(100000) == 256)
+    // the AutoRerank sentinel (the default) resolves to exactly the
+    // explicit budget for the measured corpus
+    val n = emb.count()
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val cb = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") < 5)
+    val auto = Pq.ivfPqTopK(q, emb, centroids, cb, k = 10, nProbe = 2)
+    val explicit = Pq.ivfPqTopK(q, emb, centroids, cb, k = 10, nProbe = 2,
+      rerank = Pq.autoRerank(n, 10))
+    assert(rows(auto) == rows(explicit))
+    // the AutoKsub sentinel (the fit default) trains the same codebooks
+    // as the explicit schedule width
+    val cbAuto = Pq.fitCodebooks(emb, m = 8)
+    val cbExp = Pq.fitCodebooks(emb, m = 8, ksub = Pq.autoKsub(n))
+    assert(cbAuto.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbExp.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("rerank < k is rejected") {
     val centroids = Ivf.fitCentroids(emb, nCells = 2)
     val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 4)
@@ -254,6 +287,14 @@ class PqSpec extends SparkSpecBase {
       val fit = Pq.ivfPqTopK(q, emb, centroids, codebooks,
         k = 10, nProbe = 2, rerank = 30)
       assert(rows(served) == rows(fit))
+      // serve-side auto sentinel: defaulted rerank sizes from the
+      // STORED index row count
+      val servedAuto = Pq.ivfPqServeTopK(q, index, emb, centroids,
+        splits, codebooks, k = 10, nProbe = 2)
+      val servedExp = Pq.ivfPqServeTopK(q, index, emb, centroids,
+        splits, codebooks, k = 10, nProbe = 2,
+        rerank = Pq.autoRerank(index.count(), 10))
+      assert(rows(servedAuto) == rows(servedExp))
       // the stored index carries codes and subcell only — never the
       // raw embedding (the dim/m on-disk reduction is the contract)
       assert(index.columns.toSet == Set("neighbor_id", "codes",
