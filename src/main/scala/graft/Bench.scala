@@ -91,6 +91,30 @@ object Bench {
     // (environment variance, not plan changes or JVM debt)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // per-query shuffle read/write bytes (VERDICT r13 task 5): wall
+    // time at sf0.1 hides scale-killers — a plan that doubles its
+    // shuffle volume can still time flat locally but dominates a real
+    // cluster's network. A task-end listener accumulates bytes; the
+    // per-query window spans the `reps` timed executions (post-warm-up,
+    // so one-time artifact training doesn't bill the query) and divides
+    // by reps — plans are deterministic, every rep shuffles the same
+    // bytes. The listener bus is asynchronous, so each window is
+    // bracketed by a drain (Bridge.drainListenerBus).
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          }
+        }
+      })
+    def drain(): Unit = org.apache.spark.sql.graftbridge.Bridge
+      .drainListenerBus(spark.sparkContext)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -118,6 +142,8 @@ object Bench {
       // must not bill rep 1 (the same r7 mechanism the pre-warm-up
       // barrier above exists for)
       System.gc()
+      drain()
+      val (read0, write0) = (shufRead.get, shufWrite.get)
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -135,17 +161,28 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         dt
       }.sorted
-      name -> times(times.size / 2)
+      drain()
+      val perRep = (n: Long) => if (reps > 0) n / reps else n
+      name -> (times(times.size / 2),
+        perRep(shufRead.get - read0), perRep(shufWrite.get - write0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total =
+      if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // per-query shuffle bytes ride ONLY in the full artifact (the
+    // driver's tail window is too small); "read"/"write" are per-
+    // execution bytes, diffable round-over-round like the wall times
+    val shuf = results.map { case (k, (_, r, w)) =>
+      s"\"" + k + "\":{\"read\":" + r + ",\"write\":" + w + "}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"sf":"$sfDir"}"""
     // the contract line: top-40 slowest queries at 3 decimals keeps it
     // ~1.2 KB — comfortably inside the driver's 2000-char tail window
-    val top = results.toSeq.sortBy(-_._2).take(40)
-      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+    val top = results.toSeq.sortBy(-_._2._1).take(40)
+      .map { case (k, (v, _, _)) =>
+        s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val contractLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir"}"""
@@ -161,6 +198,13 @@ object Bench {
     } catch {
       case e: Throwable =>
         Console.err.println(s"[bench] WARN: could not write $benchOut: $e")
+    }
+    // top shuffle writers, human-readable (stderr: stdout's last line
+    // must stay the contract line)
+    results.toSeq.sortBy(-_._2._3).take(5).foreach { case (k, (_, r, w)) =>
+      Console.err.println(
+        f"[bench] shuffle $k%-28s write=${w / 1048576.0}%.1f MiB " +
+          f"read=${r / 1048576.0}%.1f MiB")
     }
     println(fullLine)
     println(contractLine)

@@ -102,6 +102,65 @@ object ScaleProbe {
     println(f"[scale] minhashPairs 10x-data ratio   ${mh10 / mh1}%.1fx (quadratic ~100x)")
     println(f"[scale] clusterCollapse 10x-data ratio ${cc10 / cc1}%.1fx (quadratic ~100x)")
 
+    // ---- power-law CC probe (VERDICT r13 task 7): real-web near-dup
+    // graphs are skewed — one giant cluster plus a power-law tail, not
+    // uniform small clusters. Worst case for round count is a CHAIN
+    // (diameter = cluster size), so the skewed graph here is half the
+    // nodes in ONE giant chain + decade tail (n/8, n/32) + 10-chains,
+    // vs a uniform all-10-chains graph. Path halving bounds rounds at
+    // O(log diameter): 10x nodes must cost ~10x wall (rows) plus ~log
+    // 10 extra rounds — NOT 10x rounds. Driver jobs proxy rounds
+    // (fixed jobs per round).
+    // Measured 2026-08-14 (r14, local[8]):
+    //   uniform 20k: 2.2 s/33 jobs; skew 20k: 4.7 s/93 jobs (the
+    //   giant chain's diameter-1e4 costs ~12 extra path-halving
+    //   rounds over uniform's ~4, as log2 predicts)
+    //   skew 200k: 14.6 s/117 jobs = 3.1x wall, +24 jobs (~+3-4
+    //   rounds) for 10x nodes — rounds grew by the log factor, wall
+    //   near-linear: no quadratic cliff on the real-web shape.
+    {
+      def chain(start: Long, len: Long): DataFrame =
+        spark.range(start, start + len - 1)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      def smallChains(start: Long, n: Long, size: Long): DataFrame =
+        spark.range(start, start + n)
+          .filter((col("id") - start) % size =!= size - 1)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      def skewGraph(n: Long): DataFrame =
+        chain(0, n / 2)
+          .unionAll(chain(n / 2, n / 8))
+          .unionAll(chain(n / 2 + n / 8, n / 32))
+          .unionAll(smallChains(n / 2 + n / 8 + n / 32,
+            n - n / 2 - n / 8 - n / 32, 10))
+      def ccJobs(tag: String, pairs: DataFrame,
+                 expectClusters: Long): (Double, Int) = {
+        var secs = 0.0
+        spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+        val t0 = System.nanoTime()
+        val labels = Dedup.connectedComponents(pairs)
+        val clusters = labels.select("cluster_id").distinct().count()
+        secs = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        assert(clusters == expectClusters,
+          s"$tag: expected $expectClusters clusters, got $clusters")
+        Thread.sleep(2000)
+        val jobs = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(tag).length
+        println(f"[scale] CC $tag%-24s $secs%.1f s, $jobs jobs")
+        (secs, jobs)
+      }
+      val n1 = 20000L
+      val uniformClusters = n1 / 10
+      ccJobs("cc-uniform-20k", smallChains(0, n1, 10), uniformClusters)
+      def skewClusters(n: Long) =
+        3 + (n - n / 2 - n / 8 - n / 32 + 9) / 10
+      val (s1, j1) = ccJobs("cc-skew-20k", skewGraph(n1), skewClusters(n1))
+      val (s10, j10) = ccJobs("cc-skew-200k", skewGraph(n1 * 10),
+        skewClusters(n1 * 10))
+      println(f"[scale] CC skew 10x-node ratio     wall ${s10 / s1}%.1fx " +
+        f"(linear-ish expected), jobs $j1 -> $j10 (+log rounds expected)")
+    }
+
     // exact-substring overlap: mangled replicas share no cross-replica
     // windows, so true pair output grows exactly 10x; a quadratic
     // candidate step (uncapped mega-bucket) would show ~100x
@@ -346,6 +405,41 @@ object ScaleProbe {
     }
     println(f"[scale] bpeInduct 500-merge greedy b64  merges=$bpe500merges jobs=$bpe500jobs " +
       f"jobs/merge=${bpe500jobs.toDouble / math.max(1L, bpe500merges)}%.3f (<=0.2 expected)")
+    // real-tokenizer scale (VERDICT r13 task 4): >=5k effective merges.
+    // Replica suffixes alone run dry ~2k merges (merges are shared
+    // across words, so distinct-WORD growth is what opens merge space);
+    // POSITION-dependent suffixes multiply distinct words by position,
+    // opening a 100k+ merge space from 2 replicas. batch=128 greedy.
+    // Driver memory is bounded by construction since r14: each round's
+    // superseded vocab checkpoint is unpersisted once its successor
+    // materializes (TextAnalysis.bpeInduct liveCk), so live persistent
+    // RDDs stay O(1) across the run — asserted below, as is the
+    // <=0.15 jobs/merge budget.
+    // Measured 2026-08-14 (r14, local[8]): 5000 merges, 316 jobs
+    // (0.063 jobs/merge), persistent RDDs 9 -> 9 (leak-free).
+    def mangledPos(i: Int): DataFrame = docs1
+      .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+      .withColumn("text", array_join(
+        transform(split(col("text"), " "),
+          (w, j) => concat(w, lit(s"_${i}x"), j)), " "))
+    val docsBpe5k = (0 until 2).map(mangledPos).reduce(_ unionAll _)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    var bpe5kMerges = 0L
+    val bpe5kJobs = jobsFor("bpe-5k") {
+      bpe5kMerges = TextAnalysis.bpeInduct(docsBpe5k, rounds = 5000,
+        batch = 128, greedy = true).count()
+    }
+    val rddsAfter = spark.sparkContext.getPersistentRDDs.size
+    val jobsPerMerge = bpe5kJobs.toDouble / math.max(1L, bpe5kMerges)
+    println(f"[scale] bpeInduct 5k-merge greedy b128  merges=$bpe5kMerges jobs=$bpe5kJobs " +
+      f"jobs/merge=$jobsPerMerge%.3f (<=0.15 expected) " +
+      f"persistentRDDs $rddsBefore -> $rddsAfter (leak-free expected)")
+    assert(bpe5kMerges >= 5000,
+      s"corpus must open >=5000 merges, got $bpe5kMerges")
+    assert(jobsPerMerge <= 0.15,
+      f"jobs/merge $jobsPerMerge%.3f exceeds the 0.15 budget")
+    assert(rddsAfter <= rddsBefore + 1,
+      s"vocab checkpoints leaked: $rddsBefore -> $rddsAfter live RDDs")
     // quantileCuts: the cumulative window's input is the value DOMAIN,
     // not the row count — replication grows histogram counts, not
     // distinct values, so cost tracks the one aggregate pass and the
@@ -650,6 +744,127 @@ object ScaleProbe {
         k = 10, nFlips = 2).count()
     }
     println(f"[scale] lshTopKMultiprobe 5x-data ratio ${mp5 / mp1}%.1fx (linear-ish expected)")
+
+    // ---- nightly-append fragmentation + compaction (VERDICT r13
+    // task 3): 20 micro-appends into a stored IVF index, then per-cell
+    // compaction — measure the data-file count and the cold
+    // list+plan+scan cost the fragmentation adds and compaction
+    // recovers.
+    // Measured 2026-08-14 (r14, local[8]): 20 appends fragment the
+    // 8-cell index to 785 data files; a cold serve costs 1.2 s
+    // fragmented vs 0.4 s after compaction to 8 files (3.1x), rows
+    // identical. At object-store listing latencies (tens of ms per
+    // LIST page vs local readdir) the same ~100x file-count cut is
+    // worth far more than 3.1x.
+    {
+      val appBase = java.nio.file.Files
+        .createTempDirectory("scale-compact").toString
+      val appPath = s"$appBase/idx"
+      // emb replicates the 2k base at stride 1e6 — use modular slices
+      // so every append batch is non-empty (100 vectors each)
+      val slice0 = emb.filter(col("vec_id") % 1000000L < 100)
+      graft.northstar.Artifacts.saveIvfIndex(slice0, appPath, cents1,
+        "vec_id", "embedding", 100000)
+      for (i <- 0 until 20)
+        graft.northstar.Artifacts.appendIvfIndex(
+          emb.filter(col("vec_id") % 1000000L >= 100 + i * 20 &&
+            col("vec_id") % 1000000L < 120 + i * 20),
+          appPath, cents1, maxCell = 100000)
+      def files(p: java.io.File): Long =
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).map(files).sum
+        else if (p.getName.endsWith(".parquet")) 1L else 0L
+      val fFrag = files(new java.io.File(appPath, "index"))
+      def serveOnce(): Long = {
+        // fresh reader each time: a cold plan re-lists the directory
+        val (idx, sp) = graft.northstar.Artifacts.loadIvfIndex(spark,
+          appPath, cents1)
+        Ivf.ivfServeTopK(emb.filter(col("vec_id") < 20), idx, cents1, sp,
+          k = 10, nProbe = 3).count()
+      }
+      val tFrag = timed(s"ivf serve, $fFrag files (20 appends)")(serveOnce())
+      val nCompacted = graft.northstar.Artifacts.compactCellIndex(spark,
+        appPath, maxFilesPerCell = 4)
+      val fComp = files(new java.io.File(appPath, "index"))
+      val tComp = timed(s"ivf serve, $fComp files (compacted)")(serveOnce())
+      println(f"[scale] compaction $fFrag%d -> $fComp%d files " +
+        f"($nCompacted cells rewritten), serve ${tFrag / tComp}%.1fx")
+      deleteRecursively(new java.io.File(appBase))
+    }
+
+    // ---- nightly-loop per-batch cost (VERDICT r13 task 8): the
+    // streaming ingest→screen→append serving loop is correctness-pinned
+    // (StreamingSpec stream==batch parity); this measures its LATENCY
+    // vs batch size so the serving story has a number. One batch =
+    // ANN-screen the incoming vectors against the stored codes index
+    // (Pq.annMatchesIncoming), then append the survivors
+    // (Artifacts.appendIvfPqIndex) — the embedding flavor of the
+    // nightly near-dup ingest.
+    // Measured 2026-08-14 (r14, local[8], 2k-vector stored index,
+    // planted-copy catch asserted: 90/360/1440 fresh):
+    //   batch=100:  screen 0.6 s + append 0.5 s = 1.1 s (11.2 ms/doc)
+    //   batch=400:  screen 0.7 s + append 0.5 s = 1.2 s  (2.9 ms/doc)
+    //   batch=1600: screen 1.0 s + append 0.5 s = 1.5 s  (0.9 ms/doc)
+    // — per-batch cost is dominated by fixed job overhead (~1 s), so
+    // throughput scales with batch size: micro-batches are latency-
+    // bound, large batches amortize. The append half is bounded by the
+    // changed cells, not the index (the appendCellIndex contract).
+    // Screen margin: at ksub=16 quantization an EXACT copy's ADC
+    // cosine can sit far below the 9900 exact threshold (the first
+    // run's default margin of 1500 caught zero of the planted copies),
+    // so the probe screens at margin 5000 — recall is the margin's
+    // job, precision stays exact in the confirm.
+    {
+      val nlBase = java.nio.file.Files
+        .createTempDirectory("scale-nightly").toString
+      val nlPath = s"$nlBase/idx"
+      val corpus0 = emb1.select("vec_id", "embedding") // 2k stored vectors
+      val cbNl = Pq.fitCodebooks(corpus0, m = 8, ksub = 16)
+      graft.northstar.Artifacts.saveIvfPqIndex(corpus0, nlPath, cents1,
+        cbNl, "vec_id", "embedding", 100000)
+      // fresh pseudo-noise vectors (never near-dup) + a 10% slice of
+      // exact re-keyed copies of stored vectors, so each batch drives
+      // BOTH screen outcomes: the copies are caught and dropped, the
+      // noise survives and appends
+      def noiseVecs(start: Long, n: Long): DataFrame =
+        spark.range(start, start + n).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), j -> cast(" +
+            "sin(id * 12.9898 + j * 78.233) * 43758.5453 - " +
+            "floor(sin(id * 12.9898 + j * 78.233) * 43758.5453) - 0.5 " +
+            "AS float)) AS embedding")
+      var served = corpus0
+      var off = 7000000L
+      for (batch <- Seq(100L, 400L, 1600L)) {
+        val incoming = noiseVecs(off, batch - batch / 10).unionAll(
+          corpus0.filter(col("vec_id") < batch / 10)
+            .select((col("vec_id") + off + batch).as("vec_id"),
+              col("embedding")))
+        off += batch * 2
+        val (idx, splits) = graft.northstar.Artifacts.loadIvfPqIndex(
+          spark, nlPath, cents1, cbNl)
+        val t0 = System.nanoTime()
+        val dupIds = Pq.annMatchesIncoming(incoming, idx, served, cents1,
+          splits, cbNl, thresholdE4 = 9900, screenMarginE4 = 5000)
+          .select(col("incoming_id").as("vec_id")).distinct()
+        val fresh = incoming.join(dupIds, Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        val nFresh = fresh.count()
+        val tScreen = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.northstar.Artifacts.appendIvfPqIndex(fresh, served, nlPath,
+          cents1, cbNl)
+        val tAppend = (System.nanoTime() - t1) / 1e9
+        served = served.unionAll(fresh).localCheckpoint()
+        println(f"[scale] nightly batch=$batch%-5d screen $tScreen%.1f s " +
+          f"+ append $tAppend%.1f s = ${tScreen + tAppend}%.1f s " +
+          f"(${(tScreen + tAppend) * 1000 / batch}%.1f ms/doc, " +
+          f"$nFresh fresh)")
+        assert(nFresh == batch - batch / 10,
+          s"screen should drop exactly the ${batch / 10} planted " +
+            s"copies, kept $nFresh of $batch")
+      }
+      deleteRecursively(new java.io.File(nlBase))
+    }
 
     // ---- bench-scale recall floors (VERDICT r12 task 4) ----
     // The contract pins exact n_hits at the sf0.01 oracle corpus (500

@@ -2165,40 +2165,8 @@ object SparkEntry {
           |WHERE sim_e4 >= 3000""".stripMargin)
     }),
     "ns_multimodal" -> ((s, dir) => {   // rows-only: codec output (no SQL analogue)
-      import s.implicits._
-      // even ids carry REAL synthesized PNG payloads (ImageCodec path:
-      // true 16x16 dims, png format, luminance features); ids ≡1 mod 4
-      // carry REAL minimal MP4 containers (VideoCodec path: true tkhd
-      // dims, mp4 format); ids ≡3 mod 8 carry REAL minimal Matroska
-      // containers (MkvCodec EBML walk: true pixel dims, mkv format);
-      // ids ≡7 mod 16 carry REAL minimal FLAC headers (FlacCodec
-      // STREAMINFO parse: true rate/channels/samples, flac format);
-      // remaining odd ids carry utf-8 text bytes (stub path) — one
-      // driver-visible query exercises the codec dispatch
-      // deterministically. The typed map is fixture synthesis, not an
-      // operator.
-      val payloads = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("source"))
-        .as[(Long, String, String)]
-        .map { case (id, text, src) =>
-          val p = if (id % 2 == 0) Multimodal.syntheticPng(id)
-                  else if (id % 4 == 1) Multimodal.syntheticMp4(id)
-                  else if (id % 8 == 3) Multimodal.syntheticMkv(id)
-                  else if (id % 16 == 7) Multimodal.syntheticFlac(id)
-                  else text.getBytes("UTF-8")
-          (id, p, src)
-        }.toDF("asset_id", "payload", "source")
-      val assets = payloads.select(col("asset_id"),
-        when(col("asset_id") % 2 === 0, "image")
-          .when(col("asset_id") % 4 === 1, "video")
-          .when(col("asset_id") % 8 === 3, "video")
-          .when(col("asset_id") % 16 === 7, "audio").otherwise("text")
-          .as("modality"),
-        col("payload"),
-        struct(coalesce(length(col("payload")).cast("long"), lit(0L))
-          .as("n_bytes"), col("source").cast("string").as("source"))
-          .as("meta"))
-      val pooled = Multimodal.poolFeatures(Multimodal.decodeAssets(assets))
+      val pooled = Multimodal.poolFeatures(
+        Multimodal.decodeAssets(multimodalAssets(s, dir)))
       // scalar-only exposure: the driver's pandas canonicalizer can't sort
       // raw array cells (r1 crash); the array form stays unit-tested
       val featCols = (0 until Multimodal.StubCodec.FeatureDim / 2).map(i =>
@@ -2206,7 +2174,63 @@ object SparkEntry {
       pooled.select(Seq(col("asset_id"), col("width"), col("height"),
         col("format")) ++ featCols: _*)
     }),
+    // multimodal curation gates (VERDICT r13 task 6): config-driven
+    // predicates over the DECODED metadata — formats allow-list plus
+    // width/height bounds (pixel dims for image/video, samples/channels
+    // for audio, so the width bound IS the audio duration gate). The
+    // fixture formats carry fixed true dims (png 16x16, mp4 320x240,
+    // mkv 640x360, flac 441000 samples x 2ch), so the oracle replays
+    // decode+gate as pure id arithmetic — the ns_gopher_rules exposure
+    // style: min_width 300 drops every png, max_width 100000 drops
+    // every flac, the formats list drops the text/stub assets
+    "ns_asset_curation" -> ((s, dir) => {
+      val decoded = Multimodal.decodeAssets(multimodalAssets(s, dir))
+      val cfg = graft.northstar.Curation.parseAssetConfig(
+        """{"formats": ["png","mp4","mkv","flac"],
+          | "min_width": 300, "max_width": 100000,
+          | "min_height": 100}""".stripMargin)
+      graft.northstar.Curation.curateAssets(decoded, cfg)
+        .select("asset_id", "width", "height", "format")
+    }),
   )
+
+  /** The multimodal asset fixture shared by `ns_multimodal` and
+    * `ns_asset_curation`: even ids carry REAL synthesized PNG payloads
+    * (ImageCodec path: true 16x16 dims, png format, luminance
+    * features); ids ≡1 mod 4 carry REAL minimal MP4 containers
+    * (VideoCodec path: true tkhd dims, mp4 format); ids ≡3 mod 8 carry
+    * REAL minimal Matroska containers (MkvCodec EBML walk: true pixel
+    * dims, mkv format); ids ≡7 mod 16 carry REAL minimal FLAC headers
+    * (FlacCodec STREAMINFO parse: true rate/channels/samples, flac
+    * format); remaining odd ids carry utf-8 text bytes (stub path) —
+    * one driver-visible fixture exercises the codec dispatch
+    * deterministically. The typed map is fixture synthesis, not an
+    * operator.
+    */
+  private def multimodalAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, src) =>
+        val p = if (id % 2 == 0) Multimodal.syntheticPng(id)
+                else if (id % 4 == 1) Multimodal.syntheticMp4(id)
+                else if (id % 8 == 3) Multimodal.syntheticMkv(id)
+                else if (id % 16 == 7) Multimodal.syntheticFlac(id)
+                else text.getBytes("UTF-8")
+        (id, p, src)
+      }.toDF("asset_id", "payload", "source")
+    payloads.select(col("asset_id"),
+      when(col("asset_id") % 2 === 0, "image")
+        .when(col("asset_id") % 4 === 1, "video")
+        .when(col("asset_id") % 8 === 3, "video")
+        .when(col("asset_id") % 16 === 7, "audio").otherwise("text")
+        .as("modality"),
+      col("payload"),
+      struct(coalesce(length(col("payload")).cast("long"), lit(0L))
+        .as("n_bytes"), col("source").cast("string").as("source"))
+        .as("meta"))
+  }
 
   /** The probe query and the top-20 rank-exact exposure shared by
     * `ns_bm25` and `ns_bm25_serve`. ONE definition: the pair's premise
@@ -4771,5 +4795,30 @@ object SparkEntry {
         |                                ORDER BY sim DESC, neighbor_id) AS rnk
         |      FROM s)
         |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    // the decoded metadata of the synthetic fixtures is pure id
+    // arithmetic (fixed true dims per format), so the oracle replays
+    // decode + every gate of the asset curation config exactly
+    "ns_asset_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png'
+        |         WHEN doc_id % 4 = 1 THEN 'mp4'
+        |         WHEN doc_id % 8 = 3 THEN 'mkv'
+        |         WHEN doc_id % 16 = 7 THEN 'flac'
+        |         ELSE 'stub' END AS format,
+        |    CASE WHEN doc_id % 2 = 0 THEN 16
+        |         WHEN doc_id % 4 = 1 THEN 320
+        |         WHEN doc_id % 8 = 3 THEN 640
+        |         WHEN doc_id % 16 = 7 THEN 441000
+        |         ELSE 0 END AS width,
+        |    CASE WHEN doc_id % 2 = 0 THEN 16
+        |         WHEN doc_id % 4 = 1 THEN 240
+        |         WHEN doc_id % 8 = 3 THEN 360
+        |         WHEN doc_id % 16 = 7 THEN 2
+        |         ELSE 0 END AS height
+        |  FROM documents)
+        |SELECT asset_id, width, height, format FROM d
+        |WHERE format IN ('png', 'mp4', 'mkv', 'flac')
+        |  AND width >= 300 AND width <= 100000 AND height >= 100""".stripMargin,
   )
 }

@@ -953,6 +953,100 @@ object Artifacts {
     newSplits
   }
 
+  /** PER-CELL COMPACTION for the nightly-append path (VERDICT r13 task
+    * 3): every [[appendIvfIndex]]/[[appendIvfPqIndex]] run appends new
+    * parquet files into the unchanged cells' partition directories, so
+    * N nightly appends re-create the small-files listing cost
+    * [[graft.engine.Tables.compact]] solves for plain tables — at scale
+    * the scan planner and the namenode/object store pay per FILE, not
+    * per byte. Cells whose data-file count exceeds `maxFilesPerCell`
+    * are rewritten (sized by on-disk bytes against `targetFileBytes`,
+    * the Tables.compact policy) and swapped in; everything else is
+    * untouched, so compaction cost is bounded by the fragmented cells
+    * only. Rows, codes, and subcells pass through byte-identical —
+    * compact==no-op on the served frame is a pinned contract
+    * (ArtifactsSpec) — and the marker discipline is [[appendCellIndex]]'s:
+    * a crash mid-compaction leaves a refusable wreck, never a
+    * silently-partial cell. Returns the number of cells rewritten (0 =
+    * nothing over threshold; the marker is not touched then).
+    */
+  def compactCellIndex(spark: SparkSession, path: String,
+                       maxFilesPerCell: Int = 8,
+                       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val dst = new java.io.File(path)
+    val marker = new java.io.File(dst, "_SUCCESS")
+    require(marker.exists(),
+      s"cell index at $path has no _SUCCESS marker (missing, mid-build, " +
+        "or torn by a crashed append/remove) — rebuild it before " +
+        "compacting")
+    val indexDir = new java.io.File(dst, "index")
+    def dataFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val over = Option(indexDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .filter(c => dataFiles(c).length > maxFilesPerCell)
+    if (over.isEmpty) return 0
+    require(marker.delete(),
+      s"cell index at $path: could not remove the commit marker " +
+        "(concurrent mutation, or permissions)")
+    for (c <- over) {
+      val bytes = dataFiles(c).map(_.length).sum
+      val nFiles = math.max(1,
+        math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val tmp = new java.io.File(dst,
+        s"index.compact.tmp-${System.nanoTime()}")
+      // reading the LEAF cell directory drops the directory-encoded
+      // partition column, so the rewritten files carry exactly the
+      // schema of the originals and the hive layout re-derives cell=
+      // from the directory name
+      spark.read.parquet(c.toString).repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      deleteRec(c)
+      require(tmp.renameTo(c),
+        s"cell index at $path: could not swap compacted cell " +
+          s"${c.getName} in")
+    }
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+    over.length
+  }
+
+  /** [[compactCellIndex]] for the flat `rows/` directory of the
+    * appendable capped indexes ([[appendWinnowIndex]]/
+    * [[appendBandIndex]] append one file set per nightly batch). The
+    * whole rows/ dir is rewritten when its data-file count exceeds
+    * `maxFiles` — what a rebuild would write anyway, minus the sketch
+    * compute. Returns true when a rewrite happened.
+    */
+  def compactAppendableIndex(spark: SparkSession, path: String,
+                             maxFiles: Int = 16,
+                             targetFileBytes: Long = 128L * 1024 * 1024)
+      : Boolean = {
+    val dst = new java.io.File(path)
+    val marker = new java.io.File(dst, "_SUCCESS")
+    require(marker.exists(),
+      s"appendable index at $path has no _SUCCESS marker — rebuild it " +
+        "before compacting")
+    val rowsDir = new java.io.File(dst, "rows")
+    val files = Option(rowsDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (files.length <= maxFiles) return false
+    require(marker.delete(),
+      s"appendable index at $path: could not remove the commit marker " +
+        "(concurrent mutation, or permissions)")
+    val nFiles = math.max(1,
+      math.ceil(files.map(_.length).sum.toDouble / targetFileBytes).toInt)
+    val tmp = new java.io.File(dst,
+      s"rows.compact.tmp-${System.nanoTime()}")
+    spark.read.parquet(rowsDir.toString).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRec(rowsDir)
+    require(tmp.renameTo(rowsDir),
+      s"appendable index at $path: could not swap compacted rows in")
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+    true
+  }
+
   /** TAKEDOWN / RETENTION removal from a stored cell-partitioned IVF
     * index — the lifecycle piece [[appendIvfIndex]] left open (VERDICT
     * r13 task 2): without it, deleting one document forces a full index

@@ -318,6 +318,69 @@ object Curation {
       n("__s5").as("n_selected"), tok("__s5").as("tok_selected"))
   }
 
+  /** Multimodal curation gates (VERDICT r13 task 6): config-driven
+    * predicates over the DECODED asset metadata
+    * ([[Multimodal.decodeAssets]]'s (asset_id, width, height, format)
+    * columns) — the modality analogue of the text gates above. `width`/
+    * `height` carry per-format meaning by the codec contract: pixel
+    * dims for image/video, total samples / channel count for audio —
+    * so at a known sample rate the width bounds ARE the audio duration
+    * gate (e.g. min 1 s at 44.1 kHz = min_width 44100). All gates are
+    * stateless narrow filters: no aggregates, no joins, stream-safe,
+    * and replayable by an external SQL engine over the metadata
+    * integers (the `ns_asset_curation` oracle).
+    */
+  case class AssetCurationConfig(
+      formats: Option[Seq[String]] = None,
+      minWidth: Option[Long] = None, maxWidth: Option[Long] = None,
+      minHeight: Option[Long] = None, maxHeight: Option[Long] = None)
+
+  private val knownAssetKeys = Set("formats", "min_width", "max_width",
+    "min_height", "max_height")
+
+  /** Parse an asset curation config from JSON, e.g.
+    * `{"formats": ["png","mp4"], "min_width": 32, "max_width": 4096}`.
+    * Same boundary discipline as [[parseConfig]]: unknown keys refuse
+    * (a typo must not silently disable a gate), JSON null reads as
+    * absent, and an explicit empty `formats` array means "no format
+    * filter" — `Some(Nil)` would hand isin() zero arguments and drop
+    * every asset.
+    */
+  def parseAssetConfig(json: String): AssetCurationConfig = {
+    val root = mapper.readTree(json)
+    val unknown = root.fieldNames().asScala.toSet -- knownAssetKeys
+    require(unknown.isEmpty,
+      s"unknown asset curation config keys: " +
+        s"${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(known: ${knownAssetKeys.toSeq.sorted.mkString(", ")})")
+    def field(k: String) = Option(root.get(k)).filterNot(_.isNull)
+    val formats = field("formats").map { node =>
+      require(node.isArray,
+        s"formats must be a JSON array, got ${node.getNodeType}")
+      node.elements().asScala.map(_.asText()).toSeq
+    }.filter(_.nonEmpty)
+    AssetCurationConfig(
+      formats = formats,
+      minWidth = field("min_width").map(_.asLong()),
+      maxWidth = field("max_width").map(_.asLong()),
+      minHeight = field("min_height").map(_.asLong()),
+      maxHeight = field("max_height").map(_.asLong()))
+  }
+
+  /** Apply an asset curation config to a decoded-asset frame. Every
+    * gate is optional (absent = skipped); rows must carry the
+    * [[Multimodal.decodeAssets]] metadata columns.
+    */
+  def curateAssets(decoded: DataFrame,
+                   cfg: AssetCurationConfig): DataFrame = {
+    val f0 = cfg.formats.fold(decoded)(fs =>
+      decoded.filter(col("format").isin(fs: _*)))
+    val f1 = cfg.minWidth.fold(f0)(v => f0.filter(col("width") >= v))
+    val f2 = cfg.maxWidth.fold(f1)(v => f1.filter(col("width") <= v))
+    val f3 = cfg.minHeight.fold(f2)(v => f2.filter(col("height") >= v))
+    cfg.maxHeight.fold(f3)(v => f3.filter(col("height") <= v))
+  }
+
   /** Semantic-dedup stage for the curation chain: within each semantic
     * near-duplicate cluster (precomputed labels — one row per document,
     * `cluster_id` from [[Artifacts.semanticLabelsFor]] or an in-query

@@ -552,6 +552,17 @@ object TextAnalysis {
       .groupBy("s").agg(count(lit(1)).as("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // the one LIVE vocab checkpoint: each round's pair-count job
+    // materializes the current (lazily-checkpointed) vocab, after which
+    // the superseded round's truncated-lineage blocks serve nothing —
+    // but they stay pinned until GC collects the RDD reference, so a
+    // tokenizer-scale run (5k+ merges) would otherwise hold every
+    // round's copy of the vocab frame simultaneously (VERDICT r13 task
+    // 4). Unpersist the superseded checkpoint explicitly once its
+    // successor is materialized; driver state is then O(vocab) + the
+    // bounded merge table, independent of round count.
+    var liveCk: Option[org.apache.spark.rdd.RDD[_]] =
+      org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(vocab)
     var dry = false
     while (merges.size < rounds && !dry) {
       val want = math.min(batch, rounds - merges.size)
@@ -572,6 +583,15 @@ object TextAnalysis {
           .as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(window).collect()
+      // the collect above ran over the CURRENT vocab: if it was a lazy
+      // checkpoint, it is materialized now (the sort reads every
+      // partition), so the previous round's blocks can be freed
+      val nowLive = org.apache.spark.sql.graftbridge.Bridge
+        .checkpointRdd(vocab)
+      if (nowLive.map(_.id) != liveCk.map(_.id)) {
+        liveCk.foreach(_.unpersist(false))
+        liveCk = nowLive
+      }
       if (cands.isEmpty) dry = true
       else {
         // maximal disjoint PREFIX of the (cnt desc, pair) order — NOT
@@ -614,6 +634,9 @@ object TextAnalysis {
           .localCheckpoint(false)
       }
     }
+    // the merge table is a driver buffer — the final vocab copy serves
+    // nothing once the loop ends
+    liveCk.foreach(_.unpersist(false))
     import spark.implicits._
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }

@@ -81,4 +81,31 @@ object Bridge {
     ctor.newInstance(sc, None, None, ext,
       Map.empty[String, String], Map.empty[String, String])
   }
+
+  /** Block until the asynchronous listener bus has delivered every
+    * queued event (bounded wait). `SparkContext.listenerBus` is
+    * private[spark]; [[graft.Bench]]'s per-query shuffle-bytes
+    * instrumentation needs the drain so task-end metrics posted by a
+    * just-finished job are counted in that query's window, not the
+    * next one's.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty(30000)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** The concrete RDD behind a `localCheckpoint`ed Dataset (its
+    * analyzed plan is a LogicalRDD — private[sql], hence this bridge).
+    * Iterative trainers ([[graft.northstar.TextAnalysis.bpeInduct]])
+    * re-checkpoint a working frame every round; without a handle to the
+    * superseded round's RDD its truncated-lineage blocks stay pinned
+    * until GC gets around to the reference — hundreds of live copies
+    * of the frame over a tokenizer-scale run. None when the plan is
+    * not a materialized-RDD scan.
+    */
+  def checkpointRdd(df: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }

@@ -757,6 +757,66 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
   }
 
+  test("compaction after repeated appends: file counts shrink, served rows identical; no-op under threshold; torn refuses") {
+    val cents = Ivf.fitCentroids(emb, nCells = 4)
+    val p = s"${tempDir("ivfcmp")}/idx"
+    Artifacts.saveIvfIndex(emb.filter(col("vec_id") < 10), p, cents,
+      "vec_id", "embedding", 100000)
+    // 8 nightly micro-appends fragment the cell partitions
+    for (i <- 0 until 8)
+      Artifacts.appendIvfIndex(
+        emb.filter(col("vec_id") >= 10 + i * 5 && col("vec_id") < 15 + i * 5),
+        p, cents, maxCell = 100000)
+    def fileCount: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+          .map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p, "index"))
+    }
+    val (before, splitsB) = Artifacts.loadIvfIndex(spark, p, cents)
+    val beforeRows = rows(before.select("neighbor_id", "cell", "subcell"))
+    val fBefore = fileCount
+    val n = Artifacts.compactCellIndex(spark, p, maxFilesPerCell = 2)
+    assert(n > 0, s"fixture must fragment past the threshold ($fBefore files)")
+    assert(fileCount < fBefore)
+    assert(new java.io.File(p, "_SUCCESS").exists())
+    val (after, splitsA) = Artifacts.loadIvfIndex(spark, p, cents)
+    assert(splitsA == splitsB)
+    assert(rows(after.select("neighbor_id", "cell", "subcell"))
+      == beforeRows)
+    // compact==no-op once under threshold: returns 0, content untouched
+    assert(Artifacts.compactCellIndex(spark, p, maxFilesPerCell = 2) == 0)
+    assert(rows(Artifacts.loadIvfIndex(spark, p, cents)._1
+      .select("neighbor_id", "cell", "subcell")) == beforeRows)
+    // appendable (rows/) flavor: fragment with 4 appends, compact,
+    // loaded capped view identical
+    import graft.northstar.Dedup
+    val pw = s"${tempDir("wincmp")}/idx"
+    Artifacts.saveWinnowIndexAppendable(
+      docs.filter(col("doc_id") % 8 === 0), pw, maxBucket = 100)
+    for (r <- 1 to 7)
+      Artifacts.appendWinnowIndex(
+        docs.filter(col("doc_id") % 8 === r), pw, maxBucket = 100)
+    val beforeW = rows(Artifacts.loadWinnowIndexAppendable(spark, pw,
+      maxBucket = 100))
+    assert(Artifacts.compactAppendableIndex(spark, pw, maxFiles = 4))
+    assert(rows(Artifacts.loadWinnowIndexAppendable(spark, pw,
+      maxBucket = 100)) == beforeW)
+    assert(rows(Artifacts.loadWinnowIndexAppendable(spark, pw,
+      maxBucket = 100)) == rows(Dedup.winnowIndex(docs, maxBucket = 100)))
+    assert(!Artifacts.compactAppendableIndex(spark, pw, maxFiles = 4))
+    // torn: marker gone → both compactors refuse
+    assert(new java.io.File(p, "_SUCCESS").delete())
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.compactCellIndex(spark, p, maxFilesPerCell = 2)
+    }.getMessage.contains("_SUCCESS"))
+    assert(new java.io.File(pw, "_SUCCESS").delete())
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.compactAppendableIndex(spark, pw, maxFiles = 4)
+    }.getMessage.contains("_SUCCESS"))
+  }
+
   test("append on a torn index fails loudly; ensureTrained recovery rebuilds the wreck") {
     val cents = Ivf.fitCentroids(embA, nCells = 4)
     val p = s"${tempDir("ivftorn")}/idx"

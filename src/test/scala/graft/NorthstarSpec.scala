@@ -1774,6 +1774,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(d1(1L).getAs[Int]("width") >= 16)
   }
 
+  test("asset curation gates: formats + dim bounds over decoded metadata; config boundary refuses bad shapes") {
+    import graft.northstar.Curation
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(1L)),   // png 16x16
+      (2L, Multimodal.syntheticMp4(2L)),   // mp4 320x240
+      (3L, Multimodal.syntheticMkv(3L)),   // mkv 640x360
+      (4L, Multimodal.syntheticFlac(4L)),  // flac 441000 samples x 2ch
+      (5L, "just text".getBytes("UTF-8"))  // stub
+    ).toDF("asset_id", "payload")
+    val decoded = Multimodal.decodeAssets(df)
+    // every gate bites something: formats drops the stub, min_width the
+    // png, max_width the flac — mp4 + mkv survive
+    val got = Curation.curateAssets(decoded, Curation.parseAssetConfig(
+      """{"formats": ["png","mp4","mkv","flac"], "min_width": 300,
+        | "max_width": 100000, "min_height": 100}""".stripMargin))
+      .select("asset_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L))
+    // the audio duration gate IS the width bound at a known sample
+    // rate: >= 5 s at 44.1 kHz = min_width 220500 (fixture is 10 s)
+    assert(Curation.curateAssets(decoded, Curation.parseAssetConfig(
+      """{"formats": ["flac"], "min_width": 220500}"""))
+      .select("asset_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(Curation.curateAssets(decoded, Curation.parseAssetConfig(
+      """{"formats": ["flac"], "min_width": 441001}""")).count() == 0)
+    // JSON null reads as absent; empty formats array = no format gate
+    assert(Curation.curateAssets(decoded, Curation.parseAssetConfig(
+      """{"formats": [], "min_width": null}""")).count() == 5)
+    // a typoed key must refuse, not silently disable its gate
+    assert(intercept[IllegalArgumentException] {
+      Curation.parseAssetConfig("""{"min_witdh": 3}""")
+    }.getMessage.contains("unknown"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.parseAssetConfig("""{"formats": "png"}""")
+    }.getMessage.contains("array"))
+  }
+
   test("image payloads decode for real: true dims, format, luminance gradient") {
     import java.awt.image.BufferedImage
     def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
