@@ -438,7 +438,7 @@ object ScaleProbe {
       s"corpus must open >=5000 merges, got $bpe5kMerges")
     assert(jobsPerMerge <= 0.15,
       f"jobs/merge $jobsPerMerge%.3f exceeds the 0.15 budget")
-    assert(rddsAfter <= rddsBefore + 1,
+    assert(rddsAfter <= rddsBefore,
       s"vocab checkpoints leaked: $rddsBefore -> $rddsAfter live RDDs")
     // quantileCuts: the cumulative window's input is the value DOMAIN,
     // not the row count — replication grows histogram counts, not

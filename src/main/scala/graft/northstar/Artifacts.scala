@@ -104,6 +104,19 @@ object Artifacts {
     new java.io.File(defaultRoot, s"$kind-$md").toString
   }
 
+  /** Sweep stranded maintenance scratch dirs (`*.tmp-<nanos>` from a
+    * crashed append/remove/compact rewrite) under an artifact root:
+    * the marker discipline makes a torn run refusable, but the rebuild
+    * paths only overwrite `index/`/`rows/`/`splits/`, so without the
+    * sweep each torn maintenance run would strand a full-cell-sized
+    * scratch copy forever (code-review r14). Called at the top of
+    * every mutating entry point.
+    */
+  private def sweepTmp(dst: java.io.File): Unit =
+    Option(dst.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.contains(".tmp-"))
+      .foreach(deleteRec)
+
   private def deleteRec(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRec)
@@ -527,6 +540,15 @@ object Artifacts {
   /** Train-once / serve-many PQ codebooks for a corpus identified by
     * `cacheKey` (the [[ivfCentroidsFor]] contract).
     */
+  /** Resolved autoKsub per content key: the corpus count only needs to
+    * run once per corpus version — `cacheKey` is content-keyed (the
+    * corpusKey fingerprint convention), so a serve path hitting the
+    * trained-artifact cache must not pay a full corpus scan per
+    * request just to re-derive the same cache path (code-review r14).
+    */
+  private val ksubByKey =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   def pqCodebooksFor(corpus: DataFrame, cacheKey: String, m: Int,
                      ksub: Int = Pq.AutoKsub, vecCol: String = "embedding",
                      seed: Long = 42L): Array[Array[Array[Float]]] = {
@@ -535,7 +557,9 @@ object Artifacts {
     // that grows past an autoKsub step trains a new, wider artifact
     // instead of silently serving the narrow one
     val ksubR =
-      if (ksub == Pq.AutoKsub) Pq.autoKsub(corpus.count()) else ksub
+      if (ksub == Pq.AutoKsub)
+        ksubByKey.getOrElseUpdate(cacheKey, Pq.autoKsub(corpus.count()))
+      else ksub
     val path = pathFor("pq", s"$cacheKey-m$m-k$ksubR-s$seed-$vecCol")
     ensureTrained(path) { tmp =>
       savePqCodebooks(corpus.sparkSession,
@@ -598,6 +622,7 @@ object Artifacts {
     // marker over half-new data (the ensureTrained path writes to a tmp
     // dir and never hits this; explicit-path re-saves do)
     new java.io.File(path, "_SUCCESS").delete(): Unit
+    sweepTmp(new java.io.File(path))
     val assigned = Dedup.trackedPersist(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         Ivf.cellOf(col(vecCol), centroids).as("cell")))
@@ -719,7 +744,9 @@ object Artifacts {
          Array[Array[Array[Float]]]) = {
     val spark = corpus.sparkSession
     val ksubR =
-      if (ksub == Pq.AutoKsub) Pq.autoKsub(corpus.count()) else ksub
+      if (ksub == Pq.AutoKsub)
+        ksubByKey.getOrElseUpdate(cacheKey, Pq.autoKsub(corpus.count()))
+      else ksub
     val centroids = ivfCentroidsFor(corpus, cacheKey, nCells, vecCol, seed)
     val codebooks = pqCodebooksFor(corpus, cacheKey, m, ksubR, vecCol, seed)
     val path = pathFor("ivfpqindex",
@@ -884,6 +911,7 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append) — rebuild it before appending")
     checkParams(path, params, what)
+    sweepTmp(dst)
     val indexDir = new java.io.File(dst, "index").toString
     val oldSplits = spark.read
       .parquet(new java.io.File(dst, "splits").toString)
@@ -979,6 +1007,7 @@ object Artifacts {
       s"cell index at $path has no _SUCCESS marker (missing, mid-build, " +
         "or torn by a crashed append/remove) — rebuild it before " +
         "compacting")
+    sweepTmp(dst)
     val indexDir = new java.io.File(dst, "index")
     def dataFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
@@ -1027,6 +1056,7 @@ object Artifacts {
     require(marker.exists(),
       s"appendable index at $path has no _SUCCESS marker — rebuild it " +
         "before compacting")
+    sweepTmp(dst)
     val rowsDir = new java.io.File(dst, "rows")
     val files = Option(rowsDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -1135,6 +1165,7 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append/remove) — rebuild it before removing")
     checkParams(path, params, what)
+    sweepTmp(dst)
     val indexDir = new java.io.File(dst, "index").toString
     val oldSplits = spark.read
       .parquet(new java.io.File(dst, "splits").toString)
@@ -1457,14 +1488,21 @@ object Artifacts {
         && index.columns.contains("__window"),
       "winnow sketch artifact must carry pinned __k/__window columns " +
         "(build it with Dedup.winnowIndex)")
+    index.write.mode("overwrite").parquet(path)
     // the sidecar values come from the index's OWN pinned rows when it
     // has any, cross-checked against the args: a caller saving a
     // k=9/w=7 sketch under the defaulted k=5/w=4 would otherwise stamp
     // a wrong sidecar, and an EMPTY such sketch then loads silently
     // under wrong params — the exact hazard the sidecar closes
     // (advice r13). Only a genuinely empty index falls back to the
-    // args (nothing else to derive from).
-    val (sk, sw) = index.select("__k", "__window").head(1) match {
+    // args (nothing else to derive from). The probe reads ONE row back
+    // from the just-written parquet rather than re-executing the
+    // sketch plan (a pre-write head(1) ran the whole winnow
+    // aggregation twice — code-review r14); a mismatch throws before
+    // the sidecar lands, and the sidecar-less wreck still fails the
+    // load-side row-borne pin.
+    val (sk, sw) = index.sparkSession.read.parquet(path)
+      .select("__k", "__window").head(1) match {
       case Array(r) =>
         val (hk, hw) = (r.getAs[Int]("__k"), r.getAs[Int]("__window"))
         require(hk == k && hw == window,
@@ -1474,7 +1512,6 @@ object Artifacts {
         (hk, hw)
       case _ => (k, window)
     }
-    index.write.mode("overwrite").parquet(path)
     // unconditional _params sidecar: the row-borne __k/__window pins
     // validate NOTHING on an empty sketch (head(1) empty → check
     // skipped), so a k/window-mismatched probe of an empty artifact
@@ -1562,6 +1599,7 @@ object Artifacts {
     // so a crash mid-overwrite leaves a refusable wreck, not a stale
     // marker over half-new data
     new java.io.File(dst, "_SUCCESS").delete(): Unit
+    sweepTmp(dst)
     rows.write.mode("overwrite")
       .parquet(new java.io.File(dst, "rows").toString)
     refreshDropped(rows.sparkSession, path, bucketCol, maxBucket)
@@ -1588,6 +1626,7 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append) — rebuild it before appending")
     checkParams(path, params, what)
+    sweepTmp(dst)
     // the delete IS the mutex, like appendCellIndex: a concurrent
     // appender whose delete returns false aborts here instead of
     // interleaving parquet appends into the same rows/ staging dirs
@@ -1623,8 +1662,17 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append/remove) — rebuild it before removing")
     checkParams(path, params, what)
+    sweepTmp(dst)
     val rowsDir = new java.io.File(dst, "rows")
-    val rm = removedIds.select(col(idCol).as(rowIdCol)).distinct()
+    val rm = Dedup.trackedPersist(
+      removedIds.select(col(idCol).as(rowIdCol)).distinct())
+    // replayed-takedown no-op BEFORE the marker drop: without it, a
+    // retry of an already-applied removal would tear down the marker
+    // and rewrite the whole rows/ dir for zero work — and a crash in
+    // that needless window bricks the index until rebuild
+    // (code-review r14)
+    if (spark.read.parquet(rowsDir.toString)
+        .join(rm, Seq(rowIdCol), "left_semi").isEmpty) return
     val kept = spark.read.parquet(rowsDir.toString)
       .join(rm, Seq(rowIdCol), "left_anti")
     require(marker.delete(),

@@ -635,8 +635,16 @@ object TextAnalysis {
       }
     }
     // the merge table is a driver buffer — the final vocab copy serves
-    // nothing once the loop ends
-    liveCk.foreach(_.unpersist(false))
+    // nothing once the loop ends. Two handles can be live here: the
+    // last MATERIALIZED checkpoint (liveCk) and the loop-ending
+    // reassignment's registered-but-unmaterialized one (vocab's own);
+    // freeing only the former leaked one registry entry per call
+    // (code-review r14)
+    val lastCk = org.apache.spark.sql.graftbridge.Bridge
+      .checkpointRdd(vocab)
+    (liveCk.toSeq ++
+      lastCk.filterNot(r => liveCk.exists(_.id == r.id)))
+      .foreach(_.unpersist(false))
     import spark.implicits._
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }

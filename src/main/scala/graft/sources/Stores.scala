@@ -248,8 +248,17 @@ final case class JdbcStore(
         try {
           var found = false
           while (!found && rs.next()) {
+            // TABLE_SCHEM null-tolerant: MySQL-style drivers report the
+            // schema in TABLE_CAT and return null TABLE_SCHEM, so a
+            // strict equality would read an existing schema-qualified
+            // table as absent (and the incremental caller would
+            // overwrite it). The exact-name compare on TABLE_NAME is
+            // what closes the '_'-wildcard hole; a null-schema row
+            // matching a '_'-bearing schema probe is accepted like the
+            // pre-r14 behavior was.
+            val ts = rs.getString("TABLE_SCHEM")
             found = rs.getString("TABLE_NAME") == n &&
-              (s == null || rs.getString("TABLE_SCHEM") == s)
+              (s == null || ts == null || ts == s)
           }
           found
         } finally rs.close()

@@ -91,7 +91,14 @@ object Bridge {
     */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     try sc.listenerBus.waitUntilEmpty(30000)
-    catch { case _: java.util.concurrent.TimeoutException => () }
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        // a corrupted metric window must be distinguishable from a
+        // clean one: still-queued task-end events will land in the
+        // NEXT window and mis-attribute shuffle bytes
+        Console.err.println("[bridge] WARN: listener bus drain timed " +
+          "out after 30 s — per-query metric windows may bleed")
+    }
 
   /** The concrete RDD behind a `localCheckpoint`ed Dataset (its
     * analyzed plan is a LogicalRDD — private[sql], hence this bridge).
