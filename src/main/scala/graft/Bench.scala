@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * Output contract (driver keeps only the last ~2000 chars of the log
   * and json-parses lines from it):
   *   - `BENCH_FULL.json` in the repo root: the complete result object,
-  *     full precision, immune to log-tail truncation.
+  *     full precision, immune to log-tail truncation. Since r14 it
+  *     also carries `shuffle_bytes` — per-query shuffle read/write
+  *     bytes per execution (task-end listener, window = the timed
+  *     reps / reps), so a plan regression that doubles shuffle volume
+  *     is a diffable number even when sf0.1 wall time hides it.
   *   - stdout line 1: `"metric":"total_full"` with ALL per-query times
   *     (head-truncated in a 2000-char tail at 114 queries — ~4 KB —
   *     but the visible fragment still carries ~half the per-query map).

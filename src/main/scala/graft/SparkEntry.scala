@@ -2041,6 +2041,24 @@ object SparkEntry {
           k = 10, nProbe = 3, rerank = 100),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
+    // the SELF-SCALING COARSE-QUANTIZER default path (the task-1
+    // contract extended to the IVF side, r14): no nCells, no nProbe —
+    // Ivf.autoNCells sizes the cell count at √N (22 at the 500-vector
+    // oracle corpus, vs the pinned rows' fixed 8) and Ivf.autoNProbe
+    // probes √nCells (5), so the scan fraction SHRINKS with corpus
+    // growth instead of a fixed 3/8 of the corpus. n_hits is a new
+    // pinned constant (the formulas do not resolve to the 8-cell
+    // base); ScaleProbe tracks the auto path's recall at 2k/10k
+    "ns_knn_ivf_auto_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val centroids = graft.northstar.Artifacts.ivfCentroidsFor(
+        emb, cacheKey = key)
+      Similarity.recallCounts(
+        graft.northstar.Ivf.ivfTopK(q, emb, centroids, k = 10),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
     // the SELF-SCALING default path (VERDICT r13 task 1): no rerank, no
     // ksub — Pq.autoRerank/autoKsub derive both from corpus size, so a
     // caller who never read the sizing scaladoc gets the corpus-tracking
@@ -4666,6 +4684,20 @@ object SparkEntry {
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
         |       CAST(31 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
+    // the √N-cells/√nCells-probes auto path: 22/50 vs the fixed rows'
+    // 31/50 at a 23% scan fraction instead of 37.5% — the recall/cost
+    // point the auto rule buys; at corpus scale the fixed rule's
+    // fraction stays constant (unaffordable) while auto's shrinks
+    "ns_knn_ivf_auto_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(22 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // exact screen+confirm identity: one trivial cell + unbounded screen
     // margin reduce the ADC path to the flat exact threshold join

@@ -475,20 +475,40 @@ object Artifacts {
         s"IVF centroid artifact at $path is missing cell $i")))
   }
 
+  /** Memoized corpus row count per content key: the auto-scaling
+    * resolutions (autoKsub, autoNCells) need the corpus size, but a
+    * serve path hitting the trained-artifact cache must not pay a full
+    * corpus scan per request just to re-derive the same cache path —
+    * `cacheKey` is content-keyed (the corpusKey fingerprint
+    * convention), so one count per corpus version is sound.
+    */
+  private val corpusRowsByKey =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def corpusRowsFor(corpus: DataFrame, cacheKey: String): Long =
+    corpusRowsByKey.getOrElseUpdate(cacheKey, corpus.count())
+
   /** Train-once / serve-many quantizer for a corpus identified by
     * `cacheKey`: fit + persist on first request, serve by loading the
     * stored artifact on every request (the [[bpeMergesFor]] contract).
+    * The defaulted nCells resolves [[Ivf.autoNCells]] from the
+    * (memoized) corpus count BEFORE the cache path, so a corpus
+    * crossing a size step trains a new quantizer instead of silently
+    * serving the old cell count.
     */
-  def ivfCentroidsFor(corpus: DataFrame, cacheKey: String, nCells: Int,
+  def ivfCentroidsFor(corpus: DataFrame, cacheKey: String,
+                      nCells: Int = Ivf.AutoCells,
                       vecCol: String = "embedding",
                       seed: Long = 42L): Array[Array[Float]] = {
-    val path = pathFor("ivf", s"$cacheKey-c$nCells-s$seed-$vecCol")
+    val nCellsR = if (nCells == Ivf.AutoCells)
+      Ivf.autoNCells(corpusRowsFor(corpus, cacheKey)) else nCells
+    val path = pathFor("ivf", s"$cacheKey-c$nCellsR-s$seed-$vecCol")
     ensureTrained(path) { tmp =>
       saveIvfCentroids(corpus.sparkSession,
-        Ivf.fitCentroids(corpus, nCells, vecCol, seed = seed),
-        tmp, nCells, seed)
+        Ivf.fitCentroids(corpus, nCellsR, vecCol, seed = seed),
+        tmp, nCellsR, seed)
     }
-    loadIvfCentroids(corpus.sparkSession, path, nCells, seed)
+    loadIvfCentroids(corpus.sparkSession, path, nCellsR, seed)
   }
 
   /** Persist a [[Pq.fitCodebooks]] product-quantization codebook: one row
@@ -540,15 +560,6 @@ object Artifacts {
   /** Train-once / serve-many PQ codebooks for a corpus identified by
     * `cacheKey` (the [[ivfCentroidsFor]] contract).
     */
-  /** Resolved autoKsub per content key: the corpus count only needs to
-    * run once per corpus version — `cacheKey` is content-keyed (the
-    * corpusKey fingerprint convention), so a serve path hitting the
-    * trained-artifact cache must not pay a full corpus scan per
-    * request just to re-derive the same cache path (code-review r14).
-    */
-  private val ksubByKey =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
-
   def pqCodebooksFor(corpus: DataFrame, cacheKey: String, m: Int,
                      ksub: Int = Pq.AutoKsub, vecCol: String = "embedding",
                      seed: Long = 42L): Array[Array[Array[Float]]] = {
@@ -558,7 +569,7 @@ object Artifacts {
     // instead of silently serving the narrow one
     val ksubR =
       if (ksub == Pq.AutoKsub)
-        ksubByKey.getOrElseUpdate(cacheKey, Pq.autoKsub(corpus.count()))
+        Pq.autoKsub(corpusRowsFor(corpus, cacheKey))
       else ksub
     val path = pathFor("pq", s"$cacheKey-m$m-k$ksubR-s$seed-$vecCol")
     ensureTrained(path) { tmp =>
@@ -672,14 +683,18 @@ object Artifacts {
     * built under different centroids, so index and quantizer can never
     * drift apart silently).
     */
-  def ivfIndexFor(corpus: DataFrame, cacheKey: String, nCells: Int,
+  def ivfIndexFor(corpus: DataFrame, cacheKey: String,
+                  nCells: Int = Ivf.AutoCells,
                   vecCol: String = "embedding", seed: Long = 42L,
                   maxCell: Int = 100000, idCol: String = "vec_id")
       : (DataFrame, Map[Int, Int], Array[Array[Float]]) = {
     val spark = corpus.sparkSession
-    val centroids = ivfCentroidsFor(corpus, cacheKey, nCells, vecCol, seed)
+    val nCellsR = if (nCells == Ivf.AutoCells)
+      Ivf.autoNCells(corpusRowsFor(corpus, cacheKey)) else nCells
+    val centroids = ivfCentroidsFor(corpus, cacheKey, nCellsR, vecCol,
+      seed)
     val path = pathFor("ivfindex",
-      s"$cacheKey-c$nCells-s$seed-$vecCol-m$maxCell-$idCol")
+      s"$cacheKey-c$nCellsR-s$seed-$vecCol-m$maxCell-$idCol")
     ensureTrained(path) { tmp =>
       saveIvfIndex(corpus, tmp, centroids, idCol, vecCol, maxCell)
     }
@@ -736,8 +751,9 @@ object Artifacts {
     * or codebooks, so quantizers and index can never drift apart
     * silently.
     */
-  def ivfPqIndexFor(corpus: DataFrame, cacheKey: String, nCells: Int,
-                    m: Int, ksub: Int = Pq.AutoKsub,
+  def ivfPqIndexFor(corpus: DataFrame, cacheKey: String,
+                    nCells: Int = Ivf.AutoCells,
+                    m: Int = 8, ksub: Int = Pq.AutoKsub,
                     vecCol: String = "embedding", seed: Long = 42L,
                     maxCell: Int = 100000, idCol: String = "vec_id")
       : (DataFrame, Map[Int, Int], Array[Array[Float]],
@@ -745,12 +761,14 @@ object Artifacts {
     val spark = corpus.sparkSession
     val ksubR =
       if (ksub == Pq.AutoKsub)
-        ksubByKey.getOrElseUpdate(cacheKey, Pq.autoKsub(corpus.count()))
+        Pq.autoKsub(corpusRowsFor(corpus, cacheKey))
       else ksub
-    val centroids = ivfCentroidsFor(corpus, cacheKey, nCells, vecCol, seed)
+    val nCellsR = if (nCells == Ivf.AutoCells)
+      Ivf.autoNCells(corpusRowsFor(corpus, cacheKey)) else nCells
+    val centroids = ivfCentroidsFor(corpus, cacheKey, nCellsR, vecCol, seed)
     val codebooks = pqCodebooksFor(corpus, cacheKey, m, ksubR, vecCol, seed)
     val path = pathFor("ivfpqindex",
-      s"$cacheKey-c$nCells-m$m-k$ksubR-s$seed-$vecCol-m$maxCell-$idCol")
+      s"$cacheKey-c$nCellsR-m$m-k$ksubR-s$seed-$vecCol-m$maxCell-$idCol")
     ensureTrained(path) { tmp =>
       saveIvfPqIndex(corpus, tmp, centroids, codebooks, idCol, vecCol,
         maxCell)

@@ -48,12 +48,55 @@ object Ivf {
     * few thousand rows. Collecting a corpus-size-independent training
     * sample is the sanctioned use of collect().
     */
-  def fitCentroids(corpus: DataFrame, nCells: Int,
+  /** Sentinel: derive `nCells` from corpus size at fit time — the
+    * [[Pq.AutoKsub]] contract extended to the coarse quantizer. A fixed
+    * cell count is the same silent-degradation hazard as a fixed
+    * rerank: 8 cells over 1B rows means every probe scans an eighth of
+    * the corpus. Pass an explicit nCells to pin a configuration (the
+    * oracle rows do).
+    */
+  val AutoCells: Int = -1
+
+  /** Hard ceiling on the auto-derived cell count: the centroid set
+    * rides the plan as a flattened literal (nCells × dim floats — 16 MB
+    * at 4096 cells × 1024 dims), which is the practical literal/driver
+    * bound. Past it, the √N rule wants more cells than a plan constant
+    * should carry; graduating the centroid set to a broadcast relation
+    * is the documented next step for >100M-row corpora.
+    */
+  val MaxAutoCells: Int = 4096
+
+  /** The √N cell-count rule (the standard IVF sizing guideline:
+    * nlist ≈ √corpus balances cells scanned per probe against rows per
+    * cell), clamped to [4, [[MaxAutoCells]]]. 22 at the 500-row oracle
+    * corpus, 4096 from ~16M rows up.
+    */
+  def autoNCells(corpusRows: Long): Int =
+    math.min(MaxAutoCells, math.max(4,
+      math.round(math.sqrt(math.max(corpusRows, 1L).toDouble)).toInt))
+
+  /** Sentinel: derive `nProbe` from the centroid count at query time
+    * (no extra job — the centroid array is in hand).
+    */
+  val AutoProbe: Int = -1
+
+  /** nProbe ≈ √nCells — scan fraction 1/√nCells, shrinking with corpus
+    * growth while absolute probed rows grow: 3 at the pinned 8-cell
+    * contract rows (√8 rounds to 3 — the formula anchors exactly at
+    * the base), 64 at the 4096-cell ceiling (1.6% of the corpus).
+    */
+  def autoNProbe(nCells: Int): Int =
+    math.max(3, math.round(math.sqrt(nCells.toDouble)).toInt)
+
+  def fitCentroids(corpus: DataFrame, nCells: Int = AutoCells,
                    vecCol: String = "embedding",
                    sampleFraction: Double = AutoSample,
-                   seed: Long = 42L): Array[Array[Float]] =
-    lloyd(boundedSample(corpus, nCells * TrainRowsPerCell, vecCol,
-      sampleFraction, seed), nCells, seed, iters = 10)
+                   seed: Long = 42L): Array[Array[Float]] = {
+    val nCellsR =
+      if (nCells == AutoCells) autoNCells(corpus.count()) else nCells
+    lloyd(boundedSample(corpus, nCellsR * TrainRowsPerCell, vecCol,
+      sampleFraction, seed), nCellsR, seed, iters = 10)
+  }
 
   /** The bounded, corpus-size-independent training sample shared by the
     * coarse quantizer and the PQ codebook fit ([[Pq.fitCodebooks]]):
@@ -337,9 +380,12 @@ object Ivf {
     * Output: (query_id, neighbor_id, rank).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              centroids: Array[Array[Float]], k: Int = 10, nProbe: Int = 3,
+              centroids: Array[Array[Float]], k: Int = 10,
+              nProbe: Int = AutoProbe,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxCell: Int = 100000): DataFrame = {
+    val nProbeR =
+      if (nProbe == AutoProbe) autoNProbe(centroids.length) else nProbe
     // the nCells-cosines-per-row corpus assignment is the dominant
     // narrow pass — persist it once and derive BOTH the split census
     // and the join side from the cached frame (unpersisted, the full
@@ -352,7 +398,7 @@ object Ivf {
       assigned.groupBy("cell").count(), maxCell)
     val c = assigned.withColumn("subcell",
       subcellOf(col("cv"), col("cell"), centroids, splits))
-    val q = probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
+    val q = probeFrame(queries, centroids, splits, nProbeR, idCol, vecCol)
     rankCandidates(q, c, k)
   }
 
@@ -400,14 +446,16 @@ object Ivf {
     */
   def ivfServeTopK(queries: DataFrame, index: DataFrame,
                    centroids: Array[Array[Float]], splits: Map[Int, Int],
-                   k: Int = 10, nProbe: Int = 3,
+                   k: Int = 10, nProbe: Int = AutoProbe,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
+    val nProbeR =
+      if (nProbe == AutoProbe) autoNProbe(centroids.length) else nProbe
     // persisted: pruneToProbedCells COLLECTS the probed-cell census, so
     // an unpersisted probe frame would pay the per-query nCells-cosine
     // assignment twice (census action + ranking join)
     val q = Dedup.trackedPersist(
-      probeFrame(queries, centroids, splits, nProbe, idCol, vecCol))
+      probeFrame(queries, centroids, splits, nProbeR, idCol, vecCol))
     val c = pruneToProbedCells(index, q)
     rankCandidates(q, c, k)
   }

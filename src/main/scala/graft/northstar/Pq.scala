@@ -167,9 +167,12 @@ object Pq {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 centroids: Array[Array[Float]],
                 codebooks: Array[Array[Array[Float]]],
-                k: Int = 10, nProbe: Int = 3, rerank: Int = AutoRerank,
+                k: Int = 10, nProbe: Int = Ivf.AutoProbe,
+                rerank: Int = AutoRerank,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 maxCell: Int = 100000): DataFrame = {
+    val nProbeR = if (nProbe == Ivf.AutoProbe)
+      Ivf.autoNProbe(centroids.length) else nProbe
     // one persisted assignment pass feeds the split census, the join
     // build, AND the auto-rerank sizing (the Ivf.ivfTopK contract)
     val assigned = Dedup.trackedPersist(
@@ -189,7 +192,8 @@ object Pq {
     val c = assigned.select(col("neighbor_id"), col("cell"),
       Ivf.subcellOf(col("cv"), col("cell"), centroids, splits).as("subcell"),
       encode(col("cv"), codebooks).as("codes"))
-    val q = Ivf.probeFrame(queries, centroids, splits, nProbe, idCol, vecCol)
+    val q = Ivf.probeFrame(queries, centroids, splits, nProbeR, idCol,
+      vecCol)
     adcRerank(q, c, corpus, codebooks, k, rerankR, idCol, vecCol)
   }
 
@@ -224,10 +228,12 @@ object Pq {
                          splits: Map[Int, Int],
                          codebooks: Array[Array[Array[Float]]],
                          thresholdE4: Long, screenMarginE4: Long = 1500,
-                         nProbe: Int = 3,
+                         nProbe: Int = Ivf.AutoProbe,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val q = Ivf.probeFrame(incoming, centroids, splits, nProbe, idCol,
+    val nProbeR = if (nProbe == Ivf.AutoProbe)
+      Ivf.autoNProbe(centroids.length) else nProbe
+    val q = Ivf.probeFrame(incoming, centroids, splits, nProbeR, idCol,
         vecCol)
       .withColumnRenamed("query_id", "incoming_id")
     // (incoming, neighbor) pairs unique without dedup: distinct probed
@@ -312,9 +318,12 @@ object Pq {
   def ivfPqServeTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
                      centroids: Array[Array[Float]], splits: Map[Int, Int],
                      codebooks: Array[Array[Array[Float]]],
-                     k: Int = 10, nProbe: Int = 3, rerank: Int = AutoRerank,
+                     k: Int = 10, nProbe: Int = Ivf.AutoProbe,
+                     rerank: Int = AutoRerank,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    val nProbeR = if (nProbe == Ivf.AutoProbe)
+      Ivf.autoNProbe(centroids.length) else nProbe
     // sentinel → size the budget from the STORED index (a parquet
     // count — row-group metadata, no column IO), so a serving endpoint
     // tracks nightly appends without redeploys
@@ -326,7 +335,7 @@ object Pq {
     // persisted for the same reason as Ivf.ivfServeTopK: the probed-cell
     // census below is an action over this frame
     val q = Dedup.trackedPersist(
-      Ivf.probeFrame(queries, centroids, splits, nProbe, idCol, vecCol))
+      Ivf.probeFrame(queries, centroids, splits, nProbeR, idCol, vecCol))
     // bounded probed-cell census → literal IN → PartitionFilters at
     // planning time (the Ivf.ivfServeTopK contract, shared code)
     val c = Ivf.pruneToProbedCells(index, q)

@@ -39,6 +39,32 @@ class IvfSpec extends SparkSpecBase {
     assert(s1 <= 1.2 * sf, s"sampled SSE $s1 vs full SSE $sf")
   }
 
+  test("auto-scaling coarse quantizer: formula anchors; defaulted paths equal explicit") {
+    import org.apache.spark.sql.functions.col
+    // √N cell rule, clamped
+    assert(Ivf.autoNCells(500) == 22)
+    assert(Ivf.autoNCells(1) == 4)  // floor
+    assert(Ivf.autoNCells(64) == 8)
+    assert(Ivf.autoNCells(1000000000L) == Ivf.MaxAutoCells) // literal cap
+    // √nCells probe rule anchors at the pinned 8-cell contract rows
+    assert(Ivf.autoNProbe(8) == 3)
+    assert(Ivf.autoNProbe(22) == 5)
+    assert(Ivf.autoNProbe(4096) == 64)
+    assert(Ivf.autoNProbe(1) == 3) // floor
+    // the AutoCells sentinel (the fit default) trains the same
+    // quantizer as the explicit √N count
+    val n = emb.count()
+    val auto = Ivf.fitCentroids(emb)
+    val explicit = Ivf.fitCentroids(emb, Ivf.autoNCells(n))
+    assert(auto.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq)
+    // the AutoProbe sentinel (the query default) probes exactly
+    // autoNProbe(nCells) cells
+    val q = emb.filter(col("vec_id") < 3)
+    assert(rows(Ivf.ivfTopK(q, emb, explicit, k = 5)) ==
+      rows(Ivf.ivfTopK(q, emb, explicit, k = 5,
+        nProbe = Ivf.autoNProbe(explicit.length))))
+  }
+
   test("probeCells returns nProbe distinct cells, best cell first") {
     val centroids = Ivf.fitCentroids(emb, nCells = 8)
     val probed = emb.limit(5).select(

@@ -412,6 +412,20 @@ class StreamingSpec extends SparkSpecBase {
         k = 10, nProbe = 2, rerank = 30))
       == rows(Pq.ivfPqServeTopK(probe, idxU, union, cents, splitsU, cb,
         k = 10, nProbe = 2, rerank = 30)))
+    // lifecycle close-out (r14): a TAKEDOWN of the streamed-in tail
+    // must bring the live index back to exactly the pre-stream state —
+    // ingest → screen → append → remove composes to the identity on
+    // the stored artifact
+    val removedSplits = Artifacts.removeFromIvfPqIndex(
+      emb.filter(col("vec_id") >= 400).select("vec_id"), corpus0, path,
+      cents, cb)
+    val p0 = s"${tmp()}/idx"
+    Artifacts.saveIvfPqIndex(corpus0, p0, cents, cb, "vec_id",
+      "embedding", 100000)
+    val (idx0, splits0) = Artifacts.loadIvfPqIndex(spark, p0, cents, cb)
+    val (idxR, _) = Artifacts.loadIvfPqIndex(spark, path, cents, cb)
+    assert(removedSplits == splits0)
+    assert(rows(idxR) == rows(idx0))
   }
 
   test("curation projection runs unchanged on a stream and matches the batch result") {
