@@ -109,8 +109,10 @@ object Artifacts {
     * the marker discipline makes a torn run refusable, but the rebuild
     * paths only overwrite `index/`/`rows/`/`splits/`, so without the
     * sweep each torn maintenance run would strand a full-cell-sized
-    * scratch copy forever (code-review r14). Called at the top of
-    * every mutating entry point.
+    * scratch copy forever (code-review r14). Called ONLY after winning
+    * the marker-delete mutex (or in the single-writer save paths): a
+    * pre-mutex sweep could delete a concurrent mutator's live scratch
+    * dir and fail its rename mid-mutation.
     */
   private def sweepTmp(dst: java.io.File): Unit =
     Option(dst.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -478,9 +480,13 @@ object Artifacts {
   /** Memoized corpus row count per content key: the auto-scaling
     * resolutions (autoKsub, autoNCells) need the corpus size, but a
     * serve path hitting the trained-artifact cache must not pay a full
-    * corpus scan per request just to re-derive the same cache path —
-    * `cacheKey` is content-keyed (the corpusKey fingerprint
-    * convention), so one count per corpus version is sound.
+    * corpus scan per request just to re-derive the same cache path.
+    * STALENESS CONTRACT: a reused key with a mutated corpus serves the
+    * memoized count — which is exactly [[ensureTrained]]'s own
+    * contract (same key ⇒ the STORED artifact is served, trained on
+    * the old corpus), so the memo introduces no staleness the artifact
+    * store doesn't already have. Key by content (the corpusKey
+    * fingerprint convention) and both resolve correctly.
     */
   private val corpusRowsByKey =
     scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -500,8 +506,8 @@ object Artifacts {
                       nCells: Int = Ivf.AutoCells,
                       vecCol: String = "embedding",
                       seed: Long = 42L): Array[Array[Float]] = {
-    val nCellsR = if (nCells == Ivf.AutoCells)
-      Ivf.autoNCells(corpusRowsFor(corpus, cacheKey)) else nCells
+    val nCellsR =
+      Ivf.resolveNCells(nCells, corpusRowsFor(corpus, cacheKey))
     val path = pathFor("ivf", s"$cacheKey-c$nCellsR-s$seed-$vecCol")
     ensureTrained(path) { tmp =>
       saveIvfCentroids(corpus.sparkSession,
@@ -689,8 +695,8 @@ object Artifacts {
                   maxCell: Int = 100000, idCol: String = "vec_id")
       : (DataFrame, Map[Int, Int], Array[Array[Float]]) = {
     val spark = corpus.sparkSession
-    val nCellsR = if (nCells == Ivf.AutoCells)
-      Ivf.autoNCells(corpusRowsFor(corpus, cacheKey)) else nCells
+    val nCellsR =
+      Ivf.resolveNCells(nCells, corpusRowsFor(corpus, cacheKey))
     val centroids = ivfCentroidsFor(corpus, cacheKey, nCellsR, vecCol,
       seed)
     val path = pathFor("ivfindex",
@@ -763,8 +769,8 @@ object Artifacts {
       if (ksub == Pq.AutoKsub)
         Pq.autoKsub(corpusRowsFor(corpus, cacheKey))
       else ksub
-    val nCellsR = if (nCells == Ivf.AutoCells)
-      Ivf.autoNCells(corpusRowsFor(corpus, cacheKey)) else nCells
+    val nCellsR =
+      Ivf.resolveNCells(nCells, corpusRowsFor(corpus, cacheKey))
     val centroids = ivfCentroidsFor(corpus, cacheKey, nCellsR, vecCol, seed)
     val codebooks = pqCodebooksFor(corpus, cacheKey, m, ksubR, vecCol, seed)
     val path = pathFor("ivfpqindex",
@@ -929,7 +935,6 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append) — rebuild it before appending")
     checkParams(path, params, what)
-    sweepTmp(dst)
     val indexDir = new java.io.File(dst, "index").toString
     val oldSplits = spark.read
       .parquet(new java.io.File(dst, "splits").toString)
@@ -958,6 +963,11 @@ object Artifacts {
     // silently-partial index
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker")
+    // sweep AFTER winning the marker-delete mutex: an earlier sweep
+    // could delete a CONCURRENT mutator's live scratch dir, failing
+    // its rename mid-mutation with the marker already dropped
+    // (code-review r14); only the mutex winner may touch scratch
+    sweepTmp(dst)
     val changedCol = changed.map(Int.box)
     // 1. incoming rows of UNchanged cells append straight into their
     //    partitions (their subcell derivation under newSplits equals
@@ -1025,7 +1035,6 @@ object Artifacts {
       s"cell index at $path has no _SUCCESS marker (missing, mid-build, " +
         "or torn by a crashed append/remove) — rebuild it before " +
         "compacting")
-    sweepTmp(dst)
     val indexDir = new java.io.File(dst, "index")
     def dataFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
@@ -1037,6 +1046,7 @@ object Artifacts {
     require(marker.delete(),
       s"cell index at $path: could not remove the commit marker " +
         "(concurrent mutation, or permissions)")
+    sweepTmp(dst) // post-mutex only (the appendCellIndex discipline)
     for (c <- over) {
       val bytes = dataFiles(c).map(_.length).sum
       val nFiles = math.max(1,
@@ -1074,7 +1084,6 @@ object Artifacts {
     require(marker.exists(),
       s"appendable index at $path has no _SUCCESS marker — rebuild it " +
         "before compacting")
-    sweepTmp(dst)
     val rowsDir = new java.io.File(dst, "rows")
     val files = Option(rowsDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -1082,6 +1091,7 @@ object Artifacts {
     require(marker.delete(),
       s"appendable index at $path: could not remove the commit marker " +
         "(concurrent mutation, or permissions)")
+    sweepTmp(dst) // post-mutex only (the appendCellIndex discipline)
     val nFiles = math.max(1,
       math.ceil(files.map(_.length).sum.toDouble / targetFileBytes).toInt)
     val tmp = new java.io.File(dst,
@@ -1183,7 +1193,6 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append/remove) — rebuild it before removing")
     checkParams(path, params, what)
-    sweepTmp(dst)
     val indexDir = new java.io.File(dst, "index").toString
     val oldSplits = spark.read
       .parquet(new java.io.File(dst, "splits").toString)
@@ -1211,6 +1220,7 @@ object Artifacts {
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker " +
         "(concurrent mutation, or permissions)")
+    sweepTmp(dst) // post-mutex only (the appendCellIndex discipline)
     val tmp = new java.io.File(dst, "index.rewrite.tmp-" +
       System.nanoTime())
     if (plain.nonEmpty) {
@@ -1506,35 +1516,49 @@ object Artifacts {
         && index.columns.contains("__window"),
       "winnow sketch artifact must carry pinned __k/__window columns " +
         "(build it with Dedup.winnowIndex)")
-    index.write.mode("overwrite").parquet(path)
-    // the sidecar values come from the index's OWN pinned rows when it
-    // has any, cross-checked against the args: a caller saving a
-    // k=9/w=7 sketch under the defaulted k=5/w=4 would otherwise stamp
-    // a wrong sidecar, and an EMPTY such sketch then loads silently
-    // under wrong params — the exact hazard the sidecar closes
-    // (advice r13). Only a genuinely empty index falls back to the
-    // args (nothing else to derive from). The probe reads ONE row back
-    // from the just-written parquet rather than re-executing the
-    // sketch plan (a pre-write head(1) ran the whole winnow
-    // aggregation twice — code-review r14); a mismatch throws before
-    // the sidecar lands, and the sidecar-less wreck still fails the
-    // load-side row-borne pin.
-    val (sk, sw) = index.sparkSession.read.parquet(path)
-      .select("__k", "__window").head(1) match {
-      case Array(r) =>
-        val (hk, hw) = (r.getAs[Int]("__k"), r.getAs[Int]("__window"))
-        require(hk == k && hw == window,
-          s"winnow sketch carries pinned k=$hk/window=$hw but " +
-            s"saveWinnowSketch was called with k=$k/window=$window — " +
-            "pass the build parameters explicitly")
-        (hk, hw)
-      case _ => (k, window)
-    }
-    // unconditional _params sidecar: the row-borne __k/__window pins
-    // validate NOTHING on an empty sketch (head(1) empty → check
-    // skipped), so a k/window-mismatched probe of an empty artifact
-    // silently reported zero overlap (code-review r13)
-    writeParams(path, Map("k" -> sk.toString, "window" -> sw.toString))
+    // STAGE-validate-publish: the sketch lands in a scratch dir first,
+    // the pinned-row cross-check reads ONE row back from the written
+    // parquet (a pre-write head(1) ran the whole winnow aggregation
+    // twice, a post-overwrite check destroyed a previously valid
+    // artifact before throwing — code-review r14), and only a
+    // validated sketch replaces whatever is at `path`. The sidecar
+    // values come from the index's OWN pinned rows when it has any: a
+    // caller saving a k=9/w=7 sketch under the defaulted k=5/w=4 would
+    // otherwise stamp a wrong sidecar, and an EMPTY such sketch then
+    // loads silently under wrong params — the hazard the sidecar
+    // closes (advice r13). Only a genuinely empty index falls back to
+    // the args.
+    // the finally-delete below cleans our own scratch on every exit
+    // path (only a hard crash strands it, and the store root's
+    // TTL/overflow pruning clears those); deliberately NO parent-dir
+    // sweep — a sibling save's in-flight staging must not be deletable
+    // from here
+    val dst = new java.io.File(path)
+    Option(dst.getParentFile).foreach(p => p.mkdirs(): Unit)
+    val staging = new java.io.File(
+      path + s".tmp-${System.nanoTime()}")
+    try {
+      index.write.mode("overwrite").parquet(staging.toString)
+      val (sk, sw) = index.sparkSession.read.parquet(staging.toString)
+        .select("__k", "__window").head(1) match {
+        case Array(r) =>
+          val (hk, hw) = (r.getAs[Int]("__k"), r.getAs[Int]("__window"))
+          require(hk == k && hw == window,
+            s"winnow sketch carries pinned k=$hk/window=$hw but " +
+              s"saveWinnowSketch was called with k=$k/window=$window — " +
+              "pass the build parameters explicitly")
+          (hk, hw)
+        case _ => (k, window)
+      }
+      deleteRec(dst)
+      require(staging.renameTo(dst),
+        s"could not publish winnow sketch at $path")
+      // unconditional _params sidecar: the row-borne __k/__window pins
+      // validate NOTHING on an empty sketch (head(1) empty → check
+      // skipped), so a k/window-mismatched probe of an empty artifact
+      // silently reported zero overlap (code-review r13)
+      writeParams(path, Map("k" -> sk.toString, "window" -> sw.toString))
+    } finally if (staging.exists()) deleteRec(staging)
   }
 
   /** Load a stored winnow sketch for probing. The driver-side check
@@ -1644,13 +1668,13 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append) — rebuild it before appending")
     checkParams(path, params, what)
-    sweepTmp(dst)
     // the delete IS the mutex, like appendCellIndex: a concurrent
     // appender whose delete returns false aborts here instead of
     // interleaving parquet appends into the same rows/ staging dirs
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker " +
         "(concurrent append, or permissions)")
+    sweepTmp(dst) // post-mutex only (the appendCellIndex discipline)
     deltaRows.write.mode("append")
       .parquet(new java.io.File(dst, "rows").toString)
     refreshDropped(deltaRows.sparkSession, path, bucketCol, maxBucket)
@@ -1680,7 +1704,6 @@ object Artifacts {
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed append/remove) — rebuild it before removing")
     checkParams(path, params, what)
-    sweepTmp(dst)
     val rowsDir = new java.io.File(dst, "rows")
     val rm = Dedup.trackedPersist(
       removedIds.select(col(idCol).as(rowIdCol)).distinct())
@@ -1696,6 +1719,7 @@ object Artifacts {
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker " +
         "(concurrent mutation, or permissions)")
+    sweepTmp(dst) // post-mutex only (the appendCellIndex discipline)
     val tmp = new java.io.File(dst, "rows.rewrite.tmp-" +
       System.nanoTime())
     kept.write.mode("overwrite").parquet(tmp.toString)

@@ -32,22 +32,6 @@ object Ivf {
     */
   val TrainRowsPerCell: Long = 256L
 
-  /** Train the coarse quantizer: k-means centroids over a SAMPLE of the
-    * corpus embedding column. Deterministic via fixed seed.
-    *
-    * By default the sample is bounded: min(1, nCells*256 / corpusRows) —
-    * full-corpus k-means is a genuine scale hazard (iterating the whole
-    * training set nIter times), and quantizer quality saturates at a few
-    * hundred points per cell. Pass an explicit `sampleFraction` to
-    * override (1.0 = train on everything).
-    *
-    * The bounded sample (≤ ~1.2 × nCells × 256 rows regardless of corpus
-    * size) is collected and clustered ON THE DRIVER with seeded
-    * k-means++ and Lloyd iterations — milliseconds of pure arithmetic,
-    * where a distributed fit pays seconds of job overhead to cluster a
-    * few thousand rows. Collecting a corpus-size-independent training
-    * sample is the sanctioned use of collect().
-    */
   /** Sentinel: derive `nCells` from corpus size at fit time — the
     * [[Pq.AutoKsub]] contract extended to the coarse quantizer. A fixed
     * cell count is the same silent-degradation hazard as a fixed
@@ -88,14 +72,46 @@ object Ivf {
   def autoNProbe(nCells: Int): Int =
     math.max(3, math.round(math.sqrt(nCells.toDouble)).toInt)
 
+  /** One definition of the [[AutoProbe]] sentinel resolution, shared by
+    * every probe entry point here and in [[Pq]] — a future change to
+    * the rule (e.g. clamping to the live cell count) lands once.
+    */
+  def resolveNProbe(nProbe: Int, centroids: Array[Array[Float]]): Int =
+    if (nProbe == AutoProbe) autoNProbe(centroids.length) else nProbe
+
+  /** One definition of the [[AutoCells]] sentinel resolution; `rows` is
+    * by-name so explicit callers never pay the count.
+    */
+  def resolveNCells(nCells: Int, rows: => Long): Int =
+    if (nCells == AutoCells) autoNCells(rows) else nCells
+
+  /** Train the coarse quantizer: k-means centroids over a SAMPLE of the
+    * corpus embedding column. Deterministic via fixed seed.
+    *
+    * By default the sample is bounded: min(1, nCells*256 / corpusRows) —
+    * full-corpus k-means is a genuine scale hazard (iterating the whole
+    * training set nIter times), and quantizer quality saturates at a few
+    * hundred points per cell. Pass an explicit `sampleFraction` to
+    * override (1.0 = train on everything).
+    *
+    * The bounded sample (≤ ~1.2 × nCells × 256 rows regardless of corpus
+    * size) is collected and clustered ON THE DRIVER with seeded
+    * k-means++ and Lloyd iterations — milliseconds of pure arithmetic,
+    * where a distributed fit pays seconds of job overhead to cluster a
+    * few thousand rows. Collecting a corpus-size-independent training
+    * sample is the sanctioned use of collect().
+    */
   def fitCentroids(corpus: DataFrame, nCells: Int = AutoCells,
                    vecCol: String = "embedding",
                    sampleFraction: Double = AutoSample,
                    seed: Long = 42L): Array[Array[Float]] = {
-    val nCellsR =
-      if (nCells == AutoCells) autoNCells(corpus.count()) else nCells
+    // the auto-cells count doubles as boundedSample's corpus size, so
+    // the auto fit path pays ONE corpus scan, not two (code-review r14)
+    val knownRows =
+      if (nCells == AutoCells) Some(corpus.count()) else None
+    val nCellsR = resolveNCells(nCells, knownRows.get)
     lloyd(boundedSample(corpus, nCellsR * TrainRowsPerCell, vecCol,
-      sampleFraction, seed), nCellsR, seed, iters = 10)
+      sampleFraction, seed, knownRows), nCellsR, seed, iters = 10)
   }
 
   /** The bounded, corpus-size-independent training sample shared by the
@@ -107,11 +123,13 @@ object Ivf {
   private[northstar] def boundedSample(corpus: DataFrame, targetRows: Long,
                                        vecCol: String,
                                        sampleFraction: Double,
-                                       seed: Long): Array[Array[Float]] = {
+                                       seed: Long,
+                                       knownRows: Option[Long] = None)
+      : Array[Array[Float]] = {
     val fraction =
       if (sampleFraction > 0.0) sampleFraction
       else {
-        val n = corpus.count()
+        val n = knownRows.getOrElse(corpus.count())
         if (n <= targetRows) 1.0
         else math.min(1.0, 1.2 * targetRows.toDouble / n)
       }
@@ -384,8 +402,7 @@ object Ivf {
               nProbe: Int = AutoProbe,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxCell: Int = 100000): DataFrame = {
-    val nProbeR =
-      if (nProbe == AutoProbe) autoNProbe(centroids.length) else nProbe
+    val nProbeR = resolveNProbe(nProbe, centroids)
     // the nCells-cosines-per-row corpus assignment is the dominant
     // narrow pass — persist it once and derive BOTH the split census
     // and the join side from the cached frame (unpersisted, the full
@@ -449,8 +466,7 @@ object Ivf {
                    k: Int = 10, nProbe: Int = AutoProbe,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val nProbeR =
-      if (nProbe == AutoProbe) autoNProbe(centroids.length) else nProbe
+    val nProbeR = resolveNProbe(nProbe, centroids)
     // persisted: pruneToProbedCells COLLECTS the probed-cell census, so
     // an unpersisted probe frame would pay the per-query nCells-cosine
     // assignment twice (census action + ranking join)

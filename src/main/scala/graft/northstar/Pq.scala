@@ -171,8 +171,7 @@ object Pq {
                 rerank: Int = AutoRerank,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 maxCell: Int = 100000): DataFrame = {
-    val nProbeR = if (nProbe == Ivf.AutoProbe)
-      Ivf.autoNProbe(centroids.length) else nProbe
+    val nProbeR = Ivf.resolveNProbe(nProbe, centroids)
     // one persisted assignment pass feeds the split census, the join
     // build, AND the auto-rerank sizing (the Ivf.ivfTopK contract)
     val assigned = Dedup.trackedPersist(
@@ -231,8 +230,7 @@ object Pq {
                          nProbe: Int = Ivf.AutoProbe,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val nProbeR = if (nProbe == Ivf.AutoProbe)
-      Ivf.autoNProbe(centroids.length) else nProbe
+    val nProbeR = Ivf.resolveNProbe(nProbe, centroids)
     val q = Ivf.probeFrame(incoming, centroids, splits, nProbeR, idCol,
         vecCol)
       .withColumnRenamed("query_id", "incoming_id")
@@ -322,8 +320,7 @@ object Pq {
                      rerank: Int = AutoRerank,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val nProbeR = if (nProbe == Ivf.AutoProbe)
-      Ivf.autoNProbe(centroids.length) else nProbe
+    val nProbeR = Ivf.resolveNProbe(nProbe, centroids)
     // sentinel → size the budget from the STORED index (a parquet
     // count — row-group metadata, no column IO), so a serving endpoint
     // tracks nightly appends without redeploys

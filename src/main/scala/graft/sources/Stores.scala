@@ -248,17 +248,21 @@ final case class JdbcStore(
         try {
           var found = false
           while (!found && rs.next()) {
-            // TABLE_SCHEM null-tolerant: MySQL-style drivers report the
-            // schema in TABLE_CAT and return null TABLE_SCHEM, so a
-            // strict equality would read an existing schema-qualified
-            // table as absent (and the incremental caller would
-            // overwrite it). The exact-name compare on TABLE_NAME is
-            // what closes the '_'-wildcard hole; a null-schema row
-            // matching a '_'-bearing schema probe is accepted like the
-            // pre-r14 behavior was.
+            // MySQL-style drivers report the schema in TABLE_CAT and
+            // return null TABLE_SCHEM, so a strict TABLE_SCHEM
+            // equality would read an existing schema-qualified table
+            // as absent (and the incremental caller would overwrite
+            // it). When TABLE_SCHEM is null, fall back to comparing
+            // TABLE_CAT — an unconditional accept would let a
+            // same-named table in a DIFFERENT database satisfy the
+            // probe (code-review r14); only when the driver reports
+            // neither does the row match on name alone (the pre-r14
+            // behavior, nothing left to discriminate on).
             val ts = rs.getString("TABLE_SCHEM")
+            val tc = rs.getString("TABLE_CAT")
             found = rs.getString("TABLE_NAME") == n &&
-              (s == null || ts == null || ts == s)
+              (s == null || ts == s ||
+                (ts == null && (tc == s || tc == null)))
           }
           found
         } finally rs.close()

@@ -246,6 +246,16 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException] {
       Artifacts.saveWinnowSketch(k7, s"${tempDir("winart")}/k7bad")
     }.getMessage.contains("pass the build parameters explicitly"))
+    // a mismatched save must not destroy an EXISTING valid artifact:
+    // the sketch stages, validates, and only then replaces
+    // (code-review r14 — the post-overwrite check left k=7 rows with
+    // no sidecar and the k=5 artifact gone)
+    val preserved = loaded.count()
+    assert(intercept[IllegalArgumentException] {
+      Artifacts.saveWinnowSketch(k7, path)
+    }.getMessage.contains("pass the build parameters explicitly"))
+    assert(Artifacts.loadWinnowSketch(spark, path, k = 5, window = 4)
+      .count() == preserved)
     val k7Path = s"${tempDir("winart")}/k7good"
     Artifacts.saveWinnowSketch(k7, k7Path, k = 7, window = 6)
     assert(Artifacts.loadWinnowSketch(spark, k7Path, k = 7, window = 6)
