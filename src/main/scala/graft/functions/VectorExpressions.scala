@@ -394,6 +394,120 @@ object VecOps {
     if (d == 0.0) 0.0 else dot / d
   }
 
+  /** Per-thread single-slot cache of (centroid literal, floats, per-
+    * centroid sqrt-norms): its OWN slot, not [[cbCache]] — an IVF-PQ
+    * assignment stage evaluates nearest_cells AND pq_encode per corpus
+    * row, so sharing the two-entry codebook cache would alternate-miss
+    * on every row.
+    */
+  private val centCache =
+    new ThreadLocal[(AnyRef, Array[Float], Array[Double])] {
+      override def initialValue(): (AnyRef, Array[Float], Array[Double]) = null
+    }
+
+  private def centArrays(cents: ArrayData,
+                         nCells: Int): (Array[Float], Array[Double]) = {
+    val cached = centCache.get()
+    if (cached != null && (cached._1 eq cents)) (cached._2, cached._3)
+    else {
+      val arr = cents.toFloatArray()
+      require(arr.length % nCells == 0,
+        s"centroid literal of ${arr.length} floats does not divide into " +
+          s"$nCells cells")
+      val dim = arr.length / nCells
+      // per-centroid sqrt(Σy²), accumulated in ascending-i order —
+      // identical to the nb fold inside [[cosine]], so hoisting it out
+      // of the per-row loop cannot move a single bit
+      val norms = new Array[Double](nCells)
+      var c = 0
+      while (c < nCells) {
+        var nb = 0.0
+        var i = 0
+        while (i < dim) {
+          val y = arr(c * dim + i).toDouble
+          nb += y * y
+          i += 1
+        }
+        norms(c) = math.sqrt(nb)
+        c += 1
+      }
+      centCache.set((cents, arr, norms))
+      (arr, norms)
+    }
+  }
+
+  /** Spark SQL's double ordering (SQLOrderingUtil.compareDoubles): ±0.0
+    * compare equal, NaN greater than everything including itself-as-
+    * equal — the ordering `greatest()` and `array_sort()` apply, which
+    * [[nearestCells]] must reproduce exactly to keep kernel == compose
+    * form on corrupt (NaN) and zero vectors.
+    */
+  private def cmpSql(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** The `nProbe` nearest centroids of `v` by cosine, ordered (sim desc,
+    * cell desc) — the ONE fused pass that replaces an nCells-arm
+    * `greatest(struct(cosine, cell)...)` / `array_sort` expression tree:
+    * the query norm is computed once (the compose form re-accumulated it
+    * per centroid), centroid norms come from the per-literal cache, and
+    * per-centroid arithmetic replays [[cosine]]'s fold order bit-for-bit
+    * so assignments cannot drift from the pre-kernel plans. Ties break
+    * to the HIGHER cell (the duplicate-centroid contract — see
+    * Ivf.probeCells). `cents` is the flattened [nCells][dim] literal.
+    */
+  def nearestCells(v: ArrayData, cents: ArrayData, nCells: Int,
+                   nProbe: Int): ArrayData = {
+    val (arr, norms) = centArrays(cents, nCells)
+    val dim = v.numElements()
+    if (arr.length != nCells * dim)
+      throw new IllegalArgumentException(
+        s"centroid shape mismatch: vector dim $dim vs ${arr.length} " +
+          s"centroid floats for nCells=$nCells (expected ${nCells * dim}; " +
+          "were the centroids fit on a different embedding dim?)")
+    var na = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    val sqna = math.sqrt(na)
+    val sims = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var dot = 0.0
+      var ii = 0
+      val base = c * dim
+      while (ii < dim) {
+        dot += v.getFloat(ii).toDouble * arr(base + ii).toDouble
+        ii += 1
+      }
+      val d = sqna * norms(c)
+      sims(c) = if (d == 0.0) 0.0 else dot / d
+      c += 1
+    }
+    val take = math.min(nProbe, nCells)
+    val out = new Array[Int](take)
+    val taken = new Array[Boolean](nCells)
+    var s = 0
+    while (s < take) {
+      var best = -1
+      c = 0
+      while (c < nCells) {
+        // >= on sim ties: ascending scan, so a later equal-sim cell
+        // (higher index) replaces the earlier one — ties to the HIGHER
+        // cell, matching the compose form's struct compare
+        if (!taken(c) &&
+            (best < 0 || cmpSql(sims(c), sims(best)) >= 0)) best = c
+        c += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All nTables bucket ids for one vector: sign bits of nPlanes
     * hyperplane dot products per table, table id folded into bits 32+.
     * One pass over the vector per (table, plane), against the cached
@@ -529,6 +643,32 @@ case class PqAdcCosine(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** nearest_cells(array<float>, centroids literal) → array<int>: the
+  * nProbe nearest centroids by cosine, ordered (sim desc, cell desc) —
+  * see VecOps.nearestCells. The flattened [nCells][dim] centroid matrix
+  * rides as a literal child (the PqEncode convention): part of the
+  * serialized plan, converted + norm-precomputed once per (thread,
+  * object). nProbe = 1 is cell assignment (element 0).
+  */
+case class NearestCells(left: Expression, right: Expression, nCells: Int,
+                        nProbe: Int)
+    extends BinaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  require(nCells >= 1, s"nCells must be positive, got $nCells")
+  require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    VecOps.nearestCells(v.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], nCells, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.VecOps.nearestCells($v, $c, $nCells, $nProbe)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCells =
+    copy(left = newLeft, right = newRight)
+}
+
 /** mmr_select(array<struct<id,rel,vec>>) → array<long>: greedy MMR
   * selection over a sorted per-query candidate pool (see
   * VecOps.mmrSelect). lambdaE4 is the relevance weight on the 1e-4 grid
@@ -639,4 +779,8 @@ object vectors {
       nFlips))
   def mmr_select(cands: Column, k: Int, lambdaE4: Int): Column =
     Bridge.column(MmrSelect(ex(cands), k, lambdaE4))
+  def nearest_cells(v: Column, centroids: Column, nCells: Int,
+                    nProbe: Int): Column =
+    Bridge.column(NearestCells(ex(v),
+      requireConstant(centroids, "nearest_cells centroids"), nCells, nProbe))
 }

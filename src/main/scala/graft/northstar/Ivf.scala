@@ -41,12 +41,16 @@ object Ivf {
     */
   val AutoCells: Int = -1
 
-  /** Hard ceiling on the auto-derived cell count: the centroid set
-    * rides the plan as a flattened literal (nCells × dim floats — 16 MB
-    * at 4096 cells × 1024 dims), which is the practical literal/driver
-    * bound. Past it, the √N rule wants more cells than a plan constant
-    * should carry; graduating the centroid set to a broadcast relation
-    * is the documented next step for >100M-row corpora.
+  /** Hard ceiling on the auto-derived cell count. Since the r14
+    * nearest-cells kernel the expression tree is one node at any cell
+    * count; the binding constraints are now (a) the flattened centroid
+    * literal riding the serialized plan (nCells × dim floats — 16 MB at
+    * 4096 cells × 1024 dims) and (b) the DRIVER k-means fit, whose
+    * Lloyd cost is O(nCells² × TrainRowsPerCell × dim × iters) under
+    * the per-cell sample budget. Past this ceiling the √N rule wants a
+    * distributed fit (the [[lloydStepQ]] machinery) and a
+    * broadcast-relation centroid set — the documented next step for
+    * >100M-row corpora.
     */
   val MaxAutoCells: Int = 4096
 
@@ -238,43 +242,41 @@ object Ivf {
     else centers
   }
 
-  /** Per-centroid cosine similarity as (sim, cellId) structs. */
-  private def centroidSims(vec: Column,
-                           centroids: Array[Array[Float]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      struct(vectors.vec_cosine(vec, typedLit(c.toSeq)).as("sim"),
-             lit(i).as("cell"))
-    }.toSeq
+  /** The centroid matrix as ONE flattened plan-constant literal — the
+    * PqEncode codebook convention. Replaces the pre-r14 nCells separate
+    * per-centroid literals (same bytes on the wire, but the expression
+    * tree was nCells-ary).
+    */
+  private def centroidLit(centroids: Array[Array[Float]]): Column =
+    typedLit(centroids.flatten.toSeq)
 
-  /** Nearest-centroid cell id (struct max over per-centroid sims; a
-    * single-cell quantizer is the degenerate constant — `greatest`
-    * requires two args).
+  /** Nearest-centroid cell id. One fused kernel pass
+    * ([[graft.functions.VecOps.nearestCells]]) replacing the pre-r14
+    * `greatest()` over nCells per-centroid cosine arms: the query norm
+    * is computed once instead of per centroid, centroid norms are
+    * cached per literal, and the expression tree is ONE node — so the
+    * assignment cost no longer bounds how many cells a quantizer may
+    * have. Arithmetic replays the compose form's fold order bit-for-bit
+    * (IvfSpec pins kernel == compose equality incl. NaN/zero/duplicate
+    * centroids); ties go to the HIGHER cell, as before.
     */
   def cellOf(vec: Column, centroids: Array[Array[Float]]): Column =
-    if (centroids.length == 1) lit(0)
-    else greatest(centroidSims(vec, centroids): _*).getField("cell")
+    vectors.nearest_cells(vec, centroidLit(centroids),
+      centroids.length, 1).getItem(0)
 
   /** The `nProbe` nearest cell ids for a query vector, as an array to
-    * explode: sort the (sim, cell) structs descending, take the heads.
+    * explode — best cell first, the same fused kernel as [[cellOf]].
+    * Tie-break HIGHER cell first, agreeing with cellOf: with duplicate
+    * centroids (lloyd's degenerate padding when the training sample is
+    * smaller than nCells) the corpus assigns ties to the HIGHEST
+    * duplicate cell, so a probe order that kept the lowest first would
+    * spend its nProbe budget on cells the corpus never occupies — empty
+    * ANN results with no error (code-review r13).
     */
   def probeCells(vec: Column, centroids: Array[Array[Float]],
-                 nProbe: Int): Column = {
-    // tie-break HIGHER cell first, agreeing with cellOf's greatest()
-    // struct compare: with duplicate centroids (lloyd's degenerate
-    // padding when the training sample is smaller than nCells) the
-    // corpus assigns ties to the HIGHEST duplicate cell, so a probe
-    // order that kept the lowest first would spend its nProbe budget on
-    // cells the corpus never occupies — empty ANN results with no error
-    // (code-review r13)
-    val sorted = array_sort(
-      array(centroidSims(vec, centroids): _*),
-      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
-        .when(l.getField("sim") < r.getField("sim"), 1)
-        .when(l.getField("cell") > r.getField("cell"), -1)
-        .when(l.getField("cell") < r.getField("cell"), 1)
-        .otherwise(0))
-    transform(slice(sorted, 1, nProbe), s => s.getField("cell"))
-  }
+                 nProbe: Int): Column =
+    vectors.nearest_cells(vec, centroidLit(centroids),
+      centroids.length, nProbe)
 
   /** Maximum secondary split planes for oversized-cell refinement: 16 bits
     * = up to 65536-way re-split of one mega-cell.

@@ -77,6 +77,69 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("nearest-cells kernel equals the greatest/array_sort compose form (ordering, ties, NaN, zero)") {
+    import org.apache.spark.sql.functions.{array, array_sort, greatest, lit, slice, struct, transform, typedLit, when}
+    import graft.functions.vectors
+    // the pre-r14 compose form, rebuilt verbatim as the reference: the
+    // kernel replaced it for plan-size and per-row cost, and this pin is
+    // what guarantees no assignment or probe-order drift came with that
+    def composeSims(vec: org.apache.spark.sql.Column,
+                    cents: Array[Array[Float]]) =
+      cents.zipWithIndex.map { case (c, i) =>
+        struct(vectors.vec_cosine(vec, typedLit(c.toSeq)).as("sim"),
+               lit(i).as("cell"))
+      }.toSeq
+    def composeCell(vec: org.apache.spark.sql.Column,
+                    cents: Array[Array[Float]]) =
+      greatest(composeSims(vec, cents): _*).getField("cell")
+    def composeProbe(vec: org.apache.spark.sql.Column,
+                     cents: Array[Array[Float]], nProbe: Int) = {
+      val sorted = array_sort(array(composeSims(vec, cents): _*),
+        (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+          .when(l.getField("sim") < r.getField("sim"), 1)
+          .when(l.getField("cell") > r.getField("cell"), -1)
+          .when(l.getField("cell") < r.getField("cell"), 1)
+          .otherwise(0))
+      transform(slice(sorted, 1, nProbe), s => s.getField("cell"))
+    }
+    val rnd = new scala.util.Random(29)
+    val dim = 8
+    val base = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val edge = Seq(
+      (900L, Array.fill(dim)(0.0f)),              // zero vector: all sims 0.0
+      (901L, Array.fill(dim)(Float.NaN)),         // NaN sims: ties to top cell
+      (902L, base.head._2.clone()))               // exact centroid duplicate
+    val df = (base ++ edge).toDF("vec_id", "embedding")
+    val cents = Array.fill(7)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    cents(3) = cents(2).clone()     // duplicate centroids: tie → higher cell
+    cents(6) = base.head._2.clone() // exact centroid match for vec 902
+    val got = df.select($"vec_id",
+        Ivf.cellOf($"embedding", cents).as("cell"),
+        Ivf.probeCells($"embedding", cents, 4).as("probes"))
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getSeq[Int](2).toList))).toMap
+    val want = df.select($"vec_id",
+        composeCell($"embedding", cents).as("cell"),
+        composeProbe($"embedding", cents, 4).as("probes"))
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getSeq[Int](2).toList))).toMap
+    assert(got == want)
+    // nProbe beyond nCells returns every cell exactly once
+    val all = df.limit(3).select(
+      Ivf.probeCells($"embedding", cents, 99).as("p")).collect()
+    all.foreach(r => assert(r.getSeq[Int](0).sorted == (0 until 7).toList))
+    // a foreign-dim corpus fails loudly (the compose form silently
+    // folded over min(dim) — garbage assignments with no error)
+    val bad = Seq((1L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(Ivf.cellOf($"embedding", cents)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString("; ")
+    assert(msgs.contains("shape mismatch"), msgs)
+  }
+
   test("duplicate centroids (degenerate padding): probe order agrees with assignment, results stay brute-exact") {
     // lloyd pads by repetition when the training sample is smaller than
     // nCells. cellOf ties to the HIGHEST duplicate cell; probeCells
