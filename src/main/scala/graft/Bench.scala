@@ -182,6 +182,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"sf":"$sfDir"}"""
+    // the STDOUT copy of the full line stays times-only: ~5 KB of
+    // shuffle_bytes between the queries map and end-of-line would push
+    // every per-query time out of the driver's 2000-char tail window
+    // (code-review r14) — the bytes live in BENCH_FULL.json alone, as
+    // the comment above promises
+    val stdoutFullLine =
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the contract line: top-40 slowest queries at 3 decimals keeps it
     // ~1.2 KB — comfortably inside the driver's 2000-char tail window
     val top = results.toSeq.sortBy(-_._2._1).take(40)
@@ -210,7 +217,7 @@ object Bench {
         f"[bench] shuffle $k%-28s write=${w / 1048576.0}%.1f MiB " +
           f"read=${r / 1048576.0}%.1f MiB")
     }
-    println(fullLine)
+    println(stdoutFullLine)
     println(contractLine)
     spark.stop()
   }

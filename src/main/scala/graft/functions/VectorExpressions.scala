@@ -398,16 +398,23 @@ object VecOps {
     * centroid sqrt-norms): its OWN slot, not [[cbCache]] — an IVF-PQ
     * assignment stage evaluates nearest_cells AND pq_encode per corpus
     * row, so sharing the two-entry codebook cache would alternate-miss
-    * on every row.
+    * on every row. SOFT reference, unlike the KB-sized codebook slots:
+    * a 4096-cell × 1024-dim centroid set is ~16 MB per executor
+    * thread, which must not stay pinned for the thread's lifetime
+    * after the query completes (code-review r14) — under memory
+    * pressure the slot clears and the next row re-converts.
     */
-  private val centCache =
-    new ThreadLocal[(AnyRef, Array[Float], Array[Double])] {
-      override def initialValue(): (AnyRef, Array[Float], Array[Double]) = null
-    }
+  private val centCache = new ThreadLocal[
+      java.lang.ref.SoftReference[(AnyRef, Array[Float], Array[Double])]] {
+    override def initialValue()
+        : java.lang.ref.SoftReference[(AnyRef, Array[Float], Array[Double])] =
+      null
+  }
 
   private def centArrays(cents: ArrayData,
                          nCells: Int): (Array[Float], Array[Double]) = {
-    val cached = centCache.get()
+    val ref = centCache.get()
+    val cached = if (ref == null) null else ref.get()
     if (cached != null && (cached._1 eq cents)) (cached._2, cached._3)
     else {
       val arr = cents.toFloatArray()
@@ -431,7 +438,8 @@ object VecOps {
         norms(c) = math.sqrt(nb)
         c += 1
       }
-      centCache.set((cents, arr, norms))
+      centCache.set(
+        new java.lang.ref.SoftReference((cents: AnyRef, arr, norms)))
       (arr, norms)
     }
   }
@@ -486,24 +494,28 @@ object VecOps {
       sims(c) = if (d == 0.0) 0.0 else dot / d
       c += 1
     }
+    // bounded partial selection, best→worst by the total order
+    // (sim via cmpSql, ties → HIGHER cell — cells are distinct ints,
+    // so the order is total and the top-`take` is unique): one pass,
+    // each candidate compared against the current worst and inserted
+    // by shifting — O(nCells + hits·take) instead of the naive
+    // repeated-scan O(nCells·take), which at the 4096-cell/64-probe
+    // auto ceiling rivaled the similarity pass itself (code-review r14)
+    def better(a: Int, b: Int): Boolean = {
+      val cmp = cmpSql(sims(a), sims(b))
+      cmp > 0 || (cmp == 0 && a > b)
+    }
     val take = math.min(nProbe, nCells)
     val out = new Array[Int](take)
-    val taken = new Array[Boolean](nCells)
-    var s = 0
-    while (s < take) {
-      var best = -1
-      c = 0
-      while (c < nCells) {
-        // >= on sim ties: ascending scan, so a later equal-sim cell
-        // (higher index) replaces the earlier one — ties to the HIGHER
-        // cell, matching the compose form's struct compare
-        if (!taken(c) &&
-            (best < 0 || cmpSql(sims(c), sims(best)) >= 0)) best = c
-        c += 1
+    var size = 0
+    c = 0
+    while (c < nCells) {
+      if (size < take || better(c, out(size - 1))) {
+        var i = if (size < take) { size += 1; size - 1 } else take - 1
+        while (i > 0 && better(c, out(i - 1))) { out(i) = out(i - 1); i -= 1 }
+        out(i) = c
       }
-      taken(best) = true
-      out(s) = best
-      s += 1
+      c += 1
     }
     new GenericArrayData(out)
   }

@@ -1711,11 +1711,15 @@ object Artifacts {
     // retry of an already-applied removal would tear down the marker
     // and rewrite the whole rows/ dir for zero work — and a crash in
     // that needless window bricks the index until rebuild
-    // (code-review r14)
+    // (code-review r14). Both joins BROADCAST the bounded takedown
+    // list so neither shuffles the full rows/, and the probe's
+    // isEmpty (limit 1) terminates at the first surviving match, so
+    // an EFFECTIVE removal pays a partial scan + the one rewrite
+    // scan, not two full passes (code-review r14, second pass)
     if (spark.read.parquet(rowsDir.toString)
-        .join(rm, Seq(rowIdCol), "left_semi").isEmpty) return
+        .join(broadcast(rm), Seq(rowIdCol), "left_semi").isEmpty) return
     val kept = spark.read.parquet(rowsDir.toString)
-      .join(rm, Seq(rowIdCol), "left_anti")
+      .join(broadcast(rm), Seq(rowIdCol), "left_anti")
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker " +
         "(concurrent mutation, or permissions)")

@@ -256,8 +256,11 @@ final case class JdbcStore(
             // TABLE_CAT — an unconditional accept would let a
             // same-named table in a DIFFERENT database satisfy the
             // probe (code-review r14); only when the driver reports
-            // neither does the row match on name alone (the pre-r14
-            // behavior, nothing left to discriminate on).
+            // neither does the row match on name alone — nothing left
+            // to discriminate on, and accepting is the FAIL-SAFE
+            // direction: a false "exists" makes the incremental caller
+            // read a missing table and fail loudly, while a false
+            // "absent" would full-refresh OVERWRITE an existing target.
             val ts = rs.getString("TABLE_SCHEM")
             val tc = rs.getString("TABLE_CAT")
             found = rs.getString("TABLE_NAME") == n &&
