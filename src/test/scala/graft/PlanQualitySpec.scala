@@ -151,6 +151,19 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = planOf("ns_knn_ivf")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
       || p.contains("SortMergeJoin"), p.take(800))
+    // the fused nearest-cells kernel must stay inside whole-stage
+    // codegen: a non-codegen fallback (e.g. a future edit that breaks
+    // doGenCode) would silently revert the assignment pass to
+    // interpreted per-row evaluation — the cost class the kernel was
+    // built to remove (r14)
+    val assignLine = p.linesIterator
+      .find(l => l.contains("nearestcells") && l.contains("Project"))
+      .getOrElse("")
+    assert(assignLine.nonEmpty,
+      "nearest-cells kernel absent from the ivf plan:\n" + p.take(1200))
+    // `*(n)` is the simple-format WholeStageCodegen marker
+    assert(assignLine.contains("*("),
+      "ivf assignment fell out of whole-stage codegen:\n" + assignLine.take(300))
     assertNoQuadratic(p)
   }
 
