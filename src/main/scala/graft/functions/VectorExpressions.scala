@@ -625,6 +625,11 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
   override def nullSafeEval(v: Any, cb: Any): Any =
     VecOps.pqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
       m, ksub)
+  // summary rendering — the flattened codebook (m·ksub·dim/m floats)
+  // otherwise rides verbatim in every plan string (the NearestCells
+  // rationale)
+  override def toString: String =
+    s"pq_encode($left, <codebook m=$m ksub=$ksub>)"
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (v, cb) => s"graft.functions.VecOps.pqEncode($v, $cb, $m, $ksub)")
@@ -646,6 +651,8 @@ case class PqAdcCosine(first: Expression, second: Expression,
   override def nullSafeEval(q: Any, codes: Any, cb: Any): Any =
     VecOps.pqAdcCosine(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
       cb.asInstanceOf[ArrayData], m, ksub)
+  override def toString: String =
+    s"pq_adc_cosine($first, $second, <codebook m=$m ksub=$ksub>)"
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (q, codes, cb) =>
       s"graft.functions.VecOps.pqAdcCosine($q, $codes, $cb, $m, $ksub)")
@@ -673,6 +680,11 @@ case class NearestCells(left: Expression, right: Expression, nCells: Int,
   override def nullSafeEval(v: Any, cents: Any): Any =
     VecOps.nearestCells(v.asInstanceOf[ArrayData],
       cents.asInstanceOf[ArrayData], nCells, nProbe)
+  // render the centroid literal as a summary: the default toString
+  // dumps every float into plan strings/logs — megabytes per plan line
+  // at the 4096-cell auto ceiling, making .explain unreadable
+  override def toString: String =
+    s"nearestcells($left, <centroids x$nCells>, nProbe=$nProbe)"
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (v, c) =>
       s"graft.functions.VecOps.nearestCells($v, $c, $nCells, $nProbe)")
@@ -736,6 +748,8 @@ case class JlProject(left: Expression, right: Expression, outDim: Int,
   override def nullSafeEval(v: Any, wq: Any): Any =
     VecOps.jlProject(v.asInstanceOf[ArrayData], wq.asInstanceOf[ArrayData],
       outDim, scale)
+  override def toString: String =
+    s"jl_project($left, <matrix outDim=$outDim>, scale=$scale)"
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (v, wq) => s"graft.functions.VecOps.jlProject($v, $wq, $outDim, $scale)")
