@@ -520,6 +520,83 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** FLOAT plane rows for the sub-cell split family: the compose form
+    * built each plane as `planeComponent(i, p, table).toFloat` inside a
+    * typedLit, so the kernel must reproduce the float-rounded values —
+    * [[planesFor]]'s double cache would differ in the low bits. Grown
+    * volatile snapshot keyed by table (only the split family uses it
+    * today, but the key keeps a second family from silently sharing
+    * planes).
+    */
+  @volatile private var splitPlaneCache: Map[Int, Array[Array[Float]]] =
+    Map.empty
+
+  private def splitPlanesFor(nBits: Int, dim: Int,
+                             table: Int): Array[Array[Float]] = {
+    splitPlaneCache.get(table) match {
+      case Some(m) if m.length >= nBits && m(0).length >= dim => m
+      case _ =>
+        val nb = math.max(nBits, 16)
+        val w = math.max(dim, 64)
+        val grown = Array.tabulate(nb)(p =>
+          Array.tabulate(w)(i => planeComponent(i, p, table).toFloat))
+        splitPlaneCache = splitPlaneCache.updated(table, grown)
+        grown
+    }
+  }
+
+  /** Sub-cell split bits for one (vector, cell) — the fused form of
+    * Ivf.subcellOf's per-oversized-cell `when` chain (each arm a
+    * vec_dot against a plane literal): 0 for cells not in the split
+    * set; for an oversized cell, `bits(idx)` centroid-centered
+    * hyperplane tests of the normalized vector against the driver-
+    * computed thresholds. Arithmetic replays the compose form exactly:
+    * float planes, dot folds ascending, the norm clamp is the SQL
+    * greatest (NaN-largest), and the threshold compare uses Spark's
+    * double ordering. `splitCells`/`bits` are parallel arrays;
+    * `thrs` is flattened in the same order with per-entry offsets.
+    */
+  def subcellBits(v: ArrayData, cell: Int, splitCells: Array[Int],
+                  bits: Array[Int], thrs: Array[Double],
+                  table: Int): Long = {
+    var idx = -1; var off = 0
+    var j = 0
+    while (j < splitCells.length && idx < 0) {
+      if (splitCells(j) == cell) idx = j
+      else { off += bits(j); j += 1 }
+    }
+    if (idx < 0) return 0L
+    val nBits = bits(idx)
+    val dim = v.numElements()
+    var dvv = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble
+      dvv += x * x
+      i += 1
+    }
+    val sq = math.sqrt(dvv)
+    // greatest(sqrt, 1e-12) under SQL ordering: NaN is largest, so a
+    // NaN norm stays NaN (and every threshold compare below then goes
+    // through cmpSql with NaN-largest, as the compose form did)
+    val nv = if (cmpSql(sq, 1e-12) >= 0) sq else 1e-12
+    val planes = splitPlanesFor(nBits, dim, table)
+    var out = 0L
+    var p = 0
+    while (p < nBits) {
+      val row = planes(p)
+      var d = 0.0
+      i = 0
+      while (i < dim) {
+        d += v.getFloat(i).toDouble * row(i).toDouble
+        i += 1
+      }
+      if (cmpSql(d / nv, thrs(off + p)) > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
   /** All nTables bucket ids for one vector: sign bits of nPlanes
     * hyperplane dot products per table, table id folded into bits 32+.
     * One pass over the vector per (table, plane), against the cached
@@ -693,6 +770,41 @@ case class NearestCells(left: Expression, right: Expression, nCells: Int,
     copy(left = newLeft, right = newRight)
 }
 
+/** subcell_bits(array<float>, cell int) → long: the mega-cell secondary
+  * split key (see VecOps.subcellBits). The split policy — which cells,
+  * how many bits, the centroid-centered thresholds — is driver-derived
+  * plan data riding as referenced objects; only vector and cell id are
+  * per-row inputs. Replaces a per-oversized-cell `when` chain whose arm
+  * count grew with corpus skew.
+  */
+case class SubcellBits(left: Expression, right: Expression,
+                       splitCells: Array[Int], bits: Array[Int],
+                       thresholds: Array[Double], table: Int)
+    extends BinaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  require(splitCells.length == bits.length,
+    s"splitCells/bits length mismatch: ${splitCells.length} vs ${bits.length}")
+  require(thresholds.length == bits.sum,
+    s"thresholds length ${thresholds.length} != sum of bits ${bits.sum}")
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    VecOps.subcellBits(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int],
+      splitCells, bits, thresholds, table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("splitCells", splitCells, "int[]")
+    val bt = ctx.addReferenceObj("splitBits", bits, "int[]")
+    val th = ctx.addReferenceObj("splitThrs", thresholds, "double[]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.VecOps.subcellBits($v, $c, $sc, $bt, $th, $table)")
+  }
+  override def toString: String =
+    s"subcellbits($left, $right, <${splitCells.length} split cells>)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubcellBits =
+    copy(left = newLeft, right = newRight)
+}
+
 /** mmr_select(array<struct<id,rel,vec>>) → array<long>: greedy MMR
   * selection over a sorted per-query candidate pool (see
   * VecOps.mmrSelect). lambdaE4 is the relevance weight on the 1e-4 grid
@@ -809,4 +921,9 @@ object vectors {
                     nProbe: Int): Column =
     Bridge.column(NearestCells(ex(v),
       requireConstant(centroids, "nearest_cells centroids"), nCells, nProbe))
+  def subcell_bits(v: Column, cell: Column, splitCells: Array[Int],
+                   bits: Array[Int], thresholds: Array[Double],
+                   table: Int): Column =
+    Bridge.column(SubcellBits(ex(v), ex(cell), splitCells, bits,
+      thresholds, table))
 }

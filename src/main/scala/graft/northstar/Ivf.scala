@@ -348,20 +348,28 @@ object Ivf {
                 splitBits: Map[Int, Int]): Column =
     if (splitBits.isEmpty) lit(0L)
     else {
-      val nv = greatest(sqrt(vectors.vec_dot(vec, vec)), lit(1e-12))
-      splitBits.foldLeft(lit(0L)) { case (acc, (cellId, bits)) =>
+      // ONE fused kernel ([[graft.functions.VecOps.subcellBits]])
+      // replacing the pre-r14 per-oversized-cell `when` chain whose
+      // per-plane vec_dot arm count grew with corpus skew — hundreds
+      // of arms on BOTH probe-join sides of a realistically skewed
+      // corpus. The split policy stays driver-derived exactly as
+      // before: per-cell bit counts and centroid-centered thresholds
+      // (plane·(centroid/‖centroid‖), ascending fold) computed here,
+      // shipped as plan data. IvfSpec pins kernel == compose-form
+      // equality incl. NaN/zero vectors and non-split cells.
+      val entries = splitBits.toArray.sortBy(_._1)
+      val thrs = entries.flatMap { case (cellId, bits) =>
         val c = centroids(cellId)
         val cn = math.max(math.sqrt(c.map(x => x.toDouble * x).sum), 1e-12)
-        val sub = (0 until bits).map { p =>
-          val h = Array.tabulate(c.length)(i =>
+        (0 until bits).map { p =>
+          Array.tabulate(c.length)(i =>
             graft.functions.VecOps.planeComponent(i, p, SplitTable).toFloat)
-          val thr = h.zip(c).map { case (hi, ci) =>
-            hi.toDouble * (ci.toDouble / cn) }.sum
-          when(vectors.vec_dot(vec, typedLit(h.toSeq)) / nv > thr,
-            lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _) // bits are disjoint, so + is bitwise OR
-        when(cellCol === cellId, sub).otherwise(acc)
+            .zip(c).map { case (hi, ci) =>
+              hi.toDouble * (ci.toDouble / cn) }.sum
+        }
       }
+      vectors.subcell_bits(vec, cellCol, entries.map(_._1),
+        entries.map(_._2), thrs, SplitTable)
     }
 
   /** The probe-side frame every IVF-family search builds: queries as

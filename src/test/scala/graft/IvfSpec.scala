@@ -129,6 +129,40 @@ class IvfSpec extends SparkSpecBase {
     val all = df.limit(3).select(
       Ivf.probeCells($"embedding", cents, 99).as("p")).collect()
     all.foreach(r => assert(r.getSeq[Int](0).sorted == (0 until 7).toList))
+    // subcellOf: kernel == the pre-r14 per-cell when-chain replica,
+    // including the NaN/zero rows and cells outside the split set
+    def composeSubcell(vec: org.apache.spark.sql.Column,
+                       cellCol: org.apache.spark.sql.Column,
+                       cents2: Array[Array[Float]],
+                       splitBits: Map[Int, Int]) = {
+      import org.apache.spark.sql.functions.{greatest => sgreatest, sqrt => ssqrt}
+      val nv = sgreatest(ssqrt(vectors.vec_dot(vec, vec)), lit(1e-12))
+      splitBits.foldLeft(lit(0L)) { case (acc, (cellId, bits)) =>
+        val cc = cents2(cellId)
+        val cn = math.max(math.sqrt(cc.map(x => x.toDouble * x).sum), 1e-12)
+        val sub = (0 until bits).map { p =>
+          val h = Array.tabulate(cc.length)(i =>
+            graft.functions.VecOps.planeComponent(i, p, 7777).toFloat)
+          val thr = h.zip(cc).map { case (hi, ci) =>
+            hi.toDouble * (ci.toDouble / cn) }.sum
+          when(vectors.vec_dot(vec, typedLit(h.toSeq)) / nv > thr,
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        when(cellCol === cellId, sub).otherwise(acc)
+      }
+    }
+    val splits = Map(2 -> 3, 6 -> 5)
+    val assignedDf = df.select($"vec_id",
+      Ivf.cellOf($"embedding", cents).as("cell"), $"embedding")
+    val subGot = assignedDf.select($"vec_id",
+        Ivf.subcellOf($"embedding", $"cell", cents, splits).as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val subWant = assignedDf.select($"vec_id",
+        composeSubcell($"embedding", $"cell", cents, splits).as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(subGot == subWant)
+    assert(subGot.values.exists(_ != 0L), "split cells never matched — " +
+      "the fixture stopped exercising the kernel")
     // a foreign-dim corpus fails loudly (the compose form silently
     // folded over min(dim) — garbage assignments with no error)
     val bad = Seq((1L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
