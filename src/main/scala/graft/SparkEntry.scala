@@ -2431,8 +2431,10 @@ object SparkEntry {
         |  s_acctbal
         |FROM s""".stripMargin,
     "t4_trim" ->
-      """SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal,
-        |       trim(c_mktsegment) AS c_mktsegment FROM customer""".stripMargin,
+      """SELECT c_custkey, trim(c_name, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS c_name,
+        |       c_nationkey, c_acctbal,
+        |       trim(c_mktsegment, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS c_mktsegment
+        |FROM customer""".stripMargin,
     // registry fold order: trim → distinct-all-columns → any-null drop;
     // the mangled union collapses only because trim precedes dedup
     "t8_pipeline" ->
@@ -2441,8 +2443,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT c_custkey, '  ' || c_name, c_nationkey, c_acctbal,
         |         c_mktsegment FROM customer),
-        |t AS (SELECT c_custkey, trim(c_name) AS c_name, c_nationkey,
-        |             c_acctbal, trim(c_mktsegment) AS c_mktsegment
+        |t AS (SELECT c_custkey, trim(c_name, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS c_name, c_nationkey,
+        |             c_acctbal, trim(c_mktsegment, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS c_mktsegment
         |      FROM src),
         |d AS (SELECT DISTINCT * FROM t)
         |SELECT * FROM d
@@ -2457,9 +2459,9 @@ object SparkEntry {
       """SELECT c_custkey,
         |  split_part(c_name, '#', 1) AS first_name,
         |  split_part(c_name, '#', 2) AS last_name,
-        |  trim(split_part(c_name, '#', 1)) || ' ' || trim(split_part(c_name, '#', 2)) AS full_name,
-        |  split_part(trim(split_part(c_name, '#', 1)) || ' ' || trim(split_part(c_name, '#', 2)), ' ', 1) AS first_name_split,
-        |  split_part(trim(split_part(c_name, '#', 1)) || ' ' || trim(split_part(c_name, '#', 2)), ' ', 2) AS last_name_split
+        |  trim(split_part(c_name, '#', 1), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) || ' ' || trim(split_part(c_name, '#', 2), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS full_name,
+        |  split_part(trim(split_part(c_name, '#', 1), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) || ' ' || trim(split_part(c_name, '#', 2), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), ' ', 1) AS first_name_split,
+        |  split_part(trim(split_part(c_name, '#', 1), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) || ' ' || trim(split_part(c_name, '#', 2), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), ' ', 2) AS last_name_split
         |FROM customer""".stripMargin,
     "a1_multi_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -23,13 +23,19 @@ object Bucketing {
 
   /** Join two same-bucketed catalog tables on their bucket keys. With
     * matching bucket counts Catalyst plans a sort-merge join with ZERO
-    * Exchange operators on either side.
+    * Exchange operators on either side. Same-named keys — the common
+    * case of two facts bucketed on the same column — join USING the
+    * key, so the output carries ONE copy; the condition form would
+    * keep both and every downstream `col(k1)` would throw
+    * AMBIGUOUS_REFERENCE (code-review r14, the `SkewJoin.saltedJoin`
+    * hazard).
     */
   def joinBucketed(spark: SparkSession, t1: String, k1: String,
                    t2: String, k2: String): DataFrame = {
     val a = spark.table(t1)
     val b = spark.table(t2)
-    a.join(b, a(k1) === b(k2))
+    if (k1 == k2) a.join(b, Seq(k1))
+    else a.join(b, a(k1) === b(k2))
   }
 
   /** True when the executed plan contains no shuffle exchange — the

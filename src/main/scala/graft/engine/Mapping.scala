@@ -137,24 +137,12 @@ object Mapping {
     * sized right sides where broadcast doesn't fit.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
-    require(salts > 0, s"salts must be positive, got $salts")
-    // replication breaks right/full outer equivalence: an unmatched
-    // small row would surface one null-extended output PER SALT COPY
-    // instead of once (same restriction as SkewJoin.saltedJoin — the
-    // two share the salt-and-replicate algorithm)
-    require(SkewJoin.saltSafeJoinTypes(joinType.toLowerCase),
-      s"saltedJoin supports ${SkewJoin.saltSafeJoinTypes.mkString("/")}, " +
-        s"got $joinType (outer forms would duplicate null-extended rows)")
-    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
-      "saltedJoin reserves the __salt column; rename it on the inputs")
-    import org.apache.spark.sql.functions._
-    // salt from a whole-row hash: deterministic, and uniform even when
-    // the key column itself is constant (the exact case salting targets)
-    val b = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
-    val s = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
-  }
+                 salts: Int = 16, joinType: String = "inner"): DataFrame =
+    // ONE salt-and-replicate implementation: this used to be a parallel
+    // copy of SkewJoin.saltedJoin with gratuitous differences (hash vs
+    // xxhash64 for the row salt, using-join vs condition join) — result-
+    // identical, but a fix landing in one copy (e.g. the same-named-key
+    // dedup SkewJoin grew) silently missed the other (code-review r14).
+    // Results are unchanged: salt routing only redistributes rows.
+    SkewJoin.saltedJoin(big, small, key, key, salts, joinType)
 }

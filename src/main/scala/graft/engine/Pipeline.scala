@@ -113,11 +113,17 @@ object Pipeline {
     }) return statuses.toSeq
 
     // 4. aggregation: per-table A1, prefix "agg" (scheduler.py:143-170);
-    //    ineligible specs skip (A3 guard), like the reference
+    //    ineligible specs skip (A3 guard), like the reference.
+    //    Aggregate the transformed_* PARQUET stage 3 just wrote, not the
+    //    in-memory transform plans: the lazy plans re-execute the whole
+    //    scan + transform chain (incl. the dedup shuffle) once per
+    //    aggregated table — the stage-boundary materialization exists
+    //    precisely so each stage pays its inputs once (code-review r14)
     stage("aggregation") {
       val aggregated = for {
         (name, spec) <- cfg.aggregations
-        df <- transformed.get(name)
+        if transformed.contains(name)
+        df = Tables.table(spark, layers.silver, s"transformed_$name")
         out <- Aggregations.aggregate(df, spec)
       } yield name -> out
       Tables.writeAll(aggregated, layers.silver, prefix = "agg")

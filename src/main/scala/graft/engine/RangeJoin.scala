@@ -25,16 +25,37 @@ object RangeJoin {
     */
   def binned(facts: DataFrame, intervals: DataFrame, keyCol: String,
              tCol: String, loCol: String, hiCol: String,
-             binWidth: Long): DataFrame = {
+             binWidth: Long, maxBinsPerInterval: Long = 1L << 20)
+      : DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     // exact floor division via decimal: double division misrounds at
     // epoch-nanos magnitudes (> 2^53), and a fact computing its bin from
     // t while the interval computes from lo must agree at boundaries
     def binOf(c: Column): Column =
       floor(c.cast("decimal(20,0)") / lit(binWidth)).cast("long")
     val f = facts.withColumn("__bin", binOf(col(tCol)))
+    // per-row interval sanity fused INTO the sequence bound (a dropped
+    // side-channel column would be pruned by the optimizer and never
+    // evaluate): one inverted interval (hi < lo — sequence() expands it
+    // as a full DESCENDING range) or one unit-mismatched row (hi in
+    // nanos against a micro-sized binWidth → a trillion-element
+    // sequence) otherwise aborts or OOMs the whole job on a single
+    // dirty row (code-review r14). Loud and per-row, naming the bound —
+    // not a silent filter that would make dirty rows vanish.
+    val hiBin = when(
+      col(hiCol) < col(loCol) ||
+        binOf(col(hiCol)) - binOf(col(loCol)) >= maxBinsPerInterval,
+      raise_error(concat(
+        lit(s"range join: interval [$loCol, $hiCol] = ["), col(loCol),
+        lit(", "), col(hiCol),
+        lit(s"] is inverted or spans >= $maxBinsPerInterval bins of " +
+          s"width $binWidth — wrong time unit, or raise " +
+          "maxBinsPerInterval"))).cast("long")
+    ).otherwise(binOf(col(hiCol)))
     val i = intervals.withColumn("__bin",
-      explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+      explode(sequence(binOf(col(loCol)), hiBin)))
     // a fact meets an interval in exactly one bin (its own), so no
     // post-join dedupe is needed
     f.join(i, Seq(keyCol, "__bin"))

@@ -27,6 +27,7 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltFactor: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
     require(saltSafeJoinTypes(joinType.toLowerCase),
       s"saltedJoin supports ${saltSafeJoinTypes.mkString("/")}, " +
         s"got $joinType (outer forms would duplicate null-extended rows)")
@@ -54,10 +55,12 @@ object SkewJoin {
     (if (dropSmallKey) joined.drop("__salt_rk") else joined).drop("__salt")
   }
 
-  /** Partitioned parquet write: directory-partitioned by low-cardinality
-    * columns so downstream reads prune whole partitions
-    * (`PartitionFilters` in the scan). The 100 TB layout primitive the
-    * flat writes in Tables don't provide.
+  /** Partitioned parquet write at an explicit path. Thin shim kept for
+    * callers holding a raw path; table-convention writes should use
+    * [[Tables.writePartitioned]] (the same write with the layer/name
+    * path convention and a mode parameter) so the layout ops
+    * ([[Tables.compact]]/[[Tables.upsert]]) can find and preserve the
+    * partitioning (code-review r14 — two diverging copies).
     */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit =

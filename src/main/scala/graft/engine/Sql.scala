@@ -81,12 +81,30 @@ object Sql {
   /** Q2 plumbing (b): extract the first SELECT...; statement from generated
     * model output (text_to_sql.py:137-144). Falls back to the first
     * SELECT-to-end-of-string when no terminating semicolon exists.
+    * The terminator scan is QUOTE-AWARE: a semicolon inside a
+    * single-quoted SQL literal (`WHERE note = 'a;b'`) is part of the
+    * statement, not its end — the old reluctant regex truncated such
+    * valid generated SQL mid-literal and the user got a parse Error
+    * frame instead of results (code-review r14). `''` is the SQL
+    * escape for a quote inside a literal and keeps the scanner in the
+    * in-string state.
     */
-  private val selectRe = "(?is)(SELECT\\b.*?;)".r
   private val selectOpenRe = "(?is)(SELECT\\b.*)".r
   def extractSelect(generated: String): Option[String] =
-    selectRe.findFirstMatchIn(generated).map(_.group(1).trim)
-      .orElse(selectOpenRe.findFirstMatchIn(generated).map(_.group(1).trim))
+    selectOpenRe.findFirstMatchIn(generated).map(_.group(1)).map { tail =>
+      var i = 0
+      var inStr = false
+      var end = -1
+      while (end < 0 && i < tail.length) {
+        tail.charAt(i) match {
+          case '\'' => inStr = !inStr // '' toggles twice: stays in-string
+          case ';' if !inStr => end = i
+          case _ =>
+        }
+        i += 1
+      }
+      (if (end < 0) tail else tail.substring(0, end + 1)).trim
+    }
 
   /** Q2: pluggable NL→SQL generator contract; the T5 model stays outside the
     * engine. The template impl lets pipelines and tests run headless.

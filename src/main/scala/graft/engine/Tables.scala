@@ -167,19 +167,32 @@ object Tables {
   }
 
   /** Rewrite a table directory from a new frame, preserving any hive
-    * partition layout, swapping in through a temp directory.
+    * partition layout, swapping in through a temp directory. Callers
+    * pass the partition columns they already walked ([[compact]] needs
+    * them for its repartition shape) so the recursive listing isn't
+    * paid twice per rewrite — per-listing-billed object stores make
+    * that a real cost (code-review r14). Both swap steps CHECK their
+    * boolean results: an ignored failed rename after a successful
+    * delete is silent table loss — the data stranded in the hidden tmp
+    * dir with no error raised (and on HDFS a rename onto a recreated
+    * live dir NESTS tmp inside it instead of replacing).
     */
   private def rewriteDir(spark: SparkSession, dir: String, name: String,
                          df: DataFrame,
                          fs: org.apache.hadoop.fs.FileSystem,
-                         path: org.apache.hadoop.fs.Path): Unit = {
-    val partCols = partitionColsOf(fs, path)
+                         path: org.apache.hadoop.fs.Path,
+                         partCols: Seq[String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.rewrite.tmp")
     val w = df.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path): Unit
+    require(fs.delete(path, true) || !fs.exists(path),
+      s"table rewrite at $path: could not delete the old directory — " +
+        s"the rewritten data is intact at $tmp")
+    require(fs.rename(tmp, path),
+      s"table rewrite at $path: rename from $tmp failed (concurrent " +
+        s"writer recreated the target?) — the rewritten data is at $tmp, " +
+        "the old directory is gone; restore by moving it into place")
   }
 
   /** MERGE-style upsert: incoming rows replace existing rows that share
@@ -199,7 +212,8 @@ object Tables {
     val merged = spark.read.parquet(path.toString)
       .join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(incoming)
-    rewriteDir(spark, dir, name, merged, fs, path)
+    rewriteDir(spark, dir, name, merged, fs, path,
+      partitionColsOf(fs, path))
   }
 
   /** Small-files compaction: rewrite a table directory into files of
@@ -231,7 +245,7 @@ object Tables {
     val sized =
       if (partCols.nonEmpty) read.repartition(nFiles, partCols.map(col): _*)
       else read.repartition(nFiles)
-    rewriteDir(spark, dir, name, sized, fs, path)
+    rewriteDir(spark, dir, name, sized, fs, path, partCols)
     // report the REAL resulting data-file count, not the task count
     def count(p: org.apache.hadoop.fs.Path): Int = {
       val it = fs.listStatus(p)
@@ -245,14 +259,19 @@ object Tables {
 
   /** S11 database reset (front_end.py:850-859): drop & recreate the layer
     * directories — the parquet analogue of DROP DATABASE + CREATE DATABASE.
+    * Through the HADOOP filesystem, not java.io.File: reads and writes
+    * resolve layer paths via Hadoop, so a java.io probe on an
+    * `hdfs://`/`s3a://` layer URI silently no-ops the reset and stale
+    * tables survive and keep resolving (code-review r14 — the exact
+    * failure class StorePath documents). A fully-qualified Path carries
+    * its scheme, so the default Configuration resolves the right FS;
+    * failures are loud, not discarded booleans.
     */
   def resetLayers(dirs: Seq[String]): Unit = dirs.foreach { d =>
-    val f = new java.io.File(d)
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
-      x.delete(): Unit
-    }
-    rm(f)
-    f.mkdirs(): Unit
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(!fs.exists(p) || fs.delete(p, true),
+      s"resetLayers: could not delete $d")
+    require(fs.mkdirs(p), s"resetLayers: could not recreate $d")
   }
 }

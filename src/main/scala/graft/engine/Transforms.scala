@@ -85,6 +85,15 @@ object Transforms {
     withStrings.select(cols.toSeq: _*)
   }
 
+  /** The character set [[trimWhitespace]]/[[combineNames]] strip: ASCII
+    * whitespace (space, tab, LF, CR, VT, FF) — pandas `str.strip()`
+    * strips ALL whitespace, while Spark's one-arg `trim()` strips only
+    * 0x20 spaces, so `"x\t"` silently kept its tab (code-review r14).
+    * Scope is ASCII: the reference's CSV-borne data carries no exotic
+    * unicode spaces, and the oracle SQL mirrors this exact set.
+    */
+  private val TrimChars = " \t\n\r\u000B\u000C"
+
   /** T4 Trim Whitespace: strip both ends of every string column
     * (transformations_code.py:92-95, pandas str.strip()).
     */
@@ -92,7 +101,7 @@ object Transforms {
     val strs = stringCols(df).toSet
     if (strs.isEmpty) df
     else df.select(df.columns.map { c =>
-      if (strs(c)) trim(col(c)).as(c) else col(c)
+      if (strs(c)) trim(col(c), TrimChars).as(c) else col(c)
     }.toSeq: _*)
   }
 
@@ -134,7 +143,7 @@ object Transforms {
     (find("first name", "firstname"), find("last name", "lastname")) match {
       case (Some(f), Some(l)) =>
         def side(c: String): Column =
-          trim(coalesce(col(c).cast(StringType), lit("")))
+          trim(coalesce(col(c).cast(StringType), lit("")), TrimChars)
         df.withColumn("full_name", concat(side(f), lit(" "), side(l)))
       case _ => df
     }

@@ -72,6 +72,16 @@ class TransformsSpec extends SparkSpecBase {
     assert(out.schema("amount").dataType == DoubleType)
   }
 
+  test("T4 trimWhitespace strips ALL whitespace like pandas str.strip(), not just spaces") {
+    import spark.implicits._
+    // the one-arg Spark trim() only removes 0x20 — "x\t" kept its tab
+    // and silently diverged from the reference (code-review r14)
+    val df = Seq("\tx\n", " y\r", "z", "inner\tkept")
+      .toDF("s")
+    val got = Transforms.trimWhitespace(df).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("x", "y", "z", "inner\tkept"))
+  }
+
   test("T5 standardizeDates: date-NAMED string cols → yyyy-MM-dd, garbage → null; non-date names untouched") {
     import spark.implicits._
     val df = Seq(
