@@ -61,6 +61,21 @@ object Curation {
     // make the isin() gate silently drop the ENTIRE corpus (and
     // {"min_quality": null} would become Some(0.0))
     def field(k: String) = Option(root.get(k)).filterNot(_.isNull)
+    // numeric fields must BE numbers: Jackson's asDouble()/asLong()
+    // coerce a malformed scalar ("3k", true, an object) to 0 instead of
+    // throwing — {"min_quality": "strict"} silently DISABLED the
+    // quality gate and {"budget_per_lang": "3k"} silently dropped the
+    // whole corpus (budget 0) — the exact silent-drop class this
+    // boundary exists to refuse (code-review r14)
+    def num(k: String): Option[Double] = field(k).map { n =>
+      require(n.isNumber, s"$k must be a JSON number, got ${n.getNodeType}")
+      n.asDouble()
+    }
+    def intNum(k: String): Option[Long] = field(k).map { n =>
+      require(n.isIntegralNumber,
+        s"$k must be a JSON integer, got ${n.getNodeType}")
+      n.asLong()
+    }
     val floor = field("length_floor").map(_.asText())
       .map { s =>
         s.split("/", 2) match {
@@ -78,13 +93,18 @@ object Curation {
         s"langs must be a JSON array, got ${node.getNodeType}")
       node.elements().asScala.map(_.asText()).toSeq
     }.filter(_.nonEmpty)
+    val budget = intNum("budget_per_lang")
+    // a zero/negative budget admits nothing — refuse rather than
+    // silently emptying every language's quota
+    budget.foreach(b => require(b > 0,
+      s"budget_per_lang must be positive, got $b"))
     CurationConfig(
-      minQuality = field("min_quality").map(_.asDouble()),
+      minQuality = num("min_quality"),
       langs = langs,
       lengthFloorNum = floor.map(_._1),
       lengthFloorDen = floor.map(_._2),
-      temperatureAlpha = field("temperature_alpha").map(_.asDouble()),
-      budgetPerLang = field("budget_per_lang").map(_.asLong()))
+      temperatureAlpha = num("temperature_alpha"),
+      budgetPerLang = budget)
   }
 
   /** The five stage frames (input, gated, floored, sampled, selected),
@@ -359,12 +379,20 @@ object Curation {
         s"formats must be a JSON array, got ${node.getNodeType}")
       node.elements().asScala.map(_.asText()).toSeq
     }.filter(_.nonEmpty)
+    // same numeric-type discipline as parseConfig: asLong() coerces a
+    // malformed scalar ("4k") to 0, silently turning a max bound into
+    // drop-everything (code-review r14)
+    def intNum(k: String): Option[Long] = field(k).map { n =>
+      require(n.isIntegralNumber,
+        s"$k must be a JSON integer, got ${n.getNodeType}")
+      n.asLong()
+    }
     AssetCurationConfig(
       formats = formats,
-      minWidth = field("min_width").map(_.asLong()),
-      maxWidth = field("max_width").map(_.asLong()),
-      minHeight = field("min_height").map(_.asLong()),
-      maxHeight = field("max_height").map(_.asLong()))
+      minWidth = intNum("min_width"),
+      maxWidth = intNum("max_width"),
+      minHeight = intNum("min_height"),
+      maxHeight = intNum("max_height"))
   }
 
   /** Apply an asset curation config to a decoded-asset frame. Every

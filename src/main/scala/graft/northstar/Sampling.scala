@@ -85,6 +85,14 @@ object Sampling {
                   idCol: String = "doc_id",
                   outCol: String = "split"): DataFrame = {
     require(weights.nonEmpty, "at least one split required")
+    // degenerate weights refused at the boundary (the temperatureRates/
+    // mixturePlan discipline): an all-zero vector made every cumulative
+    // band 0.0 and silently routed 100% of the corpus into the LAST
+    // split; a negative weight produces non-monotonic bands that starve
+    // a split (code-review r14)
+    require(weights.forall(_._2 >= 0) && weights.map(_._2).sum > 0,
+      s"need non-negative split weights with a sum > 0, got " +
+        weights.map { case (n, w) => s"$n=$w" }.mkString(", "))
     val total = weights.map(_._2).sum
     val u = hashUnit(col(idCol)) * total
     val cum = weights.scanLeft(0.0)(_ + _._2).tail
@@ -250,6 +258,14 @@ object Sampling {
       s"budgetTokens > 9e12 overflows the e6 rate arithmetic, got $budgetTokens")
     require(shares.nonEmpty && shares.values.forall(_ >= 0)
       && shares.values.sum > 0, s"need non-negative shares with a sum > 0")
+    // the budget bound alone doesn't prevent share * budgetTokens from
+    // wrapping int64 (code-review r14): a raw-count share (5e9 docs) at
+    // a 9e12 budget is 4.5e22 — silently negative targets in non-ANSI,
+    // a mid-job throw under ANSI. Shares are WEIGHTS; normalize large
+    // ones before calling.
+    require(shares.values.max <= Long.MaxValue / budgetTokens,
+      s"share ${shares.values.max} * budget $budgetTokens overflows " +
+        "int64 — pass normalized shares (ratios, not raw counts)")
     val spark = df.sparkSession
     import spark.implicits._
     val totalShares = shares.values.sum
@@ -341,7 +357,16 @@ object Sampling {
     // outside the promised [0, nBuckets) — a partitionBy("bucket")
     // writer would land rows in shards no reader enumerates. Identical
     // to % for the non-negative inputs every existing oracle uses.
-    val h = pmod(pmod(pmod(col(idCol).cast("long") + lit(seed),
+    // The id basis carries the SAME non-numeric fix as [[hashUnit]]
+    // (code-review r14 — only the pmod half had been carried): a lossy
+    // cast on UUID/URL ids yielded null for every row, landing the
+    // whole corpus in one null "bucket" outside [0, nBuckets). The
+    // xxhash64 fallback is pre-reduced into [0, MixMod) so adding the
+    // seed cannot overflow; the numeric branch is untouched — the
+    // pinned seed=7 oracle values are unchanged.
+    val base = coalesce(col(idCol).try_cast("long"),
+      when(col(idCol).isNotNull, pmod(xxhash64(col(idCol)), lit(MixMod))))
+    val h = pmod(pmod(pmod(base + lit(seed),
       lit(MixMod)) * Knuth, lit(MixMod)) * Mix2, lit(MixMod))
     val withKey = df.withColumn("__h", h)
       .withColumn("bucket", pmod(col("__h"), lit(nBuckets)).cast("long"))

@@ -13,7 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for empty/blank text). */
+  /** THE qualifying tokenizer every train/serve pair in this file
+    * shares: \W+ split of the lower-cased text, tokens shorter than
+    * `minLen` dropped. One definition — the expression used to be
+    * copy-pasted across nine fit/stats/serve functions, and a
+    * tokenization change missing one site would silently diverge
+    * train-time stats from serve-time scoring, exactly the parity
+    * these pairs pin (code-review r14). Emits the identical Column
+    * tree the inline copies built, so every oracle hash is unchanged.
+    */
+  private def qualTokens(textCol: String, minLen: Int): Column =
+    filter(split(lower(col(textCol)), "\\W+"),
+      t => length(t) >= minLen)
+
+  /** Whitespace token count. 0 for empty or SPACE-blank text — but a
+    * text that is blank only by other whitespace ("\n") counts its
+    * surrounding empty splits (Spark's one-arg trim strips 0x20 only,
+    * so split("\n", "\\s+") yields two empty tokens), and a trailing
+    * newline adds one token. This artifact is ORACLE-PINNED on both
+    * engines (every n_tokens consumer — curation floors, packing
+    * budgets, mixture plans — replays the identical expression in
+    * DuckDB), so it is documented rather than changed; pre-normalize
+    * text (ns_normalize_text) where exact whitespace-insensitive counts
+    * matter (code-review r14 corrected the previous '0 for blank'
+    * overclaim).
+    */
   def tokenCount(text: Column): Column =
     when(trim(text) === "", lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
@@ -202,6 +226,26 @@ object TextAnalysis {
         (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
   }
 
+  /** Query-term boundary shared by the BM25 fit/stats paths: terms are
+    * matched against LOWER-cased, minTermLen-filtered tokens, so a
+    * capitalized term ("Einstein") could never match anything and a
+    * short one ("ai") was filtered out of the token stream — both
+    * silently contributed zero with no error (code-review r14).
+    * Normalize case here (caller intent is clearly case-insensitive
+    * match) and REFUSE structurally-unmatchable short terms loudly.
+    */
+  private def normalizeQueryTerms(queryTerms: Seq[String], minTermLen: Int,
+                                  what: String): Seq[String] = {
+    require(queryTerms.nonEmpty, s"$what needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
+    val short = terms.filter(_.length < minTermLen)
+    require(short.isEmpty,
+      s"$what query terms ${short.mkString("'", "', '", "'")} are shorter " +
+        s"than minTermLen=$minTermLen and can never match a token — " +
+        "lower minTermLen or drop them")
+    terms
+  }
+
   /** Okapi BM25 scoring of every document against a small query-term
     * set — the retrieval-relevance filter of a training-data pipeline
     * (rank corpus documents by relevance to a probe query; keep/weight
@@ -233,15 +277,14 @@ object TextAnalysis {
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text",
            minTermLen: Int = 3): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val toks = filter(split(lower(col(textCol)), "\\W+"),
-      t => length(t) >= minTermLen)
+    val terms = normalizeQueryTerms(queryTerms, minTermLen, "bm25")
+    val toks = qualTokens(textCol, minTermLen)
     val docs = df.select(col(idCol), toks.as("__toks"))
       .select(col(idCol), size(col("__toks")).as("dl"), col("__toks"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("dl_sum"))
     val hits = docs.select(col(idCol), col("dl"),
-      explode(filter(col("__toks"), t => t.isin(queryTerms.map(x => lit(x)): _*)))
+      explode(filter(col("__toks"), t => t.isin(terms.map(x => lit(x)): _*)))
         .as("term"))
     val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -271,17 +314,22 @@ object TextAnalysis {
   def bm25Stats(df: DataFrame, queryTerms: Seq[String],
                 minTermLen: Int = 3,
                 textCol: String = "text"): (Map[String, Long], Long, Long) = {
-    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val toks = filter(split(lower(col(textCol)), "\\W+"),
-      t => length(t) >= minTermLen)
+    val terms = normalizeQueryTerms(queryTerms, minTermLen, "bm25Stats")
+    val toks = qualTokens(textCol, minTermLen)
     val docs = df.select(size(toks).as("dl"), toks.as("__toks"))
     val st = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).first()
+    // count 0 leaves the sum aggregate NULL — getLong would throw a raw
+    // NPE; refuse the degenerate corpus with a named error instead, the
+    // same contract the serve twin (scoreWithBm25) already enforces
+    // (code-review r14)
+    require(st.getLong(0) > 0,
+      "bm25Stats needs a non-empty corpus (0 documents after read)")
     val dfMap = docs.select(explode(array_distinct(
         filter(col("__toks"),
-          t => t.isin(queryTerms.map(x => lit(x)): _*)))).as("term"))
+          t => t.isin(terms.map(x => lit(x)): _*)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (queryTerms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap,
+    (terms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap,
       st.getLong(0), st.getLong(1))
   }
 
@@ -303,8 +351,7 @@ object TextAnalysis {
     require(dfMap.nonEmpty, "bm25 stats carry no query terms")
     require(nDocs > 0 && dlSum > 0,
       s"bm25 stats need a non-empty corpus, got n=$nDocs dlSum=$dlSum")
-    val toks = filter(split(lower(col(textCol)), "\\W+"),
-      t => length(t) >= minTermLen)
+    val toks = qualTokens(textCol, minTermLen)
     val norm = col("dl") * lit(nDocs) / lit(dlSum.toDouble)
     val contribs = dfMap.toSeq.sortBy(_._1).map { case (term, dfq) =>
       val idf = math.log((nDocs.toDouble - dfq + 0.5) / (dfq + 0.5) + 1.0)
@@ -328,7 +375,9 @@ object TextAnalysis {
     * (long documents must be chunked before sequence packing; see
     * Sampling/shard packing for the budget side). Output: one row per
     * (doc, window) with the window ordinal, the space-rejoined chunk
-    * text, and its token count. Blank documents produce no rows.
+    * text, and its token count. Space-blank documents produce no rows
+    * (a "\n"-only document carries tokenCount's pinned empty-split
+    * artifact and emits one degenerate chunk — see [[tokenCount]]).
     * Narrow: tokenization + per-row explode of ~n/chunkSize indices; no
     * shuffle. The slice is expressed in SQL (`expr`) because the
     * Column-typed slice overload is gone in Spark 4.
@@ -414,7 +463,13 @@ object TextAnalysis {
         explode(split(lower(col(textCol)), "\\W+")).as("term"))
       .filter(length(col("term")) >= 1)
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt"))).first().getLong(0)
+    val totalRow = counts.agg(sum(col("cnt"))).first()
+    // an empty corpus aggregates the sum to NULL — getLong threw a raw
+    // NPE; the serve twin (scoreWithLm) requires total > 0, so fail the
+    // producer with the same named contract (code-review r14)
+    require(!totalRow.isNullAt(0),
+      "lmHead needs a non-empty corpus (0 tokens after read)")
+    val total = totalRow.getLong(0)
     val head = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     (head.toMap, total)
@@ -435,8 +490,7 @@ object TextAnalysis {
                   floorCount: Double = 0.5, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(total > 0, s"total token count must be positive, got $total")
-    val toks = filter(split(lower(col(textCol)), "\\W+"),
-      t => length(t) >= 1)
+    val toks = qualTokens(textCol, 1)
     val lm = typedLit(vocab)
     df.select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) > 0)
@@ -711,8 +765,7 @@ object TextAnalysis {
   def bigramHead(df: DataFrame, topK: Int,
                  textCol: String = "text"): Map[String, Long] = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val toks = filter(split(lower(col(textCol)), "\\W+"),
-      t => length(t) >= 1)
+    val toks = qualTokens(textCol, 1)
     df.select(toks.as("__toks"))
       .filter(size(col("__toks")) >= 2)
       .select(explode(expr(
@@ -742,8 +795,7 @@ object TextAnalysis {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(total > 0, s"total token count must be positive, got $total")
-    val toks = filter(split(lower(col(textCol)), "\\W+"),
-      t => length(t) >= 1)
+    val toks = qualTokens(textCol, 1)
     val bg = typedLit(bigrams)
     val ug = typedLit(vocab)
     df.select(col(idCol), toks.as("__toks"))
@@ -787,8 +839,7 @@ object TextAnalysis {
                   textCol: String = "text"): DataFrame = {
     require(targetTotal > 0 && rawTotal > 0,
       s"head totals must be positive, got $targetTotal/$rawTotal")
-    val toks = filter(split(lower(col(textCol)), "\\W+"),
-      t => length(t) >= 1)
+    val toks = qualTokens(textCol, 1)
     def fold(m: Column, total: Long): Column =
       aggregate(col("__toks"), lit(0.0), (acc, t) =>
         acc + log(coalesce(try_element_at(m, t).cast("double"),

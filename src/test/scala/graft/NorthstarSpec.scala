@@ -1573,6 +1573,39 @@ class CurationSpec extends SparkSpecBase {
       Curation.parseConfig("""{"min_qualty": 0.9}""")
     }
     assert(e.getMessage.contains("min_qualty"), e.getMessage)
+    // malformed scalars must refuse, not Jackson-coerce to 0: a "3k"
+    // budget silently dropped the whole corpus, a "strict" min_quality
+    // silently disabled the gate (code-review r14)
+    assert(intercept[IllegalArgumentException] {
+      Curation.parseConfig("""{"budget_per_lang": "3k"}""")
+    }.getMessage.contains("budget_per_lang"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.parseConfig("""{"min_quality": "strict"}""")
+    }.getMessage.contains("min_quality"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.parseConfig("""{"budget_per_lang": 0}""")
+    }.getMessage.contains("positive"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.parseAssetConfig("""{"max_width": "4k"}""")
+    }.getMessage.contains("max_width"))
+  }
+
+  test("boundary refusals: degenerate split weights, short bm25 terms; capitalized terms normalize") {
+    import org.apache.spark.sql.functions.col
+    // all-zero weights silently routed 100% into the LAST split
+    assert(intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs,
+        Seq("train" -> 0.0, "val" -> 0.0, "test" -> 0.0))
+    }.getMessage.contains("sum > 0"))
+    // a query term shorter than minTermLen can never match a token
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(docs, Seq("ai"))
+    }.getMessage.contains("minTermLen"))
+    // a capitalized term matches the lower-cased token stream instead
+    // of silently scoring nothing
+    val lo = TextAnalysis.bm25(docs, Seq("the")).collect().map(_.toSeq).toSet
+    val hi = TextAnalysis.bm25(docs, Seq("The")).collect().map(_.toSeq).toSet
+    assert(lo == hi && lo.nonEmpty)
   }
 
   private val docs = spark.read
