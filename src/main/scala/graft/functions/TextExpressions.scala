@@ -379,15 +379,32 @@ case class TextStats(child: Expression, stopwords: Seq[String])
   * SQL users got stopHits ≡ 0 while the Scala surface counted).
   */
 private[functions] object kernelBuilders {
+  // exact-arity enforcement: the parameterized kernels (n/k/planes)
+  // take their tuning as SCALA constructor constants, not SQL args — a
+  // SQL call like `minhash_sig(text, 5, 64)` used to silently DISCARD
+  // the extra arguments and build the default n=3/k=16 signature, which
+  // downstream k=64 threshold math then mis-scored with no error
+  // (code-review r14)
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name takes exactly $n argument(s), got ${es.length} — the " +
+          "tuning parameters are fixed at registration (use the Scala " +
+          "API for custom n/k/planes)")
+      build(es)
+    }
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_cosine" -> (es => FloatVecCosine(es(0), es(1))),
-    "vec_dot" -> (es => FloatVecDot(es(0), es(1))),
-    "lsh_buckets" -> (es => HyperplaneBuckets(es.head, 4, 8)),
-    "minhash_sig" -> (es => MinHashSig(es.head, 3, 16)),
-    "simhash64" -> (es => SimHash64(es.head)),
-    "minhash_est" -> (es => MinHashEst(es(0), es(1))),
-    "shingles" -> (es => ShinglesExpr(es.head, 3)),
-    "text_stats" -> (es => TextStats(es.head, TextOps.DefaultStopwords)))
+    "vec_cosine" -> arity("vec_cosine", 2)(es => FloatVecCosine(es(0), es(1))),
+    "vec_dot" -> arity("vec_dot", 2)(es => FloatVecDot(es(0), es(1))),
+    "lsh_buckets" -> arity("lsh_buckets", 1)(es =>
+      HyperplaneBuckets(es.head, 4, 8)),
+    "minhash_sig" -> arity("minhash_sig", 1)(es => MinHashSig(es.head, 3, 16)),
+    "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
+    "minhash_est" -> arity("minhash_est", 2)(es => MinHashEst(es(0), es(1))),
+    "shingles" -> arity("shingles", 1)(es => ShinglesExpr(es.head, 3)),
+    "text_stats" -> arity("text_stats", 1)(es =>
+      TextStats(es.head, TextOps.DefaultStopwords)))
 }
 
 /** SQL registration for all graft kernel expressions

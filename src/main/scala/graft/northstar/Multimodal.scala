@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   * (moov→trak→tkhd for pixel dimensions, moov→mvhd for duration), zero
   * extra dependencies; sample/pixel decode of the compressed streams
   * would need av libraries this environment lacks, so features come from
-  * the deterministic payload fingerprint. Anything none of the three
-  * codecs recognize falls back to [[StubCodec.decode]], a deterministic
+  * the deterministic payload fingerprint. FLAC STREAMINFO metadata
+  * ([[FlacCodec]]) and Matroska EBML metadata ([[MkvCodec]]) parse the
+  * same way — real container fields, fingerprint features. Anything
+  * none of the five codecs recognize falls back to [[StubCodec.decode]],
+  * a deterministic
   * fake derived from the payload bytes. The surrounding plumbing — asset
   * schema, partition-batched execution shape, metadata extraction,
   * feature vectors, frame sampling — is identical for all modalities.
@@ -122,6 +125,19 @@ object Multimodal {
       else if (p(0) == 'G') "gif"
       else "jpeg"
 
+    /** Pixel-count ceiling before any pixel decode: a LEGAL 50k×50k PNG
+      * (decompression bomb, or an outlier scan) passes the magic screen
+      * and `ImageIO.read` would materialize a ~10 GB BufferedImage —
+      * OutOfMemoryError is an Error the Exception catch does NOT cover,
+      * so the task died, the retry hit the same row, and the stage
+      * failed (code-review r14). The reader API exposes header
+      * dimensions without touching pixel data; over-limit images
+      * degrade to the stub like every other undecodable payload.
+      * 64M pixels ≈ 8k×8k ≈ 256 MB decoded — generous for corpus
+      * imagery, far below executor-killing.
+      */
+    val MaxPixels: Long = 64L * 1024 * 1024
+
     def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
       if (!looksLikeImage(payload)) None
       // try/catch around the FULL decode, not just the read: a corrupt
@@ -129,8 +145,31 @@ object Multimodal {
       // (IIOException/RuntimeException), and at corpus scale one bad
       // image must fall back to the stub, not kill the task (found by
       // the seeded codec fuzz test)
-      else try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))).map { img =>
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              // header-only: getWidth/getHeight read container metadata,
+              // not pixels — the bomb never allocates
+              val hw = reader.getWidth(0)
+              val hh = reader.getHeight(0)
+              if (hw.toLong * hh > MaxPixels || hw <= 0 || hh <= 0) None
+              else decodePixels(assetId, payload, reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case _: Exception => None }
+
+    private def decodePixels(assetId: Long, payload: Array[Byte],
+                             img: java.awt.image.BufferedImage)
+        : Option[Decoded] = {
+      {
         val w = img.getWidth
         val h = img.getHeight
         val dim = StubCodec.FeatureDim
@@ -152,8 +191,9 @@ object Multimodal {
         }
         val feats = Array.tabulate(dim)(i =>
           if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
-        Decoded(assetId, w, h, formatOf(payload), feats)
-      } catch { case _: Exception => None }
+        Some(Decoded(assetId, w, h, formatOf(payload), feats))
+      }
+    }
   }
 
   /** Real audio codec for WAV payloads over the JDK's
@@ -203,8 +243,12 @@ object Multimodal {
                   s.toDouble / 32768.0
                 }
               val frame = i / math.max(1, channels)
+              // long arithmetic: frame * dim wraps Int negative past
+              // ~268M frames (a 1.7h 44.1kHz 8-bit WAV), the AIOOBE was
+              // swallowed by the blanket catch, and the asset silently
+              // downgraded to stub metadata (code-review r14)
               val stripe = if (frames == 0) 0
-                else math.min(dim - 1, frame * dim / frames)
+                else math.min(dim - 1, (frame.toLong * dim / frames).toInt)
               sumSq(stripe) += v * v
               counts(stripe) += 1
               i += 1
@@ -403,7 +447,10 @@ object Multimodal {
     case class MkvMeta(width: Int, height: Int, durationMs: Long)
 
     private val EbmlMagic = 0x1A45DFA3L
-    private val SegmentId = 0x18538067L
+    // shared with the synthetic fixture builder: a second hand-kept
+    // copy of the magic let parser and fixture silently disagree
+    // (code-review r14)
+    private[northstar] val SegmentId = 0x18538067L
     private val InfoId = 0x1549A966L
     private val TimestampScaleId = 0x2AD7B1L
     private val DurationId = 0x4489L
@@ -597,9 +644,8 @@ object Multimodal {
     // deterministic content bytes from the id ride as a Void element
     val pad = el(0xECL,
       (0 until 32).map(i => (((id * 31 + i * 7) % 256) + 256).toByte).toArray)
-    hdr ++ el(SegmentMagicForSynth, info ++ tracks ++ pad)
+    hdr ++ el(MkvCodec.SegmentId, info ++ tracks ++ pad)
   }
-  private val SegmentMagicForSynth = 0x18538067L
 
   /** Minimal valid FLAC header for tests: `fLaC` magic + a last-flagged
     * STREAMINFO block with the given stream parameters (frame data
@@ -726,8 +772,11 @@ object Multimodal {
         // codec registry lookups are JVM-wide; per-partition init is the
         // seam where a real av codec would allocate its context
         rows.map { r =>
-          val id = r.getAs[Long]("asset_id")
-          val p = r.getAs[Array[Byte]]("payload")
+          // ordinals, not names: the select above pins (asset_id,
+          // payload) = (0, 1), and per-row fieldIndex lookups are
+          // wasted work on the decode-bound hot path (code-review r14)
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
           ImageCodec.decode(id, p)
             .orElse(AudioCodec.decode(id, p))
             .orElse(FlacCodec.decode(id, p))
@@ -760,10 +809,16 @@ object Multimodal {
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameBytes` from the payload as its own row (asset_id, frame_no,
     * frame_bytes). Pure slice arithmetic over the binary column.
+    * The trailing partial chunk IS a frame: ceil, not floor — the floor
+    * form dropped the tail of any payload longer than one frame while
+    * still emitting a short frame for sub-frameBytes payloads, so
+    * coverage of the final bytes depended on payload size
+    * (code-review r14).
     */
   def sampleFrames(assets: DataFrame, frameBytes: Int = 64,
                    stride: Int = 4): DataFrame = {
-    val nFrames = (length(col("payload")) / frameBytes).cast("int")
+    val nFrames = ((length(col("payload")) + frameBytes - 1) / frameBytes)
+      .cast("int")
     assets
       .select(col("asset_id"), col("payload"),
         explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))

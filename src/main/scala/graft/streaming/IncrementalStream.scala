@@ -117,35 +117,61 @@ object IncrementalStream {
     * needs constructor access).
     */
   case class SessionState(start: Long, end: Long, n: Long)
+  /** Per-user state: ALL gap-separated segments the watermark has not
+    * yet closed — not just the latest. A segment whose successor's gap
+    * closed it in-batch may still be EXTENDED or MERGED by a
+    * legitimately-late event the lateness config admits, so emitting it
+    * before the watermark passes `end + gap` fragmented sessions that
+    * append-mode output can never retract (code-review r14).
+    */
+  case class SessionsState(segs: Seq[SessionState])
 
   /** Custom session state via flatMapGroupsWithState — the arbitrary-state
     * path for semantics `session_window` can't express (here: emit ONE
     * summary row per closed session, closing on `gapMs` inactivity via
-    * event-time timeout against the watermark). State per user is O(1)
-    * (bounds + count), partitioned by user across executors; timeouts fire
-    * as the watermark advances, so idle users cost nothing after close.
+    * event-time timeout against the watermark). State per user is the
+    * still-open segment set (bounded: segments within the lateness
+    * horizon — the watermark closes anything older), partitioned by user
+    * across executors; timeouts fire as the watermark advances, so idle
+    * users cost nothing after close.
     */
   def sessionize(events: Dataset[SessionEvent], lateness: String,
                  gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    def update(user: Long, rows: Iterator[SessionEvent],
-               state: GroupState[SessionState]): Iterator[SessionOut] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator(SessionOut(user, s.start, s.end, s.n))
+    val gapUs = gapMs * 1000
+    // a segment is CLOSED only once the watermark strictly passes
+    // end + gap: any future event has event_time >= watermark (older
+    // rows are watermark-dropped before reaching update), so nothing
+    // can land within gap of it. Closed segments emit; the rest stay in
+    // state with the timeout at the earliest possible close point
+    // (clamped above the watermark — setTimeoutTimestamp refuses
+    // timestamps at or below it).
+    def emitClosed(user: Long, all: Seq[SessionState],
+                   state: GroupState[SessionsState]): Iterator[SessionOut] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val (closed, kept) = all.partition(s => s.end + gapUs < wmUs)
+      if (kept.isEmpty) {
+        if (state.exists) state.remove()
       } else {
+        state.update(SessionsState(kept))
+        state.setTimeoutTimestamp(math.max(
+          kept.map(_.end).min / 1000 + gapMs,
+          state.getCurrentWatermarkMs() + 1))
+      }
+      closed.sortBy(_.start)
+        .map(s => SessionOut(user, s.start, s.end, s.n)).iterator
+    }
+    def update(user: Long, rows: Iterator[SessionEvent],
+               state: GroupState[SessionsState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) emitClosed(user, state.get.segs, state)
+      else {
         // split the batch into gap-separated SEGMENTS first: a backfill
         // or AvailableNow batch delivers a user's whole history in one
         // call, and folding it to a single (lo, hi) would bridge every
         // in-batch gap into one mega-session (code-review r13 — events
-        // at t=0-10min and t=5h read as a 5-hour session). Sort, split
-        // on gapMs, merge the carried state with the first segment when
-        // contiguous, emit every segment the NEXT one's gap closes, and
-        // keep only the last segment open.
+        // at t=0-10min and t=5h read as a 5-hour session)
         val times = rows.map(_.event_us).toArray
         java.util.Arrays.sort(times)
-        val gapUs = gapMs * 1000
         val segs = scala.collection.mutable.ArrayBuffer.empty[SessionState]
         var segStart = times(0); var segEnd = times(0); var n = 1L
         var i = 1
@@ -158,13 +184,14 @@ object IncrementalStream {
           i += 1
         }
         segs += SessionState(segStart, segEnd, n)
-        // fold the carried state into the segment list IN SORT ORDER
-        // and re-run the gap merge over the union: merging only with
-        // segs.head by end-to-start distance read a late batch lying
-        // wholly BEFORE the carried session (large-negative difference)
-        // as contiguous, bridging an arbitrary gap into one
-        // mega-session (advice r13)
-        val allSegs = (state.getOption.toSeq ++ segs).sortBy(_.start)
+        // fold the carried segments into the batch's IN SORT ORDER and
+        // re-run the gap merge over the union: merging only with the
+        // head by end-to-start distance read a late batch lying wholly
+        // BEFORE a carried session (large-negative difference) as
+        // contiguous, bridging an arbitrary gap into one mega-session
+        // (advice r13)
+        val allSegs =
+          (state.getOption.toSeq.flatMap(_.segs) ++ segs).sortBy(_.start)
         val merged: Seq[SessionState] =
           allSegs.tail.foldLeft(List(allSegs.head)) { (acc, s) =>
             val cur = acc.head
@@ -173,11 +200,7 @@ object IncrementalStream {
                 cur.n + s.n) :: acc.tail
             else s :: acc
           }.reverse
-        val open = merged.last
-        state.update(open)
-        // close when the watermark passes end + gap
-        state.setTimeoutTimestamp(open.end / 1000 + gapMs)
-        merged.init.map(s => SessionOut(user, s.start, s.end, s.n)).iterator
+        emitClosed(user, merged, state)
       }
     }
     events

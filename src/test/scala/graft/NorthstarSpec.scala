@@ -2191,8 +2191,12 @@ class MultimodalSpec extends SparkSpecBase {
     val df = Seq((1L, Array.fill[Byte](300)(7)), (2L, Array.empty[Byte]))
       .toDF("asset_id", "payload")
     val frames = Multimodal.sampleFrames(df, frameBytes = 64, stride = 2).collect()
-    // 300 bytes → frames 0..3 (64B each, last partial), stride 2 → 0, 2
-    assert(frames.map(r => (r.getLong(0), r.getInt(1))).toSet == Set((1L, 0), (1L, 2)))
+    // 300 bytes → frames 0..4 (four full 64B frames + the 44B tail —
+    // ceil semantics, the tail is covered), stride 2 → 0, 2, 4
+    assert(frames.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 0), (1L, 2), (1L, 4)))
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").nonEmpty))
+    val tail = frames.find(_.getInt(1) == 4).get
+    assert(tail.getAs[Array[Byte]]("frame_bytes").length == 44)
   }
 }

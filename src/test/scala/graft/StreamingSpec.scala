@@ -230,6 +230,49 @@ class StreamingSpec extends SparkSpecBase {
       (1L, t0 + 5 * hour, t0 + 5 * hour, 1L)), got.toString)
   }
 
+  test("sessionize: a late event EXTENDS a gap-closed segment instead of fragmenting it") {
+    // code-review r14: in-batch gap-closed segments were emitted
+    // immediately, so a legitimately-late event the lateness admits
+    // could no longer merge — append output carried fragmented
+    // sessions it can never retract. Segments now wait in state until
+    // the watermark passes end + gap.
+    val src = tmp(); val ckpt = tmp()
+    val t0 = 1704067200L * 1000000L
+    val min = 60L * 1000000L; val hour = 60L * min; val day = 24L * hour
+    // batch 1: two gap-separated segments (t0 and t0+1h; gap 30min) —
+    // the old code emitted the t0 segment here, unmergeable forever
+    Seq((1L, t0), (1L, t0 + 1 * hour))
+      .toDF("user_id", "event_us").coalesce(1).write.parquet(s"$src/s.parquet")
+    // batch 2: a late event at t0+20min (2h lateness admits it) that
+    // belongs INSIDE the first session
+    Seq((1L, t0 + 20 * min))
+      .toDF("user_id", "event_us").coalesce(1).write.mode("append")
+      .parquet(s"$src/s.parquet")
+    // batch 3: flush user advances the watermark past both close points
+    Seq((99L, t0 + 1 * day))
+      .toDF("user_id", "event_us").coalesce(1).write.mode("append")
+      .parquet(s"$src/s.parquet")
+    val schema = spark.read.parquet(s"$src/s.parquet").schema
+    val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
+      maxFilesPerTrigger = 1)
+    val sessions = IncrementalStream.sessionize(
+      stream.as[IncrementalStream.SessionEvent], "2 hours",
+      gapMs = 30 * 60 * 1000L)
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_extend")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_extend").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    // ONE merged first session [t0, t0+20min] with both events — never
+    // the fragmented (t0,t0,1) + (t0+20min,t0+20min,1) pair
+    assert(got.filter(_._1 == 1L) == Set(
+      (1L, t0, t0 + 20 * min, 2L),
+      (1L, t0 + 1 * hour, t0 + 1 * hour, 1L)), got.toString)
+  }
+
   test("streamingMerge: null-text duplicates read as SEEN, matching corpusDiff's null-safe semantics") {
     import spark.implicits._
     val existing = Seq((1L, null: String), (2L, "real text"))
