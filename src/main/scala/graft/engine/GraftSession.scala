@@ -21,6 +21,23 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate silently IGNORES every config above when any session
+    // already exists in the JVM — the caller would run with 200 shuffle
+    // partitions, the host timezone, and no ns-parquet tolerance, and
+    // the date/parquet differences are brutal to trace back here
+    // (code-review r14). The engine-critical settings are
+    // session-scoped (SQLConf), so apply them to whatever session came
+    // back; only a differing MASTER is unfixable and warns.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
+      spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
+    if (spark.sparkContext.master != s"local[$cores]")
+      Console.err.println(
+        s"[graft] WARN: reusing existing session with master " +
+          s"${spark.sparkContext.master} (requested local[$cores]) — " +
+          "session-scoped configs applied, master cannot be changed")
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registry.registerAll(spark)
     spark

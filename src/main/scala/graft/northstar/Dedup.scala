@@ -333,10 +333,15 @@ object Dedup {
   private def tokenized(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     docs.select(col(idCol).as("doc"),
-      when(length(trim(col(textCol))) === 0,
+      // isNull arm: a null text made the when() condition null, the
+      // otherwise branch produced a null token array, and
+      // size(null) = -1 surfaced as n_tokens/n_removed = -1 in the
+      // excision audit frames (code-review r14). The otherwise branch
+      // reuses [[normText]] — it inlined the identical expression, and
+      // two copies of the canonical form can silently drift.
+      when(col(textCol).isNull || length(trim(col(textCol))) === 0,
           array().cast("array<string>"))
-        .otherwise(split(regexp_replace(lower(trim(col(textCol))),
-          "\\s+", " "), " ")).as("w"))
+        .otherwise(split(normText(col(textCol)), " ")).as("w"))
 
   /** Stride-1 window fingerprints with positions: (doc, i, wh, wlen) —
     * every `windowTokens`-token window's 128-bit md5 digest plus its
@@ -542,7 +547,8 @@ object Dedup {
   def winnowPairsAgainstIndex(incoming: DataFrame, corpusIndex: DataFrame,
                               k: Int = 5, window: Int = 4,
                               idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text",
+                              maxBucket: Int = 1000): DataFrame = {
     val checked =
       if (corpusIndex.columns.contains("__k")
           && corpusIndex.columns.contains("__window"))
@@ -553,7 +559,22 @@ object Dedup {
                 lit(s", probed with $k/$window"))).isNull,
             col("fp")))
       else corpusIndex
-    winnowSketch(incoming, k, window, idCol, textCol)
+    // the INCOMING side gets the same per-fingerprint bucket cap the
+    // index was built under: a boilerplate fingerprint shared by a
+    // million incoming docs against a just-under-cap corpus bucket is a
+    // billion-row candidate join — exactly the mega-bucket the
+    // capBuckets discipline exists to prevent, and the one side this
+    // path left uncapped (code-review r14). Same default as
+    // [[winnowPairs]]/[[winnowIndex]]. A STREAMING incoming frame skips
+    // the cap: capBuckets is a global count + self semi-join, which
+    // append-mode streaming cannot express — and doesn't need, because
+    // the micro-batch (maxFilesPerTrigger) bounds the incoming bucket
+    // size per trigger; the static index side stays capped either way.
+    val incomingSketch = winnowSketch(incoming, k, window, idCol, textCol)
+    val cappedIncoming =
+      if (incoming.isStreaming) incomingSketch
+      else capBuckets(incomingSketch, Seq("fp"), maxBucket)
+    cappedIncoming
       .select(col("fp"), col("doc").as("doc_a"))
       .join(checked.select(col("fp"), col("doc").as("doc_b")), Seq("fp"))
       .groupBy("doc_a", "doc_b")
@@ -591,8 +612,13 @@ object Dedup {
     // same three-way reuse as substringRemove: one tokenize, not three
     val base = materializeOnce(tokenized(corpus, idCol, textCol))
     val wins = windowFingerprints(base, windowTokens)
+    // only the window digests are used from the benchmark side, so a
+    // text-only benchmark frame (valid input to benchmarkOverlap and
+    // the Bloom screen) must not be rejected for lacking idCol — give
+    // it a synthetic constant id instead (code-review r14)
     val benchWhs = windowFingerprints(
-      tokenized(benchmark, idCol, textCol), windowTokens)
+      tokenized(benchmark.select(lit(0L).as("__bench_id"), col(textCol)),
+        "__bench_id", textCol), windowTokens)
       .select("wh").distinct()
     val flagged = wins.join(broadcast(benchWhs), Seq("wh"), "left_semi")
     exciseFlagged(base, flagged, idCol)
@@ -631,27 +657,18 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
                    threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    // bands must evenly partition the signature: bands > k makes
-    // rowsPer = 0 and EVERY band hash degenerate (all docs one bucket →
-    // capBuckets drops it → zero pairs, a silent false-clean at the
-    // dedup safety layer); a non-divisor silently ignores the trailing
-    // signature components (code-review r13)
-    require(bands >= 1 && k % bands == 0,
-      s"bands must divide the signature length: k=$k, bands=$bands")
-    val rowsPer = k / bands
-    // kernel expression (graft.functions.MinHashSig): one JVM loop per row
-    val sig = df.select(col(idCol).as("id"),
-        texthash.minhash_sig(col(textCol), 3, k).as("mh"))
-    val bandHashes = array((0 until bands).map(b =>
-      xxhash64(slice(col("mh"), b * rowsPer + 1, rowsPer), lit(b))): _*)
-    // materialize the banded signatures ONCE (~150 B/row): the cap's
-    // count branch and both sides of the candidate self-join would
-    // otherwise re-run the minhash kernel over the corpus 4x — the
-    // same recompute shape the winnowing/substring fixes removed. The
-    // persisted form of this frame is exactly [[bandIndex]].
+    // banding via the ONE [[bandRows]] definition the against-index
+    // path uses (it also carries the bands-divides-k require — the
+    // r13 degenerate-banding guard): this used to be an inline verbatim
+    // copy, and a banding change landing in one place would silently
+    // make the self-join and against-index paths compute different
+    // band hashes (code-review r14). Materialize the banded signatures
+    // ONCE (~150 B/row): the cap's count branch and both sides of the
+    // candidate self-join would otherwise re-run the minhash kernel
+    // over the corpus 4x. The persisted form of this frame is exactly
+    // [[bandIndex]].
     val banded = capBuckets(
-      materializeOnce(sig.select(col("id"), col("mh"),
-        explode(bandHashes).as("band_hash"))),
+      materializeOnce(bandRows(df, textCol, idCol, k, bands)),
       Seq("band_hash"), maxBucket)
     // estimate BEFORE the pair dedupe: the filter is narrow per-row math,
     // so losers never reach the dedupe shuffle
@@ -923,8 +940,15 @@ object Dedup {
     // is left in place — the caller owns the directory's lifecycle.
     val session = pairs.sparkSession
     var snapSeq = 0
+    // per-run unique component: two runs (sequential or concurrent)
+    // sharing a checkpointDir would otherwise write the SAME
+    // cc-snap-N paths in overwrite mode and drop each other's
+    // snapshots — including the retained final snapshot backing the
+    // other run's returned frame, which then reads wrong labels or
+    // throws FileNotFound (code-review r14)
+    val runTag = java.util.UUID.randomUUID().toString.take(12)
     def snapshot(df: DataFrame, dir: String): (DataFrame, String) = {
-      val path = s"${dir.stripSuffix("/")}/cc-snap-$snapSeq"
+      val path = s"${dir.stripSuffix("/")}/cc-snap-$runTag-$snapSeq"
       snapSeq += 1
       df.write.mode("overwrite").parquet(path)
       (session.read.parquet(path), path)
@@ -1000,6 +1024,16 @@ object Dedup {
       labels = jumped
       it += 1
     }
+    // silently returning unconverged labels would hand callers SPLIT
+    // clusters — collapseByPairs would then mark several "keepers"
+    // inside one duplicate cluster and under-remove with no signal
+    // (code-review r14). Path halving converges in O(log diameter)
+    // rounds, so the default budget only exhausts on a pathological
+    // graph or a deliberately tiny maxIter — both deserve a loud stop.
+    require(converged,
+      s"connectedComponents did not converge within maxIter=$maxIter " +
+        "rounds — raise maxIter (label propagation with path halving " +
+        "needs ~log2(component diameter) rounds)")
     // the returned frame is file-backed in reliable mode, so the
     // loop-invariant snapshots are no longer needed
     invariantPaths.foreach(drop)

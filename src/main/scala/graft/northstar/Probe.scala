@@ -160,7 +160,21 @@ object Probe {
     */
   def scoreQ(df: DataFrame, w: Seq[Long], idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val m = marginQ(col(vecCol), w)
+    // loud per-row guard: a null vector (or one whose dim differs from
+    // the frozen weights — zip_with pads the shorter side with null)
+    // nulled the margin, and the silent null pred dropped those rows
+    // from any downstream filter(pred === 1) keep-set with no signal —
+    // the same silent-partial-corpus hazard the training side's
+    // n/n_valid checks refuse (code-review r14). Fused into the margin
+    // expression so the path stays narrow and codegen'd.
+    val m = when(
+      col(vecCol).isNull || size(col(vecCol)) =!= w.length,
+      raise_error(concat(
+        lit(s"scoreQ: null or wrong-dimension vector (weights carry " +
+          s"dim ${w.length}, row has "),
+        coalesce(size(col(vecCol)).cast("string"), lit("null")),
+        lit(") at "), col(idCol).cast("string"))).cast("long")
+    ).otherwise(marginQ(col(vecCol), w))
     df.select(col(idCol), m.as("score_q"),
       (m >= 0).cast("int").as("pred"))
   }

@@ -8,6 +8,26 @@ import java.nio.file.Files
 class MiscSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("GraftSession.local reapplies session-scoped configs to a pre-existing session") {
+    // getOrCreate ignores builder configs when a session already exists
+    // (as it does across every suite in this JVM) — the factory must
+    // re-assert the engine-critical SQLConf settings on what comes back
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      spark.conf.set("spark.sql.shuffle.partitions", "200")
+      val s = graft.engine.GraftSession.local(cores = 8)
+      assert(s.sparkContext eq spark.sparkContext) // the same singleton
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "8")
+      assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
   test("S9 CSV sink round-trips with header") {
     val dir = Files.createTempDirectory("csv").toString
     Tables.writeCsv(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$dir/out")

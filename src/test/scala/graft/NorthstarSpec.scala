@@ -251,6 +251,41 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("null-text docs tokenize empty: audit frames carry n_tokens=0, never size(null) = -1") {
+    val corpus = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringRemove(corpus, windowTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(2L) == ((0L, 0L)), s"null text must audit as empty: $out")
+    assert(out(1L) == ((4L, 0L)))
+  }
+
+  test("decontaminateRemove accepts a text-only benchmark frame (no id column)") {
+    val corpus = Seq((1L, "x a b c y"), (2L, "clean doc here present"))
+      .toDF("doc_id", "text")
+    val bench = Seq("a b c").toDF("text") // benchmark dumps often carry only text
+    val out = Dedup.decontaminateRemove(corpus, bench, windowTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) > 0L, s"quoting doc not excised: $out")
+    assert(out(2L) == 0L)
+  }
+
+  test("winnowPairsAgainstIndex caps incoming-side fingerprint buckets") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val index = Dedup.winnowIndex(Seq((1L, words)).toDF("doc_id", "text"))
+    // three incoming clones share EVERY fingerprint — the boilerplate
+    // mega-bucket shape on the side the pre-r14 path left uncapped
+    val clones = Seq(101L, 102L, 103L).map(i => (i, words))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairsAgainstIndex(clones, index).count() == 3)
+    assert(Dedup.winnowPairsAgainstIndex(clones, index, maxBucket = 2)
+      .count() == 0)
+    // a lone incoming doc is under the cap and still pairs
+    assert(Dedup.winnowPairsAgainstIndex(
+      clones.filter(col("doc_id") === 101L), index, maxBucket = 2)
+      .count() == 1)
+  }
+
   test("decontaminateRemove: benchmark-colliding windows excised, window-granular, clean docs intact") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
@@ -389,6 +424,34 @@ class DedupSpec extends SparkSpecBase {
     assert(remaining.length == 1, remaining.map(_.getName).mkString(","))
     // the returned frame is file-backed, so it stays consumable after cleanup
     assert(reliable.count() == local.size.toLong)
+  }
+
+  test("connectedComponents refuses to return unconverged labels") {
+    // a 40-node chain needs several path-halving rounds; maxIter=1 must
+    // stop loudly, not hand back silently SPLIT clusters
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    // the default budget collapses the same chain to one cluster
+    val cc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(cc == Set(1L))
+  }
+
+  test("two CC runs sharing a checkpointDir keep both result frames consumable") {
+    // pre-r14 both runs wrote the SAME cc-snap-N paths: the second run
+    // overwrote (then cleaned) the first's retained final snapshot, so
+    // the first frame read wrong labels or threw FileNotFound
+    val tmp = java.nio.file.Files.createTempDirectory("cc-shared").toString
+    val a = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"),
+      checkpointDir = Some(tmp))
+    val b = Dedup.connectedComponents(
+      Seq((10L, 11L)).toDF("doc_a", "doc_b"), checkpointDir = Some(tmp))
+    assert(rows(a) == Set(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L)))
+    assert(rows(b) == Set(Seq(10L, 10L), Seq(11L, 10L)))
   }
 
   test("collapseByPairs composes with minhashPairs: near-dup corpus collapses to keepers") {

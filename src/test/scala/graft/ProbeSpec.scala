@@ -81,6 +81,29 @@ class ProbeSpec extends SparkSpecBase {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("scoreQ fails loudly on null or wrong-dimension vectors, never silent null preds") {
+    def allMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val w = Probe.trainQ(emb, iters = 1)
+    // a nulled vector used to null the margin, and the null pred row
+    // silently vanished from any downstream filter(pred === 1) keep-set
+    val withNull = emb.select(col("vec_id"),
+      when(col("vec_id") === emb.select("vec_id").head().getLong(0),
+          lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val e1 = intercept[Throwable] { Probe.scoreQ(withNull, w).collect() }
+    assert(allMessages(e1).contains("scoreQ"), allMessages(e1))
+    // zip_with pads a short vector with nulls — same silent-null shape
+    val short = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.slice(col("embedding"), 1, 8)
+        .as("embedding"))
+    val e2 = intercept[Throwable] { Probe.scoreQ(short, w).collect() }
+    assert(allMessages(e2).contains("scoreQ"), allMessages(e2))
+    // intact corpus still scores every row
+    assert(Probe.scoreQ(emb, w).count() == emb.count())
+  }
+
   test("dimension mismatch and empty input fail loudly") {
     intercept[IllegalArgumentException] {
       Probe.trainStepQ(emb, Seq.fill(32)(0L))
