@@ -1585,8 +1585,12 @@ object SparkEntry {
           // the e6 exposure needs the double product on both sides
           round(col("maxabs").cast("double") * 1000000).cast("long")
             .as("maxabs_e6"),
-          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
-          aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("q_sqsum"))),
+          // q is array<tinyint> since r14: widen per element BEFORE the
+          // square — tinyint*tinyint overflows at |q| >= 12 under ANSI
+          aggregate(col("q"), lit(0L),
+            (acc, x) => acc + x.cast("long")).as("q_sum"),
+          aggregate(col("q"), lit(0L),
+            (acc, x) => acc + x.cast("long") * x.cast("long")).as("q_sqsum"))),
     // PII scrub: deterministic synthetic contacts (email/url/phone built
     // from doc_id) injected identically on both sides, then the 3-stage
     // URL→email→phone redaction — RE2-safe patterns, so the oracle runs

@@ -15,9 +15,25 @@ import org.apache.spark.sql.types._
   */
 object VecOps {
 
+  /** Loud length check for the pairwise kernels: math.min truncation
+    * scored the shared prefix of mismatched vectors — a 384-dim probe
+    * against 768-dim embeddings returned PLAUSIBLE cosines with no
+    * signal (code-review r14), while the PQ/centroid kernels throw a
+    * descriptive shape error for exactly this class of mistake.
+    */
+  private def checkSameDim(a: ArrayData, b: ArrayData, what: String): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$what dimension mismatch: $n vs ${b.numElements()} — the " +
+          "operands come from different embedding models or a truncated " +
+          "column, and a prefix score would be silently wrong")
+    n
+  }
+
   /** Single-pass dot + norms → cosine; 0.0 when either norm is 0. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkSameDim(a, b, "cosine")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -31,7 +47,7 @@ object VecOps {
   }
 
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkSameDim(a, b, "dot")
     var s = 0.0; var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
@@ -694,10 +710,15 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int)
   * model state at scan time.
   */
 case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
   require(m >= 1, s"m must be positive, got $m")
   require(ksub >= 1, s"ksub must be positive, got $ksub")
-  // inputs: array<float> vector, array<float> flattened [m][ksub][dim/m]
+  // declared, not assumed (the FloatVecCosine r13 rationale): an
+  // array<double> embedding column would otherwise reach getFloat
+  // uncast and encode reinterpreted garbage that PASSES the shape
+  // check — numElements is unchanged (code-review r14)
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any, cb: Any): Any =
     VecOps.pqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
@@ -721,9 +742,14 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
   */
 case class PqAdcCosine(first: Expression, second: Expression,
                        third: Expression, m: Int, ksub: Int)
-    extends TernaryExpression {
+    extends TernaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
   require(m >= 1, s"m must be positive, got $m")
   require(ksub >= 1, s"ksub must be positive, got $ksub")
+  // query vector and codebook coerce like PqEncode; codes coerce to
+  // array<int> (a bigint codes column from an external dump would
+  // otherwise be read with getInt at the wrong stride)
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(IntegerType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(q: Any, codes: Any, cb: Any): Any =
     VecOps.pqAdcCosine(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
@@ -815,6 +841,27 @@ case class MmrSelect(child: Expression, k: Int, lambdaE4: Int)
   require(k >= 1, s"k must be positive, got $k")
   require(lambdaE4 >= 0 && lambdaE4 <= 10000,
     s"lambdaE4 must be in [0, 10000], got $lambdaE4")
+  // the kernel hard-reads <long, double, array<float>> by ordinal —
+  // declared-and-checked at analysis instead of crashing (or silently
+  // misreading a double vec) at runtime (code-review r14). A struct
+  // input type can't ride ImplicitCastInputTypes (no struct coercion),
+  // so [[graft.northstar.Similarity.mmrFromPool]] casts the fields at
+  // assembly and this check is the backstop for direct kernel users.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(a, b, c)), _)
+          if a.dataType == LongType && b.dataType == DoubleType &&
+            (c.dataType match {
+              case ArrayType(FloatType, _) => true
+              case _ => false
+            }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "mmr_select expects array<struct<id: bigint, rel: double, " +
+            s"vec: array<float>>>, got ${other.sql}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(cands: Any): Any =
     VecOps.mmrSelect(cands.asInstanceOf[ArrayData], k, lambdaE4)
@@ -831,7 +878,12 @@ case class MmrSelect(child: Expression, k: Int, lambdaE4: Int)
   */
 case class HyperplaneBucketsMultiprobe(child: Expression, nPlanes: Int,
                                        nTables: Int, nFlips: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  // without the declared type an array<double> query column computed
+  // buckets from reinterpreted 4-byte halves of doubles — base buckets
+  // no longer matched the (coerced) corpus side's HyperplaneBuckets and
+  // recall collapsed silently (code-review r14)
+  override def kernelInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   require(nPlanes >= 0 && nPlanes <= 32,
     s"nPlanes must be in [0, 32], got $nPlanes")
   require(nTables >= 1, s"nTables must be positive, got $nTables")
@@ -853,9 +905,14 @@ case class HyperplaneBucketsMultiprobe(child: Expression, nPlanes: Int,
   */
 case class JlProject(left: Expression, right: Expression, outDim: Int,
                      scale: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
   require(outDim >= 1, s"outDim must be positive, got $outDim")
   require(scale >= 1, s"scale must be positive, got $scale")
+  // vector coerces to array<float> (the PqEncode rationale: a double
+  // column quantized reinterpreted garbage deterministically); the
+  // matrix literal is integer weights and coerces to array<long>
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any, wq: Any): Any =
     VecOps.jlProject(v.asInstanceOf[ArrayData], wq.asInstanceOf[ArrayData],

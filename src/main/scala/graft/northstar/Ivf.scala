@@ -304,9 +304,21 @@ object Ivf {
     * Similarity.cellSubcellKeys) derive the census from the cached
     * frame instead of paying the nCells-cosine assignment pass twice.
     */
-  def splitBitsFromCensus(census: DataFrame, maxCell: Int): Map[Int, Int] =
+  def splitBitsFromCensus(census: DataFrame, maxCell: Int): Map[Int, Int] = {
+    val rows = census.collect()
+    // a null embedding assigns to a NULL cell (cellOf's nullSafeEval),
+    // which used to die here as a bare NPE on getInt — and the rows
+    // behind it would silently vanish from the probe join either way.
+    // Name the problem instead (code-review r14).
+    rows.find(_.isNullAt(0)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"corpus contains ${r.getLong(1)} rows with null embeddings " +
+          "(null cell assignment) — they cannot be indexed and would " +
+          "silently vanish from ANN results; drop or repair them first")
+    }
     splitBitsFromCounts(
-      census.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
+      rows.map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
+  }
 
   /** The split policy as a pure driver-side function of per-cell counts —
     * the single definition [[splitBitsFromCensus]] and the index APPEND

@@ -104,10 +104,15 @@ object Pq {
                    sampleFraction: Double = Ivf.AutoSample,
                    seed: Long = 42L): Array[Array[Array[Float]]] = {
     require(m >= 1, s"m must be positive, got $m")
-    val ksubR = if (ksub == AutoKsub) autoKsub(corpus.count()) else ksub
+    // one count serves BOTH the auto-ksub resolution and boundedSample's
+    // fraction sizing — the auto path used to pay two full corpus scans
+    // (the exact double-scan fitCentroids forwards knownRows to avoid;
+    // code-review r14)
+    val counted = if (ksub == AutoKsub) Some(corpus.count()) else None
+    val ksubR = counted.map(autoKsub).getOrElse(ksub)
     require(ksubR >= 1, s"ksub must be positive, got $ksubR")
     val points = Ivf.boundedSample(corpus, ksubR * TrainRowsPerCode, vecCol,
-      sampleFraction, seed)
+      sampleFraction, seed, knownRows = counted)
     require(points.nonEmpty, "empty PQ training sample")
     val dim = points.head.length
     require(dim % m == 0,
@@ -193,7 +198,7 @@ object Pq {
       encode(col("cv"), codebooks).as("codes"))
     val q = Ivf.probeFrame(queries, centroids, splits, nProbeR, idCol,
       vecCol)
-    adcRerank(q, c, corpus, codebooks, k, rerankR, idCol, vecCol)
+    adcRerank(q, c, assigned, codebooks, k, rerankR)
   }
 
   /** Ingest-side embedding near-match: every INCOMING vector screened
@@ -261,10 +266,14 @@ object Pq {
     * yields DISTINCT cells and each index row has exactly one
     * (cell, subcell) — no dedup exchange before ranking.
     */
-  private def adcRerank(q: DataFrame, c: DataFrame, corpus: DataFrame,
+  /** `full` is the (neighbor_id, cv) vector-fetch relation for the exact
+    * re-rank — the caller picks the cheapest source: the fit path hands
+    * its already-persisted assignment frame (cache-served, no second
+    * corpus scan — code-review r14), the serve path the raw corpus.
+    */
+  private def adcRerank(q: DataFrame, c: DataFrame, full: DataFrame,
                         codebooks: Array[Array[Array[Float]]],
-                        k: Int, rerank: Int,
-                        idCol: String, vecCol: String): DataFrame = {
+                        k: Int, rerank: Int): DataFrame = {
     val adc = q.join(c, Seq("cell", "subcell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"),
@@ -275,9 +284,8 @@ object Pq {
       .filter(col("adc_rank") <= rerank)
       .select("query_id", "qv", "neighbor_id")
     // exact re-rank: only the rerank survivors fetch their full vector
-    val full = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"))
-    val scored = cands.join(full, Seq("neighbor_id"))
+    val scored = cands.join(full.select("neighbor_id", "cv"),
+        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         vectors.vec_cosine(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy("query_id")
@@ -336,6 +344,8 @@ object Pq {
     // bounded probed-cell census → literal IN → PartitionFilters at
     // planning time (the Ivf.ivfServeTopK contract, shared code)
     val c = Ivf.pruneToProbedCells(index, q)
-    adcRerank(q, c, corpus, codebooks, k, rerankR, idCol, vecCol)
+    adcRerank(q, c,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      codebooks, k, rerankR)
   }
 }

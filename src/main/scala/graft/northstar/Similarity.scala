@@ -198,9 +198,15 @@ object Similarity {
     * layout.
     */
   def mmrFromPool(pool: DataFrame, k: Int, lambdaE4: Int): DataFrame = {
+    // explicit field casts: the kernel reads <long, double, array<float>>
+    // by ordinal, and a pool carrying e.g. an array<double> cv straight
+    // from its source table would otherwise fail MmrSelect's analysis
+    // check (struct children don't implicit-cast) — the casts are no-ops
+    // on already-correct pools (code-review r14)
     val cands = array_sort(
-      collect_list(struct(col("neighbor_id").as("id"), col("rel"),
-        col("cv").as("v"))),
+      collect_list(struct(col("neighbor_id").cast("long").as("id"),
+        col("rel").cast("double").as("rel"),
+        col("cv").cast("array<float>").as("v"))),
       (l, r) => when(l.getField("rel") > r.getField("rel"), -1)
         .when(l.getField("rel") < r.getField("rel"), 1)
         .when(l.getField("id") < r.getField("id"), -1)
@@ -282,16 +288,19 @@ object Similarity {
     * UDF, no driver state; every value is reproducible by any engine
     * (float→double widening is exact; |x| ≤ max|x| bounds q to ±127, so
     * there is no clipping branch to disagree on).
-    * Output: input columns + `maxabs` (the scale) + `q` (array<long>).
+    * Output: input columns + `maxabs` (the scale) + `q` (array<tinyint>
+    * — values are bounded to ±127, and an array<long> here would make
+    * the "4× smaller" shipment 2× LARGER than the float input in
+    * shuffles and row formats; code-review r14).
     */
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val m = array_max(transform(col(vecCol), x => abs(x)))
     df.withColumn("maxabs", m)
       .withColumn("q",
         when(col("maxabs") === 0,
-          transform(col(vecCol), _ => lit(0L)))
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
           .otherwise(transform(col(vecCol),
-            x => round(x * lit(127.0) / col("maxabs")).cast("long"))))
+            x => round(x * lit(127.0) / col("maxabs")).cast("tinyint"))))
   }
 
   /** Plane-family id for the Johnson–Lindenstrauss projection matrix,
@@ -369,11 +378,15 @@ object Similarity {
       hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
     val a = c.select(col("bucket"), col("id").as("doc_a"), col("v").as("va"))
     val b = c.select(col("bucket"), col("id").as("doc_b"), col("v").as("vb"))
+    // no pair-dedupe aggregate: with a SINGLE table each doc holds
+    // exactly one bucket, so a pair can only meet once and the old
+    // groupBy(doc_a, doc_b) was a pure extra shuffle over the pair
+    // stream (code-review r14). A multi-table variant would need the
+    // dedupe back.
     a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
-      .groupBy("doc_a", "doc_b").agg(max("sim").as("sim"))
   }
 
   /** SemDeDup — cluster-scoped semantic deduplication (Abbas et al.

@@ -15,6 +15,22 @@ class IvfSpec extends SparkSpecBase {
     assert(c1.length == 4 && c1.head.length == 64)
   }
 
+  test("null embeddings refuse loudly at the cell census, not a bare NPE") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // a null vector assigns to a NULL cell and would (a) crash the
+    // census collect with an unnamed NPE and (b) silently vanish from
+    // the probe join — name the problem instead (code-review r14)
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val withNull = emb.select(col("vec_id"),
+      when(col("vec_id") === emb.select("vec_id").head().getLong(0),
+          lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.splitBitsByCell(withNull, centroids)
+    }
+    assert(e.getMessage.contains("null embeddings"), e.getMessage)
+  }
+
   test("auto-sampling bounds the training set, stays deterministic, keeps recall") {
     import org.apache.spark.sql.functions.col
     // 4× replication (2000 rows) with nCells=2 → target 512 rows: the

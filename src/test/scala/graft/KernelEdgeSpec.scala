@@ -12,16 +12,32 @@ class KernelEdgeSpec extends SparkSpecBase {
   import scala.jdk.CollectionConverters._
   import spark.implicits._
 
-  test("vec_cosine: null input → null; empty arrays → 0; mismatched dims use common prefix") {
+  test("vec_cosine: null input → null; empty arrays → 0; mismatched dims fail loudly") {
     val schema = StructType(Seq(
       StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
     val df = spark.createDataFrame(Seq(
-      Row(null, Seq(1f)), Row(Seq.empty[Float], Seq.empty[Float]),
-      Row(Seq(1f, 0f, 5f), Seq(1f, 0f))).asJava, schema)
+      Row(null, Seq(1f)), Row(Seq.empty[Float], Seq.empty[Float])).asJava,
+      schema)
     val out = df.select(vectors.vec_cosine($"a", $"b")).collect()
     assert(out(0).isNullAt(0))
     assert(out(1).getDouble(0) == 0.0)
-    assert(out(2).getDouble(0) == 1.0) // prefix [1,0]·[1,0]
+    // pre-r14 a dim mismatch silently scored the common PREFIX — a
+    // 384-dim probe against 768-dim embeddings returned plausible
+    // cosines with no signal; now it names the problem like the
+    // PQ/centroid kernels do
+    val bad = spark.createDataFrame(
+      Seq(Row(Seq(1f, 0f, 5f), Seq(1f, 0f))).asJava, schema)
+    def allMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Throwable] {
+      bad.select(vectors.vec_cosine($"a", $"b")).collect()
+    }
+    assert(allMessages(e).contains("dimension mismatch"), allMessages(e))
+    val e2 = intercept[Throwable] {
+      bad.select(vectors.vec_dot($"a", $"b")).collect()
+    }
+    assert(allMessages(e2).contains("dimension mismatch"), allMessages(e2))
   }
 
   test("minhash_sig / simhash64: null → null, empty and blank strings deterministic") {

@@ -472,14 +472,40 @@ class SimilaritySpec extends SparkSpecBase {
       (2L, Seq(0f, 0f, 0f)),           // zero vector → scale 0, q all 0
       (3L, Seq(-2.0f, 1.0f, 0f)),      // maxabs 2.0 → q = (-127, 64, 0)
     ).toDF("vec_id", "embedding")
-    val out = Similarity.quantizeInt8(df).collect()
+    val quantized = Similarity.quantizeInt8(df)
+    // int8-sized codes for real: array<tinyint>, not an 8x-per-element
+    // array<long> masquerading as the "4x smaller" shipment
+    assert(quantized.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType))
+    val out = quantized.collect()
       .map(r => r.getLong(0) ->
-        ((r.getFloat(2), r.getSeq[Long](3).toSeq))).toMap
-    assert(out(1L) == ((1.0f, Seq(64L, -127L, 32L))))
-    assert(out(2L) == ((0.0f, Seq(0L, 0L, 0L))))
-    assert(out(3L) == ((2.0f, Seq(-127L, 64L, 0L))))
+        ((r.getFloat(2), r.getSeq[Byte](3).toSeq))).toMap
+    assert(out(1L) == ((1.0f, Seq[Byte](64, -127, 32))))
+    assert(out(2L) == ((0.0f, Seq[Byte](0, 0, 0))))
+    assert(out(3L) == ((2.0f, Seq[Byte](-127, 64, 0))))
     // |q| never exceeds 127 on real data shapes (|x| <= max|x|)
     assert(out.values.flatMap(_._2).forall(q => q >= -127 && q <= 127))
+  }
+
+  test("array<double> embeddings coerce into the LSH/JL/MMR kernels: results identical to float") {
+    // pre-r14 HyperplaneBucketsMultiprobe/JlProject declared no input
+    // types, so a double embedding column reached getFloat uncast and
+    // bucketed/projected reinterpreted garbage with no error; the MMR
+    // pool struct carried a double cv into getFloat the same way
+    val vecsF = (1 to 24).map(i => (i.toLong,
+      Seq.tabulate(8)(j => (((i * 7 + j * 3) % 11) - 5) / 5.0f)))
+      .toDF("vec_id", "embedding")
+    val vecsD = vecsF.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val qF = vecsF.filter(col("vec_id") <= 3)
+    val qD = vecsD.filter(col("vec_id") <= 3)
+    assert(rows(Similarity.lshTopKMultiprobe(qD, vecsD, k = 5))
+      == rows(Similarity.lshTopKMultiprobe(qF, vecsF, k = 5)))
+    assert(rows(Similarity.randomProjectQ(vecsD, dim = 8, outDim = 4))
+      == rows(Similarity.randomProjectQ(vecsF, dim = 8, outDim = 4)))
+    assert(rows(Similarity.mmrTopK(qD, vecsD, k = 5, poolSize = 10))
+      == rows(Similarity.mmrTopK(qF, vecsF, k = 5, poolSize = 10)))
   }
 
   test("semanticDedup: within-cell collapse keep-min; single trivial cell equals the flat all-pairs collapse") {

@@ -84,6 +84,24 @@ class PqSpec extends SparkSpecBase {
     assert(rows(pq) == rows(brute))
   }
 
+  test("array<double> corpora coerce into the PQ kernels: results identical to the float corpus") {
+    // pre-r14 PqEncode/PqAdcCosine declared no input types, so a double
+    // embedding column reached getFloat uncast and encoded reinterpreted
+    // garbage that PASSED the shape check (numElements unchanged) —
+    // recall collapsed silently while the plain IVF path worked
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val dbl = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("vec_id") < 5)
+    val qDbl = dbl.filter(col("vec_id") < 5)
+    val float = Pq.ivfPqTopK(q, emb, centroids, codebooks,
+      k = 10, nProbe = 2, rerank = 30)
+    val double = Pq.ivfPqTopK(qDbl, dbl, centroids, codebooks,
+      k = 10, nProbe = 2, rerank = 30)
+    assert(rows(double) == rows(float) && rows(float).nonEmpty)
+  }
+
   test("approximate IVF-PQ keeps recall above the floor and per-query k rows") {
     val centroids = Ivf.fitCentroids(emb, nCells = 4)
     val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 16)
