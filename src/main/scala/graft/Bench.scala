@@ -89,6 +89,9 @@ object Bench {
     // spurious "regressions" paragraph in three straight verdicts; a 5-rep
     // median halves the sampling error of the 3-rep one
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // validated up front: reps=0 used to die at the median lookup with
+    // a bare IndexOutOfBounds on the first query (code-review r14)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     // optional comma-separated query-name filter: runs a SUBSET in a fresh
     // JVM — used r8 to TEST (and refute) the "shared-JVM pressure"
     // hypothesis for the r6→r7 drift; see the header for the verdict
@@ -148,9 +151,18 @@ object Bench {
       System.gc()
       drain()
       val (read0, write0) = (shufRead.get, shufWrite.get)
+      // a rep that THROWS must not masquerade as its wall-time-to-fail:
+      // a query regressing into an AnalysisException failed in ~1 ms
+      // and rode into the totals as the suite's biggest "speedup"
+      // (code-review r14) — record it as -1 and keep it out of total
+      var broke = false
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+          if (!broke) System.err.println(
+            s"[bench] $name FAILED: ${t.getMessage}")
+          broke = true
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // free THIS rep's materializations outside the timed region:
         // cached relations (Dedup.materializeOnce persists) via
@@ -166,14 +178,17 @@ object Bench {
         dt
       }.sorted
       drain()
-      val perRep = (n: Long) => if (reps > 0) n / reps else n
-      name -> (times(times.size / 2),
+      val perRep = (n: Long) => n / reps
+      name -> (if (broke) -1.0 else times(times.size / 2),
         perRep(shufRead.get - read0), perRep(shufWrite.get - write0))
     }
     val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // failed queries ride as -1 in the per-query map (visible, never a
+    // phantom speedup) and stay out of the total
     val total =
-      if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+      if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum
+      else 0.0
     // per-query shuffle bytes ride ONLY in the full artifact (the
     // driver's tail window is too small); "read"/"write" are per-
     // execution bytes, diffable round-over-round like the wall times

@@ -23,11 +23,8 @@ object ScaleProbe {
   /** Remove a probe's temp artifact dir so repeated runs don't
     * accumulate parquet garbage in /tmp.
     */
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-      .foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.northstar.Artifacts.deleteRec(f)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -21,17 +21,13 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // remove any PREVIOUS dump for this query first: a failing query
       // must leave NO output, never a stale prior round's parquet that
       // the DuckDB compare would pass on (code-review r13)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(s"$outDir/$name"))
+      graft.northstar.Artifacts.deleteRec(new java.io.File(s"$outDir/$name"))
       // NonFatal, not Throwable: continuing ~130 more queries after an
       // OutOfMemoryError runs them on a corrupted JVM
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -59,7 +55,10 @@ object Verify {
     if (failed.nonEmpty)
       System.err.println(
         s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
-    println(s"[verify] dumped ${SparkEntry.queries.size - failed.size} " +
+    // count what actually RAN: under SPARK_GRAFT_VERIFY_ONLY the old
+    // full-suite count told a grepping iteration loop its 2-query
+    // re-dump had dumped everything (code-review r14)
+    println(s"[verify] dumped ${selected.size - failed.size} " +
       s"queries, ${failed.size} failed")
     spark.stop()
   }

@@ -103,11 +103,7 @@ object Bucketing {
         val whPath = if (wh.startsWith("file:"))
           new java.net.URI(wh).getPath else wh
         val loc = new java.io.File(whPath, name)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(loc)
+        graft.northstar.Artifacts.deleteRec(loc)
         writeBucketed(df, name, key, buckets)
       }
     }

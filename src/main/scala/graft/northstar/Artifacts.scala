@@ -79,9 +79,12 @@ object Artifacts {
   private[graft] def pruneStore(root: java.io.File, ttlMs: Long,
                                 maxEntries: Int): Int = {
     // only touch children that match the store layout: `kind-md5hex` dirs
-    // from pathFor, plus `.tmp-` trainer scratch — never foreign files in
-    // a user-supplied root
-    val storePattern = "^[A-Za-z0-9]+-[0-9a-f]{32}(\\.tmp-.*)?$".r
+    // from pathFor, plus `.tmp-` trainer scratch and `.wreck-` recovery
+    // renames (a crash between ensureTrained's rename-aside and its
+    // delete stranded a full-artifact-sized wreck FOREVER — the exact
+    // unbounded accumulation this prune exists to stop; code-review
+    // r14) — never foreign files in a user-supplied root
+    val storePattern = "^[A-Za-z0-9]+-[0-9a-f]{32}(\\.(tmp|wreck)-.*)?$".r
     val entries = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory
         && storePattern.matches(f.getName))
@@ -119,7 +122,11 @@ object Artifacts {
       .filter(f => f.isDirectory && f.getName.contains(".tmp-"))
       .foreach(deleteRec)
 
-  private def deleteRec(f: java.io.File): Unit = {
+  /** The ONE recursive local-file deleter (code-review r14: Verify,
+    * Bucketing, and ScaleProbe each maintained an identical copy — a
+    * fix to any one would not reach the others).
+    */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRec)
     f.delete()
@@ -168,7 +175,11 @@ object Artifacts {
         val tmp = new java.io.File(path + ".tmp-" +
           java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
           "-" + System.nanoTime())
-        train(tmp.toString)
+        // a failed training run must not strand its (potentially
+        // corpus-sized) scratch for the 7-day prune TTL — the
+        // saveWinnowSketch finally-delete shape (code-review r14)
+        try train(tmp.toString)
+        catch { case t: Throwable => deleteRec(tmp); throw t }
         if (!tmp.renameTo(dst)) {
           deleteRec(tmp)
           require(new java.io.File(dst, "_SUCCESS").exists(),
@@ -936,31 +947,16 @@ object Artifacts {
         "torn by a crashed append) — rebuild it before appending")
     checkParams(path, params, what)
     val indexDir = new java.io.File(dst, "index").toString
-    val oldSplits = spark.read
-      .parquet(new java.io.File(dst, "splits").toString)
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    val assignedIncoming = Dedup.trackedPersist(
-      incoming.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        Ivf.cellOf(col(vecCol), centroids).as("cell")))
-    // union census = stored per-cell counts (parquet metadata over the
-    // index — exactly the counts a rebuild's assignment pass would
-    // produce, since index rows are 1:1 with corpus rows) + incoming
-    // assignment counts; both collects are <= nCells rows
-    val storedCounts = spark.read.parquet(indexDir)
-      .groupBy("cell").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val incomingCounts = assignedIncoming.groupBy("cell").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val merged = (storedCounts.keySet ++ incomingCounts.keySet).iterator
-      .map(c => c -> (storedCounts.getOrElse(c, 0L)
-        + incomingCounts.getOrElse(c, 0L))).toMap
-    val newSplits = Ivf.splitBitsFromCounts(merged, maxCell)
-    val changed = merged.keySet
-      .filter(c => newSplits.getOrElse(c, 0) != oldSplits.getOrElse(c, 0))
-      .toSeq.sorted
-    // ---- mutation starts: drop the commit marker first, so ANY crash
-    // below leaves a wreck ensureTrained recovery rebuilds, never a
-    // silently-partial index
+    // ---- the marker delete is the MUTEX, and it must be won BEFORE
+    // any census/splits read: two concurrent appenders both passed the
+    // exists() probe and collected censuses, and the mutex LOSER then
+    // appended under the stale split map — if the winner had re-split
+    // a cell, the loser's rows carried old-bits subcells that never
+    // matched at probe time and silently vanished from ANN results
+    // (code-review r14, eighth pass). Every read below happens inside
+    // the critical section; a failure during read/planning republishes
+    // the marker (nothing was mutated), while a crash in the mutation
+    // phase leaves the torn wreck the discipline demands.
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker")
     // sweep AFTER winning the marker-delete mutex: an earlier sweep
@@ -968,6 +964,49 @@ object Artifacts {
     // its rename mid-mutation with the marker already dropped
     // (code-review r14); only the mutex winner may touch scratch
     sweepTmp(dst)
+    val (assignedIncoming, oldSplits, newSplits, changed) = try {
+      val oldSplits = spark.read
+        .parquet(new java.io.File(dst, "splits").toString)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val assignedIncoming = Dedup.trackedPersist(
+        incoming.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          Ivf.cellOf(col(vecCol), centroids).as("cell")))
+      // union census = stored per-cell counts (parquet metadata over the
+      // index — exactly the counts a rebuild's assignment pass would
+      // produce, since index rows are 1:1 with corpus rows) + incoming
+      // assignment counts; both collects are <= nCells rows
+      val storedCounts = spark.read.parquet(indexDir)
+        .groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val incomingRows = assignedIncoming.groupBy("cell").count().collect()
+      // named refusal, not a bare NPE at getInt — the same
+      // null-embedding message the build path's splitBitsFromCensus
+      // raises (code-review r14)
+      incomingRows.find(_.isNullAt(0)).foreach { r =>
+        throw new IllegalArgumentException(
+          s"$what at $path: incoming batch contains ${r.getLong(1)} " +
+            "rows with null embeddings (null cell assignment) — they " +
+            "cannot be indexed; drop or repair them before appending")
+      }
+      val incomingCounts =
+        incomingRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val merged = (storedCounts.keySet ++ incomingCounts.keySet).iterator
+        .map(c => c -> (storedCounts.getOrElse(c, 0L)
+          + incomingCounts.getOrElse(c, 0L))).toMap
+      val newSplits = Ivf.splitBitsFromCounts(merged, maxCell)
+      val changed = merged.keySet
+        .filter(c => newSplits.getOrElse(c, 0) != oldSplits.getOrElse(c, 0))
+        .toSeq.sorted
+      (assignedIncoming, oldSplits, newSplits, changed)
+    } catch { case t: Throwable =>
+      // read/planning failure: nothing was mutated — republish the
+      // marker so a planning error doesn't strand a rebuild-only wreck
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      throw t
+    }
+    // ---- mutation starts (marker already down: ANY crash below
+    // leaves a wreck ensureTrained recovery rebuilds, never a
+    // silently-partial index)
     val changedCol = changed.map(Int.box)
     // 1. incoming rows of UNchanged cells append straight into their
     //    partitions (their subcell derivation under newSplits equals
@@ -1194,33 +1233,54 @@ object Artifacts {
         "torn by a crashed append/remove) — rebuild it before removing")
     checkParams(path, params, what)
     val indexDir = new java.io.File(dst, "index").toString
-    val oldSplits = spark.read
-      .parquet(new java.io.File(dst, "splits").toString)
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     val rm = Dedup.trackedPersist(
       removedIds.select(col(idCol).as("neighbor_id")).distinct())
-    val index = spark.read.parquet(indexDir)
-    // removal census: which cells lose how many rows (<= nCells rows)
-    val removedCounts = index.join(rm, Seq("neighbor_id"))
-      .groupBy("cell").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (removedCounts.isEmpty) return oldSplits // replayed takedown
-    val storedCounts = index.groupBy("cell").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val newCounts = storedCounts.map { case (c, n) =>
-      c -> (n - removedCounts.getOrElse(c, 0L)) }.filter(_._2 > 0L)
-    val newSplits = Ivf.splitBitsFromCounts(newCounts, maxCell)
-    // bits only move on cells that lost rows (the policy is per-cell),
-    // but derive the changed set generally like the append path does
-    val changedBits = (oldSplits.keySet ++ newSplits.keySet)
-      .filter(c => newSplits.getOrElse(c, 0) != oldSplits.getOrElse(c, 0))
-    val plain = (removedCounts.keySet -- changedBits).toSeq.sorted
-    val rebit = changedBits.toSeq.sorted
-    // ---- mutation starts: the marker delete is the mutex + torn flag
+    // replayed-takedown no-op probe BEFORE the marker drop (the
+    // removeFromCappedIndex rationale): a retry of an already-applied
+    // removal must not tear the marker down and brick the index if it
+    // crashes doing zero work. The probe is advisory only — every
+    // census the mutation relies on is re-read INSIDE the mutex.
+    if (spark.read.parquet(indexDir)
+        .join(broadcast(rm), Seq("neighbor_id"), "left_semi").isEmpty)
+      return spark.read
+        .parquet(new java.io.File(dst, "splits").toString)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // ---- the marker delete is the mutex + torn flag, won BEFORE any
+    // census/splits read the mutation relies on: a concurrent mutator
+    // completing between a pre-mutex read and this delete would leave
+    // this run rewriting cells from a stale census and publishing
+    // (cell,subcell) data inconsistent with the split map it skipped
+    // rewriting (code-review r14, eighth pass)
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker " +
         "(concurrent mutation, or permissions)")
     sweepTmp(dst) // post-mutex only (the appendCellIndex discipline)
+    val (oldSplits, index, newSplits, plain, rebit) = try {
+      val oldSplits = spark.read
+        .parquet(new java.io.File(dst, "splits").toString)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val index = spark.read.parquet(indexDir)
+      // removal census: which cells lose how many rows (<= nCells rows)
+      val removedCounts = index.join(rm, Seq("neighbor_id"))
+        .groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val storedCounts = index.groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val newCounts = storedCounts.map { case (c, n) =>
+        c -> (n - removedCounts.getOrElse(c, 0L)) }.filter(_._2 > 0L)
+      val newSplits = Ivf.splitBitsFromCounts(newCounts, maxCell)
+      // bits only move on cells that lost rows (the policy is per-cell),
+      // but derive the changed set generally like the append path does
+      val changedBits = (oldSplits.keySet ++ newSplits.keySet)
+        .filter(c => newSplits.getOrElse(c, 0) != oldSplits.getOrElse(c, 0))
+      val plain = (removedCounts.keySet -- changedBits).toSeq.sorted
+      val rebit = changedBits.toSeq.sorted
+      (oldSplits, index, newSplits, plain, rebit)
+    } catch { case t: Throwable =>
+      // read/planning failure: nothing was mutated — republish
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      throw t
+    }
     val tmp = new java.io.File(dst, "index.rewrite.tmp-" +
       System.nanoTime())
     if (plain.nonEmpty) {
@@ -1718,12 +1778,16 @@ object Artifacts {
     // scan, not two full passes (code-review r14, second pass)
     if (spark.read.parquet(rowsDir.toString)
         .join(broadcast(rm), Seq(rowIdCol), "left_semi").isEmpty) return
-    val kept = spark.read.parquet(rowsDir.toString)
-      .join(broadcast(rm), Seq(rowIdCol), "left_anti")
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker " +
         "(concurrent mutation, or permissions)")
     sweepTmp(dst) // post-mutex only (the appendCellIndex discipline)
+    // rows/ is LISTED inside the critical section: the pre-mutex probe
+    // frame's file index could miss a concurrent append landing between
+    // probe and marker delete, and the rewrite below would then erase
+    // every row that append published (code-review r14, eighth pass)
+    val kept = spark.read.parquet(rowsDir.toString)
+      .join(broadcast(rm), Seq(rowIdCol), "left_anti")
     val tmp = new java.io.File(dst, "rows.rewrite.tmp-" +
       System.nanoTime())
     kept.write.mode("overwrite").parquet(tmp.toString)

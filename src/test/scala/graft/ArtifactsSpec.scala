@@ -466,6 +466,9 @@ class ArtifactsSpec extends SparkSpecBase {
     val day = 24L * 3600 * 1000
     val stale = mk(s"bpe-$h", 10 * day)
     val tmpLeftover = mk(s"lmhead-$h.tmp-123@host-99", 10 * day)
+    // a crash between ensureTrained's rename-aside and its delete used
+    // to strand wrecks FOREVER — the prune pattern skipped them
+    val wreckLeftover = mk(s"ivf-$h.wreck-123@host-77", 10 * day)
     val old1 = mk(s"ivf-${h.reverse}", 3 * day)
     val new1 = mk(s"winnow-${h.replace('0', 'f')}", 1 * day)
     val new2 = mk(s"boiler-${h.replace('1', 'e')}", 2 * 3600 * 1000L)
@@ -474,8 +477,9 @@ class ArtifactsSpec extends SparkSpecBase {
     val foreignFile = new java.io.File(root, "notes.txt")
     foreignFile.createNewFile()
     val n = Artifacts.pruneStore(root, ttlMs = 7 * day, maxEntries = 2)
-    assert(n == 3, "stale + tmp leftover + one overflow")
+    assert(n == 4, "stale + tmp leftover + wreck leftover + one overflow")
     assert(!stale.exists() && !tmpLeftover.exists())
+    assert(!wreckLeftover.exists(), "stranded .wreck- dirs must prune")
     assert(!old1.exists(), "overflow drops oldest-first beyond maxEntries")
     assert(new1.exists() && new2.exists())
     assert(foreignDir.exists() && foreignFile.exists())
@@ -847,6 +851,48 @@ class ArtifactsSpec extends SparkSpecBase {
     }
     val (idx, _) = Artifacts.loadIvfIndex(spark, p, cents)
     assert(idx.count() == emb.count())
+  }
+
+  test("append planning failure refuses loudly and leaves the index servable (marker republished)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfplanfail")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    // an incoming batch with a null embedding fails in the PLANNING
+    // phase — named message (not a bare NPE), and since nothing was
+    // mutated the marker must come back: the index stays appendable
+    // and servable instead of a rebuild-only wreck (code-review r14)
+    val withNull = embB.select(col("vec_id"),
+      when(col("vec_id") === embB.select("vec_id").head().getLong(0),
+          lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.appendIvfIndex(withNull, p, cents, maxCell = 100000)
+    }
+    assert(e.getMessage.contains("null embeddings"), e.getMessage)
+    assert(new java.io.File(p, "_SUCCESS").exists(),
+      "planning failure must republish the marker")
+    // the clean batch then appends fine
+    Artifacts.appendIvfIndex(embB, p, cents, maxCell = 100000)
+    val (idx, _) = Artifacts.loadIvfIndex(spark, p, cents)
+    assert(idx.count() == embA.count() + embB.count())
+  }
+
+  test("ensureTrained cleans its scratch when training fails") {
+    val store = new java.io.File(tempDir("trainfail"))
+    val dst = new java.io.File(store, "probe-" + "ab" * 16)
+    intercept[RuntimeException] {
+      Artifacts.ensureTrained(dst.toString) { tmp =>
+        new java.io.File(tmp).mkdirs()
+        new java.io.File(tmp, "partial").createNewFile()
+        throw new RuntimeException("boom mid-train")
+      }
+    }
+    // the corpus-sized partial scratch must not sit out the 7-day TTL
+    val leftovers = Option(store.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains(".tmp-"))
+    assert(leftovers.isEmpty, leftovers.map(_.getName).mkString(","))
+    assert(!dst.exists())
   }
 
   test("append against a foreign quantizer fails the params pin") {
