@@ -2490,15 +2490,22 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS o_totalprice_sum
         |FROM orders GROUP BY 1""".stripMargin,
     "a5_histogram" ->
-      """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      // pandas value_counts(bins=N) parity (r14): right-closed buckets
+      // (ceil, min clamped into bucket 0) over the SAME double math as
+      // the Spark side, left-joined onto a 20-row spine so empty
+      // buckets emit with cnt 0
+      """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+        |                  CAST(max(l_extendedprice) AS DOUBLE) AS mx
         |           FROM lineitem),
-        |h AS (SELECT CAST(least(floor((l_extendedprice - mn) * 20 / (mx - mn)), 19) AS INT) AS bucket
-        |      FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
-        |SELECT bucket,
-        |  (SELECT mn FROM b) + bucket * ((SELECT (mx - mn) FROM b) / 20) AS lo,
-        |  (SELECT mn FROM b) + (bucket + 1) * ((SELECT (mx - mn) FROM b) / 20) AS hi,
-        |  count(*) AS cnt
-        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |h AS (SELECT CAST(least(greatest(ceil((CAST(l_extendedprice AS DOUBLE) - mn) * 20 / (mx - mn)), 1), 20) - 1 AS INT) AS bucket
+        |      FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT bucket, count(*) AS cnt FROM h GROUP BY bucket),
+        |g AS (SELECT CAST(range AS INT) AS bucket FROM range(20))
+        |SELECT g.bucket,
+        |  (SELECT mn FROM b) + g.bucket * ((SELECT (mx - mn) FROM b) / 20) AS lo,
+        |  (SELECT mn FROM b) + (g.bucket + 1) * ((SELECT (mx - mn) FROM b) / 20) AS hi,
+        |  COALESCE(c.cnt, 0) AS cnt
+        |FROM g LEFT JOIN c ON g.bucket = c.bucket ORDER BY g.bucket""".stripMargin,
     "a6_watermark" -> "SELECT max(event_id) AS max_event_id FROM events",
     "j1_autojoin" ->
       """SELECT c.c_custkey AS c_custkey,

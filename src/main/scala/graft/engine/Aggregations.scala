@@ -72,11 +72,24 @@ object Aggregations {
   /** A5 histogram (front_end.py:798-806): N equal-width buckets over
     * [min, max] of a numeric column, count per bucket, ordered by bucket.
     *
+    * Pandas `value_counts(bins=N)` parity (code-review r14): intervals
+    * are RIGHT-closed — an interior boundary value lands in the LOWER
+    * bucket (bucket = ceil((x-min)·N/(max-min)) − 1, with x == min
+    * clamped into bucket 0 the way pandas' include_lowest admits the
+    * left edge) — and ALL N buckets are emitted, zero counts included
+    * (pd.cut is categorical; empty intervals still render as bars).
+    * The old floor rule sent boundaries UP and groupBy silently omitted
+    * empty buckets, so a UI bar chart of skewed data drew a different
+    * shape with missing bars versus the reference. lo/hi stay the exact
+    * arithmetic edges (pandas displays a first edge nudged down 0.1% of
+    * range — a display artifact, not a binning difference, since
+    * include_lowest puts x == min in bucket 0 either way).
+    *
     * Two-pass: one scalar agg for (min, max), then a per-row bucket
-    * projection + hash aggregate. bucket = min(floor((x-min)*N/(max-min)),
-    * N-1) so x == max lands in the last bucket; a constant column
-    * (max == min) puts everything in bucket 0. Output: (bucket, lo, hi,
-    * cnt) ordered by bucket — the frame the UI renders.
+    * projection + hash aggregate, left-joined onto the N-row bucket
+    * spine; a constant column (max == min) puts everything in bucket 0.
+    * Output: (bucket, lo, hi, cnt) ordered by bucket — the frame the UI
+    * renders.
     */
   def histogram(df: DataFrame, column: String, bins: Int = 20): DataFrame = {
     // bins = 0 divided by zero into an Infinity width and a single
@@ -96,17 +109,25 @@ object Aggregations {
         .limit(0)
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
     val width = (mx - mn) / bins
+    // right-closed: ceil sends an interior boundary DOWN; greatest(.,1)
+    // admits x == min into bucket 0 (include_lowest); least(., bins)
+    // guards the one-ulp case where (mx-mn)·N/(mx-mn) rounds past N
     val bucket =
       if (mx == mn) lit(0)
-      else least(floor((col(column).cast("double") - lit(mn)) * bins /
-                       lit(mx - mn)), lit(bins - 1L)).cast("int")
-    clean
+      else (least(greatest(ceil((col(column).cast("double") - lit(mn)) *
+                bins / lit(mx - mn)), lit(1L)), lit(bins.toLong)) - 1)
+        .cast("int")
+    val counts = clean
       .select(bucket.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // N-row bucket spine so EMPTY buckets still emit (pandas parity)
+    df.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
               (lit(mn) + col("bucket") * lit(width)).as("lo"),
               (lit(mn) + (col("bucket") + 1) * lit(width)).as("hi"),
-              col("cnt"))
+              coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("bucket")
   }
 

@@ -38,11 +38,18 @@ object Mapping {
            t2: DataFrame, n2: String, k2: String): DataFrame = {
     val l = t1.alias("t1")
     val r = t2.alias("t2")
+    // backtick-quote every raw reference: a CSV-sourced header like
+    // "order.id" would otherwise parse as a 3-part nested reference and
+    // fail the whole merge with UNRESOLVED_COLUMN (code-review r14)
+    def q(c: String) = s"`${c.replace("`", "``")}`"
     val cols: Seq[Column] =
-      l.col(s"t1.$k1").as(k1) +:
-      (t1.columns.filter(_ != k1).map(c => l.col(s"t1.$c").as(s"${c}_$n1")) ++
-       t2.columns.filter(_ != k2).map(c => r.col(s"t2.$c").as(s"${c}_$n2"))).toSeq
-    l.join(r, l.col(s"t1.$k1") === r.col(s"t2.$k2"), "inner").select(cols: _*)
+      l.col(s"t1.${q(k1)}").as(k1) +:
+      (t1.columns.filter(_ != k1)
+         .map(c => l.col(s"t1.${q(c)}").as(s"${c}_$n1")) ++
+       t2.columns.filter(_ != k2)
+         .map(c => r.col(s"t2.${q(c)}").as(s"${c}_$n2"))).toSeq
+    l.join(r, l.col(s"t1.${q(k1)}") === r.col(s"t2.${q(k2)}"), "inner")
+      .select(cols: _*)
   }
 
   /** J4 semantic key inference: best column pair with

@@ -120,14 +120,26 @@ object Pipeline {
     //    aggregated table — the stage-boundary materialization exists
     //    precisely so each stage pays its inputs once (code-review r14)
     stage("aggregation") {
+      // PER-TABLE error isolation (front_end.py:488-496's try/except):
+      // one table's bad spec — e.g. funcs=Seq("avg"), the natural Spark
+      // spelling of the supported "mean" — used to throw out of
+      // aggregate() and fail the WHOLE stage, silently losing every
+      // valid table's aggregates; the reference errors that one table
+      // and aggregates the rest (code-review r14)
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
       val aggregated = for {
         (name, spec) <- cfg.aggregations
         if transformed.contains(name)
         df = Tables.table(spark, layers.silver, s"transformed_$name")
-        out <- Aggregations.aggregate(df, spec)
+        out <- (try Aggregations.aggregate(df, spec)
+                catch { case scala.util.control.NonFatal(e) =>
+                  skipped += s"$name: ${e.getMessage}"
+                  None
+                })
       } yield name -> out
       Tables.writeAll(aggregated, layers.silver, prefix = "agg")
-      s"${aggregated.size} aggregated"
+      s"${aggregated.size} aggregated" +
+        (if (skipped.isEmpty) "" else s"; errors: ${skipped.mkString("; ")}")
     }
     statuses.toSeq
   }

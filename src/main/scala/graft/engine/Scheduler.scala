@@ -31,18 +31,25 @@ object Scheduler {
 
   /** O3 recurring: run every `minutes`, `times` iterations (None = forever,
     * like scheduler.py's while-True loop; tests pass a small count).
+    *
+    * The FIRST run fires after one full interval, not immediately:
+    * `schedule.every(minutes).minutes.do(...)` (scheduler.py:258-263)
+    * sets next_run = now + interval, so a job scheduled at 23:50
+    * "Every 60" first runs after midnight — an immediate t=0 run would
+    * execute one extra, earlier iteration against not-yet-ready inputs
+    * (code-review r14).
     */
   def runEvery(minutes: Long, times: Option[Int] = None,
                sleep: Duration => Unit = d => Thread.sleep(d.toMillis))
               (job: () => Unit): Unit = {
     // minutes = 0 hot-looped the job back-to-back forever; negative
-    // threw from Thread.sleep AFTER the first run
+    // threw from Thread.sleep
     require(minutes > 0, s"interval must be positive minutes, got $minutes")
     var i = 0
     while (times.forall(i < _)) {
+      sleep(Duration.ofMinutes(minutes))
       job()
       i += 1
-      if (times.forall(i < _)) sleep(Duration.ofMinutes(minutes))
     }
   }
 }

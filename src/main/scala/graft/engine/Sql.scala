@@ -81,30 +81,46 @@ object Sql {
   /** Q2 plumbing (b): extract the first SELECT...; statement from generated
     * model output (text_to_sql.py:137-144). Falls back to the first
     * SELECT-to-end-of-string when no terminating semicolon exists.
-    * The terminator scan is QUOTE-AWARE: a semicolon inside a
-    * single-quoted SQL literal (`WHERE note = 'a;b'`) is part of the
-    * statement, not its end — the old reluctant regex truncated such
-    * valid generated SQL mid-literal and the user got a parse Error
-    * frame instead of results (code-review r14). `''` is the SQL
-    * escape for a quote inside a literal and keeps the scanner in the
-    * in-string state.
+    *
+    * COMMENT lines (leading `--`) are dropped before the SELECT search:
+    * the no-SQL sentinels embed the raw question for diagnosability, and
+    * a question containing the word "select" used to turn the sentinel
+    * itself into runnable garbage SQL (code-review r14). A model output
+    * of `-- explanation\nSELECT ...` still extracts the statement.
+    *
+    * The terminator scan is QUOTE-AWARE for both literal syntaxes Spark
+    * accepts — single quotes and (by default) double quotes — plus
+    * backslash escapes (`escapedStringLiterals` defaults false, so `\'`
+    * is an escaped quote INSIDE the literal): a semicolon inside
+    * `WHERE note = 'a;b'` or `"a;b"` is part of the statement, not its
+    * end — the old scanner knew only `''` doubling and truncated such
+    * valid SQL mid-literal into a parse Error frame (code-review r14,
+    * both passes). `''` doubling still works: the first quote closes,
+    * the second reopens — net in-string.
     */
   private val selectOpenRe = "(?is)(SELECT\\b.*)".r
-  def extractSelect(generated: String): Option[String] =
-    selectOpenRe.findFirstMatchIn(generated).map(_.group(1)).map { tail =>
+  def extractSelect(generated: String): Option[String] = {
+    val noComments = generated.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
+    selectOpenRe.findFirstMatchIn(noComments).map(_.group(1)).map { tail =>
       var i = 0
-      var inStr = false
+      var quote: Char = 0
       var end = -1
       while (end < 0 && i < tail.length) {
-        tail.charAt(i) match {
-          case '\'' => inStr = !inStr // '' toggles twice: stays in-string
-          case ';' if !inStr => end = i
+        val ch = tail.charAt(i)
+        if (quote != 0) {
+          if (ch == '\\') i += 1 // escaped char stays inside the literal
+          else if (ch == quote) quote = 0
+        } else ch match {
+          case '\'' | '"' => quote = ch
+          case ';' => end = i
           case _ =>
         }
         i += 1
       }
       (if (end < 0) tail else tail.substring(0, end + 1)).trim
     }
+  }
 
   /** Q2: pluggable NL→SQL generator contract; the T5 model stays outside the
     * engine. The template impl lets pipelines and tests run headless.

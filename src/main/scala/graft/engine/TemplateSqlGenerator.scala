@@ -45,6 +45,13 @@ class TemplateSqlGenerator(tables: Map[String, Seq[String]])
     case countBy(tableW, keyW) =>
       (for { t <- resolveTable(tableW); k <- resolveColumn(keyW, t) }
         yield s"SELECT $k, count(*) AS n FROM $t GROUP BY $k;").getOrElse(fail(question))
+    // countAll BEFORE byId: "how many orders with status = 5" asks for
+    // a COUNT, but the unanchored byId pattern also matches it and used
+    // to win, returning full rows where the user asked for a number
+    // (code-review r14)
+    case countAll(tableW) =>
+      resolveTable(tableW)
+        .map(t => s"SELECT count(*) AS n FROM $t;").getOrElse(fail(question))
     case byId(tableW, colW, v) =>
       // quote non-numeric values: interpolated bare, "with nation =
       // brazil" would parse brazil as a COLUMN and fail resolution
@@ -52,17 +59,19 @@ class TemplateSqlGenerator(tables: Map[String, Seq[String]])
       val lit = if (v.forall(_.isDigit)) v else s"'$v'"
       (for { t <- resolveTable(tableW); c <- resolveColumn(colW, t) }
         yield s"SELECT * FROM $t WHERE $c = $lit;").getOrElse(fail(question))
-    case countAll(tableW) =>
-      resolveTable(tableW)
-        .map(t => s"SELECT count(*) AS n FROM $t;").getOrElse(fail(question))
     case _ => fail(question)
   }
 
-  /** Unrecognized questions yield a non-SELECT string, which
+  /** Unrecognized questions yield a comment-only string, which
     * Sql.extractSelect maps to None — the same failure surface as a model
-    * emitting garbage.
+    * emitting garbage. The raw question rides in the comment for
+    * diagnosability; extractSelect ignores comment lines, so a question
+    * containing the word "select" cannot turn the sentinel itself into
+    * runnable garbage SQL (the r13 ModelSqlGenerator bug class,
+    * re-found here by code-review r14).
     */
-  private def fail(q: String): String = s"-- no template matched: $q"
+  private def fail(q: String): String =
+    s"-- no template matched: ${q.replaceAll("[\\r\\n]+", " ")}"
 }
 
 object TemplateSqlGenerator {

@@ -68,7 +68,7 @@ class AggregationsSpec extends SparkSpecBase {
     assert(rows(out) == Set(Seq("a", 30.0), Seq("b", 30.0)))
   }
 
-  test("A5 histogram: equal-width buckets over [min,max], max lands in last bucket") {
+  test("A5 histogram: right-closed equal-width buckets (pandas value_counts parity)") {
     import spark.implicits._
     val df = (0 to 100).map(_.toDouble).toDF("x")
     val out = Aggregations.histogram(df, "x", 10).collect()
@@ -76,8 +76,24 @@ class AggregationsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("cnt")).sum == 101)
     assert(out.head.getAs[Int]("bucket") == 0)
     assert(out.head.getAs[Double]("lo") == 0.0)
+    // right-closed: boundary 10 lands DOWN in bucket 0 (pandas cut),
+    // and min is admitted into bucket 0 (include_lowest) → 0..10 = 11
+    assert(out.head.getAs[Long]("cnt") == 11)
     assert(out.last.getAs[Int]("bucket") == 9)
-    assert(out.last.getAs[Long]("cnt") == 11) // 90..100 incl. max
+    assert(out.last.getAs[Long]("cnt") == 10) // 91..100 incl. max
+  }
+
+  test("A5 histogram: empty buckets emit with cnt 0 (pandas value_counts(bins=N) shape)") {
+    import spark.implicits._
+    // skewed: everything in the first and last bucket — the old groupBy
+    // silently omitted the 8 interior buckets and a bar chart rendered
+    // a different shape than the reference (code-review r14)
+    val df = Seq(0.0, 0.0, 0.0, 100.0).toDF("x")
+    val out = Aggregations.histogram(df, "x", 10).collect()
+    assert(out.length == 10)
+    val byBucket = out.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(byBucket(0) == 3L && byBucket(9) == 1L)
+    assert((1 to 8).forall(byBucket(_) == 0L))
   }
 
   test("A5 histogram: non-positive bins refused (0 divided into an Infinity-width garbage frame)") {
@@ -87,12 +103,13 @@ class AggregationsSpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException](Aggregations.histogram(df, "x", -3))
   }
 
-  test("A5 histogram: constant column → single bucket 0; all-null → empty") {
+  test("A5 histogram: constant column → all counts in bucket 0; all-null → empty") {
     import spark.implicits._
     val const = Seq(5.0, 5.0, 5.0).toDF("x")
     val out = Aggregations.histogram(const, "x", 7).collect()
-    assert(out.length == 1 && out(0).getAs[Int]("bucket") == 0
-      && out(0).getAs[Long]("cnt") == 3)
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(out.size == 7 && out(0) == 3L)
+    assert((1 to 6).forall(out(_) == 0L))
     val allNull = Seq[Option[Double]](None, None).toDF("x")
     assert(Aggregations.histogram(allNull, "x", 5).count() == 0)
   }
@@ -103,8 +120,8 @@ class AggregationsSpec extends SparkSpecBase {
     val out = Aggregations.histogram(df, "x", bins = 2).collect()
       .map(r => r.getInt(0) -> r.getLong(3)).toMap
     // NaN would make max()=NaN and every bucket NaN; dropped, the three
-    // real values split 2 (0,5 -> bucket 0... 5*2/10=1) correctly
-    assert(out == Map(0 -> 1L, 1 -> 2L))
+    // real values split right-closed: boundary 5 lands DOWN (ceil rule)
+    assert(out == Map(0 -> 2L, 1 -> 1L))
   }
 
   test("A3 guard: empty aggCols or funcs → None (skip, not crash)") {

@@ -127,26 +127,38 @@ class ExtractionPipelineSpec extends SparkSpecBase {
     assert(statuses.size == 1 && !statuses.head.ok)
   }
 
-  test("an aggregation failure is attributed to its OWN stage, after a green transformation") {
-    // code-review r13: a shared catch used to blame "transformation"
-    // for a stage-4 failure even though every silver transform output
-    // had been written — a status-driven replay gate would re-run the
-    // wrong stage
+  test("a bad per-table agg spec skips THAT table with an error detail; valid tables still aggregate") {
+    // scheduler.py:158-165 wraps EACH table's aggregation in try/except:
+    // one bad spec (e.g. "variance", or the natural Spark spelling
+    // "avg" for the supported "mean") logs and continues — the old
+    // stage-wide failure silently lost every valid table's aggregates
+    // (code-review r14; supersedes the r13 attribution shape, which
+    // survives for genuine stage-level failures like an unwritable
+    // silver layer)
     val src = tmp(); val raw = tmp(); val sm = tmp(); val silver = tmp()
     Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v").write.parquet(s"$src/t.parquet")
+    Seq((1L, 5.0), (1L, 7.0)).toDF("id", "w").write.parquet(s"$src/u.parquet")
     val statuses = Pipeline.run(spark,
       Pipeline.Layers(src, raw, sm, silver, tmp()),
       Pipeline.Config(
-        extraction = Seq(Extraction.TableJob("t", "Full Refresh")),
+        extraction = Seq(Extraction.TableJob("t", "Full Refresh"),
+          Extraction.TableJob("u", "Full Refresh")),
         mappingEnabled = false,
-        aggregations = Map("t" -> graft.engine.Aggregations.AggSpec(
-          Seq("id"), Seq("v"), Seq("variance"))))) // unsupported func
+        aggregations = Map(
+          "t" -> graft.engine.Aggregations.AggSpec(
+            Seq("id"), Seq("v"), Seq("variance")), // unsupported func
+          "u" -> graft.engine.Aggregations.AggSpec(
+            Seq("id"), Seq("w"), Seq("sum")))))
     assert(statuses.map(s => (s.stage, s.ok)) == Seq(
       ("extraction", true), ("mapping", true),
-      ("transformation", true), ("aggregation", false)),
+      ("transformation", true), ("aggregation", true)),
       statuses.mkString("; "))
+    assert(statuses.last.detail.contains("1 aggregated"))
     assert(statuses.last.detail.contains("unsupported agg function"))
-    // the transform outputs really are on disk despite the late failure
+    // the valid table's aggregate is on disk; the bad one left nothing
+    assert(spark.read.parquet(s"$silver/agg_u.parquet").count() == 1)
+    assert(!new java.io.File(s"$silver/agg_t.parquet").exists())
+    // the transform outputs really are on disk despite the bad spec
     assert(spark.read.parquet(s"$silver/transformed_t.parquet").count() == 2)
   }
 }

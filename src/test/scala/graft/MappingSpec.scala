@@ -34,6 +34,19 @@ class MappingSpec extends SparkSpecBase {
     assert(out.count() == 3)
   }
 
+  test("J2 columns containing dots join and alias correctly (CSV-header shape)") {
+    // raw string interpolation parsed "order.id" as a 3-part nested
+    // reference and failed the whole merge with UNRESOLVED_COLUMN
+    // (code-review r14); references are backtick-quoted now
+    val c2 = customers.withColumnRenamed("customer_id", "customer.id")
+    val o2 = orders.withColumnRenamed("customer_id", "customer.id")
+      .withColumnRenamed("order_id", "order.id")
+    val out = Mapping.join(c2, "c", "customer.id", o2, "o", "customer.id")
+    assert(out.columns.toSeq == Seq("customer.id",
+      "name_c", "city_c", "order.id_o", "total_o"))
+    assert(out.count() == 3)
+  }
+
   test("J3 FK-first beats semantic inference") {
     val k = Mapping.inferKey(
       customers.columns.toSeq, TableMeta(fk = None),

@@ -199,10 +199,14 @@ class MiscSpec extends SparkSpecBase {
     assert(ran)
   }
 
-  test("O3 recurring: N iterations with sleeps between") {
+  test("O3 recurring: N iterations, first run AFTER one full interval") {
     var runs = 0; var sleeps = 0
-    Scheduler.runEvery(5, Some(3), _ => sleeps += 1)(() => runs += 1)
-    assert(runs == 3 && sleeps == 2)
+    // schedule.every(m).minutes.do(...) parity: next_run = now + interval,
+    // so no immediate t=0 execution — one sleep precedes EVERY run
+    // (code-review r14)
+    Scheduler.runEvery(5, Some(3),
+      _ => { sleeps += 1; assert(sleeps == runs + 1) })(() => runs += 1)
+    assert(runs == 3 && sleeps == 3)
     // zero hot-looped forever, negative threw mid-loop after the first
     // run — both refuse up front now
     assertThrows[IllegalArgumentException](

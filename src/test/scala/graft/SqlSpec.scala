@@ -46,6 +46,23 @@ class SqlSpec extends SparkSpecBase {
       == Some("SELECT a FROM t;"))
     assert(Sql.extractSelect("SELECT a FROM t") == Some("SELECT a FROM t"))
     assert(Sql.extractSelect("no query here").isEmpty)
+    // quote-aware terminator: semicolons inside literals are data, for
+    // BOTH literal syntaxes Spark accepts (code-review r14, both passes)
+    assert(Sql.extractSelect("SELECT 'a;b' AS v FROM t; x")
+      == Some("SELECT 'a;b' AS v FROM t;"))
+    assert(Sql.extractSelect("SELECT \"a;b\" AS v FROM t; x")
+      == Some("SELECT \"a;b\" AS v FROM t;"))
+    // backslash-escaped quote stays inside the literal
+    assert(Sql.extractSelect("SELECT 'it\\'s; fine' AS v FROM t; x")
+      == Some("SELECT 'it\\'s; fine' AS v FROM t;"))
+    // '' doubling still in-string
+    assert(Sql.extractSelect("SELECT 'it''s; fine' AS v FROM t; x")
+      == Some("SELECT 'it''s; fine' AS v FROM t;"))
+    // comment lines are ignored: a sentinel embedding "select" yields
+    // None, while a model preamble comment above real SQL still extracts
+    assert(Sql.extractSelect("-- no template matched: select stuff").isEmpty)
+    assert(Sql.extractSelect("-- model says:\nSELECT a FROM t;")
+      == Some("SELECT a FROM t;"))
   }
 
   test("Q3 saveGold + default name format") {

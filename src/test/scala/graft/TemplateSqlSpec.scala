@@ -36,6 +36,22 @@ class TemplateSqlSpec extends SparkSpecBase {
   test("unmatched question → extractSelect None (errors-as-data surface)") {
     val out = gen.generate("please write a poem", "")
     assert(Sql.extractSelect(out).isEmpty)
+    // the r13 ModelSqlGenerator bug class, re-found in the template
+    // fail() sentinel (code-review r14): a question CONTAINING the word
+    // "select" must not turn the comment sentinel into runnable SQL
+    val out2 = gen.generate("select me a nice poem about databases", "")
+    assert(Sql.extractSelect(out2).isEmpty, out2)
+  }
+
+  test("'how many ... with filter' routes to count, not a row listing") {
+    // byId's unanchored pattern also matches this question and used to
+    // win, returning full rows where the user asked for a number
+    // (code-review r14): countAll now matches first
+    assert(gen.generate("how many orders with status = 5", "") ==
+      "SELECT count(*) AS n FROM orders;")
+    // plain filter questions still route to byId
+    assert(gen.generate("orders with status = 5", "") ==
+      "SELECT * FROM orders WHERE status = 5;")
   }
 
   test("model adapter: reference prompt shape, model output used when it is SQL") {
