@@ -63,22 +63,37 @@ object BloomOps {
   * path is hash-probe-only and stays inside whole-stage codegen.
   */
 case class BloomGramHits(child: Expression, filterBytes: Array[Byte],
-                         n: Int) extends UnaryExpression {
-  // input: string
+                         n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  // declared, not a comment: a non-string child (doc_id by mistake)
+  // used to pass analysis and die as a ClassCastException deep in an
+  // executor — the r13 KernelInputTypes class, re-exposed here
+  // (code-review r14)
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
   @transient private lazy val bloom: BloomFilter =
     BloomOps.deserialize(filterBytes)
 
   // Array[Byte] equality is reference-based, which would make two
   // semantically identical probe expressions never compare equal —
   // defeating canonicalization / common-subexpression elimination and
-  // plan-cache hits. Compare the filter CONTENT instead.
+  // plan-cache hits. Compare the filter CONTENT instead. The byte-array
+  // hash is computed ONCE: at the advertised 100M-gram scale the filter
+  // is ~120 MB, and the optimizer probes expression sets/plan caches
+  // repeatedly per batch — an uncached Arrays.hashCode was an O(120MB)
+  // scan per probe (code-review r14). equals short-circuits on the
+  // cached hash before paying the full array compare.
+  @transient private lazy val filterHash: Int =
+    java.util.Arrays.hashCode(filterBytes)
   override def equals(other: Any): Boolean = other match {
-    case BloomGramHits(c, fb, m) =>
-      c == child && m == n && java.util.Arrays.equals(fb, filterBytes)
+    case o @ BloomGramHits(c, fb, m) =>
+      c == child && m == n && o.filterHash == filterHash &&
+        java.util.Arrays.equals(fb, filterBytes)
     case _ => false
   }
   override def hashCode(): Int = java.util.Objects.hash(
-    child, Int.box(n), Int.box(java.util.Arrays.hashCode(filterBytes)))
+    child, Int.box(n), Int.box(filterHash))
 
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any =

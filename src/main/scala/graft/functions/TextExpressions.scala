@@ -26,10 +26,9 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
-  /** FNV-1a 64-bit over UTF-8 bytes, then splitmix-finalized with seed —
-    * a cheap deterministic seeded hash family for minhash.
+  /** Seed-independent FNV-1a 64-bit core over UTF-8 bytes; the seeded
+    * minhash family applies [[mixSeed]] on top.
     */
-  /** Seed-independent FNV-1a 64-bit core over UTF-8 bytes. */
   private def fnvCore(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0xCBF29CE484222325L
     var i = from

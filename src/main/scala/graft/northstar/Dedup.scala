@@ -159,13 +159,14 @@ object Dedup {
     p
   }
 
-  /** Materialize-once persist for sibling northstar modules (Ivf's
-    * corpus cell assignment, Similarity's cell/subcell keying): same
-    * tracked, self-bounding, lazily-recomputable contract as the
-    * in-module [[materializeOnce]] call sites; released by
-    * [[releasePersisted]]/clearCache like every other tracked frame.
+  /** Materialize-once persist for sibling graft modules (Ivf's corpus
+    * cell assignment, Similarity's cell/subcell keying, streaming's
+    * static-side fingerprint set): same tracked, self-bounding,
+    * lazily-recomputable contract as the in-module [[materializeOnce]]
+    * call sites; released by [[releasePersisted]]/clearCache like every
+    * other tracked frame.
     */
-  private[northstar] def trackedPersist(df: DataFrame): DataFrame =
+  private[graft] def trackedPersist(df: DataFrame): DataFrame =
     materializeOnce(df)
 
   /** Cap on tracked persists; above it the oldest is released. 32

@@ -163,12 +163,17 @@ final case class JdbcStore(
   /** Partitioned read with bounds derived from a 1-row min/max query —
     * the scale path when the caller knows the split column but not the
     * range. Falls back to a single-partition read on an empty table.
-    * The column is quoted with ANSI double quotes (Spark's JDBC writer
-    * creates case-sensitive quoted identifiers in ANSI databases).
+    * The column is quoted via the URL's JdbcDialect, not hard-coded
+    * ANSI double quotes: MySQL (the reference's own database) parses
+    * "id" as a STRING LITERAL without ANSI_QUOTES sql_mode, so MIN
+    * returned the constant 'id' and the bounds read died on a
+    * ClassCastException (code-review r14); the dialect emits backticks
+    * for MySQL and double quotes for ANSI databases.
     */
   def readPartitioned(spark: SparkSession, table: String, column: String,
                       num: Int): DataFrame = {
-    val q = "\"" + column + "\""
+    val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(column)
     val bounds = spark.read
       .jdbc(url, s"(SELECT MIN($q) lo, MAX($q) hi FROM $table) b",
         connProps)
@@ -270,12 +275,34 @@ final case class JdbcStore(
           found
         } finally rs.close()
       }
+      // catalog-term drivers (MySQL Connector/J): databases are
+      // CATALOGS, so getTables(null, "warehouse", ...) never applies
+      // the qualifier and — with nullCatalogMeansCurrent — searches
+      // only the connection's current db, reading an existing
+      // warehouse.gold_daily as ABSENT, the exact false-absent →
+      // overwrite loss this method defends against (code-review r14).
+      // Probe the qualifier as the CATALOG argument too.
+      def hasCat(c: String, n: String): Boolean = {
+        val rs = meta.getTables(c, null, n, null)
+        try {
+          var found = false
+          while (!found && rs.next()) {
+            val tc = rs.getString("TABLE_CAT")
+            found = rs.getString("TABLE_NAME") == n &&
+              (tc == c || tc == null)
+          }
+          found
+        } finally rs.close()
+      }
       def up(s: String) =
         if (s == null) null else s.toUpperCase(java.util.Locale.ROOT)
       def low(s: String) =
         if (s == null) null else s.toLowerCase(java.util.Locale.ROOT)
       has(schemaPat, namePat) || has(up(schemaPat), up(namePat)) ||
-        has(low(schemaPat), low(namePat))
+        has(low(schemaPat), low(namePat)) ||
+        (schemaPat != null &&
+          (hasCat(schemaPat, namePat) || hasCat(up(schemaPat), up(namePat)) ||
+            hasCat(low(schemaPat), low(namePat))))
     } finally conn.close()
   }
 }

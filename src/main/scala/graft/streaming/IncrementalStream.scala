@@ -101,10 +101,20 @@ object IncrementalStream {
     // null-safe (<=>) semantics (code-review r13).
     def fp(c: org.apache.spark.sql.Column) =
       coalesce(TextAnalysis.fingerprint(c), lit("__null_text__"))
+    // the static side's fingerprint+distinct is PERSISTED (the tracked
+    // materializeOnce contract — lazily recomputable, released by
+    // Dedup.releasePersisted/clearCache): it used to be rebuilt inside
+    // every micro-batch, re-running md5(normText) + a full distinct
+    // shuffle over the whole corpus per trigger, and a caller caching
+    // `existing` only skipped the source scan, not this projection
+    // (code-review r14). Batches after the first now probe the cached
+    // fingerprint set, keeping per-batch work proportional to the
+    // stream side.
+    val existingFps = graft.northstar.Dedup.trackedPersist(
+      existing.select(fp(col(textCol)).as("__fp")).distinct())
     incoming
       .withColumn("__fp", fp(col(textCol)))
-      .join(existing.select(fp(col(textCol)).as("__fp")).distinct(),
-        Seq("__fp"), "left_anti")
+      .join(existingFps, Seq("__fp"), "left_anti")
       .drop("__fp")
   }
 
@@ -219,11 +229,18 @@ object IncrementalStream {
   def windowedCounts(events: DataFrame, tsNanosCol: String, keyCol: String,
                      valueCol: String, windowLen: String = "1 hour",
                      lateness: String = "30 minutes"): DataFrame = {
-    val withTime = events.withColumn("event_time",
+    // reserved name + guard (the streamingDedup discipline): a plain
+    // "event_time" withColumn silently REPLACED a caller's column of
+    // that name, so keyCol = "event_time" grouped by the synthetic
+    // per-event timestamp — one group per microsecond, silently wrong
+    // aggregates (code-review r14)
+    require(!events.columns.contains("__graft_event_time"),
+      "windowedCounts reserves the __graft_event_time column name")
+    val withTime = events.withColumn("__graft_event_time",
       graft.engine.Tables.nanosToTimestamp(col(tsNanosCol)))
     withTime
-      .withWatermark("event_time", lateness)
-      .groupBy(window(col("event_time"), windowLen), col(keyCol))
+      .withWatermark("__graft_event_time", lateness)
+      .groupBy(window(col("__graft_event_time"), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total"))

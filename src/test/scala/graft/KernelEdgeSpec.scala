@@ -132,6 +132,14 @@ class KernelEdgeSpec extends SparkSpecBase {
       Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"), empty)
       .collect()(0).getInt(2)
     assert(clean == 0)
+    // a non-string child now COERCES via the declared input type (the
+    // MinHashSig/TextStats convention) instead of passing analysis
+    // undeclared and dying as a ClassCastException deep in an executor
+    // (code-review r14): doc_id 4 hashes as the text "4" — zero hits
+    val coerced = df.filter($"doc_id" === 4L)
+      .select(graft.functions.bloomops.bloom_gram_hits($"doc_id", bloom))
+      .collect()(0).getInt(0)
+    assert(coerced == 0)
   }
 
   test("minhashPairsAgainst / sourceEntropy: empty slices and blank text are safe") {

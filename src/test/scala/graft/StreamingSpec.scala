@@ -799,5 +799,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Set(
       ("2024-01-01T00:00:00Z", "click", 2L, 3.0),
       ("2024-01-01T01:00:00Z", "view", 1L, 5.0)))
+
+    // a caller column named event_time survives as the GROUP key: the
+    // old plain "event_time" withColumn silently replaced it with the
+    // synthetic timestamp and grouped per-microsecond (code-review r14)
+    val renamed = spark.read.parquet(s"$src/events.parquet")
+      .withColumnRenamed("event_type", "event_time")
+    val batchStyle = IncrementalStream.windowedCounts(
+      renamed, "ts", "event_time", "value")
+    val byKey = batchStyle.collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byKey == Map("click" -> 2L, "view" -> 1L), byKey.toString)
+    // the reserved internal name refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalStream.windowedCounts(
+        renamed.withColumn("__graft_event_time",
+          org.apache.spark.sql.functions.lit(1)),
+        "ts", "event_time", "value")
+    }
+    assert(e.getMessage.contains("__graft_event_time"))
   }
 }
