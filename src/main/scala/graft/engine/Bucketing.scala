@@ -99,11 +99,22 @@ object Bucketing {
     val name = s"graft_b_${baseName}_${digest}_$jvmTag"
     this.synchronized {
       if (!spark.catalog.tableExists(name)) {
+        // leftover-location cleanup through the HADOOP filesystem, at
+        // the CURRENT database's managed path: the old java.io.File
+        // delete silently no-oped on an hdfs://S3 warehouse (and on any
+        // non-default database, whose tables live under <wh>/<db>.db/),
+        // so a recycled jvmTag hit 'location already exists' — the
+        // exact failure the delete exists to prevent (code-review r14;
+        // the resetLayers/Stores FS class)
         val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val whPath = if (wh.startsWith("file:"))
-          new java.net.URI(wh).getPath else wh
-        val loc = new java.io.File(whPath, name)
-        graft.northstar.Artifacts.deleteRec(loc)
+        val db = spark.catalog.currentDatabase
+        val dir = if (db == "default") s"$wh/${name.toLowerCase}"
+                  else s"$wh/$db.db/${name.toLowerCase}"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
+          require(fs.delete(p, true),
+            s"bucketedTableFor: could not clear leftover location $dir")
         writeBucketed(df, name, key, buckets)
       }
     }

@@ -33,7 +33,11 @@ object Configs {
 
   def parseExtraction(json: String): Seq[Extraction.TableJob] = {
     val root = mapper.readTree(json)
-    val mode = Option(root.get("extraction_type"))
+    // filter(!_.isNull): an explicit JSON null used to become the
+    // literal mode string "null" (NullNode.asText), failing every table
+    // with unknown-mode where the reference's dict.get(None) defaults
+    // (code-review r14)
+    val mode = Option(root.get("extraction_type")).filter(!_.isNull)
       .map(_.asText()).getOrElse("Full Refresh")
     strings(root.get("tables")).map(t => Extraction.TableJob(t, mode))
   }

@@ -35,6 +35,12 @@ object RangeJoin {
     // t while the interval computes from lo must agree at boundaries
     def binOf(c: Column): Column =
       floor(c.cast("decimal(20,0)") / lit(binWidth)).cast("long")
+    // reserved-name guard (the saltedJoin discipline): withColumn would
+    // silently OVERWRITE a caller's __bin and the final drop would then
+    // remove their column from the output entirely (code-review r14)
+    require(!facts.columns.contains("__bin")
+        && !intervals.columns.contains("__bin"),
+      "binned range join reserves the __bin column; rename it on the inputs")
     val f = facts.withColumn("__bin", binOf(col(tCol)))
     // per-row interval sanity fused INTO the sequence bound (a dropped
     // side-channel column would be pruned by the optimizer and never

@@ -33,6 +33,11 @@ object SkewJoin {
         s"got $joinType (outer forms would duplicate null-extended rows)")
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
       "saltedJoin reserves the __salt column; rename it on the inputs")
+    // __salt_rk is the same-named-key rename target below: a small side
+    // already carrying it produced AMBIGUOUS_REFERENCE at join build
+    // (and the final drop would remove the user's own column)
+    require(!small.columns.contains("__salt_rk"),
+      "saltedJoin reserves the __salt_rk column; rename it on the small side")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
     // same-named keys: dedupe the small side's key so the output keeps

@@ -50,9 +50,25 @@ object Tables {
     * the timestamp column before calling normalize.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"),
-      nanosContract.getOrElse(name, Nil))
+    // the nanosAsLong flag is session-scoped and Spark exposes no
+    // per-read switch, so flipping it here unconditionally changed the
+    // schema of UNRELATED parquet reads in the same session (a shared
+    // application's TIMESTAMP(NANOS) columns silently became LongType —
+    // code-review r14). Read plainly first; only a legacy int64-nanos
+    // file (pre-r11 testdata, which fails schema conversion without the
+    // flag) sets it — and then it must STAY set, because execution-time
+    // footer conversion consults the same conf.
+    val path = s"$dir/$name.parquet"
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        case e: Throwable if Option(e.getMessage).exists(m =>
+            m.contains("TIMESTAMP(NANOS") ||
+              m.contains("Illegal Parquet type")) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    normalizeTimestamps(df, nanosContract.getOrElse(name, Nil))
   }
 
   /** Rewrite the named timestamp-typed columns to epoch-nanos long
@@ -269,7 +285,16 @@ object Tables {
     */
   def resetLayers(dirs: Seq[String]): Unit = dirs.foreach { d =>
     val p = new org.apache.hadoop.fs.Path(d)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the ACTIVE session's hadoopConfiguration, not a bare
+    // Configuration(): fs.defaultFS / object-store credentials set only
+    // via spark.hadoop.* would otherwise resolve a scheme-less layer
+    // path to file:/// and 'reset' a local directory while reads keep
+    // resolving the real one (code-review r14)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     require(!fs.exists(p) || fs.delete(p, true),
       s"resetLayers: could not delete $d")
     require(fs.mkdirs(p), s"resetLayers: could not recreate $d")

@@ -260,13 +260,22 @@ object DateParse {
     if (raw == null) return null
     val s = raw.trim
     if (s.isEmpty) return null
+    // every supported format carries at least one digit, so digit-free
+    // text can never parse: bail before the formatter storm. Column
+    // SELECTION is name-fuzzy (isDateColumn), so a free-text column can
+    // reach this UDF, and each unparseable w-space value used to pay
+    // ~27·(w+1) exception-throwing parse attempts — the dominant job
+    // cost on a prose corpus (code-review r14).
+    if (!s.exists(_.isDigit)) return null
     tryFormats(s).orElse {
       // fuzzy=True subset: drop trailing time-ish tokens by retrying every
       // space-prefix LONGEST first — "January 3, 2020 10:30:00" must try
       // the "January 3, 2020" prefix before the bare "January" one — then
-      // the ISO-8601 'T' split
+      // the ISO-8601 'T' split. Digit-free prefixes skip for the same
+      // reason as the whole-string guard.
       val spacePrefixes = s.indices.filter(s.charAt(_) == ' ').reverseIterator
-        .map(i => tryFormats(s.substring(0, i)))
+        .map(i => s.substring(0, i)).filter(_.exists(_.isDigit))
+        .map(tryFormats)
       spacePrefixes.collectFirst { case Some(d) => d }
         .orElse {
           val t = s.indexOf('T')

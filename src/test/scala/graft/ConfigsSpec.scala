@@ -16,6 +16,12 @@ class ConfigsSpec extends AnyFunSuite {
     assert(jobs == Seq(
       Extraction.TableJob("customers", "Incremental Load"),
       Extraction.TableJob("orders", "Incremental Load")))
+    // explicit JSON null defaults like an absent key (dict.get parity):
+    // it used to become the literal mode string "null" and fail every
+    // table with unknown-mode (code-review r14)
+    val nullMode = Configs.parseExtraction(
+      """{"tables": ["t1"], "extraction_type": null}""")
+    assert(nullMode == Seq(Extraction.TableJob("t1", "Full Refresh")))
   }
 
   test("mapping_status.json: flag, default true when absent") {

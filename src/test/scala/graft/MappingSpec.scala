@@ -158,5 +158,11 @@ class RangeJoinSpec extends SparkSpecBase {
     val out = RangeJoin.binned(facts, intervals, "k", "t", "lo", "hi", binWidth = 10L)
       .select("lo").collect().map(_.getLong(0)).sorted
     assert(out.toSeq == Seq(0L, 10L))
+    // reserved-name guard (the saltedJoin discipline): a caller __bin
+    // was silently clobbered and then dropped from the output
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.binned(facts.withColumn("__bin", org.apache.spark.sql
+        .functions.lit(0)), intervals, "k", "t", "lo", "hi", binWidth = 10L)
+    }
   }
 }

@@ -54,6 +54,17 @@ class MiscSpec extends SparkSpecBase {
     assert(m(1L) == 1500000000L) // 1.5 s → ns, exact
     assert(m(2L) == java.time.Instant.parse("2026-08-13T12:00:00Z")
       .getEpochSecond * 1000000000L) // NTZ interpreted in UTC
+    // reading a modern µs file must NOT flip the session-global
+    // nanosAsLong legacy flag — it changed the schema of unrelated
+    // parquet reads in the same session (code-review r14); only a
+    // legacy int64-nanos file whose read FAILS without it sets it
+    val prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      Tables.table(spark, dir, "events").count()
+      assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        == "false")
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
   }
 
   test("normalizeTimestamps: legacy int64 columns and unnamed timestamps pass through") {

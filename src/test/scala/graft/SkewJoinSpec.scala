@@ -35,9 +35,14 @@ class SkewJoinSpec extends SparkSpecBase {
     assert(out.columns.count(_ == "k") == 1)
     assert(rows(out.groupBy("k").count()) ==
       Set(Seq(1L, 1L), Seq(2L, 1L))) // groupBy("k") resolvable
-    // reserved-column guard
+    // reserved-column guards: __salt on either side, __salt_rk on the
+    // small side (it is the same-named-key rename target — an existing
+    // column produced AMBIGUOUS_REFERENCE at join build, code-review r14)
     assertThrows[IllegalArgumentException] {
       SkewJoin.saltedJoin(big.withColumn("__salt", lit(0)), small, "k", "k")
+    }
+    assertThrows[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small.withColumn("__salt_rk", lit(0)), "k", "k")
     }
   }
 

@@ -168,6 +168,11 @@ class DateParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(DateParse.parseDate("2020-01-02 10:11:12") == "2020-01-02")
     assert(DateParse.parseDate(" 2020-01-02 ") == "2020-01-02")
     assert(DateParse.parseDate("2/3/99") == "1999-03-02")
+    // digit-free text bails before the formatter storm (every supported
+    // format carries digits) — same null answer, none of the ~27·(w+1)
+    // exception-driven parse attempts (code-review r14)
+    assert(DateParse.parseDate(
+      "this free text note mentions no date whatsoever") == null)
     assert(DateParse.parseDate("garbage") == null)
     assert(DateParse.parseDate("32/13/2020") == null)
     assert(DateParse.parseDate("") == null)
