@@ -335,8 +335,14 @@ object ScaleProbe {
     // corpus pass plus 5 cheap vocab-frame aggregates — growth tracks
     // the tokenize, and replicated docs (identical word multiset x10)
     // leave the vocab frame the same size
+    // capture the merge frame from INSIDE the timed block: the serving
+    // step below needs exactly what the 1x timing already computed, and
+    // a second bpeInduct run re-paid the tokenize + 5 vocab aggregates
+    // for results the closure threw away (code-review r14)
+    var mergeRows: Array[org.apache.spark.sql.Row] = null
     val bi1 = timed("bpeInduct 5k docs (1x)") {
-      TextAnalysis.bpeInduct(docs1, rounds = 5).count()
+      mergeRows = TextAnalysis.bpeInduct(docs1, rounds = 5).collect()
+      mergeRows.length.toLong
     }
     val bi10 = timed("bpeInduct 50k docs (10x)") {
       TextAnalysis.bpeInduct(
@@ -345,7 +351,7 @@ object ScaleProbe {
     println(f"[scale] bpeInduct 10x-data ratio       ${bi10 / bi1}%.1fx (linear-ish expected)")
     // frozen-tokenizer SERVING (the r9 artifact path): merges trained
     // once, application is a stateless narrow pass — pure linear scan
-    val merges9 = TextAnalysis.bpeInduct(docs1, rounds = 5).collect()
+    val merges9 = mergeRows
       .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     val ba1 = timed("bpeApply serve 5k docs (1x)") {
       TextAnalysis.bpeApply(docs1, merges9).count()
@@ -493,25 +499,30 @@ object ScaleProbe {
     // (bucket-partitioned parquet on a real cluster, map-side
     // combined), which dominates at this corpus size and shrinks
     // relative to the sketch as the corpus grows.
+    // try/finally (the stored-index block's discipline): a failure
+    // mid-probe must not strand the multi-MB index dirs in /tmp —
+    // exactly the accumulation deleteRecursively exists to prevent
+    // (code-review r14)
     val wiDir = java.nio.file.Files.createTempDirectory("winidx").toString
-    val wiBase = docs10.filter(col("doc_id") % 10 =!= 3)
-    val wiDelta = docs10.filter(col("doc_id") % 10 === 3)
-    timed("winnowIdx appendable build 45k") {
-      graft.northstar.Artifacts.saveWinnowIndexAppendable(
-        wiBase, s"$wiDir/idx")
-      spark.read.parquet(s"$wiDir/idx/rows").count()
-    }
-    val wiApp = timed("winnowIdx append 5k delta") {
-      graft.northstar.Artifacts.appendWinnowIndex(wiDelta, s"$wiDir/idx")
-      spark.read.parquet(s"$wiDir/idx/rows").count()
-    }
-    val wiReb = timed("winnowIdx full rebuild 50k") {
-      graft.northstar.Artifacts.saveWinnowIndexAppendable(
-        docs10, s"$wiDir/idx2")
-      spark.read.parquet(s"$wiDir/idx2/rows").count()
-    }
-    println(f"[scale] winnowIdx append/rebuild       ${wiApp / wiReb}%.2fx (delta-bound, <1x expected)")
-    deleteRecursively(new java.io.File(wiDir))
+    try {
+      val wiBase = docs10.filter(col("doc_id") % 10 =!= 3)
+      val wiDelta = docs10.filter(col("doc_id") % 10 === 3)
+      timed("winnowIdx appendable build 45k") {
+        graft.northstar.Artifacts.saveWinnowIndexAppendable(
+          wiBase, s"$wiDir/idx")
+        spark.read.parquet(s"$wiDir/idx/rows").count()
+      }
+      val wiApp = timed("winnowIdx append 5k delta") {
+        graft.northstar.Artifacts.appendWinnowIndex(wiDelta, s"$wiDir/idx")
+        spark.read.parquet(s"$wiDir/idx/rows").count()
+      }
+      val wiReb = timed("winnowIdx full rebuild 50k") {
+        graft.northstar.Artifacts.saveWinnowIndexAppendable(
+          docs10, s"$wiDir/idx2")
+        spark.read.parquet(s"$wiDir/idx2/rows").count()
+      }
+      println(f"[scale] winnowIdx append/rebuild       ${wiApp / wiReb}%.2fx (delta-bound, <1x expected)")
+    } finally deleteRecursively(new java.io.File(wiDir))
     // winnow long-DOCUMENT skew (VERDICT r10 watch #2): the in-row
     // sketch allocates two O(n_tokens) arrays per row, so a multi-MB
     // outlier doc concentrates memory in one task where the old
@@ -582,14 +593,18 @@ object ScaleProbe {
     // (the dim-row collect is constant); serve is a pure narrow map
     val embP1 = Tables.table(spark, dir, "embeddings")
     val embP10 = replicate(embP1, 10, "vec_id", 1000000L)
+    // weights captured from inside the timed block — a third identical
+    // trainQ run existed solely to re-produce what the 1x timing threw
+    // away (code-review r14)
+    var pw: Seq[Long] = null
     val pt1 = timed("probeTrain 2k (1x)") {
-      graft.northstar.Probe.trainQ(embP1, iters = 2).length.toLong
+      pw = graft.northstar.Probe.trainQ(embP1, iters = 2)
+      pw.length.toLong
     }
     val pt10 = timed("probeTrain 20k (10x)") {
       graft.northstar.Probe.trainQ(embP10, iters = 2).length.toLong
     }
     println(f"[scale] probeTrain 10x-data ratio      ${pt10 / pt1}%.1fx (linear-ish expected)")
-    val pw = graft.northstar.Probe.trainQ(embP1, iters = 2)
     val ps1 = timed("probeServe 2k (1x)") {
       graft.northstar.Probe.scoreQ(embP1, pw).count()
     }
@@ -756,6 +771,7 @@ object ScaleProbe {
     {
       val appBase = java.nio.file.Files
         .createTempDirectory("scale-compact").toString
+      try {
       val appPath = s"$appBase/idx"
       // emb replicates the 2k base at stride 1e6 — use modular slices
       // so every append batch is non-empty (100 vectors each)
@@ -786,7 +802,7 @@ object ScaleProbe {
       val tComp = timed(s"ivf serve, $fComp files (compacted)")(serveOnce())
       println(f"[scale] compaction $fFrag%d -> $fComp%d files " +
         f"($nCompacted cells rewritten), serve ${tFrag / tComp}%.1fx")
-      deleteRecursively(new java.io.File(appBase))
+      } finally deleteRecursively(new java.io.File(appBase))
     }
 
     // ---- nightly-loop per-batch cost (VERDICT r13 task 8): the
@@ -814,6 +830,7 @@ object ScaleProbe {
     {
       val nlBase = java.nio.file.Files
         .createTempDirectory("scale-nightly").toString
+      try {
       val nlPath = s"$nlBase/idx"
       val corpus0 = emb1.select("vec_id", "embedding") // 2k stored vectors
       val cbNl = Pq.fitCodebooks(corpus0, m = 8, ksub = 16)
@@ -860,7 +877,7 @@ object ScaleProbe {
           s"screen should drop exactly the ${batch / 10} planted " +
             s"copies, kept $nFresh of $batch")
       }
-      deleteRecursively(new java.io.File(nlBase))
+      } finally deleteRecursively(new java.io.File(nlBase))
     }
 
     // ---- bench-scale recall floors (VERDICT r12 task 4) ----

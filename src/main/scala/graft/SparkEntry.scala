@@ -666,10 +666,15 @@ object SparkEntry {
         .count()
         .na.fill(0L)),
     // exact median (integer-valued l_quantity → e1-integer exposure is
-    // exact even at the two-middle-values interpolation)
+    // exact even at the two-middle-values interpolation). round() on
+    // BOTH sides like every other e-exposure: the old bare cast(long)
+    // TRUNCATED here while the oracle rounded — identical today only
+    // because x.0/x.5 medians scale exactly, and the first non-integer
+    // quantity regen would have hash-split the row (code-review r14)
     "q_median" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg((median(col("l_quantity")) * 10).cast("long").as("med_e1"),
+        .agg(round(median(col("l_quantity")) * 10).cast("long")
+          .as("med_e1"),
           count(lit(1)).as("n"))),
     "q_sql_anti_join" -> ((s, dir) => {
       Tables.open(s, dir, Seq("customer", "orders"))

@@ -566,15 +566,20 @@ object Dedup {
     // billion-row candidate join — exactly the mega-bucket the
     // capBuckets discipline exists to prevent, and the one side this
     // path left uncapped (code-review r14). Same default as
-    // [[winnowPairs]]/[[winnowIndex]]. A STREAMING incoming frame skips
-    // the cap: capBuckets is a global count + self semi-join, which
-    // append-mode streaming cannot express — and doesn't need, because
-    // the micro-batch (maxFilesPerTrigger) bounds the incoming bucket
-    // size per trigger; the static index side stays capped either way.
+    // [[winnowPairs]]/[[winnowIndex]]; the sketch is materialized ONCE
+    // (the winnowPairs discipline) — the cap's count branch, its
+    // semi-join side, and the candidate join would otherwise re-run the
+    // in-row sketch kernel over the batch 3x (bench-measured +1.4-2.3 s
+    // per serving row at sf0.1 before this persist). A STREAMING
+    // incoming frame skips the cap: capBuckets is a global count + self
+    // semi-join, which append-mode streaming cannot express — and
+    // doesn't need, because the micro-batch (maxFilesPerTrigger) bounds
+    // the incoming bucket size per trigger; the static index side stays
+    // capped either way.
     val incomingSketch = winnowSketch(incoming, k, window, idCol, textCol)
     val cappedIncoming =
       if (incoming.isStreaming) incomingSketch
-      else capBuckets(incomingSketch, Seq("fp"), maxBucket)
+      else capBuckets(materializeOnce(incomingSketch), Seq("fp"), maxBucket)
     cappedIncoming
       .select(col("fp"), col("doc").as("doc_a"))
       .join(checked.select(col("fp"), col("doc").as("doc_b")), Seq("fp"))
