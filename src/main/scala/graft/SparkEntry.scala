@@ -1385,7 +1385,11 @@ object SparkEntry {
         concat(col("text"), lit(" quoted with appended commentary")).as("text"))
       val index = graft.northstar.Artifacts.winnowSketchFor(
         corpus, cacheKey = corpusKey(dir, "documents"), maxBucket = 100)
-      Dedup.winnowPairsAgainstIndex(incoming, index)
+      // probe with the INDEX'S cap (code-review r14: the independent
+      // incoming-side default of 1000 contradicted the documented
+      // same-cap contract; hash-neutral — an incoming fp over 100 is
+      // over 100 on the corpus side too and already index-dropped)
+      Dedup.winnowPairsAgainstIndex(incoming, index, maxBucket = 100)
     }),
     // the dedup-side append lifecycle (the ns_knn_ivfpq_append pattern
     // for text): the APPENDABLE winnow index is built on the even-doc
@@ -1406,7 +1410,8 @@ object SparkEntry {
       Artifacts.appendWinnowIndex(
         corpus.filter(col("doc_id") % 2 =!= 0), path, maxBucket = 100)
       Dedup.winnowPairsAgainstIndex(incoming,
-        Artifacts.loadWinnowIndexAppendable(s, path, maxBucket = 100))
+        Artifacts.loadWinnowIndexAppendable(s, path, maxBucket = 100),
+        maxBucket = 100)
     }),
     // dedup-side takedown REMOVAL (the ns_knn_ivfpq_remove pattern):
     // the appendable index is built on the corpus plus a duplicated
@@ -1429,7 +1434,8 @@ object SparkEntry {
       Artifacts.removeFromWinnowIndex(extra.select("doc_id"), path,
         maxBucket = 100)
       Dedup.winnowPairsAgainstIndex(incoming,
-        Artifacts.loadWinnowIndexAppendable(s, path, maxBucket = 100))
+        Artifacts.loadWinnowIndexAppendable(s, path, maxBucket = 100),
+        maxBucket = 100)
     }),
     // duplicated-span REMOVAL (the remedy half of substring dedup, Lee
     // et al.'s excision): same augmented corpus as ns_substring_overlap;

@@ -27,10 +27,27 @@ object GraftSession {
     // the date/parquet differences are brutal to trace back here
     // (code-review r14). The engine-critical settings are
     // session-scoped (SQLConf), so apply them to whatever session came
-    // back; only a differing MASTER is unfixable and warns.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // back — calling THIS factory is an explicit request for the graft
+    // configuration — but never SILENTLY: a host application sharing
+    // the session would otherwise see its own timestamp semantics
+    // change with no signal (code-review r14, second pass), so every
+    // overridden setting is named on stderr. Only a differing MASTER is
+    // unfixable and warns. Hosts that need their own settings should
+    // use their own session and pass frames in, not share the factory.
+    val wanted = Seq(
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    val changed = wanted.flatMap { case (key, value) =>
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      if (prev.exists(_ != value)) Some(s"$key: ${prev.get} -> $value")
+      else None
+    }
+    if (changed.nonEmpty)
+      Console.err.println(
+        "[graft] WARN: reusing an existing session; overrode session " +
+          s"configs (${changed.mkString("; ")})")
     if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
       spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
     if (spark.sparkContext.master != s"local[$cores]")

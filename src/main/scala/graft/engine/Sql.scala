@@ -82,11 +82,11 @@ object Sql {
     * model output (text_to_sql.py:137-144). Falls back to the first
     * SELECT-to-end-of-string when no terminating semicolon exists.
     *
-    * COMMENT lines (leading `--`) are dropped before the SELECT search:
-    * the no-SQL sentinels embed the raw question for diagnosability, and
-    * a question containing the word "select" used to turn the sentinel
-    * itself into runnable garbage SQL (code-review r14). A model output
-    * of `-- explanation\nSELECT ...` still extracts the statement.
+    * The SELECT search skips `--` COMMENT spans: the no-SQL sentinels
+    * embed the raw question for diagnosability, and a question
+    * containing the word "select" used to turn the sentinel itself into
+    * runnable garbage SQL (code-review r14). A model output of
+    * `-- explanation\nSELECT ...` still extracts the statement.
     *
     * The terminator scan is QUOTE-AWARE for both literal syntaxes Spark
     * accepts — single quotes and (by default) double quotes — plus
@@ -98,28 +98,55 @@ object Sql {
     * both passes). `''` doubling still works: the first quote closes,
     * the second reopens — net in-string.
     */
-  private val selectOpenRe = "(?is)(SELECT\\b.*)".r
   def extractSelect(generated: String): Option[String] = {
-    val noComments = generated.linesIterator
-      .filterNot(_.trim.startsWith("--")).mkString("\n")
-    selectOpenRe.findFirstMatchIn(noComments).map(_.group(1)).map { tail =>
-      var i = 0
-      var quote: Char = 0
-      var end = -1
-      while (end < 0 && i < tail.length) {
-        val ch = tail.charAt(i)
-        if (quote != 0) {
-          if (ch == '\\') i += 1 // escaped char stays inside the literal
-          else if (ch == quote) quote = 0
-        } else ch match {
-          case '\'' | '"' => quote = ch
-          case ';' => end = i
-          case _ =>
-        }
-        i += 1
-      }
-      (if (end < 0) tail else tail.substring(0, end + 1)).trim
+    // locate the first SELECT token OUTSIDE a -- comment. The pre-SELECT
+    // region is model prose, not SQL, so only comments are tracked there
+    // (quote-tracking prose would let an apostrophe in "here's your
+    // query:" swallow the statement); a line-level comment pre-strip was
+    // tried and CORRUPTED literals containing "--" lines (code-review
+    // r14, second pass) — comment state must be computed in-scan.
+    val s = generated
+    var i = 0
+    var start = -1
+    var inComment = false
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (start < 0 && i < s.length) {
+      val ch = s.charAt(i)
+      if (inComment) { if (ch == '\n') inComment = false }
+      else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        inComment = true; i += 1
+      } else if ((ch == 'S' || ch == 's')
+          && s.regionMatches(true, i, "SELECT", 0, 6)
+          && (i == 0 || !isWord(s.charAt(i - 1)))
+          && (i + 6 >= s.length || !isWord(s.charAt(i + 6)))) start = i
+      i += 1
     }
+    if (start < 0) return None
+    val tail = s.substring(start)
+    // terminator scan, quote- AND comment-aware: a semicolon inside a
+    // literal ('a;b' or "a;b"), after a backslash escape, or on a --
+    // comment line is part of the statement, not its end; quote state
+    // is checked FIRST, so "--" inside a literal stays literal
+    var j = 0
+    var quote: Char = 0
+    var inC = false
+    var end = -1
+    while (end < 0 && j < tail.length) {
+      val ch = tail.charAt(j)
+      if (quote != 0) {
+        if (ch == '\\') j += 1 // escaped char stays inside the literal
+        else if (ch == quote) quote = 0
+      } else if (inC) { if (ch == '\n') inC = false }
+      else ch match {
+        case '-' if j + 1 < tail.length && tail.charAt(j + 1) == '-' =>
+          inC = true; j += 1
+        case '\'' | '"' => quote = ch
+        case ';' => end = j
+        case _ =>
+      }
+      j += 1
+    }
+    Some((if (end < 0) tail else tail.substring(0, end + 1)).trim)
   }
 
   /** Q2: pluggable NL→SQL generator contract; the T5 model stays outside the

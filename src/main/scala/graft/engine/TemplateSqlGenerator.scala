@@ -31,6 +31,8 @@ class TemplateSqlGenerator(tables: Map[String, Seq[String]])
     """(?i)(?:number|count)\s+of\s+(\w+)\s+by\s+(\w+)""".r.unanchored
   private val countAll =
     """(?i)how\s+many\s+(\w+)""".r.unanchored
+  private val countFiltered =
+    """(?i)how\s+many\s+(\w+)\s+with\s+(\w+)\s*=\s*(\w+)""".r.unanchored
   private val byId =
     """(?i)(\w+)\s+with\s+(\w+)\s*=\s*(\w+)""".r.unanchored
 
@@ -45,10 +47,16 @@ class TemplateSqlGenerator(tables: Map[String, Seq[String]])
     case countBy(tableW, keyW) =>
       (for { t <- resolveTable(tableW); k <- resolveColumn(keyW, t) }
         yield s"SELECT $k, count(*) AS n FROM $t GROUP BY $k;").getOrElse(fail(question))
-    // countAll BEFORE byId: "how many orders with status = 5" asks for
-    // a COUNT, but the unanchored byId pattern also matches it and used
-    // to win, returning full rows where the user asked for a number
-    // (code-review r14)
+    // countFiltered FIRST: "how many orders with status = 5" asks for a
+    // FILTERED count — byId alone returned full rows (right rows, wrong
+    // shape) and a bare countAll would count ALL orders (numerically
+    // wrong, the worse failure — code-review r14, both passes). Both
+    // narrower templates still fire on their own shapes below.
+    case countFiltered(tableW, colW, v) =>
+      val lit = if (v.forall(_.isDigit)) v else s"'$v'"
+      (for { t <- resolveTable(tableW); c <- resolveColumn(colW, t) }
+        yield s"SELECT count(*) AS n FROM $t WHERE $c = $lit;")
+        .getOrElse(fail(question))
     case countAll(tableW) =>
       resolveTable(tableW)
         .map(t => s"SELECT count(*) AS n FROM $t;").getOrElse(fail(question))

@@ -943,7 +943,11 @@ object Dedup {
     // successor lands, so a long run keeps O(1) snapshots in object
     // storage, and no global SparkContext checkpoint-dir state is
     // touched. The FINAL label snapshot backs the returned DataFrame and
-    // is left in place — the caller owns the directory's lifecycle.
+    // is left in place — the caller owns the directory's lifecycle, and
+    // because snapshot paths are per-run unique (below), a REUSED
+    // checkpointDir accumulates one retained final snapshot per run:
+    // reclaim with [[cleanCcSnapshots]] (age-gated, concurrency-safe)
+    // once prior runs' results are consumed (code-review r14).
     val session = pairs.sparkSession
     var snapSeq = 0
     // per-run unique component: two runs (sequential or concurrent)
@@ -1044,6 +1048,36 @@ object Dedup {
     // loop-invariant snapshots are no longer needed
     invariantPaths.foreach(drop)
     labels
+  }
+
+  /** Reclaim retained `cc-snap-*` snapshots older than `olderThanMs`
+    * under a shared [[connectedComponents]] checkpointDir. Per-run
+    * unique snapshot paths (the r14 concurrency fix) mean a REUSED
+    * directory accumulates one retained final-label snapshot per run —
+    * a nightly pipeline pointing at a fixed object-store dir would
+    * otherwise grow one corpus-sized parquet per night forever
+    * (code-review r14, second pass). The sweep is age-gated so a
+    * CONCURRENT run's live snapshots (younger than any plausible run
+    * duration) are never touched; run it only when snapshots older
+    * than the threshold are no longer consumed. Resolves the
+    * filesystem from the active session (the resetLayers discipline).
+    * Returns the number of snapshot directories deleted.
+    */
+  def cleanCcSnapshots(checkpointDir: String,
+                       olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0
+    val now = System.currentTimeMillis()
+    fs.listStatus(p).iterator
+      .filter(st => st.isDirectory
+        && st.getPath.getName.startsWith("cc-snap-")
+        && now - st.getModificationTime > olderThanMs)
+      .count(st => fs.delete(st.getPath, true))
   }
 
   /** Pair→cluster resolution: collapse near-dup PAIRS (from any generator —

@@ -58,11 +58,21 @@ class SqlSpec extends SparkSpecBase {
     // '' doubling still in-string
     assert(Sql.extractSelect("SELECT 'it''s; fine' AS v FROM t; x")
       == Some("SELECT 'it''s; fine' AS v FROM t;"))
-    // comment lines are ignored: a sentinel embedding "select" yields
+    // comment spans are skipped: a sentinel embedding "select" yields
     // None, while a model preamble comment above real SQL still extracts
     assert(Sql.extractSelect("-- no template matched: select stuff").isEmpty)
     assert(Sql.extractSelect("-- model says:\nSELECT a FROM t;")
       == Some("SELECT a FROM t;"))
+    // prose apostrophes before the statement must not swallow it
+    assert(Sql.extractSelect("here's your query:\nSELECT a FROM t;")
+      == Some("SELECT a FROM t;"))
+    // a "--" line INSIDE a literal is data, not a comment (the line-level
+    // pre-strip corrupted it — code-review r14, second pass), and a
+    // semicolon on a trailing comment line is not a terminator
+    assert(Sql.extractSelect("SELECT * FROM t WHERE note = 'a\n-- b\nc';")
+      == Some("SELECT * FROM t WHERE note = 'a\n-- b\nc';"))
+    assert(Sql.extractSelect("SELECT a FROM t -- trailing; note\nWHERE b = 1;")
+      == Some("SELECT a FROM t -- trailing; note\nWHERE b = 1;"))
   }
 
   test("Q3 saveGold + default name format") {

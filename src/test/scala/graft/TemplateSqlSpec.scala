@@ -43,13 +43,18 @@ class TemplateSqlSpec extends SparkSpecBase {
     assert(Sql.extractSelect(out2).isEmpty, out2)
   }
 
-  test("'how many ... with filter' routes to count, not a row listing") {
-    // byId's unanchored pattern also matches this question and used to
-    // win, returning full rows where the user asked for a number
-    // (code-review r14): countAll now matches first
+  test("'how many ... with filter' routes to a FILTERED count") {
+    // byId alone returned full rows (right rows, wrong shape); a bare
+    // countAll would count ALL orders (numerically wrong) — the
+    // filtered-count template keeps both the aggregate and the
+    // predicate (code-review r14, both passes)
     assert(gen.generate("how many orders with status = 5", "") ==
-      "SELECT count(*) AS n FROM orders;")
-    // plain filter questions still route to byId
+      "SELECT count(*) AS n FROM orders WHERE status = 5;")
+    assert(gen.generate("how many orders with status = pending", "") ==
+      "SELECT count(*) AS n FROM orders WHERE status = 'pending';")
+    // the narrower shapes still fire on their own
+    assert(gen.generate("how many customers", "") ==
+      "SELECT count(*) AS n FROM customers;")
     assert(gen.generate("orders with status = 5", "") ==
       "SELECT * FROM orders WHERE status = 5;")
   }
