@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** The big side's salt expression — the ONE definition the join uses,
+    * package-visible so the salt-spread test drives the PRODUCT's hash
+    * rather than asserting on its own replica (which silently diverged
+    * to murmur3 and would pass even if salting stopped spreading —
+    * code-review r14).
+    */
+  private[graft] def saltExpr(df: DataFrame,
+                              saltFactor: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).cast("int")
+
   /** Join types for which salt-and-replicate is result-identical to the
     * plain join: the replicated small side makes right/full outer forms
     * emit one null-extended row per unmatched (key, salt) COPY instead
@@ -38,8 +48,7 @@ object SkewJoin {
     // (and the final drop would remove the user's own column)
     require(!small.columns.contains("__salt_rk"),
       "saltedJoin reserves the __salt_rk column; rename it on the small side")
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val salted = big.withColumn("__salt", saltExpr(big, saltFactor))
     // same-named keys: dedupe the small side's key so the output keeps
     // ONE key column — otherwise every downstream col(bigKey) throws
     // AMBIGUOUS_REFERENCE and the frame is unusable at first touch

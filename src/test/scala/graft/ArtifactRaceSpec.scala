@@ -47,6 +47,13 @@ class ArtifactRaceSpec extends AnyFunSuite {
     val louds = Seq(o1, o2).map(o =>
       "loud=(\\d+)".r.findFirstMatchIn(report(o)).map(_.group(1).toInt)
         .getOrElse(fail(s"no loud report:\n${report(o)}")))
+    // the torn-content comparison only executes on SUCCESSFUL reads: a
+    // store where every resolve fails would report loud=100 twice and
+    // pass vacuously, green-lighting a non-functional store
+    // (code-review r14)
+    assert(louds.forall(_ < 100),
+      s"every iteration failed loud ($louds of 100) — the zero-torn " +
+        "contract was never actually exercised")
     info(s"pruned=$pruned loudFailures=$louds")
   }
 
@@ -68,6 +75,12 @@ class ArtifactRaceSpec extends AnyFunSuite {
       Artifacts.loadProbeWeights(spark, path, dim = 8,
         iters = 2, splitAt = 5, labelCol = "label")
     }
-    assert(e.getMessage != null, "load after prune must throw loudly")
+    // pin that the failure is the PRUNED-DATA path (schema inference /
+    // missing files at this path), not some unrelated early error the
+    // old non-null-message check accepted (code-review r14)
+    assert(Option(e.getMessage).exists(m =>
+        m.contains(path) || m.toLowerCase.contains("schema")
+          || m.toLowerCase.contains("path")),
+      s"expected a pruned-data load failure, got: ${e.getMessage}")
   }
 }

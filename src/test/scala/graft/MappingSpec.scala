@@ -125,9 +125,13 @@ class SaltedJoinSpec extends SparkSpecBase {
 
   test("saltedJoin: hot key genuinely spreads across salts") {
     import org.apache.spark.sql.functions._
+    // drive the IMPLEMENTATION's salt expression (SkewJoin.saltExpr),
+    // not an inline replica: the old copy hashed with murmur3 while the
+    // product uses xxhash64, so a regression to a non-spreading salt
+    // would have passed undetected (code-review r14)
     val big = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "payload")
-    val spread = big.withColumn("__salt",
-        pmod(hash(big.columns.map(col).toSeq: _*), lit(8)))
+    val spread = big
+      .withColumn("__salt", graft.engine.SkewJoin.saltExpr(big, 8))
       .select(countDistinct("__salt")).collect()(0).getLong(0)
     assert(spread == 8L, s"hot key used only $spread of 8 salts")
   }

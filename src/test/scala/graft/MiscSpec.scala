@@ -14,6 +14,8 @@ class MiscSpec extends SparkSpecBase {
     // re-assert the engine-critical SQLConf settings on what comes back
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNanos = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       spark.conf.set("spark.sql.shuffle.partitions", "200")
@@ -25,6 +27,16 @@ class MiscSpec extends SparkSpecBase {
     } finally {
       spark.conf.set("spark.sql.session.timeZone", prevTz)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // restore the legacy flag too: leaving it flipped on the shared
+      // singleton changes later suites' parquet schemas (code-review
+      // r14 — the exact cross-contamination this file's tsnorm test
+      // pins against the engine)
+      prevNanos match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     }
   }
 

@@ -74,7 +74,11 @@ class PlanQualitySpec extends SparkSpecBase {
 
   test("aggregate uses map-side partial aggregation") {
     val p = planOf("a1_multi_agg")
-    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(800))
+    // TWO HashAggregate nodes = partial + final; the old fallback arm
+    // matched the final node alone, so losing map-side combining could
+    // not fail this test (code-review r14)
+    assert(p.contains("partial_sum")
+      || "HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
   }
 
   // ---- bench top-5: the heavy queries fail CI on plan regressions, not
@@ -215,7 +219,8 @@ class PlanQualitySpec extends SparkSpecBase {
   test("heavy terms: top-k plans as TakeOrdered with partial aggregation — no global sort") {
     val p = planOf("ns_heavy_terms")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
+    assert(p.contains("partial_count")
+      || "HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 

@@ -78,8 +78,12 @@ class PropertySpec extends AnyFunSuite {
 class SparkPropertySpec extends SparkSpecBase {
   import spark.implicits._
 
-  private val rng = new scala.util.Random(42)
-  private def randomDf(n: Int) = {
+  // per-FIXTURE seeds, not one shared mutable Random: a shared stream
+  // makes each test's data depend on how many draws earlier tests
+  // consumed, so a full-suite failure regenerates DIFFERENT frames
+  // under testOnly -z and becomes unreproducible (code-review r14)
+  private def randomDf(n: Int, seed: Int) = {
+    val rng = new scala.util.Random(seed)
     val rows = Seq.fill(n)((rng.nextInt(5).toLong,
       if (rng.nextBoolean()) s"  v${rng.nextInt(3)}  " else null,
       if (rng.nextBoolean()) rng.nextInt(100).toDouble else Double.NaN))
@@ -88,8 +92,8 @@ class SparkPropertySpec extends SparkSpecBase {
   }
 
   test("T1 idempotent and row-subset on random frames") {
-    (1 to 3).foreach { _ =>
-      val df = randomDf(50)
+    (1 to 3).foreach { i =>
+      val df = randomDf(50, 42 + i)
       val once = Transforms.removeDuplicates(df)
       assert(Transforms.removeDuplicates(once).count() == once.count())
       assert(once.count() <= df.count())
@@ -98,14 +102,15 @@ class SparkPropertySpec extends SparkSpecBase {
   }
 
   test("T4 idempotent; T2 then T2 is T2") {
-    val df = randomDf(50)
+    val df = randomDf(50, 46)
     val t4 = Transforms.trimWhitespace(df)
     assert(rows(Transforms.trimWhitespace(t4)) == rows(t4))
     val t2 = Transforms.removeNullRows(df)
     assert(rows(Transforms.removeNullRows(t2)) == rows(t2))
   }
 
-  private def randomDocs(n: Int) = {
+  private def randomDocs(n: Int, seed: Int) = {
+    val rng = new scala.util.Random(seed)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa")
     (0 until n).map { i =>
@@ -118,7 +123,7 @@ class SparkPropertySpec extends SparkSpecBase {
   test("sourceCap: exact per-group counts, output subset, idempotent") {
     import graft.northstar.Curation
     (1 to 3).foreach { cap =>
-      val df = randomDocs(60)
+      val df = randomDocs(60, 47)
       val out = Curation.sourceCap(df, cap)
       val expected = df.groupBy("source").count().collect()
         .map(r => r.getString(0) -> math.min(cap.toLong, r.getLong(1))).toMap
@@ -132,7 +137,7 @@ class SparkPropertySpec extends SparkSpecBase {
 
   test("oovStats: bounded by token count, zero OOV under a full vocab, monotone in K") {
     import graft.northstar.TextAnalysis
-    val df = randomDocs(40).select("doc_id", "text")
+    val df = randomDocs(40, 48).select("doc_id", "text")
     val full = TextAnalysis.oovStats(df, topK = 10000).collect()
     assert(full.nonEmpty)
     assert(full.forall(_.getAs[Long]("n_oov") == 0L),
@@ -149,7 +154,7 @@ class SparkPropertySpec extends SparkSpecBase {
   test("vocabGrowth: new terms partition the vocabulary, cumulative hits the total") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.functions.{col, explode, lower, split}
-    val df = randomDocs(50).withColumn("b", col("doc_id") % 5)
+    val df = randomDocs(50, 49).withColumn("b", col("doc_id") % 5)
     val out = TextAnalysis.vocabGrowth(df, col("b")).collect()
       .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("new_terms"),
         r.getAs[Long]("cum_vocab"))).sortBy(_._1)
@@ -352,7 +357,8 @@ class SparkPropertySpec extends SparkSpecBase {
   test("bm25 score is strictly monotone in query-term frequency on random docs") {
     import graft.northstar.TextAnalysis
     val words = Seq("cat", "dog", "fish", "bird", "lion")
-    (1 to 3).foreach { _ =>
+    (1 to 3).foreach { pass =>
+      val rng = new scala.util.Random(52 + pass)
       val docs = (1L to 20L).map { i =>
         val n = 1 + rng.nextInt(12)
         (i, Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" "))
@@ -426,6 +432,7 @@ class SparkPropertySpec extends SparkSpecBase {
 
   test("corpusDiff identities: self-diff is all kept; vs empty is all added/removed") {
     import graft.northstar.Dedup
+    val rng = new scala.util.Random(60)
     val docs = (1L to 30L).map(i =>
       (i, Seq.fill(1 + rng.nextInt(6))(s"w${rng.nextInt(9)}").mkString(" ")))
       .toDF("doc_id", "text")

@@ -13,6 +13,26 @@ class StreamingSpec extends SparkSpecBase {
 
   private def tmp() = Files.createTempDirectory("graft-stream").toString
 
+  /** Pin batch k's freshly-written part files to a deterministic mtime
+    * (base + k minutes): the sessionize tests rely on FileStreamSource's
+    * modification-time ordering to deliver batches in WRITE order, and a
+    * coarse-mtime filesystem could stamp two appends identically,
+    * reorder them, and late-drop the earlier batch's events — an
+    * intermittent exact-set assertion failure (code-review r14). Files
+    * from earlier stamped batches sit below the cutoff and are never
+    * restamped.
+    */
+  private def stampBatch(dir: String, batch: Int): Unit = {
+    val base = 1704067200000L // 2024-01-01, far below any real mtime
+    val cutoff = base + 1000L * 60 * 60
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".parquet")
+        && f.lastModified > cutoff)
+      .foreach(f => assert(f.setLastModified(base + batch * 60000L),
+        s"could not stamp ${f.getName}"))
+  }
+
   test("continuousLoad: AvailableNow drains the source once; re-run picks up only new files") {
     val src = tmp(); val dst = tmp(); val ckpt = tmp()
     val t1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
@@ -122,12 +142,16 @@ class StreamingSpec extends SparkSpecBase {
     // and late events get watermark-dropped)
     Seq((1L, t0), (1L, t0 + 10 * min), (2L, t0))
       .toDF("user_id", "event_us").coalesce(1).write.parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 1)
     Seq((1L, t0 + 2 * hour))
       .toDF("user_id", "event_us").coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 2)
     Seq((99L, t0 + 1 * day))
       .toDF("user_id", "event_us").coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 3)
     Seq((98L, t0 + 2 * day))
       .toDF("user_id", "event_us").coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 4)
 
     val schema = spark.read.parquet(s"$src/s.parquet").schema
     val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
@@ -202,12 +226,15 @@ class StreamingSpec extends SparkSpecBase {
     // far past the 30min gap); batch 3 flushes the watermark
     Seq((1L, t0 + 5 * hour))
       .toDF("user_id", "event_us").coalesce(1).write.parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 1)
     Seq((1L, t0))
       .toDF("user_id", "event_us").coalesce(1).write.mode("append")
       .parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 2)
     Seq((99L, t0 + 2 * day))
       .toDF("user_id", "event_us").coalesce(1).write.mode("append")
       .parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 3)
     val schema = spark.read.parquet(s"$src/s.parquet").schema
     val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
       maxFilesPerTrigger = 1)
@@ -243,15 +270,18 @@ class StreamingSpec extends SparkSpecBase {
     // the old code emitted the t0 segment here, unmergeable forever
     Seq((1L, t0), (1L, t0 + 1 * hour))
       .toDF("user_id", "event_us").coalesce(1).write.parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 1)
     // batch 2: a late event at t0+20min (2h lateness admits it) that
     // belongs INSIDE the first session
     Seq((1L, t0 + 20 * min))
       .toDF("user_id", "event_us").coalesce(1).write.mode("append")
       .parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 2)
     // batch 3: flush user advances the watermark past both close points
     Seq((99L, t0 + 1 * day))
       .toDF("user_id", "event_us").coalesce(1).write.mode("append")
       .parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 3)
     val schema = spark.read.parquet(s"$src/s.parquet").schema
     val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
       maxFilesPerTrigger = 1)
@@ -734,13 +764,16 @@ class StreamingSpec extends SparkSpecBase {
     // replay chunked by session round: the watermark advances between
     // micro-batches, and no user gets two sessions inside one batch (the
     // documented fold limitation of flatMapGroupsWithState batches)
-    for (s <- 0 until 3)
+    for (s <- 0 until 3) {
       evs.filter(_._1 == s).map(e => (e._2, e._3)).toDF("user_id", "event_us")
         .coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+      stampBatch(s"$src/s.parquet", s + 1)
+    }
     // flush event: pushes the final watermark past every real session's
     // close point; its own session stays open and is never emitted
     Seq((999L, t0 + 2 * day)).toDF("user_id", "event_us")
       .coalesce(1).write.mode("append").parquet(s"$src/s.parquet")
+    stampBatch(s"$src/s.parquet", 4)
 
     val schema = spark.read.parquet(s"$src/s.parquet").schema
     val stream = IncrementalStream.readTableStream(spark, src, "s", schema,
