@@ -71,12 +71,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // via the shared DevSession: Bench had drifted to omit the UTC
+    // session timezone the other entrypoints set (code-review r14)
+    val spark = DevSession.local(cpus, "graft-bench")
     // untimed warmup: JVM/codegen/scan-index initialization otherwise lands
     // on whichever query the Map iterates first
     try spark.read.parquet(s"$sfDir/nation.parquet").count()

@@ -8,21 +8,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DevSession.local("4", "graft-plans")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_flagship", "s2_scan_incremental", "j1_autojoin",
                "a1_multi_agg", "ns_knn_brute", "ns_minhash_pairs")
-    names.foreach { n =>
+    // SparkEntry.queries is a def that rebuilds the full contract map —
+    // evaluate it ONCE, and answer a typo with the near-matches instead
+    // of a bare key-not-found after full session startup that also
+    // skipped every later name and spark.stop (code-review r14)
+    val qs = SparkEntry.queries
+    try names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
-    }
-    spark.stop()
+      qs.get(n) match {
+        case Some(fn) => fn(spark, dir).explain("formatted")
+        case None =>
+          val near = qs.keys.filter(_.contains(
+            n.replaceAll("[^A-Za-z0-9_]", "").take(6))).take(8)
+          println(s"[plans] unknown query '$n'" +
+            (if (near.nonEmpty) s"; similar: ${near.mkString(", ")}"
+             else s"; ${qs.size} known queries"))
+      }
+    } finally spark.stop()
   }
 }

@@ -27,13 +27,7 @@ object ScaleProbe {
     graft.northstar.Artifacts.deleteRec(f)
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DevSession.local("8", "graft-scaleprobe")
     val dir = "/root/testdata/sf0.1"
 
     def timed(name: String)(f: => Long): Double = {

@@ -7,17 +7,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.entry(spark)
-    val n = df.count()
-    df.show(5, truncate = false)
-    println(s"[smoke] entry rows=$n " + (if (n > 0) "OK" else "EMPTY"))
+    val spark = DevSession.local("4", "graft-smoke")
+    // one execution, not two: count() and show() each re-ran the whole
+    // flagship pipeline (code-review r14); the flagship output is a
+    // small aggregate frame, so a full collect is driver-safe
+    val rows = SparkEntry.entry(spark).collect()
+    rows.take(5).foreach(r => println(s"[smoke] $r"))
+    println(s"[smoke] entry rows=${rows.length} " +
+      (if (rows.nonEmpty) "OK" else "EMPTY"))
     spark.stop()
+    // a zero-row flagship must FAIL a scripted gate ('Smoke && deploy')
+    // — the old exit 0 let it proceed on EMPTY (code-review r14)
+    if (rows.isEmpty) sys.exit(1)
   }
 }

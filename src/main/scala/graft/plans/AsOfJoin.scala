@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * row exactly at the left timestamp matches (>= semantics, like DuckDB's
   * ASOF JOIN). Callers should de-duplicate multiple right rows per
   * (key, ts) first if they need a deterministic payload choice.
+  *
+  * Schema note: left columns come back NULLABLE regardless of their
+  * input nullability — they round-trip through the union, where the
+  * right side contributes null literals. Values are never actually null
+  * beyond the input's own nulls; re-assert non-null downstream if a
+  * sink needs required fields (code-review r14, documented limitation
+  * of the union formulation).
   */
 object AsOfJoin {
 
@@ -44,13 +51,37 @@ object AsOfJoin {
     val rightPayload = right.columns.filter(c => c != rightKey && c != rightTs).toSeq
     val leftCols = left.columns.toSeq
     // fail at the API boundary, not as an ambiguous-column
-    // AnalysisException deep inside the window plan
-    val reserved = Seq("__k", "__ts", "__side", "__p")
-    require(!(leftCols ++ right.columns.toSeq).exists(reserved.contains),
+    // AnalysisException deep inside the window plan. CASE-INSENSITIVE
+    // (Spark resolution is), and __seen included — a right payload
+    // column named __seen would duplicate the struct's marker field
+    // and AMBIGUOUS_REFERENCE at the final getField (code-review r14).
+    val reserved = Seq("__k", "__ts", "__side", "__p", "__seen")
+    require(!(leftCols ++ right.columns.toSeq)
+        .exists(c => reserved.contains(c.toLowerCase(java.util.Locale.ROOT))),
       s"asofJoin reserves column names ${reserved.mkString(", ")}")
-    val clash = leftCols.intersect(rightPayload.map(rightPrefix + _))
+    val prefixedLower = rightPayload
+      .map(c => (rightPrefix + c).toLowerCase(java.util.Locale.ROOT)).toSet
+    val clash = leftCols
+      .filter(c => prefixedLower.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(clash.isEmpty,
       s"left columns collide with prefixed right payload: ${clash.mkString(", ")}")
+    // string-vs-numeric ts or key pairs would union-widen to STRING and
+    // compare LEXICOGRAPHICALLY ('99' > '100') — silently wrong matches
+    // where a real join comparison would coerce both to bigint
+    // (code-review r14); mismatched non-string pairs that cannot widen
+    // still fail loudly in unionByName
+    def noStringWiden(a: org.apache.spark.sql.types.DataType,
+                      b: org.apache.spark.sql.types.DataType,
+                      what: String): Unit =
+      require((a == org.apache.spark.sql.types.StringType)
+          == (b == org.apache.spark.sql.types.StringType),
+        s"asofJoin $what types ${a.simpleString} vs ${b.simpleString} " +
+          "would union-widen to string and compare lexicographically — " +
+          "cast one side explicitly")
+    noStringWiden(left.schema(leftTs).dataType,
+      right.schema(rightTs).dataType, "timestamp")
+    noStringWiden(left.schema(leftKey).dataType,
+      right.schema(rightKey).dataType, "key")
 
     // NULL semantics match a real (Duck-style ASOF) join: a right row
     // with a null key or null timestamp can never match anything —

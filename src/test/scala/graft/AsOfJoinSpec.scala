@@ -67,6 +67,36 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException] {
       AsOfJoin.asofJoin(l2, r, "__k", "k2", "ts", "rts")
     }.getMessage.contains("reserves"))
+    // case-insensitive (Spark resolution is): __TS used to slip past
+    // the guard and clobber/ambiguate inside the plan (code-review r14)
+    val l3 = Seq((1L, 2L, 5L)).toDF("k", "ts", "__TS")
+    assert(intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l3, r, "k", "k2", "ts", "rts")
+    }.getMessage.contains("reserves"))
+    // __seen is the payload struct's marker field — a right payload
+    // column of that name duplicated it (AMBIGUOUS_REFERENCE deep in
+    // the plan before the guard covered it)
+    val r2 = Seq((1L, 1L, 9.0)).toDF("k2", "rts", "__seen")
+    val lOk = Seq((1L, 2L)).toDF("k", "ts")
+    assert(intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(lOk, r2, "k", "k2", "ts", "rts")
+    }.getMessage.contains("reserves"))
+  }
+
+  test("string-vs-numeric ts or key pairs refuse instead of comparing lexicographically") {
+    // union widening would coerce to STRING where '99' > '100' — a
+    // silently wrong as-of match (code-review r14)
+    val l = Seq((1L, "100")).toDF("k", "ts")
+    val r = Seq((1L, 99L, 9.0)).toDF("k", "rts", "px")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l, r, "k", "k", "ts", "rts")
+    }
+    assert(e.getMessage.contains("lexicographically"), e.getMessage)
+    val l2 = Seq(("1", 100L)).toDF("k", "ts")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l2, r, "k", "k", "ts", "rts")
+    }
+    assert(e2.getMessage.contains("lexicographically"), e2.getMessage)
   }
 
   test("matches the quadratic reference implementation on a larger frame") {
