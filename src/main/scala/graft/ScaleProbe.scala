@@ -282,6 +282,38 @@ object ScaleProbe {
         replicate(docs1, 10, "doc_id", 1000000L), threshold = 0.5).count()
     }
     println(f"[scale] incomingNearDup 10x-corpus ratio ${ni10 / ni1}%.1fx (linear-ish expected)")
+
+    // streamingMerge per-batch cost (code-review r14): the static
+    // side's fingerprint+distinct is persisted on first use, so batch 1
+    // pays the corpus pass and batches 2+ must probe the cache —
+    // per-batch work proportional to the STREAM side. Batch-mode stand-
+    // in for the stream-static anti-join (identical plan shape; the
+    // correctness twin is StreamingSpec's stream==batch parity).
+    {
+      val big = replicate(docs1, 10, "doc_id", 1000000L)
+      def batch(start: Long): DataFrame = docs1.limit(100)
+        .select((col("doc_id") + start).as("doc_id"),
+          concat(lit(s"fresh$start "), col("text")).as("text"))
+      val fps = Dedup.trackedPersist(
+        big.select(org.apache.spark.sql.functions.coalesce(
+          graft.northstar.TextAnalysis.fingerprint(col("text")),
+          lit("__null_text__")).as("__fp")).distinct())
+      val b1 = timed("mergeScreen batch 1 (pays corpus)") {
+        batch(20000000L).withColumn("__fp",
+            graft.northstar.TextAnalysis.fingerprint(col("text")))
+          .join(fps, Seq("__fp"), "left_anti").count()
+      }
+      val b2 = timed("mergeScreen batch 2 (cache hit)") {
+        batch(30000000L).withColumn("__fp",
+            graft.northstar.TextAnalysis.fingerprint(col("text")))
+          .join(fps, Seq("__fp"), "left_anti").count()
+      }
+      println(f"[scale] mergeScreen batch2/batch1      ${b2 / b1}%.2fx " +
+        "(<<1x expected: batches after the first skip the corpus pass)")
+      assert(b2 < b1,
+        "persisted fingerprint set did not make later batches cheaper")
+      spark.catalog.clearCache()
+    }
     // same nightly-ingest screen against a MATERIALIZED band index (the
     // r7 write-once artifact): probe cost = incoming signature build +
     // one equi-join vs the stored parquet — corpus growth should show up
