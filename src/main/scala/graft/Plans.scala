@@ -23,8 +23,12 @@ object Plans {
       qs.get(n) match {
         case Some(fn) => fn(spark, dir).explain("formatted")
         case None =>
-          val near = qs.keys.filter(_.contains(
-            n.replaceAll("[^A-Za-z0-9_]", "").take(6))).take(8)
+          // an empty normalized fragment matches EVERY name — list the
+          // count instead of 8 arbitrary "similar" queries
+          val frag = n.replaceAll("[^A-Za-z0-9_]", "").take(6)
+          val near =
+            if (frag.isEmpty) Nil
+            else qs.keys.filter(_.contains(frag)).take(8).toSeq
           println(s"[plans] unknown query '$n'" +
             (if (near.nonEmpty) s"; similar: ${near.mkString(", ")}"
              else s"; ${qs.size} known queries"))

@@ -310,9 +310,17 @@ object ScaleProbe {
       }
       println(f"[scale] mergeScreen batch2/batch1      ${b2 / b1}%.2fx " +
         "(<<1x expected: batches after the first skip the corpus pass)")
-      assert(b2 < b1,
-        "persisted fingerprint set did not make later batches cheaper")
-      spark.catalog.clearCache()
+      // tripwire with noise headroom (measured 0.13x): a dropped
+      // persist makes BOTH batches pay the corpus pass (ratio ~1), so
+      // 0.6 catches the regression without aborting the remaining
+      // probe sections over a GC pause (code-review r14, third pass)
+      assert(b2 < b1 * 0.6,
+        f"persisted fingerprint set did not make later batches cheaper " +
+          f"(batch2/batch1 = ${b2 / b1}%.2f)")
+      // release just THIS probe's frame: a session-wide clearCache
+      // would evict caches other sections still reuse and skew their
+      // timings (code-review r14, third pass)
+      fps.unpersist(blocking = false)
     }
     // same nightly-ingest screen against a MATERIALIZED band index (the
     // r7 write-once artifact): probe cost = incoming signature build +

@@ -38,18 +38,23 @@ object GraftSession {
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")
-    val changed = wanted.flatMap { case (key, value) =>
+    val changed = scala.collection.mutable.ArrayBuffer.empty[String]
+    wanted.foreach { case (key, value) =>
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, value)
-      if (prev.exists(_ != value)) Some(s"$key: ${prev.get} -> $value")
-      else None
+      if (prev.exists(_ != value)) changed += s"$key: ${prev.get} -> $value"
+    }
+    // the shuffle-partitions override joins the same named report — it
+    // was the one silent mutation left after the warning was added
+    // (code-review r14, third pass)
+    if (spark.conf.get("spark.sql.shuffle.partitions") == "200") {
+      spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
+      changed += s"spark.sql.shuffle.partitions: 200 -> $cores"
     }
     if (changed.nonEmpty)
       Console.err.println(
         "[graft] WARN: reusing an existing session; overrode session " +
           s"configs (${changed.mkString("; ")})")
-    if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
-      spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
     if (spark.sparkContext.master != s"local[$cores]")
       Console.err.println(
         s"[graft] WARN: reusing existing session with master " +

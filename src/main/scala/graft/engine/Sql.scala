@@ -109,16 +109,26 @@ object Sql {
     var i = 0
     var start = -1
     var inComment = false
+    // line-START comments only in the prose region: the sentinel shape
+    // is a line beginning with "--", while a mid-line double-hyphen in
+    // model chatter ("Sure -- SELECT a FROM t;") is a prose dash whose
+    // statement must still extract (code-review r14, third pass). The
+    // post-SELECT terminator scan below keeps full mid-line "--"
+    // semantics — there it IS SQL.
+    var atLineStart = true
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     while (start < 0 && i < s.length) {
       val ch = s.charAt(i)
-      if (inComment) { if (ch == '\n') inComment = false }
-      else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+      if (inComment) { if (ch == '\n') { inComment = false; atLineStart = true } }
+      else if (atLineStart && ch == '-' && i + 1 < s.length
+          && s.charAt(i + 1) == '-') {
         inComment = true; i += 1
       } else if ((ch == 'S' || ch == 's')
           && s.regionMatches(true, i, "SELECT", 0, 6)
           && (i == 0 || !isWord(s.charAt(i - 1)))
           && (i + 6 >= s.length || !isWord(s.charAt(i + 6)))) start = i
+      else if (ch == '\n') atLineStart = true
+      else if (!Character.isWhitespace(ch)) atLineStart = false
       i += 1
     }
     if (start < 0) return None

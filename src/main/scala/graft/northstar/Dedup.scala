@@ -1073,10 +1073,24 @@ object Dedup {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return 0
     val now = System.currentTimeMillis()
+    // age from the NEWEST timestamp visible for the snapshot — the dir
+    // mtime AND its direct children's: object stores (S3A) report 0
+    // for directory mtimes, which made every snapshot look infinitely
+    // old and the "age-gated" sweep delete a CONCURRENT run's live
+    // snapshots (code-review r14, third pass). A snapshot with no
+    // usable timestamp at all is conservatively KEPT.
+    def newestStamp(dir: org.apache.hadoop.fs.Path): Long = {
+      val own = fs.getFileStatus(dir).getModificationTime
+      val kids = fs.listStatus(dir).map(_.getModificationTime)
+      (own +: kids.toSeq).max
+    }
     fs.listStatus(p).iterator
       .filter(st => st.isDirectory
-        && st.getPath.getName.startsWith("cc-snap-")
-        && now - st.getModificationTime > olderThanMs)
+        && st.getPath.getName.startsWith("cc-snap-"))
+      .filter { st =>
+        val stamp = newestStamp(st.getPath)
+        stamp > 0L && now - stamp > olderThanMs
+      }
       .count(st => fs.delete(st.getPath, true))
   }
 

@@ -70,6 +70,15 @@ object AsOfJoin {
     // where a real join comparison would coerce both to bigint
     // (code-review r14); mismatched non-string pairs that cannot widen
     // still fail loudly in unionByName
+    // CASE-INSENSITIVE field lookup like Spark's own resolution: a
+    // strict StructType.apply would crash calls ("Ts" vs "ts") that the
+    // join itself accepts (code-review r14, third pass)
+    def fieldType(df: DataFrame, name: String,
+                  side: String): org.apache.spark.sql.types.DataType =
+      df.schema.fields
+        .find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asofJoin: column $name not found on the $side side"))
     def noStringWiden(a: org.apache.spark.sql.types.DataType,
                       b: org.apache.spark.sql.types.DataType,
                       what: String): Unit =
@@ -78,10 +87,10 @@ object AsOfJoin {
         s"asofJoin $what types ${a.simpleString} vs ${b.simpleString} " +
           "would union-widen to string and compare lexicographically — " +
           "cast one side explicitly")
-    noStringWiden(left.schema(leftTs).dataType,
-      right.schema(rightTs).dataType, "timestamp")
-    noStringWiden(left.schema(leftKey).dataType,
-      right.schema(rightKey).dataType, "key")
+    noStringWiden(fieldType(left, leftTs, "left"),
+      fieldType(right, rightTs, "right"), "timestamp")
+    noStringWiden(fieldType(left, leftKey, "left"),
+      fieldType(right, rightKey, "right"), "key")
 
     // NULL semantics match a real (Duck-style ASOF) join: a right row
     // with a null key or null timestamp can never match anything —

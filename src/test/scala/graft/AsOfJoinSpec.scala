@@ -97,6 +97,11 @@ class AsOfJoinSpec extends SparkSpecBase {
       AsOfJoin.asofJoin(l2, r, "k", "k", "ts", "rts")
     }
     assert(e2.getMessage.contains("lexicographically"), e2.getMessage)
+    // the guard's lookup is case-insensitive like Spark's resolution:
+    // a case-mismatched name must not crash a join that itself works
+    val lc = Seq((1L, 100L)).toDF("k", "Ts")
+    val out = AsOfJoin.asofJoin(lc, r, "k", "k", "ts", "rts")
+    assert(out.count() == 1)
   }
 
   test("matches the quadratic reference implementation on a larger frame") {

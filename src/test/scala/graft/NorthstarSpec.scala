@@ -440,6 +440,28 @@ class DedupSpec extends SparkSpecBase {
     assert(cc == Set(1L))
   }
 
+  test("cleanCcSnapshots reclaims only snapshots older than the gate") {
+    val tmp = java.nio.file.Files.createTempDirectory("cc-clean").toString
+    // two runs accumulate two retained final snapshots
+    Dedup.connectedComponents(Seq((1L, 2L)).toDF("doc_a", "doc_b"),
+      checkpointDir = Some(tmp)).count()
+    Dedup.connectedComponents(Seq((3L, 4L)).toDF("doc_a", "doc_b"),
+      checkpointDir = Some(tmp)).count()
+    def snaps = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("cc-snap-"))
+    assert(snaps.length == 2)
+    // both are fresh: a 1h gate deletes nothing (concurrency safety)
+    assert(Dedup.cleanCcSnapshots(tmp, olderThanMs = 3600 * 1000L) == 0)
+    // age ONE of them (dir + children — the S3A-safe gate takes the
+    // newest visible stamp) and sweep it
+    val old = snaps.head
+    val past = System.currentTimeMillis() - 48L * 3600 * 1000
+    (old +: Option(old.listFiles()).getOrElse(Array.empty).toSeq)
+      .foreach(f => assert(f.setLastModified(past)))
+    assert(Dedup.cleanCcSnapshots(tmp, olderThanMs = 3600 * 1000L) == 1)
+    assert(snaps.length == 1)
+  }
+
   test("two CC runs sharing a checkpointDir keep both result frames consumable") {
     // pre-r14 both runs wrote the SAME cc-snap-N paths: the second run
     // overwrote (then cleaned) the first's retained final snapshot, so

@@ -73,6 +73,11 @@ class SqlSpec extends SparkSpecBase {
       == Some("SELECT * FROM t WHERE note = 'a\n-- b\nc';"))
     assert(Sql.extractSelect("SELECT a FROM t -- trailing; note\nWHERE b = 1;")
       == Some("SELECT a FROM t -- trailing; note\nWHERE b = 1;"))
+    // a mid-line double-hyphen in PROSE is a dash, not a comment — the
+    // statement after it must extract; only line-START "--" marks the
+    // sentinel/comment shape in the pre-SELECT region
+    assert(Sql.extractSelect("Sure -- SELECT a FROM t;")
+      == Some("SELECT a FROM t;"))
   }
 
   test("Q3 saveGold + default name format") {
