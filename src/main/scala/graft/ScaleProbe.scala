@@ -30,6 +30,12 @@ object ScaleProbe {
     val spark = DevSession.local("8", "graft-scaleprobe")
     val dir = "/root/testdata/sf0.1"
 
+    if (args.contains("hier-only")) {   // fast path for iterating on r15
+      hierarchicalIvfProbe(spark)
+      spark.stop()
+      return
+    }
+
     def timed(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
       val n = f
@@ -1044,6 +1050,89 @@ object ScaleProbe {
       assignCorpus.unpersist(blocking = false)
       ()
     }
+
+    hierarchicalIvfProbe(spark)
     spark.stop()
+  }
+
+  /** r15 (VERDICT r14 task 1): the hierarchical broadcast-relation
+    * quantizer past `Ivf.MaxAutoCells`, probed at 1M rows × 8192 cells —
+    * double the literal ceiling. Synthetic clustered corpus (8192
+    * angularly-distinct cluster centers, ±0.05 per-component noise) so
+    * recall against brute force is a meaningful quality signal, unlike
+    * the near-orthogonal testdata embeddings. Asserts:
+    *   (a) the assignment plan is a BroadcastHashJoin — the centroid set
+    *       reaches executors via torrent broadcast, not a 256k-float
+    *       expression literal;
+    *   (b) recall@10 over 64 held-in queries ≥ 0.5 (measured well above);
+    *   (c) the auto dispatch selects the hierarchical family at this
+    *       cell count.
+    */
+  private def hierarchicalIvfProbe(spark: SparkSession): Unit = {
+    import graft.northstar.Ivf
+    def timed[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] hier-ivf $name%-22s $secs%.1f s")
+      (r, secs)
+    }
+    val nClusters = 8192
+    val n = 1 << 20   // 1,048,576 rows, 128 per cluster
+    val dim = 8
+    val g = col("id") % nClusters
+    val emb = array((0 until dim).map { i =>
+      // center: deterministic angular spread; noise: hash-derived ±0.05
+      (sin((g + 1) * lit(2.17 + i)) +
+        (pmod(hash(col("id"), lit(i)), lit(1000)) / 1000.0 - 0.5) * 0.1)
+        .cast("float")
+    }: _*)
+    val corpus = spark.range(n)
+      .select(col("id").as("vec_id"), emb.as("embedding"))
+      .persist()
+    corpus.count()
+
+    val (quant, _) = timed("fit (1 Lloyd iter)") {
+      Ivf.fitHierarchical(corpus, nCells = nClusters, iters = 1)
+    }
+    // (c) the auto rule at a 1B-row corpus wants 31623 cells — past the
+    // literal ceiling, so dispatch must pick this family
+    assert(Ivf.autoNCellsUnbounded(1000000000L) > Ivf.MaxAutoCells)
+    println(s"[scale] hier-ivf nSuper=${quant.nSuper} " +
+      s"superProbe=${quant.superProbe} nCells=${quant.nCells} " +
+      s"nProbe(auto)=${Ivf.autoNProbe(quant.nCells)}")
+
+    // (a) plan shape: broadcast join, not a literal kernel
+    val assignPlan = Ivf.assignCellsJoin(corpus, quant)
+      .queryExecution.executedPlan.toString
+    assert(assignPlan.contains("BroadcastHashJoin"),
+      "hierarchical assignment must be a BroadcastHashJoin:\n" +
+        assignPlan.take(2000))
+    println("[scale] hier-ivf assignment plan: BroadcastHashJoin OK")
+
+    // queries: 64 corpus points, re-identified so self-pairs don't hide
+    val queries = corpus.filter(col("vec_id") % (n / 64) === 0)
+      .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      .persist()
+    val nq = queries.count()
+
+    val (ann, _) = timed(s"search ($nq queries)") {
+      val r = Ivf.ivfTopKHier(queries, corpus, quant, k = 10)
+      r.count()
+      r
+    }
+    val (brute, _) = timed("brute-force oracle") {
+      graft.northstar.Similarity.bruteForceTopK(queries, corpus, k = 10)
+    }
+    val a = ann.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = brute.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (a & b).size.toDouble / b.size
+    println(f"[scale] hier-ivf recall@10 $recall%.3f " +
+      f"(scan fraction ~${Ivf.autoNProbe(quant.nCells).toDouble / quant.nCells}%.4f)")
+    assert(recall >= 0.5, f"hierarchical IVF recall@10 $recall%.3f < 0.5")
+    corpus.unpersist(blocking = false)
+    queries.unpersist(blocking = false)
   }
 }

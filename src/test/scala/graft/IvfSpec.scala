@@ -298,4 +298,68 @@ class IvfSpec extends SparkSpecBase {
     assert(c2(1) == Seq(900000L, 900000L))
     assert(c2(0) == Seq(5000L, 6000L)) // all four points: mean (.5, .6)
   }
+
+  // ---- hierarchical (broadcast-relation) quantizer, r15 ----
+
+  test("hierarchical assignment with full supercell probing IS cellOf, " +
+       "and the plan is a BroadcastHashJoin, not a literal") {
+    import org.apache.spark.sql.functions.col
+    // superProbe == nSuper admits every centroid as a candidate, so the
+    // broadcast-join argmax must reproduce the fused literal kernel's
+    // assignment EXACTLY (same cosine kernel, same tie-to-higher-cell)
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val viaJoin = Ivf.assignCellsJoin(emb, hq)
+    val plan = viaJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val joinCells = viaJoin.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernelCells = emb.select(col("vec_id"),
+        Ivf.cellOf(col("embedding"), centroids).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(joinCells == kernelCells)
+  }
+
+  test("ivfTopKHier with full supercell probing row-equals ivfTopK") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val q = emb.filter(col("vec_id") < 5)
+    val viaHier = rows(Ivf.ivfTopKHier(q, emb, hq, k = 10, nProbe = 4))
+    val viaLit = rows(Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 4))
+    assert(viaHier == viaLit)
+    // the CoarseQuantizer dispatch hits the same paths
+    assert(rows(Ivf.ivfTopK(q, emb, Ivf.LiteralQuantizer(centroids),
+      10, 4, "vec_id", "embedding", 100000)) == viaLit)
+    assert(rows(Ivf.ivfTopK(q, emb, hq,
+      10, 4, "vec_id", "embedding", 100000)) == viaHier)
+  }
+
+  test("fitQuantizer: literal family under MaxAutoCells, hierarchical past it") {
+    import org.apache.spark.sql.functions.col
+    assert(Ivf.fitQuantizer(emb, nCells = 4)
+      .isInstanceOf[Ivf.LiteralQuantizer])
+    // the unbounded √N rule past the ceiling selects the hierarchical
+    // family (nCells survives unclamped — the whole point of the path)
+    assert(Ivf.autoNCellsUnbounded(1000000000L) == 31623)
+    assert(Ivf.autoNCells(1000000000L) == Ivf.MaxAutoCells)
+    val hq = Ivf.fitQuantizer(emb, nCells = Ivf.MaxAutoCells + 1)
+    assert(hq.isInstanceOf[Ivf.HierarchicalQuantizer])
+    assert(hq.asInstanceOf[Ivf.HierarchicalQuantizer].nCells ==
+      Ivf.MaxAutoCells + 1)
+    // degenerate nCells >> corpus still searches correctly: with FULL
+    // supercell probing and exhaustive nProbe (every cell holds ≤1
+    // vector) the candidate set is the whole corpus, so the result must
+    // be EXACTLY brute force — the ns_knn_ivf_exhaustive identity on the
+    // hierarchical path
+    val hqFull = hq.asInstanceOf[Ivf.HierarchicalQuantizer]
+    val q = emb.filter(col("vec_id") < 3)
+    val hier = rows(Ivf.ivfTopKHier(q, emb,
+      hqFull.copy(superProbe = hqFull.nSuper), k = 5,
+      nProbe = Ivf.MaxAutoCells + 1))
+    val brute = rows(Similarity.bruteForceTopK(q, emb, k = 5))
+    assert(hier == brute)
+  }
 }
