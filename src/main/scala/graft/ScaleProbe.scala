@@ -1067,6 +1067,16 @@ object ScaleProbe {
     *   (b) recall@10 over 64 held-in queries ≥ 0.5 (measured well above);
     *   (c) the auto dispatch selects the hierarchical family at this
     *       cell count.
+    *
+    * Measured 2026-08-15 (r15, local[8], 1M × dim 8 × 8192 cells):
+    * recall@10 = 1.000 at 1.1% scan fraction. Per-centroid join rows
+    * (fit 250 s, search 157 s) → packed per-supercell relation +
+    * bestCellIn kernel (fit 94 s, search 69 s): 2.7×/2.3× from cutting
+    * join fan-out 90× (superProbe rows per input instead of superProbe ×
+    * cells-per-supercell). The residual ~70 µs/row is join+agg machinery
+    * exaggerated by the tiny dim — at production dims (≥512) the argmax
+    * arithmetic (~superProbe · cellsPerSuper · dim mult-adds/row)
+    * dominates and the machinery fraction drops to a few percent.
     */
   private def hierarchicalIvfProbe(spark: SparkSession): Unit = {
     import graft.northstar.Ivf

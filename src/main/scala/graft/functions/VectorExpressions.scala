@@ -536,6 +536,64 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** Best (cosine, cell) of `v` among a PACKED per-row centroid group:
+    * `flat` is the [n][dim] flattened sub-matrix of one supercell's
+    * centroids and `cells` their global cell ids (Ivf's hierarchical
+    * broadcast relation). Unlike [[nearestCells]] the matrix is PER-ROW
+    * JOIN DATA, not a plan literal, so there is no identity cache —
+    * norms are accumulated inline, one pass, no allocation beyond the
+    * 2-field result. Arithmetic replays [[cosine]]'s fold order
+    * bit-for-bit and ties break to the HIGHER cell, so a fold over
+    * groups (`max` on the (sim, cell) struct — Spark's nan-safe double
+    * ordering is exactly [[cmpSql]]) reproduces [[nearestCells]]'
+    * argmax over the union of the groups.
+    */
+  def bestCellIn(v: ArrayData, flat: ArrayData,
+                 cells: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = v.numElements()
+    val nc = cells.numElements()
+    if (flat.numElements() != nc * dim)
+      throw new IllegalArgumentException(
+        s"packed centroid shape mismatch: vector dim $dim vs " +
+          s"${flat.numElements()} floats for $nc cells (expected " +
+          s"${nc * dim}; were the centroids fit on a different dim?)")
+    if (nc == 0) return null
+    var na = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    val sqna = math.sqrt(na)
+    var bestSim = 0.0
+    var bestCell = 0
+    var first = true
+    var c = 0
+    while (c < nc) {
+      var dot = 0.0
+      var nb = 0.0
+      var ii = 0
+      val base = c * dim
+      while (ii < dim) {
+        val y = flat.getFloat(base + ii).toDouble
+        dot += v.getFloat(ii).toDouble * y
+        nb += y * y
+        ii += 1
+      }
+      val d = sqna * math.sqrt(nb)
+      val sim = if (d == 0.0) 0.0 else dot / d
+      val cell = cells.getInt(c)
+      val cmp = if (first) 1 else cmpSql(sim, bestSim)
+      if (cmp > 0 || (cmp == 0 && cell > bestCell)) {
+        bestSim = sim; bestCell = cell; first = false
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSim, bestCell))
+  }
+
   /** FLOAT plane rows for the sub-cell split family: the compose form
     * built each plane as `planeComponent(i, p, table).toFloat` inside a
     * typedLit, so the kernel must reproduce the float-rounded values —
@@ -796,6 +854,40 @@ case class NearestCells(left: Expression, right: Expression, nCells: Int,
     copy(left = newLeft, right = newRight)
 }
 
+/** best_cell_in(array<float>, flat array<float>, cells array<int>) →
+  * struct<sim double, cell int>: argmax cosine over a PACKED per-row
+  * centroid group (see VecOps.bestCellIn). The hierarchical-IVF
+  * assignment kernel: the centroid matrix arrives as broadcast-join DATA
+  * (one packed row per supercell), so the join fan-out is superProbe
+  * rows per input instead of superProbe × cells-per-supercell, and the
+  * inner argmax loop stays primitive inside whole-stage codegen.
+  */
+case class BestCellIn(first: Expression, second: Expression,
+                      third: Expression)
+    extends TernaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), ArrayType(IntegerType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("sim", DoubleType, nullable = false),
+    StructField("cell", IntegerType, nullable = false)))
+  // nc == 0 returns null (an empty packed group has no argmax)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, flat: Any, cells: Any): Any =
+    VecOps.bestCellIn(v.asInstanceOf[ArrayData], flat.asInstanceOf[ArrayData],
+      cells.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, flat, cells) => {
+      s"""
+         |${ev.value} = graft.functions.VecOps.bestCellIn($v, $flat, $cells);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BestCellIn =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** subcell_bits(array<float>, cell int) → long: the mega-cell secondary
   * split key (see VecOps.subcellBits). The split policy — which cells,
   * how many bits, the centroid-centered thresholds — is driver-derived
@@ -978,6 +1070,8 @@ object vectors {
                     nProbe: Int): Column =
     Bridge.column(NearestCells(ex(v),
       requireConstant(centroids, "nearest_cells centroids"), nCells, nProbe))
+  def best_cell_in(v: Column, flat: Column, cells: Column): Column =
+    Bridge.column(BestCellIn(ex(v), ex(flat), ex(cells)))
   def subcell_bits(v: Column, cell: Column, splitCells: Array[Int],
                    bits: Array[Int], thresholds: Array[Double],
                    table: Int): Column =
