@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   *     also carries `shuffle_bytes` — per-query shuffle read/write
   *     bytes per execution (task-end listener, window = the timed
   *     reps / reps), so a plan regression that doubles shuffle volume
-  *     is a diffable number even when sf0.1 wall time hides it.
+  *     is a diffable number even when sf0.1 wall time hides it. Since
+  *     r15 it also carries `rep_stats` (per-query min/max/stddev over
+  *     the timed reps) so a round-over-round median delta can be
+  *     classified: inside the min-to-median spread = environment noise,
+  *     outside = a real plan/code change.
   *   - stdout line 1: `"metric":"total_full"` with ALL per-query times
   *     (head-truncated in a 2000-char tail at 114 queries — ~4 KB —
   *     but the visible fragment still carries ~half the per-query map).
@@ -177,9 +181,10 @@ object Bench {
       drain()
       val perRep = (n: Long) => n / reps
       name -> (if (broke) -1.0 else times(times.size / 2),
-        perRep(shufRead.get - read0), perRep(shufWrite.get - write0))
+        perRep(shufRead.get - read0), perRep(shufWrite.get - write0),
+        if (broke) Seq.empty[Double] else times)
     }
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries ride as -1 in the per-query map (visible, never a
     // phantom speedup) and stay out of the total
@@ -189,11 +194,28 @@ object Bench {
     // per-query shuffle bytes ride ONLY in the full artifact (the
     // driver's tail window is too small); "read"/"write" are per-
     // execution bytes, diffable round-over-round like the wall times
-    val shuf = results.map { case (k, (_, r, w)) =>
+    val shuf = results.map { case (k, (_, r, w, _)) =>
       s"\"" + k + "\":{\"read\":" + r + ",\"write\":" + w + "}"
     }.mkString("{", ",", "}")
+    // per-query rep spread (VERDICT r14 task 4): without min/stddev next
+    // to the median, round-over-round drift and a real regression are
+    // indistinguishable — the r14 snapshots moved 67.5→79.1 s on mostly
+    // non-plan commits and the q1_flagship delta could not be classified.
+    // The MIN is the best noise-floor estimate (machine contention only
+    // ever adds time); a round delta on medians that stays inside the
+    // min-to-median spread is environment, not plan.
+    val repStats = results.map { case (k, (_, _, _, ts)) =>
+      if (ts.isEmpty) s"\"" + k + "\":{}"
+      else {
+        val mean = ts.sum / ts.size
+        val std = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+        val r3 = (x: Double) => math.round(x * 1000) / 1000.0
+        s"\"" + k + "\":{\"min\":" + r3(ts.min) + ",\"max\":" + r3(ts.max) +
+          ",\"std\":" + r3(std) + "}"
+      }
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"rep_stats":$repStats,"sf":"$sfDir"}"""
     // the STDOUT copy of the full line stays times-only: ~5 KB of
     // shuffle_bytes between the queries map and end-of-line would push
     // every per-query time out of the driver's 2000-char tail window
@@ -204,7 +226,7 @@ object Bench {
     // the contract line: top-40 slowest queries at 3 decimals keeps it
     // ~1.2 KB — comfortably inside the driver's 2000-char tail window
     val top = results.toSeq.sortBy(-_._2._1).take(40)
-      .map { case (k, (v, _, _)) =>
+      .map { case (k, (v, _, _, _)) =>
         s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val contractLine =
@@ -224,7 +246,7 @@ object Bench {
     }
     // top shuffle writers, human-readable (stderr: stdout's last line
     // must stay the contract line)
-    results.toSeq.sortBy(-_._2._3).take(5).foreach { case (k, (_, r, w)) =>
+    results.toSeq.sortBy(-_._2._3).take(5).foreach { case (k, (_, r, w, _)) =>
       Console.err.println(
         f"[bench] shuffle $k%-28s write=${w / 1048576.0}%.1f MiB " +
           f"read=${r / 1048576.0}%.1f MiB")

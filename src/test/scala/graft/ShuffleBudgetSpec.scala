@@ -1,0 +1,99 @@
+package graft
+
+/** Shuffle-byte budgets for the contract's top shufflers (VERDICT r14
+  * task 3): Bench records per-query shuffle bytes since r14, but nothing
+  * FAILED when they grew — a plan regression that doubles shuffle volume
+  * could ride three rounds before a judge diffed the numbers. Each query
+  * here executes once untimed (artifact build / JIT / cache warm-up —
+  * the same discipline as Bench's measurement window), then once
+  * measured, and the per-execution shuffle-WRITE bytes must stay under a
+  * pinned ceiling.
+  *
+  * Ceilings are calibrated at sf0.01 (the oracle scale; local[4], 4
+  * shuffle partitions) at ~2× the values measured 2026-08-15 — generous
+  * enough for compression/partitioning wobble, tight enough that a
+  * shape regression (an unpushed filter, a lost semi-join cap, a raw
+  * column riding a shuffle that used to ship digests) fails here first.
+  * Measured baselines are recorded next to each ceiling; re-calibrate
+  * deliberately when a query's output domain legitimately grows.
+  */
+class ShuffleBudgetSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.01"
+  private val written = new java.util.concurrent.atomic.AtomicLong
+
+  private lazy val listenerReady: Unit =
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            written.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
+      })
+
+  private def drain(): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
+      spark.sparkContext)
+
+  /** Per-execution shuffle-write MiB of a contract query at sf0.01,
+    * measured on the SECOND execution (the first warms artifacts and
+    * codegen, and releases its persisted blocks, exactly like Bench's
+    * window).
+    */
+  private def measuredMiB(name: String): Double = {
+    listenerReady
+    val fn = SparkEntry.queries(name)
+    fn(spark, sf).count()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    drain()
+    val w0 = written.get
+    fn(spark, sf).count()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    drain()
+    (written.get - w0) / 1048576.0
+  }
+
+  /** (query, ceiling MiB, measured-at-calibration MiB). The measured
+    * column is documentation — the assertion is only the ceiling.
+    */
+  private val budgets: Seq[(String, Double, Double)] = Seq(
+    // the winnow family ships (fingerprint, position) sketch rows — its
+    // output domain — never raw text; the append/remove lifecycle rows
+    // add the difference-rebuild exchange
+    ("ns_winnow_pairs", 2.0, 0.813),
+    ("ns_winnow_append", 2.0, 0.833),
+    ("ns_winnow_remove", 3.0, 1.317),
+    ("ns_winnow_incoming", 1.0, 0.340),
+    // substring overlap ships capped (gram, doc, pos) buckets
+    ("ns_substring_overlap", 2.5, 0.964),
+    // as-of join shuffles both sides on the join key once
+    ("x_asof_join", 1.5, 0.584),
+    // LSH exhaustive ships RAW VECTORS through the bucket join — the
+    // documented worst case the PQ family exists to avoid
+    ("ns_knn_lsh_exhaustive", 1.5, 0.655),
+    ("ns_neardup_collapse", 0.8, 0.244),
+    ("ns_source_overlap", 1.5, 0.515),
+    ("ns_mmr_ann", 1.5, 0.562),
+    // the IVF-PQ family's whole point: probe shuffles ship m-byte codes,
+    // not vectors — two orders of magnitude under the LSH-exhaustive row
+    ("ns_knn_ivfpq", 0.05, 0.004),
+    ("ns_knn_ivfpq_serve", 0.05, 0.009),
+  )
+
+  budgets.foreach { case (name, ceilMiB, _) =>
+    test(f"$name shuffle-write <= $ceilMiB%.1f MiB at sf0.01") {
+      val got = measuredMiB(name)
+      info(f"$name measured $got%.3f MiB (ceiling $ceilMiB%.1f)")
+      assert(got <= ceilMiB,
+        f"$name shuffled $got%.2f MiB, budget $ceilMiB%.1f MiB — a plan " +
+          "regression (unpushed filter / lost cap / raw columns riding " +
+          "a shuffle) or a deliberate output-domain growth; re-calibrate " +
+          "only for the latter")
+    }
+  }
+}
