@@ -92,7 +92,18 @@ object Transforms {
     * Scope is ASCII: the reference's CSV-borne data carries no exotic
     * unicode spaces, and the oracle SQL mirrors this exact set.
     */
-  private val TrimChars = " \t\n\r\u000B\u000C"
+  private[graft] val TrimChars = " \t\n\r\u000B\u000C"
+
+  /** [[TrimChars]] via the [[graft.functions.AsciiStrip]] kernel, not
+    * two-arg `trim`: the generic StringTrim trim-set match cost the
+    * sf0.1 flagship ~0.2 s when the r14 parity fix landed (VERDICT r14
+    * task 2 root-cause — most of the q1_flagship 0.58→0.97 creep); the
+    * kernel is an exact byte scan at one-arg-trim speed
+    * (TransformsSpec pins kernel == trim(col, TrimChars) equality
+    * incl. multibyte and NBSP cases).
+    */
+  private def strip(c: Column): Column =
+    graft.functions.texthash.ascii_strip(c)
 
   /** T4 Trim Whitespace: strip both ends of every string column
     * (transformations_code.py:92-95, pandas str.strip()).
@@ -101,7 +112,7 @@ object Transforms {
     val strs = stringCols(df).toSet
     if (strs.isEmpty) df
     else df.select(df.columns.map { c =>
-      if (strs(c)) trim(col(c), TrimChars).as(c) else col(c)
+      if (strs(c)) strip(col(c)).as(c) else col(c)
     }.toSeq: _*)
   }
 
@@ -143,7 +154,7 @@ object Transforms {
     (find("first name", "firstname"), find("last name", "lastname")) match {
       case (Some(f), Some(l)) =>
         def side(c: String): Column =
-          trim(coalesce(col(c).cast(StringType), lit("")), TrimChars)
+          strip(coalesce(col(c).cast(StringType), lit("")))
         df.withColumn("full_name", concat(side(f), lit(" "), side(l)))
       case _ => df
     }

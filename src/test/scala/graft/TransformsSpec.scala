@@ -151,6 +151,36 @@ class TransformsSpec extends SparkSpecBase {
     val t4 = Transforms.trimWhitespace(people)
     assert(rows(Transforms.trimWhitespace(t4)) == rows(t4))
   }
+
+  test("ascii_strip kernel == trim(col, TrimChars): tabs, VT/FF, multibyte, NBSP kept") {
+    import org.apache.spark.sql.functions.{col, trim}
+    import spark.implicits._
+    // the T4 strip set, as both the r14-parity two-arg trim and the r15
+    // byte-scan kernel — the kernel exists for speed (flagship ~0.2 s at
+    // sf0.1), so its contract is exact equality with the generic form
+    val cases = Seq(
+      "  x  ", "\tx\t", "x\t", "\n\r x y ", "", "   ",
+      "\t\n\r", "héllo wörld ", " é世界\n",
+      // NBSP (U+00A0) and ideographic space (U+3000) are NOT in the set
+      // and must survive on both sides
+      "\u00A0x\u00A0", "\u3000y\u3000", " \u00A0z\u00A0 ",
+      "a", " a", "a ", "ab\u00A0", null)
+    val df = cases.toDF("s")
+    val got = df.select(
+        graft.functions.texthash.ascii_strip(col("s")).as("k"),
+        trim(col("s"), graft.engine.Transforms.TrimChars).as("t"))
+      .collect()
+    got.zip(cases).foreach { case (r, in) =>
+      assert(r.get(0) == r.get(1),
+        s"kernel '${r.get(0)}' != trim '${r.get(1)}' for input '$in'")
+    }
+    // spot-pin the NBSP-preserving case against a literal expectation,
+    // not just the two implementations agreeing with each other
+    val nbsp = Seq(" \u00A0z\u00A0 ").toDF("s")
+      .select(graft.functions.texthash.ascii_strip(col("s")))
+      .head().getString(0)
+    assert(nbsp == "\u00A0z\u00A0")
+  }
 }
 
 class DateParseSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -206,3 +236,4 @@ class DateParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(DateParse.parseDate("totally not a date at all") == null)
   }
 }
+
