@@ -83,4 +83,102 @@ class ArtifactRaceSpec extends AnyFunSuite {
           || m.toLowerCase.contains("path")),
       s"expected a pruned-data load failure, got: ${e.getMessage}")
   }
+
+  test("two JVMs racing append vs remove on one index: final state is the " +
+       "serialized order, never torn (VERDICT r14 task 6)") {
+    // takedown compliance runs removeFromWinnowIndex while the nightly
+    // ingest appends elsewhere. The _SUCCESS marker delete is the
+    // cross-process mutex: losers fail LOUDLY and retry, so with
+    // disjoint slices every interleaving converges to one state —
+    // initial ∪ appended ∖ removed — and it must equal a from-scratch
+    // build on that difference corpus exactly (the append/remove ==
+    // rebuild identity, now asserted ACROSS processes).
+    import ArtifactMutateRaceMain.{docs, retryLoud}
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("mutate-race")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mutate-race").toFile
+    val path = new java.io.File(root, "winnow-idx").getPath
+    // initial index: keepers 0..19 plus removal victims 200..239
+    Artifacts.saveWinnowIndexAppendable(
+      docs(spark, (0 until 20) ++ (200 until 240)), path, maxBucket = 100)
+
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getPath
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val out = java.io.File.createTempFile("mutate-race-out", ".txt")
+    // worker: 4 appends of 5 docs each (ids 100..119)
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ addOpens ++ Seq("-Dspark.ui.enabled=false",
+        "-cp", cp, "graft.ArtifactMutateRaceMain",
+        path, "100", "4", "5",
+        new java.io.File(root, "worker-go").getPath)): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(out)
+    val p = pb.start()
+
+    // handshake: the worker stamps a go-file right before its first
+    // append (after its ~10 s Spark startup) — without the wait, the
+    // spec's removals would all land before the worker ever mutates and
+    // the overlap assertion below would be theater
+    val go = new java.io.File(root, "worker-go")
+    val goDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!go.exists() && p.isAlive && System.nanoTime() < goDeadline)
+      Thread.sleep(20)
+    assert(go.exists(), "worker never signalled its first append")
+
+    // spec side: 4 removals of 10 victims each (ids 200..239),
+    // retrying loud mutex losses exactly like the worker
+    val t0 = System.currentTimeMillis()
+    var retries = 0
+    for (b <- 0 until 4) {
+      val ids = (200 + b * 10) until (200 + (b + 1) * 10)
+      retries += retryLoud(60000) {
+        Artifacts.removeFromWinnowIndex(
+          docs(spark, ids).select("doc_id"), path, maxBucket = 100)
+      }
+    }
+    val t1 = System.currentTimeMillis()
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "append worker did not finish in 180s")
+    val report = new String(
+      java.nio.file.Files.readAllBytes(out.toPath), "UTF-8")
+    assert(p.exitValue() == 0, s"append worker failed:\n$report")
+
+    // the mutation windows must genuinely overlap, or no race ran
+    val m = "start=(\\d+) end=(\\d+) retries=(\\d+)".r
+      .findFirstMatchIn(report)
+      .getOrElse(fail(s"no worker window report:\n$report"))
+    val (ws, we) = (m.group(1).toLong, m.group(2).toLong)
+    info(s"worker window [$ws,$we] retries=${m.group(3)}; " +
+      s"spec window [$t0,$t1] retries=$retries")
+    assert(ws < t1 && t0 < we,
+      s"mutation windows did not overlap (worker [$ws,$we], spec " +
+        s"[$t0,$t1]) — the race was not exercised; widen the batches")
+
+    // final state == from-scratch build on the difference corpus
+    val expectPath = new java.io.File(root, "winnow-expect").getPath
+    Artifacts.saveWinnowIndexAppendable(
+      docs(spark, (0 until 20) ++ (100 until 120)), expectPath,
+      maxBucket = 100)
+    def loaded(p0: String): Set[Seq[Any]] =
+      Artifacts.loadWinnowIndexAppendable(spark, p0, maxBucket = 100)
+        .select("fp", "doc").collect().map(_.toSeq).toSet
+    assert(loaded(path) == loaded(expectPath),
+      "raced index diverged from the serialized-order rebuild")
+    assert(new java.io.File(path, "_SUCCESS").exists(),
+      "raced index left without its commit marker")
+    Artifacts.deleteRec(root)
+  }
 }
