@@ -35,6 +35,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.contains("drift-only")) {  // fast path for iterating on r15
+      quantizerDriftProbe(spark)
+      spark.stop()
+      return
+    }
 
     def timed(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
@@ -1052,7 +1057,116 @@ object ScaleProbe {
     }
 
     hierarchicalIvfProbe(spark)
+    quantizerDriftProbe(spark)
     spark.stop()
+  }
+
+  /** r15 (VERDICT r14 task 5): quantizer distribution drift. Index
+    * appends PIN centroids/codebooks from the initial build (the
+    * append==rebuild identity requires it), so appended data whose
+    * distribution drifts from the train sample degrades recall with no
+    * error anywhere. This probe builds an IVF-PQ index on distribution
+    * A, appends five batches of shifted distribution B (different
+    * angular family + a constant bias on the leading dims), and per
+    * batch measures (a) serve recall@10 for queries drawn from the new
+    * batch and (b) `Ivf.censusDrift` of the batch's cell census vs the
+    * build census — the free statistic every append already computes.
+    * Asserts the policy hook separates: in-distribution control batch
+    * well UNDER `Ivf.RetrainDriftThreshold`, every drifted batch over
+    * it, and end-state recall on drifted rows below the in-distribution
+    * recall (the decay the threshold exists to catch).
+    *
+    * Measured 2026-08-15 (r15, local[8], dim 16, 32 cells, m=8,
+    * rerank 60): control A-batch drift tv=0.000; every B batch
+    * tv=0.37 (bar 0.3) while B-query recall@10 decays 1.000 → 0.919 →
+    * 0.659 → 0.513 → 0.400 across the five appends and A-query recall
+    * holds at 1.000 throughout — the drifted rows pay, the resident
+    * distribution doesn't, and the census statistic flags it from
+    * batch one, three batches before recall halves.
+    */
+  private def quantizerDriftProbe(spark: SparkSession): Unit = {
+    import graft.northstar.{Artifacts, Ivf, Pq, Similarity}
+    val dim = 16
+    def emb(nClusters: Int, family: Double, bias: Double) =
+      array((0 until dim).map { i =>
+        (sin((col("id") % nClusters + 1) * lit(family + i)) +
+          lit(if (i < 4) bias else 0.0) +
+          (pmod(hash(col("id"), lit(i)), lit(1000)) / 1000.0 - 0.5) * 0.1)
+          .cast("float")
+      }: _*)
+    // A: 256 clusters of 32 (cluster mass < the rerank budget, so ADC
+    // quality — not budget saturation — is what recall measures);
+    // B: 64 clusters that GROW 32 members per appended batch
+    def slice(start: Long, n: Long, nClusters: Int, family: Double,
+              bias: Double) =
+      spark.range(start, start + n)
+        .select(col("id").as("vec_id"),
+          emb(nClusters, family, bias).as("embedding"))
+    val corpusA = slice(0, 8192, 256, 2.17, 0.0).persist()
+    corpusA.count()
+    val cents = Ivf.fitCentroids(corpusA, nCells = 32)
+    val cb = Pq.fitCodebooks(corpusA, m = 8, ksub = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-drift").toString + "/idx"
+    Artifacts.saveIvfPqIndex(corpusA, path, cents, cb, "vec_id",
+      "embedding", 100000)
+    def census(df: DataFrame): Map[Int, Long] =
+      df.select(Ivf.cellOf(col("embedding"), cents).as("cell"))
+        .groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val baseCensus = census(corpusA)
+
+    // control: an IN-distribution batch must sit well under the bar
+    val controlDrift = Ivf.censusDrift(baseCensus,
+      census(slice(500000, 2048, 256, 2.17, 0.0)))
+    println(f"[scale] drift control (same dist)   tv=$controlDrift%.3f " +
+      f"(threshold ${Ivf.RetrainDriftThreshold})")
+    assert(controlDrift < Ivf.RetrainDriftThreshold / 2,
+      f"in-distribution batch measured drift $controlDrift%.3f — the " +
+        "threshold has no separation margin")
+
+    def recallOf(queries: DataFrame, corpus: DataFrame): Double = {
+      val (index, splits) = Artifacts.loadIvfPqIndex(spark, path, cents, cb)
+      val served = Pq.ivfPqServeTopK(queries, index, corpus, cents,
+          splits, cb, k = 10, nProbe = 6, rerank = 60)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (served & brute).size.toDouble / brute.size
+    }
+    val qA = corpusA.filter(col("vec_id") % 256 === 0)
+      .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
+      .persist()
+    println(f"[scale] drift pre-append recallA=${recallOf(qA, corpusA)}%.3f")
+    var corpus = corpusA
+    var lastB = Double.NaN
+    for (b <- 0 until 5) {
+      val batch = slice(100000 + b * 2048, 2048, 64, 5.43, 0.8).persist()
+      batch.count()
+      val drift = Ivf.censusDrift(baseCensus, census(batch))
+      Artifacts.appendIvfPqIndex(batch, corpus, path, cents, cb): Unit
+      corpus = corpus.unionAll(batch)
+      val qB = batch.filter(col("vec_id") % 64 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val (rB, rA) = (recallOf(qB, corpus), recallOf(qA, corpus))
+      lastB = rB
+      println(f"[scale] drift batch $b: tv=$drift%.3f  " +
+        f"recallB=$rB%.3f  recallA=$rA%.3f")
+      assert(drift > Ivf.RetrainDriftThreshold,
+        f"shifted batch $b measured drift $drift%.3f under the " +
+          f"retrain bar ${Ivf.RetrainDriftThreshold} — the hook would " +
+          "not fire on real drift")
+      if (b == 4) assert(rA >= 0.8,
+        f"resident-distribution recall collapsed to $rA%.3f")
+    }
+    val rAEnd = recallOf(qA, corpus)
+    assert(lastB < rAEnd,
+      f"drifted-row recall $lastB%.3f did not trail resident recall " +
+        f"$rAEnd%.3f — the probe shows no decay to police")
+    corpusA.unpersist(blocking = false)
+    qA.unpersist(blocking = false)
   }
 
   /** r15 (VERDICT r14 task 1): the hierarchical broadcast-relation

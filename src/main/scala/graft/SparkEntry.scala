@@ -55,6 +55,22 @@ object SparkEntry {
     s"$dir/$name-$fp"
   }
 
+  /** The hierarchical quantizer of the two `ns_knn_ivf_hier_*` rows:
+    * fine level = the pinned 8-cell centroid artifact (shared with the
+    * ns_knn_ivf family), top level = an independent train-once 3-cell
+    * fit, superProbe = nSuper so the candidate set is every centroid
+    * and the rows hash against the brute oracle exactly.
+    */
+  private def hierQuantizerFor(s: SparkSession,
+                               dir: String): graft.northstar.Ivf.HierarchicalQuantizer = {
+    val emb = t(s, dir, "embeddings")
+    val key = corpusKey(dir, "embeddings")
+    graft.northstar.Ivf.HierarchicalQuantizer(
+      graft.northstar.Artifacts.ivfCentroidsFor(emb, key, nCells = 3),
+      graft.northstar.Artifacts.ivfCentroidsFor(emb, key, nCells = 8),
+      superProbe = 3)
+  }
+
   /** The shared subtree of the two SemDeDup correctness pins
     * (`ns_semdedup_exact` / `ns_semdedup_keep_best`): single-trivial-
     * cell CLUSTER LABELS over the bounded vec_id < 200 subset — the
@@ -1857,6 +1873,36 @@ object SparkEntry {
         emb, cacheKey = corpusKey(dir, "embeddings"), nCells = 8)
       graft.northstar.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, centroids, k = 10, nProbe = 8)
+    }),
+    // the HIERARCHICAL (broadcast-relation) quantizer family (r15,
+    // VERDICT r14 task 1) through the driver gate: with full supercell
+    // probing every centroid is a candidate, so the broadcast-join
+    // assignment + probe must reproduce brute force rank-exactly —
+    // same oracle SQL as ns_knn_brute. The quantizer reuses the pinned
+    // 8-cell centroid artifact as its fine level and an independent
+    // 3-cell fit as its top level.
+    "ns_knn_ivf_hier_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val hq = hierQuantizerFor(s, dir)
+      graft.northstar.Ivf.ivfTopKHier(
+        emb.filter(col("vec_id") < 5), emb, hq, k = 10, nProbe = 8)
+    }),
+    // and the hierarchical STORED index (train-once cell-partitioned
+    // layout, planning-time pruned): serve must equal the same brute
+    // oracle — the serve==fit identity surfaced as a hash row
+    "ns_knn_ivf_hier_serve_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val hq = hierQuantizerFor(s, dir)
+      val path = graft.northstar.Artifacts.pathFor("ivfhieridx",
+        s"${corpusKey(dir, "embeddings")}-c8-sp3")
+      graft.northstar.Artifacts.ensureTrained(path) { tmp =>
+        graft.northstar.Artifacts.saveIvfIndexHier(emb, tmp, hq)
+      }
+      val (index, splits) = graft.northstar.Artifacts
+        .loadIvfIndexHier(s, path, hq)
+      graft.northstar.Ivf.ivfServeTopKHier(
+        emb.filter(col("vec_id") < 5), index, hq, splits,
+        k = 10, nProbe = 8)
     }),
     // recall-floor tripwires for the APPROXIMATE ANN modes: recall@10 of
     // the ANN result vs brute force, computed IN Spark as one
@@ -4814,6 +4860,30 @@ object SparkEntry {
     // identical to the ns_knn_brute oracle: exhaustive probing must equal
     // brute force
     "ns_knn_ivf_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    // identical to the ns_knn_brute oracle: the hierarchical
+    // broadcast-relation family under full supercell probing must
+    // reproduce brute force rank-exactly — fit-and-search path
+    "ns_knn_ivf_hier_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    // ... and the stored-index serve path of the same family
+    "ns_knn_ivf_hier_serve_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
         |             list_cosine_similarity(q.qv, e.embedding) AS sim

@@ -643,17 +643,30 @@ object Artifacts {
                              centroids: Array[Array[Float]],
                              idCol: String, vecCol: String, maxCell: Int,
                              params: Map[String, String])(
+      project: (DataFrame, Map[Int, Int]) => DataFrame): Unit =
+    writeCellIndexAssigned(path, params,
+      Dedup.trackedPersist(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          Ivf.cellOf(col(vecCol), centroids).as("cell"))),
+      maxCell)(project)
+
+  /** [[writeCellIndex]] after the assignment step — the publish protocol
+    * body shared with the hierarchical family, whose assignment is the
+    * broadcast join rather than the literal kernel. `assigned` must
+    * carry (neighbor_id, cv, cell) and be safe to evaluate twice
+    * (persisted).
+    */
+  private def writeCellIndexAssigned(path: String,
+                                     params: Map[String, String],
+                                     assigned: DataFrame, maxCell: Int)(
       project: (DataFrame, Map[Int, Int]) => DataFrame): Unit = {
-    val spark = corpus.sparkSession
+    val spark = assigned.sparkSession
     // overwriting a previously-published index: drop its marker FIRST,
     // so a crash mid-overwrite leaves a refusable wreck, not a stale
     // marker over half-new data (the ensureTrained path writes to a tmp
     // dir and never hits this; explicit-path re-saves do)
     new java.io.File(path, "_SUCCESS").delete(): Unit
     sweepTmp(new java.io.File(path))
-    val assigned = Dedup.trackedPersist(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        Ivf.cellOf(col(vecCol), centroids).as("cell")))
     val splits = Ivf.splitBitsFromCensus(
       assigned.groupBy("cell").count(), maxCell)
     project(assigned, splits)
@@ -720,6 +733,44 @@ object Artifacts {
       "maxCell" -> maxCell.toString, "vecCol" -> vecCol), "IVF index")
     (index, splits, centroids)
   }
+
+  private def ivfHierParams(hq: Ivf.HierarchicalQuantizer, vecCol: String,
+                            maxCell: Int): Map[String, String] =
+    Map("family" -> "hier",
+      "centroids" -> centroidDigest(hq.centroids),
+      "supers" -> centroidDigest(hq.superCentroids),
+      "superProbe" -> hq.superProbe.toString,
+      "maxCell" -> maxCell.toString, "vecCol" -> vecCol)
+
+  /** [[saveIvfIndex]] for the HIERARCHICAL quantizer family (past
+    * `Ivf.MaxAutoCells`): same stored layout and publish protocol, but
+    * assignment runs through the broadcast-relation join
+    * ([[Ivf.assignCellsJoin]]) instead of the centroid plan literal.
+    * The `_params` sidecar additionally pins the supercell set and
+    * superProbe — corpus assignment and query probing must agree on
+    * both, or the (cell, subcell) probe keys silently stop matching.
+    */
+  def saveIvfIndexHier(corpus: DataFrame, path: String,
+                       hq: Ivf.HierarchicalQuantizer,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       maxCell: Int = 100000): Unit =
+    writeCellIndexAssigned(path, ivfHierParams(hq, vecCol, maxCell),
+      Dedup.trackedPersist(
+        Ivf.assignCellsJoin(corpus, hq, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))),
+      maxCell)(ivfProject(hq.centroids))
+
+  /** [[loadIvfIndex]] for the hierarchical family — feeds
+    * [[Ivf.ivfServeTopKHier]].
+    */
+  def loadIvfIndexHier(spark: SparkSession, path: String,
+                       hq: Ivf.HierarchicalQuantizer,
+                       vecCol: String = "embedding",
+                       maxCell: Int = 100000): (DataFrame, Map[Int, Int]) =
+    readCellIndex(spark, path, ivfHierParams(hq, vecCol, maxCell),
+      "hierarchical IVF index")
 
   /** Persist the cell-partitioned, CODES-ONLY IVF-PQ serving index: the
     * corpus assigned once under `centroids`, PQ-encoded under

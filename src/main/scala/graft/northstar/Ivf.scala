@@ -500,6 +500,45 @@ object Ivf {
     rankCandidates(q, c, k)
   }
 
+  // ---- quantizer distribution-drift policy (VERDICT r14 task 5) ----
+
+  /** Total-variation distance between two per-cell occupancy censuses
+    * (0 = identical distribution, 1 = disjoint): the retrain trigger
+    * for PINNED quantizers. Index appends keep the initial build's
+    * centroids/codebooks (correct for the append==rebuild hash
+    * identity), so when appended data drifts from the train sample the
+    * quantizer silently degrades — recall decays with no error anywhere.
+    * The per-cell census of an incoming batch under the pinned
+    * centroids is already computed by every append (the split-map
+    * refresh); comparing its SHAPE against the build census is a free
+    * drift statistic.
+    *
+    * Policy (calibrated by ScaleProbe's drift probe — see the measured
+    * curve there): retrain when a batch's drift vs the build census
+    * exceeds [[RetrainDriftThreshold]]. In-distribution batches measure
+    * well under it; distribution-shifted batches (new language/domain)
+    * land far above it while serve recall on the drifted rows is
+    * already decaying.
+    */
+  def censusDrift(base: Map[Int, Long], incoming: Map[Int, Long]): Double = {
+    val nb = base.values.sum.toDouble
+    val ni = incoming.values.sum.toDouble
+    require(nb > 0 && ni > 0,
+      s"censusDrift needs non-empty censuses (base ${nb.toLong} rows, " +
+        s"incoming ${ni.toLong})")
+    (base.keySet ++ incoming.keySet).toSeq.map { c =>
+      math.abs(base.getOrElse(c, 0L) / nb - incoming.getOrElse(c, 0L) / ni)
+    }.sum / 2.0
+  }
+
+  /** The calibrated [[censusDrift]] retrain bar (ScaleProbe drift
+    * probe, measured r15: in-distribution append batches tv=0.000;
+    * shifted-distribution batches tv≈0.37 while their serve recall@10
+    * decays 1.00→0.40 over five appends with resident recall
+    * untouched — the bar sits between with margin on both sides).
+    */
+  val RetrainDriftThreshold: Double = 0.3
+
   // ---- hierarchical (two-level) quantizer: past MaxAutoCells ----
   //
   // Past [[MaxAutoCells]] the centroid matrix must stop being a plan
@@ -785,6 +824,33 @@ object Ivf {
     val q = probeCellsJoin(queries, hq, nProbeR, idCol, vecCol)
       .withColumn("subcell",
         subcellOf(col("qv"), col("cell"), hq.centroids, splits))
+    rankCandidates(q, c, k)
+  }
+
+  /** [[ivfServeTopK]] over the hierarchical quantizer: probe side built
+    * by the broadcast-join path, stored cell-partitioned index pruned to
+    * the probed cells at planning time — the same serving cost model
+    * (read nProbe/nCells of the corpus from disk, nothing else), now
+    * without a centroid plan literal. `index`/`splits` come from
+    * [[Artifacts.loadIvfIndexHier]]; given the same quantizer and
+    * splits the result is row-identical to [[ivfTopKHier]] (IvfSpec
+    * pins it, the ivfServeTopK==ivfTopK contract one family over).
+    */
+  def ivfServeTopKHier(queries: DataFrame, index: DataFrame,
+                       hq: HierarchicalQuantizer, splits: Map[Int, Int],
+                       k: Int = 10, nProbe: Int = AutoProbe,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val nProbeR =
+      if (nProbe == AutoProbe) autoNProbe(hq.nCells) else nProbe
+    // persisted for the same reason as ivfServeTopK: pruneToProbedCells
+    // collects the probed-cell census, so an unpersisted probe frame
+    // would pay the broadcast-join probe ranking twice
+    val q = Dedup.trackedPersist(
+      probeCellsJoin(queries, hq, nProbeR, idCol, vecCol)
+        .withColumn("subcell",
+          subcellOf(col("qv"), col("cell"), hq.centroids, splits)))
+    val c = pruneToProbedCells(index, q)
     rankCandidates(q, c, k)
   }
 

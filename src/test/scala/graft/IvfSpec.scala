@@ -362,4 +362,30 @@ class IvfSpec extends SparkSpecBase {
     val brute = rows(Similarity.bruteForceTopK(q, emb, k = 5))
     assert(hier == brute)
   }
+
+  test("hierarchical stored index: serve == fit == literal under full probing; " +
+       "mismatched quantizer refuses") {
+    import graft.northstar.Artifacts
+    import org.apache.spark.sql.functions.col
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf-hier").toString + "/idx"
+    Artifacts.saveIvfIndexHier(emb, path, hq)
+    val (index, splits) = Artifacts.loadIvfIndexHier(spark, path, hq)
+    val q = emb.filter(col("vec_id") < 5)
+    val served = rows(
+      Ivf.ivfServeTopKHier(q, index, hq, splits, k = 10, nProbe = 8))
+    // serve == fit (the ivfServeTopK == ivfTopK contract, hier family)
+    assert(served == rows(Ivf.ivfTopKHier(q, emb, hq, k = 10, nProbe = 8)))
+    // and with full supercell probing both equal the LITERAL family
+    assert(served == rows(Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 8)))
+    // the _params pin: a different superProbe is a different quantizer —
+    // corpus assignment and probing would disagree — so the load refuses
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.loadIvfIndexHier(spark, path, hq.copy(superProbe = 2))
+    }
+    assert(e.getMessage != null && e.getMessage.nonEmpty)
+  }
 }

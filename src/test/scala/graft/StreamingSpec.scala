@@ -501,6 +501,85 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(idxR) == rows(idx0))
   }
 
+  test("takedown lands BETWEEN micro-batches: the post-removal batch screens " +
+       "against the difference index exactly (VERDICT r14 task 7)") {
+    // the stale-static-side hazard: a streaming query that captured the
+    // index plan once would keep serving removed documents (or crash on
+    // their deleted files) after a mid-stream takedown. The nightly-loop
+    // serving pattern loads the index INSIDE foreachBatch, so each
+    // micro-batch plans against the live artifact — this pins that a
+    // removal landing between batch 0 and batch 1 is fully visible:
+    // batch 0 matches the full index (victim pairs present), batch 1
+    // matches the difference index exactly (and equals the batch-mode
+    // probe against a from-scratch difference rebuild).
+    import graft.northstar.{Artifacts, Dedup}
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    val path = s"${tmp()}/winidx"
+    Artifacts.saveWinnowIndexAppendable(corpus, path, maxBucket = 100)
+    val victims = corpus.filter(col("doc_id") >= 50).select("doc_id")
+    val inDir = s"$src/in.parquet"
+    // batch 0: copies of docs 0..59 (ids +1M) — overlaps the victims;
+    // batch 1: copies of docs 20..79 (ids +2M). coalesce(1) + mtime
+    // stamps + maxFilesPerTrigger=1 make them two ordered micro-batches
+    corpus.filter(col("doc_id") < 60)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    stampBatch(inDir, 1)
+    corpus.filter(col("doc_id") >= 20 && col("doc_id") < 80)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    stampBatch(inDir, 2)
+    val schema = spark.read.parquet(inDir).schema
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = IncrementalStream
+      .readTableStream(spark, src, "in", schema, maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val idx = Artifacts.loadWinnowIndexAppendable(spark, path,
+          maxBucket = 100)
+        got.synchronized {
+          got(id) = Dedup
+            .winnowPairsAgainstIndex(batch, idx, maxBucket = 100)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        }
+        // the takedown, after batch 0 completes and before batch 1 plans
+        if (id == 0L)
+          Artifacts.removeFromWinnowIndex(victims, path,
+            maxBucket = 100): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.keySet == Set(0L, 1L), got.keySet.toString)
+    // mtime ordering delivered batch 0 = the +1M slice
+    assert(got(0L).forall { case (a, _, _) => a >= 1000000L && a < 2000000L })
+    assert(got(1L).forall { case (a, _, _) => a >= 2000000L })
+    // batch 0 saw the FULL index: the victim copies found their sources
+    assert(got(0L).exists { case (_, b, _) => b >= 50L },
+      "pre-removal batch produced no victim pairs — nothing to take down")
+    // batch 1 saw the DIFFERENCE index: no pair references a victim ...
+    assert(got(1L).forall { case (_, b, _) => b < 50L }, got(1L).toString)
+    assert(got(1L).nonEmpty) // ... and survivors still match (docs 20..49)
+    // ... and it equals the batch-mode probe against a from-scratch
+    // build on the difference corpus, row-exactly
+    val diffPath = s"${tmp()}/winidx-diff"
+    Artifacts.saveWinnowIndexAppendable(
+      corpus.filter(col("doc_id") < 50), diffPath, maxBucket = 100)
+    val expect = Dedup.winnowPairsAgainstIndex(
+        corpus.filter(col("doc_id") >= 20 && col("doc_id") < 80)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+        Artifacts.loadWinnowIndexAppendable(spark, diffPath,
+          maxBucket = 100),
+        maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got(1L) == expect)
+  }
+
   test("curation projection runs unchanged on a stream and matches the batch result") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.DataFrame
