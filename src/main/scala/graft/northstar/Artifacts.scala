@@ -666,6 +666,9 @@ object Artifacts {
     // marker over half-new data (the ensureTrained path writes to a tmp
     // dir and never hits this; explicit-path re-saves do)
     new java.io.File(path, "_SUCCESS").delete(): Unit
+    // a from-scratch rebuild starts a fresh drift history — the old
+    // quantizer's telemetry doesn't describe the new one
+    new java.io.File(path, "drift.log").delete(): Unit
     sweepTmp(new java.io.File(path))
     val splits = Ivf.splitBitsFromCensus(
       assigned.groupBy("cell").count(), maxCell)
@@ -771,6 +774,40 @@ object Artifacts {
                        maxCell: Int = 100000): (DataFrame, Map[Int, Int]) =
     readCellIndex(spark, path, ivfHierParams(hq, vecCol, maxCell),
       "hierarchical IVF index")
+
+  /** [[appendIvfIndex]] for the hierarchical family: the same mutation
+    * protocol (marker mutex, union census, per-cell re-split, drift
+    * telemetry) with incoming assignment through the broadcast join —
+    * append==rebuild holds exactly like the literal family
+    * (ArtifactsSpec pins it).
+    */
+  def appendIvfIndexHier(incoming: DataFrame, path: String,
+                         hq: Ivf.HierarchicalQuantizer,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         maxCell: Int = 100000): Map[Int, Int] =
+    appendCellIndex(incoming, path, hq.centroids, idCol, vecCol, maxCell,
+      ivfHierParams(hq, vecCol, maxCell), "hierarchical IVF index",
+      resolveVectors = stored => stored.select("neighbor_id", "cv", "cell"),
+      assignIncoming = Some(df =>
+        Ivf.assignCellsJoin(df, hq, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))))(
+      ivfProject(hq.centroids))
+
+  /** [[removeFromIvfIndex]] for the hierarchical family — removal never
+    * reassigns cells, so only the params pin and the subcell projection
+    * differ from the literal form.
+    */
+  def removeFromIvfIndexHier(removedIds: DataFrame, path: String,
+                             hq: Ivf.HierarchicalQuantizer,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             maxCell: Int = 100000): Map[Int, Int] =
+    removeFromCellIndex(removedIds, path, idCol, maxCell,
+      ivfHierParams(hq, vecCol, maxCell), "hierarchical IVF index",
+      resolveVectors = stored => stored.select("neighbor_id", "cv", "cell"))(
+      ivfProject(hq.centroids))
 
   /** Persist the cell-partitioned, CODES-ONLY IVF-PQ serving index: the
     * corpus assigned once under `centroids`, PQ-encoded under
@@ -988,7 +1025,11 @@ object Artifacts {
       centroids: Array[Array[Float]],
       idCol: String, vecCol: String, maxCell: Int,
       params: Map[String, String], what: String,
-      resolveVectors: DataFrame => DataFrame)(
+      resolveVectors: DataFrame => DataFrame,
+      // the incoming-assignment plan: the literal cellOf kernel for the
+      // plan-literal family, the broadcast join for the hierarchical
+      // one. Plan CONSTRUCTION only — execution stays inside the mutex.
+      assignIncoming: Option[DataFrame => DataFrame] = None)(
       project: (DataFrame, Map[Int, Int]) => DataFrame): Map[Int, Int] = {
     val spark = incoming.sparkSession
     val dst = new java.io.File(path)
@@ -1015,13 +1056,15 @@ object Artifacts {
     // its rename mid-mutation with the marker already dropped
     // (code-review r14); only the mutex winner may touch scratch
     sweepTmp(dst)
-    val (assignedIncoming, oldSplits, newSplits, changed) = try {
+    val (assignedIncoming, oldSplits, newSplits, changed, drift) = try {
       val oldSplits = spark.read
         .parquet(new java.io.File(dst, "splits").toString)
         .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
       val assignedIncoming = Dedup.trackedPersist(
-        incoming.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-          Ivf.cellOf(col(vecCol), centroids).as("cell")))
+        assignIncoming.map(_(incoming)).getOrElse(
+          incoming.select(col(idCol).as("neighbor_id"),
+            col(vecCol).as("cv"),
+            Ivf.cellOf(col(vecCol), centroids).as("cell"))))
       // union census = stored per-cell counts (parquet metadata over the
       // index — exactly the counts a rebuild's assignment pass would
       // produce, since index rows are 1:1 with corpus rows) + incoming
@@ -1048,7 +1091,15 @@ object Artifacts {
       val changed = merged.keySet
         .filter(c => newSplits.getOrElse(c, 0) != oldSplits.getOrElse(c, 0))
         .toSeq.sorted
-      (assignedIncoming, oldSplits, newSplits, changed)
+      // quantizer drift statistic (VERDICT r14 task 5): both censuses
+      // are in hand, so the retrain signal is free — computed here,
+      // recorded after the publish (it must not touch a wreck)
+      val drift =
+        if (storedCounts.nonEmpty && incomingCounts.nonEmpty)
+          Some((Ivf.censusDrift(storedCounts, incomingCounts),
+            incomingCounts.values.sum))
+        else None
+      (assignedIncoming, oldSplits, newSplits, changed, drift)
     } catch { case t: Throwable =>
       // read/planning failure: nothing was mutated — republish the
       // marker so a planning error doesn't strand a rebuild-only wreck
@@ -1096,7 +1147,47 @@ object Artifacts {
         .parquet(new java.io.File(dst, "splits").toString)
     }
     java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+    // 4. record the drift statistic — advisory telemetry, appended only
+    //    after a successful publish so a crash never strands it on a
+    //    wreck. One line per append: epoch millis, batch rows, the
+    //    censusDrift value; [[appendDriftHistory]] reads it back and a
+    //    batch over the retrain bar additionally WARNs right here,
+    //    where the operator running the nightly append will see it.
+    drift.foreach { case (d, n) =>
+      java.nio.file.Files.write(
+        new java.io.File(dst, "drift.log").toPath,
+        f"ts=${System.currentTimeMillis()} rows=$n drift=$d%.6f%n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
+      if (d > Ivf.RetrainDriftThreshold)
+        Console.err.println(
+          f"[graft] WARN $what at $path: append batch ($n rows) census " +
+            f"drift $d%.3f exceeds the retrain bar " +
+            f"${Ivf.RetrainDriftThreshold} — the pinned quantizers no " +
+            "longer model the incoming distribution; schedule a retrain " +
+            "(recall on drifted rows decays silently otherwise)")
+    }
     newSplits
+  }
+
+  /** The per-append [[Ivf.censusDrift]] history of a cell index —
+    * (epochMillis, batchRows, drift) per append, oldest first. Empty
+    * for an index that has never been appended to. The operational
+    * retrain trigger: alert when recent entries exceed
+    * [[Ivf.RetrainDriftThreshold]].
+    */
+  def appendDriftHistory(path: String): Seq[(Long, Long, Double)] = {
+    val f = new java.io.File(path, "drift.log")
+    if (!f.isFile) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(f.toPath,
+        java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+      .flatMap { l =>
+        "ts=(\\d+) rows=(\\d+) drift=([0-9.]+)".r.findFirstMatchIn(l)
+          .map(m => (m.group(1).toLong, m.group(2).toLong,
+            m.group(3).toDouble))
+      }
   }
 
   /** PER-CELL COMPACTION for the nightly-append path (VERDICT r13 task

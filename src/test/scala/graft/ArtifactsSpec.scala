@@ -979,4 +979,79 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(rows(viaStored) == rows(viaMemory))
     assert(viaStored.count() > 0)
   }
+
+  test("append drift telemetry: in-distribution append stays under the " +
+       "retrain bar, a shifted batch trips it; rebuild resets history") {
+    import org.apache.spark.sql.functions.expr
+    // the operational form of the ScaleProbe drift probe: every
+    // appendCellIndex records Ivf.censusDrift(stored, incoming) — free,
+    // both censuses exist for the split refresh — into drift.log, and
+    // WARNs past Ivf.RetrainDriftThreshold
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfdrift")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    assert(Artifacts.appendDriftHistory(p).isEmpty)
+    Artifacts.appendIvfIndex(embB, p, cents): Unit
+    // shifted batch: constant bias on every component pulls every
+    // direction toward the ones-vector — occupancy collapses to the
+    // cell(s) nearest it, the distribution-shift signature
+    val shifted = embB.select((col("vec_id") + 5000L).as("vec_id"),
+      expr("transform(embedding, x -> cast(x + 1.5 as float))")
+        .as("embedding"))
+    Artifacts.appendIvfIndex(shifted, p, cents): Unit
+    val h = Artifacts.appendDriftHistory(p)
+    assert(h.size == 2, h.toString)
+    assert(h(0)._3 < Ivf.RetrainDriftThreshold,
+      s"in-distribution append read drift ${h(0)._3}")
+    assert(h(1)._3 > Ivf.RetrainDriftThreshold,
+      s"shifted append read drift ${h(1)._3}")
+    assert(h.forall(_._2 == embB.count()))
+    // a from-scratch rebuild starts a new quantizer story
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    assert(Artifacts.appendDriftHistory(p).isEmpty)
+  }
+
+  test("hierarchical IVF lifecycle: append == union rebuild, remove == " +
+       "difference rebuild, serve parity throughout") {
+    // PARTIAL supercell probing (2 of 3): the lifecycle identities must
+    // hold for the approximate assignment too — both sides of each
+    // identity run the same deterministic broadcast-join assignment
+    val hq = Ivf.HierarchicalQuantizer(
+      Ivf.fitCentroids(embA, nCells = 3, seed = 7L),
+      Ivf.fitCentroids(embA, nCells = 8), superProbe = 2)
+    val maxCell = 40 // forces re-splits on the union (the literal test's fixture)
+    val p = s"${tempDir("ivfhier")}/idx"
+    Artifacts.saveIvfIndexHier(embA, p, hq, maxCell = maxCell)
+    val splitsApp = Artifacts.appendIvfIndexHier(embB, p, hq,
+      maxCell = maxCell)
+    val pU = s"${tempDir("ivfhier")}/idx"
+    Artifacts.saveIvfIndexHier(emb, pU, hq, maxCell = maxCell)
+    val (idxU, splitsU) = Artifacts.loadIvfIndexHier(spark, pU, hq,
+      maxCell = maxCell)
+    assert(splitsApp == splitsU, "append split map must equal rebuild's")
+    val (idxA, splitsA) = Artifacts.loadIvfIndexHier(spark, p, hq,
+      maxCell = maxCell)
+    assert(rows(idxA.select("neighbor_id", "cell", "subcell")) ==
+      rows(idxU.select("neighbor_id", "cell", "subcell")))
+    val q = emb.filter(col("vec_id") < 5)
+    assert(rows(Ivf.ivfServeTopKHier(q, idxA, hq, splitsA, k = 10, nProbe = 3))
+      == rows(Ivf.ivfServeTopKHier(q, idxU, hq, splitsU, k = 10, nProbe = 3)))
+    // takedown: removing the appended half must restore the embA build
+    val splitsR = Artifacts.removeFromIvfIndexHier(
+      embB.select("vec_id"), p, hq, maxCell = maxCell)
+    val p0 = s"${tempDir("ivfhier")}/idx"
+    Artifacts.saveIvfIndexHier(embA, p0, hq, maxCell = maxCell)
+    val (idx0, splits0) = Artifacts.loadIvfIndexHier(spark, p0, hq,
+      maxCell = maxCell)
+    assert(splitsR == splits0)
+    val (idxR, _) = Artifacts.loadIvfIndexHier(spark, p, hq,
+      maxCell = maxCell)
+    assert(rows(idxR.select("neighbor_id", "cell", "subcell")) ==
+      rows(idx0.select("neighbor_id", "cell", "subcell")))
+    // the params pin refuses a cross-family serve: the same path read
+    // as a LITERAL-family index must fail loudly, not serve
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfIndex(spark, p, hq.centroids, maxCell = maxCell)
+    }: Unit
+  }
 }

@@ -260,4 +260,41 @@ class KernelEdgeSpec extends SparkSpecBase {
         array(org.apache.spark.sql.functions.rand(7).cast("float")), 1, 10000)
     }
   }
+
+  test("best_cell_in: null → null, empty group → null, zero vector, " +
+       "tie → higher cell, shape mismatch fails loudly") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import spark.implicits._
+    def run(vec: Seq[Float], flat: Seq[Float], cells: Seq[Int]) =
+      Seq(Tuple1(vec)).toDF("v").select(
+        graft.functions.vectors.best_cell_in(col("v"),
+          typedLit(flat), typedLit(cells)).as("b")).head()
+    // plain argmax: c7=(1,0) ties the query direction, c3=(0,1) doesn't
+    val r = run(Seq(2f, 0f), Seq(1f, 0f, 0f, 1f), Seq(7, 3))
+    assert(r.getStruct(0).getInt(1) == 7)
+    assert(math.abs(r.getStruct(0).getDouble(0) - 1.0) < 1e-12)
+    // duplicate centroids: the cellOf tie contract — HIGHER cell wins
+    val tie = run(Seq(1f, 1f), Seq(1f, 1f, 1f, 1f), Seq(2, 9))
+    assert(tie.getStruct(0).getInt(1) == 9)
+    // zero query vector: cosine defined as 0 everywhere → sim 0, tie
+    // resolution still picks the highest cell
+    val z = run(Seq(0f, 0f), Seq(1f, 0f, 0f, 1f), Seq(4, 1))
+    assert(z.getStruct(0).getDouble(0) == 0.0)
+    assert(z.getStruct(0).getInt(1) == 4)
+    // empty packed group → null (no argmax to take)
+    val e = run(Seq(1f, 0f), Seq.empty, Seq.empty)
+    assert(e.isNullAt(0))
+    // null vector → null through the codegen null gate
+    val n = Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("v").select(
+      graft.functions.vectors.best_cell_in(col("v"),
+        typedLit(Seq(1f, 0f)), typedLit(Seq(0)))).head()
+    assert(n.isNullAt(0))
+    // flat length must be nCells*dim — a truncated sub-matrix would
+    // otherwise score a silent prefix
+    val ex = intercept[Exception] {
+      run(Seq(1f, 0f), Seq(1f, 0f, 0f), Seq(5, 6))
+    }
+    assert(ex.getMessage != null
+      && ex.getMessage.contains("shape mismatch"), ex.getMessage)
+  }
 }
