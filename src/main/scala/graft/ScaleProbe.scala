@@ -1182,15 +1182,19 @@ object ScaleProbe {
     *   (c) the auto dispatch selects the hierarchical family at this
     *       cell count.
     *
-    * Measured 2026-08-15 (r15, local[8], 1M × dim 8 × 8192 cells):
-    * recall@10 = 1.000 at 1.1% scan fraction. Per-centroid join rows
-    * (fit 250 s, search 157 s) → packed per-supercell relation +
-    * bestCellIn kernel (fit 94 s, search 69 s): 2.7×/2.3× from cutting
-    * join fan-out 90× (superProbe rows per input instead of superProbe ×
-    * cells-per-supercell). The residual ~70 µs/row is join+agg machinery
-    * exaggerated by the tiny dim — at production dims (≥512) the argmax
-    * arithmetic (~superProbe · cellsPerSuper · dim mult-adds/row)
-    * dominates and the machinery fraction drops to a few percent.
+    * Measured 2026-08-15 (r15, local[8], 1M × dim 8 × 8192 cells),
+    * recall@10 = 1.000 at 1.1% scan fraction throughout:
+    *   - per-centroid join rows: fit 250 s, search 157 s;
+    *   - packed per-supercell relation + bestCellIn kernel: 94/69 s
+    *     (join fan-out cut 90×: superProbe rows per input, not
+    *     superProbe × cells-per-supercell);
+    *   - kernel projected BEFORE the sort-based argmax agg, narrow
+    *     (id, best) agg, vectors re-attached by id join: 14.6/11.2 s —
+    *     the agg sort had been materializing every exploded row with
+    *     the embedding AND the joined sub-matrix (PlanQualitySpec now
+    *     pins bestcellin out of the aggregate).
+    * Net 17×/14× over the first draft; ~12 µs/row at dim 8, and at
+    * production dims the argmax arithmetic dominates the machinery.
     */
   private def hierarchicalIvfProbe(spark: SparkSession): Unit = {
     import graft.northstar.Ivf

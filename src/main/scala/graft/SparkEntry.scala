@@ -2448,6 +2448,22 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** The ONE brute-force top-10 oracle every exhaustive ANN identity
+    * row hashes against (ns_knn_brute and its 6 "must equal brute"
+    * companions) — defined once so a tweak to the ranking tie-break or
+    * the query slice cannot drift between them.
+    */
+  private val BruteKnnOracleSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.qv, e.embedding) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // l_quantity is integer-valued → double sums are exact and
     // order-independent, so the sum/mean stay DOUBLE to match Spark's type
@@ -4682,28 +4698,10 @@ object SparkEntry {
         |  FROM e JOIN lbl l ON l.id = e.vec_id)
         |SELECT vec_id, cluster_id, rnk = 1 AS is_keeper
         |FROM ranked""".stripMargin,
-    "ns_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |             list_cosine_similarity(q.qv, e.embedding) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rnk
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_brute" -> BruteKnnOracleSql,
     // identical to the ns_knn_brute oracle: one-bucket LSH must equal
     // brute force
-    "ns_knn_lsh_exhaustive" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |             list_cosine_similarity(q.qv, e.embedding) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rnk
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_lsh_exhaustive" -> BruteKnnOracleSql,
     // recall tripwires: DuckDB replays the brute-force side (n_queries)
     // and pins the deterministic ANN hit count observed at sf0.01 — the
     // Spark side recomputes it from the live LSH/IVF plumbing, so any
@@ -4801,16 +4799,7 @@ object SparkEntry {
     // identical to the ns_knn_brute oracle: exhaustive probing with an
     // unbounded rerank must equal brute force regardless of codebook
     // quality (the re-rank is exact over the full candidate set)
-    "ns_knn_ivfpq_exhaustive" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |             list_cosine_similarity(q.qv, e.embedding) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rnk
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_ivfpq_exhaustive" -> BruteKnnOracleSql,
     "ns_knn_jl_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id,
@@ -4859,68 +4848,23 @@ object SparkEntry {
         |FROM s WHERE rnk <= 10""".stripMargin,
     // identical to the ns_knn_brute oracle: exhaustive probing must equal
     // brute force
-    "ns_knn_ivf_exhaustive" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |             list_cosine_similarity(q.qv, e.embedding) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rnk
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_ivf_exhaustive" -> BruteKnnOracleSql,
     // identical to the ns_knn_brute oracle: the hierarchical
     // broadcast-relation family under full supercell probing must
     // reproduce brute force rank-exactly — fit-and-search path
-    "ns_knn_ivf_hier_exhaustive" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |             list_cosine_similarity(q.qv, e.embedding) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rnk
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_ivf_hier_exhaustive" -> BruteKnnOracleSql,
     // ... and the stored-index serve path of the same family
-    "ns_knn_ivf_hier_serve_exhaustive" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |             list_cosine_similarity(q.qv, e.embedding) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rnk
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_ivf_hier_serve_exhaustive" -> BruteKnnOracleSql,
     // identical to the ns_knn_brute oracle: after build-on-half +
     // append-the-rest, exhaustive probing over the APPENDED index must
     // still reproduce brute force over the whole corpus — any row the
     // append lost, duplicated, or mis-celled breaks the rank identity
-    "ns_knn_ivfpq_append_exhaustive" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |             list_cosine_similarity(q.qv, e.embedding) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rnk
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_ivfpq_append_exhaustive" -> BruteKnnOracleSql,
     // identical to the ns_knn_brute oracle: after build-on-(corpus ∪
     // duplicated slice) + remove-slice, exhaustive probing must
     // reproduce brute force over the original corpus — a leftover,
     // over-deleted, or mis-celled row breaks the rank identity
-    "ns_knn_ivfpq_remove_exhaustive" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |             list_cosine_similarity(q.qv, e.embedding) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rnk
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
+    "ns_knn_ivfpq_remove_exhaustive" -> BruteKnnOracleSql,
     // the decoded metadata of the synthetic fixtures is pure id
     // arithmetic (fixed true dims per format), so the oracle replays
     // decode + every gate of the asset curation config exactly

@@ -748,15 +748,27 @@ object Ivf {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val rel = hq.packedRelation(df.sparkSession)
-    df.select(col(idCol), col(vecCol),
+    // the kernel is PROJECTED before the aggregate, and the argmax agg
+    // carries only (id, best) — the agg is sort-based (a struct buffer
+    // is not hash-aggregable), so anything in its input rides a
+    // corpus-wide sort; the first-draft shape evaluated the kernel
+    // INSIDE the agg and sorted superProbe exploded rows each carrying
+    // the embedding AND the joined sub-matrix. Vectors re-attach by an
+    // id equi-join afterwards: one exchange of the corpus (vec shipped
+    // once) beats superProbe embedding copies through the agg sort at
+    // any production dim.
+    val best = df
+      .select(col(idCol), col(vecCol),
         explode(probeCells(col(vecCol), hq.superCentroids,
           math.min(hq.superProbe, hq.nSuper))).as("sup"))
       .join(broadcast(rel), "sup")
-      .groupBy(idCol)
-      .agg(first(col(vecCol)).as(vecCol),
-        max(vectors.best_cell_in(col(vecCol), col("flat"), col("cells")))
+      .select(col(idCol),
+        vectors.best_cell_in(col(vecCol), col("flat"), col("cells"))
           .as("best"))
-      .select(col(idCol), col(vecCol), col("best.cell").as("cell"))
+      .groupBy(idCol)
+      .agg(max(col("best")).as("best"))
+      .select(col(idCol), col("best.cell").as("cell"))
+    df.select(col(idCol), col(vecCol)).join(best, Seq(idCol))
   }
 
   /** Hierarchical probe side: each query's nProbe nearest cells among

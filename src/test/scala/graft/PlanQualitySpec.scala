@@ -550,4 +550,47 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(800))
   }
+
+  test("hier assignment: BroadcastHashJoin + ONE exchange (the map-side-" +
+       "collapsed argmax), no sort-merge, no quadratic node") {
+    import graft.northstar.Ivf
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val hq = Ivf.HierarchicalQuantizer(
+      Ivf.fitCentroids(emb, nCells = 3, seed = 7L),
+      Ivf.fitCentroids(emb, nCells = 8), superProbe = 2)
+    val p = Ivf.assignCellsJoin(emb, hq)
+      .queryExecution.executedPlan.toString
+    // the whole point of the family: centroids reach the join as a
+    // broadcast relation, not a plan literal
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the argmax agg is sort-based (struct buffer), so its input must
+    // stay NARROW: the kernel is projected before it — a bestcellin
+    // inside the aggregate functions means exploded rows carry the
+    // joined sub-matrix and the embedding through a corpus-wide sort
+    // (the first-draft shape, 2.4x slower at the 1M-row probe)
+    assert(!p.linesIterator.filter(_.contains("SortAggregate"))
+        .exists(_.contains("bestcellin")),
+      "bestcellin evaluated inside the aggregate:\n" + p.take(1500))
+    assert("partial".r.findFirstIn(p).isDefined,
+      "argmax lost map-side partial aggregation:\n" + p.take(1200))
+    // exchange budget: the narrow argmax, the two sides of the
+    // vector re-attach join, and the <=nCells-row relation prep under
+    // the BroadcastExchange — nothing corpus-sized beyond those
+    assert(shuffles(p) <= 4, s"expected <=4 exchanges, got ${shuffles(p)}:\n${p.take(1500)}")
+    assertNoQuadratic(p)
+    // and the serve probe prunes the stored index at planning time,
+    // like the literal family's serve test
+    val path = java.nio.file.Files
+      .createTempDirectory("pq-hier").toString + "/idx"
+    graft.northstar.Artifacts.saveIvfIndexHier(emb, path, hq)
+    val (index, splits) = graft.northstar.Artifacts
+      .loadIvfIndexHier(spark, path, hq)
+    val sp = Ivf.ivfServeTopKHier(emb.filter(col("vec_id") < 5), index,
+      hq, splits, k = 10, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(sp).isDefined,
+      "expected planning-time cell pruning:\n" + sp.take(1200))
+    assertNoQuadratic(sp)
+  }
 }
