@@ -1154,9 +1154,14 @@ object Artifacts {
     //    batch over the retrain bar additionally WARNs right here,
     //    where the operator running the nightly append will see it.
     drift.foreach { case (d, n) =>
+      // Locale.ROOT: a comma-decimal default locale would write
+      // "drift=0,37" and silently break appendDriftHistory's parse
+      // (the KernelEdgeSpec locale-proofing class)
       java.nio.file.Files.write(
         new java.io.File(dst, "drift.log").toPath,
-        f"ts=${System.currentTimeMillis()} rows=$n drift=$d%.6f%n"
+        String.format(java.util.Locale.ROOT,
+          "ts=%d rows=%d drift=%.6f%n",
+          Long.box(System.currentTimeMillis()), Long.box(n), Double.box(d))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND): Unit

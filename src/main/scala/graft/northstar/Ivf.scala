@@ -768,7 +768,12 @@ object Ivf {
       .groupBy(idCol)
       .agg(max(col("best")).as("best"))
       .select(col(idCol), col("best.cell").as("cell"))
-    df.select(col(idCol), col(vecCol)).join(best, Seq(idCol))
+    // LEFT join: a null embedding produces no candidate rows (the
+    // kernel's null gate), so an inner join would silently DROP the row
+    // — the literal path assigns it a NULL cell and the downstream
+    // census raises the named null-embedding refusal; the left join
+    // preserves exactly that contract (IvfSpec pins the parity)
+    df.select(col(idCol), col(vecCol)).join(best, Seq(idCol), "left")
   }
 
   /** Hierarchical probe side: each query's nProbe nearest cells among

@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ArtifactRaceSpec extends AnyFunSuite {
 
   test("two JVMs + a ttl-0 pruner on one store: loud failures only, no torn artifact in 100+100 iterations") {
-    val root = java.nio.file.Files.createTempDirectory("graft-race").toFile
+    val root = new java.io.File(TestTmp.dir("graft-race"))
     val javaBin = new java.io.File(new java.io.File(
       System.getProperty("java.home"), "bin"), "java").getPath
     val cp = System.getProperty("java.class.path")
@@ -65,8 +65,7 @@ class ArtifactRaceSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").appName("race-loud")
       .config("spark.ui.enabled", "false").getOrCreate()
-    val path = java.nio.file.Files
-      .createTempDirectory("probe-pruned").toString
+    val path = TestTmp.dir("probe-pruned")
     Artifacts.saveProbeWeights(spark, Seq.fill(8)(1L), path,
       iters = 2, splitAt = 5, labelCol = "label")
     new java.io.File(path).listFiles()
@@ -98,8 +97,7 @@ class ArtifactRaceSpec extends AnyFunSuite {
       .master("local[4]").appName("mutate-race")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-mutate-race").toFile
+    val root = new java.io.File(TestTmp.dir("graft-mutate-race"))
     val path = new java.io.File(root, "winnow-idx").getPath
     // initial index: keepers 0..19 plus removal victims 200..239
     Artifacts.saveWinnowIndexAppendable(

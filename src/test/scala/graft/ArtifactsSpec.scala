@@ -11,7 +11,7 @@ class ArtifactsSpec extends SparkSpecBase {
   import spark.implicits._
 
   private def tempDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    TestTmp.dir(prefix)
 
   lazy val docs = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet")

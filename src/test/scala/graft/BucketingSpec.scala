@@ -55,7 +55,7 @@ class BucketingSpec extends SparkSpecBase {
   test("pipeline cfg.bucketBy publishes silver facts bucketed; the downstream join is shuffle-free") {
     import graft.engine.{Extraction, Pipeline, Tables}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val root = java.nio.file.Files.createTempDirectory("bucketpipe").toString
+    val root = TestTmp.dir("bucketpipe")
     try {
       val layers = Pipeline.Layers(
         source = "/root/testdata/sf0.001",

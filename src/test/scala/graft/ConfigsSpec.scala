@@ -47,7 +47,7 @@ class ConfigsSpec extends AnyFunSuite {
   }
 
   test("load: directory assembly with defaults for absent files") {
-    val dir = Files.createTempDirectory("cfg").toString
+    val dir = TestTmp.dir("cfg")
     Files.writeString(java.nio.file.Paths.get(dir, "extraction.json"),
       """{"tables": ["t1"], "extraction_type": "Full Refresh"}""")
     val cfg = Configs.load(dir)
@@ -56,7 +56,7 @@ class ConfigsSpec extends AnyFunSuite {
   }
 
   test("status gate files round-trip") {
-    val dir = Files.createTempDirectory("st").toString
+    val dir = TestTmp.dir("st")
     Configs.writeStatus(dir, "transformation_status.json",
       "transformation_complete", value = true)
     val s = Files.readString(java.nio.file.Paths.get(dir, "transformation_status.json"))

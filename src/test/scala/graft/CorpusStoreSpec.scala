@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
 class CorpusStoreSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def tmp() = Files.createTempDirectory("graft-corpus").toString
+  private def tmp() = TestTmp.dir("graft-corpus")
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))

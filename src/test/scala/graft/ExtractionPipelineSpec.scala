@@ -8,7 +8,7 @@ import java.nio.file.Files
 class ExtractionPipelineSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def tmp() = Files.createTempDirectory("graft").toString
+  private def tmp() = TestTmp.dir("graft")
 
   test("E1 full refresh: overwrite, schema preserved, rows reported") {
     val dir = tmp()

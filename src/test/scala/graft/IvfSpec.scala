@@ -370,8 +370,7 @@ class IvfSpec extends SparkSpecBase {
     val centroids = Ivf.fitCentroids(emb, nCells = 8)
     val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
     val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
-    val path = java.nio.file.Files
-      .createTempDirectory("ivf-hier").toString + "/idx"
+    val path = TestTmp.dir("ivf-hier") + "/idx"
     Artifacts.saveIvfIndexHier(emb, path, hq)
     val (index, splits) = Artifacts.loadIvfIndexHier(spark, path, hq)
     val q = emb.filter(col("vec_id") < 5)
@@ -387,5 +386,28 @@ class IvfSpec extends SparkSpecBase {
       Artifacts.loadIvfIndexHier(spark, path, hq.copy(superProbe = 2))
     }
     assert(e.getMessage != null && e.getMessage.nonEmpty)
+  }
+
+  test("hierarchical assignment: null embeddings keep their row with a " +
+       "NULL cell and the census refuses loudly (literal-path parity)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // an inner vector-reattach join would silently DROP the row —
+    // the silent-vanish class the literal path's named refusal exists
+    // to prevent (code-review r15)
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val supers = Ivf.fitCentroids(emb, nCells = 2, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 2)
+    val nullId = emb.select("vec_id").head().getLong(0)
+    val withNull = emb.select(col("vec_id"),
+      when(col("vec_id") === nullId, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val assigned = Ivf.assignCellsJoin(withNull, hq)
+    assert(assigned.count() == emb.count(), "null-embedding row dropped")
+    assert(assigned.filter(col("vec_id") === nullId)
+      .head().isNullAt(2), "null embedding must map to a NULL cell")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.splitBitsFromCensus(assigned.groupBy("cell").count(), 100000)
+    }
+    assert(e.getMessage.contains("null embeddings"), e.getMessage)
   }
 }

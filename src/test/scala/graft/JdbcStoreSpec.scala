@@ -13,7 +13,7 @@ class JdbcStoreSpec extends SparkSpecBase {
   import spark.implicits._
 
   private def freshDb(): JdbcStore = {
-    val dir = Files.createTempDirectory("graftdb").toString
+    val dir = TestTmp.dir("graftdb")
     JdbcStore(
       url = s"jdbc:derby:$dir/db;create=true",
       props = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver"))
@@ -96,7 +96,7 @@ class JdbcStoreSpec extends SparkSpecBase {
 
   test("E1/E2 mixed stores: JDBC source → parquet target and back") {
     val db = freshDb()
-    val dir = Files.createTempDirectory("graft").toString
+    val dir = TestTmp.dir("graft")
     db.write((1L to 10L).map(i => (i, i * 2.0)).toDF("id", "x"), "t")
     // DB → parquet
     val r1 = Extraction.fullRefresh(db.read(spark, "t"), ParquetStore(dir), "t")

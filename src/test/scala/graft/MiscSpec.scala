@@ -41,7 +41,7 @@ class MiscSpec extends SparkSpecBase {
   }
 
   test("S9 CSV sink round-trips with header") {
-    val dir = Files.createTempDirectory("csv").toString
+    val dir = TestTmp.dir("csv")
     Tables.writeCsv(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$dir/out")
     val back = spark.read.option("header", "true").csv(s"$dir/out")
     assert(back.columns.toSeq == Seq("id", "v") && back.count() == 2)
@@ -52,7 +52,7 @@ class MiscSpec extends SparkSpecBase {
     // the r11 driver regen writes events.ts as parquet TIMESTAMP(MICROS)
     // (pandas, no tz) — Spark reads TIMESTAMP_NTZ; the engine contract is
     // epoch-nanos int64 whatever the physical type
-    val dir = Files.createTempDirectory("tsnorm").toString
+    val dir = TestTmp.dir("tsnorm")
     Seq(
       (1L, LocalDateTime.of(1970, 1, 1, 0, 0, 1, 500000 * 1000)),
       (2L, LocalDateTime.of(2026, 8, 13, 12, 0, 0))
@@ -91,7 +91,7 @@ class MiscSpec extends SparkSpecBase {
   }
 
   test("S11 resetLayers drops and recreates directories") {
-    val dir = Files.createTempDirectory("layers").toString
+    val dir = TestTmp.dir("layers")
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/raw/t.parquet")
     Tables.resetLayers(Seq(s"$dir/raw", s"$dir/silver"))
     val raw = new java.io.File(s"$dir/raw")
@@ -100,7 +100,7 @@ class MiscSpec extends SparkSpecBase {
   }
 
   test("partitioned sink: partition dirs on disk, filter prunes at planning time") {
-    val dir = Files.createTempDirectory("part").toString
+    val dir = TestTmp.dir("part")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Tables.writePartitioned(docs, dir, "docs", Seq("lang"))
     assert(new java.io.File(s"$dir/docs.parquet/lang=en").isDirectory)
@@ -118,7 +118,7 @@ class MiscSpec extends SparkSpecBase {
   }
 
   test("compact: many small files collapse to the size-derived count, data unchanged") {
-    val dir = Files.createTempDirectory("compact").toString
+    val dir = TestTmp.dir("compact")
     val df = (0L until 5000L).toSeq.toDF("id")
     df.repartition(50).write.parquet(s"$dir/t.parquet")
     val before = new java.io.File(s"$dir/t.parquet")
@@ -141,7 +141,7 @@ class MiscSpec extends SparkSpecBase {
     // partitionBy rewrite spread every partition value across every
     // task — up to nFiles files PER partition dir, compaction
     // multiplying the small-files count
-    val dir = Files.createTempDirectory("compactpart").toString
+    val dir = TestTmp.dir("compactpart")
     val df = (0L until 4000L).map(i => (i, s"p${i % 4}")).toDF("id", "p")
     df.repartition(25).write.partitionBy("p").parquet(s"$dir/t.parquet")
     def files() = {
@@ -160,7 +160,7 @@ class MiscSpec extends SparkSpecBase {
   }
 
   test("upsert: matching keys replaced, new keys appended, data swapped atomically") {
-    val dir = Files.createTempDirectory("upsert").toString
+    val dir = TestTmp.dir("upsert")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
     Tables.upsert(spark, dir, "t",
       Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
@@ -197,7 +197,7 @@ class MiscSpec extends SparkSpecBase {
   }
 
   test("compact and upsert preserve hive partition layout") {
-    val dir = Files.createTempDirectory("partmaint").toString
+    val dir = TestTmp.dir("partmaint")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Tables.writePartitioned(docs, dir, "docs", Seq("lang"))
     Tables.compact(spark, dir, "docs", targetFileBytes = 64L * 1024 * 1024)

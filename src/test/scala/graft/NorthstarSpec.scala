@@ -77,7 +77,7 @@ class DedupSpec extends SparkSpecBase {
     val incoming = base.filter(size(w) >= 30)
       .select((col("doc_id") + 100000).as("doc_id"),
         array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
-    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    val dir = TestTmp.dir("bandidx")
     Dedup.bandIndex(base).write.parquet(s"$dir/index.parquet")
     val stored = spark.read.parquet(s"$dir/index.parquet")
     val viaIndex = Dedup.minhashPairsAgainstIndex(
@@ -91,7 +91,7 @@ class DedupSpec extends SparkSpecBase {
   test("minhashPairsAgainstIndex: k/bands mismatch vs stored index fails loudly, not zero-pairs") {
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(50)
-    val dir = java.nio.file.Files.createTempDirectory("bandidx2").toString
+    val dir = TestTmp.dir("bandidx2")
     Dedup.bandIndex(base).write.parquet(s"$dir/index.parquet") // k=16, bands=8
     val stored = spark.read.parquet(s"$dir/index.parquet")
     // silent outcome would be 0 candidate pairs (band hashes of different
@@ -414,7 +414,7 @@ class DedupSpec extends SparkSpecBase {
     val pairs = edges.toDF("doc_a", "doc_b")
     val local = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tmp = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val tmp = TestTmp.dir("cc-ckpt")
     val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(tmp))
     val got = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == local)
@@ -441,7 +441,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("cleanCcSnapshots reclaims only snapshots older than the gate") {
-    val tmp = java.nio.file.Files.createTempDirectory("cc-clean").toString
+    val tmp = TestTmp.dir("cc-clean")
     // two runs accumulate two retained final snapshots
     Dedup.connectedComponents(Seq((1L, 2L)).toDF("doc_a", "doc_b"),
       checkpointDir = Some(tmp)).count()
@@ -466,7 +466,7 @@ class DedupSpec extends SparkSpecBase {
     // pre-r14 both runs wrote the SAME cc-snap-N paths: the second run
     // overwrote (then cleaned) the first's retained final snapshot, so
     // the first frame read wrong labels or threw FileNotFound
-    val tmp = java.nio.file.Files.createTempDirectory("cc-shared").toString
+    val tmp = TestTmp.dir("cc-shared")
     val a = Dedup.connectedComponents(
       Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"),
       checkpointDir = Some(tmp))

@@ -581,8 +581,7 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
     // and the serve probe prunes the stored index at planning time,
     // like the literal family's serve test
-    val path = java.nio.file.Files
-      .createTempDirectory("pq-hier").toString + "/idx"
+    val path = TestTmp.dir("pq-hier") + "/idx"
     graft.northstar.Artifacts.saveIvfIndexHier(emb, path, hq)
     val (index, splits) = graft.northstar.Artifacts
       .loadIvfIndexHier(spark, path, hq)

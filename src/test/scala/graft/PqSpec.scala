@@ -266,7 +266,7 @@ class PqSpec extends SparkSpecBase {
   }
 
   test("codebook artifact round-trips bit-exactly and pins its parameters") {
-    val dir = java.nio.file.Files.createTempDirectory("pq-art").toFile
+    val dir = new java.io.File(TestTmp.dir("pq-art"))
     try {
       val cb = Pq.fitCodebooks(emb, m = 8, ksub = 16)
       val p = new java.io.File(dir, "cb").toString
@@ -288,7 +288,7 @@ class PqSpec extends SparkSpecBase {
   }
 
   test("stored-index serve is row-identical to the in-memory IVF-PQ path") {
-    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toFile
+    val dir = new java.io.File(TestTmp.dir("pq-idx"))
     try {
       val centroids = Ivf.fitCentroids(emb, nCells = 4)
       val codebooks = Pq.fitCodebooks(emb, m = 8, ksub = 16)

@@ -342,7 +342,7 @@ class SparkPropertySpec extends SparkSpecBase {
   }
 
   test("incremental-load invariant on generated monotone batches") {
-    val dir = java.nio.file.Files.createTempDirectory("prop").toString
+    val dir = TestTmp.dir("prop")
     val all = (1L to 60L).map(i => (i, s"r$i")).toDF("id", "v")
     val cuts = Seq(10L, 25L, 25L, 47L, 60L) // includes a no-progress batch
     cuts.foreach { c =>

@@ -47,7 +47,7 @@ class SkewJoinSpec extends SparkSpecBase {
   }
 
   test("writePartitioned: partition pruning visible in the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val dir = TestTmp.dir("part")
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("part_key", "v")
     SkewJoin.writePartitioned(df, s"$dir/t", Seq("part_key"))
     val read = spark.read.parquet(s"$dir/t").filter($"part_key" === "a")

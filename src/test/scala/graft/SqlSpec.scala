@@ -81,7 +81,7 @@ class SqlSpec extends SparkSpecBase {
   }
 
   test("Q3 saveGold + default name format") {
-    val dir = java.nio.file.Files.createTempDirectory("gold").toString
+    val dir = TestTmp.dir("gold")
     Sql.saveGold(Seq((1, "x")).toDF("id", "v"), dir, "golden_test")
     val back = spark.read.parquet(s"$dir/golden_test.parquet")
     assert(back.count() == 1)

@@ -11,7 +11,7 @@ import java.nio.file.Files
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def tmp() = Files.createTempDirectory("graft-stream").toString
+  private def tmp() = TestTmp.dir("graft-stream")
 
   /** Pin batch k's freshly-written part files to a deterministic mtime
     * (base + k minutes): the sessionize tests rely on FileStreamSource's
