@@ -2013,6 +2013,21 @@ object SparkEntry {
       graft.northstar.Pq.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
         centroids, codebooks, k = 10, nProbe = 8, rerank = 1 << 30)
     }),
+    // the 100 TB configuration composed (r15): HIERARCHICAL coarse
+    // quantizer (broadcast-relation assignment, no centroid literal) +
+    // codes-only candidate join + exact re-rank — with full supercell
+    // probing, all cells probed, and an unbounded rerank the exact
+    // re-rank sees every corpus row, so this must equal brute force
+    // rank-exactly regardless of codebook quality
+    "ns_knn_ivfpq_hier_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8, ksub = 16)
+      graft.northstar.Pq.ivfPqTopKHier(emb.filter(col("vec_id") < 5),
+        emb, hierQuantizerFor(s, dir), codebooks, k = 10, nProbe = 8,
+        rerank = 1 << 30)
+    }),
     // STORED-index serving for IVF-PQ: the corpus is encoded and written
     // once, hive-partitioned by cell with ONLY (neighbor_id, codes,
     // subcell) — the index a probe reads is ~dim/m× smaller than the raw
@@ -4800,6 +4815,9 @@ object SparkEntry {
     // unbounded rerank must equal brute force regardless of codebook
     // quality (the re-rank is exact over the full candidate set)
     "ns_knn_ivfpq_exhaustive" -> BruteKnnOracleSql,
+    // identical to the ns_knn_brute oracle: hierarchical coarse + PQ
+    // codes + unbounded exact rerank must reproduce brute force
+    "ns_knn_ivfpq_hier_exhaustive" -> BruteKnnOracleSql,
     "ns_knn_jl_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id,

@@ -979,38 +979,8 @@ object Artifacts {
                        maxCell: Int = 100000): Map[Int, Int] =
     appendCellIndex(incoming, path, centroids, idCol, vecCol, maxCell,
       ivfPqParams(centroids, codebooks, vecCol, maxCell), "IVF-PQ index",
-      resolveVectors = { stored =>
-        // ONE corpus scan for both the tripwire and the rewrite: the
-        // left join is persisted, the membership audit reads it, and
-        // the rewrite filters it — unpersisted, the dominant cost (the
-        // full corpus scan + keyed shuffle) ran twice per append
-        // (code-review r13).
-        val full = corpus.select(col(idCol).as("neighbor_id"),
-          col(vecCol).as("cv"))
-        val joined = Dedup.trackedPersist(
-          stored.select("neighbor_id", "cell")
-            .join(full, Seq("neighbor_id"), "left"))
-        // drift tripwire on ID MEMBERSHIP, not row counts: a raw count
-        // compare lets simultaneous corpus loss + duplication cancel
-        // out (2 stored ids, one missing + one duplicated corpus row
-        // also joins to 2 rows) and a duplicate alone reads as a
-        // negative missing count. Per-id non-null-vector counts: 0 =
-        // lost (or null-vector) row, >1 = ambiguous duplicate — both
-        // are drift and both fail loudly.
-        val perId = joined
-          .groupBy("neighbor_id")
-          .agg(count(col("cv")).as("n"))
-          .agg(count(when(col("n") === 0, 1)).as("missing"),
-            count(when(col("n") > 1, 1)).as("dups"))
-          .collect()(0)
-        val (missing, dups) = (perId.getLong(0), perId.getLong(1))
-        require(missing == 0 && dups == 0,
-          s"IVF-PQ append at $path: corpus has drifted from the index " +
-            s"in the cells being re-split ($missing index ids with no " +
-            s"corpus vector, $dups with duplicate corpus rows) — " +
-            "rebuild the index against the current corpus")
-        joined.select("neighbor_id", "cv", "cell")
-      })(
+      resolveVectors =
+        pqResolveVectors(corpus, path, idCol, vecCol, "IVF-PQ append"))(
       ivfPqProject(centroids, codebooks))
 
   /** Shared census → split-diff → append/rewrite → republish sequence
@@ -1324,6 +1294,114 @@ object Artifacts {
       resolveVectors = stored => stored.select("neighbor_id", "cv", "cell"))(
       ivfProject(centroids))
 
+  private def ivfPqHierParams(hq: Ivf.HierarchicalQuantizer,
+                              codebooks: Array[Array[Array[Float]]],
+                              vecCol: String,
+                              maxCell: Int): Map[String, String] =
+    ivfHierParams(hq, vecCol, maxCell) +
+      ("codebooks" -> centroidDigest(codebooks.flatten))
+
+  /** [[saveIvfPqIndex]] for the HIERARCHICAL coarse quantizer — the
+    * 100 TB serving artifact: broadcast-join assignment past
+    * `Ivf.MaxAutoCells`, codes-only stored rows. Same layout/publish
+    * protocol; `_params` pins supercells + superProbe + both quantizer
+    * digests.
+    */
+  def saveIvfPqIndexHier(corpus: DataFrame, path: String,
+                         hq: Ivf.HierarchicalQuantizer,
+                         codebooks: Array[Array[Array[Float]]],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         maxCell: Int = 100000): Unit =
+    writeCellIndexAssigned(path,
+      ivfPqHierParams(hq, codebooks, vecCol, maxCell),
+      Dedup.trackedPersist(
+        Ivf.assignCellsJoin(corpus, hq, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))),
+      maxCell)(ivfPqProject(hq.centroids, codebooks))
+
+  /** [[loadIvfPqIndex]] for the hierarchical family — feeds
+    * [[Pq.ivfPqServeTopKHier]].
+    */
+  def loadIvfPqIndexHier(spark: SparkSession, path: String,
+                         hq: Ivf.HierarchicalQuantizer,
+                         codebooks: Array[Array[Array[Float]]],
+                         vecCol: String = "embedding",
+                         maxCell: Int = 100000): (DataFrame, Map[Int, Int]) =
+    readCellIndex(spark, path,
+      ivfPqHierParams(hq, codebooks, vecCol, maxCell),
+      "hierarchical IVF-PQ index")
+
+  /** [[appendIvfPqIndex]] for the hierarchical family (same corpus
+    * membership contract and drift tripwire).
+    */
+  def appendIvfPqIndexHier(incoming: DataFrame, corpus: DataFrame,
+                           path: String,
+                           hq: Ivf.HierarchicalQuantizer,
+                           codebooks: Array[Array[Array[Float]]],
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxCell: Int = 100000): Map[Int, Int] =
+    appendCellIndex(incoming, path, hq.centroids, idCol, vecCol, maxCell,
+      ivfPqHierParams(hq, codebooks, vecCol, maxCell),
+      "hierarchical IVF-PQ index",
+      resolveVectors =
+        pqResolveVectors(corpus, path, idCol, vecCol,
+          "hierarchical IVF-PQ append"),
+      assignIncoming = Some(df =>
+        Ivf.assignCellsJoin(df, hq, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))))(
+      ivfPqProject(hq.centroids, codebooks))
+
+  /** [[removeFromIvfPqIndex]] for the hierarchical family. */
+  def removeFromIvfPqIndexHier(removedIds: DataFrame, corpus: DataFrame,
+                               path: String,
+                               hq: Ivf.HierarchicalQuantizer,
+                               codebooks: Array[Array[Array[Float]]],
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               maxCell: Int = 100000): Map[Int, Int] =
+    removeFromCellIndex(removedIds, path, idCol, maxCell,
+      ivfPqHierParams(hq, codebooks, vecCol, maxCell),
+      "hierarchical IVF-PQ index",
+      resolveVectors =
+        pqResolveVectors(corpus, path, idCol, vecCol,
+          "hierarchical IVF-PQ removal"))(
+      ivfPqProject(hq.centroids, codebooks))
+
+  /** The corpus-vector resolver of the codes-only IVF-PQ maintenance
+    * paths (append/remove, literal and hierarchical): stored rows of the
+    * cells being rewritten join back to the corpus for their raw
+    * vectors, with the id-membership drift tripwire — 0 vectors = a
+    * silently-lost corpus row, >1 = an ambiguous duplicate; both fail
+    * loudly with counts. ONE corpus scan: the persisted left join feeds
+    * the audit and the rewrite.
+    */
+  private def pqResolveVectors(corpus: DataFrame, path: String,
+                               idCol: String, vecCol: String,
+                               what: String)(stored: DataFrame): DataFrame = {
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val joined = Dedup.trackedPersist(
+      stored.select("neighbor_id", "cell")
+        .join(full, Seq("neighbor_id"), "left"))
+    val perId = joined
+      .groupBy("neighbor_id")
+      .agg(count(col("cv")).as("n"))
+      .agg(count(when(col("n") === 0, 1)).as("missing"),
+        count(when(col("n") > 1, 1)).as("dups"))
+      .collect()(0)
+    val (missing, dups) = (perId.getLong(0), perId.getLong(1))
+    require(missing == 0 && dups == 0,
+      s"$what at $path: corpus has drifted from the index " +
+        s"in the cells being re-split ($missing index ids with no " +
+        s"corpus vector, $dups with duplicate corpus rows) — " +
+        "rebuild the index against the current corpus")
+    joined.select("neighbor_id", "cv", "cell")
+  }
+
   /** [[removeFromIvfIndex]] for the codes-only IVF-PQ layout. `corpus`
     * supplies raw vectors when a cell's split bits shrink and its
     * SURVIVING rows need their subcells re-derived (the
@@ -1341,26 +1419,8 @@ object Artifacts {
                            maxCell: Int = 100000): Map[Int, Int] =
     removeFromCellIndex(removedIds, path, idCol, maxCell,
       ivfPqParams(centroids, codebooks, vecCol, maxCell), "IVF-PQ index",
-      resolveVectors = { stored =>
-        val full = corpus.select(col(idCol).as("neighbor_id"),
-          col(vecCol).as("cv"))
-        val joined = Dedup.trackedPersist(
-          stored.select("neighbor_id", "cell")
-            .join(full, Seq("neighbor_id"), "left"))
-        val perId = joined
-          .groupBy("neighbor_id")
-          .agg(count(col("cv")).as("n"))
-          .agg(count(when(col("n") === 0, 1)).as("missing"),
-            count(when(col("n") > 1, 1)).as("dups"))
-          .collect()(0)
-        val (missing, dups) = (perId.getLong(0), perId.getLong(1))
-        require(missing == 0 && dups == 0,
-          s"IVF-PQ removal at $path: corpus has drifted from the index " +
-            s"in the cells being re-split ($missing index ids with no " +
-            s"corpus vector, $dups with duplicate corpus rows) — " +
-            "rebuild the index against the current corpus")
-        joined.select("neighbor_id", "cv", "cell")
-      })(
+      resolveVectors =
+        pqResolveVectors(corpus, path, idCol, vecCol, "IVF-PQ removal"))(
       ivfPqProject(centroids, codebooks))
 
   /** Shared removal sequence behind [[removeFromIvfIndex]] and

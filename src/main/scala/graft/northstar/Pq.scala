@@ -295,6 +295,77 @@ object Pq {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** [[ivfPqTopK]] over the HIERARCHICAL coarse quantizer — the 100 TB
+    * ANN configuration: broadcast-relation cell assignment past
+    * `Ivf.MaxAutoCells` (no centroid plan literal) combined with the
+    * codes-only candidate join (4m bytes per row through the probe
+    * shuffle, not vectors). Same ADC screen + exact re-rank tail as the
+    * literal family; with full supercell probing the result is
+    * row-identical to [[ivfPqTopK]] on the same quantizers (PqSpec pins
+    * it).
+    */
+  def ivfPqTopKHier(queries: DataFrame, corpus: DataFrame,
+                    hq: Ivf.HierarchicalQuantizer,
+                    codebooks: Array[Array[Array[Float]]],
+                    k: Int = 10, nProbe: Int = Ivf.AutoProbe,
+                    rerank: Int = AutoRerank,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxCell: Int = 100000): DataFrame = {
+    val nProbeR =
+      if (nProbe == Ivf.AutoProbe) Ivf.autoNProbe(hq.nCells) else nProbe
+    val assigned = Dedup.trackedPersist(
+      Ivf.assignCellsJoin(corpus, hq, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          col("cell")))
+    val rerankR =
+      if (rerank == AutoRerank) autoRerank(assigned.count(), k) else rerank
+    require(rerankR >= k,
+      s"rerank=$rerankR must be >= k=$k: the exact re-rank can only " +
+        "return candidates the ADC stage kept")
+    val splits = Ivf.splitBitsFromCensus(
+      assigned.groupBy("cell").count(), maxCell)
+    val c = assigned.select(col("neighbor_id"), col("cell"),
+      Ivf.subcellOf(col("cv"), col("cell"), hq.centroids, splits)
+        .as("subcell"),
+      encode(col("cv"), codebooks).as("codes"))
+    val q = Ivf.probeCellsJoin(queries, hq, nProbeR, idCol, vecCol)
+      .withColumn("subcell",
+        Ivf.subcellOf(col("qv"), col("cell"), hq.centroids, splits))
+    adcRerank(q, c, assigned, codebooks, k, rerankR)
+  }
+
+  /** [[ivfPqServeTopK]] over the hierarchical quantizer: stored
+    * codes-only index, planning-time cell pruning, probe side from the
+    * broadcast-join path. `index`/`splits` come from
+    * [[Artifacts.loadIvfPqIndexHier]]; the [[ivfPqServeTopK]] membership
+    * contract on `corpus` applies unchanged.
+    */
+  def ivfPqServeTopKHier(queries: DataFrame, index: DataFrame,
+                         corpus: DataFrame,
+                         hq: Ivf.HierarchicalQuantizer,
+                         splits: Map[Int, Int],
+                         codebooks: Array[Array[Array[Float]]],
+                         k: Int = 10, nProbe: Int = Ivf.AutoProbe,
+                         rerank: Int = AutoRerank,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val nProbeR =
+      if (nProbe == Ivf.AutoProbe) Ivf.autoNProbe(hq.nCells) else nProbe
+    val rerankR =
+      if (rerank == AutoRerank) autoRerank(index.count(), k) else rerank
+    require(rerankR >= k,
+      s"rerank=$rerankR must be >= k=$k: the exact re-rank can only " +
+        "return candidates the ADC stage kept")
+    val q = Dedup.trackedPersist(
+      Ivf.probeCellsJoin(queries, hq, nProbeR, idCol, vecCol)
+        .withColumn("subcell",
+          Ivf.subcellOf(col("qv"), col("cell"), hq.centroids, splits)))
+    val c = Ivf.pruneToProbedCells(index, q)
+    adcRerank(q, c,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      codebooks, k, rerankR)
+  }
+
   /** IVF-PQ top-k over a STORED, cell-partitioned, CODES-ONLY serving
     * index (see [[Artifacts.ivfPqIndexFor]]): the corpus was assigned and
     * encoded ONCE and written hive-partitioned by cell carrying

@@ -348,4 +348,51 @@ class PqSpec extends SparkSpecBase {
       l.contains("subcell") && l.contains("hashpartitioning") &&
         l.contains("cv")), s"corpus vectors cross the probe shuffle:\n$plan")
   }
+
+  test("hierarchical IVF-PQ: full supercell probing row-equals the literal " +
+       "family; serve == fit; append == union rebuild") {
+    import graft.northstar.{Artifacts, Ivf}
+    import org.apache.spark.sql.functions.col
+    // the 100 TB configuration composed: broadcast-relation coarse
+    // quantizer + codes-only candidate join + exact re-rank
+    val cents = Pq.fitCodebooks(emb, m = 8, ksub = 16) // codebooks
+    val coarse = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hqFull = Ivf.HierarchicalQuantizer(supers, coarse, superProbe = 3)
+    val q = emb.filter(col("vec_id") < 5)
+    // full supercell probing: candidate set == the literal family's
+    val viaHier = rows(Pq.ivfPqTopKHier(q, emb, hqFull, cents,
+      k = 10, nProbe = 4, rerank = 50))
+    val viaLit = rows(Pq.ivfPqTopK(q, emb, coarse, cents,
+      k = 10, nProbe = 4, rerank = 50))
+    assert(viaHier == viaLit)
+    // stored lifecycle under PARTIAL probing: serve == fit, append ==
+    // union rebuild (both sides of each identity share the assignment)
+    val hq = hqFull.copy(superProbe = 2)
+    val embA = emb.filter(col("vec_id") % 2 === 0)
+    val embB = emb.filter(col("vec_id") % 2 =!= 0)
+    val p = TestTmp.dir("pq-hier-life") + "/idx"
+    Artifacts.saveIvfPqIndexHier(embA, p, hq, cents)
+    Artifacts.appendIvfPqIndexHier(embB, embA, p, hq, cents): Unit
+    val (idxA, splitsA) = Artifacts.loadIvfPqIndexHier(spark, p, hq, cents)
+    val pU = TestTmp.dir("pq-hier-life") + "/idx"
+    Artifacts.saveIvfPqIndexHier(emb, pU, hq, cents)
+    val (idxU, splitsU) = Artifacts.loadIvfPqIndexHier(spark, pU, hq, cents)
+    assert(splitsA == splitsU)
+    assert(rows(idxA.select("neighbor_id", "cell", "subcell", "codes")) ==
+      rows(idxU.select("neighbor_id", "cell", "subcell", "codes")))
+    val served = rows(Pq.ivfPqServeTopKHier(q, idxA, emb, hq, splitsA,
+      cents, k = 10, nProbe = 3, rerank = 50))
+    assert(served == rows(Pq.ivfPqTopKHier(q, emb, hq, cents,
+      k = 10, nProbe = 3, rerank = 50)))
+    // takedown: removing the appended half restores the embA-only index
+    Artifacts.removeFromIvfPqIndexHier(embB.select("vec_id"), embA, p,
+      hq, cents): Unit
+    val p0 = TestTmp.dir("pq-hier-life") + "/idx"
+    Artifacts.saveIvfPqIndexHier(embA, p0, hq, cents)
+    val (idx0, _) = Artifacts.loadIvfPqIndexHier(spark, p0, hq, cents)
+    val (idxR, _) = Artifacts.loadIvfPqIndexHier(spark, p, hq, cents)
+    assert(rows(idxR.select("neighbor_id", "cell", "subcell", "codes")) ==
+      rows(idx0.select("neighbor_id", "cell", "subcell", "codes")))
+  }
 }
