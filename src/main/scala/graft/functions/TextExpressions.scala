@@ -463,7 +463,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
 /** Column-level API for the text-hash kernels. */
 /** ascii_strip(string) → string: both-ends strip of ASCII whitespace
-  * (space, \t, \n, \r, VT, FF) — exactly `trim(col, " \t\n\r")`,
+  * (space, \t, \n, \r, VT \u000B, FF \u000C) — exactly
+  * `trim(col, Transforms.TrimChars)`,
   * which is the pandas `str.strip()` subset Transforms.trimWhitespace
   * needs (T4). Exists for speed, not semantics: the generic two-arg
   * StringTrim matches each boundary char against the trim-set through

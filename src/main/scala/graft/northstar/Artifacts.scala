@@ -670,8 +670,20 @@ object Artifacts {
     // quantizer's telemetry doesn't describe the new one
     new java.io.File(path, "drift.log").delete(): Unit
     sweepTmp(new java.io.File(path))
-    val splits = Ivf.splitBitsFromCensus(
-      assigned.groupBy("cell").count(), maxCell)
+    val buildCensus = Ivf.collectCensus(assigned.groupBy("cell").count())
+    val splits = Ivf.splitBitsFromCounts(buildCensus, maxCell)
+    // the BUILD census persists as the drift baseline: every append's
+    // censusDrift compares against the distribution the quantizers were
+    // trained alongside. Comparing against the LIVE stored census would
+    // dilute the signal exactly when sustained drift accumulates — five
+    // drifted batches later the store is half drifted data and a pure-
+    // drift batch reads as half the tv it should (code-review r15).
+    new java.io.File(path).mkdirs(): Unit
+    java.nio.file.Files.write(
+      new java.io.File(path, "drift_base").toPath,
+      buildCensus.toSeq.sorted
+        .map { case (c, n) => s"$c=$n" }.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     project(assigned, splits)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new java.io.File(path, "index").toString)
@@ -1061,12 +1073,17 @@ object Artifacts {
       val changed = merged.keySet
         .filter(c => newSplits.getOrElse(c, 0) != oldSplits.getOrElse(c, 0))
         .toSeq.sorted
-      // quantizer drift statistic (VERDICT r14 task 5): both censuses
-      // are in hand, so the retrain signal is free — computed here,
-      // recorded after the publish (it must not touch a wreck)
+      // quantizer drift statistic (VERDICT r14 task 5): the incoming
+      // census is in hand and the baseline is the PERSISTED BUILD
+      // census (drift_base — the distribution the quantizers were
+      // trained alongside; the live stored census would dilute under
+      // sustained drift, code-review r15). Legacy indexes without the
+      // sidecar fall back to the stored census. Computed here, recorded
+      // after the publish (it must not touch a wreck).
+      val baseCensus = driftBase(path).getOrElse(storedCounts)
       val drift =
-        if (storedCounts.nonEmpty && incomingCounts.nonEmpty)
-          Some((Ivf.censusDrift(storedCounts, incomingCounts),
+        if (baseCensus.nonEmpty && incomingCounts.nonEmpty)
+          Some((Ivf.censusDrift(baseCensus, incomingCounts),
             incomingCounts.values.sum))
         else None
       (assignedIncoming, oldSplits, newSplits, changed, drift)
@@ -1124,17 +1141,28 @@ object Artifacts {
     //    batch over the retrain bar additionally WARNs right here,
     //    where the operator running the nightly append will see it.
     drift.foreach { case (d, n) =>
-      // Locale.ROOT: a comma-decimal default locale would write
-      // "drift=0,37" and silently break appendDriftHistory's parse
-      // (the KernelEdgeSpec locale-proofing class)
-      java.nio.file.Files.write(
-        new java.io.File(dst, "drift.log").toPath,
-        String.format(java.util.Locale.ROOT,
-          "ts=%d rows=%d drift=%.6f%n",
-          Long.box(System.currentTimeMillis()), Long.box(n), Double.box(d))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND): Unit
+      // ADVISORY means advisory: the append has already republished its
+      // marker, so a telemetry I/O failure here must not surface as an
+      // append failure — the natural retry would double-append the
+      // batch, and the raw-vector family has no duplicate tripwire
+      // (code-review r15). Locale.ROOT: a comma-decimal default locale
+      // would write "drift=0,37" and silently break
+      // appendDriftHistory's parse (the KernelEdgeSpec locale class).
+      try
+        java.nio.file.Files.write(
+          new java.io.File(dst, "drift.log").toPath,
+          String.format(java.util.Locale.ROOT,
+            "ts=%d rows=%d drift=%.6f%n",
+            Long.box(System.currentTimeMillis()), Long.box(n),
+            Double.box(d))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND): Unit
+      catch { case t: Throwable =>
+        Console.err.println(
+          s"[graft] WARN $what at $path: could not record drift " +
+            s"telemetry (${t.getMessage}) — the append itself succeeded")
+      }
       if (d > Ivf.RetrainDriftThreshold)
         Console.err.println(
           f"[graft] WARN $what at $path: append batch ($n rows) census " +
@@ -1144,6 +1172,20 @@ object Artifacts {
             "(recall on drifted rows decays silently otherwise)")
     }
     newSplits
+  }
+
+  /** The persisted build census of a cell index (the drift baseline) —
+    * None for a pre-r15 index without the sidecar.
+    */
+  private def driftBase(path: String): Option[Map[Int, Long]] = {
+    val f = new java.io.File(path, "drift_base")
+    if (!f.isFile) return None
+    import scala.jdk.CollectionConverters._
+    Some(java.nio.file.Files.readAllLines(f.toPath,
+        java.nio.charset.StandardCharsets.UTF_8).asScala
+      .filter(_.contains('='))
+      .map { l => val i = l.indexOf('=')
+        l.take(i).toInt -> l.drop(i + 1).toLong }.toMap)
   }
 
   /** The per-append [[Ivf.censusDrift]] history of a cell index —

@@ -306,7 +306,15 @@ object Ivf {
     * Similarity.cellSubcellKeys) derive the census from the cached
     * frame instead of paying the nCells-cosine assignment pass twice.
     */
-  def splitBitsFromCensus(census: DataFrame, maxCell: Int): Map[Int, Int] = {
+  def splitBitsFromCensus(census: DataFrame, maxCell: Int): Map[Int, Int] =
+    splitBitsFromCounts(collectCensus(census), maxCell)
+
+  /** Collect a (cell, count) census frame to a driver map with the
+    * named null-cell refusal — shared by [[splitBitsFromCensus]] and
+    * the index save path (which also persists the census as the drift
+    * baseline).
+    */
+  private[northstar] def collectCensus(census: DataFrame): Map[Int, Long] = {
     val rows = census.collect()
     // a null embedding assigns to a NULL cell (cellOf's nullSafeEval),
     // which used to die here as a bare NPE on getInt — and the rows
@@ -318,8 +326,7 @@ object Ivf {
           "(null cell assignment) — they cannot be indexed and would " +
           "silently vanish from ANN results; drop or repair them first")
     }
-    splitBitsFromCounts(
-      rows.map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
+    rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   /** The split policy as a pure driver-side function of per-cell counts —
@@ -704,24 +711,14 @@ object Ivf {
     val scale = 10000
     var it = 0
     while (it < iters) {
-      val assigned = assignCellsJoin(corpus, hq, idCol, vecCol)
-      val qv = quantizeVec(col(vecCol), scale)
-      // the k·dim update table is the sanctioned bounded collect
-      // (≤ nCells rows, corpus-size-independent), same contract as
-      // lloydStepQ; cells that lose every member keep their centroid
-      val updated = assigned
-        .select(col("cell"), posexplode(qv).as(Seq("pos", "q")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-        .groupBy("cell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
-          x => round(x.getField("s").cast("double") / x.getField("n"))
-            .cast("long")).as("qc"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          r.getSeq[Long](1).map(q => (q.toDouble / scale).toFloat).toArray)
-        .toMap
+      // the shared quantizedMeans update (the lloydStepQ machinery);
+      // cells that lose every member keep their centroid
+      val updated = quantizedMeans(
+        assignCellsJoin(corpus, hq, idCol, vecCol)
+          .select(col("cell"), col(vecCol)),
+        vecCol, scale)
+        .map { case (c, qc) =>
+          c.toInt -> qc.map(q => (q.toDouble / scale).toFloat).toArray }
       hq = hq.copy(centroids = Array.tabulate(nCells)(j =>
         updated.getOrElse(j, hq.centroids(j))))
       it += 1
@@ -757,17 +754,38 @@ object Ivf {
     // id equi-join afterwards: one exchange of the corpus (vec shipped
     // once) beats superProbe embedding copies through the agg sort at
     // any production dim.
+    val sProbe = math.min(hq.superProbe, hq.nSuper)
     val best = df
       .select(col(idCol), col(vecCol),
         explode(probeCells(col(vecCol), hq.superCentroids,
-          math.min(hq.superProbe, hq.nSuper))).as("sup"))
+          sProbe)).as("sup"))
       .join(broadcast(rel), "sup")
       .select(col(idCol),
         vectors.best_cell_in(col(vecCol), col("flat"), col("cells"))
           .as("best"))
       .groupBy(idCol)
-      .agg(max(col("best")).as("best"))
-      .select(col(idCol), col("best.cell").as("cell"))
+      .agg(max(col("best")).as("best"), count(lit(1)).as("__cands"))
+      // unique-id tripwire (code-review r15): the argmax groups BY ID,
+      // so two rows sharing an id would collapse to one global best and
+      // the reattach join would fan that cell onto both — the second
+      // row stored in a cell that is not its nearest, silently
+      // unreachable at probe time (the literal path assigns per ROW).
+      // One row contributes AT MOST sProbe candidates (probeCells emits
+      // distinct supercells; the join is 1:1 on sup — possibly fewer
+      // when a probed supercell owns no centroids), so a group past
+      // sProbe is definitely a duplicated id — refused in-plan with the
+      // id named, no extra pass. Duplicates whose probe sets land only
+      // on empty supercells can slip this bound; the artifact paths'
+      // membership tripwires remain the backstop there.
+      .select(col(idCol),
+        when(col("__cands") <= sProbe, col("best.cell"))
+          .otherwise(raise_error(concat(
+            lit("duplicate ids in hierarchical cell assignment: id '"),
+            col(idCol),
+            lit(s"' produced more than $sProbe candidate rows — the " +
+              "per-id argmax would collapse distinct rows to one cell " +
+              "(the literal cellOf path assigns per row); dedupe or " +
+              "re-key the corpus first")))).as("cell"))
     // LEFT join: a null embedding produces no candidate rows (the
     // kernel's null gate), so an inner join would silently DROP the row
     // — the literal path assigns it a NULL cell and the downstream
@@ -918,18 +936,33 @@ object Ivf {
                  vecCol: String = "embedding",
                  scale: Int = 10000): Seq[Seq[Long]] = {
     val qv = quantizeVec(col(vecCol), scale)
-    val sums = emb
-      .select(assignQ(qv, centroidsQ).as("cell"), qv.as("qv"))
-      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
+    val updated = quantizedMeans(
+      emb.select(assignQ(qv, centroidsQ).as("cell"), col(vecCol)),
+      vecCol, scale)
+    centroidsQ.indices.map(j => updated.getOrElse(j.toLong, centroidsQ(j)))
+  }
+
+  /** The quantized-integer per-cell mean update over an ALREADY-assigned
+    * (cell, vector) frame — ONE definition shared by [[lloydStepQ]] and
+    * [[fitHierarchical]]'s distributed Lloyd (whose assignment is the
+    * broadcast join), so a change to the rounding, the sort key, or the
+    * empty-cell convention cannot drift between them (code-review r15).
+    * All arithmetic is exact integer (sums of 1e-`scale`-grid longs);
+    * the ≤k·dim result is the sanctioned bounded collect. Cells with no
+    * members are simply absent — callers keep their previous centroid.
+    */
+  private def quantizedMeans(assigned: DataFrame, vecCol: String,
+                             scale: Int): Map[Long, Seq[Long]] =
+    assigned
+      .select(col("cell").cast("long").as("cell"),
+        posexplode(quantizeVec(col(vecCol), scale)).as(Seq("pos", "q")))
       .groupBy("cell", "pos")
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-    val updated = sums.groupBy("cell")
+      .groupBy("cell")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
         x => round(x.getField("s").cast("double") / x.getField("n"))
           .cast("long")).as("qc"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-    centroidsQ.indices.map(j => updated.getOrElse(j.toLong, centroidsQ(j)))
-  }
 }

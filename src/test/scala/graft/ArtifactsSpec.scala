@@ -999,12 +999,24 @@ class ArtifactsSpec extends SparkSpecBase {
       expr("transform(embedding, x -> cast(x + 1.5 as float))")
         .as("embedding"))
     Artifacts.appendIvfIndex(shifted, p, cents): Unit
+    // NON-DILUTION (code-review r15): the baseline is the persisted
+    // BUILD census, not the live stored one — a second shifted batch
+    // must read essentially the SAME drift as the first, even though
+    // the store is now part drifted data (against the live census the
+    // signal would halve per batch and go silent under sustained
+    // drift, the exact scenario the hook exists for)
+    val shifted2 = shifted.select((col("vec_id") + 5000L).as("vec_id"),
+      col("embedding"))
+    Artifacts.appendIvfIndex(shifted2, p, cents): Unit
     val h = Artifacts.appendDriftHistory(p)
-    assert(h.size == 2, h.toString)
+    assert(h.size == 3, h.toString)
     assert(h(0)._3 < Ivf.RetrainDriftThreshold,
       s"in-distribution append read drift ${h(0)._3}")
     assert(h(1)._3 > Ivf.RetrainDriftThreshold,
       s"shifted append read drift ${h(1)._3}")
+    assert(math.abs(h(2)._3 - h(1)._3) < 0.02,
+      s"drift signal diluted: ${h(1)._3} then ${h(2)._3} on identical " +
+        "distribution shifts")
     assert(h.forall(_._2 == embB.count()))
     // a from-scratch rebuild starts a new quantizer story
     Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)

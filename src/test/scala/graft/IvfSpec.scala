@@ -410,4 +410,25 @@ class IvfSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("null embeddings"), e.getMessage)
   }
+
+  test("hierarchical assignment refuses duplicated ids in-plan " +
+       "(the per-id argmax would collapse distinct rows to one cell)") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val supers = Ivf.fitCentroids(emb, nCells = 2, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 2)
+    val dup = emb.unionAll(emb.limit(1)) // one id twice
+    val e = intercept[Exception] {
+      // the refusal rides the cell column (every real consumer — build,
+      // census, probe — reads it; a count() would prune it away)
+      Ivf.assignCellsJoin(dup, hq).select("cell").collect()
+    }
+    // Spark wraps the raise_error; match the named message anywhere in
+    // the chain
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate ids")),
+      messages(e).mkString(" | "))
+  }
 }

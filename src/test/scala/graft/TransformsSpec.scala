@@ -159,8 +159,10 @@ class TransformsSpec extends SparkSpecBase {
     // byte-scan kernel — the kernel exists for speed (flagship ~0.2 s at
     // sf0.1), so its contract is exact equality with the generic form
     val cases = Seq(
-      "  x  ", "\tx\t", "x\t", "\n\r x y ", "", "   ",
-      "\t\n\r", "héllo wörld ", " é世界\n",
+      "  x  ", "\tx\t", "x\t", "\n\r x y \u000B\u000C", "", "   ",
+      // VT (U+000B) and FF (U+000C) ARE in the strip set — a
+      // "simplified" predicate dropping them must fail here
+      "\t\n\r\u000B\u000C", "\u000Bv\u000C", "héllo wörld ", " é世界\n",
       // NBSP (U+00A0) and ideographic space (U+3000) are NOT in the set
       // and must survive on both sides
       "\u00A0x\u00A0", "\u3000y\u3000", " \u00A0z\u00A0 ",
