@@ -594,6 +594,69 @@ object VecOps {
       Array[Any](bestSim, bestCell))
   }
 
+  /** The top-`take` cells of `v` within a PACKED per-row centroid group
+    * (the [[bestCellIn]] argmax generalized to a partial selection, the
+    * [[nearestCells]] insertion loop over per-row join data): cosine
+    * order, ties → HIGHER cell, best first. The stream-safe hierarchical
+    * probe: per-supercell top-j needs no window, so an ingest screen can
+    * bound its cell fan-out on an append-mode stream.
+    */
+  def topCellsIn(v: ArrayData, flat: ArrayData, cells: ArrayData,
+                 take: Int): ArrayData = {
+    val dim = v.numElements()
+    val nc = cells.numElements()
+    if (flat.numElements() != nc * dim)
+      throw new IllegalArgumentException(
+        s"packed centroid shape mismatch: vector dim $dim vs " +
+          s"${flat.numElements()} floats for $nc cells (expected " +
+          s"${nc * dim}; were the centroids fit on a different dim?)")
+    var na = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    val sqna = math.sqrt(na)
+    val sims = new Array[Double](nc)
+    val ids = new Array[Int](nc)
+    var c = 0
+    while (c < nc) {
+      var dot = 0.0
+      var nb = 0.0
+      var ii = 0
+      val base = c * dim
+      while (ii < dim) {
+        val y = flat.getFloat(base + ii).toDouble
+        dot += v.getFloat(ii).toDouble * y
+        nb += y * y
+        ii += 1
+      }
+      val d = sqna * math.sqrt(nb)
+      sims(c) = if (d == 0.0) 0.0 else dot / d
+      ids(c) = cells.getInt(c)
+      c += 1
+    }
+    // bounded insertion selection, best→worst (the nearestCells loop)
+    def better(a: Int, b: Int): Boolean = {
+      val cmp = cmpSql(sims(a), sims(b))
+      cmp > 0 || (cmp == 0 && ids(a) > ids(b))
+    }
+    val n = math.min(take, nc)
+    val out = new Array[Int](n)
+    var size = 0
+    c = 0
+    while (c < nc) {
+      if (size < n || better(c, out(size - 1))) {
+        var i2 = if (size < n) { size += 1; size - 1 } else n - 1
+        while (i2 > 0 && better(c, out(i2 - 1))) { out(i2) = out(i2 - 1); i2 -= 1 }
+        out(i2) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(out.map(ids(_)))
+  }
+
   /** FLOAT plane rows for the sub-cell split family: the compose form
     * built each plane as `planeComponent(i, p, table).toFloat` inside a
     * typedLit, so the kernel must reproduce the float-rounded values —
@@ -888,6 +951,30 @@ case class BestCellIn(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** top_cells_in(array<float>, flat array<float>, cells array<int>) →
+  * array<int>: the top-`take` cells by cosine within a PACKED per-row
+  * centroid group, best first (see VecOps.topCellsIn). The window-free
+  * hierarchical probe for append-mode streams.
+  */
+case class TopCellsIn(first: Expression, second: Expression,
+                      third: Expression, take: Int)
+    extends TernaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  require(take >= 1, s"take must be positive, got $take")
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any, flat: Any, cells: Any): Any =
+    VecOps.topCellsIn(v.asInstanceOf[ArrayData], flat.asInstanceOf[ArrayData],
+      cells.asInstanceOf[ArrayData], take)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, flat, cells) =>
+      s"graft.functions.VecOps.topCellsIn($v, $flat, $cells, $take)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): TopCellsIn =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** subcell_bits(array<float>, cell int) → long: the mega-cell secondary
   * split key (see VecOps.subcellBits). The split policy — which cells,
   * how many bits, the centroid-centered thresholds — is driver-derived
@@ -1072,6 +1159,9 @@ object vectors {
       requireConstant(centroids, "nearest_cells centroids"), nCells, nProbe))
   def best_cell_in(v: Column, flat: Column, cells: Column): Column =
     Bridge.column(BestCellIn(ex(v), ex(flat), ex(cells)))
+  def top_cells_in(v: Column, flat: Column, cells: Column,
+                   take: Int): Column =
+    Bridge.column(TopCellsIn(ex(v), ex(flat), ex(cells), take))
   def subcell_bits(v: Column, cell: Column, splitCells: Array[Int],
                    bits: Array[Int], thresholds: Array[Double],
                    table: Int): Column =

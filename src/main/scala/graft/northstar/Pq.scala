@@ -246,6 +246,16 @@ object Pq {
       .filter(round(adcCosine(col("qv"), col("codes"), codebooks) * 10000)
         .cast("long") >= thresholdE4 - screenMarginE4)
       .select("incoming_id", "qv", "neighbor_id")
+    confirmExact(screened, corpus, thresholdE4, idCol, vecCol)
+  }
+
+  /** The exact-confirm tail of the ingest screens: survivors fetch
+    * their corpus vector and every emitted pair carries its true e4
+    * cosine >= thresholdE4.
+    */
+  private def confirmExact(screened: DataFrame, corpus: DataFrame,
+                           thresholdE4: Long, idCol: String,
+                           vecCol: String): DataFrame = {
     val full = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"))
     screened.join(full, Seq("neighbor_id"))
@@ -253,6 +263,50 @@ object Pq {
         round(vectors.vec_cosine(col("qv"), col("cv")) * 10000)
           .cast("long").as("sim_e4"))
       .filter(col("sim_e4") >= thresholdE4)
+  }
+
+  /** [[annMatchesIncoming]] over the HIERARCHICAL quantizer — the
+    * nightly ingest screen past `Ivf.MaxAutoCells`, STREAM-SAFE like
+    * the literal form: no window anywhere. The probe side explodes the
+    * incoming row's superProbe supercells (narrow kernel), broadcast-
+    * joins the packed centroid relation, and takes the top
+    * `perSuperProbe` cells WITHIN each supercell via the
+    * [[graft.functions.VecOps.topCellsIn]] kernel — a per-row partial
+    * selection, not a window — so the cell fan-out is bounded at
+    * superProbe × perSuperProbe per incoming row on an append-mode
+    * stream. The screen + exact confirm are the literal path's.
+    *
+    * With one supercell, perSuperProbe >= nCells, and an unbounded
+    * margin the screen admits everything and the result equals the flat
+    * exact threshold join — the `ns_ann_incoming_exact` identity, which
+    * StreamingSpec replays streamed == batch.
+    */
+  def annMatchesIncomingHier(incoming: DataFrame, index: DataFrame,
+                             corpus: DataFrame,
+                             hq: Ivf.HierarchicalQuantizer,
+                             splits: Map[Int, Int],
+                             codebooks: Array[Array[Array[Float]]],
+                             thresholdE4: Long,
+                             screenMarginE4: Long = 1500,
+                             perSuperProbe: Int = 3,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val rel = hq.packedRelation(incoming.sparkSession)
+    val q = incoming
+      .select(col(idCol).as("incoming_id"), col(vecCol).as("qv"),
+        explode(Ivf.probeCells(col(vecCol), hq.superCentroids,
+          math.min(hq.superProbe, hq.nSuper))).as("sup"))
+      .join(broadcast(rel), "sup")
+      .select(col("incoming_id"), col("qv"),
+        explode(vectors.top_cells_in(col("qv"), col("flat"), col("cells"),
+          perSuperProbe)).as("cell"))
+      .withColumn("subcell",
+        Ivf.subcellOf(col("qv"), col("cell"), hq.centroids, splits))
+    val screened = q.join(index, Seq("cell", "subcell"))
+      .filter(round(adcCosine(col("qv"), col("codes"), codebooks) * 10000)
+        .cast("long") >= thresholdE4 - screenMarginE4)
+      .select("incoming_id", "qv", "neighbor_id")
+    confirmExact(screened, corpus, thresholdE4, idCol, vecCol)
   }
 
   /** Shared ADC-candidates → exact-re-rank tail of [[ivfPqTopK]] and

@@ -297,4 +297,36 @@ class KernelEdgeSpec extends SparkSpecBase {
     assert(ex.getMessage != null
       && ex.getMessage.contains("shape mismatch"), ex.getMessage)
   }
+
+  test("top_cells_in == nearest_cells over the full centroid set; " +
+       "take past the group returns every cell once") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import spark.implicits._
+    // same ordering contract (cosine desc, tie -> higher cell) with the
+    // matrix as PER-ROW DATA instead of a plan literal — the packed
+    // kernel must replay the literal kernel on identical inputs
+    val rnd = new scala.util.Random(31)
+    val dim = 6
+    val cents = Array.fill(5)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    cents(3) = cents(1).clone() // duplicate centroid: tie -> higher id
+    val flat = cents.flatten.toSeq
+    val df = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "v")
+    val got = df.select(col("vec_id"),
+        graft.functions.vectors.top_cells_in(col("v"), typedLit(flat),
+          typedLit(Seq(0, 1, 2, 3, 4)), 3).as("packed"),
+        graft.functions.vectors.nearest_cells(col("v"),
+          typedLit(flat), 5, 3).as("lit"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+    // take beyond the group size: every cell exactly once, best first
+    val all = df.limit(3).select(
+        graft.functions.vectors.top_cells_in(col("v"), typedLit(flat),
+          typedLit(Seq(0, 1, 2, 3, 4)), 99)).collect()
+    all.foreach(r => assert(r.getSeq[Int](0).sorted == (0 until 5).toList))
+  }
 }

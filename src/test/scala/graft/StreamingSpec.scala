@@ -580,6 +580,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(got(1L) == expect)
   }
 
+  test("hier embedding ingest: streamed batch == batch screen == the " +
+       "literal family under full probing (window-free, append-mode)") {
+    import graft.northstar.{Artifacts, Ivf, Pq}
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (index, splits, centroids, codebooks) = Artifacts.ivfPqIndexFor(
+      emb, cacheKey = s"streaming-spec-pqh-${System.nanoTime()}",
+      nCells = 4, m = 8)
+    // one supercell + perSuperProbe >= nCells: the hier probe admits
+    // every cell, so it must equal the literal screen probing all cells
+    // — same stored index (hq.centroids IS the index's quantizer)
+    val hq = Ivf.HierarchicalQuantizer(
+      Array(Array.fill(64)(0.1f)), centroids, superProbe = 1)
+    emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q = Pq.annMatchesIncomingHier(
+        IncrementalStream.readTableStream(spark, src, "in", schema),
+        index, emb, hq, splits, codebooks, thresholdE4 = 3500,
+        perSuperProbe = 4)
+      .writeStream.format("memory").queryName("pq_hier_ingest_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = pairs(spark.table("pq_hier_ingest_out"))
+    val batchIn = spark.read.parquet(s"$src/in.parquet")
+    val batch = pairs(Pq.annMatchesIncomingHier(batchIn, index, emb, hq,
+      splits, codebooks, thresholdE4 = 3500, perSuperProbe = 4))
+    assert(streamed == batch && batch.nonEmpty)
+    // full probing == the literal family probing all cells
+    val literal = pairs(Pq.annMatchesIncoming(batchIn, index, emb,
+      centroids, splits, codebooks, thresholdE4 = 3500, nProbe = 4))
+    assert(streamed == literal)
+    // every incoming copy rediscovers its corpus source at cosine 1.0
+    assert(streamed.count { case (a, b, s) =>
+      a - 1000000L == b && s == 10000L } == 50)
+  }
+
   test("curation projection runs unchanged on a stream and matches the batch result") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.DataFrame
