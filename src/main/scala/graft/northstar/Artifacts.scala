@@ -1133,21 +1133,27 @@ object Artifacts {
         .repartition(1).write.mode("overwrite")
         .parquet(new java.io.File(dst, "splits").toString)
     }
-    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
-    // 4. record the drift statistic — advisory telemetry, appended only
-    //    after a successful publish so a crash never strands it on a
-    //    wreck. One line per append: epoch millis, batch rows, the
-    //    censusDrift value; [[appendDriftHistory]] reads it back and a
-    //    batch over the retrain bar additionally WARNs right here,
-    //    where the operator running the nightly append will see it.
+    // 3b. record the drift statistic BEFORE the marker republish, i.e.
+    //    still inside the cross-process mutex window (ADVICE r15): a
+    //    post-marker append raced a concurrent from-scratch rebuild —
+    //    the rebuild could win the mutex, delete drift.log ("rebuild
+    //    resets history"), and the in-flight late write would then
+    //    resurrect a stale drift line onto the new quantizer's
+    //    supposedly-empty history. One line per append: epoch millis,
+    //    batch rows, the censusDrift value; [[appendDriftHistory]]
+    //    reads it back and a batch over the retrain bar additionally
+    //    WARNs right here, where the nightly-append operator sees it.
     drift.foreach { case (d, n) =>
-      // ADVISORY means advisory: the append has already republished its
-      // marker, so a telemetry I/O failure here must not surface as an
-      // append failure — the natural retry would double-append the
-      // batch, and the raw-vector family has no duplicate tripwire
-      // (code-review r15). Locale.ROOT: a comma-decimal default locale
-      // would write "drift=0,37" and silently break
-      // appendDriftHistory's parse (the KernelEdgeSpec locale class).
+      // ADVISORY means advisory: the data mutation has fully succeeded,
+      // so a telemetry I/O failure here must not surface as an append
+      // failure — the natural retry would double-append the batch, and
+      // the raw-vector family has no duplicate tripwire (code-review
+      // r15). NonFatal only (ADVICE r15): an OutOfMemoryError or
+      // interrupt must still propagate — the advisory-write rationale
+      // covers I/O failures, not a dying JVM. Locale.ROOT: a
+      // comma-decimal default locale would write "drift=0,37" and
+      // silently break appendDriftHistory's parse (the KernelEdgeSpec
+      // locale class).
       try
         java.nio.file.Files.write(
           new java.io.File(dst, "drift.log").toPath,
@@ -1158,7 +1164,7 @@ object Artifacts {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND): Unit
-      catch { case t: Throwable =>
+      catch { case scala.util.control.NonFatal(t) =>
         Console.err.println(
           s"[graft] WARN $what at $path: could not record drift " +
             s"telemetry (${t.getMessage}) — the append itself succeeded")
@@ -1169,8 +1175,12 @@ object Artifacts {
             f"drift $d%.3f exceeds the retrain bar " +
             f"${Ivf.RetrainDriftThreshold} — the pinned quantizers no " +
             "longer model the incoming distribution; schedule a retrain " +
-            "(recall on drifted rows decays silently otherwise)")
+            "([[retrainIvfIndex]]/[[retrainIvfPqIndex]] — recall on " +
+            "drifted rows decays silently otherwise)")
     }
+    // 4. republish the commit marker — the mutation (and its telemetry
+    //    line) is complete; the mutex window closes here
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
     newSplits
   }
 

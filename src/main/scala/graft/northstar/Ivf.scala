@@ -682,6 +682,11 @@ object Ivf {
     * Two iterations: as with the driver fit, cell assignment needs a
     * stable coarse partition, not converged centroids — each extra
     * iteration is a full corpus pass through the assignment join.
+    *
+    * `idCol` is retained for signature stability but no longer read:
+    * the fit loop assigns under a synthetic per-row id, so training
+    * (like [[fitCentroids]]) needs no id column and tolerates repeated
+    * ids (ADVICE r15).
     */
   def fitHierarchical(corpus: DataFrame, nCells: Int,
                       idCol: String = "vec_id",
@@ -690,36 +695,50 @@ object Ivf {
                       superProbe: Int = AutoProbe,
                       knownRows: Option[Long] = None): HierarchicalQuantizer = {
     val rows = knownRows.getOrElse(corpus.count())
-    val nSuper = math.min(MaxAutoCells,
-      math.max(4, math.round(math.sqrt(nCells.toDouble)).toInt))
-    val superC = lloyd(
-      boundedSample(corpus, nSuper * TrainRowsPerCell, vecCol,
-        AutoSample, seed, Some(rows)), nSuper, seed, iters = 10)
-    val sProbe =
-      if (superProbe == AutoProbe) autoSuperProbe(nSuper) else superProbe
-    // init: a seeded sample of ~nCells corpus points (distinct, padded
-    // by repetition in the degenerate fewer-points-than-cells case —
-    // lloyd's own convention)
+    // init: a seeded sample of ~nCells corpus points.
     // content-based dedup (Array equality is by reference): duplicate
     // init centroids would permanently merge their cells
     val initSample = boundedSample(corpus, nCells.toLong, vecCol,
       AutoSample, seed + 1, Some(rows)).map(_.toSeq).distinct.map(_.toArray)
     require(initSample.nonEmpty, "empty corpus: nothing to fit")
-    val init = Array.tabulate(nCells)(i =>
-      initSample(i % initSample.length).clone())
+    // degenerate fewer-distinct-points-than-cells: SHRINK nCells to the
+    // distinct sample size instead of padding by repetition — the
+    // distributed Lloyd below never reseeds (unlike the driver lloyd()),
+    // so padded duplicate centroids would stay permanently merged and
+    // the quantizer would silently carry dead cells (ADVICE r15). A
+    // corpus with fewer distinct vectors than requested cells cannot
+    // meaningfully occupy them anyway.
+    val nCellsEff = math.min(nCells, initSample.length)
+    val nSuper = math.min(MaxAutoCells,
+      math.max(4, math.round(math.sqrt(nCellsEff.toDouble)).toInt))
+    val superC = lloyd(
+      boundedSample(corpus, nSuper * TrainRowsPerCell, vecCol,
+        AutoSample, seed, Some(rows)), nSuper, seed, iters = 10)
+    val sProbe =
+      if (superProbe == AutoProbe) autoSuperProbe(nSuper) else superProbe
+    val init = Array.tabulate(nCellsEff)(i => initSample(i).clone())
     var hq = HierarchicalQuantizer(superC, init, sProbe)
     val scale = 10000
+    // the fit loop assigns with a SYNTHETIC per-row id: training needs
+    // per-ROW assignments, not per-id ones, so routing it through the
+    // caller's id column both hard-failed on corpora with repeated ids
+    // (the duplicate-id tripwire protects INDEXING, where a collapsed
+    // row becomes unreachable — for a mean update collapsing duplicates
+    // is merely a reweighting) and required an id column at all, which
+    // the literal fitCentroids path never did (ADVICE r15)
+    val fitInput = corpus.select(
+      monotonically_increasing_id().as("__fit_id"), col(vecCol))
     var it = 0
     while (it < iters) {
       // the shared quantizedMeans update (the lloydStepQ machinery);
       // cells that lose every member keep their centroid
       val updated = quantizedMeans(
-        assignCellsJoin(corpus, hq, idCol, vecCol)
+        assignCellsJoin(fitInput, hq, "__fit_id", vecCol)
           .select(col("cell"), col(vecCol)),
         vecCol, scale)
         .map { case (c, qc) =>
           c.toInt -> qc.map(q => (q.toDouble / scale).toFloat).toArray }
-      hq = hq.copy(centroids = Array.tabulate(nCells)(j =>
+      hq = hq.copy(centroids = Array.tabulate(nCellsEff)(j =>
         updated.getOrElse(j, hq.centroids(j))))
       it += 1
     }
@@ -741,9 +760,23 @@ object Ivf {
     *
     * Output: (idCol, vecCol, cell).
     */
-  def assignCellsJoin(df: DataFrame, hq: HierarchicalQuantizer,
+  def assignCellsJoin(dfIn: DataFrame, hq: HierarchicalQuantizer,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    // null-id refusal (ADVICE r15): the vector reattach below is an id
+    // EQUI-join, so a null-id row would never match its own argmax row
+    // — it got a NULL cell despite a valid embedding (misreported
+    // downstream as a null-embedding row), and several null-id rows
+    // could trip the duplicate-id tripwire with a null-concat message.
+    // The literal cellOf path assigns per row and has no such hazard;
+    // here the id IS the join key, so refuse nulls up front with the
+    // problem named (the null-EMBEDDING refusal's convention).
+    val df = dfIn.withColumn(idCol,
+      when(col(idCol).isNotNull, col(idCol)).otherwise(raise_error(lit(
+        "null id in hierarchical cell assignment: the per-row argmax " +
+          "reattaches vectors by an id equi-join, so a null-id row " +
+          "would silently get a NULL cell despite a valid embedding; " +
+          "assign real ids before indexing"))))
     val rel = hq.packedRelation(df.sparkSession)
     // the kernel is PROJECTED before the aggregate, and the argmax agg
     // carries only (id, best) — the agg is sort-based (a struct buffer

@@ -347,8 +347,15 @@ class IvfSpec extends SparkSpecBase {
     assert(Ivf.autoNCells(1000000000L) == Ivf.MaxAutoCells)
     val hq = Ivf.fitQuantizer(emb, nCells = Ivf.MaxAutoCells + 1)
     assert(hq.isInstanceOf[Ivf.HierarchicalQuantizer])
+    // the degenerate fewer-distinct-points-than-cells fit SHRINKS the
+    // cell count to the distinct sample size instead of padding the
+    // init with duplicates (ADVICE r15: the distributed Lloyd never
+    // reseeds, so padded duplicates stayed permanently merged) — on
+    // this corpus the bounded sample is the whole corpus, so the cell
+    // count lands at the number of distinct embeddings
+    val nDistinct = emb.select("embedding").distinct().count()
     assert(hq.asInstanceOf[Ivf.HierarchicalQuantizer].nCells ==
-      Ivf.MaxAutoCells + 1)
+      math.min(Ivf.MaxAutoCells + 1, nDistinct.toInt))
     // degenerate nCells >> corpus still searches correctly: with FULL
     // supercell probing and exhaustive nProbe (every cell holds ≤1
     // vector) the candidate set is the whole corpus, so the result must
@@ -430,5 +437,48 @@ class IvfSpec extends SparkSpecBase {
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("duplicate ids")),
       messages(e).mkString(" | "))
+  }
+
+  test("hierarchical assignment refuses NULL ids up front with the " +
+       "problem named (the reattach is an id equi-join)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // pre-fix: a null-id row never matched its own argmax row in the
+    // reattach join, so it got a NULL cell DESPITE a valid embedding —
+    // the census then misreported it as a null-embedding row (ADVICE
+    // r15). Now the named null-ID refusal fires instead.
+    val centroids = Ivf.fitCentroids(emb, nCells = 4)
+    val supers = Ivf.fitCentroids(emb, nCells = 2, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 2)
+    val someId = emb.select("vec_id").head().getLong(0)
+    val withNullId = emb.select(
+      when(col("vec_id") === someId, lit(null).cast("long"))
+        .otherwise(col("vec_id")).as("vec_id"), col("embedding"))
+    val e = intercept[Exception] {
+      Ivf.assignCellsJoin(withNullId, hq).select("cell").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null id")),
+      messages(e).mkString(" | "))
+  }
+
+  test("fitHierarchical trains on corpora with repeated (or no useful) " +
+       "ids — the fit loop assigns under a synthetic per-row id") {
+    // pre-fix: every Lloyd iteration routed through assignCellsJoin on
+    // the caller's id column, so FITTING hard-failed on repeated ids
+    // via the duplicate-id tripwire — which protects indexing, not
+    // training, where collapsing duplicates is harmless (ADVICE r15).
+    val dup = emb.unionAll(emb.limit(3)) // three ids twice
+    val hq = Ivf.fitHierarchical(dup, nCells = 6, iters = 1)
+    assert(hq.nCells == 6)
+    // and the fit is usable: full-probing search over the ORIGINAL
+    // corpus (unique ids) stays well-formed
+    import org.apache.spark.sql.functions.col
+    val q = emb.filter(col("vec_id") < 2)
+    val res = Ivf.ivfTopKHier(q, emb,
+      hq.copy(superProbe = hq.nSuper), k = 5, nProbe = 6)
+    assert(res.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5))
   }
 }
