@@ -1143,7 +1143,14 @@ object Artifacts {
     //    batch rows, the censusDrift value; [[appendDriftHistory]]
     //    reads it back and a batch over the retrain bar additionally
     //    WARNs right here, where the nightly-append operator sees it.
-    drift.foreach { case (d, n) =>
+    // the telemetry block runs BEFORE the marker republish (still
+    // inside the mutex window — the rebuild/resurrection race fix),
+    // but under try/FINALLY with the marker write in the finally
+    // (ADVICE r16): a FATAL error in telemetry (OOM, interrupt) must
+    // not strand a fully successful data mutation as an uncommitted
+    // wreck forcing a full rebuild — the fatal still propagates, but
+    // the completed mutation stays committed.
+    try drift.foreach { case (d, n) =>
       // ADVISORY means advisory: the data mutation has fully succeeded,
       // so a telemetry I/O failure here must not surface as an append
       // failure — the natural retry would double-append the batch, and
@@ -1179,8 +1186,10 @@ object Artifacts {
             "drifted rows decays silently otherwise)")
     }
     // 4. republish the commit marker — the mutation (and its telemetry
-    //    line) is complete; the mutex window closes here
-    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+    //    line) is complete; the mutex window closes here. In the
+    //    FINALLY: see the telemetry-block comment above.
+    finally
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
     newSplits
   }
 

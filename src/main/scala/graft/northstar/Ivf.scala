@@ -695,11 +695,16 @@ object Ivf {
                       superProbe: Int = AutoProbe,
                       knownRows: Option[Long] = None): HierarchicalQuantizer = {
     val rows = knownRows.getOrElse(corpus.count())
-    // init: a seeded sample of ~nCells corpus points.
-    // content-based dedup (Array equality is by reference): duplicate
-    // init centroids would permanently merge their cells
-    val initSample = boundedSample(corpus, nCells.toLong, vecCol,
-      AutoSample, seed + 1, Some(rows)).map(_.toSeq).distinct.map(_.toArray)
+    // init: a seeded OVERSAMPLED draw (4× nCells — ADVICE r16: a ~1.2×
+    // draw made nCellsEff the distinct count of the SAMPLE, so a
+    // duplicate-heavy corpus that still had ≥ nCells distinct vectors
+    // silently got a lower-resolution quantizer than requested),
+    // content-deduped (Seq equality — Array equality is by reference:
+    // duplicate init centroids would permanently merge their cells)
+    // and truncated to nCells.
+    val initSample = boundedSample(corpus, 4L * nCells, vecCol,
+      AutoSample, seed + 1, Some(rows))
+      .map(_.toSeq).distinct.take(nCells).map(_.toArray)
     require(initSample.nonEmpty, "empty corpus: nothing to fit")
     // degenerate fewer-distinct-points-than-cells: SHRINK nCells to the
     // distinct sample size instead of padding by repetition — the
@@ -707,8 +712,15 @@ object Ivf {
     // so padded duplicate centroids would stay permanently merged and
     // the quantizer would silently carry dead cells (ADVICE r15). A
     // corpus with fewer distinct vectors than requested cells cannot
-    // meaningfully occupy them anyway.
+    // meaningfully occupy them anyway. Named, not silent (ADVICE r16):
+    // the caller asked for a resolution the corpus can't fill.
     val nCellsEff = math.min(nCells, initSample.length)
+    if (nCellsEff < nCells)
+      Console.err.println(
+        s"[graft] WARN fitHierarchical: the 4x-oversampled init draw " +
+          s"holds only $nCellsEff distinct vectors — shrinking the " +
+          s"quantizer from the requested $nCells cells (a duplicate-" +
+          "heavy or tiny corpus cannot occupy more)")
     val nSuper = math.min(MaxAutoCells,
       math.max(4, math.round(math.sqrt(nCellsEff.toDouble)).toInt))
     val superC = lloyd(
@@ -726,8 +738,25 @@ object Ivf {
     // row becomes unreachable — for a mean update collapsing duplicates
     // is merely a reweighting) and required an id column at all, which
     // the literal fitCentroids path never did (ADVICE r15)
+    // MATERIALIZED ONCE, lineage truncated (ADVICE r16 medium):
+    // monotonically_increasing_id is nondeterministic across
+    // re-evaluations — assignCellsJoin reads the frame on BOTH sides of
+    // its reattach equi-join (argmax side + vector side), and the loop
+    // reads it again every iteration. If the caller's corpus contains a
+    // shuffle/sample whose within-partition order is not stable across
+    // re-evaluations, independently recomputed sides would assign
+    // DIFFERENT ids to the same row and the join would silently pair a
+    // vector with another row's argmax cell, corrupting the mean update
+    // with no error raised. localCheckpoint — not trackedPersist — is
+    // correct here by the materializeOnce doctrine itself: lineage
+    // truncation IS the point (a persist block is recomputable from
+    // lineage, so an executor loss would regenerate divergent ids and
+    // corrupt silently; a lost checkpoint block fails the fit job
+    // loudly, and a training job is retryable). Side benefit: the
+    // corpus scan runs once, not ~2×iters times.
     val fitInput = corpus.select(
       monotonically_increasing_id().as("__fit_id"), col(vecCol))
+      .localCheckpoint(eager = true)
     var it = 0
     while (it < iters) {
       // the shared quantizedMeans update (the lloydStepQ machinery);
@@ -742,6 +771,7 @@ object Ivf {
         updated.getOrElse(j, hq.centroids(j))))
       it += 1
     }
+    fitInput.unpersist(blocking = false)
     hq
   }
 
