@@ -71,6 +71,27 @@ object SparkEntry {
       superProbe = 3)
   }
 
+  /** The PARTIAL-probing hierarchical quantizer of the two
+    * `ns_knn_*_hier_recall` rows (VERDICT r16 task 1): the exhaustive
+    * hier rows run `superProbe == nSuper` and are exact by
+    * construction, so the configuration that actually serves at scale —
+    * a row's candidate set drawn from a STRICT SUBSET of supercells —
+    * had no contract-level quality pin. 24 fine cells under 6
+    * supercells with superProbe = 2 (a third of the top level) makes
+    * partial probing meaningful at the 500-vector oracle corpus; both
+    * levels are train-once centroid artifacts (driver k-means, fixed
+    * seed), so the recall constant is deterministic.
+    */
+  private def hierQuantizerPartialFor(s: SparkSession,
+                                      dir: String): graft.northstar.Ivf.HierarchicalQuantizer = {
+    val emb = t(s, dir, "embeddings")
+    val key = corpusKey(dir, "embeddings")
+    graft.northstar.Ivf.HierarchicalQuantizer(
+      graft.northstar.Artifacts.ivfCentroidsFor(emb, key, nCells = 6),
+      graft.northstar.Artifacts.ivfCentroidsFor(emb, key, nCells = 24),
+      superProbe = 2)
+  }
+
   /** The shared subtree of the two SemDeDup correctness pins
     * (`ns_semdedup_exact` / `ns_semdedup_keep_best`): single-trivial-
     * cell CLUSTER LABELS over the bounded vec_id < 200 subset — the
@@ -2153,6 +2174,38 @@ object SparkEntry {
       Similarity.recallCounts(
         graft.northstar.Pq.ivfPqTopK(q, emb, centroids, codebooks,
           k = 10, nProbe = 3),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
+    // recall-floor tripwire for the HIERARCHICAL family under PARTIAL
+    // probing (VERDICT r16 task 1): the three hier contract rows run
+    // superProbe == nSuper and are exact by construction, so a
+    // probe-ordering or tie-break regression in the supercell kernel
+    // passed every hier row. This pins the 100 TB-serving shape — a
+    // candidate set drawn from 2 of 6 supercells and 5 of 24 cells —
+    // as a hash row: n_hits vs the DuckDB brute-force replay is a
+    // deterministic constant (both centroid levels are train-once
+    // seeded driver fits)
+    "ns_knn_ivf_hier_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.recallCounts(
+        graft.northstar.Ivf.ivfTopKHier(
+          q, emb, hierQuantizerPartialFor(s, dir), k = 10, nProbe = 5),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
+    // and the same partial-probe pin through the IVF-PQ tail (ADC
+    // screen + bounded exact rerank) — the full hierarchical serving
+    // pipeline's approximation quality as one constant
+    "ns_knn_ivfpq_hier_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8, ksub = 16)
+      Similarity.recallCounts(
+        graft.northstar.Pq.ivfPqTopKHier(
+          q, emb, hierQuantizerPartialFor(s, dir), codebooks,
+          k = 10, nProbe = 5, rerank = 30),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
     // ingest-side embedding near-match served from the COMPRESSED codes
@@ -4863,6 +4916,33 @@ object SparkEntry {
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
         |       CAST(31 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
+    // the hierarchical family under PARTIAL probing (2/6 supercells,
+    // 5/24 cells — VERDICT r16 task 1): 21/50 pins the approximation
+    // quality of the scale-serving shape; the exhaustive hier rows are
+    // exact by construction and would pass a probe-ordering regression
+    "ns_knn_ivf_hier_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(21 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
+    // same partial-probe configuration through the IVF-PQ ADC+rerank
+    // tail: 20/50 — one hit under the raw-vector row, the PQ
+    // approximation's price at rerank=30
+    "ns_knn_ivfpq_hier_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(20 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // identical to the ns_knn_brute oracle: exhaustive probing must equal
     // brute force
