@@ -1226,6 +1226,176 @@ object Artifacts {
       }
   }
 
+  // --------------------------------------------- drift-triggered retrain
+
+  /** Shared mutate-in-place core of [[retrainIvfIndex]] /
+    * [[retrainIvfPqIndex]]: win the `_SUCCESS` marker mutex, resolve
+    * the index's CURRENT corpus from its stored rows, fit-and-build a
+    * complete replacement artifact in a sibling scratch dir (the old
+    * directory untouched — every lazy read against it completes during
+    * the build), then swap. A failure before the swap republishes the
+    * marker (nothing was mutated); a crash inside the swap leaves a
+    * marker-less wreck that readers refuse loudly and [[ensureTrained]]
+    * recovery rebuilds — the append-path discipline, never a
+    * silently-partial index. The replacement is written by the normal
+    * save paths, so it carries a FRESH drift baseline (`drift_base` =
+    * the new build census) and an empty drift history — the old
+    * quantizer's telemetry does not describe the new one.
+    *
+    * Concurrency: the fit window holds the mutex for minutes, so
+    * concurrent appenders lose loudly and retry (their documented
+    * failure mode); after the swap their pinned-quantizer `_params`
+    * check refuses until they pick up the retrained quantizer —
+    * exactly the handoff a quantizer change requires. Local/POSIX
+    * rename semantics, like [[ensureTrained]]; on object stores swap
+    * the directory rename for the store's atomic copy.
+    */
+  private def retrainCellIndex[T](spark: SparkSession, path: String,
+                                  what: String,
+                                  corpusFromStored: DataFrame => DataFrame)(
+      fitAndBuild: (DataFrame, String) => T): (T, Map[Int, Int]) = {
+    val dst = new java.io.File(path)
+    val marker = new java.io.File(dst, "_SUCCESS")
+    require(marker.exists(),
+      s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
+        "torn by a crashed mutation) — rebuild it before retraining")
+    require(marker.delete(),
+      s"$what at $path: could not remove the commit marker")
+    sweepTmp(dst)
+    val tmp = new java.io.File(path + ".tmp-" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "-" + System.nanoTime())
+    val fitted = try {
+      val stored = spark.read
+        .parquet(new java.io.File(dst, "index").toString)
+      // localCheckpoint, NOT trackedPersist (the materializeOnce
+      // doctrine's exception): the corpus is read by the quantizer
+      // fit's count+sample, (for PQ) the codebook fit, and the
+      // rebuild's assignment pass — and after the swap the files it
+      // reads from are GONE, so a recomputable persist block evicted
+      // (or aged out of the tracked queue) would lazily re-read
+      // deleted files. Lineage truncation is the point; a lost
+      // checkpoint block fails the retrain loudly, and retrain is
+      // retryable maintenance.
+      val corpus = corpusFromStored(stored).localCheckpoint(eager = true)
+      try fitAndBuild(corpus, tmp.toString)
+      finally corpus.unpersist(blocking = false)
+    } catch { case t: Throwable =>
+      // nothing in the live artifact was mutated: drop the scratch and
+      // republish the marker so a fit/build failure doesn't strand a
+      // rebuild-only wreck
+      deleteRec(tmp)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      throw t
+    }
+    // ---- the swap: the only window that touches the live directory.
+    // deleteRec + rename, not rename-into — the replacement under tmp
+    // is COMPLETE (index, splits, _params, drift_base, its own
+    // _SUCCESS), so the post-swap directory is fully published the
+    // instant the rename lands
+    deleteRec(dst)
+    require(tmp.renameTo(dst),
+      s"$what at $path: could not swap the retrained index in")
+    val splits = spark.read
+      .parquet(new java.io.File(dst, "splits").toString)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    (fitted, splits)
+  }
+
+  /** DRIFT-TRIGGERED RETRAIN for a raw-vector IVF index — the remedy
+    * the append path's drift WARN schedules (VERDICT r15/r16 task 2):
+    * when [[appendDriftHistory]] shows sustained census drift over
+    * [[Ivf.RetrainDriftThreshold]], the pinned quantizer no longer
+    * models the corpus and recall on drifted rows decays silently
+    * (ScaleProbe measures 1.000 → 0.400 over five drifted batches).
+    * Refits the coarse quantizer on the index's CURRENT corpus (the
+    * stored rows — build + appends − removals; the raw-vector layout
+    * needs no external table) via [[Ivf.fitQuantizer]], rebuilds, and
+    * atomically swaps under the `_SUCCESS` mutex.
+    *
+    * LITERAL→HIERARCHICAL MIGRATION rides the same dispatch (VERDICT
+    * r15/r16 task 3): with the default `nCells = AutoCells`,
+    * [[Ivf.fitQuantizer]] picks the family from the current corpus
+    * size, so an index whose corpus has grown past
+    * `Ivf.MaxAutoCells²` appends comes back as a hierarchical
+    * broadcast-relation index — the stored layout is identical, only
+    * the quantizer family (and `_params`) changes.
+    *
+    * Returns the retrained quantizer and the new split map; serve with
+    * [[loadIvfIndex]]/[[Ivf.ivfServeTopK]] or
+    * [[loadIvfIndexHier]]/[[Ivf.ivfServeTopKHier]] by family.
+    * Retrain == a from-scratch [[saveIvfIndex]] on the current corpus
+    * under the same quantizer (ArtifactsSpec pins it). Note for
+    * `*For`-store roots: the store path encodes the ORIGINAL nCells —
+    * retraining in place is for explicit-path operator-managed indexes
+    * (the nightly-append pattern); content-keyed store entries rebuild
+    * through [[ensureTrained]] instead.
+    */
+  def retrainIvfIndex(spark: SparkSession, path: String,
+                      nCells: Int = Ivf.AutoCells,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      maxCell: Int = 100000,
+                      seed: Long = 42L): (Ivf.CoarseQuantizer, Map[Int, Int]) = {
+    readParams(path).foreach(p => require(!p.contains("codebooks"),
+      s"IVF index retrain at $path: the stored index is codes-only " +
+        "(IVF-PQ) — its raw vectors cannot be recovered from codes; " +
+        "use retrainIvfPqIndex with the corpus table"))
+    retrainCellIndex(spark, path, "IVF index retrain",
+      stored => stored.select(col("neighbor_id").as(idCol),
+        col("cv").as(vecCol))) { (corpus, tmp) =>
+      val q = Ivf.fitQuantizer(corpus, nCells, idCol, vecCol, seed)
+      q match {
+        case Ivf.LiteralQuantizer(cents) =>
+          saveIvfIndex(corpus, tmp, cents, idCol, vecCol, maxCell)
+        case hq: Ivf.HierarchicalQuantizer =>
+          saveIvfIndexHier(corpus, tmp, hq, idCol, vecCol, maxCell)
+      }
+      q
+    }
+  }
+
+  /** [[retrainIvfIndex]] for the codes-only IVF-PQ layout: refits BOTH
+    * quantizers (coarse cells and the m per-subspace codebooks) on the
+    * current corpus — drift degrades the ADC screen exactly as it
+    * degrades cell routing. The stored rows carry codes only, so
+    * `corpus` must supply raw vectors for every indexed id; the
+    * [[appendIvfPqIndex]] membership tripwire applies (a missing or
+    * duplicated id fails loudly with counts instead of silently
+    * shrinking the rebuilt index). Returns the retrained coarse
+    * quantizer, the retrained codebooks, and the new split map; serve
+    * with [[loadIvfPqIndex]]/[[loadIvfPqIndexHier]] by family.
+    */
+  def retrainIvfPqIndex(spark: SparkSession, corpus: DataFrame,
+                        path: String,
+                        nCells: Int = Ivf.AutoCells,
+                        m: Int = 8, ksub: Int = Pq.AutoKsub,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxCell: Int = 100000, seed: Long = 42L)
+      : (Ivf.CoarseQuantizer, Array[Array[Array[Float]]], Map[Int, Int]) = {
+    readParams(path).foreach(p => require(p.contains("codebooks"),
+      s"IVF-PQ index retrain at $path: the stored index carries raw " +
+        "vectors — use retrainIvfIndex (no corpus table needed)"))
+    val ((q, cb), splits) = retrainCellIndex(spark, path,
+      "IVF-PQ index retrain",
+      stored => pqResolveVectors(corpus, path, idCol, vecCol,
+          "IVF-PQ retrain")(stored)
+        .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))) {
+      (cur, tmp) =>
+        val q = Ivf.fitQuantizer(cur, nCells, idCol, vecCol, seed)
+        val cb = Pq.fitCodebooks(cur, m, ksub, vecCol, seed = seed)
+        q match {
+          case Ivf.LiteralQuantizer(cents) =>
+            saveIvfPqIndex(cur, tmp, cents, cb, idCol, vecCol, maxCell)
+          case hq: Ivf.HierarchicalQuantizer =>
+            saveIvfPqIndexHier(cur, tmp, hq, cb, idCol, vecCol, maxCell)
+        }
+        (q, cb)
+    }
+    (q, cb, splits)
+  }
+
   /** PER-CELL COMPACTION for the nightly-append path (VERDICT r13 task
     * 3): every [[appendIvfIndex]]/[[appendIvfPqIndex]] run appends new
     * parquet files into the unchanged cells' partition directories, so
@@ -1611,27 +1781,34 @@ object Artifacts {
       new java.io.File(path, "_params").toPath, out.getBytes("UTF-8"))
   }
 
-  private def checkParams(path: String, expected: Map[String, String],
-                          what: String): Unit = {
+  /** The stored `_params` sidecar as a map — None for a pre-sidecar
+    * artifact. Files.readAllLines, not scala.io.Source: Source leaks
+    * the file handle unless explicitly closed, and a long-lived serving
+    * app re-resolving artifacts would accumulate descriptors until GC.
+    */
+  private def readParams(path: String): Option[Map[String, String]] = {
     val f = new java.io.File(path, "_params")
-    if (f.isFile) {
-      // Files.readAllLines, not scala.io.Source: Source leaks the file
-      // handle unless explicitly closed, and a long-lived serving app
-      // re-resolving artifacts would accumulate descriptors until GC
+    if (!f.isFile) None
+    else {
       import scala.jdk.CollectionConverters._
-      val stored = java.nio.file.Files
+      Some(java.nio.file.Files
         .readAllLines(f.toPath, java.nio.charset.StandardCharsets.UTF_8)
         .asScala.iterator
         .filter(_.contains('='))
         .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
-        .toMap
+        .toMap)
+    }
+  }
+
+  private def checkParams(path: String, expected: Map[String, String],
+                          what: String): Unit =
+    readParams(path).foreach { stored =>
       def fmt(m: Map[String, String]) = m.toSeq.sorted
         .map { case (k, v) => s"$k=$v" }.mkString("/")
       require(stored == expected,
         s"$what artifact at $path was generated with ${fmt(stored)}, " +
           s"serving requested ${fmt(expected)}")
     }
-  }
 
   private def centroidDigest(centroids: Array[Array[Float]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.northstar.{Artifacts, Ivf, TextAnalysis}
+import graft.northstar.{Artifacts, Ivf, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Pinned-parameter serving artifacts (BPE merge table, IVF centroids):
@@ -1064,6 +1064,146 @@ class ArtifactsSpec extends SparkSpecBase {
     // as a LITERAL-family index must fail loudly, not serve
     intercept[IllegalArgumentException] {
       Artifacts.loadIvfIndex(spark, p, hq.centroids, maxCell = maxCell)
+    }: Unit
+  }
+
+  test("retrainIvfIndex == fresh build on the current corpus; drift " +
+       "history resets; the old quantizer's load refuses (VERDICT r16 task 2)") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfretrain")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    Artifacts.appendIvfIndex(embB, p, cents): Unit
+    assert(Artifacts.appendDriftHistory(p).size == 1,
+      "fixture must have a drift line to clear")
+    // retrain on the CURRENT corpus (A ∪ B, read from the stored rows)
+    val (q, splits) = Artifacts.retrainIvfIndex(spark, p, nCells = 8)
+    val newCents = q match {
+      case Ivf.LiteralQuantizer(c) => c
+      case _ => fail("nCells=8 must stay in the literal family")
+    }
+    assert(!java.util.Arrays.deepEquals(
+      newCents.asInstanceOf[Array[AnyRef]],
+      cents.asInstanceOf[Array[AnyRef]]),
+      "retrain must refit (8 cells on A∪B ≠ 4 cells on A)")
+    // identity: retrain == a fresh saveIvfIndex on the union corpus
+    // under the SAME retrained quantizer — stored content and splits
+    val pF = s"${tempDir("ivfretrain")}/idx"
+    Artifacts.saveIvfIndex(emb, pF, newCents, "vec_id", "embedding",
+      100000)
+    val (idxF, splitsF) = Artifacts.loadIvfIndex(spark, pF, newCents)
+    val (idxR, splitsR) = Artifacts.loadIvfIndex(spark, p, newCents)
+    assert(splits == splitsF && splitsR == splitsF)
+    assert(rows(idxR.select("neighbor_id", "cell", "subcell")) ==
+      rows(idxF.select("neighbor_id", "cell", "subcell")))
+    assert(idxR.count() == emb.count())
+    // fresh telemetry: history cleared, baseline = the NEW build census
+    assert(Artifacts.appendDriftHistory(p).isEmpty,
+      "retrain must start a fresh drift history")
+    // the old quantizer is retired: its params no longer match
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfIndex(spark, p, cents)
+    }: Unit
+    // and serving with the returned quantizer works
+    val qs = emb.filter(col("vec_id") < 5)
+    assert(rows(Ivf.ivfServeTopK(qs, idxR, newCents, splitsR, k = 10,
+        nProbe = 8))
+      == rows(Similarity.bruteForceTopK(qs, emb, k = 10)))
+  }
+
+  test("retrainIvfIndex migrates a literal index to the hierarchical " +
+       "family when the cell count crosses MaxAutoCells (VERDICT r16 task 3)") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfmigrate")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    Artifacts.appendIvfIndex(embB, p, cents): Unit
+    // a requested cell count past the literal ceiling selects the
+    // hierarchical family (in production the AutoCells √N rule crosses
+    // it at ~MaxAutoCells² rows; the explicit count pins the dispatch
+    // without a 16M-row fixture — fitHierarchical SHRINKS to the
+    // corpus's distinct vectors, the family stays hierarchical)
+    val (q, splits) = Artifacts.retrainIvfIndex(spark, p,
+      nCells = Ivf.MaxAutoCells + 1)
+    val hq = q match {
+      case h: Ivf.HierarchicalQuantizer => h
+      case _ => fail("past MaxAutoCells the retrain must come back " +
+        "hierarchical")
+    }
+    // the migrated index serves through the hier load path and equals
+    // the fit path on the same corpus (serve == fit, post-migration)
+    val (idx, splitsL) = Artifacts.loadIvfIndexHier(spark, p, hq)
+    assert(splitsL == splits)
+    val qs = emb.filter(col("vec_id") < 5)
+    assert(rows(Ivf.ivfServeTopKHier(qs, idx, hq, splitsL, k = 10,
+        nProbe = 8))
+      == rows(Ivf.ivfTopKHier(qs, emb, hq, k = 10, nProbe = 8)))
+    // cross-family reads refuse: the literal loader on a hier index
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfIndex(spark, p, hq.centroids)
+    }: Unit
+  }
+
+  test("retrainIvfPqIndex refits both quantizers == fresh PQ build; " +
+       "corpus drift and wrong-family calls refuse; a failed retrain " +
+       "leaves the index servable") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val cb = graft.northstar.Pq.fitCodebooks(embA, m = 8, ksub = 8)
+    val p = s"${tempDir("pqretrain")}/idx"
+    Artifacts.saveIvfPqIndex(embA, p, cents, cb, "vec_id", "embedding",
+      100000)
+    Artifacts.appendIvfPqIndex(embB, embA, p, cents, cb): Unit
+    // wrong-family guard: the raw-vector retrain cannot recover
+    // vectors from codes
+    val eFam = intercept[IllegalArgumentException] {
+      Artifacts.retrainIvfIndex(spark, p)
+    }
+    assert(eFam.getMessage.contains("codes-only"), eFam.getMessage)
+    // a corpus that lost an indexed id fails the membership tripwire
+    // INSIDE the mutex — and the marker must be republished so the
+    // index stays servable (the failed-retrain recovery contract)
+    val eDrift = intercept[IllegalArgumentException] {
+      Artifacts.retrainIvfPqIndex(spark,
+        emb.filter(col("vec_id") < 100), p, nCells = 8, m = 8, ksub = 8)
+    }
+    assert(eDrift.getMessage.contains("drifted"), eDrift.getMessage)
+    val (idxStill, _) = Artifacts.loadIvfPqIndex(spark, p, cents, cb)
+    assert(idxStill.count() == emb.count(),
+      "failed retrain must leave the index fully servable")
+    // the real retrain: both quantizers refit on the union corpus
+    val (q, cb2, splits) = Artifacts.retrainIvfPqIndex(spark, emb, p,
+      nCells = 8, m = 8, ksub = 8)
+    val newCents = q match {
+      case Ivf.LiteralQuantizer(c) => c
+      case _ => fail("nCells=8 must stay in the literal family")
+    }
+    // identity: retrain == fresh saveIvfPqIndex under the SAME refit
+    // quantizers — codes included (an ADC regression would show here)
+    val pF = s"${tempDir("pqretrain")}/idx"
+    Artifacts.saveIvfPqIndex(emb, pF, newCents, cb2, "vec_id",
+      "embedding", 100000)
+    val (idxF, splitsF) =
+      Artifacts.loadIvfPqIndex(spark, pF, newCents, cb2)
+    val (idxR, splitsR) =
+      Artifacts.loadIvfPqIndex(spark, p, newCents, cb2)
+    assert(splits == splitsF && splitsR == splitsF)
+    assert(rows(idxR) == rows(idxF))
+    // old quantizers retired; fresh drift history
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfPqIndex(spark, p, cents, cb)
+    }: Unit
+    assert(Artifacts.appendDriftHistory(p).isEmpty)
+    // wrong-family guard, other direction: PQ retrain on a raw index
+    val pRaw = s"${tempDir("pqretrain")}/idx"
+    Artifacts.saveIvfIndex(embA, pRaw, cents, "vec_id", "embedding",
+      100000)
+    val eRaw = intercept[IllegalArgumentException] {
+      Artifacts.retrainIvfPqIndex(spark, emb, pRaw)
+    }
+    assert(eRaw.getMessage.contains("raw"), eRaw.getMessage)
+    // a torn index refuses retrain up front
+    assert(new java.io.File(p, "_SUCCESS").delete())
+    intercept[IllegalArgumentException] {
+      Artifacts.retrainIvfPqIndex(spark, emb, p, nCells = 8, m = 8,
+        ksub = 8)
     }: Unit
   }
 }
