@@ -29,6 +29,35 @@ object ArtifactMutateRaceMain {
     ids.map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
   }
 
+  /** Deterministic cross-JVM vector corpus for the IVF-PQ race mode:
+    * exact rational float arithmetic (no transcendental library calls),
+    * so both processes derive bit-identical vectors — and therefore
+    * bit-identical seeded k-means quantizers — from the id list alone.
+    */
+  def vecOf(i: Int): Array[Float] =
+    Array.tabulate(8)(j => ((i * 31 + j * 17) % 97) / 97.0f + 0.25f)
+
+  def vecs(spark: SparkSession, ids: Seq[Int]) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, vecOf(i).toSeq)).toDF("vec_id", "embedding")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<float>").as("embedding"))
+  }
+
+  /** The shared quantizers of the IVF-PQ race: both JVMs fit on the
+    * SAME deterministic initial corpus (keepers 0..19 ∪ victims
+    * 200..239), so the pinned centroids/codebooks are identical and
+    * the `_params` digests match across processes.
+    */
+  def ivfPqQuantizers(spark: SparkSession)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val init = vecs(spark, (0 until 20) ++ (200 until 240))
+    (graft.northstar.Ivf.fitCentroids(init, nCells = 4,
+        vecCol = "embedding"),
+      graft.northstar.Pq.fitCodebooks(init, m = 4, ksub = 8))
+  }
+
   /** Retry a mutation through loud mutex losses (the documented
     * concurrent-mutator failure mode); anything else rethrows.
     */
@@ -71,11 +100,28 @@ object ArtifactMutateRaceMain {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(args(4)), Array.empty[Byte]): Unit
     var retries = 0
+    val mode = if (args.length > 5) args(5) else "winnow"
+    val (centsOpt, cbOpt) =
+      if (mode == "ivfpq") {
+        val (c, cb) = ivfPqQuantizers(spark)
+        (Some(c), Some(cb))
+      } else (None, None)
+    // the IVF-PQ resolver corpus: every id EITHER process may have in
+    // the index at any interleaving (initial ∪ both append ranges) —
+    // extra ids are harmless (the resolver left-joins by stored id),
+    // missing ones would trip the membership tripwire
+    lazy val universe = vecs(spark,
+      (0 until 20) ++ (100 until 120) ++ (200 until 240))
     for (b <- 0 until batches) {
       val ids = (0 until batchSize).map(j => startId + b * batchSize + j)
       retries += retryLoud(60000) {
-        graft.northstar.Artifacts.appendWinnowIndex(
-          docs(spark, ids), path, maxBucket = 100)
+        if (mode == "ivfpq")
+          graft.northstar.Artifacts.appendIvfPqIndex(
+            vecs(spark, ids), universe, path, centsOpt.get, cbOpt.get,
+            maxCell = 10): Unit
+        else
+          graft.northstar.Artifacts.appendWinnowIndex(
+            docs(spark, ids), path, maxBucket = 100)
       }
     }
     val t1 = System.currentTimeMillis()

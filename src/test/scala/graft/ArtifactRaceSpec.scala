@@ -179,4 +179,111 @@ class ArtifactRaceSpec extends AnyFunSuite {
       "raced index left without its commit marker")
     Artifacts.deleteRec(root)
   }
+
+  test("two JVMs racing append vs remove on a CELL-PARTITIONED IVF-PQ " +
+       "index: final state is the serialized order, drift telemetry " +
+       "consistent (VERDICT r16 task 4)") {
+    // the cell-partitioned family has a larger torn-state surface than
+    // the flat winnow rows: per-cell directory rewrites, the splits
+    // sidecar republish, and the mutex-scoped drift.log — maxCell=10
+    // forces re-splits on BOTH mutation directions so every
+    // interleaving exercises the rewrite path. Quantizers are pinned
+    // from the same deterministic fit in both JVMs (exact rational
+    // vectors, seeded k-means), so `_params` digests agree.
+    import ArtifactMutateRaceMain.{ivfPqQuantizers, retryLoud, vecs}
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("mutate-race-pq")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val (cents, cb) = ivfPqQuantizers(spark)
+    val root = new java.io.File(TestTmp.dir("graft-pq-race"))
+    val path = new java.io.File(root, "pq-idx").getPath
+    val universe = vecs(spark,
+      (0 until 20) ++ (100 until 120) ++ (200 until 240))
+    Artifacts.saveIvfPqIndex(vecs(spark, (0 until 20) ++ (200 until 240)),
+      path, cents, cb, "vec_id", "embedding", 10)
+
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getPath
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val out = java.io.File.createTempFile("pq-race-out", ".txt")
+    // worker: 4 appends of 5 vectors each (ids 100..119), ivfpq mode
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ addOpens ++ Seq("-Dspark.ui.enabled=false",
+        "-cp", cp, "graft.ArtifactMutateRaceMain",
+        path, "100", "4", "5",
+        new java.io.File(root, "worker-go").getPath, "ivfpq")): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(out)
+    val p = pb.start()
+
+    val go = new java.io.File(root, "worker-go")
+    val goDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!go.exists() && p.isAlive && System.nanoTime() < goDeadline)
+      Thread.sleep(20)
+    assert(go.exists(), "worker never signalled its first append")
+
+    // spec side: 4 removals of 10 victims each (ids 200..239)
+    val t0 = System.currentTimeMillis()
+    var retries = 0
+    for (b <- 0 until 4) {
+      val ids = (200 + b * 10) until (200 + (b + 1) * 10)
+      retries += retryLoud(60000) {
+        Artifacts.removeFromIvfPqIndex(
+          vecs(spark, ids).select("vec_id"), universe, path, cents, cb,
+          maxCell = 10): Unit
+      }
+    }
+    val t1 = System.currentTimeMillis()
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "append worker did not finish in 180s")
+    val report = new String(
+      java.nio.file.Files.readAllBytes(out.toPath), "UTF-8")
+    assert(p.exitValue() == 0, s"append worker failed:\n$report")
+
+    val m = "start=(\\d+) end=(\\d+) retries=(\\d+)".r
+      .findFirstMatchIn(report)
+      .getOrElse(fail(s"no worker window report:\n$report"))
+    val (ws, we) = (m.group(1).toLong, m.group(2).toLong)
+    info(s"worker window [$ws,$we] retries=${m.group(3)}; " +
+      s"spec window [$t0,$t1] retries=$retries")
+    assert(ws < t1 && t0 < we,
+      s"mutation windows did not overlap (worker [$ws,$we], spec " +
+        s"[$t0,$t1]) — the race was not exercised; widen the batches")
+
+    // final state == from-scratch build on the difference corpus —
+    // codes, subcells, AND the splits sidecar
+    val expectPath = new java.io.File(root, "pq-expect").getPath
+    Artifacts.saveIvfPqIndex(vecs(spark, (0 until 20) ++ (100 until 120)),
+      expectPath, cents, cb, "vec_id", "embedding", 10)
+    def loaded(p0: String): (Set[Seq[Any]], Map[Int, Int]) = {
+      val (idx, splits) = Artifacts.loadIvfPqIndex(spark, p0, cents, cb,
+        maxCell = 10)
+      (idx.collect().map(_.toSeq).toSet, splits)
+    }
+    val (gotRows, gotSplits) = loaded(path)
+    val (expRows, expSplits) = loaded(expectPath)
+    assert(gotSplits == expSplits,
+      "raced splits sidecar diverged from the serialized-order rebuild")
+    assert(gotRows == expRows,
+      "raced index rows diverged from the serialized-order rebuild")
+    assert(new java.io.File(path, "_SUCCESS").exists(),
+      "raced index left without its commit marker")
+    // drift telemetry consistency: only the 4 appends write drift
+    // lines (removals never do; the build reset the log), each for a
+    // 5-row batch — a torn or resurrected write would break this
+    val hist = Artifacts.appendDriftHistory(path)
+    assert(hist.size == 4 && hist.forall(_._2 == 5L),
+      s"drift history inconsistent with the winning order: $hist")
+    Artifacts.deleteRec(root)
+  }
 }
