@@ -83,6 +83,17 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     // not vectors — two orders of magnitude under the LSH-exhaustive row
     ("ns_knn_ivfpq", 0.05, 0.004),
     ("ns_knn_ivfpq_serve", 0.05, 0.009),
+    // the hierarchical family (VERDICT r16 task 5): assignment is the
+    // BROADCAST-relation join — the packed per-supercell relation
+    // crosses as a broadcast, so the only data-sized exchanges are the
+    // narrow (id, best) argmax agg and the id-keyed vector reattach;
+    // a regression that ships the embedding (or the joined sub-matrix)
+    // through the argmax sort, or loses the broadcast, lands here
+    ("ns_knn_ivf_hier_exhaustive", 0.3, 0.141),
+    ("ns_knn_ivf_hier_serve_exhaustive", 0.05, 0.006),
+    ("ns_knn_ivfpq_hier_exhaustive", 0.3, 0.141),
+    ("ns_knn_ivf_hier_recall", 0.3, 0.145),
+    ("ns_knn_ivfpq_hier_recall", 0.3, 0.145),
   )
 
   budgets.foreach { case (name, ceilMiB, _) =>
