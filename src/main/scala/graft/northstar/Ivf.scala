@@ -579,6 +579,23 @@ object Ivf {
     * row's candidate set draws from; it is part of the quantizer
     * identity because corpus assignment and query probing must agree on
     * it for the probe join to be consistent.
+    *
+    * '''How far two levels reach.''' [[fitHierarchical]] caps
+    * `nSuper = min(MaxAutoCells, √nCells)`, so the top level saturates
+    * at 4096 supercells once nCells ≥ ~16.8M — but that cap is not the
+    * binding constraint. The packed centroid relation is
+    * nCells × dim × 4 B (4 KB/centroid at 1024 dims), and Spark's 8 GB
+    * broadcast ceiling therefore binds first, at ~2M cells — by the √N
+    * rule a ~4×10¹²-row corpus (~4 PB at 1 KB/row). The 100 TB design
+    * point (~10¹¹ rows → ~316k cells → ~1.2 GB broadcast, nSuper ≈ 562)
+    * sits comfortably inside. Past ~2M cells this family is honestly
+    * out of spec; the continuation is either (a) swap
+    * [[packedRelation]]'s broadcast join for a shuffle join with the
+    * centroid relation bucketed by `sup` (same plan shape, one extra
+    * exchange of the exploded row side), or (b) a third quantizer level
+    * — super²-cells as the plan literal, supercells broadcast, cells
+    * sharded — repeating exactly the literal→hierarchical move one
+    * level up. Neither is implemented; this bound is the honest edge.
     */
   final case class HierarchicalQuantizer(
       superCentroids: Array[Array[Float]],
