@@ -1087,10 +1087,15 @@ object ScaleProbe {
     * r17 (VERDICT r16 task 2) closes the loop with the retrain the
     * WARN schedules: [[graft.northstar.Artifacts.retrainIvfPqIndex]]
     * with defaults refits both quantizers on the half-drifted union.
-    * Measured 2026-08-15 (r17): at the pinned serve budget the retrain
-    * lifts drifted-row recall 0.400 → 0.613 (capped by the 160-member
-    * drifted clusters vs the 60-candidate fetch — budget saturation,
-    * not quantizer quality); at the auto serve budget
+    * Measured 2026-08-15 (r17): at the decay series' own pinned serve
+    * budget (nProbe=6, rerank=60 — quantizer-only, no probe-budget
+    * change) the retrain lifts drifted-row recall 0.400 → 0.403–0.438
+    * (run-variant: the refit's init sample rides nondeterministic
+    * post-shuffle row order); the modest gain is budget saturation,
+    * not quantizer quality — the drifted clusters grew to 160 members,
+    * so a 60-candidate exact fetch caps recall for ANY quantizer,
+    * which is why that leg asserts a no-degradation floor rather than
+    * a recovery bar. At the auto serve budget
     * (autoNProbe/autoRerank) the full remedy reads recallB=1.000 with
     * resident recallA=1.000. Asserted: strict improvement at the
     * pinned budget, ≥0.95 at the operational remedy.
@@ -1193,10 +1198,17 @@ object ScaleProbe {
     // Two honest measurements, because the decayed state is JOINTLY
     // quantizer drift and rerank-budget saturation (the drifted
     // clusters grew to 160 members, past the pinned rerank=60):
-    //  (a) at the PINNED budget the retrain must STRICTLY IMPROVE
-    //      (measured 0.400 → 0.528; the 160-member clusters cap a
-    //      60-candidate exact fetch well below 1.0 for ANY quantizer —
-    //      at ksub=256 the ceiling measures 0.869), and
+    //  (a) at the PINNED budget — the decay series' own nProbe=6,
+    //      rerank=60, so the quantizer refit is the ONLY change — the
+    //      retrain must NOT DEGRADE, and in every observed run improves
+    //      (measured 0.400 → 0.403–0.438 across runs: the refit's init
+    //      sample depends on within-partition row order after the
+    //      corpus-resolve shuffle, whose fetch order is nondeterministic,
+    //      so the exact retrained centroids — and a saturated-budget
+    //      recall read off them — are run-variant; the 160-member
+    //      clusters cap a 60-candidate exact fetch well below 1.0 for
+    //      ANY quantizer, which is why this leg is a no-degradation
+    //      floor, not the remedy gate), and
     //  (b) at the operational remedy — retrain + the auto serve budget
     //      (autoNProbe=12, autoRerank=523) — recall must recover
     //      ≥ 0.95 (measured 1.000, resident 1.000). On this toy corpus
@@ -1216,8 +1228,11 @@ object ScaleProbe {
     }
     val npAuto = Ivf.autoNProbe(centsNew.length)
     val rrAuto = Pq.autoRerank(rowsNow, 10)
+    // the PINNED budget is the decay series' own (nProbe=6, rerank=60)
+    // — measuring at autoNProbe here would conflate the quantizer
+    // refit with a probe-budget bump (code-review r17)
     val rBPinned = recallUnder(lastQB, corpus, centsNew, cbNew,
-      nProbe = npAuto, rerank = 60)
+      nProbe = 6, rerank = 60)
     val (rBRe, rARe) = (
       recallUnder(lastQB, corpus, centsNew, cbNew, npAuto, rrAuto),
       recallUnder(qA, corpus, centsNew, cbNew, npAuto, rrAuto))
@@ -1225,8 +1240,11 @@ object ScaleProbe {
       f"ksub=${cbNew(0).length}): pinned-budget recallB=$rBPinned%.3f " +
       f"(was $lastB%.3f); auto-budget (nProbe=$npAuto rerank=$rrAuto) " +
       f"recallB=$rBRe%.3f recallA=$rARe%.3f")
-    assert(rBPinned > lastB,
-      f"retrain did not improve drifted-row recall at the pinned " +
+    // >= not >: at a saturated rerank budget the quantizer-only gain is
+    // small and the refit is run-variant (see (a) above) — the hard
+    // recovery gates are the two >= 0.95 asserts on the auto budget
+    assert(rBPinned >= lastB,
+      f"retrain DEGRADED drifted-row recall at the pinned " +
         f"budget ($lastB%.3f → $rBPinned%.3f)")
     assert(rBRe >= 0.95,
       f"retrain + auto serve budget recovered drifted-row recall only " +

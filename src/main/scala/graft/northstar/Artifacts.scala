@@ -122,6 +122,34 @@ object Artifacts {
       .filter(f => f.isDirectory && f.getName.contains(".tmp-"))
       .foreach(deleteRec)
 
+  /** The ONE splits-sidecar reader (code-review r17: five call sites
+    * each re-spelled the positional (cell, bits) decode — a change to
+    * the sidecar encoding had to be found and applied five times, and a
+    * miss would silently mis-read positional columns).
+    */
+  private def readSplits(spark: SparkSession, dir: java.io.File)
+      : Map[Int, Int] =
+    spark.read.parquet(new java.io.File(dir, "splits").toString)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  /** Remove stale retrain scratch SIBLINGS (`<name>.tmp-*` next to the
+    * artifact, where [[retrainCellIndex]] builds its replacement): a
+    * kill -9 mid-build strands a complete full-index-size copy that the
+    * in-directory [[sweepTmp]] never sees (code-review r17). Safe only
+    * with the mutation mutex held (retrain) or on the from-scratch
+    * rebuild that is the documented recovery for a marker-less wreck —
+    * both serialize against any in-flight retrain that owns a live
+    * sibling.
+    */
+  private def sweepSiblingTmp(dst: java.io.File): Unit = {
+    val parent = dst.getAbsoluteFile.getParentFile
+    val prefix = dst.getName + ".tmp-"
+    if (parent != null)
+      Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .foreach(deleteRec)
+  }
+
   /** The ONE recursive local-file deleter (code-review r14: Verify,
     * Bucketing, and ScaleProbe each maintained an identical copy — a
     * fix to any one would not reach the others).
@@ -670,6 +698,9 @@ object Artifacts {
     // quantizer's telemetry doesn't describe the new one
     new java.io.File(path, "drift.log").delete(): Unit
     sweepTmp(new java.io.File(path))
+    // the from-scratch rebuild is the documented recovery for a retrain
+    // that crashed mid-build — clean its stranded sibling scratch too
+    sweepSiblingTmp(new java.io.File(path))
     val buildCensus = Ivf.collectCensus(assigned.groupBy("cell").count())
     val splits = Ivf.splitBitsFromCounts(buildCensus, maxCell)
     // the BUILD census persists as the drift baseline: every append's
@@ -711,9 +742,7 @@ object Artifacts {
         "torn by a crashed append) — rebuild it before serving")
     checkParams(path, expected, what)
     val index = spark.read.parquet(new java.io.File(path, "index").toString)
-    val splits = spark.read
-      .parquet(new java.io.File(path, "splits").toString)
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val splits = readSplits(spark, new java.io.File(path))
     (index, splits)
   }
 
@@ -1039,9 +1068,7 @@ object Artifacts {
     // (code-review r14); only the mutex winner may touch scratch
     sweepTmp(dst)
     val (assignedIncoming, oldSplits, newSplits, changed, drift) = try {
-      val oldSplits = spark.read
-        .parquet(new java.io.File(dst, "splits").toString)
-        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val oldSplits = readSplits(spark, dst)
       val assignedIncoming = Dedup.trackedPersist(
         assignIncoming.map(_(incoming)).getOrElse(
           incoming.select(col(idCol).as("neighbor_id"),
@@ -1262,6 +1289,7 @@ object Artifacts {
     require(marker.delete(),
       s"$what at $path: could not remove the commit marker")
     sweepTmp(dst)
+    sweepSiblingTmp(dst)
     val tmp = new java.io.File(path + ".tmp-" +
       java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "-" + System.nanoTime())
@@ -1278,8 +1306,11 @@ object Artifacts {
       // checkpoint block fails the retrain loudly, and retrain is
       // retryable maintenance.
       val corpus = corpusFromStored(stored).localCheckpoint(eager = true)
+      // Dataset.unpersist is a CacheManager no-op for a localCheckpoint'd
+      // frame (code-review r17) — release the checkpointed RDD itself
       try fitAndBuild(corpus, tmp.toString)
-      finally corpus.unpersist(blocking = false)
+      finally org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(corpus)
+        .foreach(_.unpersist(blocking = false))
     } catch { case t: Throwable =>
       // nothing in the live artifact was mutated: drop the scratch and
       // republish the marker so a fit/build failure doesn't strand a
@@ -1296,10 +1327,7 @@ object Artifacts {
     deleteRec(dst)
     require(tmp.renameTo(dst),
       s"$what at $path: could not swap the retrained index in")
-    val splits = spark.read
-      .parquet(new java.io.File(dst, "splits").toString)
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    (fitted, splits)
+    (fitted, readSplits(spark, dst))
   }
 
   /** DRIFT-TRIGGERED RETRAIN for a raw-vector IVF index — the remedy
@@ -1680,9 +1708,7 @@ object Artifacts {
     // census the mutation relies on is re-read INSIDE the mutex.
     if (spark.read.parquet(indexDir)
         .join(broadcast(rm), Seq("neighbor_id"), "left_semi").isEmpty)
-      return spark.read
-        .parquet(new java.io.File(dst, "splits").toString)
-        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      return readSplits(spark, dst)
     // ---- the marker delete is the mutex + torn flag, won BEFORE any
     // census/splits read the mutation relies on: a concurrent mutator
     // completing between a pre-mutex read and this delete would leave
@@ -1694,9 +1720,7 @@ object Artifacts {
         "(concurrent mutation, or permissions)")
     sweepTmp(dst) // post-mutex only (the appendCellIndex discipline)
     val (oldSplits, index, newSplits, plain, rebit) = try {
-      val oldSplits = spark.read
-        .parquet(new java.io.File(dst, "splits").toString)
-        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val oldSplits = readSplits(spark, dst)
       val index = spark.read.parquet(indexDir)
       // removal census: which cells lose how many rows (<= nCells rows)
       val removedCounts = index.join(rm, Seq("neighbor_id"))

@@ -588,8 +588,12 @@ object Ivf {
     * broadcast ceiling therefore binds first, at ~2M cells — by the √N
     * rule a ~4×10¹²-row corpus (~4 PB at 1 KB/row). The 100 TB design
     * point (~10¹¹ rows → ~316k cells → ~1.2 GB broadcast, nSuper ≈ 562)
-    * sits comfortably inside. Past ~2M cells this family is honestly
-    * out of spec; the continuation is either (a) swap
+    * sits comfortably inside — [[fitHierarchical]]'s 4×-oversampled
+    * init draw additionally collects ~4.8 × nCells vectors on the
+    * driver transiently (~6 GB of heap at 316k cells × 1024 dims),
+    * which small-driver deployments should budget for. Past ~2M cells
+    * this family is honestly out of spec; the continuation is either
+    * (a) swap
     * [[packedRelation]]'s broadcast join for a shuffle join with the
     * centroid relation bucketed by `sup` (same plan shape, one extra
     * exchange of the exploded row side), or (b) a third quantizer level
@@ -774,21 +778,30 @@ object Ivf {
     val fitInput = corpus.select(
       monotonically_increasing_id().as("__fit_id"), col(vecCol))
       .localCheckpoint(eager = true)
-    var it = 0
-    while (it < iters) {
-      // the shared quantizedMeans update (the lloydStepQ machinery);
-      // cells that lose every member keep their centroid
-      val updated = quantizedMeans(
-        assignCellsJoin(fitInput, hq, "__fit_id", vecCol)
-          .select(col("cell"), col(vecCol)),
-        vecCol, scale)
-        .map { case (c, qc) =>
-          c.toInt -> qc.map(q => (q.toDouble / scale).toFloat).toArray }
-      hq = hq.copy(centroids = Array.tabulate(nCellsEff)(j =>
-        updated.getOrElse(j, hq.centroids(j))))
-      it += 1
+    try {
+      var it = 0
+      while (it < iters) {
+        // the shared quantizedMeans update (the lloydStepQ machinery);
+        // cells that lose every member keep their centroid
+        val updated = quantizedMeans(
+          assignCellsJoin(fitInput, hq, "__fit_id", vecCol)
+            .select(col("cell"), col(vecCol)),
+          vecCol, scale)
+          .map { case (c, qc) =>
+            c.toInt -> qc.map(q => (q.toDouble / scale).toFloat).toArray }
+        hq = hq.copy(centroids = Array.tabulate(nCellsEff)(j =>
+          updated.getOrElse(j, hq.centroids(j))))
+        it += 1
+      }
+    } finally {
+      // Dataset.unpersist routes only through the CacheManager, which
+      // has no entry for a localCheckpoint'd frame — it frees NOTHING
+      // here (code-review r17). Release the checkpointed RDD's blocks
+      // directly (the bpeInduct idiom), in a finally so a failed Lloyd
+      // step can't pin a corpus-sized block set for the JVM's lifetime.
+      org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(fitInput)
+        .foreach(_.unpersist(blocking = false))
     }
-    fitInput.unpersist(blocking = false)
     hq
   }
 

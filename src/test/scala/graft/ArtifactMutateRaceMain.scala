@@ -93,14 +93,13 @@ object ArtifactMutateRaceMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    val t0 = System.currentTimeMillis()
-    // go-file handshake: the spec holds its removals until this lands,
-    // so the two processes' mutation windows genuinely overlap
-    if (args.length > 4)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(args(4)), Array.empty[Byte]): Unit
-    var retries = 0
     val mode = if (args.length > 5) args(5) else "winnow"
+    // one-time setup OUTSIDE the reported window and BEFORE the go
+    // file: the ivfpq quantizer fits run two Spark k-means jobs, and
+    // releasing the spec (or stamping t0) before them let the spec
+    // finish every removal while this JVM was still fitting — the
+    // overlap tripwire then passed with fully serialized mutations
+    // (code-review r17)
     val (centsOpt, cbOpt) =
       if (mode == "ivfpq") {
         val (c, cb) = ivfPqQuantizers(spark)
@@ -110,8 +109,15 @@ object ArtifactMutateRaceMain {
     // the index at any interleaving (initial ∪ both append ranges) —
     // extra ids are harmless (the resolver left-joins by stored id),
     // missing ones would trip the membership tripwire
-    lazy val universe = vecs(spark,
+    val universe = vecs(spark,
       (0 until 20) ++ (100 until 120) ++ (200 until 240))
+    val t0 = System.currentTimeMillis()
+    // go-file handshake: the spec holds its removals until this lands,
+    // so the two processes' mutation windows genuinely overlap
+    if (args.length > 4)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(args(4)), Array.empty[Byte]): Unit
+    var retries = 0
     for (b <- 0 until batches) {
       val ids = (0 until batchSize).map(j => startId + b * batchSize + j)
       retries += retryLoud(60000) {

@@ -1206,4 +1206,30 @@ class ArtifactsSpec extends SparkSpecBase {
         ksub = 8)
     }: Unit
   }
+
+  test("retrain and from-scratch rebuild sweep a stale retrain scratch " +
+       "SIBLING (code-review r17: kill -9 mid-retrain strands a full-" +
+       "index-size copy the in-directory sweep never sees)") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfsibling")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    def plantStale(): java.io.File = {
+      val stale = new java.io.File(p + ".tmp-crashed-1")
+      stale.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(stale, "part-00000").toPath, Array[Byte](1))
+      stale
+    }
+    // retrain (with the mutation mutex held) sweeps the wreck
+    val s1 = plantStale()
+    Artifacts.retrainIvfIndex(spark, p, nCells = 4): Unit
+    assert(!s1.exists(),
+      "retrain did not sweep the stale sibling scratch")
+    // the documented recovery for a marker-less wreck — a from-scratch
+    // save over the same path — sweeps it too
+    val s2 = plantStale()
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    assert(!s2.exists(),
+      "from-scratch rebuild did not sweep the stale sibling scratch")
+  }
 }

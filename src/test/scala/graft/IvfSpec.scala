@@ -481,4 +481,18 @@ class IvfSpec extends SparkSpecBase {
     assert(res.groupBy("query_id").count().collect()
       .forall(_.getLong(1) == 5))
   }
+
+  test("fitHierarchical releases its localCheckpoint blocks (code-" +
+       "review r17: Dataset.unpersist is a CacheManager no-op for a " +
+       "checkpointed frame)") {
+    // a long-lived app fitting repeatedly must not accumulate pinned
+    // corpus-sized block sets; the fit loop's only materialization is
+    // the synthetic-id checkpoint, so the persistent-RDD census must
+    // return to its pre-fit value once the fit returns
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Ivf.fitHierarchical(emb, nCells = 6, iters = 1): Unit
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"fitHierarchical left ${leaked.size} persistent RDD(s) pinned")
+  }
 }
