@@ -1094,8 +1094,10 @@ object ScaleProbe {
     * post-shuffle row order); the modest gain is budget saturation,
     * not quantizer quality — the drifted clusters grew to 160 members,
     * so a 60-candidate exact fetch caps recall for ANY quantizer,
-    * which is why that leg asserts a no-degradation floor rather than
-    * a recovery bar. At the auto serve budget
+    * which is why that leg asserts a no-collapse floor (a 0.05
+    * tolerance under the decayed read — the one-hit improvement margin
+    * is inside the refit's own run variance) rather than a recovery
+    * bar. At the auto serve budget
     * (autoNProbe/autoRerank) the full remedy reads recallB=1.000 with
     * resident recallA=1.000. Asserted: strict improvement at the
     * pinned budget, ≥0.95 at the operational remedy.
@@ -1200,7 +1202,8 @@ object ScaleProbe {
     // clusters grew to 160 members, past the pinned rerank=60):
     //  (a) at the PINNED budget — the decay series' own nProbe=6,
     //      rerank=60, so the quantizer refit is the ONLY change — the
-    //      retrain must NOT DEGRADE, and in every observed run improves
+    //      retrain must not collapse (0.05-tolerance floor), and in
+    //      every observed run improves
     //      (measured 0.400 → 0.403–0.438 across runs: the refit's init
     //      sample depends on within-partition row order after the
     //      corpus-resolve shuffle, whose fetch order is nondeterministic,
@@ -1240,11 +1243,15 @@ object ScaleProbe {
       f"ksub=${cbNew(0).length}): pinned-budget recallB=$rBPinned%.3f " +
       f"(was $lastB%.3f); auto-budget (nProbe=$npAuto rerank=$rrAuto) " +
       f"recallB=$rBRe%.3f recallA=$rARe%.3f")
-    // >= not >: at a saturated rerank budget the quantizer-only gain is
-    // small and the refit is run-variant (see (a) above) — the hard
-    // recovery gates are the two >= 0.95 asserts on the auto budget
-    assert(rBPinned >= lastB,
-      f"retrain DEGRADED drifted-row recall at the pinned " +
+    // a tolerance floor, not >=: the refit is run-variant (see (a)
+    // above) and the observed improvement margin (0.403 vs 0.400) is a
+    // single recall hit, so an exact floor is a flake waiting to fire
+    // (code-review r17). The floor only has to catch a COLLAPSE — a
+    // retrain that makes the pinned-budget read materially worse; the
+    // hard recovery gates are the two >= 0.95 asserts on the auto
+    // budget below.
+    assert(rBPinned >= lastB - 0.05,
+      f"retrain COLLAPSED drifted-row recall at the pinned " +
         f"budget ($lastB%.3f → $rBPinned%.3f)")
     assert(rBRe >= 0.95,
       f"retrain + auto serve budget recovered drifted-row recall only " +

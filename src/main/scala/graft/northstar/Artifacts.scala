@@ -132,6 +132,29 @@ object Artifacts {
     spark.read.parquet(new java.io.File(dir, "splits").toString)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
 
+  /** Layout guard for the retrain wrappers (code-review r17): the
+    * `_params` sidecar is optional for legacy artifacts, so a
+    * params-only guard silently SKIPS for them — and retrainIvfPqIndex
+    * would then destructively convert a legacy raw-vector index to
+    * codes-only (the stored raw vectors discarded with no refusal).
+    * The stored index's own schema is the ground truth either way:
+    * raw-vector rows carry `cv`, codes-only rows carry `codes`. A
+    * missing index/ dir falls through to retrainCellIndex's marker
+    * require for the canonical message.
+    */
+  private def requireStoredLayout(spark: SparkSession, path: String,
+                                  column: String, what: String,
+                                  remedy: String): Unit = {
+    val idx = new java.io.File(path, "index")
+    if (idx.exists()) {
+      val cols = spark.read.parquet(idx.toString).schema.fieldNames.toSet
+      require(cols.contains(column),
+        s"$what at $path: the stored index (columns " +
+          s"${cols.toSeq.sorted.mkString(", ")}) has no '$column' — " +
+          remedy)
+    }
+  }
+
   /** Remove stale retrain scratch SIBLINGS (`<name>.tmp-*` next to the
     * artifact, where [[retrainCellIndex]] builds its replacement): a
     * kill -9 mid-build strands a complete full-index-size copy that the
@@ -1290,10 +1313,33 @@ object Artifacts {
       s"$what at $path: could not remove the commit marker")
     sweepTmp(dst)
     sweepSiblingTmp(dst)
-    val tmp = new java.io.File(path + ".tmp-" +
-      java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
-      "-" + System.nanoTime())
+    // SIBLING scratch via parent+name, NOT string concat on the raw
+    // path (code-review r17): a trailing-slash path would nest the
+    // scratch INSIDE the live directory, and the swap's deleteRec(dst)
+    // would then destroy both the old index and the finished
+    // replacement. java.io.File normalizes the trailing slash, so
+    // getParentFile/getName place the scratch beside the index for any
+    // spelling of `path`.
+    val dstAbs = dst.getAbsoluteFile
+    val tmp = new java.io.File(dstAbs.getParentFile,
+      dstAbs.getName + ".tmp-" +
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+        "-" + System.nanoTime())
+    // ownership witness (code-review r17): the documented recovery for
+    // a marker-less wreck is a from-scratch rebuild, whose
+    // sweepSiblingTmp deletes ANY live retrain scratch — created
+    // eagerly here so the failure path below can tell "my build
+    // failed" (scratch still mine → republish the marker) from
+    // "another process claimed this root" (scratch swept → the claimer
+    // owns the marker now; republishing would commit ITS half-written
+    // index as valid). `created` keeps a mkdirs failure itself on the
+    // republish path — it must run inside the try (the marker is
+    // already down), but an uncreated scratch was never swept.
+    var created = false
     val fitted = try {
+      require(tmp.mkdirs(),
+        s"$what at $path: could not create retrain scratch at $tmp")
+      created = true
       val stored = spark.read
         .parquet(new java.io.File(dst, "index").toString)
       // localCheckpoint, NOT trackedPersist (the materializeOnce
@@ -1309,15 +1355,38 @@ object Artifacts {
       // Dataset.unpersist is a CacheManager no-op for a localCheckpoint'd
       // frame (code-review r17) — release the checkpointed RDD itself
       try fitAndBuild(corpus, tmp.toString)
-      finally org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(corpus)
-        .foreach(_.unpersist(blocking = false))
+      finally {
+        org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(corpus)
+          .foreach(_.unpersist(blocking = false))
+        // the corpus resolve may trackedPersist a corpus-sized join
+        // (pqResolveVectors) whose lineage reads the about-to-be-
+        // deleted old index files; nothing references it after the
+        // checkpoint above, so release the tracked frames now instead
+        // of leaving a full-corpus block set cached for the rest of a
+        // long-lived session (code-review r17). Retrain is a job
+        // boundary — exactly where the releasePersisted contract says
+        // to call it; other tracked frames recompute if re-referenced.
+        Dedup.releasePersisted()
+      }
     } catch { case t: Throwable =>
-      // nothing in the live artifact was mutated: drop the scratch and
-      // republish the marker so a fit/build failure doesn't strand a
-      // rebuild-only wreck
-      deleteRec(tmp)
-      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
-      throw t
+      if (tmp.exists() || !created) {
+        // nothing in the live artifact was mutated: drop the scratch
+        // and republish the marker so a fit/build failure doesn't
+        // strand a rebuild-only wreck
+        deleteRec(tmp)
+        java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+        throw t
+      }
+      // scratch gone without us deleting it: a from-scratch rebuild
+      // claimed this marker-less root mid-retrain (its sweepSiblingTmp
+      // is the only other deleter). It owns the directory and will
+      // publish its own marker when complete — republishing here could
+      // stamp _SUCCESS over its half-written index.
+      throw new IllegalStateException(
+        s"$what at $path: retrain scratch was swept by a concurrent " +
+          "from-scratch rebuild of this index — the retrain is " +
+          "abandoned and the rebuild owns the commit marker; verify " +
+          "the rebuild completed before serving", t)
     }
     // ---- the swap: the only window that touches the live directory.
     // deleteRec + rename, not rename-into — the replacement under tmp
@@ -1369,6 +1438,9 @@ object Artifacts {
       s"IVF index retrain at $path: the stored index is codes-only " +
         "(IVF-PQ) — its raw vectors cannot be recovered from codes; " +
         "use retrainIvfPqIndex with the corpus table"))
+    requireStoredLayout(spark, path, "cv", "IVF index retrain",
+      "the stored index is codes-only (IVF-PQ); use retrainIvfPqIndex " +
+        "with the corpus table")
     retrainCellIndex(spark, path, "IVF index retrain",
       stored => stored.select(col("neighbor_id").as(idCol),
         col("cv").as(vecCol))) { (corpus, tmp) =>
@@ -1405,6 +1477,9 @@ object Artifacts {
     readParams(path).foreach(p => require(p.contains("codebooks"),
       s"IVF-PQ index retrain at $path: the stored index carries raw " +
         "vectors — use retrainIvfIndex (no corpus table needed)"))
+    requireStoredLayout(spark, path, "codes", "IVF-PQ index retrain",
+      "the stored index carries raw vectors; use retrainIvfIndex " +
+        "(no corpus table needed)")
     val ((q, cb), splits) = retrainCellIndex(spark, path,
       "IVF-PQ index retrain",
       stored => pqResolveVectors(corpus, path, idCol, vecCol,

@@ -14,6 +14,73 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ArtifactRaceSpec extends AnyFunSuite {
 
+  /** Shared worker-launch scaffolding of the two append-vs-remove races
+    * (code-review r17: the add-opens list, ProcessBuilder wiring, and
+    * go-file handshake were copy-pasted between them — a fix to either
+    * had to be found and applied twice, and a miss would silently
+    * weaken one race's overlap guarantee). Launches
+    * [[ArtifactMutateRaceMain]] as a second JVM (4 appends of 5 ids
+    * from 100) against `path`, then blocks until the worker's go-file
+    * lands — the worker stamps it right before its first append (after
+    * its ~10 s Spark startup and any quantizer fits), so the caller's
+    * removals genuinely overlap the append window.
+    */
+  private def launchMutateWorker(root: java.io.File, path: String,
+                                 extraArgs: Seq[String])
+      : (Process, java.io.File) = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getPath
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val out = java.io.File.createTempFile("mutate-race-out", ".txt")
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ addOpens ++ Seq("-Dspark.ui.enabled=false",
+        "-cp", cp, "graft.ArtifactMutateRaceMain",
+        path, "100", "4", "5",
+        new java.io.File(root, "worker-go").getPath) ++ extraArgs): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(out)
+    val p = pb.start()
+    val go = new java.io.File(root, "worker-go")
+    val goDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!go.exists() && p.isAlive && System.nanoTime() < goDeadline)
+      Thread.sleep(20)
+    assert(go.exists(), "worker never signalled its first append")
+    (p, out)
+  }
+
+  /** The matching tail: wait for the worker, require a zero exit, parse
+    * its `start=/end=` window report, and assert the two mutation
+    * windows genuinely overlapped — without which no race ran and the
+    * final-state identity below it is theater.
+    */
+  private def awaitWorkerAssertOverlap(p: Process, out: java.io.File,
+                                       t0: Long, t1: Long,
+                                       specRetries: Int): Unit = {
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "append worker did not finish in 180s")
+    val report = new String(
+      java.nio.file.Files.readAllBytes(out.toPath), "UTF-8")
+    assert(p.exitValue() == 0, s"append worker failed:\n$report")
+    val m = "start=(\\d+) end=(\\d+) retries=(\\d+)".r
+      .findFirstMatchIn(report)
+      .getOrElse(fail(s"no worker window report:\n$report"))
+    val (ws, we) = (m.group(1).toLong, m.group(2).toLong)
+    info(s"worker window [$ws,$we] retries=${m.group(3)}; " +
+      s"spec window [$t0,$t1] retries=$specRetries")
+    assert(ws < t1 && t0 < we,
+      s"mutation windows did not overlap (worker [$ws,$we], spec " +
+        s"[$t0,$t1]) — the race was not exercised; widen the batches")
+  }
+
   test("two JVMs + a ttl-0 pruner on one store: loud failures only, no torn artifact in 100+100 iterations") {
     val root = new java.io.File(TestTmp.dir("graft-race"))
     val javaBin = new java.io.File(new java.io.File(
@@ -103,38 +170,8 @@ class ArtifactRaceSpec extends AnyFunSuite {
     Artifacts.saveWinnowIndexAppendable(
       docs(spark, (0 until 20) ++ (200 until 240)), path, maxBucket = 100)
 
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getPath
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val out = java.io.File.createTempFile("mutate-race-out", ".txt")
     // worker: 4 appends of 5 docs each (ids 100..119)
-    val pb = new ProcessBuilder(
-      (Seq(javaBin) ++ addOpens ++ Seq("-Dspark.ui.enabled=false",
-        "-cp", cp, "graft.ArtifactMutateRaceMain",
-        path, "100", "4", "5",
-        new java.io.File(root, "worker-go").getPath)): _*)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(out)
-    val p = pb.start()
-
-    // handshake: the worker stamps a go-file right before its first
-    // append (after its ~10 s Spark startup) — without the wait, the
-    // spec's removals would all land before the worker ever mutates and
-    // the overlap assertion below would be theater
-    val go = new java.io.File(root, "worker-go")
-    val goDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!go.exists() && p.isAlive && System.nanoTime() < goDeadline)
-      Thread.sleep(20)
-    assert(go.exists(), "worker never signalled its first append")
+    val (p, out) = launchMutateWorker(root, path, Seq.empty)
 
     // spec side: 4 removals of 10 victims each (ids 200..239),
     // retrying loud mutex losses exactly like the worker
@@ -148,22 +185,7 @@ class ArtifactRaceSpec extends AnyFunSuite {
       }
     }
     val t1 = System.currentTimeMillis()
-    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
-      "append worker did not finish in 180s")
-    val report = new String(
-      java.nio.file.Files.readAllBytes(out.toPath), "UTF-8")
-    assert(p.exitValue() == 0, s"append worker failed:\n$report")
-
-    // the mutation windows must genuinely overlap, or no race ran
-    val m = "start=(\\d+) end=(\\d+) retries=(\\d+)".r
-      .findFirstMatchIn(report)
-      .getOrElse(fail(s"no worker window report:\n$report"))
-    val (ws, we) = (m.group(1).toLong, m.group(2).toLong)
-    info(s"worker window [$ws,$we] retries=${m.group(3)}; " +
-      s"spec window [$t0,$t1] retries=$retries")
-    assert(ws < t1 && t0 < we,
-      s"mutation windows did not overlap (worker [$ws,$we], spec " +
-        s"[$t0,$t1]) — the race was not exercised; widen the batches")
+    awaitWorkerAssertOverlap(p, out, t0, t1, retries)
 
     // final state == from-scratch build on the difference corpus
     val expectPath = new java.io.File(root, "winnow-expect").getPath
@@ -203,34 +225,8 @@ class ArtifactRaceSpec extends AnyFunSuite {
     Artifacts.saveIvfPqIndex(vecs(spark, (0 until 20) ++ (200 until 240)),
       path, cents, cb, "vec_id", "embedding", 10)
 
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getPath
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val out = java.io.File.createTempFile("pq-race-out", ".txt")
     // worker: 4 appends of 5 vectors each (ids 100..119), ivfpq mode
-    val pb = new ProcessBuilder(
-      (Seq(javaBin) ++ addOpens ++ Seq("-Dspark.ui.enabled=false",
-        "-cp", cp, "graft.ArtifactMutateRaceMain",
-        path, "100", "4", "5",
-        new java.io.File(root, "worker-go").getPath, "ivfpq")): _*)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(out)
-    val p = pb.start()
-
-    val go = new java.io.File(root, "worker-go")
-    val goDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!go.exists() && p.isAlive && System.nanoTime() < goDeadline)
-      Thread.sleep(20)
-    assert(go.exists(), "worker never signalled its first append")
+    val (p, out) = launchMutateWorker(root, path, Seq("ivfpq"))
 
     // spec side: 4 removals of 10 victims each (ids 200..239)
     val t0 = System.currentTimeMillis()
@@ -244,21 +240,7 @@ class ArtifactRaceSpec extends AnyFunSuite {
       }
     }
     val t1 = System.currentTimeMillis()
-    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
-      "append worker did not finish in 180s")
-    val report = new String(
-      java.nio.file.Files.readAllBytes(out.toPath), "UTF-8")
-    assert(p.exitValue() == 0, s"append worker failed:\n$report")
-
-    val m = "start=(\\d+) end=(\\d+) retries=(\\d+)".r
-      .findFirstMatchIn(report)
-      .getOrElse(fail(s"no worker window report:\n$report"))
-    val (ws, we) = (m.group(1).toLong, m.group(2).toLong)
-    info(s"worker window [$ws,$we] retries=${m.group(3)}; " +
-      s"spec window [$t0,$t1] retries=$retries")
-    assert(ws < t1 && t0 < we,
-      s"mutation windows did not overlap (worker [$ws,$we], spec " +
-        s"[$t0,$t1]) — the race was not exercised; widen the batches")
+    awaitWorkerAssertOverlap(p, out, t0, t1, retries)
 
     // final state == from-scratch build on the difference corpus —
     // codes, subcells, AND the splits sidecar

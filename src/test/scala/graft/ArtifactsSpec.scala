@@ -1232,4 +1232,74 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(!s2.exists(),
       "from-scratch rebuild did not sweep the stale sibling scratch")
   }
+
+  test("retrain with a trailing-slash path builds its scratch as a " +
+       "SIBLING, not nested inside the live index (code-review r17: " +
+       "string-concat scratch paths nested under the index dir, and " +
+       "the swap's deleteRec destroyed old index AND replacement)") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfslash")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    // the exact spelling that nested the scratch pre-fix
+    val (q, splits) = Artifacts.retrainIvfIndex(spark, p + "/",
+      nCells = 4)
+    val newCents = q match {
+      case Ivf.LiteralQuantizer(c) => c
+      case _ => fail("nCells=4 must stay in the literal family")
+    }
+    // the index survived the swap and serves
+    val (idx, splitsL) = Artifacts.loadIvfIndex(spark, p, newCents)
+    assert(splitsL == splits)
+    assert(idx.count() == embA.count(),
+      "trailing-slash retrain lost the index contents")
+    assert(new java.io.File(p, "_SUCCESS").exists())
+  }
+
+  test("retrain layout guards hold for LEGACY artifacts with no _params " +
+       "sidecar (code-review r17: the params-only guard silently " +
+       "skipped, and retrainIvfPqIndex would destructively convert a " +
+       "raw-vector index to codes-only)") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val cb = graft.northstar.Pq.fitCodebooks(embA, m = 8, ksub = 8)
+    // legacy raw-vector index: sidecar removed
+    val pRaw = s"${tempDir("legacyguard")}/idx"
+    Artifacts.saveIvfIndex(embA, pRaw, cents, "vec_id", "embedding",
+      100000)
+    assert(new java.io.File(pRaw, "_params").delete())
+    val eRaw = intercept[IllegalArgumentException] {
+      Artifacts.retrainIvfPqIndex(spark, embA, pRaw)
+    }
+    assert(eRaw.getMessage.contains("no 'codes'"), eRaw.getMessage)
+    assert(new java.io.File(pRaw, "_SUCCESS").exists() &&
+      Artifacts.loadIvfIndex(spark, pRaw, cents)._1.count()
+        == embA.count(),
+      "the refusal must leave the raw index untouched and servable")
+    // legacy codes-only index: sidecar removed
+    val pPq = s"${tempDir("legacyguard")}/idx"
+    Artifacts.saveIvfPqIndex(embA, pPq, cents, cb, "vec_id", "embedding",
+      100000)
+    assert(new java.io.File(pPq, "_params").delete())
+    val ePq = intercept[IllegalArgumentException] {
+      Artifacts.retrainIvfIndex(spark, pPq)
+    }
+    assert(ePq.getMessage.contains("no 'cv'"), ePq.getMessage)
+  }
+
+  test("retrainIvfPqIndex releases its corpus-resolve persist (code-" +
+       "review r17: the pqResolveVectors tracked join held the corpus " +
+       "cached — with lineage over the DELETED old index files — for " +
+       "the rest of the session)") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val cb = graft.northstar.Pq.fitCodebooks(embA, m = 8, ksub = 8)
+    val p = s"${tempDir("pqretrainrel")}/idx"
+    Artifacts.saveIvfPqIndex(embA, p, cents, cb, "vec_id", "embedding",
+      100000)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Artifacts.retrainIvfPqIndex(spark, embA, p, nCells = 4, m = 8,
+      ksub = 8): Unit
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"retrain left ${leaked.size} persistent RDD(s) pinned")
+  }
 }

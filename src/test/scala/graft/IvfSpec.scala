@@ -489,9 +489,10 @@ class IvfSpec extends SparkSpecBase {
     // corpus-sized block sets; the fit loop's only materialization is
     // the synthetic-id checkpoint, so the persistent-RDD census must
     // return to its pre-fit value once the fit returns
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     Ivf.fitHierarchical(emb, nCells = 6, iters = 1): Unit
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty,
       s"fitHierarchical left ${leaked.size} persistent RDD(s) pinned")
   }
