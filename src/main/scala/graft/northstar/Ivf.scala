@@ -56,6 +56,16 @@ object Ivf {
     */
   val MaxAutoCells: Int = 4096
 
+  /** Size above which the hierarchical centroid relation stops being
+    * BROADCAST and its `sup` equi-joins degrade to a shuffle-hash join
+    * (relation = build side). 4 GiB: half Spark's hard 8 GB torrent
+    * block limit, leaving headroom for serialization overhead and the
+    * executor-side deserialized copy. Overridable per session via the
+    * `graft.hier.relationBroadcastCeiling` conf — see
+    * [[HierarchicalQuantizer.joinPackedRelation]].
+    */
+  val RelationBroadcastCeiling: Long = 4L << 30
+
   /** The √N cell-count rule (the standard IVF sizing guideline:
     * nlist ≈ √corpus balances cells scanned per probe against rows per
     * cell), clamped to [4, [[MaxAutoCells]]]. 22 at the 500-row oracle
@@ -591,15 +601,21 @@ object Ivf {
     * sits comfortably inside — [[fitHierarchical]]'s 4×-oversampled
     * init draw additionally collects ~4.8 × nCells vectors on the
     * driver transiently (~6 GB of heap at 316k cells × 1024 dims),
-    * which small-driver deployments should budget for. Past ~2M cells
-    * this family is honestly out of spec; the continuation is either
-    * (a) swap
-    * [[packedRelation]]'s broadcast join for a shuffle join with the
-    * centroid relation bucketed by `sup` (same plan shape, one extra
-    * exchange of the exploded row side), or (b) a third quantizer level
-    * — super²-cells as the plan literal, supercells broadcast, cells
-    * sharded — repeating exactly the literal→hierarchical move one
-    * level up. Neither is implemented; this bound is the honest edge.
+    * which small-driver deployments should budget for. Past
+    * [[Ivf.RelationBroadcastCeiling]] the relation joins degrade
+    * automatically to a SHUFFLE-HASH join with the centroid relation
+    * as the build side (continuation (a), r17 — see [[joinPackedRelation]]):
+    * same plan shape, one extra exchange of the exploded row side, no
+    * 8 GB torrent block. The binding constraints past that are (i) the
+    * centroid set still materializing as a DRIVER array (heap-bound —
+    * ~8 GB at 2M cells × 1024 dims, plus the transient init draw
+    * above) and (ii) nSuper saturating at [[MaxAutoCells]] once
+    * nCells ≥ ~16.8M. The continuation past THOSE is (b): a third
+    * quantizer level — super²-cells as the plan literal, supercells
+    * broadcast, cells sharded as a stored relation that never
+    * assembles on the driver — repeating the literal→hierarchical
+    * move one level up. (b) is not implemented; the driver-array bound
+    * is the honest edge.
     */
   final case class HierarchicalQuantizer(
       superCentroids: Array[Array[Float]],
@@ -639,6 +655,53 @@ object Ivf {
           transform(col("packed"), x => x.getField("cell")).as("cells"),
           flatten(transform(col("packed"), x => x.getField("ccv")))
             .as("flat"))
+
+    /** Estimated serialized bytes of the centroid relation: 4 B/float
+      * plus per-row framing. Flat and packed forms carry the same
+      * float payload, so one estimate serves both.
+      */
+    def relationBytes: Long =
+      nCells.toLong * (4L * centroids(0).length + 32L)
+
+    /** The centroid relation SIZED for its `sup` equi-join
+      * (continuation (a) of the scale story above): under
+      * [[Ivf.RelationBroadcastCeiling]] it is broadcast — the relation
+      * reaches each executor once via torrent and the exploded row
+      * side never exchanges; past the ceiling (where an 8 GB torrent
+      * block is a hard refusal, not a tuning knob) it degrades to a
+      * SHUFFLE-HASH join — both sides exchange on `sup`, and the hint
+      * keeps the relation the per-partition hash BUILD side, because a
+      * sort-merge would sort the superProbe-exploded corpus side,
+      * which is the exact materialization the packed-relation design
+      * exists to avoid. Same plan shape otherwise, one extra exchange
+      * of the row side — the trade the scaladoc priced. The ceiling is
+      * overridable per session via the
+      * `graft.hier.relationBroadcastCeiling` conf (tests force the
+      * shuffle path with 0; an operator with generous executor memory
+      * can raise it toward the 8 GB hard limit).
+      */
+    private def sizedForJoin(spark: org.apache.spark.sql.SparkSession,
+                             rel: DataFrame): DataFrame = {
+      val ceiling = spark.conf
+        .getOption("graft.hier.relationBroadcastCeiling")
+        .map(_.toLong).getOrElse(Ivf.RelationBroadcastCeiling)
+      if (relationBytes <= ceiling) broadcast(rel)
+      else rel.hint("shuffle_hash")
+    }
+
+    /** [[packedRelation]] ready to join: broadcast under the ceiling,
+      * shuffle-hash build side past it.
+      */
+    def joinPackedRelation(
+        spark: org.apache.spark.sql.SparkSession): DataFrame =
+      sizedForJoin(spark, packedRelation(spark))
+
+    /** [[cellsRelation]] ready to join: broadcast under the ceiling,
+      * shuffle-hash build side past it.
+      */
+    def joinCellsRelation(
+        spark: org.apache.spark.sql.SparkSession): DataFrame =
+      sizedForJoin(spark, cellsRelation(spark))
   }
 
   /** Marker for the two quantizer families; [[fitQuantizer]] picks the
@@ -809,7 +872,9 @@ object Ivf {
     * `select(..., cellOf(vec))`): narrow kernel pass to the row's
     * superProbe supercells, BroadcastHashJoin against
     * [[HierarchicalQuantizer.packedRelation]] (one packed row per
-    * supercell), per-group argmax inside the
+    * supercell; past [[RelationBroadcastCeiling]] the join degrades to
+    * shuffle-hash — [[HierarchicalQuantizer.joinPackedRelation]]),
+    * per-group argmax inside the
     * [[graft.functions.VecOps.bestCellIn]] kernel, cross-group argmax as
     * a plain `max` on the (sim, cell) struct — Spark's nan-safe double
     * ordering plus tie-to-higher-cell is exactly the [[cellOf]] order,
@@ -837,7 +902,7 @@ object Ivf {
           "reattaches vectors by an id equi-join, so a null-id row " +
           "would silently get a NULL cell despite a valid embedding; " +
           "assign real ids before indexing"))))
-    val rel = hq.packedRelation(df.sparkSession)
+    val rel = hq.joinPackedRelation(df.sparkSession)
     // the kernel is PROJECTED before the aggregate, and the argmax agg
     // carries only (id, best) — the agg is sort-based (a struct buffer
     // is not hash-aggregable), so anything in its input rides a
@@ -852,7 +917,7 @@ object Ivf {
       .select(col(idCol), col(vecCol),
         explode(probeCells(col(vecCol), hq.superCentroids,
           sProbe)).as("sup"))
-      .join(broadcast(rel), "sup")
+      .join(rel, "sup")
       .select(col(idCol),
         vectors.best_cell_in(col(vecCol), col("flat"), col("cells"))
           .as("best"))
@@ -898,12 +963,12 @@ object Ivf {
                                         hq: HierarchicalQuantizer,
                                         nProbe: Int, idCol: String,
                                         vecCol: String): DataFrame = {
-    val rel = hq.cellsRelation(queries.sparkSession)
+    val rel = hq.joinCellsRelation(queries.sparkSession)
     val cand = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeCells(col(vecCol), hq.superCentroids,
           math.min(hq.superProbe, hq.nSuper))).as("sup"))
-      .join(broadcast(rel), "sup")
+      .join(rel, "sup")
       .select(col("query_id"), col("qv"), col("cell"),
         vectors.vec_cosine(col("qv"), col("ccv")).as("sim"))
     val w = Window.partitionBy("query_id")

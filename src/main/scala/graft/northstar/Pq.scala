@@ -291,12 +291,12 @@ object Pq {
                              perSuperProbe: Int = 3,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding"): DataFrame = {
-    val rel = hq.packedRelation(incoming.sparkSession)
+    val rel = hq.joinPackedRelation(incoming.sparkSession)
     val q = incoming
       .select(col(idCol).as("incoming_id"), col(vecCol).as("qv"),
         explode(Ivf.probeCells(col(vecCol), hq.superCentroids,
           math.min(hq.superProbe, hq.nSuper))).as("sup"))
-      .join(broadcast(rel), "sup")
+      .join(rel, "sup")
       .select(col("incoming_id"), col("qv"),
         explode(vectors.top_cells_in(col("qv"), col("flat"), col("cells"),
           perSuperProbe)).as("cell"))

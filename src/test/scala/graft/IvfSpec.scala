@@ -321,6 +321,36 @@ class IvfSpec extends SparkSpecBase {
     assert(joinCells == kernelCells)
   }
 
+  test("past the broadcast ceiling the relation joins degrade to a " +
+       "shuffle-hash join with IDENTICAL results (continuation (a): " +
+       "no 8 GB torrent block past ~2M cells)") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val q = emb.filter(col("vec_id") < 5)
+    // reference results on the default (broadcast) path
+    val assignB = Ivf.assignCellsJoin(emb, hq).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topB = rows(Ivf.ivfTopKHier(q, emb, hq, k = 10, nProbe = 4))
+    spark.conf.set("graft.hier.relationBroadcastCeiling", "0")
+    try {
+      val assigned = Ivf.assignCellsJoin(emb, hq)
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+      // build side must be the centroid relation, not the exploded
+      // corpus — "BuildRight" with the relation on the right
+      assert(plan.contains("BuildRight"), plan.take(2000))
+      assert(assigned.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap == assignB,
+        "shuffle-path assignment diverged from the broadcast path")
+      assert(rows(Ivf.ivfTopKHier(q, emb, hq, k = 10, nProbe = 4))
+        == topB,
+        "shuffle-path probe results diverged from the broadcast path")
+    } finally spark.conf.unset("graft.hier.relationBroadcastCeiling")
+  }
+
   test("ivfTopKHier with full supercell probing row-equals ivfTopK") {
     import org.apache.spark.sql.functions.col
     val centroids = Ivf.fitCentroids(emb, nCells = 8)
