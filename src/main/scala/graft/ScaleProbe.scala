@@ -1099,8 +1099,8 @@ object ScaleProbe {
     * is inside the refit's own run variance) rather than a recovery
     * bar. At the auto serve budget
     * (autoNProbe/autoRerank) the full remedy reads recallB=1.000 with
-    * resident recallA=1.000. Asserted: strict improvement at the
-    * pinned budget, ≥0.95 at the operational remedy.
+    * resident recallA=1.000. Asserted: a no-collapse floor (−0.05
+    * tolerance) at the pinned budget, ≥0.95 at the operational remedy.
     */
   private def quantizerDriftProbe(spark: SparkSession): Unit = {
     import graft.northstar.{Artifacts, Ivf, Pq, Similarity}

@@ -132,29 +132,6 @@ object Artifacts {
     spark.read.parquet(new java.io.File(dir, "splits").toString)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
 
-  /** Layout guard for the retrain wrappers (code-review r17): the
-    * `_params` sidecar is optional for legacy artifacts, so a
-    * params-only guard silently SKIPS for them — and retrainIvfPqIndex
-    * would then destructively convert a legacy raw-vector index to
-    * codes-only (the stored raw vectors discarded with no refusal).
-    * The stored index's own schema is the ground truth either way:
-    * raw-vector rows carry `cv`, codes-only rows carry `codes`. A
-    * missing index/ dir falls through to retrainCellIndex's marker
-    * require for the canonical message.
-    */
-  private def requireStoredLayout(spark: SparkSession, path: String,
-                                  column: String, what: String,
-                                  remedy: String): Unit = {
-    val idx = new java.io.File(path, "index")
-    if (idx.exists()) {
-      val cols = spark.read.parquet(idx.toString).schema.fieldNames.toSet
-      require(cols.contains(column),
-        s"$what at $path: the stored index (columns " +
-          s"${cols.toSeq.sorted.mkString(", ")}) has no '$column' — " +
-          remedy)
-    }
-  }
-
   /** Remove stale retrain scratch SIBLINGS (`<name>.tmp-*` next to the
     * artifact, where [[retrainCellIndex]] builds its replacement): a
     * kill -9 mid-build strands a complete full-index-size copy that the
@@ -1302,6 +1279,7 @@ object Artifacts {
     */
   private def retrainCellIndex[T](spark: SparkSession, path: String,
                                   what: String,
+                                  layoutCol: String, layoutRemedy: String,
                                   corpusFromStored: DataFrame => DataFrame)(
       fitAndBuild: (DataFrame, String) => T): (T, Map[Int, Int]) = {
     val dst = new java.io.File(path)
@@ -1327,21 +1305,35 @@ object Artifacts {
         "-" + System.nanoTime())
     // ownership witness (code-review r17): the documented recovery for
     // a marker-less wreck is a from-scratch rebuild, whose
-    // sweepSiblingTmp deletes ANY live retrain scratch — created
-    // eagerly here so the failure path below can tell "my build
-    // failed" (scratch still mine → republish the marker) from
-    // "another process claimed this root" (scratch swept → the claimer
-    // owns the marker now; republishing would commit ITS half-written
-    // index as valid). `created` keeps a mkdirs failure itself on the
-    // republish path — it must run inside the try (the marker is
-    // already down), but an uncreated scratch was never swept.
+    // sweepSiblingTmp deletes ANY live retrain scratch. The witness is
+    // a TOKEN FILE inside the scratch, written exactly once at
+    // ownership time and never recreated: the inner save paths
+    // mkdirs/overwrite their target, so a swept-then-rebuilt scratch
+    // DIRECTORY can exist without the retrain noticing (code-review
+    // r17, second pass) — but nothing recreates the token, so its
+    // absence is proof another process claimed this marker-less root.
+    // `created` keeps a mkdirs/token failure itself on the republish
+    // path — it must run inside the try (the marker is already down),
+    // but an uncreated scratch was never swept.
+    val token = new java.io.File(tmp, ".retrain-owner")
     var created = false
     val fitted = try {
       require(tmp.mkdirs(),
         s"$what at $path: could not create retrain scratch at $tmp")
+      java.nio.file.Files.write(token.toPath, Array.empty[Byte])
       created = true
       val stored = spark.read
         .parquet(new java.io.File(dst, "index").toString)
+      // wrong-family guard INSIDE the mutex, against the already-read
+      // frame (code-review r17, second pass: a pre-mutex schema read
+      // bypassed the canonical torn-wreck refusal, could race a
+      // concurrent mutation's cell rewrites, and double-read the index
+      // footers): the stored schema is the layout's ground truth
+      // whether or not the optional `_params` sidecar exists.
+      require(stored.columns.contains(layoutCol),
+        s"$what at $path: the stored index (columns " +
+          s"${stored.columns.sorted.mkString(", ")}) has no " +
+          s"'$layoutCol' — $layoutRemedy")
       // localCheckpoint, NOT trackedPersist (the materializeOnce
       // doctrine's exception): the corpus is read by the quantizer
       // fit's count+sample, (for PQ) the codebook fit, and the
@@ -1351,6 +1343,7 @@ object Artifacts {
       // deleted files. Lineage truncation is the point; a lost
       // checkpoint block fails the retrain loudly, and retrain is
       // retryable maintenance.
+      val tracked = Dedup.trackedFrames()
       val corpus = corpusFromStored(stored).localCheckpoint(eager = true)
       // Dataset.unpersist is a CacheManager no-op for a localCheckpoint'd
       // frame (code-review r17) — release the checkpointed RDD itself
@@ -1361,15 +1354,14 @@ object Artifacts {
         // the corpus resolve may trackedPersist a corpus-sized join
         // (pqResolveVectors) whose lineage reads the about-to-be-
         // deleted old index files; nothing references it after the
-        // checkpoint above, so release the tracked frames now instead
-        // of leaving a full-corpus block set cached for the rest of a
-        // long-lived session (code-review r17). Retrain is a job
-        // boundary — exactly where the releasePersisted contract says
-        // to call it; other tracked frames recompute if re-referenced.
-        Dedup.releasePersisted()
+        // checkpoint above. Release ONLY the frames this retrain
+        // registered (code-review r17, second pass: a session-wide
+        // releasePersisted() from library code would flush frames a
+        // concurrent job in the same session is mid-query over).
+        Dedup.releaseTrackedSince(tracked)
       }
     } catch { case t: Throwable =>
-      if (tmp.exists() || !created) {
+      if (token.exists() || !created) {
         // nothing in the live artifact was mutated: drop the scratch
         // and republish the marker so a fit/build failure doesn't
         // strand a rebuild-only wreck
@@ -1377,7 +1369,7 @@ object Artifacts {
         java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
         throw t
       }
-      // scratch gone without us deleting it: a from-scratch rebuild
+      // token gone without us deleting it: a from-scratch rebuild
       // claimed this marker-less root mid-retrain (its sweepSiblingTmp
       // is the only other deleter). It owns the directory and will
       // publish its own marker when complete — republishing here could
@@ -1389,6 +1381,21 @@ object Artifacts {
           "the rebuild completed before serving", t)
     }
     // ---- the swap: the only window that touches the live directory.
+    // Ownership re-verified AT THE SWAP BOUNDARY via check-and-delete
+    // (delete returns false iff the token is already gone): a sweep
+    // during the minutes-long fit would otherwise surface only as a
+    // confusing rename failure AFTER deleteRec(dst) had destroyed the
+    // claimer's half-written rebuild. A sweep landing inside the
+    // microseconds between this delete and the rename still loses the
+    // race — that residual window is filesystem-atomicity's to close,
+    // and the rename-fails-loudly path below catches it without a
+    // marker republish.
+    if (!token.delete())
+      throw new IllegalStateException(
+        s"$what at $path: retrain scratch was swept by a concurrent " +
+          "from-scratch rebuild during the fit — the retrain is " +
+          "abandoned and the rebuild owns the commit marker; verify " +
+          "the rebuild completed before serving")
     // deleteRec + rename, not rename-into — the replacement under tmp
     // is COMPLETE (index, splits, _params, drift_base, its own
     // _SUCCESS), so the post-swap directory is fully published the
@@ -1434,14 +1441,11 @@ object Artifacts {
                       vecCol: String = "embedding",
                       maxCell: Int = 100000,
                       seed: Long = 42L): (Ivf.CoarseQuantizer, Map[Int, Int]) = {
-    readParams(path).foreach(p => require(!p.contains("codebooks"),
-      s"IVF index retrain at $path: the stored index is codes-only " +
-        "(IVF-PQ) — its raw vectors cannot be recovered from codes; " +
-        "use retrainIvfPqIndex with the corpus table"))
-    requireStoredLayout(spark, path, "cv", "IVF index retrain",
-      "the stored index is codes-only (IVF-PQ); use retrainIvfPqIndex " +
-        "with the corpus table")
     retrainCellIndex(spark, path, "IVF index retrain",
+      layoutCol = "cv",
+      layoutRemedy = "the stored index is codes-only (IVF-PQ) and its " +
+        "raw vectors cannot be recovered from codes; use " +
+        "retrainIvfPqIndex with the corpus table",
       stored => stored.select(col("neighbor_id").as(idCol),
         col("cv").as(vecCol))) { (corpus, tmp) =>
       val q = Ivf.fitQuantizer(corpus, nCells, idCol, vecCol, seed)
@@ -1474,14 +1478,11 @@ object Artifacts {
                         vecCol: String = "embedding",
                         maxCell: Int = 100000, seed: Long = 42L)
       : (Ivf.CoarseQuantizer, Array[Array[Array[Float]]], Map[Int, Int]) = {
-    readParams(path).foreach(p => require(p.contains("codebooks"),
-      s"IVF-PQ index retrain at $path: the stored index carries raw " +
-        "vectors — use retrainIvfIndex (no corpus table needed)"))
-    requireStoredLayout(spark, path, "codes", "IVF-PQ index retrain",
-      "the stored index carries raw vectors; use retrainIvfIndex " +
-        "(no corpus table needed)")
     val ((q, cb), splits) = retrainCellIndex(spark, path,
       "IVF-PQ index retrain",
+      layoutCol = "codes",
+      layoutRemedy = "the stored index carries raw vectors; use " +
+        "retrainIvfIndex (no corpus table needed)",
       stored => pqResolveVectors(corpus, path, idCol, vecCol,
           "IVF-PQ retrain")(stored)
         .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))) {

@@ -204,6 +204,29 @@ object Dedup {
     }
   }
 
+  /** Snapshot of the currently-tracked frames (reference identity —
+    * Dataset does not override equals), for [[releaseTrackedSince]].
+    */
+  private[graft] def trackedFrames(): Set[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    persisted.iterator().asScala.toSet
+  }
+
+  /** Release only the frames tracked AFTER `before` was snapshotted —
+    * the library-internal job boundary (e.g. an index retrain freeing
+    * its own corpus-resolve join). Unlike [[releasePersisted]] — the
+    * CALLER-side whole-session contract — this must not flush frames a
+    * concurrent job in the same session is mid-query over
+    * (code-review r17).
+    */
+  private[graft] def releaseTrackedSince(before: Set[DataFrame]): Unit = {
+    import scala.jdk.CollectionConverters._
+    persisted.iterator().asScala.filterNot(before).toList.foreach { df =>
+      persisted.remove(df)
+      df.unpersist(blocking = false)
+    }
+  }
+
   /** Drop LSH buckets larger than `maxBucket`: a bucket of B rows costs
     * B² candidate pairs, so one boilerplate-heavy mega-bucket dominates the
     * whole job. Capping is standard practice at scale — membership in a

@@ -682,9 +682,23 @@ object Ivf {
       */
     private def sizedForJoin(spark: org.apache.spark.sql.SparkSession,
                              rel: DataFrame): DataFrame = {
+      // Spark byte-string parse ("4g", "512m", plain bytes) with the
+      // conf key named on failure — a bare toLong would surface an
+      // operator's natural "4g" spelling as an uncontextualized
+      // NumberFormatException from deep inside plan construction
+      // (code-review r17)
       val ceiling = spark.conf
         .getOption("graft.hier.relationBroadcastCeiling")
-        .map(_.toLong).getOrElse(Ivf.RelationBroadcastCeiling)
+        .map { v =>
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+          catch { case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              "graft.hier.relationBroadcastCeiling: cannot parse '" + v +
+                "' as a byte size (plain bytes or a Spark byte string " +
+                "like 4g / 512m)", e)
+          }
+        }
+        .getOrElse(Ivf.RelationBroadcastCeiling)
       if (relationBytes <= ceiling) broadcast(rel)
       else rel.hint("shuffle_hash")
     }

@@ -14,6 +14,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ArtifactRaceSpec extends AnyFunSuite {
 
+  // worker-JVM launch ingredients shared by ALL race tests in this
+  // suite (code-review r17, second pass: the pruner race kept a third
+  // private copy of javaBin/cp after the first extraction)
+  private val javaBin = new java.io.File(new java.io.File(
+    System.getProperty("java.home"), "bin"), "java").getPath
+  private val cp = System.getProperty("java.class.path")
+
   /** Shared worker-launch scaffolding of the two append-vs-remove races
     * (code-review r17: the add-opens list, ProcessBuilder wiring, and
     * go-file handshake were copy-pasted between them — a fix to either
@@ -28,9 +35,6 @@ class ArtifactRaceSpec extends AnyFunSuite {
   private def launchMutateWorker(root: java.io.File, path: String,
                                  extraArgs: Seq[String])
       : (Process, java.io.File) = {
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getPath
-    val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -83,9 +87,6 @@ class ArtifactRaceSpec extends AnyFunSuite {
 
   test("two JVMs + a ttl-0 pruner on one store: loud failures only, no torn artifact in 100+100 iterations") {
     val root = new java.io.File(TestTmp.dir("graft-race"))
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getPath
-    val cp = System.getProperty("java.class.path")
     def launch(seed: Int): (Process, java.io.File) = {
       val out = java.io.File.createTempFile("race-out", ".txt")
       val pb = new ProcessBuilder(javaBin, "-cp", cp,

@@ -348,6 +348,20 @@ class IvfSpec extends SparkSpecBase {
       assert(rows(Ivf.ivfTopKHier(q, emb, hq, k = 10, nProbe = 4))
         == topB,
         "shuffle-path probe results diverged from the broadcast path")
+      // the ceiling accepts Spark byte strings (the spelling every
+      // built-in size conf uses): 1k < the 8-cell relation's ~2.3 KB
+      // estimate, so the shuffle plan must hold
+      spark.conf.set("graft.hier.relationBroadcastCeiling", "1k")
+      assert(Ivf.assignCellsJoin(emb, hq).queryExecution.executedPlan
+        .toString.contains("ShuffledHashJoin"))
+      // and a malformed value names the conf key instead of surfacing
+      // a bare NumberFormatException from inside plan construction
+      spark.conf.set("graft.hier.relationBroadcastCeiling", "4x")
+      val e = intercept[IllegalArgumentException] {
+        Ivf.assignCellsJoin(emb, hq).queryExecution.executedPlan: Unit
+      }
+      assert(e.getMessage.contains("relationBroadcastCeiling"),
+        e.getMessage)
     } finally spark.conf.unset("graft.hier.relationBroadcastCeiling")
   }
 
