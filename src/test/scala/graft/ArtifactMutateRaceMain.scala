@@ -100,6 +100,40 @@ object ArtifactMutateRaceMain {
     // finish every removal while this JVM was still fitting — the
     // overlap tripwire then passed with fully serialized mutations
     // (code-review r17)
+    if (mode == "retrain") {
+      // rebuild-vs-retrain race (code-review r17 token witness): ONE
+      // retrain attempt, classified — the spec JVM hammers from-scratch
+      // rebuilds on the same root, so every documented loss mode is a
+      // legitimate outcome here, and each is terminal:
+      //   retrained — the retrain won the mutex and swapped;
+      //   swept     — a rebuild claimed the marker-less root mid-fit
+      //               (the token witness fired, no marker republish);
+      //   lostswap  — a rebuild landed inside the delete→rename
+      //               microseconds and the rename failed loudly.
+      // Anything else (a torn read served, a silent partial state)
+      // exits nonzero and fails the spec.
+      val t0r = System.currentTimeMillis()
+      if (args.length > 4)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(args(4)), Array.empty[Byte]): Unit
+      val outcome =
+        try {
+          retryLoud(60000) {
+            graft.northstar.Artifacts.retrainIvfIndex(spark, path,
+              nCells = 8): Unit
+          }
+          "retrained"
+        } catch {
+          case e: IllegalStateException if e.getMessage != null &&
+              e.getMessage.contains("swept by a concurrent") => "swept"
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.contains("could not swap") => "lostswap"
+        }
+      val t1r = System.currentTimeMillis()
+      println(s"start=$t0r end=$t1r retries=0 outcome=$outcome")
+      spark.stop()
+      return
+    }
     val (centsOpt, cbOpt) =
       if (mode == "ivfpq") {
         val (c, cb) = ivfPqQuantizers(spark)

@@ -269,4 +269,104 @@ class ArtifactRaceSpec extends AnyFunSuite {
       s"drift history inconsistent with the winning order: $hist")
     Artifacts.deleteRec(root)
   }
+
+  test("two JVMs racing a from-scratch REBUILD against a RETRAIN on one " +
+       "index root: the marker never stamps a torn state (the r17 " +
+       "token-witness contract)") {
+    // The from-scratch save is the documented recovery for a
+    // marker-less root and takes NO mutex, so it is the retrain's
+    // adversary: its sibling sweep may kill a live retrain scratch at
+    // any point in the minutes-long fit window. The contract under
+    // test: every interleaving ends in (a) a coherent rebuild state,
+    // (b) a coherent retrain state — only reachable when the worker
+    // reported winning — or (c) a LOUD marker-less wreck that every
+    // reader refuses and one recovery rebuild restores. What must
+    // never happen is a _SUCCESS marker over mixed halves — the exact
+    // state the pre-token witness could stamp (scratch republish over
+    // a claimer's half-written index).
+    import ArtifactMutateRaceMain.vecs
+    import graft.northstar.Ivf
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("rebuild-retrain-race")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val root = new java.io.File(TestTmp.dir("graft-retrain-race"))
+    val path = new java.io.File(root, "idx").getPath
+    val corpus = vecs(spark, 0 until 60)
+    val cents4 = Ivf.fitCentroids(corpus, nCells = 4)
+    def rebuild(): Unit = Artifacts.saveIvfIndex(corpus, path, cents4,
+      "vec_id", "embedding", 100000)
+    rebuild()
+    val params4 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(path, "_params").toPath), "UTF-8")
+
+    // worker: one classified retrain attempt (nCells=8, so the winning
+    // retrain is distinguishable from the 4-cell rebuild via _params)
+    val (p, out) = launchMutateWorker(root, path, Seq("retrain"))
+    val t0 = System.currentTimeMillis()
+    var (rebuilds, rebuildFails) = (0, 0)
+    while (p.isAlive) {
+      // rebuild failures are legitimate race outcomes (the retrain's
+      // swap can delete files under a mid-flight rebuild write) — they
+      // must be LOUD here and leave a refusing wreck, never a served
+      // torn state; the final-state branch below asserts exactly that
+      try { rebuild(); rebuilds += 1 }
+      catch { case scala.util.control.NonFatal(_) => rebuildFails += 1 }
+      Thread.sleep(5)
+    }
+    val t1 = System.currentTimeMillis()
+    assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+    val report = new String(
+      java.nio.file.Files.readAllBytes(out.toPath), "UTF-8")
+    assert(p.exitValue() == 0, s"retrain worker failed:\n$report")
+    val m = "start=(\\d+) end=(\\d+) retries=\\d+ outcome=(\\w+)".r
+      .findFirstMatchIn(report)
+      .getOrElse(fail(s"no worker outcome report:\n$report"))
+    val (ws, we, outcome) =
+      (m.group(1).toLong, m.group(2).toLong, m.group(3))
+    assert(Set("retrained", "swept", "lostswap")(outcome),
+      s"unclassified worker outcome $outcome:\n$report")
+    assert(ws < t1 && t0 < we,
+      s"windows did not overlap (worker [$ws,$we], spec [$t0,$t1])")
+    assert(rebuilds + rebuildFails > 0, "spec never rebuilt; no race ran")
+
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (marker.exists()) {
+      val params = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(path, "_params").toPath), "UTF-8")
+      if (params == params4) {
+        // (a) rebuild state: serves coherently under the 4-cell config
+        val (idx, _) = Artifacts.loadIvfIndex(spark, path, cents4)
+        assert(idx.select("neighbor_id").distinct().count() == 60,
+          "rebuild-state index lost rows")
+      } else {
+        // (b) retrain state is only reachable by the worker's swap
+        assert(outcome == "retrained",
+          s"non-rebuild params but the worker reported $outcome — a " +
+            "failure path republished the marker over foreign state")
+        intercept[IllegalArgumentException] {
+          Artifacts.loadIvfIndex(spark, path, cents4)
+        }: Unit
+        assert(spark.read.parquet(s"$path/index")
+          .select("neighbor_id").distinct().count() == 60,
+          "retrain-state index lost rows")
+      }
+      info(s"final=${if (params == params4) "rebuild" else "retrain"} " +
+        s"outcome=$outcome rebuilds=$rebuilds fails=$rebuildFails")
+    } else {
+      // (c) loud wreck: every reader refuses with the marker named,
+      // and the documented recovery restores service
+      val e = intercept[IllegalArgumentException] {
+        Artifacts.loadIvfIndex(spark, path, cents4)
+      }
+      assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+      rebuild()
+      assert(Artifacts.loadIvfIndex(spark, path, cents4)._1
+        .select("neighbor_id").distinct().count() == 60,
+        "recovery rebuild did not restore service")
+      info(s"final=wreck(recovered) outcome=$outcome " +
+        s"rebuilds=$rebuilds fails=$rebuildFails")
+    }
+    Artifacts.deleteRec(root)
+  }
 }
