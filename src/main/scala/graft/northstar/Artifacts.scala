@@ -141,12 +141,15 @@ object Artifacts {
     * both serialize against any in-flight retrain that owns a live
     * sibling.
     */
-  private def sweepSiblingTmp(dst: java.io.File): Unit = {
+  private def sweepSiblingTmp(dst: java.io.File,
+                              keep: Option[java.io.File] = None): Unit = {
     val parent = dst.getAbsoluteFile.getParentFile
-    val prefix = dst.getName + ".tmp-"
+    val prefix = dst.getAbsoluteFile.getName + ".tmp-"
+    val keepPath = keep.map(_.getAbsolutePath)
     if (parent != null)
       Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+          !keepPath.contains(f.getAbsolutePath))
         .foreach(deleteRec)
   }
 
@@ -1287,10 +1290,6 @@ object Artifacts {
     require(marker.exists(),
       s"$what at $path has no _SUCCESS marker (missing, mid-build, or " +
         "torn by a crashed mutation) — rebuild it before retraining")
-    require(marker.delete(),
-      s"$what at $path: could not remove the commit marker")
-    sweepTmp(dst)
-    sweepSiblingTmp(dst)
     // SIBLING scratch via parent+name, NOT string concat on the raw
     // path (code-review r17): a trailing-slash path would nest the
     // scratch INSIDE the live directory, and the swap's deleteRec(dst)
@@ -1304,24 +1303,40 @@ object Artifacts {
         java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
         "-" + System.nanoTime())
     // ownership witness (code-review r17): the documented recovery for
-    // a marker-less wreck is a from-scratch rebuild, whose
+    // a marker-less root is a from-scratch rebuild, whose
     // sweepSiblingTmp deletes ANY live retrain scratch. The witness is
-    // a TOKEN FILE inside the scratch, written exactly once at
-    // ownership time and never recreated: the inner save paths
-    // mkdirs/overwrite their target, so a swept-then-rebuilt scratch
-    // DIRECTORY can exist without the retrain noticing (code-review
-    // r17, second pass) — but nothing recreates the token, so its
-    // absence is proof another process claimed this marker-less root.
-    // `created` keeps a mkdirs/token failure itself on the republish
-    // path — it must run inside the try (the marker is already down),
-    // but an uncreated scratch was never swept.
+    // a TOKEN FILE inside the scratch, written exactly once and never
+    // recreated (the inner save paths mkdirs/overwrite their target,
+    // so a swept-then-rebuilt scratch DIRECTORY can exist without the
+    // retrain noticing — second pass); its absence is proof another
+    // process claimed this root. Scratch + token are created BEFORE
+    // the mutex claim below (third pass): the witness only sees a
+    // claimer through its sweep killing the token, so the token must
+    // exist before ANY instant at which this retrain holds the root
+    // marker-less — a rebuild starting in a post-claim/pre-token gap
+    // would sweep nothing and the witness would be blind to it. Every
+    // concurrent claimer now either kills the token (detected at the
+    // catch and at the swap boundary) or took the marker first (this
+    // retrain's claim fails loudly below, with its own scratch
+    // dropped and nothing republished).
     val token = new java.io.File(tmp, ".retrain-owner")
-    var created = false
+    require(tmp.mkdirs(),
+      s"$what at $path: could not create retrain scratch at $tmp")
+    try java.nio.file.Files.write(token.toPath, Array.empty[Byte])
+    catch { case t: Throwable => deleteRec(tmp); throw t }
+    // ---- the CLAIM: the marker delete is the cross-process mutex.
+    // delete() returns false iff the marker is already gone — another
+    // mutator owns the root; this retrain drops its scratch and loses
+    // loudly (retryable), republishing nothing.
+    if (!marker.delete()) {
+      deleteRec(tmp)
+      throw new IllegalArgumentException(
+        s"$what at $path: could not remove the commit marker (lost " +
+          "the mutex to a concurrent mutator)")
+    }
+    sweepTmp(dst)
+    sweepSiblingTmp(dst, keep = Some(tmp))
     val fitted = try {
-      require(tmp.mkdirs(),
-        s"$what at $path: could not create retrain scratch at $tmp")
-      java.nio.file.Files.write(token.toPath, Array.empty[Byte])
-      created = true
       val stored = spark.read
         .parquet(new java.io.File(dst, "index").toString)
       // wrong-family guard INSIDE the mutex, against the already-read
@@ -1329,7 +1344,11 @@ object Artifacts {
       // bypassed the canonical torn-wreck refusal, could race a
       // concurrent mutation's cell rewrites, and double-read the index
       // footers): the stored schema is the layout's ground truth
-      // whether or not the optional `_params` sidecar exists.
+      // whether or not the optional `_params` sidecar exists. The
+      // refusal republishes the marker through the catch below; a hard
+      // kill inside this guarded window strands the standard loud
+      // wreck — the same exposure as a hard kill in any mutation, with
+      // the same documented recovery.
       require(stored.columns.contains(layoutCol),
         s"$what at $path: the stored index (columns " +
           s"${stored.columns.sorted.mkString(", ")}) has no " +
@@ -1343,30 +1362,33 @@ object Artifacts {
       // deleted files. Lineage truncation is the point; a lost
       // checkpoint block fails the retrain loudly, and retrain is
       // retryable maintenance.
-      val tracked = Dedup.trackedFrames()
+      // everything this retrain trackedPersists — the resolve join
+      // here AND the inner save's assigned frame in fitAndBuild —
+      // registers synchronously on THIS thread, so a thread-scoped
+      // snapshot-diff releases exactly the retrain's own frames at its
+      // job boundary (third pass: a global snapshot-diff also released
+      // frames concurrent jobs on other threads registered during the
+      // minutes-long fit; a global releasePersisted flushed everything)
+      val tracked = Dedup.threadTrackedSnapshot()
       val corpus = corpusFromStored(stored).localCheckpoint(eager = true)
       // Dataset.unpersist is a CacheManager no-op for a localCheckpoint'd
-      // frame (code-review r17) — release the checkpointed RDD itself
+      // frame (code-review r17) — release the checkpointed RDD itself.
+      // Order matters: the tracked frames derive from the checkpoint,
+      // so they release FIRST, while their parent blocks still exist.
       try fitAndBuild(corpus, tmp.toString)
       finally {
+        Dedup.releaseThreadTrackedSince(tracked)
         org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(corpus)
           .foreach(_.unpersist(blocking = false))
-        // the corpus resolve may trackedPersist a corpus-sized join
-        // (pqResolveVectors) whose lineage reads the about-to-be-
-        // deleted old index files; nothing references it after the
-        // checkpoint above. Release ONLY the frames this retrain
-        // registered (code-review r17, second pass: a session-wide
-        // releasePersisted() from library code would flush frames a
-        // concurrent job in the same session is mid-query over).
-        Dedup.releaseTrackedSince(tracked)
       }
     } catch { case t: Throwable =>
-      if (token.exists() || !created) {
-        // nothing in the live artifact was mutated: drop the scratch
-        // and republish the marker so a fit/build failure doesn't
-        // strand a rebuild-only wreck
-        deleteRec(tmp)
+      // ownership re-check via ATOMIC check-and-delete, and the marker
+      // republished IMMEDIATELY after it — the slow full-scratch
+      // deleteRec comes last, so the check-to-republish window is the
+      // write's microseconds, not the delete's seconds (third pass)
+      if (token.delete()) {
         java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+        deleteRec(tmp)
         throw t
       }
       // token gone without us deleting it: a from-scratch rebuild

@@ -144,7 +144,7 @@ object Dedup {
     */
   private def materializeOnce(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(p)
+    persisted.add((p, Thread.currentThread().getId))
     // self-bounding: past MaxTracked the oldest tracked frame is
     // unpersisted and dropped. Safe — persist is lazy and recomputable,
     // so an old frame still referenced simply recomputes — and it keeps
@@ -154,7 +154,7 @@ object Dedup {
     // clearCache path frees the BLOCKS but cannot drain this queue).
     while (persisted.size() > MaxTracked) {
       val old = persisted.poll()
-      if (old != null) old.unpersist(blocking = false)
+      if (old != null) old._1.unpersist(blocking = false)
     }
     p
   }
@@ -183,7 +183,7 @@ object Dedup {
     * [[MaxTracked]] so the tracking itself can't leak.
     */
   private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, Long)]()
 
   /** Release every cached frame the dedup ops have created so far — the
     * caller-side contract for LONG-LIVED applications: ops like
@@ -197,34 +197,42 @@ object Dedup {
     * is referenced again simply recomputes.
     */
   def releasePersisted(): Unit = {
-    var df = persisted.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = persisted.poll()
+    var e = persisted.poll()
+    while (e != null) {
+      e._1.unpersist(blocking = false)
+      e = persisted.poll()
     }
   }
 
-  /** Snapshot of the currently-tracked frames (reference identity —
-    * Dataset does not override equals), for [[releaseTrackedSince]].
+  /** Snapshot of the frames the CURRENT THREAD has tracked so far
+    * (registration happens synchronously on the registering thread),
+    * for [[releaseThreadTrackedSince]].
     */
-  private[graft] def trackedFrames(): Set[DataFrame] = {
+  private[graft] def threadTrackedSnapshot(): Set[DataFrame] = {
     import scala.jdk.CollectionConverters._
-    persisted.iterator().asScala.toSet
+    val tid = Thread.currentThread().getId
+    persisted.iterator().asScala.filter(_._2 == tid).map(_._1).toSet
   }
 
-  /** Release only the frames tracked AFTER `before` was snapshotted —
-    * the library-internal job boundary (e.g. an index retrain freeing
-    * its own corpus-resolve join). Unlike [[releasePersisted]] — the
-    * CALLER-side whole-session contract — this must not flush frames a
-    * concurrent job in the same session is mid-query over
-    * (code-review r17).
+  /** Release every frame THIS THREAD tracked after `before` was
+    * snapshotted — the library-internal job boundary (an index retrain
+    * freeing its own corpus-resolve join and its inner save's assigned
+    * frame). Unlike [[releasePersisted]] — the CALLER-side
+    * whole-session contract — this cannot touch frames concurrent jobs
+    * on OTHER threads registered or are mid-query over (code-review
+    * r17: a plain snapshot-diff of the whole queue still released
+    * concurrent registrations landing during the minutes-long fit).
     */
-  private[graft] def releaseTrackedSince(before: Set[DataFrame]): Unit = {
+  private[graft] def releaseThreadTrackedSince(
+      before: Set[DataFrame]): Unit = {
     import scala.jdk.CollectionConverters._
-    persisted.iterator().asScala.filterNot(before).toList.foreach { df =>
-      persisted.remove(df)
-      df.unpersist(blocking = false)
-    }
+    val tid = Thread.currentThread().getId
+    persisted.iterator().asScala
+      .filter(e => e._2 == tid && !before(e._1)).toList
+      .foreach { e =>
+        persisted.remove(e): Unit
+        e._1.unpersist(blocking = false)
+      }
   }
 
   /** Drop LSH buckets larger than `maxBucket`: a bucket of B rows costs

@@ -116,9 +116,10 @@ object ArtifactMutateRaceMain {
       if (args.length > 4)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(args(4)), Array.empty[Byte]): Unit
+      var rt = 0
       val outcome =
         try {
-          retryLoud(60000) {
+          rt = retryLoud(60000) {
             graft.northstar.Artifacts.retrainIvfIndex(spark, path,
               nCells = 8): Unit
           }
@@ -130,7 +131,7 @@ object ArtifactMutateRaceMain {
               e.getMessage.contains("could not swap") => "lostswap"
         }
       val t1r = System.currentTimeMillis()
-      println(s"start=$t0r end=$t1r retries=0 outcome=$outcome")
+      println(s"start=$t0r end=$t1r retries=$rt outcome=$outcome")
       spark.stop()
       return
     }

@@ -336,9 +336,22 @@ class ArtifactRaceSpec extends AnyFunSuite {
         new java.io.File(path, "_params").toPath), "UTF-8")
       if (params == params4) {
         // (a) rebuild state: serves coherently under the 4-cell config
+        // — and every stored CELL matches the 4-cell quantizer, which
+        // is what actually detects "marker over mixed halves" (a
+        // retrain's 8-cell index under rebuild params keeps all 60
+        // distinct ids, so a row count alone would pass it;
+        // code-review r17)
         val (idx, _) = Artifacts.loadIvfIndex(spark, path, cents4)
-        assert(idx.select("neighbor_id").distinct().count() == 60,
-          "rebuild-state index lost rows")
+        val got = idx.select("neighbor_id", "cell").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val exp = corpus.select(
+            org.apache.spark.sql.functions.col("vec_id"),
+            Ivf.cellOf(org.apache.spark.sql.functions.col("embedding"),
+              cents4).as("cell"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == exp,
+          "rebuild-state cells do not match the 4-cell quantizer — " +
+            "a marker is stamped over mixed halves")
       } else {
         // (b) retrain state is only reachable by the worker's swap
         assert(outcome == "retrained",
