@@ -853,6 +853,88 @@ object Artifacts {
       resolveVectors = stored => stored.select("neighbor_id", "cv", "cell"))(
       ivfProject(hq.centroids))
 
+  /** Order-independent content digest of a stored quantizer's cell
+    * relation — the `_params` pin for the STORED family, where the
+    * centroids never assemble on the driver so [[centroidDigest]]
+    * cannot apply: one nCells-row aggregate (BIT_XOR of per-row
+    * xxhash64 over the canonical (cell, sup, ccv) row — commutative ⇒
+    * partition-order independent, and overflow-free where an ANSI sum
+    * of full-range longs is not), collected as a single long. Row
+    * cancellation needs two IDENTICAL rows, which the unique cell id
+    * precludes; any changed, added, or dropped centroid flips the
+    * digest with xxhash64 probability.
+    */
+  private def storedCellsDigest(spark: SparkSession,
+                                sq: Ivf.StoredQuantizer): String = {
+    val r = sq.cellsRelation(spark)
+      .select(xxhash64(col("cell"), col("sup"), col("ccv")).as("h"))
+      .agg(expr("bit_xor(h)").as("h"))
+      .collect()(0)
+    if (r.isNullAt(0)) "empty" else java.lang.Long.toHexString(r.getLong(0))
+  }
+
+  private def ivfStoredParams(spark: SparkSession,
+                              sq: Ivf.StoredQuantizer, vecCol: String,
+                              maxCell: Int): Map[String, String] =
+    Map("family" -> "stored",
+      "cells" -> storedCellsDigest(spark, sq),
+      "ncells" -> sq.nCells.toString,
+      "dim" -> sq.dim.toString,
+      "top" -> (sq.superQ match {
+        case Ivf.LiteralQuantizer(c) => "lit:" + centroidDigest(c)
+        case hq: Ivf.HierarchicalQuantizer =>
+          s"hier:${centroidDigest(hq.centroids)}:" +
+            s"${centroidDigest(hq.superCentroids)}:${hq.superProbe}"
+        case _: Ivf.StoredQuantizer => "unreachable"
+      }),
+      "superProbe" -> sq.superProbe.toString,
+      "maxCell" -> maxCell.toString, "vecCol" -> vecCol)
+
+  /** [[saveIvfIndex]] for the STORED (three-level) family —
+    * continuation (b): same stored layout and publish protocol, with
+    * assignment through [[Ivf.assignCellsStored]] and the subcell
+    * projection derived from the SPLIT cells' centroids only (the
+    * bounded [[Ivf.storedSplitCentroids]] collect — the full centroid
+    * set never reaches the driver). The `_params` sidecar pins the
+    * cells-relation content digest plus the top level, so a serve under
+    * a different quantizer (or a silently rewritten cells relation)
+    * refuses loudly. NOTE the honest bound: the publish protocol's
+    * build census (drift baseline + split policy) still collects one
+    * (cell, count) row per OCCUPIED cell — ~12 B/cell, ~200 MB at the
+    * 16.8M-cell nSuper saturation point — the documented driver
+    * transient for this family; the centroid payload (the 4 KB/cell
+    * that motivated (b)) never materializes.
+    */
+  def saveIvfIndexStored(corpus: DataFrame, path: String,
+                         sq: Ivf.StoredQuantizer,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         maxCell: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    writeCellIndexAssigned(path,
+      ivfStoredParams(spark, sq, vecCol, maxCell),
+      Dedup.trackedPersist(
+        Ivf.assignCellsStored(corpus, sq, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))),
+      maxCell) { (assigned, splits) =>
+      val splitCents = Ivf.storedSplitCentroids(sq, spark, splits)
+      assigned.withColumn("subcell",
+        Ivf.subcellOfSparse(col("cv"), col("cell"), splitCents(_),
+          splits))
+    }
+  }
+
+  /** [[loadIvfIndex]] for the stored family — feeds
+    * [[Ivf.ivfServeTopKStored]].
+    */
+  def loadIvfIndexStored(spark: SparkSession, path: String,
+                         sq: Ivf.StoredQuantizer,
+                         vecCol: String = "embedding",
+                         maxCell: Int = 100000): (DataFrame, Map[Int, Int]) =
+    readCellIndex(spark, path, ivfStoredParams(spark, sq, vecCol, maxCell),
+      "stored-cells IVF index")
+
   /** Persist the cell-partitioned, CODES-ONLY IVF-PQ serving index: the
     * corpus assigned once under `centroids`, PQ-encoded under
     * `codebooks`, written hive-partitioned by cell carrying
@@ -1476,6 +1558,10 @@ object Artifacts {
           saveIvfIndex(corpus, tmp, cents, idCol, vecCol, maxCell)
         case hq: Ivf.HierarchicalQuantizer =>
           saveIvfIndexHier(corpus, tmp, hq, idCol, vecCol, maxCell)
+        case _: Ivf.StoredQuantizer => throw new IllegalStateException(
+          "unreachable: fitQuantizer never returns the stored family " +
+            "(a stored fit needs a cells location — use fitStored + " +
+            "saveIvfIndexStored explicitly)")
       }
       q
     }
@@ -1516,6 +1602,10 @@ object Artifacts {
             saveIvfPqIndex(cur, tmp, cents, cb, idCol, vecCol, maxCell)
           case hq: Ivf.HierarchicalQuantizer =>
             saveIvfPqIndexHier(cur, tmp, hq, cb, idCol, vecCol, maxCell)
+          case _: Ivf.StoredQuantizer => throw new IllegalStateException(
+            "unreachable: fitQuantizer never returns the stored family " +
+              "(a stored fit needs a cells location — use fitStored + " +
+              "saveIvfIndexStored explicitly)")
         }
         (q, cb)
     }

@@ -66,6 +66,40 @@ object Ivf {
     */
   val RelationBroadcastCeiling: Long = 4L << 30
 
+  /** A centroid relation SIZED for its `sup` equi-join — ONE definition
+    * behind [[HierarchicalQuantizer]]'s broadcast/shuffle-hash degrade
+    * and the stored family's ([[StoredQuantizer]]), so the ceiling
+    * semantics and the conf-key parse cannot drift between them. Under
+    * `estimatedBytes <= ceiling` the relation is broadcast; past it the
+    * join degrades to SHUFFLE-HASH with the relation pinned as the
+    * per-partition hash build side (a sort-merge would sort the
+    * superProbe-exploded row side — the exact materialization the
+    * packed-relation design exists to avoid).
+    */
+  private[northstar] def sizedRelationForJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      rel: DataFrame, estimatedBytes: Long): DataFrame = {
+    // Spark byte-string parse ("4g", "512m", plain bytes) with the
+    // conf key named on failure — a bare toLong would surface an
+    // operator's natural "4g" spelling as an uncontextualized
+    // NumberFormatException from deep inside plan construction
+    // (code-review r17)
+    val ceiling = spark.conf
+      .getOption("graft.hier.relationBroadcastCeiling")
+      .map { v =>
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+        catch { case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            "graft.hier.relationBroadcastCeiling: cannot parse '" + v +
+              "' as a byte size (plain bytes or a Spark byte string " +
+              "like 4g / 512m)", e)
+        }
+      }
+      .getOrElse(Ivf.RelationBroadcastCeiling)
+    if (estimatedBytes <= ceiling) broadcast(rel)
+    else rel.hint("shuffle_hash")
+  }
+
   /** The √N cell-count rule (the standard IVF sizing guideline:
     * nlist ≈ √corpus balances cells scanned per probe against rows per
     * cell), clamped to [4, [[MaxAutoCells]]]. 22 at the 500-row oracle
@@ -377,6 +411,20 @@ object Ivf {
   def subcellOf(vec: Column, cellCol: Column,
                 centroids: Array[Array[Float]],
                 splitBits: Map[Int, Int]): Column =
+    subcellOfSparse(vec, cellCol, centroids(_), splitBits)
+
+  /** [[subcellOf]] with the centroid lookup abstracted to a function of
+    * cell id — the stored-cells family ([[StoredQuantizer]]) never
+    * assembles its full centroid array on the driver, but the split
+    * policy only ever needs the centroids of the OVERSIZED cells
+    * (bounded by corpus skew, not nCells), which it collects
+    * individually. The threshold arithmetic, plane family, and kernel
+    * are byte-identical to the dense form — [[subcellOf]] delegates
+    * here, so the two cannot drift.
+    */
+  def subcellOfSparse(vec: Column, cellCol: Column,
+                      centroidOf: Int => Array[Float],
+                      splitBits: Map[Int, Int]): Column =
     if (splitBits.isEmpty) lit(0L)
     else {
       // ONE fused kernel ([[graft.functions.VecOps.subcellBits]])
@@ -390,7 +438,7 @@ object Ivf {
       // equality incl. NaN/zero vectors and non-split cells.
       val entries = splitBits.toArray.sortBy(_._1)
       val thrs = entries.flatMap { case (cellId, bits) =>
-        val c = centroids(cellId)
+        val c = centroidOf(cellId)
         val cn = math.max(math.sqrt(c.map(x => x.toDouble * x).sum), 1e-12)
         (0 until bits).map { p =>
           Array.tabulate(c.length)(i =>
@@ -681,27 +729,8 @@ object Ivf {
       * can raise it toward the 8 GB hard limit).
       */
     private def sizedForJoin(spark: org.apache.spark.sql.SparkSession,
-                             rel: DataFrame): DataFrame = {
-      // Spark byte-string parse ("4g", "512m", plain bytes) with the
-      // conf key named on failure — a bare toLong would surface an
-      // operator's natural "4g" spelling as an uncontextualized
-      // NumberFormatException from deep inside plan construction
-      // (code-review r17)
-      val ceiling = spark.conf
-        .getOption("graft.hier.relationBroadcastCeiling")
-        .map { v =>
-          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
-          catch { case e: NumberFormatException =>
-            throw new IllegalArgumentException(
-              "graft.hier.relationBroadcastCeiling: cannot parse '" + v +
-                "' as a byte size (plain bytes or a Spark byte string " +
-                "like 4g / 512m)", e)
-          }
-        }
-        .getOrElse(Ivf.RelationBroadcastCeiling)
-      if (relationBytes <= ceiling) broadcast(rel)
-      else rel.hint("shuffle_hash")
-    }
+                             rel: DataFrame): DataFrame =
+      Ivf.sizedRelationForJoin(spark, rel, relationBytes)
 
     /** [[packedRelation]] ready to join: broadcast under the ceiling,
       * shuffle-hash build side past it.
@@ -728,6 +757,98 @@ object Ivf {
     */
   final case class LiteralQuantizer(centroids: Array[Array[Float]])
       extends CoarseQuantizer
+
+  /** THREE-LEVEL coarse quantizer — continuation (b) of the scale story
+    * in [[HierarchicalQuantizer]]'s scaladoc: the cell centroids live as
+    * a STORED parquet relation (`cellsPath`: cell, sup, ccv) that never
+    * assembles on the driver, removing the two-level family's binding
+    * constraints (the ~8 GB driver centroid array at ~2M cells and the
+    * broadcast/torrent ceiling). Only the TOP level (`superQ` — a
+    * [[LiteralQuantizer]] up to [[MaxAutoCells]] supercells, a
+    * [[HierarchicalQuantizer]] past it, i.e. the full three levels:
+    * super²-cells as the plan literal, supercells broadcast, cells
+    * stored) is driver-resident, and it is √nCells-sized: 16.8M cells
+    * ride under a 4096-supercell literal; ~4×10¹² cells (≈ an exabyte
+    * corpus by the √N rule) under a hierarchical top level whose OWN
+    * driver footprint is ~8 GB — the exabyte regime is the new honest
+    * edge, now bounded by the top level one rung up, not by the cells.
+    *
+    * Assignment and probing repeat the literal→hierarchical move one
+    * level up: a row finds its `superProbe` nearest supercells through
+    * `superQ` (narrow kernel when literal; the relation join when
+    * hierarchical), then joins the stored cell relation on `sup` —
+    * broadcast under [[RelationBroadcastCeiling]], shuffle-hash build
+    * side past it ([[sizedRelationForJoin]], the same degrade the
+    * two-level family uses). The candidate-set semantics are identical
+    * to [[HierarchicalQuantizer]]: a centroid whose supercell the row
+    * did not probe is never a candidate; at `superProbe == nSuper` the
+    * assignment is exactly [[cellOf]] (IvfSpec pins the identity
+    * against [[assignCellsJoin]] on the same centroid content).
+    *
+    * `dim` rides the quantizer (the relation never materializes
+    * driver-side, so the byte estimate for the broadcast/shuffle sizing
+    * cannot read `centroids(0).length`). Reading the relation costs one
+    * parquet scan per evaluation — at nCells this is centroid-sized,
+    * not corpus-sized, and planning-time stable.
+    */
+  final case class StoredQuantizer(
+      superQ: CoarseQuantizer,
+      cellsPath: String,
+      nCells: Int,
+      dim: Int,
+      superProbe: Int) extends CoarseQuantizer {
+    require(!superQ.isInstanceOf[StoredQuantizer],
+      "a StoredQuantizer top level is unsupported: the top level must " +
+        "be driver-resident (literal or hierarchical) — a stored top " +
+        "level would mean a fourth level was needed, i.e. nCells past " +
+        "the exabyte regime; fit the corpus with a larger maxCell " +
+        "instead")
+
+    def nSuper: Int = superQ match {
+      case LiteralQuantizer(c) => c.length
+      case hq: HierarchicalQuantizer => hq.nCells
+      case _: StoredQuantizer => 0 // unreachable (constructor refusal)
+    }
+
+    /** The stored centroid relation (cell, sup, ccv) — one parquet scan,
+      * no driver materialization.
+      */
+    def cellsRelation(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.read.parquet(cellsPath).select("cell", "sup", "ccv")
+
+    /** [[cellsRelation]] packed one row per supercell — the same
+      * (sup, cells array&lt;int&gt;, flat array&lt;float&gt;) shape as
+      * [[HierarchicalQuantizer.packedRelation]], derived in-plan from
+      * the stored relation (one nCells-row shuffle on `sup`, never a
+      * driver pass).
+      */
+    def packedRelation(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      cellsRelation(spark)
+        .groupBy("sup")
+        .agg(array_sort(collect_list(struct(col("cell"), col("ccv"))))
+          .as("packed"))
+        .select(col("sup"),
+          transform(col("packed"), x => x.getField("cell")).as("cells"),
+          flatten(transform(col("packed"), x => x.getField("ccv")))
+            .as("flat"))
+
+    /** Estimated serialized bytes of the stored relation — the same
+      * 4 B/float + framing estimate as the two-level family's.
+      */
+    def relationBytes: Long = nCells.toLong * (4L * dim + 32L)
+
+    /** [[packedRelation]] sized for its `sup` join (broadcast under the
+      * ceiling, shuffle-hash build side past it).
+      */
+    def joinPackedRelation(
+        spark: org.apache.spark.sql.SparkSession): DataFrame =
+      Ivf.sizedRelationForJoin(spark, packedRelation(spark), relationBytes)
+
+    /** [[cellsRelation]] sized for its `sup` join. */
+    def joinCellsRelation(
+        spark: org.apache.spark.sql.SparkSession): DataFrame =
+      Ivf.sizedRelationForJoin(spark, cellsRelation(spark), relationBytes)
+  }
 
   /** The √N rule WITHOUT the literal ceiling — what a corpus actually
     * wants. [[autoNCells]] clamps this to [[MaxAutoCells]] for the
@@ -882,6 +1003,172 @@ object Ivf {
     hq
   }
 
+  /** Distributed fit for the STORED family — continuation (b): NOTHING
+    * cell-level ever materializes on the driver. The top level is the
+    * normal family dispatch one rung down ([[LiteralQuantizer]] driver
+    * fit for ≤ [[MaxAutoCells]] supercells, [[fitHierarchical]] past
+    * it); the cell centroids are initialized from a distributed
+    * 4×-oversampled seeded draw (deduped, pseudo-randomly ordered by a
+    * content hash so the truncation to nCells is unbiased, ids by
+    * sort + zipWithIndex — deterministic for a fixed distinct set) and
+    * refined by `iters` distributed Lloyd steps whose assignment is
+    * [[assignCellsStored]] and whose mean update is the shared
+    * [[quantizedMeansFrame]] arithmetic KEPT AS A FRAME — the update
+    * joins back to the previous relation (absent cell = keep previous
+    * centroid, the shared convention) and each iteration is written to
+    * parquet, which is both the lineage truncation and the determinism
+    * anchor. Every per-row step is the exact-integer quantized domain,
+    * so the fit is replayable bit-for-bit.
+    *
+    * The final relation lands at `cellsPath` (cell, sup, ccv);
+    * iteration scratch lives under `cellsPath + ".fit"` and is removed
+    * on success or failure. `superQOverride` lets tests (and operators
+    * resuming with a pinned top level) skip the top-level fit.
+    */
+  def fitStored(corpus: DataFrame, nCells: Int, cellsPath: String,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                seed: Long = 42L, iters: Int = 2,
+                superProbe: Int = AutoProbe,
+                knownRows: Option[Long] = None,
+                superQOverride: Option[CoarseQuantizer] = None)
+      : StoredQuantizer = {
+    val spark = corpus.sparkSession
+    val rows = knownRows.getOrElse(corpus.count())
+    val nSuperTarget =
+      math.max(4, math.round(math.sqrt(nCells.toDouble)).toInt)
+    val superQ = superQOverride.getOrElse(
+      if (nSuperTarget <= MaxAutoCells)
+        LiteralQuantizer(fitCentroids(corpus, nSuperTarget, vecCol,
+          seed = seed))
+      else fitHierarchical(corpus, nSuperTarget, idCol, vecCol,
+        seed = seed, knownRows = Some(rows)))
+    val dim = superQ match {
+      case LiteralQuantizer(c) => c(0).length
+      case hq: HierarchicalQuantizer => hq.centroids(0).length
+      case _: StoredQuantizer => throw new IllegalArgumentException(
+        "fitStored: a stored top level is unsupported (see " +
+          "StoredQuantizer's constructor refusal)")
+    }
+    // ---- init: the fitHierarchical draw, distributed. 4× oversample
+    // (ADVICE r16), content-dedup, hash-ordered truncation to nCells —
+    // ordering by the vector ITSELF would bias the kept set toward the
+    // low lexicographic region; xxhash64 gives a deterministic
+    // pseudo-random order (ccv tie-break for exact-duplicate hashes).
+    val fraction =
+      if (rows <= 4L * nCells) 1.0
+      else math.min(1.0, 1.2 * (4.0 * nCells) / rows)
+    val drawn = (if (fraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fraction, seed + 1))
+      .select(col(vecCol).as("ccv")).distinct()
+      .orderBy(xxhash64(col("ccv")), col("ccv"))
+    // sort + zipWithIndex: the deterministic distributed id assignment
+    // (a global row_number window would single-partition nCells rows;
+    // zipWithIndex over the range-sorted RDD keeps the sort sharded and
+    // assigns ids in sort order — the one sanctioned RDD hop here)
+    val initRdd = drawn.rdd.zipWithIndex()
+      .filter(_._2 < nCells)
+      .map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toInt, r.getSeq[Float](0)) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("ccv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false)))
+    val work = new java.io.File(cellsPath + ".fit")
+    val scale = 10000
+    try {
+      var cur = new java.io.File(work, "it0").toString
+      // sup assigned through the SAME top level rows will use — the
+      // relation and the row side cannot disagree on tie-breaks
+      withSupStored(spark.createDataFrame(initRdd, schema), superQ)
+        .write.mode("overwrite").parquet(cur)
+      val nCellsEff = spark.read.parquet(cur).count().toInt
+      require(nCellsEff > 0, "empty corpus: nothing to fit")
+      if (nCellsEff < nCells)
+        Console.err.println(
+          s"[graft] WARN fitStored: the 4x-oversampled init draw " +
+            s"holds only $nCellsEff distinct vectors — shrinking the " +
+            s"quantizer from the requested $nCells cells (a duplicate-" +
+            "heavy or tiny corpus cannot occupy more)")
+      val sProbe = superQ match {
+        case LiteralQuantizer(c) =>
+          if (superProbe == AutoProbe) autoSuperProbe(c.length)
+          else superProbe
+        case hq: HierarchicalQuantizer =>
+          if (superProbe == AutoProbe) autoSuperProbe(hq.nCells)
+          else superProbe
+        case _: StoredQuantizer => 0 // unreachable
+      }
+      // the fit frame: synthetic ids, materialized ONCE (the
+      // fitHierarchical doctrine — monotonically_increasing_id is
+      // nondeterministic across re-evaluations, and the assignment
+      // join reads the frame on both sides)
+      val fitInput = corpus.select(
+        monotonically_increasing_id().as("__fit_id"), col(vecCol))
+        .localCheckpoint(eager = true)
+      try {
+        var it = 0
+        while (it < iters) {
+          val sqIter =
+            StoredQuantizer(superQ, cur, nCellsEff, dim, sProbe)
+          val assigned =
+            assignCellsStored(fitInput, sqIter, "__fit_id", vecCol)
+              .select(col("cell"), col(vecCol))
+          val updated = quantizedMeansFrame(assigned, vecCol, scale)
+            .select(col("cell").cast("int").as("cell"),
+              transform(col("qc"),
+                q => (q.cast("double") / scale).cast("float"))
+                .as("newccv"))
+          val next = new java.io.File(work, s"it${it + 1}").toString
+          // absent cell = keep the previous centroid (the shared
+          // empty-cell convention); sup re-derived — an updated
+          // centroid may cross a supercell boundary
+          withSupStored(
+            spark.read.parquet(cur)
+              .join(updated, Seq("cell"), "left")
+              .select(col("cell"),
+                coalesce(col("newccv"), col("ccv")).as("ccv")),
+            superQ)
+            .write.mode("overwrite").parquet(next)
+          cur = next
+          it += 1
+        }
+      } finally {
+        org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(fitInput)
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.read.parquet(cur).select("cell", "sup", "ccv")
+        .write.mode("overwrite").parquet(cellsPath)
+      StoredQuantizer(superQ, cellsPath, nCellsEff, dim, sProbe)
+    } finally Artifacts.deleteRec(work)
+  }
+
+  /** Attach each cell centroid's supercell through the stored family's
+    * top level — the relation side of the three-level agreement: the
+    * SAME kernel/join the row side uses, so tie-breaks cannot diverge.
+    * Input (cell, ccv) [+ extra columns dropped]; output
+    * (cell, sup, ccv).
+    */
+  private def withSupStored(cells: DataFrame,
+                            superQ: CoarseQuantizer): DataFrame =
+    superQ match {
+      case LiteralQuantizer(supers) =>
+        cells.select(col("cell"),
+          cellOf(col("ccv"), supers).as("sup"), col("ccv"))
+      case hq: HierarchicalQuantizer =>
+        // rename around the cell/cell clash: the assignment's output
+        // column is also named "cell"
+        assignCellsJoin(cells.withColumnRenamed("cell", "cid"),
+          hq, "cid", "ccv")
+          .select(col("cid").as("cell"), col("cell").as("sup"),
+            col("ccv"))
+      case _: StoredQuantizer => throw new IllegalStateException(
+        "unreachable: StoredQuantizer refuses a stored top level at " +
+          "construction")
+    }
+
   /** Broadcast-relation cell assignment (the hierarchical counterpart of
     * `select(..., cellOf(vec))`): narrow kernel pass to the row's
     * superProbe supercells, BroadcastHashJoin against
@@ -902,6 +1189,29 @@ object Ivf {
   def assignCellsJoin(dfIn: DataFrame, hq: HierarchicalQuantizer,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    val sProbe = math.min(hq.superProbe, hq.nSuper)
+    assignCellsViaRelation(dfIn,
+      hq.joinPackedRelation(dfIn.sparkSession), sProbe, "hierarchical",
+      idCol, vecCol)(df =>
+      df.select(col(idCol), col(vecCol),
+        explode(probeCells(col(vecCol), hq.superCentroids,
+          sProbe)).as("sup")))
+  }
+
+  /** The relation-join argmax assignment shared by the hierarchical and
+    * the stored-cells families ([[assignCellsJoin]] /
+    * [[assignCellsStored]]) — `probedOf` supplies the family's
+    * (id, vec, sup) supercell-probe frame; everything downstream (the
+    * packed-group argmax kernel, the null-id refusal, the duplicate-id
+    * tripwire, the null-embedding-preserving reattach) is ONE
+    * definition, so a tripwire or ordering change cannot drift between
+    * families. `bound` is the family's per-row candidate ceiling (each
+    * probed supercell contributes at most one packed row).
+    */
+  private def assignCellsViaRelation(dfIn: DataFrame, rel: DataFrame,
+                                     bound: Int, what: String,
+                                     idCol: String, vecCol: String)(
+      probedOf: DataFrame => DataFrame): DataFrame = {
     // null-id refusal (ADVICE r15): the vector reattach below is an id
     // EQUI-join, so a null-id row would never match its own argmax row
     // — it got a NULL cell despite a valid embedding (misreported
@@ -912,11 +1222,10 @@ object Ivf {
     // problem named (the null-EMBEDDING refusal's convention).
     val df = dfIn.withColumn(idCol,
       when(col(idCol).isNotNull, col(idCol)).otherwise(raise_error(lit(
-        "null id in hierarchical cell assignment: the per-row argmax " +
+        s"null id in $what cell assignment: the per-row argmax " +
           "reattaches vectors by an id equi-join, so a null-id row " +
           "would silently get a NULL cell despite a valid embedding; " +
           "assign real ids before indexing"))))
-    val rel = hq.joinPackedRelation(df.sparkSession)
     // the kernel is PROJECTED before the aggregate, and the argmax agg
     // carries only (id, best) — the agg is sort-based (a struct buffer
     // is not hash-aggregable), so anything in its input rides a
@@ -926,11 +1235,7 @@ object Ivf {
     // id equi-join afterwards: one exchange of the corpus (vec shipped
     // once) beats superProbe embedding copies through the agg sort at
     // any production dim.
-    val sProbe = math.min(hq.superProbe, hq.nSuper)
-    val best = df
-      .select(col(idCol), col(vecCol),
-        explode(probeCells(col(vecCol), hq.superCentroids,
-          sProbe)).as("sup"))
+    val best = probedOf(df)
       .join(rel, "sup")
       .select(col(idCol),
         vectors.best_cell_in(col(vecCol), col("flat"), col("cells"))
@@ -942,19 +1247,19 @@ object Ivf {
       // the reattach join would fan that cell onto both — the second
       // row stored in a cell that is not its nearest, silently
       // unreachable at probe time (the literal path assigns per ROW).
-      // One row contributes AT MOST sProbe candidates (probeCells emits
-      // distinct supercells; the join is 1:1 on sup — possibly fewer
-      // when a probed supercell owns no centroids), so a group past
-      // sProbe is definitely a duplicated id — refused in-plan with the
-      // id named, no extra pass. Duplicates whose probe sets land only
-      // on empty supercells can slip this bound; the artifact paths'
-      // membership tripwires remain the backstop there.
+      // One row contributes AT MOST `bound` candidates (the probe frame
+      // emits distinct supercells; the join is 1:1 on sup — possibly
+      // fewer when a probed supercell owns no centroids), so a group
+      // past `bound` is definitely a duplicated id — refused in-plan
+      // with the id named, no extra pass. Duplicates whose probe sets
+      // land only on empty supercells can slip this bound; the artifact
+      // paths' membership tripwires remain the backstop there.
       .select(col(idCol),
-        when(col("__cands") <= sProbe, col("best.cell"))
+        when(col("__cands") <= bound, col("best.cell"))
           .otherwise(raise_error(concat(
-            lit("duplicate ids in hierarchical cell assignment: id '"),
+            lit(s"duplicate ids in $what cell assignment: id '"),
             col(idCol),
-            lit(s"' produced more than $sProbe candidate rows — the " +
+            lit(s"' produced more than $bound candidate rows — the " +
               "per-id argmax would collapse distinct rows to one cell " +
               "(the literal cellOf path assigns per row); dedupe or " +
               "re-key the corpus first")))).as("cell"))
@@ -964,6 +1269,47 @@ object Ivf {
     // census raises the named null-embedding refusal; the left join
     // preserves exactly that contract (IvfSpec pins the parity)
     df.select(col(idCol), col(vecCol)).join(best, Seq(idCol), "left")
+  }
+
+  /** A row's `sProbe` nearest supercells under the stored family's top
+    * level, as an exploded (id, vec, sup) frame — the one place the
+    * three-level dispatch lives: a narrow kernel pass when the top
+    * level is literal (≤ [[MaxAutoCells]] supercells), the
+    * hierarchical relation-join ranking ([[probeCellsJoin]] — one
+    * window exchange of the row side) past it. Both orders are the
+    * shared (sim desc, cell desc) tie-break, so corpus assignment and
+    * query probing agree whichever branch runs.
+    */
+  private def probeSupsFrame(df: DataFrame, sq: StoredQuantizer,
+                             sProbe: Int, idCol: String,
+                             vecCol: String): DataFrame = sq.superQ match {
+    case LiteralQuantizer(supers) =>
+      df.select(col(idCol), col(vecCol),
+        explode(probeCells(col(vecCol), supers,
+          math.min(sProbe, supers.length))).as("sup"))
+    case hq: HierarchicalQuantizer =>
+      probeCellsJoin(df, hq, sProbe, idCol, vecCol)
+        .select(col("query_id").as(idCol), col("qv").as(vecCol),
+          col("cell").as("sup"))
+    case _: StoredQuantizer =>
+      throw new IllegalStateException(
+        "unreachable: StoredQuantizer refuses a stored top level at " +
+          "construction")
+  }
+
+  /** [[assignCellsJoin]] for the STORED family: same argmax, tripwires,
+    * and reattach (the shared [[assignCellsViaRelation]] body), with
+    * the supercell probe routed through the three-level top and the
+    * packed relation read from parquet instead of built from a driver
+    * array. Output: (idCol, vecCol, cell).
+    */
+  def assignCellsStored(dfIn: DataFrame, sq: StoredQuantizer,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val sProbe = math.min(sq.superProbe, sq.nSuper)
+    assignCellsViaRelation(dfIn,
+      sq.joinPackedRelation(dfIn.sparkSession), sProbe, "stored-cells",
+      idCol, vecCol)(df => probeSupsFrame(df, sq, sProbe, idCol, vecCol))
   }
 
   /** Hierarchical probe side: each query's nProbe nearest cells among
@@ -976,12 +1322,24 @@ object Ivf {
   private[northstar] def probeCellsJoin(queries: DataFrame,
                                         hq: HierarchicalQuantizer,
                                         nProbe: Int, idCol: String,
-                                        vecCol: String): DataFrame = {
-    val rel = hq.joinCellsRelation(queries.sparkSession)
-    val cand = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+                                        vecCol: String): DataFrame =
+    probeOverCellsRelation(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeCells(col(vecCol), hq.superCentroids,
-          math.min(hq.superProbe, hq.nSuper))).as("sup"))
+          math.min(hq.superProbe, hq.nSuper))).as("sup")),
+      hq.joinCellsRelation(queries.sparkSession), nProbe)
+
+  /** The probe-ranking tail shared by [[probeCellsJoin]] and the stored
+    * family's [[probeCellsStored]]: score every centroid the probed
+    * supercells admit by exact cosine, keep each query's nProbe best
+    * under the (sim desc, cell desc) order corpus assignment uses — one
+    * definition, so a tie-break change cannot desynchronize the two
+    * families' corpus and query sides. `probed` carries
+    * (query_id, qv, sup); `rel` the (cell, ccv, sup) centroid relation.
+    */
+  private def probeOverCellsRelation(probed: DataFrame, rel: DataFrame,
+                                     nProbe: Int): DataFrame = {
+    val cand = probed
       .join(rel, "sup")
       .select(col("query_id"), col("qv"), col("cell"),
         vectors.vec_cosine(col("qv"), col("ccv")).as("sim"))
@@ -991,6 +1349,59 @@ object Ivf {
       .filter(col("_pr") <= nProbe)
       .select("query_id", "qv", "cell")
   }
+
+  /** [[probeCellsJoin]] for the STORED family: the query's supercells
+    * through the three-level top ([[probeSupsFrame]]), centroid scoring
+    * and the nProbe cut through the shared ranking tail. Output:
+    * (query_id, qv, cell).
+    */
+  private[northstar] def probeCellsStored(queries: DataFrame,
+                                          sq: StoredQuantizer,
+                                          nProbe: Int, idCol: String,
+                                          vecCol: String): DataFrame =
+    probeOverCellsRelation(
+      probeSupsFrame(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        sq, math.min(sq.superProbe, sq.nSuper), "query_id", "qv"),
+      sq.joinCellsRelation(queries.sparkSession), nProbe)
+
+  /** Split policy for the stored family — the census never collects:
+    * the null-cell refusal and the oversized filter run as two bounded
+    * actions (≤1 row and ≤#oversized rows reach the driver; the
+    * two-level families collect the full nCells-row census, which is
+    * fine at their scale but not at a stored cell count). The policy
+    * arithmetic is [[splitBitsFromCounts]] — identical bits for
+    * identical counts, so stored and collected paths cannot diverge.
+    */
+  private[northstar] def splitBitsFromCensusStored(
+      census: DataFrame, maxCell: Int): Map[Int, Int] = {
+    // two tiny jobs over the (persisted) assigned frame's census: the
+    // null check must not ride the oversized filter, or Catalyst could
+    // prune the refusal for under-sized null cells
+    census.filter(col("cell").isNull).limit(1).collect().foreach { r =>
+      throw new IllegalArgumentException(
+        s"corpus contains ${r.getLong(1)} rows with null embeddings " +
+          "(null cell assignment) — they cannot be indexed and would " +
+          "silently vanish from ANN results; drop or repair them first")
+    }
+    splitBitsFromCounts(
+      census.filter(col("count") > maxCell).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
+  }
+
+  /** The centroids of the SPLIT cells only — the stored family's
+    * [[subcellOfSparse]] input. Bounded by corpus skew (#oversized
+    * cells), never by nCells; the one sanctioned driver materialization
+    * the stored family performs on centroid data.
+    */
+  private[northstar] def storedSplitCentroids(
+      sq: StoredQuantizer, spark: org.apache.spark.sql.SparkSession,
+      splits: Map[Int, Int]): Map[Int, Array[Float]] =
+    if (splits.isEmpty) Map.empty
+    else sq.cellsRelation(spark)
+      .filter(col("cell").isin(splits.keys.toSeq.map(Int.box): _*))
+      .select("cell", "ccv").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
 
   /** IVF top-k with a [[CoarseQuantizer]] — dispatches to the literal
     * kernel path or the hierarchical broadcast-join path. The auto
@@ -1004,6 +1415,8 @@ object Ivf {
       ivfTopK(queries, corpus, c, k, nProbe, idCol, vecCol, maxCell)
     case hq: HierarchicalQuantizer =>
       ivfTopKHier(queries, corpus, hq, k, nProbe, idCol, vecCol, maxCell)
+    case sq: StoredQuantizer =>
+      ivfTopKStored(queries, corpus, sq, k, nProbe, idCol, vecCol, maxCell)
   }
 
   /** [[ivfTopK]] over the hierarchical quantizer: identical shape
@@ -1057,6 +1470,67 @@ object Ivf {
       probeCellsJoin(queries, hq, nProbeR, idCol, vecCol)
         .withColumn("subcell",
           subcellOf(col("qv"), col("cell"), hq.centroids, splits)))
+    val c = pruneToProbedCells(index, q)
+    rankCandidates(q, c, k)
+  }
+
+  /** [[ivfTopKHier]] for the STORED family — same shape (assign → split
+    * census → subcell → probe join → exact-cosine rank) with assignment
+    * and probing through the stored relation, the split census never
+    * collected ([[splitBitsFromCensusStored]]), and the subcell
+    * thresholds derived from the SPLIT cells' centroids only
+    * ([[storedSplitCentroids]] — bounded by skew, not nCells). At
+    * `superProbe == nSuper` and `nProbe == nCells` the result is exact
+    * (rank-identical to brute force) regardless of centroid content —
+    * the same exactness-by-construction the hier family's exhaustive
+    * rows pin.
+    */
+  def ivfTopKStored(queries: DataFrame, corpus: DataFrame,
+                    sq: StoredQuantizer, k: Int = 10,
+                    nProbe: Int = AutoProbe,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxCell: Int = 100000): DataFrame = {
+    val nProbeR =
+      if (nProbe == AutoProbe) autoNProbe(sq.nCells) else nProbe
+    val assigned = Dedup.trackedPersist(
+      assignCellsStored(corpus, sq, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          col("cell")))
+    val splits = splitBitsFromCensusStored(
+      assigned.groupBy("cell").count(), maxCell)
+    val splitCents =
+      storedSplitCentroids(sq, corpus.sparkSession, splits)
+    val c = assigned.withColumn("subcell",
+      subcellOfSparse(col("cv"), col("cell"), splitCents(_), splits))
+    val q = probeCellsStored(queries, sq, nProbeR, idCol, vecCol)
+      .withColumn("subcell",
+        subcellOfSparse(col("qv"), col("cell"), splitCents(_), splits))
+    rankCandidates(q, c, k)
+  }
+
+  /** [[ivfServeTopKHier]] for the STORED family: probe side through the
+    * stored relation, the cell-partitioned index pruned to probed cells
+    * at planning time. `index`/`splits` come from
+    * [[Artifacts.loadIvfIndexStored]]; given the same quantizer and
+    * splits the result is row-identical to [[ivfTopKStored]] (IvfSpec
+    * pins it — the serve==fit contract, third family over).
+    */
+  def ivfServeTopKStored(queries: DataFrame, index: DataFrame,
+                         sq: StoredQuantizer, splits: Map[Int, Int],
+                         k: Int = 10, nProbe: Int = AutoProbe,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val nProbeR =
+      if (nProbe == AutoProbe) autoNProbe(sq.nCells) else nProbe
+    val splitCents =
+      storedSplitCentroids(sq, queries.sparkSession, splits)
+    // persisted for the same reason as the other serve paths:
+    // pruneToProbedCells collects the probed-cell census, so an
+    // unpersisted probe frame would pay the relation-join ranking twice
+    val q = Dedup.trackedPersist(
+      probeCellsStored(queries, sq, nProbeR, idCol, vecCol)
+        .withColumn("subcell",
+          subcellOfSparse(col("qv"), col("cell"), splitCents(_), splits)))
     val c = pruneToProbedCells(index, q)
     rankCandidates(q, c, k)
   }
@@ -1125,6 +1599,19 @@ object Ivf {
     */
   private def quantizedMeans(assigned: DataFrame, vecCol: String,
                              scale: Int): Map[Long, Seq[Long]] =
+    quantizedMeansFrame(assigned, vecCol, scale)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+
+  /** The mean-update ARITHMETIC of [[quantizedMeans]] as a frame —
+    * (cell long, qc array&lt;long&gt;) — shared with [[fitStored]]'s
+    * fully-distributed Lloyd, whose update must never materialize on
+    * the driver. One definition: the rounding, the per-dim sort key,
+    * and the empty-cell convention (absent row = keep the previous
+    * centroid) cannot drift between the collected and the stored fits.
+    */
+  private def quantizedMeansFrame(assigned: DataFrame, vecCol: String,
+                                  scale: Int): DataFrame =
     assigned
       .select(col("cell").cast("long").as("cell"),
         posexplode(quantizeVec(col(vecCol), scale)).as(Seq("pos", "q")))
@@ -1135,6 +1622,4 @@ object Ivf {
         array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
         x => round(x.getField("s").cast("double") / x.getField("n"))
           .cast("long")).as("qc"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
 }

@@ -540,4 +540,208 @@ class IvfSpec extends SparkSpecBase {
     assert(leaked.isEmpty,
       s"fitHierarchical left ${leaked.size} persistent RDD(s) pinned")
   }
+  // ---- stored-cells (three-level) quantizer, continuation (b), r17 ----
+
+  /** A StoredQuantizer with the SAME centroid content as `hq`, its cell
+    * relation written to parquet — the identity-pin fixture: every
+    * stored-vs-hier comparison below is exact because the quantizers
+    * agree bit-for-bit on centroids, supercells, and tie-breaks.
+    */
+  private def storedFromHq(hq: Ivf.HierarchicalQuantizer,
+                           prefix: String): Ivf.StoredQuantizer = {
+    val cellsPath = tmpDir(prefix) + "/cells"
+    hq.cellsRelation(spark).select("cell", "sup", "ccv")
+      .write.parquet(cellsPath)
+    Ivf.StoredQuantizer(Ivf.LiteralQuantizer(hq.superCentroids),
+      cellsPath, hq.nCells, hq.centroids(0).length, hq.superProbe)
+  }
+
+  test("stored-cells assignment with full supercell probing IS cellOf " +
+       "and row-equals the hierarchical assignment (same content)") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val sq = storedFromHq(hq, "ivf-stored-assign")
+    val viaStored = Ivf.assignCellsStored(emb, sq)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernelCells = emb.select(col("vec_id"),
+        Ivf.cellOf(col("embedding"), centroids).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaStored == kernelCells)
+    // and the relation never rides the plan as a literal: the packed
+    // relation is parquet-scan-backed
+    val plan = Ivf.assignCellsStored(emb, sq)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("ivfTopKStored: full probing row-equals the literal and hier " +
+       "families; PARTIAL probing row-equals hier (same content); " +
+       "dispatch routes the family") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val sq = storedFromHq(hq, "ivf-stored-topk")
+    val q = emb.filter(col("vec_id") < 5)
+    val full = rows(Ivf.ivfTopKStored(q, emb, sq, k = 10, nProbe = 4))
+    assert(full == rows(Ivf.ivfTopK(q, emb, centroids, k = 10, nProbe = 4)))
+    assert(full == rows(Ivf.ivfTopKHier(q, emb, hq, k = 10, nProbe = 4)))
+    // partial supercell probing: the approximation must agree with the
+    // hier family's on identical content — same candidate admission,
+    // same tie-breaks, one family over
+    val hqP = hq.copy(superProbe = 1)
+    val sqP = sq.copy(superProbe = 1)
+    assert(rows(Ivf.ivfTopKStored(q, emb, sqP, k = 10, nProbe = 2))
+      == rows(Ivf.ivfTopKHier(q, emb, hqP, k = 10, nProbe = 2)))
+    assert(rows(Ivf.ivfTopK(q, emb, sq,
+      10, 4, "vec_id", "embedding", 100000)) == full)
+  }
+
+  test("stored-cells index: serve == fit; params pin refuses a " +
+       "different quantizer AND a rewritten cells relation") {
+    import graft.northstar.Artifacts
+    import org.apache.spark.sql.functions.col
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val sq = storedFromHq(hq, "ivf-stored-serve")
+    val path = tmpDir("ivf-stored-idx") + "/idx"
+    Artifacts.saveIvfIndexStored(emb, path, sq)
+    val (index, splits) = Artifacts.loadIvfIndexStored(spark, path, sq)
+    val q = emb.filter(col("vec_id") < 5)
+    val served = rows(
+      Ivf.ivfServeTopKStored(q, index, sq, splits, k = 10, nProbe = 8))
+    assert(served ==
+      rows(Ivf.ivfTopKStored(q, emb, sq, k = 10, nProbe = 8)))
+    // full probing: the stored family serves brute-exactly
+    assert(served == rows(Similarity.bruteForceTopK(q, emb, k = 10)))
+    // params pin: a different superProbe is a different quantizer
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfIndexStored(spark, path, sq.copy(superProbe = 2))
+    }
+    // params pin: different cells CONTENT under the same path — the
+    // digest is content-derived, so a silently rewritten relation
+    // refuses
+    val otherCells = tmpDir("ivf-stored-rewrite") + "/cells"
+    hq.copy(centroids = centroids.map(_.map(v => v + 1.0f)))
+      .cellsRelation(spark).select("cell", "sup", "ccv")
+      .write.parquet(otherCells)
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfIndexStored(spark, path,
+        sq.copy(cellsPath = otherCells))
+    }
+  }
+
+  test("stored-cells relation joins degrade to shuffle-hash past the " +
+       "broadcast ceiling with identical results") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val sq = storedFromHq(hq, "ivf-stored-shj")
+    val q = emb.filter(col("vec_id") < 5)
+    val assignB = Ivf.assignCellsStored(emb, sq).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topB = rows(Ivf.ivfTopKStored(q, emb, sq, k = 10, nProbe = 4))
+    // drop the reference run's tracked persists: the stored family's
+    // relation is parquet-backed (same path ⇒ same canonical plan), so
+    // the cached assignment subtree would otherwise serve the ceiling=0
+    // run from an InMemoryRelation and hide the join-shape change the
+    // assertions below pin (the hier family dodges this only because
+    // its relation is a fresh RDD per call)
+    graft.northstar.Dedup.releasePersisted()
+    spark.conf.set("graft.hier.relationBroadcastCeiling", "0")
+    try {
+      val assigned = Ivf.assignCellsStored(emb, sq)
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+      assert(plan.contains("BuildRight"), plan.take(2000))
+      assert(assigned.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap == assignB)
+      assert(rows(Ivf.ivfTopKStored(q, emb, sq, k = 10, nProbe = 4))
+        == topB)
+    } finally spark.conf.unset("graft.hier.relationBroadcastCeiling")
+  }
+
+  test("stored-cells assignment refuses NULL and duplicated ids " +
+       "in-plan (the shared tripwires, third family over)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    val sq = storedFromHq(hq, "ivf-stored-tripwire")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val withNull = emb.withColumn("vec_id",
+      when(col("vec_id") === 3L, lit(null)).otherwise(col("vec_id")))
+    val e1 = intercept[Exception] {
+      Ivf.assignCellsStored(withNull, sq).collect(): Unit
+    }
+    assert(messages(e1).exists(_.contains("null id")),
+      messages(e1).mkString(" | "))
+    val dup = emb.unionAll(emb.filter(col("vec_id") === 3L))
+    val e2 = intercept[Exception] {
+      Ivf.assignCellsStored(dup, sq).collect(): Unit
+    }
+    assert(messages(e2).exists(_.contains("duplicate ids")),
+      messages(e2).mkString(" | "))
+  }
+
+  test("fitStored: deterministic distributed fit, no driver cells, " +
+       "scratch swept, usable search with generous probing") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("ivf-stored-fit")
+    val sq1 = Ivf.fitStored(emb, nCells = 8, base + "/cells1")
+    val sq2 = Ivf.fitStored(emb, nCells = 8, base + "/cells2")
+    assert(sq1.nCells == 8 && sq2.nCells == 8)
+    // deterministic: the two fits' relations agree row-for-row
+    assert(rows(spark.read.parquet(sq1.cellsPath))
+      == rows(spark.read.parquet(sq2.cellsPath)))
+    // iteration scratch is swept on success
+    assert(!new java.io.File(sq1.cellsPath + ".fit").exists())
+    // full supercell probing + exhaustive nProbe == brute force (the
+    // exactness-by-construction identity, stored family)
+    val q = emb.filter(col("vec_id") < 3)
+    assert(rows(Ivf.ivfTopKStored(q, emb,
+        sq1.copy(superProbe = sq1.nSuper), k = 5, nProbe = 8))
+      == rows(Similarity.bruteForceTopK(q, emb, k = 5)))
+    // and the checkpoint blocks are released (the fitHierarchical
+    // discipline)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Ivf.fitStored(emb, nCells = 6, base + "/cells3"): Unit
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"fitStored left ${leaked.size} persistent RDD(s) pinned")
+  }
+
+  test("fitStored under a HIERARCHICAL top level (the full three " +
+       "levels): full probing stays brute-exact") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("ivf-stored-3lvl")
+    // force the three-level shape at test scale: a hier top level over
+    // 6 supercells (super2 = its own top), cells stored
+    val topHq = Ivf.fitHierarchical(emb, nCells = 6, iters = 1)
+    val sq = Ivf.fitStored(emb, nCells = 12, base + "/cells",
+      superQOverride = Some(topHq.copy(superProbe = topHq.nSuper)))
+    assert(sq.nSuper == 6)
+    val q = emb.filter(col("vec_id") < 3)
+    assert(rows(Ivf.ivfTopKStored(q, emb,
+        sq.copy(superProbe = sq.nSuper), k = 5, nProbe = 12))
+      == rows(Similarity.bruteForceTopK(q, emb, k = 5)))
+  }
+
+  test("fitStored shrinks (with a WARN) when the corpus holds fewer " +
+       "distinct vectors than requested cells") {
+    import org.apache.spark.sql.functions.col
+    val tiny = emb.filter(col("vec_id") < 4)
+    val sq = Ivf.fitStored(tiny, nCells = 16,
+      tmpDir("ivf-stored-shrink") + "/cells")
+    assert(sq.nCells == 4)
+  }
+
 }
