@@ -92,6 +92,42 @@ object SparkEntry {
       superProbe = 2)
   }
 
+  /** Train-once STORED-CELLS quantizer (continuation (b): the
+    * three-level family whose cell centroids live as a parquet relation
+    * and never assemble on the driver) for the `ns_knn_ivf_stored_*`
+    * rows: the distributed [[graft.northstar.Ivf.fitStored]] runs once
+    * per corpus content under `ensureTrained`, the handle reconstructs
+    * from the stored relation plus the top level — which is passed as
+    * an override so the handle's top level IS the one the relation's
+    * sup column was assigned under (a refit would be bit-identical —
+    * same seed, same corpus — but passing it removes the coupling).
+    * Everything is seeded and the init draw is content-hash-ordered,
+    * so the fit is deterministic at a fixed sf (the recall row's
+    * constant relies on it; IvfSpec pins fit determinism directly).
+    */
+  private def storedQuantizerFor(s: SparkSession, dir: String,
+                                 nCells: Int, superProbe: Int)
+      : graft.northstar.Ivf.StoredQuantizer = {
+    val emb = t(s, dir, "embeddings")
+    val key = corpusKey(dir, "embeddings")
+    val nSuperTarget =
+      math.max(4, math.round(math.sqrt(nCells.toDouble)).toInt)
+    val superQ = graft.northstar.Ivf.LiteralQuantizer(
+      graft.northstar.Artifacts.ivfCentroidsFor(emb, key,
+        nCells = nSuperTarget))
+    val path = graft.northstar.Artifacts.pathFor("ivfcellsrel",
+      s"$key-c$nCells-sp$superProbe")
+    graft.northstar.Artifacts.ensureTrained(path) { tmp =>
+      graft.northstar.Ivf.fitStored(emb, nCells, tmp + "/cells",
+        superProbe = superProbe, superQOverride = Some(superQ)): Unit
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "_SUCCESS").toPath, Array.empty[Byte]): Unit
+    }
+    val n = s.read.parquet(path + "/cells").count().toInt
+    graft.northstar.Ivf.StoredQuantizer(superQ, path + "/cells", n,
+      superQ.centroids(0).length, superProbe)
+  }
+
   /** The shared subtree of the two SemDeDup correctness pins
     * (`ns_semdedup_exact` / `ns_semdedup_keep_best`): single-trivial-
     * cell CLUSTER LABELS over the bounded vec_id < 200 subset — the
@@ -1925,6 +1961,39 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), index, hq, splits,
         k = 10, nProbe = 8)
     }),
+    // the STORED-CELLS (three-level) family — continuation (b): the
+    // cell centroids live as a parquet relation that never assembles
+    // on the driver (the past-2M-cells configuration where even the
+    // broadcast-relation family's driver array would not fit). Fit is
+    // the fully distributed fitStored; with full supercell probing and
+    // exhaustive nProbe the search must reproduce brute force
+    // rank-exactly — same oracle SQL as ns_knn_brute
+    "ns_knn_ivf_stored_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sq = storedQuantizerFor(s, dir, nCells = 8, superProbe = 4)
+      graft.northstar.Ivf.ivfTopKStored(
+        emb.filter(col("vec_id") < 5), emb,
+        sq.copy(superProbe = sq.nSuper), k = 10, nProbe = 8)
+    }),
+    // ... and the stored family's SERVING path (cell-partitioned index
+    // built under the stored quantizer, planning-time pruned): the
+    // serve==fit identity surfaced as a hash row against the same
+    // brute oracle
+    "ns_knn_ivf_stored_serve_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sqPart = storedQuantizerFor(s, dir, nCells = 8, superProbe = 4)
+      val sq = sqPart.copy(superProbe = sqPart.nSuper)
+      val path = graft.northstar.Artifacts.pathFor("ivfstoredidx",
+        s"${corpusKey(dir, "embeddings")}-c8-full")
+      graft.northstar.Artifacts.ensureTrained(path) { tmp =>
+        graft.northstar.Artifacts.saveIvfIndexStored(emb, tmp, sq)
+      }
+      val (index, splits) = graft.northstar.Artifacts
+        .loadIvfIndexStored(s, path, sq)
+      graft.northstar.Ivf.ivfServeTopKStored(
+        emb.filter(col("vec_id") < 5), index, sq, splits,
+        k = 10, nProbe = 8)
+    }),
     // recall-floor tripwires for the APPROXIMATE ANN modes: recall@10 of
     // the ANN result vs brute force, computed IN Spark as one
     // exact-integer row (n_queries, n_hits). Both sides are
@@ -2206,6 +2275,23 @@ object SparkEntry {
         graft.northstar.Pq.ivfPqTopKHier(
           q, emb, hierQuantizerPartialFor(s, dir), codebooks,
           k = 10, nProbe = 5, rerank = 30),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
+    // recall-floor tripwire for the STORED-CELLS family under PARTIAL
+    // probing: 24 stored cells under 5 supercells, superProbe 2/5 and
+    // nProbe 5/24 — the exhaustive stored rows are exact by
+    // construction, so the distributed fit's quality and the
+    // three-level probe ordering need their own hash pin. The
+    // fully-distributed fitStored is deterministic (seeded draws,
+    // content-hash-ordered init, exact-integer Lloyd), so n_hits is a
+    // constant the DuckDB brute replay pins
+    "ns_knn_ivf_stored_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.recallCounts(
+        graft.northstar.Ivf.ivfTopKStored(
+          q, emb, storedQuantizerFor(s, dir, nCells = 24, superProbe = 2),
+          k = 10, nProbe = 5),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
     // ingest-side embedding near-match served from the COMPRESSED codes
@@ -4953,6 +5039,25 @@ object SparkEntry {
     "ns_knn_ivf_hier_exhaustive" -> BruteKnnOracleSql,
     // ... and the stored-index serve path of the same family
     "ns_knn_ivf_hier_serve_exhaustive" -> BruteKnnOracleSql,
+    // identical to the ns_knn_brute oracle: the STORED-CELLS
+    // (three-level) family — distributed fit, cells as a parquet
+    // relation — under full supercell probing must reproduce brute
+    // force rank-exactly; fit-and-search and serve paths
+    "ns_knn_ivf_stored_exhaustive" -> BruteKnnOracleSql,
+    "ns_knn_ivf_stored_serve_exhaustive" -> BruteKnnOracleSql,
+    // the stored family under PARTIAL probing (2/5 supercells, 5/24
+    // cells): the distributed fit's approximation quality as one
+    // constant vs the DuckDB brute-force replay
+    "ns_knn_ivf_stored_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(24 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
     // identical to the ns_knn_brute oracle: after build-on-half +
     // append-the-rest, exhaustive probing over the APPENDED index must
     // still reproduce brute force over the whole corpus — any row the

@@ -94,6 +94,15 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     ("ns_knn_ivfpq_hier_exhaustive", 0.3, 0.141),
     ("ns_knn_ivf_hier_recall", 0.3, 0.145),
     ("ns_knn_ivfpq_hier_recall", 0.3, 0.145),
+    // the STORED-CELLS family (continuation (b)): same shape as the
+    // hier rows plus one centroid-sized exchange — the per-supercell
+    // packing of the parquet-backed cells relation (nCells rows, never
+    // corpus rows); a regression that ships vectors through the argmax
+    // sort, loses the relation broadcast, or lets the packing go
+    // corpus-sized lands here
+    ("ns_knn_ivf_stored_exhaustive", 0.05, 0.013),
+    ("ns_knn_ivf_stored_serve_exhaustive", 0.05, 0.006),
+    ("ns_knn_ivf_stored_recall", 0.05, 0.017),
   )
 
   budgets.foreach { case (name, ceilMiB, _) =>
