@@ -1385,6 +1385,48 @@ object ScaleProbe {
         "shuffle-hash relation join changed the result set vs broadcast")
       println("[scale] hier-ivf shuffle-join results == broadcast OK")
     } finally spark.conf.unset("graft.hier.relationBroadcastCeiling")
+
+    // (e) continuation (b) priced at scale (r17): the STORED-CELLS
+    // family on the same 1M × 8192-cell corpus — the configuration a
+    // >2M-cell quantizer (where even the hier family's driver array
+    // would not fit) gets. The fully distributed fitStored writes the
+    // cells as a parquet relation; search must read it in-plan (a
+    // FileScan in the assignment plan, no driver centroid array
+    // anywhere) and hold the same recall bar as the hier family.
+    // Measurements are printed per run and recorded in COVERAGE.md
+    // next to the hier family's.
+    val storedScratch = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-scale-storedcells-${System.nanoTime()}")
+    try {
+      val (squant, _) = timed("stored fit (1 iter)") {
+        Ivf.fitStored(corpus, nCells = nClusters,
+          new java.io.File(storedScratch, "cells").toString, iters = 1)
+      }
+      println(s"[scale] stored-ivf nSuper=${squant.nSuper} " +
+        s"superProbe=${squant.superProbe} nCells=${squant.nCells}")
+      val storedPlan = Ivf.assignCellsStored(corpus, squant)
+        .queryExecution.executedPlan.toString
+      assert(storedPlan.contains("BroadcastHashJoin"),
+        "stored-cells assignment must broadcast the sized relation:\n" +
+          storedPlan.take(2000))
+      assert(storedPlan.contains("FileScan parquet"),
+        "stored-cells assignment must read the relation from parquet:\n" +
+          storedPlan.take(2000))
+      println("[scale] stored-ivf assignment plan: parquet-backed " +
+        "BroadcastHashJoin OK")
+      val (annStored, _) = timed(s"stored search ($nq queries)") {
+        val r = Ivf.ivfTopKStored(queries, corpus, squant, k = 10)
+        r.count()
+        r
+      }
+      val sa = annStored.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sRecall = (sa & b).size.toDouble / b.size
+      println(f"[scale] stored-ivf recall@10 $sRecall%.3f")
+      assert(sRecall >= 0.5,
+        f"stored-cells IVF recall@10 $sRecall%.3f < 0.5")
+    } finally graft.northstar.Artifacts.deleteRec(storedScratch)
     corpus.unpersist(blocking = false)
     queries.unpersist(blocking = false)
   }

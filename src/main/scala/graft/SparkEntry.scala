@@ -2118,6 +2118,21 @@ object SparkEntry {
         emb, hierQuantizerFor(s, dir), codebooks, k = 10, nProbe = 8,
         rerank = 1 << 30)
     }),
+    // ... and the EXABYTE configuration composed: STORED-CELLS coarse
+    // quantizer (parquet-backed relation, never driver-resident) +
+    // codes-only candidate join + exact re-rank — full supercell
+    // probing + all cells + unbounded rerank must equal brute force
+    // rank-exactly regardless of fit quality
+    "ns_knn_ivfpq_stored_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8, ksub = 16)
+      val sq = storedQuantizerFor(s, dir, nCells = 8, superProbe = 4)
+      graft.northstar.Pq.ivfPqTopKStored(emb.filter(col("vec_id") < 5),
+        emb, sq.copy(superProbe = sq.nSuper), codebooks, k = 10,
+        nProbe = 8, rerank = 1 << 30)
+    }),
     // STORED-index serving for IVF-PQ: the corpus is encoded and written
     // once, hive-partitioned by cell with ONLY (neighbor_id, codes,
     // subcell) — the index a probe reads is ~dim/m× smaller than the raw
@@ -2292,6 +2307,21 @@ object SparkEntry {
         graft.northstar.Ivf.ivfTopKStored(
           q, emb, storedQuantizerFor(s, dir, nCells = 24, superProbe = 2),
           k = 10, nProbe = 5),
+        Similarity.bruteForceTopK(q, emb, k = 10))
+    }),
+    // the same partial-probe stored configuration through the IVF-PQ
+    // ADC+rerank tail — the full exabyte serving pipeline's
+    // approximation quality as one constant
+    "ns_knn_ivfpq_stored_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = corpusKey(dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val codebooks = graft.northstar.Artifacts.pqCodebooksFor(
+        emb, cacheKey = key, m = 8, ksub = 16)
+      Similarity.recallCounts(
+        graft.northstar.Pq.ivfPqTopKStored(
+          q, emb, storedQuantizerFor(s, dir, nCells = 24, superProbe = 2),
+          codebooks, k = 10, nProbe = 5, rerank = 30),
         Similarity.bruteForceTopK(q, emb, k = 10))
     }),
     // ingest-side embedding near-match served from the COMPRESSED codes
@@ -5042,9 +5072,23 @@ object SparkEntry {
     // identical to the ns_knn_brute oracle: the STORED-CELLS
     // (three-level) family — distributed fit, cells as a parquet
     // relation — under full supercell probing must reproduce brute
-    // force rank-exactly; fit-and-search and serve paths
+    // force rank-exactly; fit-and-search, serve, and PQ-codes paths
     "ns_knn_ivf_stored_exhaustive" -> BruteKnnOracleSql,
     "ns_knn_ivf_stored_serve_exhaustive" -> BruteKnnOracleSql,
+    "ns_knn_ivfpq_stored_exhaustive" -> BruteKnnOracleSql,
+    // the stored configuration through the IVF-PQ ADC+rerank tail at
+    // partial probing: the PQ approximation's price on top of the
+    // ns_knn_ivf_stored_recall constant
+    "ns_knn_ivfpq_stored_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id,
+        |             row_number() OVER (PARTITION BY q.qid
+        |               ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                        e.vec_id) AS rnk
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT count(DISTINCT query_id) AS n_queries,
+        |       CAST(20 AS BIGINT) AS n_hits
+        |FROM s WHERE rnk <= 10""".stripMargin,
     // the stored family under PARTIAL probing (2/5 supercells, 5/24
     // cells): the distributed fit's approximation quality as one
     // constant vs the DuckDB brute-force replay

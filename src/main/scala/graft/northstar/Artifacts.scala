@@ -917,12 +917,23 @@ object Artifacts {
         Ivf.assignCellsStored(corpus, sq, idCol, vecCol)
           .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
             col("cell"))),
-      maxCell) { (assigned, splits) =>
-      val splitCents = Ivf.storedSplitCentroids(sq, spark, splits)
-      assigned.withColumn("subcell",
-        Ivf.subcellOfSparse(col("cv"), col("cell"), splitCents(_),
-          splits))
-    }
+      maxCell)(ivfProjectStored(sq))
+  }
+
+  /** The stored family's row projection — [[ivfProject]] with the
+    * subcell thresholds derived from the SPLIT cells' centroids only
+    * (collected individually from the relation; the full centroid set
+    * never reaches the driver). ONE definition shared by save, append,
+    * and remove, so an appended row cannot differ in shape or subcell
+    * derivation from a freshly built one — the append==rebuild
+    * identity's precondition.
+    */
+  private def ivfProjectStored(sq: Ivf.StoredQuantizer)(
+      assigned: DataFrame, splits: Map[Int, Int]): DataFrame = {
+    val splitCents =
+      Ivf.storedSplitCentroids(sq, assigned.sparkSession, splits)
+    assigned.withColumn("subcell",
+      Ivf.subcellOfSparse(col("cv"), col("cell"), splitCents(_), splits))
   }
 
   /** [[loadIvfIndex]] for the stored family — feeds
@@ -934,6 +945,89 @@ object Artifacts {
                          maxCell: Int = 100000): (DataFrame, Map[Int, Int]) =
     readCellIndex(spark, path, ivfStoredParams(spark, sq, vecCol, maxCell),
       "stored-cells IVF index")
+
+  /** [[appendIvfIndex]] for the stored family: the same mutation
+    * protocol (marker mutex, union census, per-cell re-split, drift
+    * telemetry) with incoming assignment through the stored relation
+    * join — append==rebuild holds exactly like the other two families
+    * (ArtifactsSpec pins it). The union census and drift maps stay
+    * driver-side counts (≤ one row per occupied cell — the documented
+    * transient for this family); the centroid payload never
+    * materializes.
+    */
+  def appendIvfIndexStored(incoming: DataFrame, path: String,
+                           sq: Ivf.StoredQuantizer,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxCell: Int = 100000): Map[Int, Int] =
+    appendCellIndex(incoming, path,
+      // the centroid-array param only feeds the literal family's
+      // DEFAULT incoming assignment; this family always overrides it
+      Array.empty[Array[Float]],
+      idCol, vecCol, maxCell,
+      ivfStoredParams(incoming.sparkSession, sq, vecCol, maxCell),
+      "stored-cells IVF index",
+      resolveVectors = stored => stored.select("neighbor_id", "cv", "cell"),
+      assignIncoming = Some(df =>
+        Ivf.assignCellsStored(df, sq, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))))(
+      ivfProjectStored(sq))
+
+  /** [[removeFromIvfIndex]] for the stored family — removal never
+    * reassigns cells, so only the params pin and the subcell projection
+    * differ from the other families' forms.
+    */
+  def removeFromIvfIndexStored(removedIds: DataFrame, path: String,
+                               sq: Ivf.StoredQuantizer,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               maxCell: Int = 100000): Map[Int, Int] =
+    removeFromCellIndex(removedIds, path, idCol, maxCell,
+      ivfStoredParams(removedIds.sparkSession, sq, vecCol, maxCell),
+      "stored-cells IVF index",
+      resolveVectors = stored => stored.select("neighbor_id", "cv", "cell"))(
+      ivfProjectStored(sq))
+
+  /** [[retrainIvfIndex]] for the STORED family: refits the three-level
+    * quantizer on the index's current corpus via the fully distributed
+    * [[Ivf.fitStored]] and rebuilds under the same swap protocol. The
+    * refit cells relation is written INSIDE the replacement artifact
+    * (`<path>/cells` after the swap) — for this family the quantizer's
+    * bulk is data, not driver state, so it travels with the index; the
+    * returned handle points at the post-swap location. `nCells =
+    * AutoCells` derives the UNBOUNDED √N count from the current corpus
+    * (this family has no cell-count ceiling to clamp to). The raw-
+    * vector layout is shared with the literal/hier families, so
+    * [[retrainIvfIndex]] can also retrain a stored-family root DOWN
+    * into those families when asked for a small nCells — this op is
+    * the one that keeps the cells stored.
+    */
+  def retrainIvfIndexStored(spark: SparkSession, path: String,
+                            nCells: Int = Ivf.AutoCells,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            maxCell: Int = 100000, seed: Long = 42L)
+      : (Ivf.StoredQuantizer, Map[Int, Int]) = {
+    val (fitted, splits) = retrainCellIndex(spark, path,
+      "stored-cells IVF index retrain",
+      layoutCol = "cv",
+      layoutRemedy = "the stored index is codes-only (IVF-PQ) and its " +
+        "raw vectors cannot be recovered from codes; use " +
+        "retrainIvfPqIndex with the corpus table",
+      stored => stored.select(col("neighbor_id").as(idCol),
+        col("cv").as(vecCol))) { (corpus, tmp) =>
+      val n = if (nCells == Ivf.AutoCells)
+        Ivf.autoNCellsUnbounded(corpus.count()) else nCells
+      val sq = Ivf.fitStored(corpus, n,
+        new java.io.File(tmp, "cells").toString, idCol, vecCol, seed)
+      saveIvfIndexStored(corpus, tmp, sq, idCol, vecCol, maxCell)
+      sq
+    }
+    // the scratch was renamed onto the live root — repoint the handle
+    (fitted.copy(cellsPath =
+      new java.io.File(path, "cells").toString), splits)
+  }
 
   /** Persist the cell-partitioned, CODES-ONLY IVF-PQ serving index: the
     * corpus assigned once under `centroids`, PQ-encoded under
@@ -1817,6 +1911,109 @@ object Artifacts {
         pqResolveVectors(corpus, path, idCol, vecCol,
           "hierarchical IVF-PQ removal"))(
       ivfPqProject(hq.centroids, codebooks))
+
+  // -------------------------------------------- IVF-PQ, stored family
+
+  private def ivfPqStoredParams(spark: SparkSession,
+                                sq: Ivf.StoredQuantizer,
+                                codebooks: Array[Array[Array[Float]]],
+                                vecCol: String,
+                                maxCell: Int): Map[String, String] =
+    ivfStoredParams(spark, sq, vecCol, maxCell) +
+      ("codebooks" -> centroidDigest(codebooks.flatten))
+
+  /** [[ivfPqProject]] for the stored family: subcell thresholds from
+    * the SPLIT cells' centroids only — ONE definition across save,
+    * append, and remove (the [[ivfProjectStored]] rationale, codes
+    * layout).
+    */
+  private def ivfPqProjectStored(sq: Ivf.StoredQuantizer,
+                                 codebooks: Array[Array[Array[Float]]])(
+      assigned: DataFrame, splits: Map[Int, Int]): DataFrame = {
+    val splitCents =
+      Ivf.storedSplitCentroids(sq, assigned.sparkSession, splits)
+    assigned.select(col("neighbor_id"), col("cell"),
+      Ivf.subcellOfSparse(col("cv"), col("cell"), splitCents(_), splits)
+        .as("subcell"),
+      Pq.encode(col("cv"), codebooks).as("codes"))
+  }
+
+  /** [[saveIvfPqIndex]] for the STORED-CELLS family — the exabyte
+    * serving artifact: relation-join assignment with the cell
+    * centroids read from parquet (never driver-resident), codes-only
+    * stored rows. `_params` pins the cells-relation content digest,
+    * the top level, and the codebook digest.
+    */
+  def saveIvfPqIndexStored(corpus: DataFrame, path: String,
+                           sq: Ivf.StoredQuantizer,
+                           codebooks: Array[Array[Array[Float]]],
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxCell: Int = 100000): Unit =
+    writeCellIndexAssigned(path,
+      ivfPqStoredParams(corpus.sparkSession, sq, codebooks, vecCol,
+        maxCell),
+      Dedup.trackedPersist(
+        Ivf.assignCellsStored(corpus, sq, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))),
+      maxCell)(ivfPqProjectStored(sq, codebooks))
+
+  /** [[loadIvfPqIndex]] for the stored family — feeds
+    * [[Pq.ivfPqServeTopKStored]].
+    */
+  def loadIvfPqIndexStored(spark: SparkSession, path: String,
+                           sq: Ivf.StoredQuantizer,
+                           codebooks: Array[Array[Array[Float]]],
+                           vecCol: String = "embedding",
+                           maxCell: Int = 100000): (DataFrame, Map[Int, Int]) =
+    readCellIndex(spark, path,
+      ivfPqStoredParams(spark, sq, codebooks, vecCol, maxCell),
+      "stored-cells IVF-PQ index")
+
+  /** [[appendIvfPqIndex]] for the stored family (same corpus
+    * membership contract and drift tripwire).
+    */
+  def appendIvfPqIndexStored(incoming: DataFrame, corpus: DataFrame,
+                             path: String,
+                             sq: Ivf.StoredQuantizer,
+                             codebooks: Array[Array[Array[Float]]],
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             maxCell: Int = 100000): Map[Int, Int] =
+    appendCellIndex(incoming, path,
+      // the centroid-array param only feeds the literal family's
+      // DEFAULT incoming assignment; this family always overrides it
+      Array.empty[Array[Float]],
+      idCol, vecCol, maxCell,
+      ivfPqStoredParams(incoming.sparkSession, sq, codebooks, vecCol,
+        maxCell),
+      "stored-cells IVF-PQ index",
+      resolveVectors =
+        pqResolveVectors(corpus, path, idCol, vecCol,
+          "stored-cells IVF-PQ append"),
+      assignIncoming = Some(df =>
+        Ivf.assignCellsStored(df, sq, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))))(
+      ivfPqProjectStored(sq, codebooks))
+
+  /** [[removeFromIvfPqIndex]] for the stored family. */
+  def removeFromIvfPqIndexStored(removedIds: DataFrame, corpus: DataFrame,
+                                 path: String,
+                                 sq: Ivf.StoredQuantizer,
+                                 codebooks: Array[Array[Array[Float]]],
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 maxCell: Int = 100000): Map[Int, Int] =
+    removeFromCellIndex(removedIds, path, idCol, maxCell,
+      ivfPqStoredParams(removedIds.sparkSession, sq, codebooks, vecCol,
+        maxCell),
+      "stored-cells IVF-PQ index",
+      resolveVectors =
+        pqResolveVectors(corpus, path, idCol, vecCol,
+          "stored-cells IVF-PQ removal"))(
+      ivfPqProjectStored(sq, codebooks))
 
   /** The corpus-vector resolver of the codes-only IVF-PQ maintenance
     * paths (append/remove, literal and hierarchical): stored rows of the

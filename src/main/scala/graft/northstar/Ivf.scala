@@ -662,8 +662,9 @@ object Ivf {
     * quantizer level — super²-cells as the plan literal, supercells
     * broadcast, cells sharded as a stored relation that never
     * assembles on the driver — repeating the literal→hierarchical
-    * move one level up. (b) is not implemented; the driver-array bound
-    * is the honest edge.
+    * move one level up. (b) is [[StoredQuantizer]] (r17, fit via
+    * [[fitStored]]): past ~2M cells, store the cells and keep only the
+    * √nCells-sized top level driver-resident.
     */
   final case class HierarchicalQuantizer(
       superCentroids: Array[Array[Float]],
@@ -1280,9 +1281,11 @@ object Ivf {
     * shared (sim desc, cell desc) tie-break, so corpus assignment and
     * query probing agree whichever branch runs.
     */
-  private def probeSupsFrame(df: DataFrame, sq: StoredQuantizer,
-                             sProbe: Int, idCol: String,
-                             vecCol: String): DataFrame = sq.superQ match {
+  private[northstar] def probeSupsFrame(df: DataFrame,
+                                        sq: StoredQuantizer,
+                                        sProbe: Int, idCol: String,
+                                        vecCol: String): DataFrame =
+    sq.superQ match {
     case LiteralQuantizer(supers) =>
       df.select(col(idCol), col(vecCol),
         explode(probeCells(col(vecCol), supers,
@@ -1296,6 +1299,43 @@ object Ivf {
         "unreachable: StoredQuantizer refuses a stored top level at " +
           "construction")
   }
+
+  /** STREAM-SAFE variant of [[probeSupsFrame]] for the ingest screen
+    * ([[Pq.annMatchesIncomingStored]]): the batch form ranks a
+    * hierarchical top level's supercells with a window
+    * ([[probeCellsJoin]]), which Structured Streaming refuses. Here the
+    * hier-top branch takes the per-super²-group top-`sProbe`
+    * supercells via the packed-group kernel and UNIONS them — a
+    * SUPERSET of the exact global top-sProbe (per-group tops, never
+    * window-ranked), admissible for candidate generation because the
+    * screen is followed by an exact confirm: extra candidates cost
+    * work, never correctness. The literal-top branch is the same exact
+    * kernel both forms use.
+    */
+  private[northstar] def probeSupsIngest(df: DataFrame,
+                                         sq: StoredQuantizer,
+                                         sProbe: Int, idCol: String,
+                                         vecCol: String): DataFrame =
+    sq.superQ match {
+      case LiteralQuantizer(supers) =>
+        df.select(col(idCol), col(vecCol),
+          explode(probeCells(col(vecCol), supers,
+            math.min(sProbe, supers.length))).as("sup"))
+      case hq2: HierarchicalQuantizer =>
+        val rel = hq2.joinPackedRelation(df.sparkSession)
+          .select(col("sup").as("sup2"), col("cells"), col("flat"))
+        df.select(col(idCol), col(vecCol),
+            explode(probeCells(col(vecCol), hq2.superCentroids,
+              math.min(hq2.superProbe, hq2.nSuper))).as("sup2"))
+          .join(rel, "sup2")
+          .select(col(idCol), col(vecCol),
+            explode(vectors.top_cells_in(col(vecCol), col("flat"),
+              col("cells"), sProbe)).as("sup"))
+      case _: StoredQuantizer =>
+        throw new IllegalStateException(
+          "unreachable: StoredQuantizer refuses a stored top level at " +
+            "construction")
+    }
 
   /** [[assignCellsJoin]] for the STORED family: same argmax, tripwires,
     * and reattach (the shared [[assignCellsViaRelation]] body), with

@@ -309,6 +309,45 @@ object Pq {
     confirmExact(screened, corpus, thresholdE4, idCol, vecCol)
   }
 
+  /** [[annMatchesIncomingHier]] for the STORED-CELLS family: the
+    * incoming batch's candidate cells come from the parquet-backed
+    * relation (top-`perSuperProbe` cells inside each probed supercell
+    * via the same packed-group kernel), subcell thresholds from the
+    * split cells only. Stream-safe exactly like the hier form — every
+    * step is a per-row projection or a join against static state; a
+    * HIERARCHICAL top level probes through the window-free
+    * [[Ivf.probeSupsIngest]] superset (streaming refuses windows).
+    */
+  def annMatchesIncomingStored(incoming: DataFrame, index: DataFrame,
+                               corpus: DataFrame,
+                               sq: Ivf.StoredQuantizer,
+                               splits: Map[Int, Int],
+                               codebooks: Array[Array[Array[Float]]],
+                               thresholdE4: Long,
+                               screenMarginE4: Long = 1500,
+                               perSuperProbe: Int = 3,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val splitCents =
+      Ivf.storedSplitCentroids(sq, incoming.sparkSession, splits)
+    val rel = sq.joinPackedRelation(incoming.sparkSession)
+    val q = Ivf.probeSupsIngest(
+        incoming.select(col(idCol).as("incoming_id"),
+          col(vecCol).as("qv")),
+        sq, math.min(sq.superProbe, sq.nSuper), "incoming_id", "qv")
+      .join(rel, "sup")
+      .select(col("incoming_id"), col("qv"),
+        explode(vectors.top_cells_in(col("qv"), col("flat"), col("cells"),
+          perSuperProbe)).as("cell"))
+      .withColumn("subcell",
+        Ivf.subcellOfSparse(col("qv"), col("cell"), splitCents(_), splits))
+    val screened = q.join(index, Seq("cell", "subcell"))
+      .filter(round(adcCosine(col("qv"), col("codes"), codebooks) * 10000)
+        .cast("long") >= thresholdE4 - screenMarginE4)
+      .select("incoming_id", "qv", "neighbor_id")
+    confirmExact(screened, corpus, thresholdE4, idCol, vecCol)
+  }
+
   /** Shared ADC-candidates → exact-re-rank tail of [[ivfPqTopK]] and
     * [[ivfPqServeTopK]]: (cell, subcell) equi-join over codes, self-pair
     * filter, ADC ranking, top-`rerank` cut, keyed join back to the full
@@ -386,6 +425,84 @@ object Pq {
       .withColumn("subcell",
         Ivf.subcellOf(col("qv"), col("cell"), hq.centroids, splits))
     adcRerank(q, c, assigned, codebooks, k, rerankR)
+  }
+
+  /** [[ivfPqTopKHier]] over the STORED-CELLS (three-level) coarse
+    * quantizer — the exabyte ANN configuration: the cell centroids live
+    * as a parquet relation that never assembles on the driver
+    * ([[Ivf.StoredQuantizer]]), combined with the codes-only candidate
+    * join. Same ADC screen + exact re-rank tail; subcell thresholds
+    * derive from the SPLIT cells' centroids only and the split census
+    * never collects. With full supercell probing the result is
+    * row-identical to [[ivfPqTopKHier]] on identical centroid content
+    * (PqSpec pins it).
+    */
+  def ivfPqTopKStored(queries: DataFrame, corpus: DataFrame,
+                      sq: Ivf.StoredQuantizer,
+                      codebooks: Array[Array[Array[Float]]],
+                      k: Int = 10, nProbe: Int = Ivf.AutoProbe,
+                      rerank: Int = AutoRerank,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      maxCell: Int = 100000): DataFrame = {
+    val nProbeR =
+      if (nProbe == Ivf.AutoProbe) Ivf.autoNProbe(sq.nCells) else nProbe
+    val assigned = Dedup.trackedPersist(
+      Ivf.assignCellsStored(corpus, sq, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          col("cell")))
+    val rerankR =
+      if (rerank == AutoRerank) autoRerank(assigned.count(), k) else rerank
+    require(rerankR >= k,
+      s"rerank=$rerankR must be >= k=$k: the exact re-rank can only " +
+        "return candidates the ADC stage kept")
+    val splits = Ivf.splitBitsFromCensusStored(
+      assigned.groupBy("cell").count(), maxCell)
+    val splitCents =
+      Ivf.storedSplitCentroids(sq, corpus.sparkSession, splits)
+    val c = assigned.select(col("neighbor_id"), col("cell"),
+      Ivf.subcellOfSparse(col("cv"), col("cell"), splitCents(_), splits)
+        .as("subcell"),
+      encode(col("cv"), codebooks).as("codes"))
+    val q = Ivf.probeCellsStored(queries, sq, nProbeR, idCol, vecCol)
+      .withColumn("subcell",
+        Ivf.subcellOfSparse(col("qv"), col("cell"), splitCents(_), splits))
+    adcRerank(q, c, assigned, codebooks, k, rerankR)
+  }
+
+  /** [[ivfPqServeTopKHier]] over the stored-cells quantizer: codes-only
+    * index, planning-time cell pruning, probe side through the stored
+    * relation. `index`/`splits` come from
+    * [[Artifacts.loadIvfPqIndexStored]]; the [[ivfPqServeTopK]]
+    * membership contract on `corpus` applies unchanged.
+    */
+  def ivfPqServeTopKStored(queries: DataFrame, index: DataFrame,
+                           corpus: DataFrame,
+                           sq: Ivf.StoredQuantizer,
+                           splits: Map[Int, Int],
+                           codebooks: Array[Array[Array[Float]]],
+                           k: Int = 10, nProbe: Int = Ivf.AutoProbe,
+                           rerank: Int = AutoRerank,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val nProbeR =
+      if (nProbe == Ivf.AutoProbe) Ivf.autoNProbe(sq.nCells) else nProbe
+    val rerankR =
+      if (rerank == AutoRerank) autoRerank(index.count(), k) else rerank
+    require(rerankR >= k,
+      s"rerank=$rerankR must be >= k=$k: the exact re-rank can only " +
+        "return candidates the ADC stage kept")
+    val splitCents =
+      Ivf.storedSplitCentroids(sq, queries.sparkSession, splits)
+    val q = Dedup.trackedPersist(
+      Ivf.probeCellsStored(queries, sq, nProbeR, idCol, vecCol)
+        .withColumn("subcell",
+          Ivf.subcellOfSparse(col("qv"), col("cell"), splitCents(_),
+            splits)))
+    val c = Ivf.pruneToProbedCells(index, q)
+    adcRerank(q, c,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      codebooks, k, rerankR)
   }
 
   /** [[ivfPqServeTopK]] over the hierarchical quantizer: stored

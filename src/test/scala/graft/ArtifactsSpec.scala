@@ -1067,6 +1067,118 @@ class ArtifactsSpec extends SparkSpecBase {
     }: Unit
   }
 
+  test("stored-cells IVF lifecycle: append == union rebuild, remove == " +
+       "difference rebuild, serve parity throughout") {
+    // PARTIAL supercell probing (2 of 3) under the STORED family — the
+    // lifecycle identities must hold with the cells read from parquet
+    // and the incoming assignment routed through the relation join
+    val hq = Ivf.HierarchicalQuantizer(
+      Ivf.fitCentroids(embA, nCells = 3, seed = 7L),
+      Ivf.fitCentroids(embA, nCells = 8), superProbe = 2)
+    val cellsPath = s"${tempDir("ivfstored")}/cells"
+    hq.cellsRelation(spark).select("cell", "sup", "ccv")
+      .write.parquet(cellsPath)
+    val sq = Ivf.StoredQuantizer(Ivf.LiteralQuantizer(hq.superCentroids),
+      cellsPath, hq.nCells, hq.centroids(0).length, superProbe = 2)
+    val maxCell = 40 // forces re-splits on the union (the hier fixture)
+    val p = s"${tempDir("ivfstored")}/idx"
+    Artifacts.saveIvfIndexStored(embA, p, sq, maxCell = maxCell)
+    val splitsApp = Artifacts.appendIvfIndexStored(embB, p, sq,
+      maxCell = maxCell)
+    val pU = s"${tempDir("ivfstored")}/idx"
+    Artifacts.saveIvfIndexStored(emb, pU, sq, maxCell = maxCell)
+    val (idxU, splitsU) = Artifacts.loadIvfIndexStored(spark, pU, sq,
+      maxCell = maxCell)
+    assert(splitsApp == splitsU, "append split map must equal rebuild's")
+    val (idxA, splitsA) = Artifacts.loadIvfIndexStored(spark, p, sq,
+      maxCell = maxCell)
+    assert(rows(idxA.select("neighbor_id", "cell", "subcell")) ==
+      rows(idxU.select("neighbor_id", "cell", "subcell")))
+    val q = emb.filter(col("vec_id") < 5)
+    assert(rows(Ivf.ivfServeTopKStored(q, idxA, sq, splitsA, k = 10,
+        nProbe = 3))
+      == rows(Ivf.ivfServeTopKStored(q, idxU, sq, splitsU, k = 10,
+        nProbe = 3)))
+    // ... and the stored serve equals the HIER serve on identical
+    // content — the cross-family identity, through the artifact layer
+    val pH = s"${tempDir("ivfstored")}/idx"
+    Artifacts.saveIvfIndexHier(emb, pH, hq, maxCell = maxCell)
+    val (idxH, splitsH) = Artifacts.loadIvfIndexHier(spark, pH, hq,
+      maxCell = maxCell)
+    assert(rows(Ivf.ivfServeTopKStored(q, idxU, sq, splitsU, k = 10,
+        nProbe = 3))
+      == rows(Ivf.ivfServeTopKHier(q, idxH, hq, splitsH, k = 10,
+        nProbe = 3)))
+    // takedown: removing the appended half must restore the embA build
+    val splitsR = Artifacts.removeFromIvfIndexStored(
+      embB.select("vec_id"), p, sq, maxCell = maxCell)
+    val p0 = s"${tempDir("ivfstored")}/idx"
+    Artifacts.saveIvfIndexStored(embA, p0, sq, maxCell = maxCell)
+    val (idx0, splits0) = Artifacts.loadIvfIndexStored(spark, p0, sq,
+      maxCell = maxCell)
+    assert(splitsR == splits0)
+    val (idxR, _) = Artifacts.loadIvfIndexStored(spark, p, sq,
+      maxCell = maxCell)
+    assert(rows(idxR.select("neighbor_id", "cell", "subcell")) ==
+      rows(idx0.select("neighbor_id", "cell", "subcell")))
+    // the params pin refuses a cross-family serve: the same path read
+    // as a hier-family index must fail loudly, not serve
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfIndexHier(spark, p, hq, maxCell = maxCell)
+    }: Unit
+  }
+
+  test("retrainIvfIndexStored == fresh stored build on the current " +
+       "corpus; the refit cells travel inside the artifact; the old " +
+       "relation's load refuses") {
+    // build on HALF the corpus under content derived from a driver fit,
+    // append the other half — the drifted-census fixture
+    val hq = Ivf.HierarchicalQuantizer(
+      Ivf.fitCentroids(embA, nCells = 3, seed = 7L),
+      Ivf.fitCentroids(embA, nCells = 8), superProbe = 3)
+    val oldCells = s"${tempDir("ivfstretrain")}/cells"
+    hq.cellsRelation(spark).select("cell", "sup", "ccv")
+      .write.parquet(oldCells)
+    val sqOld = Ivf.StoredQuantizer(
+      Ivf.LiteralQuantizer(hq.superCentroids), oldCells, hq.nCells,
+      hq.centroids(0).length, superProbe = 3)
+    val p = s"${tempDir("ivfstretrain")}/idx"
+    Artifacts.saveIvfIndexStored(embA, p, sqOld)
+    Artifacts.appendIvfIndexStored(embB, p, sqOld): Unit
+    // retrain on the CURRENT corpus (A ∪ B, read from the stored rows)
+    val (sqNew, splits) = Artifacts.retrainIvfIndexStored(spark, p,
+      nCells = 16)
+    assert(sqNew.cellsPath == new java.io.File(p, "cells").toString,
+      "the retrained handle must point inside the swapped artifact")
+    assert(sqNew.nCells == 16)
+    // identity: retrain == a fresh saveIvfIndexStored on the union
+    // corpus under the SAME retrained quantizer (the literal retrain
+    // test's shape: an INDEPENDENT refit is not comparable, because the
+    // top-level driver k-means++ is collect-order-sensitive and the
+    // retrain reads its corpus from the stored rows, not the testdata
+    // parquet — same set, different physical order)
+    val pF = s"${tempDir("ivfstretrain")}/idx"
+    Artifacts.saveIvfIndexStored(emb, pF, sqNew)
+    val (idxF, splitsF) = Artifacts.loadIvfIndexStored(spark, pF, sqNew)
+    val (idxR, splitsR) = Artifacts.loadIvfIndexStored(spark, p, sqNew)
+    assert(splits == splitsF && splitsR == splitsF)
+    assert(rows(idxR.select("neighbor_id", "cell", "subcell")) ==
+      rows(idxF.select("neighbor_id", "cell", "subcell")))
+    assert(idxR.count() == emb.count())
+    // fresh telemetry; the old quantizer is retired
+    assert(Artifacts.appendDriftHistory(p).isEmpty,
+      "retrain must start a fresh drift history")
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfIndexStored(spark, p, sqOld)
+    }: Unit
+    // serving with the returned handle: full probing == brute force
+    val qs = emb.filter(col("vec_id") < 5)
+    assert(rows(Ivf.ivfServeTopKStored(qs, idxR,
+        sqNew.copy(superProbe = sqNew.nSuper), splitsR, k = 10,
+        nProbe = 16))
+      == rows(Similarity.bruteForceTopK(qs, emb, k = 10)))
+  }
+
   test("retrainIvfIndex == fresh build on the current corpus; drift " +
        "history resets; the old quantizer's load refuses (VERDICT r16 task 2)") {
     val cents = Ivf.fitCentroids(embA, nCells = 4)

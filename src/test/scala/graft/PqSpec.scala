@@ -395,4 +395,85 @@ class PqSpec extends SparkSpecBase {
     assert(rows(idxR.select("neighbor_id", "cell", "subcell", "codes")) ==
       rows(idx0.select("neighbor_id", "cell", "subcell", "codes")))
   }
+
+  test("stored-cells IVF-PQ: row-equals the hier family on identical " +
+       "content (full AND partial probing); serve == fit; append == " +
+       "union rebuild; remove == difference rebuild") {
+    import graft.northstar.{Artifacts, Ivf}
+    import org.apache.spark.sql.functions.col
+    // the exabyte configuration composed: parquet-backed coarse
+    // quantizer (cells never on the driver) + codes-only candidate
+    // join + exact re-rank
+    val cents = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val coarse = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hqFull = Ivf.HierarchicalQuantizer(supers, coarse, superProbe = 3)
+    val cellsPath = TestTmp.dir("pq-stored") + "/cells"
+    hqFull.cellsRelation(spark).select("cell", "sup", "ccv")
+      .write.parquet(cellsPath)
+    val sqFull = Ivf.StoredQuantizer(Ivf.LiteralQuantizer(supers),
+      cellsPath, 8, coarse(0).length, superProbe = 3)
+    val q = emb.filter(col("vec_id") < 5)
+    // full supercell probing: candidate set == the literal family's
+    val viaStored = rows(Pq.ivfPqTopKStored(q, emb, sqFull, cents,
+      k = 10, nProbe = 4, rerank = 50))
+    assert(viaStored == rows(Pq.ivfPqTopK(q, emb, coarse, cents,
+      k = 10, nProbe = 4, rerank = 50)))
+    // PARTIAL probing: identical to the hier family on equal content
+    val hq = hqFull.copy(superProbe = 2)
+    val sq = sqFull.copy(superProbe = 2)
+    assert(rows(Pq.ivfPqTopKStored(q, emb, sq, cents,
+        k = 10, nProbe = 3, rerank = 50))
+      == rows(Pq.ivfPqTopKHier(q, emb, hq, cents,
+        k = 10, nProbe = 3, rerank = 50)))
+    // lifecycle under PARTIAL probing
+    val embA = emb.filter(col("vec_id") % 2 === 0)
+    val embB = emb.filter(col("vec_id") % 2 =!= 0)
+    val p = TestTmp.dir("pq-stored-life") + "/idx"
+    Artifacts.saveIvfPqIndexStored(embA, p, sq, cents)
+    Artifacts.appendIvfPqIndexStored(embB, embA, p, sq, cents): Unit
+    val (idxA, splitsA) =
+      Artifacts.loadIvfPqIndexStored(spark, p, sq, cents)
+    val pU = TestTmp.dir("pq-stored-life") + "/idx"
+    Artifacts.saveIvfPqIndexStored(emb, pU, sq, cents)
+    val (idxU, splitsU) =
+      Artifacts.loadIvfPqIndexStored(spark, pU, sq, cents)
+    assert(splitsA == splitsU)
+    assert(rows(idxA.select("neighbor_id", "cell", "subcell", "codes")) ==
+      rows(idxU.select("neighbor_id", "cell", "subcell", "codes")))
+    val served = rows(Pq.ivfPqServeTopKStored(q, idxA, emb, sq, splitsA,
+      cents, k = 10, nProbe = 3, rerank = 50))
+    assert(served == rows(Pq.ivfPqTopKStored(q, emb, sq, cents,
+      k = 10, nProbe = 3, rerank = 50)))
+    // ... and == the hier serve on identical content through the
+    // artifact layer
+    val pH = TestTmp.dir("pq-stored-life") + "/idx"
+    Artifacts.saveIvfPqIndexHier(emb, pH, hq, cents)
+    val (idxH, splitsH) = Artifacts.loadIvfPqIndexHier(spark, pH, hq, cents)
+    assert(rows(Pq.ivfPqServeTopKStored(q, idxU, emb, sq, splitsU,
+        cents, k = 10, nProbe = 3, rerank = 50))
+      == rows(Pq.ivfPqServeTopKHier(q, idxH, emb, hq, splitsH,
+        cents, k = 10, nProbe = 3, rerank = 50)))
+    // takedown: removing the appended half restores the embA-only index
+    Artifacts.removeFromIvfPqIndexStored(embB.select("vec_id"), embA, p,
+      sq, cents): Unit
+    val p0 = TestTmp.dir("pq-stored-life") + "/idx"
+    Artifacts.saveIvfPqIndexStored(embA, p0, sq, cents)
+    val (idx0, _) = Artifacts.loadIvfPqIndexStored(spark, p0, sq, cents)
+    val (idxR, _) = Artifacts.loadIvfPqIndexStored(spark, p, sq, cents)
+    assert(rows(idxR.select("neighbor_id", "cell", "subcell", "codes")) ==
+      rows(idx0.select("neighbor_id", "cell", "subcell", "codes")))
+    // cross-family params refusal on the same path
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfPqIndexHier(spark, p, hq, cents)
+    }: Unit
+    // ingest-side screen: the stored form equals the hier form on
+    // identical content (same index rows, same probed cells, same ADC
+    // margin, same exact confirm)
+    val incoming = emb.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+    assert(rows(Pq.annMatchesIncomingStored(incoming, idxU, emb, sq,
+        splitsU, cents, thresholdE4 = 7000))
+      == rows(Pq.annMatchesIncomingHier(incoming, idxU, emb, hq,
+        splitsU, cents, thresholdE4 = 7000)))
+  }
 }

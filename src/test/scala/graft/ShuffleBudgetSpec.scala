@@ -103,6 +103,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     ("ns_knn_ivf_stored_exhaustive", 0.05, 0.013),
     ("ns_knn_ivf_stored_serve_exhaustive", 0.05, 0.006),
     ("ns_knn_ivf_stored_recall", 0.05, 0.017),
+    ("ns_knn_ivfpq_stored_exhaustive", 0.05, 0.013),
+    ("ns_knn_ivfpq_stored_recall", 0.05, 0.017),
   )
 
   budgets.foreach { case (name, ceilMiB, _) =>

@@ -20,9 +20,11 @@ object StoredRecallProbeMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    val rows = SparkEntry.queries("ns_knn_ivf_stored_recall")(spark, dir)
-      .collect()
-    rows.foreach(r => println(s"[stored-recall-probe] $r"))
+    Seq("ns_knn_ivf_stored_recall", "ns_knn_ivfpq_stored_recall")
+      .foreach { name =>
+        SparkEntry.queries(name)(spark, dir).collect()
+          .foreach(r => println(s"[stored-recall-probe] $name $r"))
+      }
     spark.stop()
   }
 }

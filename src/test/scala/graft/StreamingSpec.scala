@@ -623,6 +623,58 @@ class StreamingSpec extends SparkSpecBase {
       a - 1000000L == b && s == 10000L } == 50)
   }
 
+  test("stored-cells embedding ingest: streamed batch == batch screen " +
+       "== the literal family under full probing — window-free even " +
+       "with a HIERARCHICAL top level") {
+    import graft.northstar.{Artifacts, Ivf, Pq}
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val ckpt = tmp()
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (index, splits, centroids, codebooks) = Artifacts.ivfPqIndexFor(
+      emb, cacheKey = s"streaming-spec-pqs-${System.nanoTime()}",
+      nCells = 4, m = 8)
+    // the full three levels: one super²-cell literal, 2 supercells as
+    // the hier top's cells, 4 index cells stored as parquet. Full
+    // probing (superProbe == nSuper, perSuperProbe >= nCells) admits
+    // every cell, so the screen must equal the literal family probing
+    // all cells — and the probe must be WINDOW-FREE (streaming refuses
+    // windows; the batch stored probe ranks a hier top with one)
+    val supers = Ivf.fitCentroids(emb, nCells = 2, seed = 7L)
+    val cellsPath = tmp() + "/cells"
+    Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 2)
+      .cellsRelation(spark).select("cell", "sup", "ccv")
+      .write.parquet(cellsPath)
+    val topHq = Ivf.HierarchicalQuantizer(
+      Array(Array.fill(64)(0.1f)), supers, superProbe = 1)
+    val sq = Ivf.StoredQuantizer(topHq, cellsPath, 4,
+      centroids(0).length, superProbe = 2)
+    emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q = Pq.annMatchesIncomingStored(
+        IncrementalStream.readTableStream(spark, src, "in", schema),
+        index, emb, sq, splits, codebooks, thresholdE4 = 3500,
+        perSuperProbe = 4)
+      .writeStream.format("memory").queryName("pq_stored_ingest_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = pairs(spark.table("pq_stored_ingest_out"))
+    val batchIn = spark.read.parquet(s"$src/in.parquet")
+    val batch = pairs(Pq.annMatchesIncomingStored(batchIn, index, emb,
+      sq, splits, codebooks, thresholdE4 = 3500, perSuperProbe = 4))
+    assert(streamed == batch && batch.nonEmpty)
+    val literal = pairs(Pq.annMatchesIncoming(batchIn, index, emb,
+      centroids, splits, codebooks, thresholdE4 = 3500, nProbe = 4))
+    assert(streamed == literal)
+    assert(streamed.count { case (a, b, s) =>
+      a - 1000000L == b && s == 10000L } == 50)
+  }
+
   test("curation projection runs unchanged on a stream and matches the batch result") {
     import graft.northstar.TextAnalysis
     import org.apache.spark.sql.DataFrame
