@@ -1191,6 +1191,12 @@ object ScaleProbe {
     assert(lastB < rAEnd,
       f"drifted-row recall $lastB%.3f did not trail resident recall " +
         f"$rAEnd%.3f — the probe shows no decay to police")
+    // the one-call decision predicate the ingest loop wires ahead of
+    // the retrain op must be TRIPPED by this five-batch sustained
+    // shift — the measured decay above is exactly the state it exists
+    // to catch (r17)
+    assert(Artifacts.driftExceeded(path),
+      "driftExceeded must trip after five over-bar append batches")
     // ---- r17 (VERDICT r16 task 2): the retrain the WARN schedules
     // closes the loop. Refit both quantizers on the current (half-
     // drifted) corpus via retrainIvfPqIndex DEFAULTS (AutoCells → 136,

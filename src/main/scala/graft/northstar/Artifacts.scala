@@ -1388,8 +1388,9 @@ object Artifacts {
             f"drift $d%.3f exceeds the retrain bar " +
             f"${Ivf.RetrainDriftThreshold} — the pinned quantizers no " +
             "longer model the incoming distribution; schedule a retrain " +
-            "([[retrainIvfIndex]]/[[retrainIvfPqIndex]] — recall on " +
-            "drifted rows decays silently otherwise)")
+            "([[retrainIvfIndex]]/[[retrainIvfPqIndex]], or " +
+            "[[retrainIvfIndexStored]] for a stored-cells root — " +
+            "recall on drifted rows decays silently otherwise)")
     }
     // 4. republish the commit marker — the mutation (and its telemetry
     //    line) is complete; the mutex window closes here. In the
@@ -1430,6 +1431,24 @@ object Artifacts {
           .map(m => (m.group(1).toLong, m.group(2).toLong,
             m.group(3).toDouble))
       }
+  }
+
+  /** The drift-history DECISION the append-path WARN asks the nightly
+    * operator to make, as one callable predicate: true when the last
+    * `window` appends' census drift EXCEEDS [[Ivf.RetrainDriftThreshold]]
+    * on average — sustained distribution shift, the condition under
+    * which serve recall on drifted rows decays silently (ScaleProbe
+    * measures 1.000→0.400 over five such batches). A single outlier
+    * batch inside an otherwise in-distribution history does not trip
+    * it. Wire it ahead of the retrain op in the ingest loop:
+    * `if (driftExceeded(path)) retrainIvfIndex(spark, path, ...)`.
+    * Advisory read (no mutex): the log is only ever appended inside
+    * mutation windows, and a torn last line simply doesn't parse.
+    */
+  def driftExceeded(path: String, window: Int = 3): Boolean = {
+    val recent = appendDriftHistory(path).takeRight(window)
+    recent.nonEmpty &&
+      recent.map(_._3).sum / recent.size > Ivf.RetrainDriftThreshold
   }
 
   // --------------------------------------------- drift-triggered retrain

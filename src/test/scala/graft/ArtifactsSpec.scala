@@ -1018,9 +1018,25 @@ class ArtifactsSpec extends SparkSpecBase {
       s"drift signal diluted: ${h(1)._3} then ${h(2)._3} on identical " +
         "distribution shifts")
     assert(h.forall(_._2 == embB.count()))
+    // the decision predicate the WARN asks the operator to make, as
+    // one call: the window-averaged drift over the last `window`
+    // appends vs the retrain bar. Over [in-dist, shifted, shifted] the
+    // mean clears the bar; a window of ONE in-distribution append
+    // does not; an empty history (fresh build) never trips
+    assert(Artifacts.driftExceeded(p),
+      s"sustained shift must trip driftExceeded: $h")
+    assert(Artifacts.driftExceeded(p, window = 30) ==
+      (h.map(_._3).sum / h.size > Ivf.RetrainDriftThreshold),
+      "window wider than history must average what exists")
     // a from-scratch rebuild starts a new quantizer story
     Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
     assert(Artifacts.appendDriftHistory(p).isEmpty)
+    assert(!Artifacts.driftExceeded(p),
+      "an empty drift history must not trip the retrain predicate")
+    // one in-distribution append: under the bar, predicate stays false
+    Artifacts.appendIvfIndex(embB, p, cents): Unit
+    assert(!Artifacts.driftExceeded(p),
+      "an in-distribution append must not trip the retrain predicate")
   }
 
   test("hierarchical IVF lifecycle: append == union rebuild, remove == " +

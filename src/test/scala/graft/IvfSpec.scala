@@ -563,6 +563,12 @@ class IvfSpec extends SparkSpecBase {
     val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
     val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
     val sq = storedFromHq(hq, "ivf-stored-assign")
+    // plan-shape asserts below need the freshly-built plan: a tracked
+    // persist from an earlier suite over a value-identical subtree
+    // would serve it as an InMemoryRelation (the PlanQualitySpec
+    // planOf rationale)
+    graft.northstar.Dedup.releasePersisted()
+    spark.catalog.clearCache()
     val viaStored = Ivf.assignCellsStored(emb, sq)
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -653,6 +659,7 @@ class IvfSpec extends SparkSpecBase {
     // assertions below pin (the hier family dodges this only because
     // its relation is a fresh RDD per call)
     graft.northstar.Dedup.releasePersisted()
+    spark.catalog.clearCache()
     spark.conf.set("graft.hier.relationBroadcastCeiling", "0")
     try {
       val assigned = Ivf.assignCellsStored(emb, sq)
