@@ -1014,7 +1014,7 @@ object Artifacts {
       layoutCol = "cv",
       layoutRemedy = "the stored index is codes-only (IVF-PQ) and its " +
         "raw vectors cannot be recovered from codes; use " +
-        "retrainIvfPqIndex with the corpus table",
+        "retrainIvfPqIndexStored with the corpus table",
       stored => stored.select(col("neighbor_id").as(idCol),
         col("cv").as(vecCol))) { (corpus, tmp) =>
       val n = if (nCells == Ivf.AutoCells)
@@ -1678,6 +1678,46 @@ object Artifacts {
       }
       q
     }
+  }
+
+  /** [[retrainIvfIndexStored]] for the codes-only STORED IVF-PQ layout:
+    * refits the three-level coarse quantizer (via the distributed
+    * [[Ivf.fitStored]] — cells never driver-resident) AND the m
+    * per-subspace codebooks on the current corpus, rebuilds, and swaps.
+    * The stored rows carry codes only, so `corpus` must supply raw
+    * vectors for every indexed id (the [[appendIvfPqIndex]] membership
+    * tripwire applies). The refit cells relation lands INSIDE the
+    * replacement artifact (`<path>/cells` post-swap); the returned
+    * handle points there. Serve with
+    * [[loadIvfPqIndexStored]]/[[Pq.ivfPqServeTopKStored]].
+    */
+  def retrainIvfPqIndexStored(spark: SparkSession, corpus: DataFrame,
+                              path: String,
+                              nCells: Int = Ivf.AutoCells,
+                              m: Int = 8, ksub: Int = Pq.AutoKsub,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              maxCell: Int = 100000, seed: Long = 42L)
+      : (Ivf.StoredQuantizer, Array[Array[Array[Float]]], Map[Int, Int]) = {
+    val ((sq, cb), splits) = retrainCellIndex(spark, path,
+      "stored-cells IVF-PQ index retrain",
+      layoutCol = "codes",
+      layoutRemedy = "the stored index carries raw vectors; use " +
+        "retrainIvfIndexStored (no corpus table needed)",
+      stored => pqResolveVectors(corpus, path, idCol, vecCol,
+          "stored-cells IVF-PQ retrain")(stored)
+        .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))) {
+      (cur, tmp) =>
+        val n = if (nCells == Ivf.AutoCells)
+          Ivf.autoNCellsUnbounded(cur.count()) else nCells
+        val sq = Ivf.fitStored(cur, n,
+          new java.io.File(tmp, "cells").toString, idCol, vecCol, seed)
+        val cb = Pq.fitCodebooks(cur, m, ksub, vecCol, seed = seed)
+        saveIvfPqIndexStored(cur, tmp, sq, cb, idCol, vecCol, maxCell)
+        (sq, cb)
+    }
+    (sq.copy(cellsPath = new java.io.File(path, "cells").toString),
+      cb, splits)
   }
 
   /** [[retrainIvfIndex]] for the codes-only IVF-PQ layout: refits BOTH

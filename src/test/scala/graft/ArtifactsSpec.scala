@@ -1195,6 +1195,59 @@ class ArtifactsSpec extends SparkSpecBase {
       == rows(Similarity.bruteForceTopK(qs, emb, k = 10)))
   }
 
+  test("retrainIvfPqIndexStored refits the three-level quantizer AND " +
+       "codebooks == fresh stored PQ build; wrong-family calls refuse " +
+       "both ways") {
+    val hq = Ivf.HierarchicalQuantizer(
+      Ivf.fitCentroids(embA, nCells = 3, seed = 7L),
+      Ivf.fitCentroids(embA, nCells = 8), superProbe = 3)
+    val oldCells = s"${tempDir("pqstretrain")}/cells"
+    hq.cellsRelation(spark).select("cell", "sup", "ccv")
+      .write.parquet(oldCells)
+    val sqOld = Ivf.StoredQuantizer(
+      Ivf.LiteralQuantizer(hq.superCentroids), oldCells, hq.nCells,
+      hq.centroids(0).length, superProbe = 3)
+    val cbOld = graft.northstar.Pq.fitCodebooks(embA, m = 8, ksub = 8)
+    val p = s"${tempDir("pqstretrain")}/idx"
+    Artifacts.saveIvfPqIndexStored(embA, p, sqOld, cbOld)
+    Artifacts.appendIvfPqIndexStored(embB, embA, p, sqOld, cbOld): Unit
+    // wrong-family guard both ways: the raw-vector stored retrain on a
+    // codes-only root, and the codes retrain on a raw-vector root
+    val eFam = intercept[IllegalArgumentException] {
+      Artifacts.retrainIvfIndexStored(spark, p)
+    }
+    assert(eFam.getMessage.contains("retrainIvfPqIndexStored"),
+      eFam.getMessage)
+    // the real retrain: both quantizers refit on the union corpus
+    val (sqNew, cbNew, splits) = Artifacts.retrainIvfPqIndexStored(
+      spark, emb, p, nCells = 16, m = 8, ksub = 8)
+    assert(sqNew.cellsPath == new java.io.File(p, "cells").toString)
+    assert(sqNew.nCells == 16)
+    // identity: retrain == fresh save under the SAME retrained
+    // quantizers (independent refits are collect-order-sensitive)
+    val pF = s"${tempDir("pqstretrain")}/idx"
+    Artifacts.saveIvfPqIndexStored(emb, pF, sqNew, cbNew)
+    val (idxF, splitsF) =
+      Artifacts.loadIvfPqIndexStored(spark, pF, sqNew, cbNew)
+    val (idxR, splitsR) =
+      Artifacts.loadIvfPqIndexStored(spark, p, sqNew, cbNew)
+    assert(splits == splitsF && splitsR == splitsF)
+    assert(rows(idxR.select("neighbor_id", "cell", "subcell", "codes")) ==
+      rows(idxF.select("neighbor_id", "cell", "subcell", "codes")))
+    // old quantizer retired; fresh drift story
+    intercept[IllegalArgumentException] {
+      Artifacts.loadIvfPqIndexStored(spark, p, sqOld, cbOld)
+    }: Unit
+    assert(Artifacts.appendDriftHistory(p).isEmpty)
+    // serving with the returned handles: full probing + unbounded
+    // rerank == brute force
+    val qs = emb.filter(col("vec_id") < 5)
+    assert(rows(graft.northstar.Pq.ivfPqServeTopKStored(qs, idxR, emb,
+        sqNew.copy(superProbe = sqNew.nSuper), splitsR, cbNew, k = 10,
+        nProbe = 16, rerank = 1 << 30))
+      == rows(Similarity.bruteForceTopK(qs, emb, k = 10)))
+  }
+
   test("retrainIvfIndex == fresh build on the current corpus; drift " +
        "history resets; the old quantizer's load refuses (VERDICT r16 task 2)") {
     val cents = Ivf.fitCentroids(embA, nCells = 4)
