@@ -110,8 +110,10 @@ object SparkEntry {
       : graft.northstar.Ivf.StoredQuantizer = {
     val emb = t(s, dir, "embeddings")
     val key = corpusKey(dir, "embeddings")
-    val nSuperTarget =
-      math.max(4, math.round(math.sqrt(nCells.toDouble)).toInt)
+    // the SHARED sizing rule (Ivf.autoNSuperTarget), not a local copy —
+    // an override fit at a diverged size would silently pin constants
+    // for a top-level shape production fitStored no longer produces
+    val nSuperTarget = graft.northstar.Ivf.autoNSuperTarget(nCells)
     val superQ = graft.northstar.Ivf.LiteralQuantizer(
       graft.northstar.Artifacts.ivfCentroidsFor(emb, key,
         nCells = nSuperTarget))

@@ -1017,10 +1017,15 @@ object Artifacts {
         "retrainIvfPqIndexStored with the corpus table",
       stored => stored.select(col("neighbor_id").as(idCol),
         col("cv").as(vecCol))) { (corpus, tmp) =>
+      // ONE corpus count feeds both the auto cell count and the fit's
+      // knownRows (code-review r17: the fit re-counted the checkpointed
+      // corpus inside the minutes-long mutex window)
+      val rows = corpus.count()
       val n = if (nCells == Ivf.AutoCells)
-        Ivf.autoNCellsUnbounded(corpus.count()) else nCells
+        Ivf.autoNCellsUnbounded(rows) else nCells
       val sq = Ivf.fitStored(corpus, n,
-        new java.io.File(tmp, "cells").toString, idCol, vecCol, seed)
+        new java.io.File(tmp, "cells").toString, idCol, vecCol, seed,
+        knownRows = Some(rows))
       saveIvfIndexStored(corpus, tmp, sq, idCol, vecCol, maxCell)
       sq
     }
@@ -1427,28 +1432,40 @@ object Artifacts {
     java.nio.file.Files.readAllLines(f.toPath,
         java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
       .flatMap { l =>
-        "ts=(\\d+) rows=(\\d+) drift=([0-9.]+)".r.findFirstMatchIn(l)
+        // exactly-6-decimals anchored at end-of-line: the writer always
+        // emits "drift=%.6f", so a line torn mid-number (an advisory
+        // reader can race the append's flush) fails the {6} and is
+        // DROPPED rather than parsed to a truncated smaller value
+        // (code-review r17: "drift=0.4" of a torn "drift=0.456789"
+        // would silently read as under-bar)
+        "ts=(\\d+) rows=(\\d+) drift=(\\d+\\.\\d{6})$".r
+          .findFirstMatchIn(l)
           .map(m => (m.group(1).toLong, m.group(2).toLong,
             m.group(3).toDouble))
       }
   }
 
   /** The drift-history DECISION the append-path WARN asks the nightly
-    * operator to make, as one callable predicate: true when the last
-    * `window` appends' census drift EXCEEDS [[Ivf.RetrainDriftThreshold]]
-    * on average — sustained distribution shift, the condition under
-    * which serve recall on drifted rows decays silently (ScaleProbe
-    * measures 1.000→0.400 over five such batches). A single outlier
-    * batch inside an otherwise in-distribution history does not trip
-    * it. Wire it ahead of the retrain op in the ingest loop:
+    * operator to make, as one callable predicate: true when the MEDIAN
+    * census drift of the last `window` appends exceeds
+    * [[Ivf.RetrainDriftThreshold]] — sustained distribution shift, the
+    * condition under which serve recall on drifted rows decays
+    * silently (ScaleProbe measures 1.000→0.400 over five such
+    * batches). The median, not the mean (code-review r17): one
+    * anomalous batch of any drift magnitude inside an otherwise
+    * in-distribution window cannot trip it — a mean let a single
+    * tv≈1.0 bad-upstream-file batch fire a minutes-long mutex-holding
+    * retrain. Wire it ahead of the retrain op in the ingest loop:
     * `if (driftExceeded(path)) retrainIvfIndex(spark, path, ...)`.
     * Advisory read (no mutex): the log is only ever appended inside
-    * mutation windows, and a torn last line simply doesn't parse.
+    * mutation windows, and [[appendDriftHistory]] drops a torn last
+    * line rather than mis-parsing it.
     */
   def driftExceeded(path: String, window: Int = 3): Boolean = {
-    val recent = appendDriftHistory(path).takeRight(window)
+    val recent = appendDriftHistory(path).takeRight(window).map(_._3)
     recent.nonEmpty &&
-      recent.map(_._3).sum / recent.size > Ivf.RetrainDriftThreshold
+      recent.sorted.apply((recent.size - 1) / 2) >
+        Ivf.RetrainDriftThreshold
   }
 
   // --------------------------------------------- drift-triggered retrain
@@ -1708,10 +1725,14 @@ object Artifacts {
           "stored-cells IVF-PQ retrain")(stored)
         .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))) {
       (cur, tmp) =>
+        // ONE corpus count for the auto cell count and the fit
+        // (the retrainIvfIndexStored rationale)
+        val rows = cur.count()
         val n = if (nCells == Ivf.AutoCells)
-          Ivf.autoNCellsUnbounded(cur.count()) else nCells
+          Ivf.autoNCellsUnbounded(rows) else nCells
         val sq = Ivf.fitStored(cur, n,
-          new java.io.File(tmp, "cells").toString, idCol, vecCol, seed)
+          new java.io.File(tmp, "cells").toString, idCol, vecCol, seed,
+          knownRows = Some(rows))
         val cb = Pq.fitCodebooks(cur, m, ksub, vecCol, seed = seed)
         saveIvfPqIndexStored(cur, tmp, sq, cb, idCol, vecCol, maxCell)
         (sq, cb)

@@ -869,6 +869,17 @@ object Ivf {
   def autoSuperProbe(nSuper: Int): Int =
     math.max(3, math.round(math.sqrt(nSuper.toDouble)).toInt)
 
+  /** The stored family's top-level size for a requested cell count —
+    * the √nCells rule with the 4-cell floor. ONE definition (code-
+    * review r17): [[fitStored]] sizes its internal top-level fit with
+    * it, and callers that pre-fit a top level to pass as
+    * `superQOverride` (the contract rows' train-once pattern) must
+    * derive the SAME size, or the override would silently pin a shape
+    * production fitStored no longer produces.
+    */
+  def autoNSuperTarget(nCells: Int): Int =
+    math.max(4, math.round(math.sqrt(nCells.toDouble)).toInt)
+
   /** Fit the right quantizer family for the corpus: literal centroids up
     * to [[MaxAutoCells]], the two-level broadcast-relation quantizer past
     * it. This is the auto entry point the verdict asked for — callers
@@ -1035,8 +1046,7 @@ object Ivf {
       : StoredQuantizer = {
     val spark = corpus.sparkSession
     val rows = knownRows.getOrElse(corpus.count())
-    val nSuperTarget =
-      math.max(4, math.round(math.sqrt(nCells.toDouble)).toInt)
+    val nSuperTarget = autoNSuperTarget(nCells)
     val superQ = superQOverride.getOrElse(
       if (nSuperTarget <= MaxAutoCells)
         LiteralQuantizer(fitCentroids(corpus, nSuperTarget, vecCol,
@@ -1317,10 +1327,11 @@ object Ivf {
                                          sProbe: Int, idCol: String,
                                          vecCol: String): DataFrame =
     sq.superQ match {
-      case LiteralQuantizer(supers) =>
-        df.select(col(idCol), col(vecCol),
-          explode(probeCells(col(vecCol), supers,
-            math.min(sProbe, supers.length))).as("sup"))
+      case _: LiteralQuantizer =>
+        // the batch form's literal branch IS already window-free and
+        // exact — delegate so the ingest and batch probes cannot drift
+        // on tie-breaks (code-review r17)
+        probeSupsFrame(df, sq, sProbe, idCol, vecCol)
       case hq2: HierarchicalQuantizer =>
         val rel = hq2.joinPackedRelation(df.sparkSession)
           .select(col("sup").as("sup2"), col("cells"), col("flat"))

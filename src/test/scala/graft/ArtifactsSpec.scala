@@ -1019,15 +1019,16 @@ class ArtifactsSpec extends SparkSpecBase {
         "distribution shifts")
     assert(h.forall(_._2 == embB.count()))
     // the decision predicate the WARN asks the operator to make, as
-    // one call: the window-averaged drift over the last `window`
-    // appends vs the retrain bar. Over [in-dist, shifted, shifted] the
-    // mean clears the bar; a window of ONE in-distribution append
-    // does not; an empty history (fresh build) never trips
+    // one call: the window-MEDIAN drift over the last `window` appends
+    // vs the retrain bar. Over [in-dist, shifted, shifted] the median
+    // is a shifted batch and trips; an empty history (fresh build)
+    // never trips
     assert(Artifacts.driftExceeded(p),
       s"sustained shift must trip driftExceeded: $h")
     assert(Artifacts.driftExceeded(p, window = 30) ==
-      (h.map(_._3).sum / h.size > Ivf.RetrainDriftThreshold),
-      "window wider than history must average what exists")
+      (h.map(_._3).sorted.apply((h.size - 1) / 2) >
+        Ivf.RetrainDriftThreshold),
+      "window wider than history must take the median of what exists")
     // a from-scratch rebuild starts a new quantizer story
     Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
     assert(Artifacts.appendDriftHistory(p).isEmpty)
@@ -1037,6 +1038,20 @@ class ArtifactsSpec extends SparkSpecBase {
     Artifacts.appendIvfIndex(embB, p, cents): Unit
     assert(!Artifacts.driftExceeded(p),
       "an in-distribution append must not trip the retrain predicate")
+    // SINGLE-OUTLIER IMMUNITY (code-review r17): one anomalous batch
+    // after an in-distribution history must NOT trip the predicate —
+    // the median of [in, shifted] is the in-distribution entry (the
+    // pre-fix mean fired a minutes-long retrain off one bad upstream
+    // file)
+    Artifacts.appendIvfIndex(shifted, p, cents): Unit
+    assert(!Artifacts.driftExceeded(p),
+      "a single outlier batch must not trip the retrain predicate: " +
+        Artifacts.appendDriftHistory(p).toString)
+    // ... and a SECOND consecutive shifted batch makes it sustained
+    Artifacts.appendIvfIndex(shifted2, p, cents): Unit
+    assert(Artifacts.driftExceeded(p),
+      "two consecutive shifted batches are sustained drift: " +
+        Artifacts.appendDriftHistory(p).toString)
   }
 
   test("hierarchical IVF lifecycle: append == union rebuild, remove == " +
