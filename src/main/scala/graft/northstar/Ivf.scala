@@ -839,7 +839,9 @@ object Ivf {
     def relationBytes: Long = nCells.toLong * (4L * dim + 32L)
 
     /** [[packedRelation]] sized for its `sup` join (broadcast under the
-      * ceiling, shuffle-hash build side past it).
+      * ceiling, shuffle-hash build side past it — the same
+      * `graft.hier.relationBroadcastCeiling` session conf the
+      * two-level family honors governs this family's joins too).
       */
     def joinPackedRelation(
         spark: org.apache.spark.sql.SparkSession): DataFrame =
