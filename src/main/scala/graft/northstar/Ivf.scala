@@ -783,8 +783,15 @@ object Ivf {
     * two-level family uses). The candidate-set semantics are identical
     * to [[HierarchicalQuantizer]]: a centroid whose supercell the row
     * did not probe is never a candidate; at `superProbe == nSuper` the
-    * assignment is exactly [[cellOf]] (IvfSpec pins the identity
-    * against [[assignCellsJoin]] on the same centroid content).
+    * assignment is exactly [[cellOf]] PROVIDED the top level itself
+    * admits every supercell as a candidate — trivially true for a
+    * literal top, but a hierarchical top ranks supercells through its
+    * OWN `superProbe`, so the identity needs the top level fully
+    * probing too (`topHq.superProbe == topHq.nSuper`, which is how
+    * IvfSpec pins it against [[assignCellsJoin]] on the same centroid
+    * content). With a partially-probing hier top, some supercells are
+    * never candidates even at this level's `superProbe == nSuper`, and
+    * the assignment is the usual IVF approximation, not [[cellOf]].
     *
     * `dim` rides the quantizer (the relation never materializes
     * driver-side, so the byte estimate for the broadcast/shuffle sizing
@@ -1371,16 +1378,54 @@ object Ivf {
     * [[assignCellsJoin]], so a corpus row and a query that land in the
     * same supercells rank the same centroids identically. Output matches
     * [[probeFrame]] minus the subcell column: (query_id, qv, cell).
+    *
+    * Duplicate-id tripwire (ADVICE r17): the ranking window in
+    * [[probeOverCellsRelation]] partitions by query_id ALONE, so two
+    * rows sharing an id would have their candidates MERGED and cut to
+    * nProbe total — downstream, [[assignCellsViaRelation]]'s `__cands`
+    * refusal could then never fire for the stored family's hier-top
+    * branch ([[probeSupsFrame]]), and duplicated ids silently collapsed
+    * to one cell, exactly in the >2M-cell three-level configuration
+    * this path exists for. Detection must happen where per-row
+    * structure is still visible: the supercell explode emits AT MOST
+    * `sSup` rows per input row (exactly `sSup` for a non-null
+    * embedding), so any id with more than `sSup` probe rows is
+    * definitely duplicated — refused in-plan with the id named. The
+    * count window needs no ordering and hash-partitions by query_id,
+    * the same exchange the ranking window downstream requires, so under
+    * a broadcast cells-relation join the plan's exchange count is
+    * unchanged (the shuffle moves to the slimmer pre-join frame); only
+    * the shuffle-hash degrade path pays one extra slim exchange.
+    * Residual (same as the literal branch's `__cands` bound): a
+    * duplicate pair whose OTHER row has a null embedding emits ≤ sSup
+    * rows and slips through — the artifact paths' membership tripwires
+    * remain the backstop there.
     */
   private[northstar] def probeCellsJoin(queries: DataFrame,
                                         hq: HierarchicalQuantizer,
                                         nProbe: Int, idCol: String,
-                                        vecCol: String): DataFrame =
-    probeOverCellsRelation(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(probeCells(col(vecCol), hq.superCentroids,
-          math.min(hq.superProbe, hq.nSuper))).as("sup")),
+                                        vecCol: String): DataFrame = {
+    val sSup = math.min(hq.superProbe, hq.nSuper)
+    val probed = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(probeCells(col(vecCol), hq.superCentroids, sSup)).as("sup"))
+    // the refusal rides the join key — every consumer reads `sup`, so
+    // column pruning cannot drop the guard
+    val guarded = probed
+      .withColumn("__perId",
+        count(lit(1)).over(Window.partitionBy("query_id")))
+      .select(col("query_id"), col("qv"),
+        when(col("__perId") <= sSup, col("sup"))
+          .otherwise(raise_error(concat(
+            lit("duplicate ids in hierarchical cell probe: id '"),
+            col("query_id"),
+            lit(s"' produced more than $sSup supercell-probe rows — " +
+              "the per-id ranking window would merge distinct rows' " +
+              "candidates and silently collapse them to one cell; " +
+              "dedupe or re-key the corpus first")))).as("sup"))
+    probeOverCellsRelation(guarded,
       hq.joinCellsRelation(queries.sparkSession), nProbe)
+  }
 
   /** The probe-ranking tail shared by [[probeCellsJoin]] and the stored
     * family's [[probeCellsStored]]: score every centroid the probed
@@ -1425,20 +1470,48 @@ object Ivf {
     * fine at their scale but not at a stored cell count). The policy
     * arithmetic is [[splitBitsFromCounts]] — identical bits for
     * identical counts, so stored and collected paths cannot diverge.
+    *
+    * Takes the ASSIGNED frame, not a pre-aggregated census, because the
+    * null-cell refusal must name the right repair (ADVICE r17): in the
+    * relation-join families a NULL cell has TWO causes — a null
+    * embedding (the kernel's null gate emitted no candidates), or a
+    * VALID embedding whose probed supercells all own zero cell
+    * centroids (the left-join miss; likelier in the stored family,
+    * where the distributed init's truncation can leave supercells
+    * empty). Blaming both on null embeddings sent the operator to
+    * repair rows when the index itself needed a refit. The census here
+    * carries a per-cell null-embedding count so the refusal can split
+    * the blame; `vecCol` names the assigned frame's vector column.
     */
   private[northstar] def splitBitsFromCensusStored(
-      census: DataFrame, maxCell: Int): Map[Int, Int] = {
+      assigned: DataFrame, vecCol: String,
+      maxCell: Int): Map[Int, Int] = {
+    val census = assigned.groupBy("cell").agg(
+      count(lit(1)).as("count"),
+      sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("null_emb"))
     // two tiny jobs over the (persisted) assigned frame's census: the
     // null check must not ride the oversized filter, or Catalyst could
     // prune the refusal for under-sized null cells
     census.filter(col("cell").isNull).limit(1).collect().foreach { r =>
+      val total = r.getLong(1)
+      val nulls = r.getLong(2)
+      val orphaned = total - nulls
+      val causes = Seq(
+        if (nulls > 0) Some(s"$nulls rows with null embeddings (the " +
+          "kernel's null gate assigns them a NULL cell) — drop or " +
+          "repair those rows") else None,
+        if (orphaned > 0) Some(s"$orphaned rows with VALID embeddings " +
+          "whose probed supercells all own zero cell centroids (the " +
+          "distributed init can leave supercells empty) — refit the " +
+          "quantizer or raise superProbe") else None).flatten
       throw new IllegalArgumentException(
-        s"corpus contains ${r.getLong(1)} rows with null embeddings " +
-          "(null cell assignment) — they cannot be indexed and would " +
-          "silently vanish from ANN results; drop or repair them first")
+        s"corpus contains $total rows with a NULL cell assignment — " +
+          "they cannot be indexed and would silently vanish from ANN " +
+          "results: " + causes.mkString("; "))
     }
     splitBitsFromCounts(
-      census.filter(col("count") > maxCell).collect()
+      census.filter(col("count") > maxCell).select("cell", "count")
+        .collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
   }
 
@@ -1549,8 +1622,7 @@ object Ivf {
       assignCellsStored(corpus, sq, idCol, vecCol)
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           col("cell")))
-    val splits = splitBitsFromCensusStored(
-      assigned.groupBy("cell").count(), maxCell)
+    val splits = splitBitsFromCensusStored(assigned, "cv", maxCell)
     val splitCents =
       storedSplitCentroids(sq, corpus.sparkSession, splits)
     val c = assigned.withColumn("subcell",

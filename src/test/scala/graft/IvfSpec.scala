@@ -751,4 +751,64 @@ class IvfSpec extends SparkSpecBase {
     assert(sq.nCells == 4)
   }
 
+  test("stored-cells assignment with a HIERARCHICAL top level refuses " +
+       "duplicated ids in-plan (ADVICE r17: the ranking window used " +
+       "to merge their candidates below the __cands tripwire)") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("ivf-stored-hiertop-dup")
+    // the full three-level shape: a hier top level, cells stored —
+    // probeSupsFrame's hier branch routes through probeCellsJoin,
+    // whose per-query_id ranking window is exactly where duplicates
+    // used to collapse silently
+    val topHq = Ivf.fitHierarchical(emb, nCells = 6, iters = 1)
+    val sq = Ivf.fitStored(emb, nCells = 12, base + "/cells",
+      superQOverride = Some(topHq.copy(superProbe = topHq.nSuper)))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val dup = emb.unionAll(emb.filter(col("vec_id") === 3L))
+    val e = intercept[Exception] {
+      Ivf.assignCellsStored(dup, sq).select("cell").collect(): Unit
+    }
+    assert(messages(e).exists(_.contains("duplicate ids")),
+      messages(e).mkString(" | "))
+    // and unique ids still clear the guard: the hier-top assignment
+    // stays well-formed, one row per input row
+    assert(Ivf.assignCellsStored(emb, sq).count() == emb.count())
+  }
+
+  test("stored-family null-cell refusal names the right cause: " +
+       "empty probed supercells vs null embeddings (ADVICE r17)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val centroids = Ivf.fitCentroids(emb, nCells = 8)
+    val supers = Ivf.fitCentroids(emb, nCells = 3, seed = 7L)
+    val hq = Ivf.HierarchicalQuantizer(supers, centroids, superProbe = 3)
+    // a cells relation that owns cells only under supercell 0: a row
+    // whose single probed supercell is 1 or 2 left-join-misses into a
+    // NULL cell DESPITE a valid embedding — pre-fix the refusal blamed
+    // null embeddings and sent the operator to repair healthy rows
+    val cellsPath = tmpDir("ivf-stored-nullcell") + "/cells"
+    hq.cellsRelation(spark).select("cell", "sup", "ccv")
+      .filter(col("sup") === 0).write.parquet(cellsPath)
+    val nOwned = spark.read.parquet(cellsPath).count().toInt
+    val sq = Ivf.StoredQuantizer(
+      Ivf.LiteralQuantizer(hq.superCentroids), cellsPath, nOwned,
+      centroids(0).length, superProbe = 1)
+    val q = emb.filter(col("vec_id") < 2)
+    val e1 = intercept[IllegalArgumentException] {
+      Ivf.ivfTopKStored(q, emb, sq, k = 5, nProbe = 4): Unit
+    }
+    assert(e1.getMessage.contains("zero cell centroids"), e1.getMessage)
+    assert(!e1.getMessage.contains("null embeddings"), e1.getMessage)
+    // a null embedding is still blamed as such, and only as such
+    val sqFull = storedFromHq(hq, "ivf-stored-nullemb")
+    val withNull = emb.withColumn("embedding",
+      when(col("vec_id") === 3L, lit(null)).otherwise(col("embedding")))
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.ivfTopKStored(q, withNull, sqFull, k = 5, nProbe = 4): Unit
+    }
+    assert(e2.getMessage.contains("null embeddings"), e2.getMessage)
+    assert(!e2.getMessage.contains("zero cell centroids"), e2.getMessage)
+  }
+
 }
