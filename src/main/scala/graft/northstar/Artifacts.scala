@@ -1460,10 +1460,19 @@ object Artifacts {
     * Advisory read (no mutex): the log is only ever appended inside
     * mutation windows, and [[appendDriftHistory]] drops a torn last
     * line rather than mis-parsing it.
+    *
+    * Cold-start guard (VERDICT r17): a history SHORTER than `window`
+    * does not qualify — right after a build or retrain the log is
+    * empty, and with exactly one append a single anomalous batch IS
+    * the median, the precise scenario the median was adopted to
+    * prevent. Sustained drift by definition needs `window` appends of
+    * evidence; until then the predicate stays false and the operator
+    * waits for the next batch.
     */
   def driftExceeded(path: String, window: Int = 3): Boolean = {
+    require(window >= 1, s"window must be >= 1, got $window")
     val recent = appendDriftHistory(path).takeRight(window).map(_._3)
-    recent.nonEmpty &&
+    recent.size >= window &&
       recent.sorted.apply((recent.size - 1) / 2) >
         Ivf.RetrainDriftThreshold
   }
@@ -1784,6 +1793,110 @@ object Artifacts {
         (q, cb)
     }
     (q, cb, splits)
+  }
+
+  /** What [[maintainIndex]] did and why — one row of telemetry per
+    * maintenance tick, the shape a config-driven scheduler job logs or
+    * unions into a maintenance table. `layout` is the stored rows'
+    * ground truth ("raw" = cv vectors, "codes" = IVF-PQ);
+    * `family` is "stored-cells" when the `_params` sidecar pins
+    * `family=stored`, "literal/hier" otherwise; `medianDrift` is the
+    * window median [[driftExceeded]] decided on (None while the
+    * history is shorter than the window — the cold-start guard);
+    * `retrained == driftExceeded` unless the dispatched retrain threw
+    * (which propagates — retrain is retryable maintenance).
+    */
+  final case class IndexMaintenanceReport(path: String, layout: String,
+                                          family: String, window: Int,
+                                          appendsObserved: Int,
+                                          medianDrift: Option[Double],
+                                          driftExceeded: Boolean,
+                                          retrained: Boolean)
+
+  /** ONE-CALL INDEX MAINTENANCE (VERDICT r17 task 1): reads the stored
+    * layout, applies the [[driftExceeded]] decision, dispatches the
+    * matching retrain, and returns a did-retrain report row — the
+    * nightly operator the drift loop's pieces compose into, so index
+    * upkeep is config-driven like the rest of the pipeline
+    * (the reference's replay idiom, scheduler.py:252-267): wire it as
+    * the job body of [[graft.engine.Scheduler.runEvery]] (O3) after
+    * the night's [[appendIvfIndex]]/[[appendIvfPqIndex]] batch.
+    *
+    * Dispatch is by the artifact itself, not caller knowledge: the
+    * index schema's `cv`/`codes` column picks raw-vector vs codes-only
+    * ([[retrainIvfIndex]]/[[retrainIvfPqIndex]]), and the `_params`
+    * sidecar's `family=stored` pin picks the stored-cells family
+    * ([[retrainIvfIndexStored]]/[[retrainIvfPqIndexStored]] — the
+    * family is KEPT stored, its refit cells landing inside the
+    * replacement artifact; the non-stored raw path migrates
+    * literal→hierarchical on its own via [[Ivf.fitQuantizer]]; a
+    * legacy pre-sidecar artifact degrades to the non-stored dispatch,
+    * which refits whatever family the corpus size wants). The layout
+    * read here is ADVISORY (no mutex): cv-vs-codes never changes for
+    * a root and the family pin only changes across a retrain swap;
+    * the dispatched retrain re-checks the layout INSIDE the mutex
+    * with the named refusal, so a race here fails loudly there,
+    * never silently.
+    *
+    * `corpus` is required only for codes-only layouts (raw vectors
+    * cannot be recovered from codes; the retrain's membership tripwire
+    * holds it to every indexed id). A raw-vector index maintains
+    * itself from its own stored rows — pass None.
+    */
+  def maintainIndex(spark: SparkSession, path: String,
+                    corpus: Option[DataFrame] = None,
+                    window: Int = 3,
+                    nCells: Int = Ivf.AutoCells,
+                    m: Int = 8, ksub: Int = Pq.AutoKsub,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxCell: Int = 100000,
+                    seed: Long = 42L): IndexMaintenanceReport = {
+    val dst = new java.io.File(path)
+    require(new java.io.File(dst, "_SUCCESS").exists(),
+      s"cell index at $path has no _SUCCESS marker (missing, " +
+        "mid-build, or torn by a crashed mutation) — rebuild it " +
+        "before maintaining")
+    val cols = spark.read
+      .parquet(new java.io.File(dst, "index").toString).columns.toSet
+    val storedFamily =
+      readParams(path).flatMap(_.get("family")).contains("stored")
+    val layout =
+      if (cols.contains("cv")) "raw"
+      else if (cols.contains("codes")) "codes"
+      else throw new IllegalArgumentException(
+        s"index at $path (columns ${cols.toSeq.sorted.mkString(", ")}) " +
+          "is neither a raw-vector ('cv') nor a codes-only ('codes') " +
+          "cell index — maintainIndex only maintains ANN cell indexes")
+    val hist = appendDriftHistory(path).map(_._3)
+    val recent = hist.takeRight(window)
+    val medianDrift =
+      if (recent.size >= window)
+        Some(recent.sorted.apply((recent.size - 1) / 2))
+      else None
+    val exceeded = driftExceeded(path, window)
+    if (exceeded) (layout, storedFamily) match {
+      case ("raw", true) =>
+        retrainIvfIndexStored(spark, path, nCells, idCol, vecCol,
+          maxCell, seed): Unit
+      case ("raw", false) =>
+        retrainIvfIndex(spark, path, nCells, idCol, vecCol,
+          maxCell, seed): Unit
+      case _ =>
+        val c = corpus.getOrElse(throw new IllegalArgumentException(
+          s"index at $path is codes-only (IVF-PQ): raw vectors cannot " +
+            "be recovered from codes, so the retrain needs the corpus " +
+            "table — pass corpus = Some(df) carrying every indexed id"))
+        if (storedFamily)
+          retrainIvfPqIndexStored(spark, c, path, nCells, m, ksub,
+            idCol, vecCol, maxCell, seed): Unit
+        else
+          retrainIvfPqIndex(spark, c, path, nCells, m, ksub,
+            idCol, vecCol, maxCell, seed): Unit
+    }
+    IndexMaintenanceReport(path, layout,
+      if (storedFamily) "stored-cells" else "literal/hier",
+      window, hist.size, medianDrift, exceeded, retrained = exceeded)
   }
 
   /** PER-CELL COMPACTION for the nightly-append path (VERDICT r13 task

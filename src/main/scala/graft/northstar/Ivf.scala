@@ -1159,9 +1159,55 @@ object Ivf {
         org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(fitInput)
           .foreach(_.unpersist(blocking = false))
       }
-      spark.read.parquet(cur).select("cell", "sup", "ccv")
-        .write.mode("overwrite").parquet(cellsPath)
-      StoredQuantizer(superQ, cellsPath, nCellsEff, dim, sProbe)
+      // ---- empty-supercell prune (r18): a supercell owning zero cells
+      // can never contribute a candidate, so keeping it in the top
+      // level wastes probe slots — and when superProbe < nSuper it can
+      // ORPHAN rows whose probed supercells are all empty (valid
+      // embedding, NULL cell — the census refusal's second cause,
+      // which a tiny-nCells fit hits readily: the 4-supercell floor
+      // can exceed what the fitted cells occupy). Pruning a LITERAL
+      // top is exact and strictly monotone: every previously-probed
+      // owning supercell stays probed, freed slots go to the
+      // next-best owners, so partial-probe candidate sets only grow
+      // and full-probe results are identical. Sup ids are REMAPPED
+      // (not re-derived): the old argmax super of each cell is kept,
+      // so its restricted argmax cannot change, and a float-tie flip
+      // under renumbering cannot creep in. A hierarchical top is left
+      // alone — at nCells = nSuper² scale emptiness needs extreme
+      // skew, and the census refusal names it if it happens.
+      val finalRel = spark.read.parquet(cur)
+      val owning = finalRel.select("sup").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val (prunedQ, sProbeEff) = superQ match {
+        case LiteralQuantizer(supers) if owning.length < supers.length =>
+          Console.err.println(
+            s"[graft] WARN fitStored: ${supers.length - owning.length} " +
+              s"of ${supers.length} supercells own zero cells — " +
+              "pruning them from the top level (empty supercells " +
+              "waste probe slots and can orphan rows under partial " +
+              "probing)")
+          (LiteralQuantizer(owning.map(supers)),
+            math.min(sProbe, owning.length))
+        case q => (q, sProbe)
+      }
+      val written = prunedQ match {
+        case LiteralQuantizer(_) if !(prunedQ eq superQ) =>
+          import scala.jdk.CollectionConverters._
+          val remap = spark.createDataFrame(
+            owning.toSeq.zipWithIndex.map { case (o, n) =>
+              org.apache.spark.sql.Row(o, n) }.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("sup",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("supNew",
+                org.apache.spark.sql.types.IntegerType,
+                nullable = false))))
+          finalRel.join(broadcast(remap), "sup")
+            .select(col("cell"), col("supNew").as("sup"), col("ccv"))
+        case _ => finalRel.select("cell", "sup", "ccv")
+      }
+      written.write.mode("overwrite").parquet(cellsPath)
+      StoredQuantizer(prunedQ, cellsPath, nCellsEff, dim, sProbeEff)
     } finally Artifacts.deleteRec(work)
   }
 

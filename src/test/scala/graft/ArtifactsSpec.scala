@@ -1025,10 +1025,9 @@ class ArtifactsSpec extends SparkSpecBase {
     // never trips
     assert(Artifacts.driftExceeded(p),
       s"sustained shift must trip driftExceeded: $h")
-    assert(Artifacts.driftExceeded(p, window = 30) ==
-      (h.map(_._3).sorted.apply((h.size - 1) / 2) >
-        Ivf.RetrainDriftThreshold),
-      "window wider than history must take the median of what exists")
+    assert(!Artifacts.driftExceeded(p, window = 30),
+      "a window wider than the history is a cold start — the evidence " +
+        "for SUSTAINED drift does not exist yet, so the predicate waits")
     // a from-scratch rebuild starts a new quantizer story
     Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
     assert(Artifacts.appendDriftHistory(p).isEmpty)
@@ -1052,6 +1051,88 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(Artifacts.driftExceeded(p),
       "two consecutive shifted batches are sustained drift: " +
         Artifacts.appendDriftHistory(p).toString)
+    // COLD-START GUARD (VERDICT r17): right after a rebuild, ONE
+    // anomalous append must not trip — with a 1-entry history that
+    // batch IS the median, the exact single-outlier scenario the
+    // median was adopted against; the predicate requires a full
+    // window of evidence before it can fire a minutes-long retrain
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    Artifacts.appendIvfIndex(shifted, p, cents): Unit
+    assert(Artifacts.appendDriftHistory(p).size == 1)
+    assert(!Artifacts.driftExceeded(p),
+      "one anomalous post-rebuild append must not trip the retrain " +
+        "predicate: the history must be window-deep first")
+  }
+
+  test("maintainIndex: one-call maintenance reads the layout, applies " +
+       "the drift decision, dispatches the right retrain, and " +
+       "reports — composed from the O3 scheduler (VERDICT r17 task 1)") {
+    import org.apache.spark.sql.functions.expr
+    def shift(df: org.apache.spark.sql.DataFrame, off: Long) =
+      df.select((col("vec_id") + off).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + 1.5 as float))")
+          .as("embedding"))
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfmaint")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    // tick 0: fresh build, empty history — the cold-start guard holds
+    val r0 = Artifacts.maintainIndex(spark, p)
+    assert(r0.layout == "raw" && r0.family == "literal/hier")
+    assert(!r0.driftExceeded && !r0.retrained && r0.medianDrift.isEmpty
+      && r0.appendsObserved == 0, r0.toString)
+    // the nightly pattern: Scheduler.runEvery (O3) drives append-then-
+    // maintain ticks (fake sleep, three iterations) — one
+    // in-distribution batch, then two shifted; only the third tick
+    // sees a window-deep history whose MEDIAN is over the bar
+    val batches = Iterator(embB, shift(embB, 5000L), shift(embB, 10000L))
+    val reports = scala.collection.mutable.Buffer
+      .empty[Artifacts.IndexMaintenanceReport]
+    graft.engine.Scheduler.runEvery(minutes = 60, times = Some(3),
+        sleep = _ => ()) { () =>
+      Artifacts.appendIvfIndex(batches.next(), p, cents): Unit
+      reports += Artifacts.maintainIndex(spark, p)
+    }
+    assert(reports.map(r => (r.driftExceeded, r.retrained)).toSeq
+      == Seq((false, false), (false, false), (true, true)),
+      reports.mkString(" | "))
+    assert(reports(2).medianDrift.exists(_ > Ivf.RetrainDriftThreshold))
+    // the retrain swapped in a complete fresh artifact: marker
+    // republished, drift history reset, every current row present
+    assert(new java.io.File(p, "_SUCCESS").exists())
+    assert(Artifacts.appendDriftHistory(p).isEmpty)
+    assert(spark.read.parquet(p + "/index").count()
+      == embA.count() + 3 * embB.count())
+    // codes-only dispatch: without the corpus the refusal names the
+    // repair; with it the tick retrains the codes layout in place
+    val pq = s"${tempDir("ivfpqmaint")}/idx"
+    val cb = graft.northstar.Pq.fitCodebooks(embA, m = 8, ksub = 8)
+    Artifacts.saveIvfPqIndex(embA, pq, cents, cb, "vec_id", "embedding",
+      100000)
+    var corpusAll = embA.select("vec_id", "embedding")
+    for (off <- Seq(5000L, 10000L, 15000L)) {
+      val b = shift(embB, off)
+      corpusAll = corpusAll.unionAll(b)
+      Artifacts.appendIvfPqIndex(b, corpusAll, pq, cents, cb): Unit
+    }
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.maintainIndex(spark, pq)
+    }
+    assert(e.getMessage.contains("codes-only"), e.getMessage)
+    val r1 = Artifacts.maintainIndex(spark, pq,
+      corpus = Some(corpusAll), m = 8, ksub = 8)
+    assert(r1.layout == "codes" && r1.family == "literal/hier"
+      && r1.retrained, r1.toString)
+    assert(Artifacts.appendDriftHistory(pq).isEmpty)
+    // stored-family detection rides the _params pin, not caller
+    // knowledge (a fresh stored save keeps its cells outside the
+    // artifact, so a directory probe would misread it)
+    val pS = s"${tempDir("ivfmaintstored")}/idx"
+    val sq = Ivf.fitStored(embA, nCells = 4,
+      s"${tempDir("ivfmaintstored")}/cellsrc")
+    Artifacts.saveIvfIndexStored(embA, pS, sq)
+    val rS = Artifacts.maintainIndex(spark, pS)
+    assert(rS.family == "stored-cells" && rS.layout == "raw"
+      && !rS.retrained, rS.toString)
   }
 
   test("hierarchical IVF lifecycle: append == union rebuild, remove == " +

@@ -751,6 +751,34 @@ class IvfSpec extends SparkSpecBase {
     assert(sq.nCells == 4)
   }
 
+  test("fitStored prunes supercells that own zero cells from a " +
+       "literal top (empty supers waste probe slots and can orphan " +
+       "rows to NULL cells under partial probing)") {
+    import org.apache.spark.sql.functions.col
+    // the 4-supercell floor exceeds what a 4-cell fit occupies on this
+    // corpus — pre-prune, rows whose superProbe probed supercells all
+    // owned zero cells were orphaned (valid embedding, NULL cell)
+    val sq = Ivf.fitStored(emb, nCells = 4,
+      tmpDir("ivf-stored-prune") + "/cells")
+    val rel = spark.read.parquet(sq.cellsPath)
+    val owned = rel.select("sup").distinct().count()
+    assert(owned == sq.nSuper,
+      s"every post-prune supercell must own >= 1 cell: " +
+        s"$owned owners vs nSuper=${sq.nSuper}")
+    assert(sq.superProbe <= sq.nSuper)
+    // sup ids are renumbered compactly
+    assert(rel.select("sup").distinct().collect().map(_.getInt(0))
+      .sorted.toSeq == (0 until sq.nSuper))
+    // no orphans under the fit's own partial probing
+    assert(Ivf.assignCellsStored(emb, sq)
+      .filter(col("cell").isNull).count() == 0)
+    // and full probing stays brute-exact through the pruned top
+    val q = emb.filter(col("vec_id") < 3)
+    assert(rows(Ivf.ivfTopKStored(q, emb,
+        sq.copy(superProbe = sq.nSuper), k = 5, nProbe = 4))
+      == rows(Similarity.bruteForceTopK(q, emb, k = 5)))
+  }
+
   test("stored-cells assignment with a HIERARCHICAL top level refuses " +
        "duplicated ids in-plan (ADVICE r17: the ranking window used " +
        "to merge their candidates below the __cands tripwire)") {
