@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   *     r15 it also carries `rep_stats` (per-query min/max/stddev over
   *     the timed reps) so a round-over-round median delta can be
   *     classified: inside the min-to-median spread = environment noise,
-  *     outside = a real plan/code change.
+  *     outside = a real plan/code change. Since r18 it also carries
+  *     `like_for_like_min` (VERDICT r17 task 3): the current and
+  *     previous snapshots' rep-min sums over their shared query set —
+  *     the round-over-round ratio computed from noise FLOORS, read
+  *     from the previous committed artifact before the overwrite
+  *     (SPARK_GRAFT_BENCH_BASELINE overrides the baseline path).
   *   - stdout line 1: `"metric":"total_full"` with ALL per-query times
   *     (head-truncated in a 2000-char tail at 114 queries — ~4 KB —
   *     but the visible fragment still carries ~half the per-query map).
@@ -214,8 +219,44 @@ object Bench {
           ",\"std\":" + r3(std) + "}"
       }
     }.mkString("{", ",", "}")
+    // noise-robust round-over-round comparison (VERDICT r17 task 3):
+    // the r16/r17 ±50% host-noise windows made mean-total comparisons
+    // forensic work for the judge — the rep MIN is the noise floor
+    // (contention only ever adds time), so the artifact now carries
+    // the like-for-like rep-min totals against the PREVIOUS committed
+    // snapshot: the sum of current rep-mins over the shared query set
+    // next to the previous snapshot's same sum. The round-over-round
+    // ratio is then one division on floors, not a forensic pass over
+    // moving slow sets. The baseline is read BEFORE the overwrite
+    // below; SPARK_GRAFT_BENCH_BASELINE points subset/ad-hoc runs at
+    // a different snapshot. `null` when no baseline exists or nothing
+    // is shared (first run, renamed surface).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      s"${sys.props("user.dir")}/BENCH_FULL.json")
+    val curMins: Map[String, Double] = results.collect {
+      case (k, (_, _, _, ts)) if ts.nonEmpty => k -> ts.min }.toMap
+    val likeForLikeMin = try {
+      val prev = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8")
+      // rep_stats entries are the only "min":-keyed objects in the
+      // artifact (the lfl block itself uses *_sum_sec names)
+      val minRe = "\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+),".r
+      val prevMins = minRe.findAllMatchIn(prev)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val shared = prevMins.keySet.intersect(curMins.keySet).toSeq.sorted
+      if (shared.isEmpty) "null"
+      else {
+        val p = shared.map(prevMins).sum
+        val c = shared.map(curMins).sum
+        val r3 = (x: Double) => math.round(x * 1000) / 1000.0
+        Console.err.println(
+          f"[bench] like-for-like rep-min: prev ${p}%.1f s -> " +
+            f"cur ${c}%.1f s (ratio ${c / p}%.2f, ${shared.size} queries)")
+        s"""{"queries":${shared.size},"prev_sum_sec":${r3(p)},"cur_sum_sec":${r3(c)},"ratio":${r3(c / p)}}"""
+      }
+    } catch { case _: Throwable => "null" }
     val fullLine =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"rep_stats":$repStats,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"rep_stats":$repStats,"like_for_like_min":$likeForLikeMin,"sf":"$sfDir"}"""
     // the STDOUT copy of the full line stays times-only: ~5 KB of
     // shuffle_bytes between the queries map and end-of-line would push
     // every per-query time out of the driver's 2000-char tail window
@@ -229,8 +270,11 @@ object Bench {
       .map { case (k, (v, _, _, _)) =>
         s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
+    // the lfl block rides the contract line too (~90 chars of the
+    // 2000-char tail window) so the per-round BENCH_r{N}.json carries
+    // the floor-based ratio without needing the full artifact
     val contractLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"like_for_like_min":$likeForLikeMin,"sf":"$sfDir"}"""
     // full-precision artifact next to the checkout (not a hardcoded
     // absolute path): SPARK_GRAFT_BENCH_OUT overrides; a failed write is
     // WARNED, not swallowed — the compact stdout lines below are the

@@ -704,20 +704,29 @@ object Artifacts {
     // the from-scratch rebuild is the documented recovery for a retrain
     // that crashed mid-build — clean its stranded sibling scratch too
     sweepSiblingTmp(new java.io.File(path))
-    val buildCensus = Ivf.collectCensus(assigned.groupBy("cell").count())
-    val splits = Ivf.splitBitsFromCounts(buildCensus, maxCell)
+    // split policy from the assigned frame via the bounded-action form
+    // (r18, VERDICT r17 task 4): the null-cell refusal collects ≤1 row
+    // and the oversized filter ≤#oversized rows — no save path
+    // materializes a cell-proportional census on the driver anymore
+    // (the stored family's occupied-cell count made the old collect a
+    // ~200 MB transient at its 16.8M-cell saturation point); the
+    // refusal also splits the null-embedding vs empty-probed-supercell
+    // blame (ADVICE r17)
+    val splits = Ivf.splitBitsFromAssigned(assigned, "cv", maxCell)
     // the BUILD census persists as the drift baseline: every append's
     // censusDrift compares against the distribution the quantizers were
     // trained alongside. Comparing against the LIVE stored census would
     // dilute the signal exactly when sustained drift accumulates — five
     // drifted batches later the store is half drifted data and a pure-
     // drift batch reads as half the tv it should (code-review r15).
+    // Persisted as a PARQUET relation since r18 — written distributed,
+    // read back as a frame by the append path's censusDriftFrames, so
+    // the baseline never rides the driver either; [[driftBaseFrame]]
+    // still parses the legacy pre-r18 text sidecar.
     new java.io.File(path).mkdirs(): Unit
-    java.nio.file.Files.write(
-      new java.io.File(path, "drift_base").toPath,
-      buildCensus.toSeq.sorted
-        .map { case (c, n) => s"$c=$n" }.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    assigned.groupBy("cell").count()
+      .write.mode("overwrite")
+      .parquet(new java.io.File(path, "drift_base").toString)
     project(assigned, splits)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new java.io.File(path, "index").toString)
@@ -898,12 +907,13 @@ object Artifacts {
     * set never reaches the driver). The `_params` sidecar pins the
     * cells-relation content digest plus the top level, so a serve under
     * a different quantizer (or a silently rewritten cells relation)
-    * refuses loudly. NOTE the honest bound: the publish protocol's
-    * build census (drift baseline + split policy) still collects one
-    * (cell, count) row per OCCUPIED cell — ~12 B/cell, ~200 MB at the
-    * 16.8M-cell nSuper saturation point — the documented driver
-    * transient for this family; the centroid payload (the 4 KB/cell
-    * that motivated (b)) never materializes.
+    * refuses loudly. Since r18 (VERDICT r17 task 4) the publish
+    * protocol's census is frame-only: the split policy collects ≤1
+    * refusal row plus the oversized cells, and the drift baseline
+    * persists as a parquet relation — the former one-row-per-occupied-
+    * cell collect (~200 MB at the 16.8M-cell saturation point) is
+    * gone, so nothing this family's save does is cell-proportional on
+    * the driver.
     */
   def saveIvfIndexStored(corpus: DataFrame, path: String,
                          sq: Ivf.StoredQuantizer,
@@ -950,10 +960,10 @@ object Artifacts {
     * protocol (marker mutex, union census, per-cell re-split, drift
     * telemetry) with incoming assignment through the stored relation
     * join — append==rebuild holds exactly like the other two families
-    * (ArtifactsSpec pins it). The union census and drift maps stay
-    * driver-side counts (≤ one row per occupied cell — the documented
-    * transient for this family); the centroid payload never
-    * materializes.
+    * (ArtifactsSpec pins it). Since r18 the union census and drift
+    * statistic are frame-computed (oversized-only + scalar collects),
+    * so neither the census nor the centroid payload ever materializes
+    * on the driver.
     */
   def appendIvfIndexStored(incoming: DataFrame, path: String,
                            sq: Ivf.StoredQuantizer,
@@ -1258,30 +1268,50 @@ object Artifacts {
           incoming.select(col(idCol).as("neighbor_id"),
             col(vecCol).as("cv"),
             Ivf.cellOf(col(vecCol), centroids).as("cell"))))
-      // union census = stored per-cell counts (parquet metadata over the
-      // index — exactly the counts a rebuild's assignment pass would
-      // produce, since index rows are 1:1 with corpus rows) + incoming
-      // assignment counts; both collects are <= nCells rows
-      val storedCounts = spark.read.parquet(indexDir)
+      // union census, KEPT AS FRAMES (r18, VERDICT r17 task 4): the
+      // stored per-cell counts (parquet over the index — exactly the
+      // counts a rebuild's assignment pass would produce, since index
+      // rows are 1:1 with corpus rows) and the incoming assignment
+      // counts used to collect one row per occupied cell — a ~200 MB
+      // driver transient at the stored family's 16.8M-cell saturation
+      // point. The split policy only needs the OVERSIZED rows and the
+      // drift statistic is scalar aggregates, so nothing
+      // cell-proportional reaches the driver on any append path now.
+      val storedCensus = spark.read.parquet(indexDir)
         .groupBy("cell").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val incomingRows = assignedIncoming.groupBy("cell").count().collect()
-      // named refusal, not a bare NPE at getInt — the same
-      // null-embedding message the build path's splitBitsFromCensus
-      // raises (code-review r14)
-      incomingRows.find(_.isNullAt(0)).foreach { r =>
-        throw new IllegalArgumentException(
-          s"$what at $path: incoming batch contains ${r.getLong(1)} " +
-            "rows with null embeddings (null cell assignment) — they " +
-            "cannot be indexed; drop or repair them before appending")
-      }
-      val incomingCounts =
-        incomingRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val merged = (storedCounts.keySet ++ incomingCounts.keySet).iterator
-        .map(c => c -> (storedCounts.getOrElse(c, 0L)
-          + incomingCounts.getOrElse(c, 0L))).toMap
-      val newSplits = Ivf.splitBitsFromCounts(merged, maxCell)
-      val changed = merged.keySet
+      val incomingCensus = assignedIncoming.groupBy("cell").agg(
+        count(lit(1)).as("count"),
+        sum(when(col("cv").isNull, 1L).otherwise(0L)).as("null_emb"))
+      // named refusal with the blame split (ADVICE r17): a NULL cell is
+      // a null embedding OR a valid row whose probed supercells own no
+      // centroids — the two need different repairs
+      incomingCensus.filter(col("cell").isNull).limit(1).collect()
+        .foreach { r =>
+          val total = r.getLong(1)
+          val nulls = r.getLong(2)
+          val orphaned = total - nulls
+          val causes = Seq(
+            if (nulls > 0) Some(s"$nulls rows with null embeddings — " +
+              "drop or repair those rows") else None,
+            if (orphaned > 0) Some(s"$orphaned rows with VALID " +
+              "embeddings whose probed supercells own zero cell " +
+              "centroids — refit the quantizer or raise superProbe")
+            else None).flatten
+          throw new IllegalArgumentException(
+            s"$what at $path: incoming batch contains $total rows " +
+              "with a NULL cell assignment — they cannot be indexed; " +
+              causes.mkString("; "))
+        }
+      val merged = storedCensus.select("cell", "count")
+        .unionByName(incomingCensus.select("cell", "count"))
+        .groupBy("cell").agg(sum("count").as("count"))
+      val newSplits = Ivf.splitBitsFromCounts(
+        merged.filter(col("count") > maxCell).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
+      // split maps carry ONLY oversized cells, so the changed set is
+      // computable from the two maps alone (old keys are always stored
+      // cells, so no merged-census pass is needed)
+      val changed = (newSplits.keySet ++ oldSplits.keySet)
         .filter(c => newSplits.getOrElse(c, 0) != oldSplits.getOrElse(c, 0))
         .toSeq.sorted
       // quantizer drift statistic (VERDICT r14 task 5): the incoming
@@ -1290,12 +1320,18 @@ object Artifacts {
       // trained alongside; the live stored census would dilute under
       // sustained drift, code-review r15). Legacy indexes without the
       // sidecar fall back to the stored census. Computed here, recorded
-      // after the publish (it must not touch a wreck).
-      val baseCensus = driftBase(path).getOrElse(storedCounts)
+      // after the publish (it must not touch a wreck). All-frames: two
+      // totals + one tv aggregate, O(1) driver rows.
+      val baseCensus =
+        driftBaseFrame(spark, path).getOrElse(storedCensus)
+      val scalarCount = (df: DataFrame) => df
+        .agg(coalesce(sum("count"), lit(0L)).as("n"))
+        .collect()(0).getLong(0)
+      val incomingTotal = scalarCount(incomingCensus)
       val drift =
-        if (baseCensus.nonEmpty && incomingCounts.nonEmpty)
-          Some((Ivf.censusDrift(baseCensus, incomingCounts),
-            incomingCounts.values.sum))
+        if (incomingTotal > 0 && scalarCount(baseCensus) > 0)
+          Some((Ivf.censusDriftFrames(baseCensus,
+            incomingCensus.select("cell", "count")), incomingTotal))
         else None
       (assignedIncoming, oldSplits, newSplits, changed, drift)
     } catch { case t: Throwable =>
@@ -1405,8 +1441,34 @@ object Artifacts {
     newSplits
   }
 
+  /** The persisted build census (the drift baseline) as a FRAME —
+    * a parquet relation for r18+ artifacts (written distributed, never
+    * driver-resident), the legacy text sidecar parsed driver-side for
+    * pre-r18 ones (cell-proportional, but only for old artifacts and
+    * only until their next rebuild/retrain rewrites the parquet form);
+    * None for a pre-r15 index without any sidecar.
+    */
+  private def driftBaseFrame(spark: SparkSession,
+                             path: String): Option[DataFrame] = {
+    val f = new java.io.File(path, "drift_base")
+    if (f.isDirectory) Some(spark.read.parquet(f.toString))
+    else driftBase(path).map { m =>
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        m.toSeq.sorted.map { case (c, n) =>
+          org.apache.spark.sql.Row(c, n) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("count",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+  }
+
   /** The persisted build census of a cell index (the drift baseline) —
-    * None for a pre-r15 index without the sidecar.
+    * the LEGACY text form; None when absent or when the artifact
+    * carries the r18+ parquet relation instead (read that through
+    * [[driftBaseFrame]]).
     */
   private def driftBase(path: String): Option[Map[Int, Long]] = {
     val f = new java.io.File(path, "drift_base")
@@ -2300,15 +2362,27 @@ object Artifacts {
     val (oldSplits, index, newSplits, plain, rebit) = try {
       val oldSplits = readSplits(spark, dst)
       val index = spark.read.parquet(indexDir)
-      // removal census: which cells lose how many rows (<= nCells rows)
-      val removedCounts = index.join(rm, Seq("neighbor_id"))
-        .groupBy("cell").count()
+      // removal census: which cells lose how many rows — collected,
+      // but bounded by the TAKEDOWN's touched cells (the per-cell
+      // rename loop below is per-touched-cell driver work anyway),
+      // never by the index's cell count
+      val removedCensus = Dedup.trackedPersist(
+        index.join(rm, Seq("neighbor_id")).groupBy("cell").count())
+      val removedCounts = removedCensus
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val storedCounts = index.groupBy("cell").count()
+      // post-removal split policy from the OVERSIZED cells only (r18,
+      // VERDICT r17 task 4 — the stored census used to collect one row
+      // per occupied cell here too): stored minus removed, filtered
+      // in-plan; splitBitsFromCounts only ever reads > maxCell counts,
+      // so the pre-filtered map yields identical bits
+      val newOversized = index.groupBy("cell").count()
+        .join(removedCensus.select(col("cell"), col("count").as("__rm")),
+          Seq("cell"), "left")
+        .select(col("cell"),
+          (col("count") - coalesce(col("__rm"), lit(0L))).as("count"))
+        .filter(col("count") > maxCell)
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val newCounts = storedCounts.map { case (c, n) =>
-        c -> (n - removedCounts.getOrElse(c, 0L)) }.filter(_._2 > 0L)
-      val newSplits = Ivf.splitBitsFromCounts(newCounts, maxCell)
+      val newSplits = Ivf.splitBitsFromCounts(newOversized, maxCell)
       // bits only move on cells that lost rows (the policy is per-cell),
       // but derive the changed set generally like the append path does
       val changedBits = (oldSplits.keySet ++ newSplits.keySet)

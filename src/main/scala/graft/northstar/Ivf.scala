@@ -354,9 +354,12 @@ object Ivf {
     splitBitsFromCounts(collectCensus(census), maxCell)
 
   /** Collect a (cell, count) census frame to a driver map with the
-    * named null-cell refusal — shared by [[splitBitsFromCensus]] and
-    * the index save path (which also persists the census as the drift
-    * baseline).
+    * named null-cell refusal — the query-path form
+    * ([[splitBitsFromCensus]]: ivfTopK and friends, whose literal/hier
+    * censuses are bounded by their driver-resident centroid arrays
+    * anyway). The index save/append paths stopped collecting censuses
+    * in r18 — they use [[splitBitsFromAssigned]] and
+    * [[censusDriftFrames]] instead.
     */
   private[northstar] def collectCensus(census: DataFrame): Map[Int, Long] = {
     val rows = census.collect()
@@ -594,6 +597,32 @@ object Ivf {
     (base.keySet ++ incoming.keySet).toSeq.map { c =>
       math.abs(base.getOrElse(c, 0L) / nb - incoming.getOrElse(c, 0L) / ni)
     }.sum / 2.0
+  }
+
+  /** [[censusDrift]] over (cell, count) FRAMES — the form the index
+    * append path uses since r18 (VERDICT r17 task 4), so the drift
+    * statistic never materializes a cell-proportional census on the
+    * driver: two scalar total aggregates plus one tv sum over a
+    * full-outer join of the censuses. Same arithmetic as the Map form
+    * up to float summation order (the retrain bar has ~0.07 of margin
+    * on both sides; summation order moves the value by ulps).
+    */
+  def censusDriftFrames(base: DataFrame, incoming: DataFrame): Double = {
+    def total(df: DataFrame): Double = df
+      .agg(coalesce(sum("count"), lit(0L)).as("n"))
+      .collect()(0).getLong(0).toDouble
+    val nb = total(base)
+    val ni = total(incoming)
+    require(nb > 0 && ni > 0,
+      s"censusDrift needs non-empty censuses (base ${nb.toLong} rows, " +
+        s"incoming ${ni.toLong})")
+    base.select(col("cell"), col("count").as("__bn"))
+      .join(incoming.select(col("cell"), col("count").as("__in")),
+        Seq("cell"), "full_outer")
+      .agg(coalesce(sum(abs(
+        coalesce(col("__bn"), lit(0L)) / nb -
+          coalesce(col("__in"), lit(0L)) / ni)), lit(0.0)).as("tv"))
+      .collect()(0).getDouble(0) / 2.0
   }
 
   /** The calibrated [[censusDrift]] retrain bar (ScaleProbe drift
@@ -1509,13 +1538,15 @@ object Ivf {
         sq, math.min(sq.superProbe, sq.nSuper), "query_id", "qv"),
       sq.joinCellsRelation(queries.sparkSession), nProbe)
 
-  /** Split policy for the stored family — the census never collects:
-    * the null-cell refusal and the oversized filter run as two bounded
-    * actions (≤1 row and ≤#oversized rows reach the driver; the
-    * two-level families collect the full nCells-row census, which is
-    * fine at their scale but not at a stored cell count). The policy
-    * arithmetic is [[splitBitsFromCounts]] — identical bits for
-    * identical counts, so stored and collected paths cannot diverge.
+  /** Split policy over an assigned frame WITHOUT collecting the
+    * census — the null-cell refusal and the oversized filter run as
+    * two bounded actions (≤1 row and ≤#oversized rows reach the
+    * driver). Born as the stored family's form; since r18 (VERDICT
+    * r17 task 4) it is also the publish protocol's
+    * ([[Artifacts]] save paths), so NO save path collects a
+    * cell-proportional census. The policy arithmetic is
+    * [[splitBitsFromCounts]] — identical bits for identical counts,
+    * so frame and collected paths cannot diverge.
     *
     * Takes the ASSIGNED frame, not a pre-aggregated census, because the
     * null-cell refusal must name the right repair (ADVICE r17): in the
@@ -1529,7 +1560,7 @@ object Ivf {
     * carries a per-cell null-embedding count so the refusal can split
     * the blame; `vecCol` names the assigned frame's vector column.
     */
-  private[northstar] def splitBitsFromCensusStored(
+  private[northstar] def splitBitsFromAssigned(
       assigned: DataFrame, vecCol: String,
       maxCell: Int): Map[Int, Int] = {
     val census = assigned.groupBy("cell").agg(
@@ -1649,7 +1680,7 @@ object Ivf {
   /** [[ivfTopKHier]] for the STORED family — same shape (assign → split
     * census → subcell → probe join → exact-cosine rank) with assignment
     * and probing through the stored relation, the split census never
-    * collected ([[splitBitsFromCensusStored]]), and the subcell
+    * collected ([[splitBitsFromAssigned]]), and the subcell
     * thresholds derived from the SPLIT cells' centroids only
     * ([[storedSplitCentroids]] — bounded by skew, not nCells). At
     * `superProbe == nSuper` and `nProbe == nCells` the result is exact
@@ -1668,7 +1699,7 @@ object Ivf {
       assignCellsStored(corpus, sq, idCol, vecCol)
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           col("cell")))
-    val splits = splitBitsFromCensusStored(assigned, "cv", maxCell)
+    val splits = splitBitsFromAssigned(assigned, "cv", maxCell)
     val splitCents =
       storedSplitCentroids(sq, corpus.sparkSession, splits)
     val c = assigned.withColumn("subcell",

@@ -456,7 +456,7 @@ object Pq {
     require(rerankR >= k,
       s"rerank=$rerankR must be >= k=$k: the exact re-rank can only " +
         "return candidates the ADC stage kept")
-    val splits = Ivf.splitBitsFromCensusStored(assigned, "cv", maxCell)
+    val splits = Ivf.splitBitsFromAssigned(assigned, "cv", maxCell)
     val splitCents =
       Ivf.storedSplitCentroids(sq, corpus.sparkSession, splits)
     val c = assigned.select(col("neighbor_id"), col("cell"),
