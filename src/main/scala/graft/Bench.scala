@@ -19,8 +19,10 @@ import org.apache.spark.sql.SparkSession
   *     `like_for_like_min` (VERDICT r17 task 3): the current and
   *     previous snapshots' rep-min sums over their shared query set —
   *     the round-over-round ratio computed from noise FLOORS, read
-  *     from the previous committed artifact before the overwrite
-  *     (SPARK_GRAFT_BENCH_BASELINE overrides the baseline path).
+  *     from the output path's previous content before the overwrite
+  *     (the committed artifact for a default run; redirected runs
+  *     chain against their own history —
+  *     SPARK_GRAFT_BENCH_BASELINE overrides the baseline path).
   *   - stdout line 1: `"metric":"total_full"` with ALL per-query times
   *     (head-truncated in a 2000-char tail at 114 queries — ~4 KB —
   *     but the visible fragment still carries ~half the per-query map).
@@ -231,8 +233,14 @@ object Bench {
     // below; SPARK_GRAFT_BENCH_BASELINE points subset/ad-hoc runs at
     // a different snapshot. `null` when no baseline exists or nothing
     // is shared (first run, renamed surface).
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"${sys.props("user.dir")}/BENCH_FULL.json")
+    // the default baseline is the OUTPUT path, so redirected runs
+    // (SPARK_GRAFT_BENCH_OUT=/tmp/...) chain against their own
+    // previous artifact instead of silently comparing floors against
+    // the committed snapshot of an older code state (code-review r18)
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", benchOut)
     val curMins: Map[String, Double] = results.collect {
       case (k, (_, _, _, ts)) if ts.nonEmpty => k -> ts.min }.toMap
     val likeForLikeMin = try {
@@ -254,7 +262,18 @@ object Bench {
             f"cur ${c}%.1f s (ratio ${c / p}%.2f, ${shared.size} queries)")
         s"""{"queries":${shared.size},"prev_sum_sec":${r3(p)},"cur_sum_sec":${r3(c)},"ratio":${r3(c / p)}}"""
       }
-    } catch { case _: Throwable => "null" }
+    } catch {
+      // a missing baseline is the legitimate first-run case; anything
+      // else (torn file, unexpected format) must not silently
+      // masquerade as one — the artifact-write failure below gets the
+      // same WARN-not-swallow treatment (code-review r18)
+      case _: java.nio.file.NoSuchFileException => "null"
+      case scala.util.control.NonFatal(t) =>
+        Console.err.println(
+          s"[bench] WARN: like_for_like_min unavailable — could not " +
+            s"read/parse baseline $baselinePath: $t")
+        "null"
+    }
     val fullLine =
       s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"rep_stats":$repStats,"like_for_like_min":$likeForLikeMin,"sf":"$sfDir"}"""
     // the STDOUT copy of the full line stays times-only: ~5 KB of
@@ -276,11 +295,10 @@ object Bench {
     val contractLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"like_for_like_min":$likeForLikeMin,"sf":"$sfDir"}"""
     // full-precision artifact next to the checkout (not a hardcoded
-    // absolute path): SPARK_GRAFT_BENCH_OUT overrides; a failed write is
+    // absolute path): SPARK_GRAFT_BENCH_OUT overrides (resolved above,
+    // where the lfl baseline defaults to it); a failed write is
     // WARNED, not swallowed — the compact stdout lines below are the
     // driver contract either way
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"${sys.props("user.dir")}/BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(benchOut)
       try w.println(fullLine) finally w.close()

@@ -1328,10 +1328,13 @@ object Artifacts {
         .agg(coalesce(sum("count"), lit(0L)).as("n"))
         .collect()(0).getLong(0)
       val incomingTotal = scalarCount(incomingCensus)
+      val baseTotal = scalarCount(baseCensus)
       val drift =
-        if (incomingTotal > 0 && scalarCount(baseCensus) > 0)
+        if (incomingTotal > 0 && baseTotal > 0)
           Some((Ivf.censusDriftFrames(baseCensus,
-            incomingCensus.select("cell", "count")), incomingTotal))
+            incomingCensus.select("cell", "count"),
+            baseTotal = Some(baseTotal),
+            incomingTotal = Some(incomingTotal)), incomingTotal))
         else None
       (assignedIncoming, oldSplits, newSplits, changed, drift)
     } catch { case t: Throwable =>
@@ -1453,15 +1456,8 @@ object Artifacts {
     val f = new java.io.File(path, "drift_base")
     if (f.isDirectory) Some(spark.read.parquet(f.toString))
     else driftBase(path).map { m =>
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(
-        m.toSeq.sorted.map { case (c, n) =>
-          org.apache.spark.sql.Row(c, n) }.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("count",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      import spark.implicits._
+      m.toSeq.sorted.toDF("cell", "count")
     }
   }
 
@@ -1930,13 +1926,19 @@ object Artifacts {
         s"index at $path (columns ${cols.toSeq.sorted.mkString(", ")}) " +
           "is neither a raw-vector ('cv') nor a codes-only ('codes') " +
           "cell index — maintainIndex only maintains ANN cell indexes")
+    require(window >= 1, s"window must be >= 1, got $window")
     val hist = appendDriftHistory(path).map(_._3)
     val recent = hist.takeRight(window)
     val medianDrift =
       if (recent.size >= window)
         Some(recent.sorted.apply((recent.size - 1) / 2))
       else None
-    val exceeded = driftExceeded(path, window)
+    // ONE history read feeds both the report and the decision — this
+    // is [[driftExceeded]] by definition, on the same snapshot; a
+    // second advisory read could race a concurrent append and report
+    // a median that disagrees with the retrain it fired (code-review
+    // r18)
+    val exceeded = medianDrift.exists(_ > Ivf.RetrainDriftThreshold)
     if (exceeded) (layout, storedFamily) match {
       case ("raw", true) =>
         retrainIvfIndexStored(spark, path, nCells, idCol, vecCol,

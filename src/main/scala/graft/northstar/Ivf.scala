@@ -607,12 +607,18 @@ object Ivf {
     * up to float summation order (the retrain bar has ~0.07 of margin
     * on both sides; summation order moves the value by ulps).
     */
-  def censusDriftFrames(base: DataFrame, incoming: DataFrame): Double = {
+  def censusDriftFrames(base: DataFrame, incoming: DataFrame,
+                        baseTotal: Option[Long] = None,
+                        incomingTotal: Option[Long] = None): Double = {
+    // callers that already aggregated a total (the append path's >0
+    // guards) pass it in — for a legacy artifact the base fallback is
+    // a full index scan, which must not run twice inside the mutex
+    // window (code-review r18)
     def total(df: DataFrame): Double = df
       .agg(coalesce(sum("count"), lit(0L)).as("n"))
       .collect()(0).getLong(0).toDouble
-    val nb = total(base)
-    val ni = total(incoming)
+    val nb = baseTotal.map(_.toDouble).getOrElse(total(base))
+    val ni = incomingTotal.map(_.toDouble).getOrElse(total(incoming))
     require(nb > 0 && ni > 0,
       s"censusDrift needs non-empty censuses (base ${nb.toLong} rows, " +
         s"incoming ${ni.toLong})")
@@ -1221,16 +1227,8 @@ object Ivf {
       }
       val written = prunedQ match {
         case LiteralQuantizer(_) if !(prunedQ eq superQ) =>
-          import scala.jdk.CollectionConverters._
-          val remap = spark.createDataFrame(
-            owning.toSeq.zipWithIndex.map { case (o, n) =>
-              org.apache.spark.sql.Row(o, n) }.asJava,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("sup",
-                org.apache.spark.sql.types.IntegerType, nullable = false),
-              org.apache.spark.sql.types.StructField("supNew",
-                org.apache.spark.sql.types.IntegerType,
-                nullable = false))))
+          import spark.implicits._
+          val remap = owning.toSeq.zipWithIndex.toDF("sup", "supNew")
           finalRel.join(broadcast(remap), "sup")
             .select(col("cell"), col("supNew").as("sup"), col("ccv"))
         case _ => finalRel.select("cell", "sup", "ccv")
@@ -1496,8 +1494,9 @@ object Ivf {
             col("query_id"),
             lit(s"' produced more than $sSup supercell-probe rows — " +
               "the per-id ranking window would merge distinct rows' " +
-              "candidates and silently collapse them to one cell; " +
-              "dedupe or re-key the corpus first")))).as("sup"))
+              "candidates (corpus rows silently collapse to one cell; " +
+              "query rows merge their top-k); dedupe or re-key the " +
+              "probing frame first")))).as("sup"))
     probeOverCellsRelation(guarded,
       hq.joinCellsRelation(queries.sparkSession), nProbe)
   }
