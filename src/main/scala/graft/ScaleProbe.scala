@@ -40,6 +40,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.contains("census-only")) { // fast path for iterating on r18
+      storedCensusProbe(spark)
+      spark.stop()
+      return
+    }
 
     def timed(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
@@ -1435,5 +1440,114 @@ object ScaleProbe {
     } finally graft.northstar.Artifacts.deleteRec(storedScratch)
     corpus.unpersist(blocking = false)
     queries.unpersist(blocking = false)
+  }
+
+  /** The 16.8M-cell-regime cost probe (r18 — VERDICT r17 task 7's
+    * measure-first gate): after the census de-proportionalization,
+    * does the stored family's build/save/append lifecycle carry any
+    * surviving cell-proportional DRIVER cost? Prices fitStored +
+    * saveIvfIndexStored + appendIvfIndexStored at 4096 vs 16384 cells
+    * at MATCHED occupancy (rows scale with cells, 128 rows/cell), so
+    * the per-row mutation cost must stay ~flat across the 4× cell
+    * growth — a superlinear per-row cliff would say some
+    * cell-proportional cost survived the r18 rework. Matched
+    * occupancy matters: a first-draft run held the corpus fixed while
+    * growing cells 8×, and the save wall went cell-proportional — but
+    * entirely in EXECUTOR-side parquet small-file overhead (260k
+    * files for 30 MB of rows at a pathological 16 rows/cell; the √N
+    * design point has rows/cell = nCells, so per-file cost amortizes
+    * to noise at any real configuration — and the nightly-append
+    * fragmentation that IS real at scale is compactCellIndex's job).
+    * The driver-side claim this probe guards is structural (bounded
+    * collects, pinned by IvfSpec/ArtifactsSpec); the wall numbers
+    * price the lifecycle end-to-end.
+    * Run: `runMain graft.ScaleProbe census-only`; numbers recorded in
+    * COVERAGE.md next to the r17 stored-family measurements.
+    */
+  private def storedCensusProbe(spark: SparkSession): Unit = {
+    import graft.northstar.{Artifacts, Ivf}
+    def timed[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] stored-census $name%-26s $secs%.1f s")
+      (r, secs)
+    }
+    val dim = 8
+    val rowsPerCell = 128
+    def embOf(idCol: org.apache.spark.sql.Column,
+              clusters: Int) = {
+      val g = idCol % clusters
+      array((0 until dim).map { i =>
+        (sin((g + 1) * lit(2.17 + i)) +
+          (pmod(hash(idCol, lit(i)), lit(1000)) / 1000.0 - 0.5) * 0.1)
+          .cast("float")
+      }: _*)
+    }
+    val times = scala.collection.mutable.Map.empty[(Int, String), Double]
+    val legs = Seq(4096, 16384)
+    for (nCells <- legs) {
+      val n = nCells.toLong * rowsPerCell
+      val corpus = spark.range(n)
+        .select(col("id").as("vec_id"),
+          embOf(col("id"), nCells).as("embedding"))
+        .persist()
+      corpus.count()
+      // in-distribution incoming batch (same generator, fresh ids) so
+      // the append exercises the frame-based union census + drift
+      // statistic without tripping the retrain WARN
+      val incoming = spark.range(n, n + 10000)
+        .select(col("id").as("vec_id"),
+          embOf(col("id"), nCells).as("embedding"))
+        .persist()
+      incoming.count()
+      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-scale-storedcensus-$nCells-${System.nanoTime()}")
+      try {
+        val (sq, tFit) = timed(f"fit       nCells=$nCells%-6d") {
+          Ivf.fitStored(corpus, nCells,
+            new java.io.File(scratch, "cells").toString, iters = 1)
+        }
+        val idx = new java.io.File(scratch, "idx").toString
+        val (_, tSave) = timed(f"save      nCells=$nCells%-6d") {
+          Artifacts.saveIvfIndexStored(corpus, idx, sq)
+        }
+        val (_, tApp) = timed(f"append10k nCells=$nCells%-6d") {
+          Artifacts.appendIvfIndexStored(incoming, idx, sq)
+        }
+        times((nCells, "fit")) = tFit
+        times((nCells, "save")) = tSave
+        times((nCells, "append")) = tApp
+      } finally {
+        Artifacts.deleteRec(scratch)
+        corpus.unpersist(blocking = false)
+        incoming.unpersist(blocking = false)
+      }
+    }
+    val cellR = legs(1).toDouble / legs(0)
+    // per-row-normalized: rows grew with cells, so flat per-row cost
+    // reads as ~1x here; a surviving cell-proportional driver term
+    // would read as ~cellR
+    val saveR =
+      (times((legs(1), "save")) / legs(1)) /
+        (times((legs(0), "save")) / legs(0))
+    val fitR =
+      (times((legs(1), "fit")) / legs(1)) /
+        (times((legs(0), "fit")) / legs(0))
+    // append batch size is FIXED (10k) across legs, so the raw ratio
+    // is the right flatness read there
+    val appR = times((legs(1), "append")) / times((legs(0), "append"))
+    println(f"[scale] stored-census per-row save ratio across " +
+      f"${cellR}%.0fx cells: $saveR%.2fx (flat ~1x expected)")
+    println(f"[scale] stored-census per-row fit ratio  across " +
+      f"${cellR}%.0fx cells: $fitR%.2fx")
+    println(f"[scale] stored-census append(10k) ratio  across " +
+      f"${cellR}%.0fx cells: $appR%.2fx")
+    assert(saveR < 2.5,
+      f"per-row stored save cost scaled $saveR%.2fx across " +
+        f"$cellR%.0fx cells — cell-proportional work suspected")
+    assert(appR < cellR,
+      f"fixed-batch stored append scaled $appR%.2fx across " +
+        f"$cellR%.0fx cells — cell-proportional work suspected")
   }
 }
