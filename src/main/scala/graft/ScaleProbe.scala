@@ -1493,10 +1493,15 @@ object ScaleProbe {
           embOf(col("id"), nCells).as("embedding"))
         .persist()
       corpus.count()
-      // in-distribution incoming batch (same generator, fresh ids) so
-      // the append exercises the frame-based union census + drift
-      // statistic without tripping the retrain WARN
-      val incoming = spark.range(n, n + 10000)
+      // in-distribution incoming batch: 8 rows per cell via the same
+      // generator (ids n..n+8·nCells cover every residue class mod
+      // nCells exactly 8×), so its per-cell PROPORTIONS match the
+      // uniform build census and the drift tv reads ≈0 at every leg —
+      // a fixed-size batch would under-occupy the larger leg's cells
+      // and deterministically trip the retrain WARN (tv ≥
+      // 1 − batch/nCells — occupancy arithmetic, not noise;
+      // code-review r18)
+      val incoming = spark.range(n, n + 8L * nCells)
         .select(col("id").as("vec_id"),
           embOf(col("id"), nCells).as("embedding"))
         .persist()
@@ -1512,7 +1517,7 @@ object ScaleProbe {
         val (_, tSave) = timed(f"save      nCells=$nCells%-6d") {
           Artifacts.saveIvfIndexStored(corpus, idx, sq)
         }
-        val (_, tApp) = timed(f"append10k nCells=$nCells%-6d") {
+        val (_, tApp) = timed(f"append8pc nCells=$nCells%-6d") {
           Artifacts.appendIvfIndexStored(incoming, idx, sq)
         }
         times((nCells, "fit")) = tFit
@@ -1534,20 +1539,22 @@ object ScaleProbe {
     val fitR =
       (times((legs(1), "fit")) / legs(1)) /
         (times((legs(0), "fit")) / legs(0))
-    // append batch size is FIXED (10k) across legs, so the raw ratio
-    // is the right flatness read there
-    val appR = times((legs(1), "append")) / times((legs(0), "append"))
-    println(f"[scale] stored-census per-row save ratio across " +
+    // the append batch scales with cells (8 rows/cell), so its
+    // flatness read is per-batch-row too
+    val appR =
+      (times((legs(1), "append")) / legs(1)) /
+        (times((legs(0), "append")) / legs(0))
+    println(f"[scale] stored-census per-row save ratio   across " +
       f"${cellR}%.0fx cells: $saveR%.2fx (flat ~1x expected)")
-    println(f"[scale] stored-census per-row fit ratio  across " +
+    println(f"[scale] stored-census per-row fit ratio    across " +
       f"${cellR}%.0fx cells: $fitR%.2fx")
-    println(f"[scale] stored-census append(10k) ratio  across " +
-      f"${cellR}%.0fx cells: $appR%.2fx")
+    println(f"[scale] stored-census per-row append ratio across " +
+      f"${cellR}%.0fx cells: $appR%.2fx (flat ~1x expected)")
     assert(saveR < 2.5,
       f"per-row stored save cost scaled $saveR%.2fx across " +
         f"$cellR%.0fx cells — cell-proportional work suspected")
-    assert(appR < cellR,
-      f"fixed-batch stored append scaled $appR%.2fx across " +
+    assert(appR < 2.5,
+      f"per-row stored append cost scaled $appR%.2fx across " +
         f"$cellR%.0fx cells — cell-proportional work suspected")
   }
 }

@@ -1328,14 +1328,19 @@ object Artifacts {
         .agg(coalesce(sum("count"), lit(0L)).as("n"))
         .collect()(0).getLong(0)
       val incomingTotal = scalarCount(incomingCensus)
-      val baseTotal = scalarCount(baseCensus)
+      // base total only when the batch is non-empty (code-review r18):
+      // for a legacy artifact the baseline fallback is a full index
+      // scan, which a zero-row append must not pay inside the mutex
       val drift =
-        if (incomingTotal > 0 && baseTotal > 0)
-          Some((Ivf.censusDriftFrames(baseCensus,
-            incomingCensus.select("cell", "count"),
-            baseTotal = Some(baseTotal),
-            incomingTotal = Some(incomingTotal)), incomingTotal))
-        else None
+        if (incomingTotal > 0) {
+          val baseTotal = scalarCount(baseCensus)
+          if (baseTotal > 0)
+            Some((Ivf.censusDriftFrames(baseCensus,
+              incomingCensus.select("cell", "count"),
+              baseTotal = Some(baseTotal),
+              incomingTotal = Some(incomingTotal)), incomingTotal))
+          else None
+        } else None
       (assignedIncoming, oldSplits, newSplits, changed, drift)
     } catch { case t: Throwable =>
       // read/planning failure: nothing was mutated — republish the
@@ -1863,13 +1868,26 @@ object Artifacts {
     * history is shorter than the window — the cold-start guard);
     * `retrained == driftExceeded` unless the dispatched retrain threw
     * (which propagates — retrain is retryable maintenance).
+    *
+    * A retrain REPLACES the pinned quantizer, and for the raw literal
+    * family the centroids live nowhere but the operator's hands (the
+    * artifact pins only their digest) — so the report hands the new
+    * quantizer (and codebooks, for codes-only layouts) back in
+    * `retrainedQuantizer`/`retrainedCodebooks`. A nightly job that
+    * also APPENDS must adopt them, or its held handle refuses loudly
+    * at the next tick's `_params` pin (code-review r18: the first
+    * draft discarded the retrain's return and the runbook's recovery
+    * recipe could not actually recover).
     */
-  final case class IndexMaintenanceReport(path: String, layout: String,
-                                          family: String, window: Int,
-                                          appendsObserved: Int,
-                                          medianDrift: Option[Double],
-                                          driftExceeded: Boolean,
-                                          retrained: Boolean)
+  final case class IndexMaintenanceReport(
+      path: String, layout: String,
+      family: String, window: Int,
+      appendsObserved: Int,
+      medianDrift: Option[Double],
+      driftExceeded: Boolean,
+      retrained: Boolean,
+      retrainedQuantizer: Option[Ivf.CoarseQuantizer] = None,
+      retrainedCodebooks: Option[Array[Array[Array[Float]]]] = None)
 
   /** ONE-CALL INDEX MAINTENANCE (VERDICT r17 task 1): reads the stored
     * layout, applies the [[driftExceeded]] decision, dispatches the
@@ -1939,28 +1957,38 @@ object Artifacts {
     // a median that disagrees with the retrain it fired (code-review
     // r18)
     val exceeded = medianDrift.exists(_ > Ivf.RetrainDriftThreshold)
-    if (exceeded) (layout, storedFamily) match {
-      case ("raw", true) =>
-        retrainIvfIndexStored(spark, path, nCells, idCol, vecCol,
-          maxCell, seed): Unit
-      case ("raw", false) =>
-        retrainIvfIndex(spark, path, nCells, idCol, vecCol,
-          maxCell, seed): Unit
-      case _ =>
-        val c = corpus.getOrElse(throw new IllegalArgumentException(
-          s"index at $path is codes-only (IVF-PQ): raw vectors cannot " +
-            "be recovered from codes, so the retrain needs the corpus " +
-            "table — pass corpus = Some(df) carrying every indexed id"))
-        if (storedFamily)
-          retrainIvfPqIndexStored(spark, c, path, nCells, m, ksub,
-            idCol, vecCol, maxCell, seed): Unit
-        else
-          retrainIvfPqIndex(spark, c, path, nCells, m, ksub,
-            idCol, vecCol, maxCell, seed): Unit
-    }
+    val (newQ, newCb): (Option[Ivf.CoarseQuantizer],
+        Option[Array[Array[Array[Float]]]]) =
+      if (!exceeded) (None, None)
+      else (layout, storedFamily) match {
+        case ("raw", true) =>
+          val (sq, _) = retrainIvfIndexStored(spark, path, nCells,
+            idCol, vecCol, maxCell, seed)
+          (Some(sq), None)
+        case ("raw", false) =>
+          val (q, _) = retrainIvfIndex(spark, path, nCells, idCol,
+            vecCol, maxCell, seed)
+          (Some(q), None)
+        case _ =>
+          val c = corpus.getOrElse(throw new IllegalArgumentException(
+            s"index at $path is codes-only (IVF-PQ): raw vectors " +
+              "cannot be recovered from codes, so the retrain needs " +
+              "the corpus table — pass corpus = Some(df) carrying " +
+              "every indexed id"))
+          if (storedFamily) {
+            val (sq, cb, _) = retrainIvfPqIndexStored(spark, c, path,
+              nCells, m, ksub, idCol, vecCol, maxCell, seed)
+            (Some(sq), Some(cb))
+          } else {
+            val (q, cb, _) = retrainIvfPqIndex(spark, c, path,
+              nCells, m, ksub, idCol, vecCol, maxCell, seed)
+            (Some(q), Some(cb))
+          }
+      }
     IndexMaintenanceReport(path, layout,
       if (storedFamily) "stored-cells" else "literal/hier",
-      window, hist.size, medianDrift, exceeded, retrained = exceeded)
+      window, hist.size, medianDrift, exceeded, retrained = exceeded,
+      retrainedQuantizer = newQ, retrainedCodebooks = newCb)
   }
 
   /** PER-CELL COMPACTION for the nightly-append path (VERDICT r13 task

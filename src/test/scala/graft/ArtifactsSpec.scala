@@ -1102,6 +1102,20 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(Artifacts.appendDriftHistory(p).isEmpty)
     assert(spark.read.parquet(p + "/index").count()
       == embA.count() + 3 * embB.count())
+    // the report hands the NEW quantizer back (code-review r18: the
+    // raw literal family's centroids live nowhere but the operator's
+    // hands — without this the nightly append job could never
+    // recover); the old handle refuses at the digest pin, the adopted
+    // one appends cleanly — the runbook's recovery loop
+    assert(reports.take(2).forall(_.retrainedQuantizer.isEmpty))
+    intercept[IllegalArgumentException] {
+      Artifacts.appendIvfIndex(shift(embB, 20000L), p, cents): Unit
+    }
+    reports(2).retrainedQuantizer match {
+      case Some(Ivf.LiteralQuantizer(c2)) =>
+        Artifacts.appendIvfIndex(shift(embB, 20000L), p, c2): Unit
+      case other => fail(s"expected a literal retrained quantizer: $other")
+    }
     // codes-only dispatch: without the corpus the refusal names the
     // repair; with it the tick retrains the codes layout in place
     val pq = s"${tempDir("ivfpqmaint")}/idx"
@@ -1122,6 +1136,9 @@ class ArtifactsSpec extends SparkSpecBase {
       corpus = Some(corpusAll), m = 8, ksub = 8)
     assert(r1.layout == "codes" && r1.family == "literal/hier"
       && r1.retrained, r1.toString)
+    assert(r1.retrainedQuantizer.isDefined
+      && r1.retrainedCodebooks.isDefined,
+      "a codes-only retrain must hand back quantizer AND codebooks")
     assert(Artifacts.appendDriftHistory(pq).isEmpty)
     // stored-family detection rides the _params pin, not caller
     // knowledge (a fresh stored save keeps its cells outside the
