@@ -1270,20 +1270,20 @@ object ScaleProbe {
       f"ksub=${cbNew(0).length}): pinned-budget recallB=$rBPinned%.3f " +
       f"(was $lastB%.3f); auto-budget (nProbe=$npAuto rerank=$rrAuto) " +
       f"recallB=$rBRe%.3f recallA=$rARe%.3f")
-    // a tolerance floor, not >=: the refit is run-variant (see (a)
-    // above) and the observed improvement margin (0.403 vs 0.400) is a
-    // single recall hit, so an exact floor is a flake waiting to fire
-    // (code-review r17). The floor only has to catch a COLLAPSE — a
-    // retrain that makes the pinned-budget read materially worse; the
-    // hard recovery gates are the two >= 0.95 asserts on the auto
-    // budget below. r18 widened the tolerance to 0.10: the r17 band
-    // (0.403–0.438) was calibrated on too few draws — a 2026-08-16
-    // run measured 0.341 at this rerank-saturated budget while the
-    // auto-budget gates still read 1.000/1.000, i.e. refit variance,
-    // not a collapse (the 160-member drifted clusters cap a
-    // 60-candidate fetch far below 1.0 for ANY quantizer, so single
-    // recall hits swing this read).
-    assert(rBPinned >= lastB - 0.10,
+    // an ABSOLUTE collapse floor, not a relative tolerance: the
+    // pinned-budget read is run-variant (see (a) above — the refit's
+    // init sample rides nondeterministic post-shuffle row order), and
+    // every relative band calibrated on observed draws got beaten by
+    // the next draw (r17's 0.05 tolerance on a 0.403–0.438 band; an
+    // r18 draw then read 0.341, and the 0.10 widening still sat
+    // inside a 0.275-wide observed band — code-review r18, twice).
+    // What this leg must catch is a COLLAPSE: a retrain whose
+    // quantizer routes the drifted rows nowhere, which reads
+    // near-zero at a 6-probe/60-rerank budget — an order of magnitude
+    // below ANY functioning refit's draws (0.341–0.616 observed).
+    // 0.2 separates the two regimes with margin on both sides; the
+    // hard recovery gates remain the two >= 0.95 auto-budget asserts.
+    assert(rBPinned >= 0.2,
       f"retrain COLLAPSED drifted-row recall at the pinned " +
         f"budget ($lastB%.3f → $rBPinned%.3f)")
     assert(rBRe >= 0.95,

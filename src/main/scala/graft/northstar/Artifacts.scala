@@ -1887,7 +1887,31 @@ object Artifacts {
       driftExceeded: Boolean,
       retrained: Boolean,
       retrainedQuantizer: Option[Ivf.CoarseQuantizer] = None,
-      retrainedCodebooks: Option[Array[Array[Array[Float]]]] = None)
+      retrainedCodebooks: Option[Array[Array[Array[Float]]]] = None,
+      cellsCompacted: Int = 0) {
+    // the quantizer/codebook fields are OPERATIONAL HANDLES (adopt
+    // them for the next append), not telemetry — the default
+    // case-class render printed raw array hashes into the log row the
+    // scaladoc promises, and a literal quantizer's centroid matrix
+    // does not belong in a maintenance table (code-review r18). The
+    // render summarizes them; log THIS, union THIS shape's fields
+    // minus the handles.
+    override def toString: String = {
+      val q = retrainedQuantizer.map {
+        case Ivf.LiteralQuantizer(c) => s"literal(${c.length} cells)"
+        case h: Ivf.HierarchicalQuantizer => s"hier(${h.nCells} cells)"
+        case s: Ivf.StoredQuantizer => s"stored(${s.nCells} cells)"
+      }
+      val cb = retrainedCodebooks.map(b =>
+        s"m=${b.length} ksub=${b.headOption.map(_.length).getOrElse(0)}")
+      s"IndexMaintenanceReport($path, layout=$layout, " +
+        s"family=$family, window=$window, " +
+        s"appendsObserved=$appendsObserved, medianDrift=$medianDrift, " +
+        s"driftExceeded=$driftExceeded, retrained=$retrained, " +
+        s"retrainedQuantizer=$q, retrainedCodebooks=$cb, " +
+        s"cellsCompacted=$cellsCompacted)"
+    }
+  }
 
   /** ONE-CALL INDEX MAINTENANCE (VERDICT r17 task 1): reads the stored
     * layout, applies the [[driftExceeded]] decision, dispatches the
@@ -1918,6 +1942,13 @@ object Artifacts {
     * cannot be recovered from codes; the retrain's membership tripwire
     * holds it to every indexed id). A raw-vector index maintains
     * itself from its own stored rows — pass None.
+    *
+    * No-retrain ticks also run [[compactCellIndex]] (cells whose
+    * parquet file count exceeds `compactOver` rewrite toward
+    * `targetFileBytes`; `compactOver <= 0` disables) — the nightly
+    * append pattern's OTHER accumulating cost, so one scheduled call
+    * covers both maintenance dimensions. A retrain tick skips it: the
+    * swap already rewrote every file.
     */
   def maintainIndex(spark: SparkSession, path: String,
                     corpus: Option[DataFrame] = None,
@@ -1927,7 +1958,10 @@ object Artifacts {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     maxCell: Int = 100000,
-                    seed: Long = 42L): IndexMaintenanceReport = {
+                    seed: Long = 42L,
+                    compactOver: Int = 8,
+                    targetFileBytes: Long = 128L * 1024 * 1024)
+      : IndexMaintenanceReport = {
     val dst = new java.io.File(path)
     require(new java.io.File(dst, "_SUCCESS").exists(),
       s"cell index at $path has no _SUCCESS marker (missing, " +
@@ -1985,10 +2019,19 @@ object Artifacts {
             (Some(q), Some(cb))
           }
       }
+    // the OTHER maintenance dimension the nightly-append pattern
+    // accumulates: per-cell file fragmentation. A retrain rewrote the
+    // whole artifact (fresh files), so compaction runs only on the
+    // no-retrain ticks — the steady-state nights, where fragmentation
+    // actually builds up. compactOver <= 0 disables.
+    val compacted =
+      if (exceeded || compactOver <= 0) 0
+      else compactCellIndex(spark, path, compactOver, targetFileBytes)
     IndexMaintenanceReport(path, layout,
       if (storedFamily) "stored-cells" else "literal/hier",
       window, hist.size, medianDrift, exceeded, retrained = exceeded,
-      retrainedQuantizer = newQ, retrainedCodebooks = newCb)
+      retrainedQuantizer = newQ, retrainedCodebooks = newCb,
+      cellsCompacted = compacted)
   }
 
   /** PER-CELL COMPACTION for the nightly-append path (VERDICT r13 task

@@ -60,9 +60,18 @@ object ArtifactMutateRaceMain {
 
   /** Retry a mutation through loud mutex losses (the documented
     * concurrent-mutator failure mode); anything else rethrows.
+    *
+    * The deadline is a LIVENESS budget, not a correctness gate (the
+    * torn-state contract is the identity asserts downstream) — sized
+    * for a host running the full suite concurrently (r18: a 60 s
+    * budget starved once under full-suite load while the same code
+    * passed standalone and in two other full runs). The sleep is
+    * jittered so the two JVMs don't convoy in lockstep on the
+    * marker-delete mutex.
     */
   def retryLoud(maxMs: Long)(op: => Unit): Int = {
     val deadline = System.nanoTime() + maxMs * 1000000L
+    val rnd = new scala.util.Random()
     var retries = 0
     while (true) {
       try { op; return retries }
@@ -75,7 +84,7 @@ object ArtifactMutateRaceMain {
           if (System.nanoTime() > deadline)
             throw new IllegalStateException(
               s"mutation starved after $retries loud losses", e)
-          Thread.sleep(50)
+          Thread.sleep(40L + rnd.nextInt(80))
       }
     }
     retries
@@ -119,7 +128,7 @@ object ArtifactMutateRaceMain {
       var rt = 0
       val outcome =
         try {
-          rt = retryLoud(60000) {
+          rt = retryLoud(180000) {
             graft.northstar.Artifacts.retrainIvfIndex(spark, path,
               nCells = 8): Unit
           }
@@ -155,7 +164,7 @@ object ArtifactMutateRaceMain {
     var retries = 0
     for (b <- 0 until batches) {
       val ids = (0 until batchSize).map(j => startId + b * batchSize + j)
-      retries += retryLoud(60000) {
+      retries += retryLoud(180000) {
         if (mode == "ivfpq")
           graft.northstar.Artifacts.appendIvfPqIndex(
             vecs(spark, ids), universe, path, centsOpt.get, cbOpt.get,

@@ -54,7 +54,7 @@ class ArtifactRaceSpec extends AnyFunSuite {
     pb.redirectOutput(out)
     val p = pb.start()
     val go = new java.io.File(root, "worker-go")
-    val goDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    val goDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
     while (!go.exists() && p.isAlive && System.nanoTime() < goDeadline)
       Thread.sleep(20)
     assert(go.exists(), "worker never signalled its first append")
@@ -100,7 +100,7 @@ class ArtifactRaceSpec extends AnyFunSuite {
     // hostile pruner: ttl 0 makes every published entry immediately
     // stale, so deletion constantly races the workers' resolve/read
     var pruned = 0
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
     while ((p1.isAlive || p2.isAlive) && System.nanoTime() < deadline) {
       pruned += Artifacts.pruneStore(root, ttlMs = 0, maxEntries = 1)
       Thread.sleep(2)
@@ -180,7 +180,7 @@ class ArtifactRaceSpec extends AnyFunSuite {
     var retries = 0
     for (b <- 0 until 4) {
       val ids = (200 + b * 10) until (200 + (b + 1) * 10)
-      retries += retryLoud(60000) {
+      retries += retryLoud(180000) {
         Artifacts.removeFromWinnowIndex(
           docs(spark, ids).select("doc_id"), path, maxBucket = 100)
       }
@@ -234,7 +234,7 @@ class ArtifactRaceSpec extends AnyFunSuite {
     var retries = 0
     for (b <- 0 until 4) {
       val ids = (200 + b * 10) until (200 + (b + 1) * 10)
-      retries += retryLoud(60000) {
+      retries += retryLoud(180000) {
         Artifacts.removeFromIvfPqIndex(
           vecs(spark, ids).select("vec_id"), universe, path, cents, cb,
           maxCell = 10): Unit

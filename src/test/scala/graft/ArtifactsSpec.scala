@@ -1116,6 +1116,18 @@ class ArtifactsSpec extends SparkSpecBase {
         Artifacts.appendIvfIndex(shift(embB, 20000L), p, c2): Unit
       case other => fail(s"expected a literal retrained quantizer: $other")
     }
+    // steady-state tick (1-entry history → no retrain): the same call
+    // covers the OTHER maintenance dimension — the retrain+append
+    // fragmented cell directories, and a no-retrain tick compacts
+    // them; a second tick converges to zero rewrites
+    val rC = Artifacts.maintainIndex(spark, p, compactOver = 1)
+    assert(!rC.retrained && rC.cellsCompacted > 0, rC.toString)
+    val rC2 = Artifacts.maintainIndex(spark, p, compactOver = 1)
+    assert(rC2.cellsCompacted == 0,
+      s"compaction must converge, got $rC2")
+    assert(spark.read.parquet(p + "/index").count()
+      == embA.count() + 4 * embB.count(),
+      "compaction must not change the served rows")
     // codes-only dispatch: without the corpus the refusal names the
     // repair; with it the tick retrains the codes layout in place
     val pq = s"${tempDir("ivfpqmaint")}/idx"
