@@ -53,15 +53,24 @@ object Multimodal {
     * documents table: payload = utf-8 bytes of the text).
     */
   def toAssets(df: DataFrame, idCol: String, payloadExpr: String,
-               modality: String, sourceCol: String): DataFrame =
+               modality: String, sourceCol: String): DataFrame = {
+    // ONE evaluation of the payload expression feeds both the stored
+    // bytes and n_bytes (code-review r18): two independent `expr`
+    // instances would disagree for a non-deterministic payload
+    // expression, corrupting the "typed metadata known without
+    // decoding" contract (n_bytes != length(payload) in the table)
+    val payload = expr(payloadExpr).cast("binary")
     df.select(
-      col(idCol).cast("long").as("asset_id"),
-      lit(modality).as("modality"),
-      expr(payloadExpr).cast("binary").as("payload"),
-      struct(
-        coalesce(length(expr(payloadExpr).cast("binary")).cast("long"), lit(0L))
-          .as("n_bytes"),
-        col(sourceCol).cast("string").as("source")).as("meta"))
+        col(idCol).cast("long").as("asset_id"),
+        lit(modality).as("modality"),
+        payload.as("payload"),
+        col(sourceCol).cast("string").as("__src"))
+      .select(col("asset_id"), col("modality"), col("payload"),
+        struct(
+          coalesce(length(col("payload")).cast("long"), lit(0L))
+            .as("n_bytes"),
+          col("__src").as("source")).as("meta"))
+  }
 
   /** Decoded representation produced by the (stubbed) codec. */
   case class Decoded(assetId: Long, width: Int, height: Int, format: String,
@@ -175,11 +184,18 @@ object Multimodal {
         val dim = StubCodec.FeatureDim
         val sums = new Array[Double](dim)
         val counts = new Array[Long](dim)
+        // bulk row reads, not per-pixel getRGB (code-review r18): the
+        // virtual per-call ColorModel conversion costs ~an order of
+        // magnitude on the decode hot path at up to 64M pixels/image;
+        // the bulk form returns identical sRGB values with one
+        // row-width buffer of extra memory
+        val rowBuf = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = rowBuf(x)
             val lum = 0.299 * ((rgb >> 16) & 0xFF) +
               0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
             val s = math.min(dim - 1, x * dim / w)
@@ -197,12 +213,15 @@ object Multimodal {
   }
 
   /** Real audio codec for WAV payloads over the JDK's
-    * `javax.sound.sampled` — zero extra dependencies. Decodes PCM
-    * signed 8/16-bit WAV: `width` carries the frame count, `height` the
-    * channel count, features = RMS amplitude per time-stripe normalized
-    * to [0,1]. Non-WAV or non-PCM payloads return None and fall back to
-    * [[StubCodec]] (video still needs libraries this environment
-    * lacks).
+    * `javax.sound.sampled` — zero extra dependencies. Decodes 16-bit
+    * signed and 8-bit signed/UNSIGNED PCM WAV (8-bit WAV's standard
+    * on-disk form is unsigned — javax.sound reports PCM_UNSIGNED for
+    * it, and a signed-only gate silently stubbed every real-world
+    * 8-bit corpus; code-review r18): `width` carries the frame count,
+    * `height` the channel count, features = RMS amplitude per
+    * time-stripe normalized to [0,1]. Non-WAV or non-PCM payloads
+    * return None and fall back to [[StubCodec]] (video still needs
+    * libraries this environment lacks).
     */
   object AudioCodec {
 
@@ -221,8 +240,14 @@ object Multimodal {
         try {
           val fmt = in.getFormat
           val bits = fmt.getSampleSizeInBits
-          if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-            (bits != 8 && bits != 16)) None
+          val enc = fmt.getEncoding
+          val unsigned8 =
+            bits == 8 && enc == AudioFormat.Encoding.PCM_UNSIGNED
+          val encodingOk =
+            (bits == 16 && enc == AudioFormat.Encoding.PCM_SIGNED) ||
+              (bits == 8 && (unsigned8 ||
+                enc == AudioFormat.Encoding.PCM_SIGNED))
+          if (!encodingOk) None
           else {
             val bytes = in.readAllBytes()
             val channels = fmt.getChannels
@@ -235,7 +260,9 @@ object Multimodal {
             var i = 0
             while (i < nSamples) {
               val v =
-                if (bits == 8) bytes(i).toDouble / 128.0
+                if (bits == 8)
+                  (if (unsigned8) ((bytes(i) & 0xFF) - 128).toDouble
+                   else bytes(i).toDouble) / 128.0
                 else {
                   val lo = bytes(2 * i) & 0xFF
                   val hi = bytes(2 * i + 1)
@@ -364,8 +391,15 @@ object Multimodal {
             if (size32 == 1 && off + 16 <= end) (16, u64(p, off + 8))
             else if (size32 == 0) (8, (end - off).toLong) // box runs to EOF
             else (8, size32)
+          // size is attacker-controlled and u64 can read NEGATIVE for
+          // values >= 2^63; compare against the (small, non-negative)
+          // remaining span instead of `off + size`, which overflows
+          // Long for a crafted 64-bit size and let boxEnd move the
+          // cursor backward — an AIOOBE escaping the per-task decode,
+          // or a cursor loop hanging the executor (code-review r18)
           val boxEnd =
-            if (size < headerLen || off + size > end) end // malformed: stop
+            if (size < headerLen || size > (end - off).toLong)
+              end // malformed: stop
             else off + size.toInt
           val res = (typ, off + headerLen, boxEnd)
           off = boxEnd
@@ -403,10 +437,14 @@ object Multimodal {
       ((u32(p, wOff) >> 16).toInt, (u32(p, wOff + 4) >> 16).toInt)
     }
 
-    /** Parse container metadata; None if not MP4 or no moov box. */
+    /** Parse container metadata; None if not MP4 or no moov box.
+      * Blanket-caught like the sibling codecs (code-review r18): a
+      * malformed payload must downgrade to the stub, never kill the
+      * task — a deterministic retry would just die on the same row.
+      */
     def parse(p: Array[Byte]): Option[Mp4Meta] =
       if (!looksLikeMp4(p)) None
-      else findBox(p, 0, p.length, "moov").map { case (ms, me) =>
+      else try findBox(p, 0, p.length, "moov").map { case (ms, me) =>
         val durMs = findBox(p, ms, me, "mvhd")
           .map { case (s, e) => mvhdDurationMs(p, s, e) }.getOrElse(0L)
         val dims = boxes(p, ms, me)
@@ -416,7 +454,7 @@ object Multimodal {
           .find { case (w, h) => w > 0 && h > 0 }
           .getOrElse((0, 0))
         Mp4Meta(dims._1, dims._2, durMs)
-      }
+      } catch { case _: Exception => None }
 
     def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
       parse(payload).map { m =>
@@ -817,6 +855,13 @@ object Multimodal {
     */
   def sampleFrames(assets: DataFrame, frameBytes: Int = 64,
                    stride: Int = 4): DataFrame = {
+    // fail at plan-build time, not mid-job (code-review r18, the
+    // poolFeatures guard's rationale): frameBytes=0 is an ANSI
+    // DIVIDE_BY_ZERO task death (or, ANSI off, a null nFrames that
+    // silently drops every row); stride=0 is a sequence step-zero
+    // runtime error
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val nFrames = ((length(col("payload")) + frameBytes - 1) / frameBytes)
       .cast("int")
     assets

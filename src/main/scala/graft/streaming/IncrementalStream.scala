@@ -101,17 +101,22 @@ object IncrementalStream {
     // null-safe (<=>) semantics (code-review r13).
     def fp(c: org.apache.spark.sql.Column) =
       coalesce(TextAnalysis.fingerprint(c), lit("__null_text__"))
-    // the static side's fingerprint+distinct is PERSISTED (the tracked
-    // materializeOnce contract — lazily recomputable, released by
-    // Dedup.releasePersisted/clearCache): it used to be rebuilt inside
-    // every micro-batch, re-running md5(normText) + a full distinct
-    // shuffle over the whole corpus per trigger, and a caller caching
-    // `existing` only skipped the source scan, not this projection
-    // (code-review r14). Batches after the first now probe the cached
-    // fingerprint set, keeping per-batch work proportional to the
-    // stream side.
-    val existingFps = graft.northstar.Dedup.trackedPersist(
-      existing.select(fp(col(textCol)).as("__fp")).distinct())
+    // the static side's fingerprint+distinct is PERSISTED so batches
+    // after the first probe the cached fingerprint set — it used to be
+    // rebuilt inside every micro-batch, re-running md5(normText) + a
+    // full distinct shuffle over the whole corpus per trigger
+    // (code-review r14). PINNED persist, deliberately OUTSIDE Dedup's
+    // bounded tracked queue (code-review r18): the queue evicts the
+    // oldest frame past 32 registrations, so a long-running stream in
+    // an application that keeps invoking tracked ops (Ivf/dedup jobs
+    // in the same JVM) would silently lose this block mid-stream and
+    // every later micro-batch would pay the full-corpus cliff again
+    // with no signal. Ownership is the streaming query's lifetime: the
+    // frame is lineage-recomputable, and a long-lived application
+    // frees it with `spark.catalog.clearCache()` after stopping the
+    // query (the Bench/Verify hygiene).
+    val existingFps =
+      existing.select(fp(col(textCol)).as("__fp")).distinct().persist()
     incoming
       .withColumn("__fp", fp(col(textCol)))
       .join(existingFps, Seq("__fp"), "left_anti")
@@ -236,6 +241,15 @@ object IncrementalStream {
     // aggregates (code-review r14)
     require(!events.columns.contains("__graft_event_time"),
       "windowedCounts reserves the __graft_event_time column name")
+    // ...and the same clobber class on the OUTPUT side (code-review
+    // r18): keyCol = "window" is an ambiguous-reference
+    // AnalysisException at the window.start select; keyCol =
+    // "window_start"/"n"/"total" yields a duplicate-name output schema
+    // that poisons any downstream by-name select or parquet write
+    val generated = Seq("window", "window_start", "n", "total")
+    require(!generated.contains(keyCol),
+      s"windowedCounts generates columns ${generated.mkString(", ")} — " +
+        s"keyCol '$keyCol' would collide; rename the key first")
     val withTime = events.withColumn("__graft_event_time",
       graft.engine.Tables.nanosToTimestamp(col(tsNanosCol)))
     withTime

@@ -2014,6 +2014,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.head < feats.last && feats.last > 0.3f, s"RMS envelope: $feats")
   }
 
+  test("8-bit WAV decodes: the standard on-disk form is UNSIGNED PCM " +
+       "(a signed-only gate stubbed every real 8-bit corpus)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val frames = 400
+    val pcm = new Array[Byte](frames)
+    for (i <- 0 until frames) {
+      // unsigned 8-bit: silence is 128; ramp quiet → loud
+      val amp = (i.toDouble / frames) * 120
+      pcm(i) = ((math.sin(i * 0.3) * amp).toInt + 128).toByte
+    }
+    val fmt = new AudioFormat(8000f, 8, 1, false, false) // PCM unsigned
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.AudioCodec.decode(21L, bos.toByteArray)
+      .getOrElse(fail("unsigned 8-bit WAV must decode, not stub"))
+    assert(d.format == "wav" && d.width == frames && d.height == 1)
+    // unsigned bytes recentered at 0: the RMS envelope still ascends
+    assert(d.features.head < d.features.last && d.features.last > 0.3f,
+      s"RMS envelope: ${d.features.toSeq}")
+  }
+
   test("mp4 payloads decode for real: tkhd dims, mvhd duration, format tag") {
     val p = Multimodal.syntheticMp4(7L, w = 640, h = 360, durationMs = 12345L)
     assert(Multimodal.VideoCodec.looksLikeMp4(p))
@@ -2027,6 +2051,16 @@ class MultimodalSpec extends SparkSpecBase {
     // corrupt interior box size must not throw either
     val corrupt = p.clone(); corrupt(24) = 0x7F
     Multimodal.VideoCodec.parse(corrupt) // no exception = pass
+    // crafted 64-bit box size near 2^63 (code-review r18): `off + size`
+    // overflowed Long, boxEnd took the truncated low 32 bits and moved
+    // the cursor BACKWARD — pre-fix this payload looped the box
+    // iterator forever (off cycling 0→16→0), hanging the executor task
+    val evil = java.nio.ByteBuffer.allocate(40)
+    evil.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+      .put(new Array[Byte](8))
+    evil.putInt(1).put("moov".getBytes("ISO-8859-1"))
+      .putLong(0x7FFFFFFFFFFFFFF0L)
+    Multimodal.VideoCodec.parse(evil.array()) // terminates, no throw
   }
 
   test("mkv payloads decode for real: EBML walk finds pixel dims and scaled duration") {
@@ -2309,5 +2343,14 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").nonEmpty))
     val tail = frames.find(_.getInt(1) == 4).get
     assert(tail.getAs[Array[Byte]]("frame_bytes").length == 44)
+    // misconfig fails at plan-build time with the problem named, not
+    // as a mid-job ANSI divide-by-zero / sequence step-zero error
+    // (code-review r18, the poolFeatures guard's rationale)
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(df, frameBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(df, stride = 0)
+    }
   }
 }

@@ -411,6 +411,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(self.size == 50)
   }
 
+  test("streamingMerge pins its static fingerprint set OUTSIDE the " +
+       "bounded tracked queue (eviction there would silently restore " +
+       "the per-batch full-corpus cliff mid-stream) — code-review r18") {
+    val existing = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq((3L, "alpha"), (4L, "gamma")).toDF("doc_id", "text")
+    val snapBefore = graft.northstar.Dedup.threadTrackedSnapshot()
+    val out = IncrementalStream.streamingMerge(incoming, existing)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(4L))
+    // cached: the anti-join's static side plans against the in-memory
+    // relation, not a per-batch recompute
+    assert(out.queryExecution.executedPlan.toString.contains("InMemory"),
+      out.queryExecution.executedPlan.toString.take(2000))
+    // ...and NOT via the evictable tracked queue: 32 later tracked
+    // registrations (or a releasePersisted) must not be able to drop
+    // the stream's frame for the query's lifetime. Thread-scoped
+    // snapshot, so concurrent suites can't flake this.
+    assert(graft.northstar.Dedup.threadTrackedSnapshot() == snapBefore,
+      "the stream's static side must not ride the evictable queue")
+    // no clearCache here: suites share the session and run in
+    // parallel, so a global cache flush mid-run is the exact
+    // suite-order flake class r17 fixed; the pinned frame is two
+    // fingerprint rows and dies with the test JVM
+  }
+
   test("streamingMerge refuses a caller-supplied __fp column instead of clobbering it") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
@@ -1025,5 +1049,16 @@ class StreamingSpec extends SparkSpecBase {
         "ts", "event_time", "value")
     }
     assert(e.getMessage.contains("__graft_event_time"))
+    // ...and so do key names colliding with the GENERATED output
+    // columns (code-review r18): keyCol = "window" was an ambiguous
+    // reference at the window.start select; "window_start"/"n"/"total"
+    // produced duplicate-name output schemas
+    for (bad <- Seq("window", "window_start", "n", "total")) {
+      val e2 = intercept[IllegalArgumentException] {
+        IncrementalStream.windowedCounts(
+          renamed.withColumnRenamed("event_time", bad), "ts", bad, "value")
+      }
+      assert(e2.getMessage.contains(bad), e2.getMessage)
+    }
   }
 }
