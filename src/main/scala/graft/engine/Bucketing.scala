@@ -34,7 +34,11 @@ object Bucketing {
                    t2: String, k2: String): DataFrame = {
     val a = spark.table(t1)
     val b = spark.table(t2)
-    if (k1 == k2) a.join(b, Seq(k1))
+    // CASE-INSENSITIVE same-key detection (code-review r18): Spark
+    // resolution is case-insensitive, so "ID" vs "id" IS the same key —
+    // the condition branch would keep both copies and recreate the
+    // ambiguous-reference hazard the USING form exists to avoid
+    if (k1.equalsIgnoreCase(k2)) a.join(b, Seq(k1))
     else a.join(b, a(k1) === b(k2))
   }
 
@@ -90,12 +94,17 @@ object Bucketing {
   def bucketedTableFor(df: DataFrame, baseName: String, contentKey: String,
                        key: String, buckets: Int): DataFrame = {
     val spark = df.sparkSession
+    // length-prefixed fields (code-review r18): a bare '|' join let
+    // ("v2|x", "k") and ("v2", "x|k") digest identically — and content
+    // keys are commonly delimiter-joined composites — silently serving
+    // a table bucketed on the wrong key or built from other content
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$contentKey|$key|$buckets"
+      .digest(s"${contentKey.length}:$contentKey|${key.length}:$key|$buckets"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val jvmTag = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getName.replaceAll("[^A-Za-z0-9]", "").toLowerCase
+      .getName.replaceAll("[^A-Za-z0-9]", "")
+      .toLowerCase(java.util.Locale.ROOT)
     val name = s"graft_b_${baseName}_${digest}_$jvmTag"
     this.synchronized {
       if (!spark.catalog.tableExists(name)) {
@@ -108,8 +117,8 @@ object Bucketing {
         // the resetLayers/Stores FS class)
         val wh = spark.conf.get("spark.sql.warehouse.dir")
         val db = spark.catalog.currentDatabase
-        val dir = if (db == "default") s"$wh/${name.toLowerCase}"
-                  else s"$wh/$db.db/${name.toLowerCase}"
+        val dir = if (db == "default") s"$wh/${name.toLowerCase(java.util.Locale.ROOT)}"
+                  else s"$wh/$db.db/${name.toLowerCase(java.util.Locale.ROOT)}"
         val p = new org.apache.hadoop.fs.Path(dir)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p))

@@ -41,6 +41,19 @@ object RangeJoin {
     require(!facts.columns.contains("__bin")
         && !intervals.columns.contains("__bin"),
       "binned range join reserves the __bin column; rename it on the inputs")
+    // ...and refuse OTHER shared names at the API boundary (code-review
+    // r18, the same discipline): a shared tCol/loCol/hiCol name throws
+    // AMBIGUOUS_REFERENCE at the post-join filter, and any other shared
+    // name yields a duplicate-column output frame that crashes on the
+    // first downstream col() — only the USING key may appear on both
+    val factsLower = facts.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val shared = intervals.columns.filter(c =>
+      !c.equalsIgnoreCase(keyCol) &&
+        factsLower.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    require(shared.isEmpty,
+      s"binned range join: columns ${shared.mkString(", ")} exist on " +
+        "BOTH sides (only the key may) — rename or prune one side first")
     val f = facts.withColumn("__bin", binOf(col(tCol)))
     // per-row interval sanity fused INTO the sequence bound (a dropped
     // side-channel column would be pruned by the optimizer and never

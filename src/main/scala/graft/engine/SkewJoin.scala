@@ -20,6 +20,16 @@ object SkewJoin {
     * rather than asserting on its own replica (which silently diverged
     * to murmur3 and would pass even if salting stopped spreading —
     * code-review r14).
+    *
+    * HONEST LIMIT (code-review r18): the salt must be row-deterministic
+    * (a nondeterministic salt recomputed across task retries routes the
+    * same row to different reducers mid-shuffle — the
+    * monotonically_increasing_id corruption class), so byte-IDENTICAL
+    * duplicate rows necessarily share one salt: a hot key made of
+    * millions of full-duplicate rows is NOT spread. Dedupe first
+    * (exact dedup is this engine's cheapest op) or add any
+    * distinguishing column; keys whose rows differ anywhere spread
+    * fine.
     */
   private[graft] def saltExpr(df: DataFrame,
                               saltFactor: Int): org.apache.spark.sql.Column =
@@ -37,8 +47,12 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltFactor: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    val joinTypeL = joinType.toLowerCase(java.util.Locale.ROOT)
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
-    require(saltSafeJoinTypes(joinType.toLowerCase),
+    // Locale.ROOT (code-review r18, the AsOfJoin discipline): a
+    // Turkish-locale JVM lowercases "INNER" to a dotless-ı form that
+    // would spuriously fail the whitelist
+    require(saltSafeJoinTypes(joinTypeL),
       s"saltedJoin supports ${saltSafeJoinTypes.mkString("/")}, " +
         s"got $joinType (outer forms would duplicate null-extended rows)")
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
@@ -54,7 +68,13 @@ object SkewJoin {
     // AMBIGUOUS_REFERENCE and the frame is unusable at first touch
     val dropSmallKey = bigKey == smallKey &&
       !Set("left_semi", "leftsemi", "left_anti", "leftanti")
-        .contains(joinType.toLowerCase)
+        .contains(joinTypeL)
+    // ...and when that rename path is live, the final drop("__salt_rk")
+    // removes EVERY column of that name — a big-side __salt_rk would
+    // silently vanish from the output (code-review r18)
+    require(!dropSmallKey || !big.columns.contains("__salt_rk"),
+      "saltedJoin reserves the __salt_rk column for same-named keys; " +
+        "rename it on the big side")
     val (smallIn, smallKeyIn) =
       if (dropSmallKey)
         (small.withColumnRenamed(smallKey, "__salt_rk"), "__salt_rk")

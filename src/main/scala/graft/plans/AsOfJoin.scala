@@ -48,7 +48,12 @@ object AsOfJoin {
                joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asofJoin supports inner/left, got $joinType")
-    val rightPayload = right.columns.filter(c => c != rightKey && c != rightTs).toSeq
+    // CASE-INSENSITIVE exclusion like the rest of the resolution here
+    // (code-review r18): a case-mismatched rightKey/rightTs that the
+    // join itself accepts used to leak the key/ts column into the
+    // prefixed payload output
+    val rightPayload = right.columns.filter(c =>
+      !c.equalsIgnoreCase(rightKey) && !c.equalsIgnoreCase(rightTs)).toSeq
     val leftCols = left.columns.toSeq
     // fail at the API boundary, not as an ambiguous-column
     // AnalysisException deep inside the window plan. CASE-INSENSITIVE
@@ -79,17 +84,32 @@ object AsOfJoin {
         .find(_.name.equalsIgnoreCase(name)).map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(
           s"asofJoin: column $name not found on the $side side"))
-    def noStringWiden(a: org.apache.spark.sql.types.DataType,
+    def noSilentWiden(a: org.apache.spark.sql.types.DataType,
                       b: org.apache.spark.sql.types.DataType,
-                      what: String): Unit =
-      require((a == org.apache.spark.sql.types.StringType)
-          == (b == org.apache.spark.sql.types.StringType),
+                      what: String): Unit = {
+      import org.apache.spark.sql.types._
+      require((a == StringType) == (b == StringType),
         s"asofJoin $what types ${a.simpleString} vs ${b.simpleString} " +
           "would union-widen to string and compare lexicographically — " +
           "cast one side explicitly")
-    noStringWiden(fieldType(left, leftTs, "left"),
+      // integral-vs-floating widens to DOUBLE, which is exact only to
+      // 2^53 — epoch-nanos longs collapse adjacent values there, so a
+      // right row 1ns in the FUTURE could round equal and match
+      // "at-or-before" (code-review r18: the same misrounding class
+      // RangeJoin.binOf guards with decimal division)
+      def integral(t: DataType) = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      def floating(t: DataType) = t == FloatType || t == DoubleType
+      require(!(integral(a) && floating(b)) && !(floating(a) && integral(b)),
+        s"asofJoin $what types ${a.simpleString} vs ${b.simpleString} " +
+          "would union-widen to double and lose integer precision past " +
+          "2^53 (epoch-nanos collapse there) — cast one side explicitly")
+    }
+    noSilentWiden(fieldType(left, leftTs, "left"),
       fieldType(right, rightTs, "right"), "timestamp")
-    noStringWiden(fieldType(left, leftKey, "left"),
+    noSilentWiden(fieldType(left, leftKey, "left"),
       fieldType(right, rightKey, "right"), "key")
 
     // NULL semantics match a real (Duck-style ASOF) join: a right row

@@ -102,6 +102,21 @@ class AsOfJoinSpec extends SparkSpecBase {
     val lc = Seq((1L, 100L)).toDF("k", "Ts")
     val out = AsOfJoin.asofJoin(lc, r, "k", "k", "ts", "rts")
     assert(out.count() == 1)
+    // ...and a case-mismatched rightKey/rightTs must not LEAK the
+    // key/ts into the prefixed payload (code-review r18)
+    val outCols = AsOfJoin.asofJoin(lc,
+      r.toDF("k", "Rts", "px"), "k", "k", "ts", "rts").columns.toSeq
+    assert(outCols == Seq("k", "Ts", "asof_px"), outCols.toString)
+    // integral-vs-floating pairs refuse too (code-review r18): the
+    // union widens to double, exact only to 2^53 — epoch-nanos longs
+    // collapse adjacent values there and a right row 1ns in the
+    // FUTURE could round equal and match "at-or-before"
+    val lf = Seq((1L, 100L)).toDF("k", "ts")
+    val rf = Seq((1L, 99.0, 9.0)).toDF("k", "rts", "px")
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(lf, rf, "k", "k", "ts", "rts")
+    }
+    assert(e3.getMessage.contains("2^53"), e3.getMessage)
   }
 
   test("matches the quadratic reference implementation on a larger frame") {

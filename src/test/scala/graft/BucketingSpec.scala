@@ -52,6 +52,27 @@ class BucketingSpec extends SparkSpecBase {
     assert(rows(t3) == rows(b))
   }
 
+  test("joinBucketed treats case-mismatched same keys as the SAME key " +
+       "(Spark resolution is case-insensitive) — code-review r18") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v1")
+    val b = Seq((1L, "p"), (2L, "q")).toDF("id", "v2")
+    try {
+      Bucketing.writeBucketed(a, "b_spec_ci_a", "id", 2)
+      Bucketing.writeBucketed(b, "b_spec_ci_b", "id", 2)
+      // pre-fix the case-sensitive k1 != k2 took the condition branch
+      // and the output kept BOTH id columns — every downstream
+      // col("id") threw AMBIGUOUS_REFERENCE
+      val out = Bucketing.joinBucketed(spark,
+        "b_spec_ci_a", "ID", "b_spec_ci_b", "id")
+      assert(out.columns.count(_.equalsIgnoreCase("id")) == 1,
+        out.columns.mkString(", "))
+      assert(out.select("ID").count() == 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_spec_ci_a")
+      spark.sql("DROP TABLE IF EXISTS b_spec_ci_b")
+    }
+  }
+
   test("pipeline cfg.bucketBy publishes silver facts bucketed; the downstream join is shuffle-free") {
     import graft.engine.{Extraction, Pipeline, Tables}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

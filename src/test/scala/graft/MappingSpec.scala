@@ -168,5 +168,14 @@ class RangeJoinSpec extends SparkSpecBase {
       RangeJoin.binned(facts.withColumn("__bin", org.apache.spark.sql
         .functions.lit(0)), intervals, "k", "t", "lo", "hi", binWidth = 10L)
     }
+    // shared NON-key names refuse at the API boundary too (code-review
+    // r18): a shared tCol threw AMBIGUOUS_REFERENCE at the post-join
+    // filter, other shared names yielded duplicate-column outputs
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.binned(facts,
+        intervals.withColumn("t", org.apache.spark.sql.functions.lit(0L)),
+        "k", "t", "lo", "hi", binWidth = 10L)
+    }
+    assert(e.getMessage.contains("BOTH sides"), e.getMessage)
   }
 }

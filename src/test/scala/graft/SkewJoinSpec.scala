@@ -44,6 +44,18 @@ class SkewJoinSpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException] {
       SkewJoin.saltedJoin(big, small.withColumn("__salt_rk", lit(0)), "k", "k")
     }
+    // ...and on the BIG side when the rename path is live: the final
+    // drop removes EVERY __salt_rk, so the user's own column silently
+    // vanished from the output (code-review r18)
+    assertThrows[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big.withColumn("__salt_rk", lit(0)), small, "k", "k")
+    }
+    // distinct key names leave a big-side __salt_rk untouched (no
+    // rename path, no drop) — the guard must not over-refuse
+    val out2 = SkewJoin.saltedJoin(
+      big.withColumn("__salt_rk", lit(7)),
+      small.withColumnRenamed("k", "k2"), "k", "k2")
+    assert(out2.columns.contains("__salt_rk"))
   }
 
   test("writePartitioned: partition pruning visible in the scan") {
