@@ -98,10 +98,22 @@ case class BloomGramHits(child: Expression, filterBytes: Array[Byte],
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any =
     BloomOps.gramHits(v.asInstanceOf[UTF8String], bloom, n)
+  /** The lazily-deserialized filter, for generated code — public so the
+    * codegen reference below can reach it.
+    */
+  def bloomForCodegen(): BloomFilter = bloom
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("gramBloom", bloom,
-      classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, v => s"graft.functions.BloomOps.gramHits($v, $ref, $n)")
+    // reference THIS EXPRESSION, not the deserialized filter
+    // (code-review r18): referencing `bloom` forced the driver to
+    // deserialize a second ~120 MB copy at codegen time AND shipped it
+    // alongside the plan tree's filterBytes — ~240 MB per task binary
+    // at the advertised 100M-gram scale. The expression reference
+    // shares the byte payload the plan already carries; each executor
+    // deserializes once through the transient lazy val.
+    val ref = ctx.addReferenceObj("gramBloomExpr", this,
+      classOf[BloomGramHits].getName)
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.BloomOps.gramHits($v, $ref.bloomForCodegen(), $n)")
   }
   override protected def withNewChildInternal(newChild: Expression): BloomGramHits =
     copy(child = newChild)

@@ -291,6 +291,13 @@ object TextOps {
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
     extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  // construction-time guards like every sibling kernel (code-review
+  // r18): n=0 built the empty gram at every position, so EVERY
+  // document got the identical signature — minhash_est read 1.0 for
+  // all pairs and dedup silently marked the whole corpus duplicate;
+  // k=0 made empty signatures whose estimate pinned 0.0
+  require(n >= 1, s"minhash shingle width n must be >= 1, got $n")
+  require(k >= 1, s"minhash signature length k must be >= 1, got $k")
   // declared, not convention: on the SQL surface a non-string argument
   // previously passed analysis and threw a ClassCastException in an
   // executor (code-review r13) — the analyzer now coerces or rejects
@@ -307,6 +314,9 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
 /** shingles(text) → array<string> of distinct word n-gram shingles. */
 case class ShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  // n=0 yielded the single empty shingle for every document — every
+  // pair read Jaccard 1.0 (code-review r18, the MinHashSig guard)
+  require(n >= 1, s"shingle width n must be >= 1, got $n")
   override def kernelInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -426,6 +436,11 @@ private[functions] object kernelBuilders {
     "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
     "minhash_est" -> arity("minhash_est", 2)(es => MinHashEst(es(0), es(1))),
     "shingles" -> arity("shingles", 1)(es => ShinglesExpr(es.head, 3)),
+    // parameter-free like simhash64 — its absence contradicted the
+    // "every graft kernel becomes available to pure-SQL users" claim,
+    // and the T4 trim path was the one kernel a SQL-gateway user
+    // could not call (code-review r18)
+    "ascii_strip" -> arity("ascii_strip", 1)(es => AsciiStrip(es.head)),
     "text_stats" -> arity("text_stats", 1)(es =>
       TextStats(es.head, TextOps.DefaultStopwords)))
 }

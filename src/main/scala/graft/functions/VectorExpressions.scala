@@ -211,12 +211,42 @@ object VecOps {
     val ids = new Array[Long](n)
     val rel = new Array[Double](n)
     val vecs = new Array[ArrayData](n)
+    val taken = new Array[Boolean](n)
+    // per-candidate norms computed ONCE in the unpack pass (code-review
+    // r18): the O(k·n·dim) update loop's fused cosine re-accumulated
+    // both operands' norms on every pair — ~3 multiply-adds per element
+    // where a dot plus two cached norms needs 1. Identical element-order
+    // folds, so every returned value is bit-identical to the fused form
+    // (the ns_mmr_relevance hash pin).
+    val norm = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val row = cands.getStruct(i, 3)
-      ids(i) = row.getLong(0)
-      rel(i) = row.getDouble(1)
-      vecs(i) = row.getArray(2)
+      // null gate (code-review r18): a pool entry with a null id, rel,
+      // or vector (a null-embedding corpus row can reach an
+      // under-filled pool — the ranking window keeps null-sim rows when
+      // the group is smaller than poolSize) used to read garbage 0.0
+      // relevance via getDouble-on-null and then NPE in the executor at
+      // the cosine; excluded up front instead — the kernel null-gate
+      // convention
+      if (cands.isNullAt(i)) taken(i) = true
+      else {
+        val row = cands.getStruct(i, 3)
+        if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2))
+          taken(i) = true
+        else {
+          ids(i) = row.getLong(0)
+          rel(i) = row.getDouble(1)
+          vecs(i) = row.getArray(2)
+          val v = vecs(i)
+          val d = v.numElements()
+          var na = 0.0
+          var j = 0
+          while (j < d) {
+            val x = v.getFloat(j).toDouble; na += x * x; j += 1
+          }
+          norm(i) = math.sqrt(na)
+        }
+      }
       i += 1
     }
     val lam = lambdaE4 / 10000.0
@@ -224,7 +254,6 @@ object VecOps {
     // diversity BONUS an anti-similar candidate earns (max(0, maxcos)
     // is not the Carbonell–Goldstein formula)
     val maxSim = Array.fill(n)(Double.NegativeInfinity)
-    val taken = new Array[Boolean](n)
     val out = new Array[Long](take)
     var s = 0
     while (s < take) {
@@ -260,10 +289,12 @@ object VecOps {
       // at lam = 1 the diversity term is weighted 0 — skip the
       // O(n·dim) cosine update entirely (the ns_mmr_relevance path)
       if (lam < 1.0) {
+        val bv = vecs(best)
+        val bn = norm(best)
         i = 0
         while (i < n) {
           if (!taken(i)) {
-            val c = cosine(vecs(i), vecs(best))
+            val c = cosinePreNormed(vecs(i), norm(i), bv, bn)
             if (c > maxSim(i)) maxSim(i) = c
           }
           i += 1
@@ -272,6 +303,23 @@ object VecOps {
       s += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** [[cosine]] with both norms precomputed — the [[mmrSelect]] hot
+    * loop's form. Same dot fold and the same `sqrt(na)·sqrt(nb)`
+    * product (the caller caches the sqrt'd norms), so results are
+    * bit-identical to the fused cosine.
+    */
+  private def cosinePreNormed(a: ArrayData, na: Double,
+                              b: ArrayData, nb: Double): Double = {
+    val n = checkSameDim(a, b, "cosine")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
+    val d = na * nb
+    if (d == 0.0) 0.0 else dot / d
   }
 
   /** Per-thread identity cache for long-array literals (the quantized JL
@@ -396,7 +444,20 @@ object VecOps {
     var dot = 0.0; var nq = 0.0; var nr = 0.0
     var j = 0
     while (j < m) {
-      val base = (j * ksub + codes.getInt(j)) * sub
+      // range-check the code against ksub (code-review r18): the shape
+      // checks above cannot catch codes from a WIDER codebook (an index
+      // dumped at ksub=512 probed against a retrained ksub=256 fit) —
+      // the offset stays in bounds for all but the last subspace,
+      // silently reading subspace j+1's centroids as plausible-but-
+      // wrong cosines. One int compare per subspace, off the
+      // per-element hot path.
+      val cj = codes.getInt(j)
+      if (cj < 0 || cj >= ksub)
+        throw new IllegalArgumentException(
+          s"PQ code $cj out of range for ksub=$ksub (subspace $j) — " +
+            "the codes were produced under a different codebook; " +
+            "re-encode the index or load the matching codebook")
+      val base = (j * ksub + cj) * sub
       var i = 0
       while (i < sub) {
         val x = q.getFloat(j * sub + i).toDouble
@@ -510,22 +571,34 @@ object VecOps {
       sims(c) = if (d == 0.0) 0.0 else dot / d
       c += 1
     }
-    // bounded partial selection, best→worst by the total order
-    // (sim via cmpSql, ties → HIGHER cell — cells are distinct ints,
-    // so the order is total and the top-`take` is unique): one pass,
-    // each candidate compared against the current worst and inserted
-    // by shifting — O(nCells + hits·take) instead of the naive
-    // repeated-scan O(nCells·take), which at the 4096-cell/64-probe
-    // auto ceiling rivaled the similarity pass itself (code-review r14)
+    // indices ARE the cell ids here, so identity is the tie-break id
+    new GenericArrayData(
+      selectTop(sims, c2 => c2, math.min(nProbe, nCells)))
+  }
+
+  /** Bounded partial selection shared by [[nearestCells]] and
+    * [[topCellsIn]] — best→worst under the total order (sim via
+    * [[cmpSql]], ties → HIGHER tie id; ids are distinct ints so the
+    * top-`take` is unique): one pass, each candidate compared against
+    * the current worst and inserted by shifting — O(n + hits·take)
+    * instead of the naive repeated-scan O(n·take), which at the
+    * 4096-cell/64-probe auto ceiling rivaled the similarity pass
+    * itself (code-review r14). ONE definition (code-review r18): the
+    * loop existed verbatim in both kernels, and a tie-break or
+    * NaN-ordering fix landing in one copy would silently split the
+    * batch and streaming probes' cell ordering. Returns INDICES into
+    * `sims`, best first; callers pass take <= sims.length.
+    */
+  private def selectTop(sims: Array[Double], tieId: Int => Int,
+                        take: Int): Array[Int] = {
     def better(a: Int, b: Int): Boolean = {
       val cmp = cmpSql(sims(a), sims(b))
-      cmp > 0 || (cmp == 0 && a > b)
+      cmp > 0 || (cmp == 0 && tieId(a) > tieId(b))
     }
-    val take = math.min(nProbe, nCells)
     val out = new Array[Int](take)
     var size = 0
-    c = 0
-    while (c < nCells) {
+    var c = 0
+    while (c < sims.length) {
       if (size < take || better(c, out(size - 1))) {
         var i = if (size < take) { size += 1; size - 1 } else take - 1
         while (i > 0 && better(c, out(i - 1))) { out(i) = out(i - 1); i -= 1 }
@@ -533,7 +606,7 @@ object VecOps {
       }
       c += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   /** Best (cosine, cell) of `v` among a PACKED per-row centroid group:
@@ -637,24 +710,10 @@ object VecOps {
       ids(c) = cells.getInt(c)
       c += 1
     }
-    // bounded insertion selection, best→worst (the nearestCells loop)
-    def better(a: Int, b: Int): Boolean = {
-      val cmp = cmpSql(sims(a), sims(b))
-      cmp > 0 || (cmp == 0 && ids(a) > ids(b))
-    }
-    val n = math.min(take, nc)
-    val out = new Array[Int](n)
-    var size = 0
-    c = 0
-    while (c < nc) {
-      if (size < n || better(c, out(size - 1))) {
-        var i2 = if (size < n) { size += 1; size - 1 } else n - 1
-        while (i2 > 0 && better(c, out(i2 - 1))) { out(i2) = out(i2 - 1); i2 -= 1 }
-        out(i2) = c
-      }
-      c += 1
-    }
-    new GenericArrayData(out.map(ids(_)))
+    // the shared bounded insertion selection; ties break on the GLOBAL
+    // cell id, not the packed position
+    new GenericArrayData(
+      selectTop(sims, ids(_), math.min(take, nc)).map(ids(_)))
   }
 
   /** FLOAT plane rows for the sub-cell split family: the compose form
@@ -739,30 +798,13 @@ object VecOps {
     * One pass over the vector per (table, plane), against the cached
     * plane matrix.
     */
-  def hyperplaneBuckets(v: ArrayData, nPlanes: Int, nTables: Int): ArrayData = {
-    val dim = v.numElements()
-    val planes = planesFor(nPlanes, nTables, dim)
-    val out = new Array[Long](nTables)
-    var t = 0
-    while (t < nTables) {
-      var bucket = 0L
-      var p = 0
-      while (p < nPlanes) {
-        val row = planes(t * nPlanes + p)
-        var d = 0.0
-        var i = 0
-        while (i < dim) {
-          d += v.getFloat(i).toDouble * row(i)
-          i += 1
-        }
-        if (d > 0) bucket |= (1L << p)
-        p += 1
-      }
-      out(t) = bucket | (t.toLong << 32)
-      t += 1
-    }
-    new GenericArrayData(out)
-  }
+  def hyperplaneBuckets(v: ArrayData, nPlanes: Int, nTables: Int): ArrayData =
+    // nFlips = 0 degenerates multiprobe to exactly the base-bucket walk
+    // (perTable = 1, out(t) = bucket | tag) — ONE copy of the per-table
+    // sign-bit loop instead of two hand-synchronized ones, the drift
+    // class the kernelBuilders comment documents (code-review r18); the
+    // cost is the two tiny scratch arrays multiprobe hoists
+    hyperplaneBucketsMultiprobe(v, nPlanes, nTables, nFlips = 0)
 }
 
 /** cosine(array<float>, array<float>) → double, codegen'd. */
