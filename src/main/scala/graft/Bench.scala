@@ -251,8 +251,21 @@ object Bench {
       val minRe = "\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+),".r
       val prevMins = minRe.findAllMatchIn(prev)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // like-for-like requires the SAME scale factor (advice r18): a
+      // name intersection alone would let a run at a different sf that
+      // reuses the output/baseline path report a confident-looking
+      // floor ratio that compares different data sizes. The artifact's
+      // trailing "sf" field is the baseline's run scale; on mismatch
+      // the block is null and the mismatch is said out loud.
+      val prevSf = "\"sf\":\"([^\"]*)\"".r
+        .findFirstMatchIn(prev).map(_.group(1))
       val shared = prevMins.keySet.intersect(curMins.keySet).toSeq.sorted
-      if (shared.isEmpty) "null"
+      if (prevSf.exists(_ != sfDir)) {
+        Console.err.println(
+          s"[bench] WARN: like_for_like_min skipped — baseline sf " +
+            s"'${prevSf.get}' != current sf '$sfDir' (not like-for-like)")
+        "null"
+      } else if (shared.isEmpty) "null"
       else {
         val p = shared.map(prevMins).sum
         val c = shared.map(curMins).sum

@@ -34,11 +34,17 @@ object Bucketing {
                    t2: String, k2: String): DataFrame = {
     val a = spark.table(t1)
     val b = spark.table(t2)
-    // CASE-INSENSITIVE same-key detection (code-review r18): Spark
-    // resolution is case-insensitive, so "ID" vs "id" IS the same key —
-    // the condition branch would keep both copies and recreate the
-    // ambiguous-reference hazard the USING form exists to avoid
-    if (k1.equalsIgnoreCase(k2)) a.join(b, Seq(k1))
+    // Same-key detection FOLLOWS the session's resolution mode (advice
+    // r18): under the default case-insensitive resolution "ID" vs "id"
+    // IS the same key — the condition branch would keep both copies and
+    // recreate the ambiguous-reference hazard the USING form exists to
+    // avoid (code-review r14/r18) — but under spark.sql.caseSensitive=
+    // true they are genuinely distinct columns and collapsing them into
+    // a USING join on k1 mis-resolves the right side.
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val sameKey = if (caseSensitive) k1 == k2 else k1.equalsIgnoreCase(k2)
+    if (sameKey) a.join(b, Seq(k1))
     else a.join(b, a(k1) === b(k2))
   }
 

@@ -78,6 +78,47 @@ object IncrementalStream {
       .drop("__graft_event_time")
   }
 
+  /** Static fingerprint frames pinned by [[streamingMerge]], per session
+    * (weak keys: a GC'd session must not be held live by its pins). Each
+    * entry is the pinned frame; [[releaseMergePins]] drains and
+    * unpersists them WITHOUT touching any other user's cached frames —
+    * the library-level release the r18 advice asked for, replacing the
+    * previous "global spark.catalog.clearCache()" remedy that evicted
+    * unrelated cache blocks. Frames are lineage-recomputable, so a
+    * release while a merge stream is still running costs one recompute
+    * on the next micro-batch, never correctness.
+    */
+  private val mergePins =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.ArrayDeque[DataFrame]]())
+
+  private def registerMergePin(frame: DataFrame): Unit = {
+    val sess = frame.sparkSession
+    mergePins.synchronized {
+      var q = mergePins.get(sess)
+      if (q == null) { q = new java.util.ArrayDeque[DataFrame](); mergePins.put(sess, q) }
+      q.add(frame)
+    }
+  }
+
+  /** Unpersist every static fingerprint frame [[streamingMerge]] pinned
+    * on this session and forget them; returns how many were released.
+    * Call after stopping the merge queries (the Bench/Verify hygiene) —
+    * a long-lived JVM that builds several merges no longer accumulates
+    * cached frames unboundedly nor needs a global cache flush.
+    */
+  def releaseMergePins(spark: SparkSession): Int = mergePins.synchronized {
+    val q = mergePins.remove(spark)
+    if (q == null) 0
+    else {
+      var n = 0
+      val it = q.iterator()
+      while (it.hasNext) { it.next().unpersist(); n += 1 }
+      n
+    }
+  }
+
   /** Continuous corpus merge: a stream of incoming documents anti-joined
     * against a STATIC existing corpus's fingerprint set — only docs whose
     * normalized text is unseen pass through. Stream-static anti-joins are
@@ -85,6 +126,10 @@ object IncrementalStream {
     * of the batch ns_corpus_merge ingest dedup: the static side is
     * re-read per micro-batch (cache it for hot loops), no state store is
     * involved, and the output is exactly-once under the sink checkpoint.
+    *
+    * The pinned static frame is registered per-session; release it after
+    * stopping the query with [[releaseMergePins]] (scoped — does not
+    * evict anything else in the cache).
     */
   def streamingMerge(incoming: DataFrame, existing: DataFrame,
                      textCol: String = "text"): DataFrame = {
@@ -113,10 +158,12 @@ object IncrementalStream {
     // every later micro-batch would pay the full-corpus cliff again
     // with no signal. Ownership is the streaming query's lifetime: the
     // frame is lineage-recomputable, and a long-lived application
-    // frees it with `spark.catalog.clearCache()` after stopping the
-    // query (the Bench/Verify hygiene).
+    // frees it with `releaseMergePins(spark)` after stopping the
+    // query — scoped to THIS module's pins, not a global cache flush
+    // (advice r18).
     val existingFps =
       existing.select(fp(col(textCol)).as("__fp")).distinct().persist()
+    registerMergePin(existingFps)
     incoming
       .withColumn("__fp", fp(col(textCol)))
       .join(existingFps, Seq("__fp"), "left_anti")

@@ -73,6 +73,29 @@ class BucketingSpec extends SparkSpecBase {
     }
   }
 
+  test("joinBucketed under spark.sql.caseSensitive=true keeps 'ID' vs 'id' " +
+       "as DISTINCT keys (condition join, both columns kept) — advice r18") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("ID", "v1")
+    val b = Seq((1L, "p"), (3L, "q")).toDF("id", "v2")
+    try {
+      Bucketing.writeBucketed(a, "b_spec_cs_a", "ID", 2)
+      Bucketing.writeBucketed(b, "b_spec_cs_b", "id", 2)
+      spark.conf.set("spark.sql.caseSensitive", "true")
+      // pre-fix equalsIgnoreCase collapsed the genuinely distinct keys
+      // into USING("ID"), which fails resolution against b (no "ID"
+      // column case-sensitively) — a confusing error on a valid join
+      val out = Bucketing.joinBucketed(spark,
+        "b_spec_cs_a", "ID", "b_spec_cs_b", "id")
+      assert(out.columns.contains("ID") && out.columns.contains("id"),
+        out.columns.mkString(", "))
+      assert(out.count() == 1) // only key 1 matches
+    } finally {
+      spark.conf.unset("spark.sql.caseSensitive")
+      spark.sql("DROP TABLE IF EXISTS b_spec_cs_a")
+      spark.sql("DROP TABLE IF EXISTS b_spec_cs_b")
+    }
+  }
+
   test("pipeline cfg.bucketBy publishes silver facts bucketed; the downstream join is shuffle-free") {
     import graft.engine.{Extraction, Pipeline, Tables}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

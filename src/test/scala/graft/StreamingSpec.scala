@@ -435,6 +435,26 @@ class StreamingSpec extends SparkSpecBase {
     // fingerprint rows and dies with the test JVM
   }
 
+  test("releaseMergePins unpersists ONLY streamingMerge's pinned frames, " +
+       "scoped to the session — no global cache flush needed (advice r18)") {
+    val existing = Seq((1L, "pin-a"), (2L, "pin-b")).toDF("doc_id", "text")
+    val incoming = Seq((3L, "pin-a"), (4L, "pin-new")).toDF("doc_id", "text")
+    // an unrelated user's cached frame must SURVIVE the release — the
+    // old remedy (spark.catalog.clearCache()) evicted it collaterally
+    val bystander = Seq((7L, "other")).toDF("k", "t").persist()
+    try {
+      bystander.count()
+      val out = IncrementalStream.streamingMerge(incoming, existing)
+      assert(out.collect().map(_.getLong(0)).toSet == Set(4L))
+      val released = IncrementalStream.releaseMergePins(spark)
+      assert(released >= 1, s"expected at least the merge pin, got $released")
+      // drained: a second release finds nothing to free
+      assert(IncrementalStream.releaseMergePins(spark) == 0)
+      assert(bystander.storageLevel.useMemory,
+        "release must not evict unrelated cached frames")
+    } finally bystander.unpersist()
+  }
+
   test("streamingMerge refuses a caller-supplied __fp column instead of clobbering it") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
