@@ -1416,6 +1416,46 @@ class ArtifactsSpec extends SparkSpecBase {
       == rows(Similarity.bruteForceTopK(qs, emb, k = 10)))
   }
 
+  test("retrain scratch swept between mkdirs and the owner-token write " +
+       "is a CLASSIFIED retryable mutex loss, data-safe (judge r18)") {
+    // the 695/696 full-suite failure: a concurrent rebuild's
+    // sweepSiblingTmp deleted the fresh, still-token-less scratch and
+    // the token write's NoSuchFileException escaped unclassified —
+    // neither a race outcome nor retryLoud-retryable. The seam injects
+    // that sweep deterministically (the live race needs full-suite
+    // load to stretch the window).
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfsweepgap")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    val marker = new java.io.File(p, "_SUCCESS")
+    assert(marker.exists())
+    var swept: java.io.File = null
+    Artifacts.retrainPreTokenSeam.set { tmp =>
+      swept = tmp
+      Artifacts.deleteRec(tmp) // what a concurrent rebuild's sweep does
+    }
+    val e =
+      try intercept[IllegalArgumentException] {
+        Artifacts.retrainIvfIndex(spark, p, nCells = 8): Unit
+      } finally Artifacts.retrainPreTokenSeam.remove()
+    // the documented loss class: retryLoud keys on "commit marker"
+    assert(e.getMessage != null && e.getMessage.contains("commit marker"),
+      s"must be the retryable mutex-loss class, got: ${e.getMessage}")
+    // pre-claim loss is data-safe: live marker untouched, index still
+    // serves under the original quantizer, no scratch residue
+    assert(marker.exists(), "the live commit marker must be untouched")
+    assert(swept != null && !swept.exists(), "no scratch residue")
+    val (idx, _) = Artifacts.loadIvfIndex(spark, p, cents)
+    assert(idx.count() == embA.count())
+    // ...and the retry the classification licenses succeeds outright
+    val (q, _) = Artifacts.retrainIvfIndex(spark, p, nCells = 8)
+    val (idx2, _) = Artifacts.loadIvfIndex(spark, p, q match {
+      case Ivf.LiteralQuantizer(c) => c
+      case _ => fail("nCells=8 must stay in the literal family")
+    })
+    assert(idx2.count() == embA.count())
+  }
+
   test("retrainIvfIndex migrates a literal index to the hierarchical " +
        "family when the cell count crosses MaxAutoCells (VERDICT r16 task 3)") {
     val cents = Ivf.fitCentroids(embA, nCells = 4)
