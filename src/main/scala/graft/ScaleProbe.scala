@@ -1092,20 +1092,21 @@ object ScaleProbe {
     * r17 (VERDICT r16 task 2) closes the loop with the retrain the
     * WARN schedules: [[graft.northstar.Artifacts.retrainIvfPqIndex]]
     * with defaults refits both quantizers on the half-drifted union.
-    * Measured 2026-08-15 (r17): at the decay series' own pinned serve
-    * budget (nProbe=6, rerank=60 — quantizer-only, no probe-budget
-    * change) the retrain lifts drifted-row recall 0.400 → 0.403–0.438
-    * (run-variant: the refit's init sample rides nondeterministic
-    * post-shuffle row order); the modest gain is budget saturation,
-    * not quantizer quality — the drifted clusters grew to 160 members,
-    * so a 60-candidate exact fetch caps recall for ANY quantizer,
-    * which is why that leg asserts a no-collapse floor (a 0.05
-    * tolerance under the decayed read — the one-hit improvement margin
-    * is inside the refit's own run variance) rather than a recovery
-    * bar. At the auto serve budget
-    * (autoNProbe/autoRerank) the full remedy reads recallB=1.000 with
-    * resident recallA=1.000. Asserted: a no-collapse floor (−0.05
-    * tolerance) at the pinned budget, ≥0.95 at the operational remedy.
+    * Measured 2026-08-16 (r19, deterministic init draws — VERDICT r18
+    * task 2): decay 1.000 → 0.325 across the five appended batches
+    * (tv 0.362–0.369, all over the 0.3 bar; bias 1.5); at the decay
+    * series' own pinned serve budget (nProbe=6, rerank=60 —
+    * quantizer-only, no probe-budget change) the retrain lifts
+    * drifted-row recall 0.325 → 0.350, IDENTICAL across consecutive
+    * runs — the refit init now rides boundedSample's content-hash
+    * draw, so the 0.275-wide run band r17/r18 fought is gone. The
+    * modest pinned gain is budget saturation, not quantizer quality —
+    * the drifted clusters grew to 160 members, so a 60-candidate
+    * exact fetch caps recall for ANY quantizer. At the auto serve
+    * budget (autoNProbe/autoRerank) the full remedy reads
+    * recallB=1.000 with resident recallA=1.000. Asserted: a tight
+    * no-degradation band (−0.02) at the pinned budget, ≥0.95 at the
+    * operational remedy.
     */
   private def quantizerDriftProbe(spark: SparkSession): Unit = {
     import graft.northstar.{Artifacts, Ivf, Pq, Similarity}
@@ -1173,7 +1174,14 @@ object ScaleProbe {
     var lastB = Double.NaN
     var lastQB: DataFrame = null
     for (b <- 0 until 5) {
-      val batch = slice(100000 + b * 2048, 2048, 64, 5.43, 0.8).persist()
+      // bias 1.5 (was 0.8 through r18): the shifted batch's measured tv
+      // rides the A-fit's centroid placement, and the r19 deterministic
+      // init draw moved batch-0 tv from 0.37 to 0.278 — under the 0.3
+      // product bar. The probe's job is to verify the MECHANISM
+      // (census flags drift, retrain recovers), not to sit a synthetic
+      // shift on the threshold's edge; the stronger bias restores
+      // unambiguous separation for any functioning quantizer.
+      val batch = slice(100000 + b * 2048, 2048, 64, 5.43, 1.5).persist()
       batch.count()
       val drift = Ivf.censusDrift(baseCensus, census(batch))
       Artifacts.appendIvfPqIndex(batch, corpus, path, cents, cb): Unit
@@ -1270,22 +1278,21 @@ object ScaleProbe {
       f"ksub=${cbNew(0).length}): pinned-budget recallB=$rBPinned%.3f " +
       f"(was $lastB%.3f); auto-budget (nProbe=$npAuto rerank=$rrAuto) " +
       f"recallB=$rBRe%.3f recallA=$rARe%.3f")
-    // an ABSOLUTE collapse floor, not a relative tolerance: the
-    // pinned-budget read is run-variant (see (a) above — the refit's
-    // init sample rides nondeterministic post-shuffle row order), and
-    // every relative band calibrated on observed draws got beaten by
-    // the next draw (r17's 0.05 tolerance on a 0.403–0.438 band; an
-    // r18 draw then read 0.341, and the 0.10 widening still sat
-    // inside a 0.275-wide observed band — code-review r18, twice).
-    // What this leg must catch is a COLLAPSE: a retrain whose
-    // quantizer routes the drifted rows nowhere, which reads
-    // near-zero at a 6-probe/60-rerank budget — an order of magnitude
-    // below ANY functioning refit's draws (0.341–0.616 observed).
-    // 0.2 separates the two regimes with margin on both sides; the
-    // hard recovery gates remain the two >= 0.95 auto-budget asserts.
-    assert(rBPinned >= 0.2,
-      f"retrain COLLAPSED drifted-row recall at the pinned " +
-        f"budget ($lastB%.3f → $rBPinned%.3f)")
+    // a TIGHT no-degradation band, restored by r19 determinism
+    // (VERDICT r18 task 2): the refit's init draw is now a pure
+    // function of corpus content (boundedSample's content-hash
+    // membership + content-ordered collect), so the pinned-budget
+    // read is bit-reproducible run to run — two consecutive r19 runs
+    // both measured 0.350 from the decayed 0.325, and the 0.275-wide
+    // band that forced three successively wider tolerances (0.05 →
+    // 0.10 → an absolute 0.2 collapse floor) is gone with its
+    // variance source. The refit may not lose ground at the decay
+    // series' own budget (the 0.02 slack covers float-tie plan
+    // differences only, not draw variance — there are no draws left).
+    assert(rBPinned >= lastB - 0.02,
+      f"retrain DEGRADED drifted-row recall at the pinned " +
+        f"budget ($lastB%.3f → $rBPinned%.3f) — deterministic since " +
+        "r19, so this is a real quantizer regression, not a draw")
     assert(rBRe >= 0.95,
       f"retrain + auto serve budget recovered drifted-row recall only " +
         f"to $rBRe%.3f — the WARN's remedy does not remedy")

@@ -166,9 +166,22 @@ object Ivf {
 
   /** The bounded, corpus-size-independent training sample shared by the
     * coarse quantizer and the PQ codebook fit ([[Pq.fitCodebooks]]):
-    * min(1, targetRows/corpusRows) Bernoulli sample, collected. The 1.2×
-    * slack compensates Bernoulli undershoot; quantizer quality only
-    * needs the order of magnitude right.
+    * min(1, targetRows/corpusRows) content-hash sample, collected and
+    * content-ordered. The 1.2× slack compensates sampling undershoot;
+    * quantizer quality only needs the order of magnitude right.
+    *
+    * CONTENT-determined, not position-determined (VERDICT r18 task 2):
+    * the old positional Bernoulli `sample()` consumed its per-partition
+    * RNG stream in row order and `collect()` returned rows in shuffle-
+    * block arrival order — both nondeterministic for a post-shuffle
+    * corpus (a retrain's resolve join), so two fits of the SAME logical
+    * corpus drew different init samples and the seeded k-means++ (which
+    * picks by index) produced different quantizers — the root cause of
+    * the drift probe's 0.275-wide pinned-budget recall band. Now
+    * membership is a seeded hash predicate on the vector itself (the
+    * [[fitStored]] init discipline) and order is a driver-side
+    * lexicographic sort, so the draw is a pure function of (content
+    * multiset, seed, fraction) whatever the partitioning did.
     */
   private[northstar] def boundedSample(corpus: DataFrame, targetRows: Long,
                                        vecCol: String,
@@ -184,10 +197,36 @@ object Ivf {
         else math.min(1.0, 1.2 * targetRows.toDouble / n)
       }
     val sampled = if (fraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, fraction, seed)
-    sampled.select(col(vecCol)).collect()
+      else corpus.filter(
+        pmod(xxhash64(col(vecCol), lit(seed)), lit(HashSampleBuckets)) <
+          lit((fraction * HashSampleBuckets).toLong))
+    val pts = sampled.select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
+    java.util.Arrays.sort(pts, floatArrayOrder)
+    pts
   }
+
+  /** Modulus of [[boundedSample]]'s hash predicate: fine enough that the
+    * realized fraction tracks the requested one to ~1e-6.
+    */
+  private val HashSampleBuckets = 1L << 20
+
+  /** Total lexicographic order on float vectors (Float.compare semantics,
+    * length breaks ties) — the deterministic driver-sample ordering.
+    */
+  private[northstar] val floatArrayOrder: java.util.Comparator[Array[Float]] =
+    new java.util.Comparator[Array[Float]] {
+      def compare(a: Array[Float], b: Array[Float]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Float.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
 
   private def sqDist(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
@@ -1112,8 +1151,15 @@ object Ivf {
     val fraction =
       if (rows <= 4L * nCells) 1.0
       else math.min(1.0, 1.2 * (4.0 * nCells) / rows)
+    // membership by CONTENT hash, not positional Bernoulli (VERDICT r18
+    // task 2, the boundedSample discipline): a positional sample of a
+    // post-shuffle corpus draws a different SUBSET each run even under
+    // a fixed seed — the hash-ordered truncation below only fixed the
+    // ordering half of the determinism story.
     val drawn = (if (fraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, fraction, seed + 1))
+      else corpus.filter(
+        pmod(xxhash64(col(vecCol), lit(seed + 1)), lit(1L << 20)) <
+          lit((fraction * (1L << 20)).toLong)))
       .select(col(vecCol).as("ccv")).distinct()
       .orderBy(xxhash64(col("ccv")), col("ccv"))
     // sort + zipWithIndex: the deterministic distributed id assignment

@@ -15,6 +15,32 @@ class IvfSpec extends SparkSpecBase {
     assert(c1.length == 4 && c1.head.length == 64)
   }
 
+  test("fitCentroids is a pure function of corpus CONTENT — identical " +
+       "across partitionings and row orders (VERDICT r18 task 2)") {
+    import org.apache.spark.sql.functions.{col, desc}
+    // 4× replication so the auto fraction < 1 and the SAMPLING path
+    // (membership + ordering) is what's under test: the old positional
+    // Bernoulli draw + arrival-order collect gave a different init per
+    // layout — the root cause of the drift probe's 0.275-wide
+    // pinned-budget recall band across retrain runs
+    val big = (0 until 4).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + i * 100000L))
+      .reduce(_ unionAll _)
+    val a = Ivf.fitCentroids(big.repartition(7), nCells = 2)
+    val b = Ivf.fitCentroids(
+      big.repartition(3).sortWithinPartitions(desc("vec_id")), nCells = 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "the quantizer must not depend on physical layout")
+    // the distributed family holds the same property
+    val ha = Ivf.fitHierarchical(big.repartition(7), nCells = 8)
+    val hb = Ivf.fitHierarchical(
+      big.repartition(3).sortWithinPartitions(desc("vec_id")), nCells = 8)
+    assert(ha.centroids.map(_.toSeq).toSeq == hb.centroids.map(_.toSeq).toSeq
+      && ha.superCentroids.map(_.toSeq).toSeq ==
+        hb.superCentroids.map(_.toSeq).toSeq,
+      "the hierarchical quantizer must not depend on physical layout")
+  }
+
   test("null embeddings refuse loudly at the cell census, not a bare NPE") {
     import org.apache.spark.sql.functions.{col, lit, when}
     // a null vector assigns to a NULL cell and would (a) crash the

@@ -20,6 +20,22 @@ class PqSpec extends SparkSpecBase {
     assert(c1.forall(_.forall(_.length == 8)))
   }
 
+  test("fitCodebooks is a pure function of corpus CONTENT — identical " +
+       "across partitionings and row orders (VERDICT r18 task 2)") {
+    import org.apache.spark.sql.functions.desc
+    // replicate so the shared boundedSample path runs with fraction < 1
+    val big = (0 until 4).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + i * 100000L))
+      .reduce(_ unionAll _)
+    val a = Pq.fitCodebooks(big.repartition(7), m = 8, ksub = 4)
+    val b = Pq.fitCodebooks(
+      big.repartition(3).sortWithinPartitions(desc("vec_id")),
+      m = 8, ksub = 4)
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq ==
+      b.map(_.map(_.toSeq).toSeq).toSeq,
+      "the codebooks must not depend on physical layout")
+  }
+
   test("subspaces train decorrelated: distinct seeds per subspace") {
     // identical sub-distributions would STILL fit different codebooks
     // because subspace j clusters with seed+j — feed a corpus whose 2
