@@ -727,7 +727,7 @@ object Artifacts {
     assigned.groupBy("cell").count()
       .write.mode("overwrite")
       .parquet(new java.io.File(path, "drift_base").toString)
-    project(assigned, splits)
+    clusterByCell(project(assigned, splits))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new java.io.File(path, "index").toString)
     import spark.implicits._
@@ -741,6 +741,26 @@ object Artifacts {
     java.nio.file.Files.write(
       new java.io.File(path, "_SUCCESS").toPath, Array.empty[Byte]): Unit
   }
+
+  /** Range-cluster index rows by cell ahead of a `partitionBy("cell")`
+    * write (VERDICT r18 task 3). A dynamic-partition write of a frame
+    * whose rows are scattered across T tasks opens up to T files PER
+    * CELL directory — at the stored family's 16,384-cell census leg
+    * that was ~8 × 16k near-empty parquet files (~16 rows each), and
+    * the per-file open/footer/commit constant (~4 ms) put the save at
+    * 522 s for 2.1M rows while the fit took 46 s. Range-partitioning
+    * by cell first lands each cell's rows in ONE task (Spark's
+    * dynamic-partition writer then emits one file per cell, a cell
+    * spanning a range boundary at most two), so file count tracks
+    * CELLS, not tasks × cells — the layout, per-cell rename units,
+    * partition pruning, and row values are all unchanged. Task count
+    * stays at the session default, so executor parallelism at 100 TB
+    * is what it was; the one extra exchange is a narrow shuffle of
+    * already-projected rows.
+    */
+  private def clusterByCell(df: DataFrame): DataFrame =
+    df.repartitionByRange(
+      df.sparkSession.sparkContext.defaultParallelism, col("cell"))
 
   /** Shared serve-side tail: pin check, index read, splits read. */
   private def readCellIndex(spark: SparkSession, path: String,
@@ -1355,8 +1375,8 @@ object Artifacts {
     // 1. incoming rows of UNchanged cells append straight into their
     //    partitions (their subcell derivation under newSplits equals
     //    the old one — bits only differ on changed cells)
-    project(assignedIncoming
-        .filter(!col("cell").isin(changedCol: _*)), newSplits)
+    clusterByCell(project(assignedIncoming
+        .filter(!col("cell").isin(changedCol: _*)), newSplits))
       .write.mode("append").partitionBy("cell").parquet(indexDir)
     // 2. changed cells are rewritten whole: existing rows (vectors
     //    resolved back) + incoming rows, re-projected under newSplits,
@@ -1369,7 +1389,7 @@ object Artifacts {
         newSplits)
       val tmp = new java.io.File(dst, "index.rewrite.tmp-" +
         System.nanoTime())
-      rewritten.write.mode("overwrite").partitionBy("cell")
+      clusterByCell(rewritten).write.mode("overwrite").partitionBy("cell")
         .parquet(tmp.toString)
       for (c <- changed) {
         val cellDst = new java.io.File(indexDir, s"cell=$c")
@@ -1453,17 +1473,94 @@ object Artifacts {
     * a parquet relation for r18+ artifacts (written distributed, never
     * driver-resident), the legacy text sidecar parsed driver-side for
     * pre-r18 ones (cell-proportional, but only for old artifacts and
-    * only until their next rebuild/retrain rewrites the parquet form);
-    * None for a pre-r15 index without any sidecar.
+    * only until [[maintainIndex]]'s first contact — or their next
+    * rebuild/retrain — rewrites the parquet form); None for a pre-r15
+    * index without any sidecar.
     */
   private def driftBaseFrame(spark: SparkSession,
                              path: String): Option[DataFrame] = {
     val f = new java.io.File(path, "drift_base")
     if (f.isDirectory) Some(spark.read.parquet(f.toString))
     else driftBase(path).map { m =>
+      // DEPRECATED read (VERDICT r18 task 5): the text sidecar is
+      // migrated to the parquet relation by maintainIndex's first
+      // contact; this driver-side cell-proportional parse survives
+      // only for artifacts no maintenance tick has touched yet.
+      Console.err.println(
+        s"[graft] WARN: index at $path carries a legacy TEXT " +
+          "drift_base sidecar (pre-r18) — run maintainIndex once to " +
+          "migrate it to the parquet form; the text parse is " +
+          "deprecated and cell-proportional on the driver")
       import spark.implicits._
       m.toSeq.sorted.toDF("cell", "count")
     }
+  }
+
+  /** MIGRATE legacy drift sidecars in place (VERDICT r18 task 5), under
+    * the marker mutex: a pre-r18 TEXT `drift_base` is rewritten as the
+    * current parquet relation, and a `drift.log` carrying torn/garbage
+    * lines is canonicalized to exactly the lines
+    * [[appendDriftHistory]]'s anchored parse accepts (a torn tail line
+    * from a crashed append would otherwise sit there forever — dropped
+    * on every read, but re-paid and re-confusing each time). No-op
+    * when both sidecars are already current. Returns true when
+    * anything was rewritten.
+    *
+    * Mutex discipline is [[appendCellIndex]]'s: the marker comes down
+    * before the first mutation (a concurrent-mutator loss is the loud
+    * retryable "commit marker" class) and the parquet form is built in
+    * a sibling tmp and renamed over. The sidecars are ADVISORY
+    * telemetry — index data is never touched — so a thrown failure
+    * republishes the marker (finally; the telemetry-in-finally
+    * rationale of the append path): worst case the baseline is absent
+    * and the drift statistic degrades to the stored-census fallback.
+    * Only a hard kill mid-migration leaves the standard marker-less
+    * wreck, with the standard rebuild recovery.
+    */
+  private def migrateLegacyDrift(spark: SparkSession,
+                                 path: String): Boolean = {
+    val dst = new java.io.File(path)
+    val baseFile = new java.io.File(dst, "drift_base")
+    val logFile = new java.io.File(dst, "drift.log")
+    val legacyBase = baseFile.isFile // the parquet form is a DIRECTORY
+    val canonLog: Option[Seq[String]] =
+      if (!logFile.isFile) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val raw = java.nio.file.Files.readAllLines(logFile.toPath,
+          java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+        val kept = raw.filter(l =>
+          "ts=(\\d+) rows=(\\d+) drift=(\\d+\\.\\d{6})$".r
+            .findFirstMatchIn(l).isDefined)
+        if (kept.size == raw.size) None else Some(kept)
+      }
+    if (!legacyBase && canonLog.isEmpty) return false
+    val marker = new java.io.File(dst, "_SUCCESS")
+    require(marker.delete(),
+      s"index at $path: could not remove the commit marker (lost the " +
+        "mutex to a concurrent mutator) — legacy drift migration " +
+        "retries on the next tick")
+    try {
+      if (legacyBase) {
+        val parsed = driftBase(path).getOrElse(Map.empty[Int, Long])
+        val tmp = new java.io.File(dst,
+          "drift_base.migrate.tmp-" + System.nanoTime())
+        import spark.implicits._
+        parsed.toSeq.sorted.toDF("cell", "count")
+          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        require(baseFile.delete(),
+          s"index at $path: could not remove the legacy text drift_base")
+        require(tmp.renameTo(baseFile),
+          s"index at $path: could not swap the migrated drift_base in")
+      }
+      canonLog.foreach { lines =>
+        java.nio.file.Files.write(logFile.toPath,
+          lines.mkString("", "\n", if (lines.isEmpty) "" else "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      true
+    } finally
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
   }
 
   /** The persisted build census of a cell index (the drift baseline) —
@@ -1984,6 +2081,13 @@ object Artifacts {
     * append pattern's OTHER accumulating cost, so one scheduled call
     * covers both maintenance dimensions. A retrain tick skips it: the
     * swap already rewrote every file.
+    *
+    * APPENDABLE capped indexes (`_params` kind=winnow/band — VERDICT
+    * r18 task 4) dispatch here too: no quantizer, no drift telemetry,
+    * so their tick is [[compactAppendableIndex]] alone (the rows/
+    * relation rewritten once its file count exceeds `compactOver`),
+    * reported in the same shape with family `appendable-<kind>` —
+    * one call maintains every artifact family the engine ships.
     */
   def maintainIndex(spark: SparkSession, path: String,
                     corpus: Option[DataFrame] = None,
@@ -2002,10 +2106,40 @@ object Artifacts {
       s"cell index at $path has no _SUCCESS marker (missing, " +
         "mid-build, or torn by a crashed mutation) — rebuild it " +
         "before maintaining")
+    val params = readParams(path)
+    // APPENDABLE capped indexes (winnow/band — VERDICT r18 task 4):
+    // the `_params` kind pin identifies them without caller knowledge,
+    // like the cell families below. They carry no quantizer and no
+    // drift telemetry — their one accumulating nightly-append cost is
+    // rows/ file fragmentation, owned by [[compactAppendableIndex]] —
+    // so their maintenance tick is the compaction dimension alone,
+    // reported in the same shape (cellsCompacted = 1 when the rows
+    // relation was rewritten). One scheduled call now maintains every
+    // artifact family the engine ships.
+    val appendableKind = params.flatMap(_.get("kind"))
+      .filter(k => k == "winnow" || k == "band")
+    if (appendableKind.isDefined) {
+      val compacted =
+        if (compactOver <= 0) false
+        else compactAppendableIndex(spark, path,
+          maxFiles = compactOver, targetFileBytes = targetFileBytes)
+      return IndexMaintenanceReport(path, layout = "rows",
+        family = s"appendable-${appendableKind.get}", window,
+        appendsObserved = 0, medianDrift = None,
+        driftExceeded = false, retrained = false,
+        cellsCompacted = if (compacted) 1 else 0)
+    }
+    // first contact migrates pre-r18 drift sidecars to the current
+    // forms (VERDICT r18 task 5) — after this tick the deprecated
+    // driver-side text parse is unreachable for this artifact
+    if (migrateLegacyDrift(spark, path))
+      Console.err.println(
+        s"[graft] maintainIndex: migrated legacy drift sidecars at " +
+          s"$path to the current parquet/canonical forms")
     val cols = spark.read
       .parquet(new java.io.File(dst, "index").toString).columns.toSet
     val storedFamily =
-      readParams(path).flatMap(_.get("family")).contains("stored")
+      params.flatMap(_.get("family")).contains("stored")
     val layout =
       if (cols.contains("cv")) "raw"
       else if (cols.contains("codes")) "codes"
@@ -2509,8 +2643,8 @@ object Artifacts {
       // stored shape passes through untouched — codes/subcells of the
       // surviving rows are still valid under unchanged bits
       val plainCol = plain.map(Int.box)
-      index.filter(col("cell").isin(plainCol: _*))
-        .join(rm, Seq("neighbor_id"), "left_anti")
+      clusterByCell(index.filter(col("cell").isin(plainCol: _*))
+          .join(rm, Seq("neighbor_id"), "left_anti"))
         .write.mode("append").partitionBy("cell").parquet(tmp.toString)
     }
     if (rebit.nonEmpty) {
@@ -2518,7 +2652,7 @@ object Artifacts {
       val remaining = resolveVectors(
         index.filter(col("cell").isin(rebitCol: _*))
           .join(rm, Seq("neighbor_id"), "left_anti"))
-      project(remaining, newSplits)
+      clusterByCell(project(remaining, newSplits))
         .write.mode("append").partitionBy("cell").parquet(tmp.toString)
     }
     for (c <- plain ++ rebit) {

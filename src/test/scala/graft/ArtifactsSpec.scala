@@ -1164,6 +1164,93 @@ class ArtifactsSpec extends SparkSpecBase {
       && !rS.retrained, rS.toString)
   }
 
+  test("maintainIndex dispatches the APPENDABLE winnow index by its " +
+       "kind pin: nightly O3 ticks own rows/ fragmentation too " +
+       "(VERDICT r18 task 4)") {
+    import graft.northstar.Dedup
+    val p = s"${tempDir("winmaint")}/idx"
+    Artifacts.saveWinnowIndexAppendable(
+      docs.filter(col("doc_id") % 8 === 0), p, maxBucket = 100)
+    // the nightly pattern: Scheduler.runEvery (O3) drives append-then-
+    // maintain ticks; with the tick threshold at 4 files the LAST
+    // ticks must see the fragmentation and rewrite rows/ exactly when
+    // it crosses, converging to no-op in between
+    val batches = Iterator.from(1).map(r =>
+      docs.filter(col("doc_id") % 8 === r))
+    val reports = scala.collection.mutable.Buffer
+      .empty[Artifacts.IndexMaintenanceReport]
+    graft.engine.Scheduler.runEvery(minutes = 60, times = Some(7),
+        sleep = _ => ()) { () =>
+      Artifacts.appendWinnowIndex(batches.next(), p, maxBucket = 100)
+      reports += Artifacts.maintainIndex(spark, p, compactOver = 4)
+    }
+    assert(reports.forall(r => r.family == "appendable-winnow"
+      && r.layout == "rows" && !r.retrained && !r.driftExceeded
+      && r.medianDrift.isEmpty), reports.mkString(" | "))
+    assert(reports.exists(_.cellsCompacted > 0),
+      s"seven nightly appends over a 4-file threshold must have " +
+        s"compacted at least once: ${reports.mkString(" | ")}")
+    // marker republished; the served capped view equals a from-scratch
+    // rebuild on the accumulated corpus (compaction is content-neutral)
+    assert(new java.io.File(p, "_SUCCESS").exists())
+    assert(rows(Artifacts.loadWinnowIndexAppendable(spark, p,
+      maxBucket = 100)) == rows(Dedup.winnowIndex(docs, maxBucket = 100)))
+    // a quiet tick is a no-op report (below threshold after compaction
+    // + nothing appended)
+    val rq = Artifacts.maintainIndex(spark, p, compactOver = 16)
+    assert(rq.cellsCompacted == 0, rq.toString)
+  }
+
+  test("maintainIndex migrates legacy drift sidecars on first contact: " +
+       "text drift_base -> parquet, torn drift.log lines dropped " +
+       "(VERDICT r18 task 5)") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfmigrate")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    Artifacts.appendIvfIndex(embB, p, cents): Unit
+    val histBefore = Artifacts.appendDriftHistory(p)
+    assert(histBefore.size == 1, "fixture needs one real history line")
+    // forge the pre-r18 state: parquet drift_base -> "cell=count" text
+    // file; drift.log gains a torn tail line (a crashed append's flush)
+    val baseDir = new java.io.File(p, "drift_base")
+    val census = spark.read.parquet(baseDir.toString).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    Artifacts.deleteRec(baseDir)
+    java.nio.file.Files.write(baseDir.toPath,
+      census.map { case (c, n) => s"$c=$n" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val logFile = new java.io.File(p, "drift.log")
+    java.nio.file.Files.write(logFile.toPath,
+      "ts=123 rows=45 drift=0.1".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(Artifacts.appendDriftHistory(p) == histBefore,
+      "the anchored parse must drop the torn line (fixture sanity)")
+    // first maintenance contact migrates both, under the marker mutex
+    val r = Artifacts.maintainIndex(spark, p)
+    assert(!r.retrained && new java.io.File(p, "_SUCCESS").exists())
+    assert(baseDir.isDirectory,
+      "text drift_base must be rewritten as the parquet relation")
+    assert(spark.read.parquet(baseDir.toString).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).sortBy(_._1).toSeq
+      == census.toSeq, "migration must preserve the baseline census")
+    import scala.jdk.CollectionConverters._
+    val logLines = java.nio.file.Files.readAllLines(logFile.toPath)
+      .asScala.toSeq
+    assert(logLines.size == 1 && !logLines.exists(_.contains("ts=123")),
+      s"torn line must be gone, real line kept: $logLines")
+    assert(Artifacts.appendDriftHistory(p) == histBefore,
+      "canonicalization must not change what the parse reads")
+    // migrated artifact keeps working: the next append records drift
+    // against the migrated parquet baseline
+    Artifacts.appendIvfIndex(
+      embB.select((col("vec_id") + 7000L).as("vec_id"),
+        col("embedding")), p, cents): Unit
+    assert(Artifacts.appendDriftHistory(p).size == 2)
+    // second contact is a no-op (nothing legacy left to migrate)
+    val r2 = Artifacts.maintainIndex(spark, p)
+    assert(new java.io.File(p, "_SUCCESS").exists() && !r2.retrained)
+  }
+
   test("hierarchical IVF lifecycle: append == union rebuild, remove == " +
        "difference rebuild, serve parity throughout") {
     // PARTIAL supercell probing (2 of 3): the lifecycle identities must
