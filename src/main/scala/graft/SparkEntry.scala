@@ -2457,6 +2457,63 @@ object SparkEntry {
       graft.northstar.Curation.curateAssets(decoded, cfg)
         .select("asset_id", "width", "height", "format")
     }),
+    // IMAGE perceptual-hash near-dup (VERDICT r18 task 7; SURVEY §7.4 —
+    // multimodal dedup as a first-class pipeline op): dHash64
+    // fingerprints of real synthesized PNGs through the SimHash
+    // banded-Hamming machinery. The corpus plants a flipped-cell
+    // near-dup (Hamming <= 1) for every 5th doc and a 2x-scaled exact
+    // copy (Hamming 0 — dHash is scale-invariant by construction) for
+    // every 7th; md5-random patterns keep unrelated pairs ~32 bits
+    // apart, so the banded join surfaces exactly the planted family.
+    // Rows-only (LSH bucket caps make completeness configuration-
+    // dependent in general); the closed-form companion below pins the
+    // PNG→decode→luminance→dHash→Hamming pipeline hash-exactly.
+    "ns_imagedup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select("doc_id").as[Long]
+      val assets = ids.flatMap { id =>
+        Seq((id, Multimodal.syntheticPatternPng(id, scale = 4))) ++
+          (if (id % 5 == 0)
+            Seq((id + 100000L, Multimodal.syntheticPatternPng(id,
+              flipTopLeft = true, scale = 4))) else Nil) ++
+          (if (id % 7 == 0)
+            Seq((id + 200000L,
+              Multimodal.syntheticPatternPng(id, scale = 2))) else Nil)
+      }.toDF("asset_id", "payload")
+      Multimodal.imageDupPairs(assets, maxHamming = 3)
+    }),
+    // hash-checked companion: the 9×8 pattern fixture's dHash is a
+    // CLOSED FORM of md5(doc_id) (syntheticPatternPng's contract), so
+    // DuckDB replays the whole pipeline as bit arithmetic over a fixed
+    // pair list — each doc vs its flipped-cell copy (hamming <= 1) and
+    // consecutive ids (unrelated, ~32)
+    "ns_imagedup_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select("doc_id").as[Long]
+      val hashes = Multimodal.imageHashes(
+        ids.flatMap(id => Seq(
+          (id, Multimodal.syntheticPatternPng(id)),
+          (id + 100000L,
+            Multimodal.syntheticPatternPng(id, flipTopLeft = true))))
+          .toDF("asset_id", "payload"))
+      val docs = t(s, dir, "documents").select("doc_id")
+      val pairs = docs.select(col("doc_id").as("asset_a"),
+          (col("doc_id") + 100000L).as("asset_b"))
+        .union(docs.select(col("doc_id").as("asset_a"),
+            (col("doc_id") + 1).as("asset_b"))
+          .join(docs.select(col("doc_id").as("asset_b")),
+            Seq("asset_b"), "left_semi")
+          // using-join reorders asset_b first; re-pin before the union
+          .select("asset_a", "asset_b"))
+      pairs
+        .join(hashes.select(col("id").as("asset_a"),
+          col("sig").as("sig_a")), Seq("asset_a"))
+        .join(hashes.select(col("id").as("asset_b"),
+          col("sig").as("sig_b")), Seq("asset_b"))
+        .select(col("asset_a"), col("asset_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+            .cast("long").as("hamming"))
+    }),
   )
 
   /** The multimodal asset fixture shared by `ns_multimodal` and
@@ -5139,5 +5196,42 @@ object SparkEntry {
         |SELECT asset_id, width, height, format FROM d
         |WHERE format IN ('png', 'mp4', 'mkv', 'flac')
         |  AND width >= 300 AND width <= 100000 AND height >= 100""".stripMargin,
+    // the 9×8 pattern fixture's dHash is a closed form of md5(doc_id)
+    // (cell (x,y) = bit y*9+x of the first 72 bits, hex-nibble
+    // MSB-first; dHash bit j=y*8+x is cell(x,y) > cell(x+1,y)), so the
+    // whole PNG→decode→luminance→dHash→Hamming pipeline replays as
+    // pure bit arithmetic; the flipped copies invert cell (0,0)
+    "ns_imagedup_hamming" ->
+      """WITH b AS (
+        |  SELECT d.doc_id AS id, tx.x AS x, ty.y AS y,
+        |    ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+        |        (ty.y*9 + tx.x) // 4 + 1, 1) AS INTEGER)
+        |      >> (3 - ((ty.y*9 + tx.x) % 4))) & 1) AS bit
+        |  FROM documents d, range(9) tx(x), range(8) ty(y)),
+        |allb AS (
+        |  SELECT id, x, y, bit FROM b
+        |  UNION ALL
+        |  SELECT id + 100000, x, y,
+        |    CASE WHEN x = 0 AND y = 0 THEN 1 - bit ELSE bit END
+        |  FROM b),
+        |dh AS (
+        |  SELECT l.id, l.y*8 + l.x AS j,
+        |    CASE WHEN l.bit > r.bit THEN 1 ELSE 0 END AS hb
+        |  FROM allb l JOIN allb r ON r.id = l.id AND r.y = l.y
+        |    AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |pairs AS (
+        |  SELECT doc_id AS asset_a, doc_id + 100000 AS asset_b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT d.doc_id, d.doc_id + 1 FROM documents d
+        |  JOIN documents e ON e.doc_id = d.doc_id + 1)
+        |SELECT p.asset_a, p.asset_b,
+        |  CAST(SUM(CASE WHEN ha.hb <> hb2.hb THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS hamming
+        |FROM pairs p
+        |JOIN dh ha ON ha.id = p.asset_a
+        |JOIN dh hb2 ON hb2.id = p.asset_b AND hb2.j = ha.j
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

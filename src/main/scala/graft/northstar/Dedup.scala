@@ -1193,17 +1193,23 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3,
-                   maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val chunkVals = array((0 until 4).map(i =>
-      // chunk index folded into the key so the join is single-column
-      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)) + lit(i.toLong << 16)): _*)
-    // materialize once: cap count branch + both join sides would re-run
-    // the simhash kernel 4x (the minhashPairs recompute shape)
-    val chunked = capBuckets(
-      materializeOnce(sigs.select(col("id"), col("sig"),
-        explode(chunkVals).as("chunk_val"))),
-      Seq("chunk_val"), maxBucket)
+                   maxBucket: Int = 1000): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      maxHamming, maxBucket)
+
+  /** The banded-Hamming pair machinery behind [[simhashPairs]], over
+    * ANY 64-bit fingerprint column — factored out (r19) so the image
+    * perceptual-hash near-dup ([[Multimodal.imageDupPairs]]) rides the
+    * SAME join shape instead of respelling it. `sigs` must carry
+    * (id, sig: long). Chunk-16 banding: any pair within Hamming
+    * distance 3 shares one of the four 16-bit chunks (pigeonhole), so
+    * for maxHamming <= 3 the candidate set is COMPLETE up to bucket
+    * capping; larger maxHamming keeps recall high but unguaranteed.
+    */
+  def hammingPairs64(sigs: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Int = 1000): DataFrame = {
+    val chunked = chunked16(sigs, maxBucket)
     val a = chunked.select(col("chunk_val"),
       col("id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk_val"),
@@ -1216,5 +1222,61 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Ingest-side flavor of [[hammingPairs64]]: each INCOMING fingerprint
+    * against a STATIC corpus fingerprint set — the batch body of a
+    * streaming image-dedup ingest (the [[minhashPairsAgainst]] shape:
+    * no incoming×incoming pairs, no corpus self-join). Both frames must
+    * carry (id, sig: long).
+    *
+    * STREAM-SAFE by construction: the incoming side is never persisted,
+    * aggregated, or distinct'd (all unsupported on an append-mode
+    * micro-batch frame) — chunk explode, a stream-static equi-join, and
+    * per-row filters only. Pair dedup (a pair within Hamming 3 can
+    * share up to four chunks) is the FIRST-SHARED-CHUNK predicate: the
+    * row is emitted only at the lowest chunk index where the two
+    * fingerprints agree, which both sides can decide from (sig_a,
+    * sig_b, chunk index) alone — no shuffle, no state. Under bucket
+    * capping a pair whose lowest shared chunk was capped is dropped
+    * (the capBuckets contract: capped boilerplate buckets don't emit).
+    */
+  def hammingPairs64Against(incoming: DataFrame, corpus: DataFrame,
+                            maxHamming: Int = 3,
+                            maxBucket: Int = 1000): DataFrame = {
+    val in = incoming.select(col("id").as("doc_a"), col("sig").as("sig_a"),
+      explode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)) +
+          lit(i.toLong << 16)): _*)).as("chunk_val"))
+    val cp = chunked16(corpus, maxBucket)
+      .select(col("chunk_val"), col("id").as("doc_b"),
+        col("sig").as("sig_b"))
+    // earlier shared chunk exists => this row is a duplicate of the
+    // pair already emitted at that chunk
+    val dupGuard = (0 until 3).map(ip =>
+      (shiftright(col("chunk_val"), 16) > ip) &&
+        (shiftright(col("sig_a"), ip * 16).bitwiseAND(lit(0xFFFFL)) ===
+          shiftright(col("sig_b"), ip * 16).bitwiseAND(lit(0xFFFFL))))
+      .reduce(_ || _)
+    in.join(cp, Seq("chunk_val"))
+      .filter(!dupGuard)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The shared 16-bit-chunk banding of a (id, sig) fingerprint frame:
+    * four chunk keys per row, chunk index folded into the key so the
+    * candidate join is single-column; materialized once (cap count
+    * branch + both join sides would recompute the input thrice) and
+    * mega-buckets capped like minhashPairs.
+    */
+  private def chunked16(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val chunkVals = array((0 until 4).map(i =>
+      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)) + lit(i.toLong << 16)): _*)
+    capBuckets(
+      materializeOnce(sigs.select(col("id"), col("sig"),
+        explode(chunkVals).as("chunk_val"))),
+      Seq("chunk_val"), maxBucket)
   }
 }

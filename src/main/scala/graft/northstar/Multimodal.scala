@@ -148,6 +148,16 @@ object Multimodal {
     val MaxPixels: Long = 64L * 1024 * 1024
 
     def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
+      readImage(payload).flatMap(img =>
+        decodePixels(assetId, payload, img))
+
+    /** The guarded pixel read shared by [[decode]] and
+      * [[perceptualHash]]: magic screen, header-only bomb ceiling,
+      * reader lifecycle, corrupt-payload fallback. None = not an
+      * image / undecodable / over-limit — callers degrade, never die.
+      */
+    private[northstar] def readImage(payload: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
       if (!looksLikeImage(payload)) None
       // try/catch around the FULL decode, not just the read: a corrupt
       // payload that passes the 4-byte magic screen makes ImageIO throw
@@ -169,11 +179,63 @@ object Multimodal {
               val hw = reader.getWidth(0)
               val hh = reader.getHeight(0)
               if (hw.toLong * hh > MaxPixels || hw <= 0 || hh <= 0) None
-              else decodePixels(assetId, payload, reader.read(0))
+              else Some(reader.read(0))
             } finally reader.dispose()
           }
         } finally if (iis != null) iis.close()
       } catch { case _: Exception => None }
+
+    /** 64-bit difference hash (dHash — the standard perceptual
+      * image fingerprint: Krawetz, "Kind of Like That", 2013): block-
+      * average the luminance onto a 9×8 grid, bit j = y*8+x set iff
+      * grid(x,y) > grid(x+1,y). Robust to re-encoding, scaling, and
+      * mild brightness shifts (comparisons are invariant to monotone
+      * per-image transforms); Hamming distance between hashes is the
+      * near-dup statistic ([[graft.northstar.Dedup.hammingPairs64]]
+      * rides it with the SimHash banding). One pass over the rows via
+      * the same bulk row reads as [[decode]]; a grid cell no pixel
+      * maps to (degenerate tiny images) reads as mean 0 — documented,
+      * deterministic. None = not a decodable image.
+      */
+    def perceptualHash(payload: Array[Byte]): Option[Long] =
+      readImage(payload).map { img =>
+        val gw = 9; val gh = 8
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = Array.ofDim[Double](gh, gw)
+        val counts = Array.ofDim[Long](gh, gw)
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          val gy = math.min(gh - 1, y * gh / h)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            val gx = math.min(gw - 1, x * gw / w)
+            sums(gy)(gx) += lum
+            counts(gy)(gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        def mean(gy: Int, gx: Int): Double =
+          if (counts(gy)(gx) == 0) 0.0 else sums(gy)(gx) / counts(gy)(gx)
+        var fp = 0L
+        var gy = 0
+        while (gy < gh) {
+          var gx = 0
+          while (gx < gw - 1) {
+            if (mean(gy, gx) > mean(gy, gx + 1))
+              fp |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        fp
+      }
 
     private def decodePixels(assetId: Long, payload: Array[Byte],
                              img: java.awt.image.BufferedImage)
@@ -824,6 +886,107 @@ object Multimodal {
         }
       }
     ds.toDF("asset_id", "width", "height", "format", "features")
+  }
+
+  /** Perceptual hashes of an asset table's image payloads:
+    * (asset_id, phash) via [[ImageCodec.perceptualHash]], one codec
+    * pass per partition (the [[decodeAssets]] execution shape).
+    * Non-image / undecodable payloads are DROPPED — a near-dup pass
+    * has nothing to say about them (route them through
+    * [[decodeAssets]]' stub fallback for inventory). Payloads never
+    * reach the driver; the output is 16 bytes/row, so every
+    * downstream shuffle moves fingerprints, not pixels.
+    */
+  def imageHashes(assets: DataFrame,
+                  idCol: String = "asset_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol), col(payloadCol))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          ImageCodec.perceptualHash(r.getAs[Array[Byte]](1))
+            .map(fp => (r.getLong(0), fp))
+        }
+      }.toDF("id", "sig")
+  }
+
+  /** IMAGE NEAR-DUP PAIRS (VERDICT r18 task 7; SURVEY.md §7.4 —
+    * multimodal dedup is a first-class LLM-pipeline need): dHash
+    * fingerprints ([[ImageCodec.perceptualHash]]) through the SimHash
+    * banded-LSH machinery ([[Dedup.hammingPairs64]] — 16-bit chunk
+    * banding, complete for maxHamming <= 3 by pigeonhole, mega-buckets
+    * capped). Emits (asset_a, asset_b, hamming) for image pairs whose
+    * perceptual distance is within `maxHamming`. Nothing does
+    * all-pairs; cost is the banded candidate join over 8-byte
+    * fingerprints.
+    */
+  def imageDupPairs(assets: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 1000,
+                    idCol: String = "asset_id",
+                    payloadCol: String = "payload"): DataFrame =
+    Dedup.hammingPairs64(imageHashes(assets, idCol, payloadCol),
+        maxHamming, maxBucket)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+
+  /** Ingest-side image near-dup screening: INCOMING image payloads
+    * against a STATIC corpus fingerprint frame (id, sig) — the batch
+    * body for a streaming foreachBatch ingest (no incoming×incoming
+    * pairs, no corpus re-hash; hash the corpus once with
+    * [[imageHashes]] and reuse the frame across batches).
+    */
+  def imageDupIncoming(incoming: DataFrame, corpusSigs: DataFrame,
+                       maxHamming: Int = 3, maxBucket: Int = 1000,
+                       idCol: String = "asset_id",
+                       payloadCol: String = "payload"): DataFrame =
+    Dedup.hammingPairs64Against(
+        imageHashes(incoming, idCol, payloadCol), corpusSigs,
+        maxHamming, maxBucket)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+
+  /** 9×8 BINARY-pattern PNG whose dHash is a CLOSED FORM of the id —
+    * the oracle fixture for the image near-dup contract rows: cell
+    * (x,y) is white (255) iff bit `y*9+x` of md5(id.toString)'s first
+    * 72 bits is set (hex-nibble MSB-first, the same extraction DuckDB
+    * spells as `('0x'||substr(md5(id),k/4+1,1))>>(3-k%4) & 1`), so
+    * the REAL pipeline (PNG encode → ImageIO decode → luminance →
+    * 9×8 grid → dHash) must reproduce pure id arithmetic bit-for-bit.
+    * The image is exactly grid-sized, so block-averaging is the
+    * identity and every comparison is 255-vs-0 — no float edge rides
+    * the oracle. `flipTopLeft` inverts cell (0,0): the planted
+    * near-dup perturbation, Hamming <= 1 from the original (only the
+    * j=0 comparison can change).
+    */
+  def syntheticPatternPng(id: Long, flipTopLeft: Boolean = false,
+                          scale: Int = 1): Array[Byte] = {
+    // `scale` renders each cell as an s×s pixel block (a 9s×8s image):
+    // the 9×8 grid block-average maps cells back exactly (w = 9s ⇒
+    // gx = x/s), so the dHash — and the closed form — is
+    // scale-invariant by construction, which is the property a
+    // perceptual hash exists to have.
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val img = new java.awt.image.BufferedImage(
+      9 * scale, 8 * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8 * scale) {
+      var x = 0
+      while (x < 9 * scale) {
+        val k = (y / scale) * 9 + (x / scale)
+        var bit = (md5(k / 8) >> (7 - (k % 8))) & 1
+        if (flipTopLeft && x / scale == 0 && y / scale == 0) bit = 1 - bit
+        val v = if (bit == 1) 255 else 0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** "Resize": recompute features at a coarser grid — expressed on the

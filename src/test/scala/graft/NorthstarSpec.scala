@@ -1988,6 +1988,82 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(12L).getAs[String]("format") == "stub")
   }
 
+  test("perceptualHash: closed-form dHash on the pattern fixture, " +
+       "scale-invariant, flip = Hamming <= 1 (VERDICT r18 task 7)") {
+    // the oracle's premise: the REAL pipeline (PNG encode → ImageIO
+    // decode → luminance → 9×8 grid → dHash) reproduces pure md5-bit
+    // arithmetic — the same closed form the DuckDB ns_imagedup_hamming
+    // oracle spells in SQL
+    def closedForm(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      def bit(k: Int): Int = (md5(k / 8) >> (7 - (k % 8))) & 1
+      var fp = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (bit(y * 9 + x) > bit(y * 9 + x + 1)) fp |= 1L << (y * 8 + x)
+      fp
+    }
+    for (id <- 0L until 25L) {
+      val h1 = Multimodal.ImageCodec.perceptualHash(
+        Multimodal.syntheticPatternPng(id)).get
+      assert(h1 == closedForm(id), s"id=$id: pipeline != closed form")
+      // scale invariance: 4×4 pixel blocks average back to the cells
+      val h4 = Multimodal.ImageCodec.perceptualHash(
+        Multimodal.syntheticPatternPng(id, scale = 4)).get
+      assert(h4 == h1, s"id=$id: dHash must be scale-invariant")
+      // the planted perturbation flips at most the j=0 comparison
+      val hf = Multimodal.ImageCodec.perceptualHash(
+        Multimodal.syntheticPatternPng(id, flipTopLeft = true)).get
+      assert(java.lang.Long.bitCount(h1 ^ hf) <= 1, s"id=$id")
+    }
+    // non-images have no perceptual hash (and don't throw)
+    assert(Multimodal.ImageCodec.perceptualHash(
+      "definitely not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ImageCodec.perceptualHash(null).isEmpty)
+  }
+
+  test("imageDupPairs == the exact Hamming-threshold join on the " +
+       "planted corpus; ingest flavor matches its brute split") {
+    val ids = 0L until 40L
+    val originals = ids.map(id =>
+      (id, Multimodal.syntheticPatternPng(id, scale = 4)))
+    val copies = ids.filter(_ % 5 == 0).map(id => (id + 1000L,
+        Multimodal.syntheticPatternPng(id, flipTopLeft = true, scale = 4))) ++
+      ids.filter(_ % 7 == 0).map(id => (id + 2000L,
+        Multimodal.syntheticPatternPng(id, scale = 2)))
+    val all = originals ++ copies
+    val assets = all.toDF("asset_id", "payload")
+    // ground truth: brute-force threshold join over the real hashes
+    val fp = all.map { case (id, p) =>
+      id -> Multimodal.ImageCodec.perceptualHash(p).get }.toMap
+    def ham(a: Long, b: Long): Int =
+      java.lang.Long.bitCount(fp(a) ^ fp(b))
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys
+      if a < b && ham(a, b) <= 3
+    } yield (a, b, ham(a, b).toLong)).toSet
+    val got = Multimodal.imageDupPairs(assets, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    // chunk-16 banding is COMPLETE for Hamming <= 3 (pigeonhole), and
+    // no bucket here approaches the cap — exact equality, both ways
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(brute.exists { case (a, b, h) => b == a + 1000L && h <= 1 }
+      && brute.exists { case (a, b, h) => b == a + 2000L && h == 0L },
+      "fixture must plant both a near-dup and a scaled exact copy")
+    // ingest flavor: incoming copies vs the static original corpus
+    val corpusSigs = Multimodal.imageHashes(originals.toDF("asset_id", "payload"))
+    val inc = Multimodal.imageDupIncoming(
+        copies.toDF("asset_id", "payload"), corpusSigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    val bruteInc = (for {
+      (a, _) <- copies; (b, _) <- originals
+      if ham(a, b) <= 3
+    } yield (a, b, ham(a, b).toLong)).toSet
+    assert(inc == bruteInc, s"ingest ${inc.size} vs brute ${bruteInc.size}")
+  }
+
   test("wav payloads decode for real: frames, channels, RMS envelope") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val frames = 800
