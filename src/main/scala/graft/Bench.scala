@@ -330,7 +330,18 @@ object Bench {
     // scale factor; null otherwise (the like_for_like sf discipline).
     val r1AnchorBlock = {
       val shared = R1Anchor.keySet.intersect(curMins.keySet).toSeq.sorted
-      if (!sfDir.endsWith("sf0.1") || shared.isEmpty) "null"
+      // basename compare, not endsWith (code-review r19): a trailing
+      // slash or a 'newsf0.1'-style name must not flip the gate; and a
+      // suppressed anchor is SAID OUT LOUD like the lfl sf mismatch —
+      // silently-null means cumulative-drift tracking quietly vanishes
+      val atAnchorSf =
+        new java.io.File(sfDir).getName == "sf0.1"
+      if (!atAnchorSf) {
+        if (shared.nonEmpty) Console.err.println(
+          s"[bench] WARN: r1_anchor_min skipped — current sf '$sfDir' " +
+            "is not the anchor's own scale (basename sf0.1)")
+        "null"
+      } else if (shared.isEmpty) "null"
       else {
         val p = shared.map(R1Anchor).sum
         val c = shared.map(curMins).sum

@@ -1093,17 +1093,17 @@ object ScaleProbe {
     * WARN schedules: [[graft.northstar.Artifacts.retrainIvfPqIndex]]
     * with defaults refits both quantizers on the half-drifted union.
     * Measured 2026-08-16 (r19, deterministic init draws — VERDICT r18
-    * task 2): decay 1.000 → 0.325 across the five appended batches
-    * (tv 0.362–0.369, all over the 0.3 bar; bias 1.5); at the decay
-    * series' own pinned serve budget (nProbe=6, rerank=60 —
+    * task 2): decay 0.909 → 0.272 across the five appended batches
+    * (tv 0.795 at every batch, far over the 0.3 bar; bias 3.0); at the
+    * decay series' own pinned serve budget (nProbe=6, rerank=60 —
     * quantizer-only, no probe-budget change) the retrain lifts
-    * drifted-row recall 0.325 → 0.350, IDENTICAL across consecutive
-    * runs — the refit init now rides boundedSample's content-hash
-    * draw, so the 0.275-wide run band r17/r18 fought is gone. The
-    * modest pinned gain is budget saturation, not quantizer quality —
-    * the drifted clusters grew to 160 members, so a 60-candidate
-    * exact fetch caps recall for ANY quantizer. At the auto serve
-    * budget (autoNProbe/autoRerank) the full remedy reads
+    * drifted-row recall 0.272 → 0.488, LINE-IDENTICAL across
+    * consecutive runs — the refit init now rides boundedSample's
+    * content-hash draw, so the 0.275-wide run band r17/r18 fought is
+    * gone. The partial pinned gain is budget saturation, not quantizer
+    * quality — the drifted clusters grew to 160 members, so a
+    * 60-candidate exact fetch caps recall for ANY quantizer. At the
+    * auto serve budget (autoNProbe/autoRerank) the full remedy reads
     * recallB=1.000 with resident recallA=1.000. Asserted: a tight
     * no-degradation band (−0.02) at the pinned budget, ≥0.95 at the
     * operational remedy.
@@ -1174,14 +1174,16 @@ object ScaleProbe {
     var lastB = Double.NaN
     var lastQB: DataFrame = null
     for (b <- 0 until 5) {
-      // bias 1.5 (was 0.8 through r18): the shifted batch's measured tv
+      // bias 3.0 (was 0.8 through r18): the shifted batch's measured tv
       // rides the A-fit's centroid placement, and the r19 deterministic
-      // init draw moved batch-0 tv from 0.37 to 0.278 — under the 0.3
-      // product bar. The probe's job is to verify the MECHANISM
-      // (census flags drift, retrain recovers), not to sit a synthetic
-      // shift on the threshold's edge; the stronger bias restores
-      // unambiguous separation for any functioning quantizer.
-      val batch = slice(100000 + b * 2048, 2048, 64, 5.43, 1.5).persist()
+      // init draws moved batch tvs from 0.37 to 0.278 (under the 0.3
+      // product bar), then to 0.304-0.308 (a 2% edge) across two
+      // sampling refinements. The probe's job is to verify the
+      // MECHANISM (census flags drift, retrain recovers), not to sit a
+      // synthetic shift on the threshold's edge; a bias that pushes
+      // every B vector well outside A's hull keeps the separation
+      // unambiguous for any functioning quantizer.
+      val batch = slice(100000 + b * 2048, 2048, 64, 5.43, 3.0).persist()
       batch.count()
       val drift = Ivf.censusDrift(baseCensus, census(batch))
       Artifacts.appendIvfPqIndex(batch, corpus, path, cents, cb): Unit
@@ -1214,23 +1216,24 @@ object ScaleProbe {
     // closes the loop. Refit both quantizers on the current (half-
     // drifted) corpus via retrainIvfPqIndex DEFAULTS (AutoCells → 136,
     // AutoKsub → 64 at this 18k-row union) and measure the recovery on
-    // the SAME drifted queries whose recall decayed to 0.400.
+    // the SAME drifted queries whose recall decayed.
     //
     // Two honest measurements, because the decayed state is JOINTLY
     // quantizer drift and rerank-budget saturation (the drifted
     // clusters grew to 160 members, past the pinned rerank=60):
     //  (a) at the PINNED budget — the decay series' own nProbe=6,
-    //      rerank=60, so the quantizer refit is the ONLY change — the
-    //      retrain must not collapse (0.05-tolerance floor), and in
-    //      every observed run improves
-    //      (measured 0.400 → 0.403–0.438 across runs: the refit's init
-    //      sample depends on within-partition row order after the
-    //      corpus-resolve shuffle, whose fetch order is nondeterministic,
-    //      so the exact retrained centroids — and a saturated-budget
-    //      recall read off them — are run-variant; the 160-member
-    //      clusters cap a 60-candidate exact fetch well below 1.0 for
-    //      ANY quantizer, which is why this leg is a no-degradation
-    //      floor, not the remedy gate), and
+    //      rerank=60, so the quantizer refit is the ONLY change. Since
+    //      r19 the refit's init draw is a pure function of corpus
+    //      content (boundedSample's content-hash membership and
+    //      ordering), so this read is bit-reproducible run to run and
+    //      the leg asserts a tight no-degradation band; the r17/r18
+    //      era's 0.275-wide run band (init rode nondeterministic
+    //      post-shuffle row order; 0.05 and 0.10 tolerances were both
+    //      beaten, forcing an absolute 0.2 floor) is gone with its
+    //      variance source. The pinned read stays well under 1.0 for
+    //      ANY quantizer — the 160-member clusters cap a 60-candidate
+    //      exact fetch — which is why this leg is a no-degradation
+    //      band, not the remedy gate; and
     //  (b) at the operational remedy — retrain + the auto serve budget
     //      (autoNProbe=12, autoRerank=523) — recall must recover
     //      ≥ 0.95 (measured 1.000, resident 1.000). On this toy corpus
@@ -1282,13 +1285,14 @@ object ScaleProbe {
     // (VERDICT r18 task 2): the refit's init draw is now a pure
     // function of corpus content (boundedSample's content-hash
     // membership + content-ordered collect), so the pinned-budget
-    // read is bit-reproducible run to run — two consecutive r19 runs
-    // both measured 0.350 from the decayed 0.325, and the 0.275-wide
-    // band that forced three successively wider tolerances (0.05 →
-    // 0.10 → an absolute 0.2 collapse floor) is gone with its
-    // variance source. The refit may not lose ground at the decay
-    // series' own budget (the 0.02 slack covers float-tie plan
-    // differences only, not draw variance — there are no draws left).
+    // read is bit-reproducible run to run — consecutive r19 runs
+    // measured LINE-IDENTICAL decay and recovery (0.272 → 0.488 at
+    // the final bias), and the 0.275-wide band that forced three
+    // successively wider tolerances (0.05 → 0.10 → an absolute 0.2
+    // collapse floor) is gone with its variance source. The refit may
+    // not lose ground at the decay series' own budget (the 0.02 slack
+    // covers float-tie plan differences only, not draw variance —
+    // there are no draws left).
     assert(rBPinned >= lastB - 0.02,
       f"retrain DEGRADED drifted-row recall at the pinned " +
         f"budget ($lastB%.3f → $rBPinned%.3f) — deterministic since " +

@@ -2470,14 +2470,17 @@ object SparkEntry {
     // PNG→decode→luminance→dHash→Hamming pipeline hash-exactly.
     "ns_imagedup_pairs" -> ((s, dir) => {
       import s.implicits._
+      // high-bit copy offsets (1L<<40, 1L<<41), not +100000 — fixed
+      // small offsets collide with real doc_ids once the table reaches
+      // 100k rows and SPARK_GRAFT_SF_DIR is arbitrary (code-review r19)
       val ids = t(s, dir, "documents").select("doc_id").as[Long]
       val assets = ids.flatMap { id =>
         Seq((id, Multimodal.syntheticPatternPng(id, scale = 4))) ++
           (if (id % 5 == 0)
-            Seq((id + 100000L, Multimodal.syntheticPatternPng(id,
+            Seq((id + (1L << 40), Multimodal.syntheticPatternPng(id,
               flipTopLeft = true, scale = 4))) else Nil) ++
           (if (id % 7 == 0)
-            Seq((id + 200000L,
+            Seq((id + (1L << 41),
               Multimodal.syntheticPatternPng(id, scale = 2))) else Nil)
       }.toDF("asset_id", "payload")
       Multimodal.imageDupPairs(assets, maxHamming = 3)
@@ -2493,12 +2496,12 @@ object SparkEntry {
       val hashes = Multimodal.imageHashes(
         ids.flatMap(id => Seq(
           (id, Multimodal.syntheticPatternPng(id)),
-          (id + 100000L,
+          (id + (1L << 40),
             Multimodal.syntheticPatternPng(id, flipTopLeft = true))))
           .toDF("asset_id", "payload"))
       val docs = t(s, dir, "documents").select("doc_id")
       val pairs = docs.select(col("doc_id").as("asset_a"),
-          (col("doc_id") + 100000L).as("asset_b"))
+          (col("doc_id") + (1L << 40)).as("asset_b"))
         .union(docs.select(col("doc_id").as("asset_a"),
             (col("doc_id") + 1).as("asset_b"))
           .join(docs.select(col("doc_id").as("asset_b")),
@@ -5211,7 +5214,7 @@ object SparkEntry {
         |allb AS (
         |  SELECT id, x, y, bit FROM b
         |  UNION ALL
-        |  SELECT id + 100000, x, y,
+        |  SELECT id + 1099511627776, x, y,
         |    CASE WHEN x = 0 AND y = 0 THEN 1 - bit ELSE bit END
         |  FROM b),
         |dh AS (
@@ -5221,7 +5224,7 @@ object SparkEntry {
         |    AND r.x = l.x + 1
         |  WHERE l.x < 8),
         |pairs AS (
-        |  SELECT doc_id AS asset_a, doc_id + 100000 AS asset_b
+        |  SELECT doc_id AS asset_a, doc_id + 1099511627776 AS asset_b
         |  FROM documents
         |  UNION ALL
         |  SELECT d.doc_id, d.doc_id + 1 FROM documents d

@@ -1545,13 +1545,20 @@ object Artifacts {
         val parsed = driftBase(path).getOrElse(Map.empty[Int, Long])
         val tmp = new java.io.File(dst,
           "drift_base.migrate.tmp-" + System.nanoTime())
-        import spark.implicits._
-        parsed.toSeq.sorted.toDF("cell", "count")
-          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        require(baseFile.delete(),
-          s"index at $path: could not remove the legacy text drift_base")
-        require(tmp.renameTo(baseFile),
-          s"index at $path: could not swap the migrated drift_base in")
+        // scratch dropped on ANY failure (code-review r19: nothing
+        // else ever sweeps this namespace, so each failed tick would
+        // leak a directory inside the index root forever); after a
+        // successful rename the old tmp path no longer exists and the
+        // catch-path delete is a no-op
+        try {
+          import spark.implicits._
+          parsed.toSeq.sorted.toDF("cell", "count")
+            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          require(baseFile.delete(),
+            s"index at $path: could not remove the legacy text drift_base")
+          require(tmp.renameTo(baseFile),
+            s"index at $path: could not swap the migrated drift_base in")
+        } catch { case t: Throwable => deleteRec(tmp); throw t }
       }
       canonLog.foreach { lines =>
         java.nio.file.Files.write(logFile.toPath,

@@ -1234,12 +1234,17 @@ object Dedup {
     * aggregated, or distinct'd (all unsupported on an append-mode
     * micro-batch frame) — chunk explode, a stream-static equi-join, and
     * per-row filters only. Pair dedup (a pair within Hamming 3 can
-    * share up to four chunks) is the FIRST-SHARED-CHUNK predicate: the
-    * row is emitted only at the lowest chunk index where the two
-    * fingerprints agree, which both sides can decide from (sig_a,
-    * sig_b, chunk index) alone — no shuffle, no state. Under bucket
-    * capping a pair whose lowest shared chunk was capped is dropped
-    * (the capBuckets contract: capped boilerplate buckets don't emit).
+    * share up to four chunks) is the FIRST-SURVIVING-SHARED-CHUNK
+    * predicate: the row is emitted only at the lowest chunk index
+    * where the fingerprints agree AND the corpus row's bucket survived
+    * capping — the corpus side carries a per-row bitmask of its
+    * surviving chunk indexes (a STATIC aggregation, legal here), so an
+    * earlier shared-but-capped chunk cannot shadow a surviving match
+    * (code-review r19: a sig-equality-only guard silently dropped
+    * pairs whose lowest shared chunk was a capped boilerplate bucket,
+    * diverging from the batch path's any-surviving-chunk recall). No
+    * shuffle or state on the stream side; a pair sharing ONLY capped
+    * buckets is dropped on both paths (the capBuckets contract).
     */
   def hammingPairs64Against(incoming: DataFrame, corpus: DataFrame,
                             maxHamming: Int = 3,
@@ -1248,15 +1253,23 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)) +
           lit(i.toLong << 16)): _*)).as("chunk_val"))
-    val cp = chunked16(corpus, maxBucket)
+    val chunkedCorpus = chunked16(corpus, maxBucket)
+    // per corpus row: which of its four chunk rows survived capping
+    val masks = chunkedCorpus
+      .groupBy(col("id"))
+      .agg(sum(expr(
+        "shiftleft(1L, cast(shiftright(chunk_val, 16) as int))"))
+        .as("__alive"))
+    val cp = chunkedCorpus.join(masks, Seq("id"))
       .select(col("chunk_val"), col("id").as("doc_b"),
-        col("sig").as("sig_b"))
-    // earlier shared chunk exists => this row is a duplicate of the
-    // pair already emitted at that chunk
+        col("sig").as("sig_b"), col("__alive"))
+    // an EARLIER chunk both fingerprints share, whose corpus bucket
+    // survived => this pair was already emitted there
     val dupGuard = (0 until 3).map(ip =>
       (shiftright(col("chunk_val"), 16) > ip) &&
         (shiftright(col("sig_a"), ip * 16).bitwiseAND(lit(0xFFFFL)) ===
-          shiftright(col("sig_b"), ip * 16).bitwiseAND(lit(0xFFFFL))))
+          shiftright(col("sig_b"), ip * 16).bitwiseAND(lit(0xFFFFL))) &&
+        (col("__alive").bitwiseAND(lit(1L << ip)) =!= 0L))
       .reduce(_ || _)
     in.join(cp, Seq("chunk_val"))
       .filter(!dupGuard)

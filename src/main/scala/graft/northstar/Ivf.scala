@@ -179,9 +179,10 @@ object Ivf {
     * picks by index) produced different quantizers — the root cause of
     * the drift probe's 0.275-wide pinned-budget recall band. Now
     * membership is a seeded hash predicate on the vector itself (the
-    * [[fitStored]] init discipline) and order is a driver-side
-    * lexicographic sort, so the draw is a pure function of (content
-    * multiset, seed, fraction) whatever the partitioning did.
+    * [[fitStored]] init discipline, via [[hashSampled]]) and order is
+    * a (content hash, content) sort with a hard row cap, so the draw
+    * is a pure function of (content multiset, seed, fraction) whatever
+    * the partitioning did.
     */
   private[northstar] def boundedSample(corpus: DataFrame, targetRows: Long,
                                        vecCol: String,
@@ -196,37 +197,47 @@ object Ivf {
         if (n <= targetRows) 1.0
         else math.min(1.0, 1.2 * targetRows.toDouble / n)
       }
+    // the collect is HARD-BOUNDED by a sorted limit, not just the hash
+    // fraction (code-review r19): the hash predicate admits or rejects
+    // every copy of a duplicate vector TOGETHER, so on a duplicate-heavy
+    // pre-dedup corpus one boilerplate embedding repeated 10M times
+    // would ride a single admitted hash value into a driver-OOM collect
+    // — deterministically, on every retry. The sort keys are
+    // (content hash, content), so ties are bit-identical rows and any
+    // tie-break yields the same multiset: the limit is deterministic.
+    // 4x headroom over the 1.2x-slack target keeps the cap from biasing
+    // normal draws (it only engages under pathological duplication).
+    val cap = math.min(Int.MaxValue.toLong, 4L * targetRows + 4L).toInt
     val sampled = if (fraction >= 1.0) corpus
-      else corpus.filter(
-        pmod(xxhash64(col(vecCol), lit(seed)), lit(HashSampleBuckets)) <
-          lit((fraction * HashSampleBuckets).toLong))
-    val pts = sampled.select(col(vecCol)).collect()
+      else hashSampled(corpus, vecCol, fraction, seed)
+    sampled.select(col(vecCol).as("__bs"))
+      .orderBy(xxhash64(col("__bs"), lit(seed + 7)), col("__bs"))
+      .limit(cap)
+      .collect()
       .map(_.getSeq[Float](0).toArray)
-    java.util.Arrays.sort(pts, floatArrayOrder)
-    pts
   }
 
-  /** Modulus of [[boundedSample]]'s hash predicate: fine enough that the
-    * realized fraction tracks the requested one to ~1e-6.
+  /** The ONE content-hash sample predicate (shared by [[boundedSample]]
+    * and [[fitStored]]'s init draw — code-review r19: an inline respell
+    * of the modulus is exactly the divergence class the deleteRec
+    * consolidation note warns about): keep a row iff
+    * xxhash64(vec, seed) mod 2^40 falls under fraction·2^40. The
+    * modulus is a power of two, so the masked hash is uniform and the
+    * realized fraction tracks the requested one to ~1e-12; the
+    * threshold is floored at 1 (code-review r19: plain truncation hit
+    * ZERO below fraction ≈ 1e-6 — a >1.3e9-row corpus drew an EMPTY
+    * training sample where the old positional sample still returned
+    * ~targetRows).
     */
-  private val HashSampleBuckets = 1L << 20
-
-  /** Total lexicographic order on float vectors (Float.compare semantics,
-    * length breaks ties) — the deterministic driver-sample ordering.
-    */
-  private[northstar] val floatArrayOrder: java.util.Comparator[Array[Float]] =
-    new java.util.Comparator[Array[Float]] {
-      def compare(a: Array[Float], b: Array[Float]): Int = {
-        val n = math.min(a.length, b.length)
-        var i = 0
-        while (i < n) {
-          val c = java.lang.Float.compare(a(i), b(i))
-          if (c != 0) return c
-          i += 1
-        }
-        a.length - b.length
-      }
-    }
+  private[northstar] def hashSampled(corpus: DataFrame, vecCol: String,
+                                     fraction: Double,
+                                     seed: Long): DataFrame = {
+    val buckets = 1L << 40
+    val threshold = math.max(1L, (fraction * buckets).toLong)
+    corpus.filter(
+      xxhash64(col(vecCol), lit(seed)).bitwiseAND(lit(buckets - 1)) <
+        lit(threshold))
+  }
 
   private def sqDist(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
@@ -1152,14 +1163,13 @@ object Ivf {
       if (rows <= 4L * nCells) 1.0
       else math.min(1.0, 1.2 * (4.0 * nCells) / rows)
     // membership by CONTENT hash, not positional Bernoulli (VERDICT r18
-    // task 2, the boundedSample discipline): a positional sample of a
-    // post-shuffle corpus draws a different SUBSET each run even under
-    // a fixed seed — the hash-ordered truncation below only fixed the
+    // task 2, the boundedSample discipline — via the ONE shared
+    // hashSampled predicate): a positional sample of a post-shuffle
+    // corpus draws a different SUBSET each run even under a fixed
+    // seed — the hash-ordered truncation below only fixed the
     // ordering half of the determinism story.
     val drawn = (if (fraction >= 1.0) corpus
-      else corpus.filter(
-        pmod(xxhash64(col(vecCol), lit(seed + 1)), lit(1L << 20)) <
-          lit((fraction * (1L << 20)).toLong)))
+      else hashSampled(corpus, vecCol, fraction, seed + 1))
       .select(col(vecCol).as("ccv")).distinct()
       .orderBy(xxhash64(col("ccv")), col("ccv"))
     // sort + zipWithIndex: the deterministic distributed id assignment

@@ -78,34 +78,49 @@ object IncrementalStream {
       .drop("__graft_event_time")
   }
 
-  /** Static fingerprint frames pinned by [[streamingMerge]], per session
-    * (weak keys: a GC'd session must not be held live by its pins). Each
-    * entry is the pinned frame; [[releaseMergePins]] drains and
-    * unpersists them WITHOUT touching any other user's cached frames —
-    * the library-level release the r18 advice asked for, replacing the
-    * previous "global spark.catalog.clearCache()" remedy that evicted
-    * unrelated cache blocks. Frames are lineage-recomputable, so a
-    * release while a merge stream is still running costs one recompute
-    * on the next micro-batch, never correctness.
+  /** Static fingerprint frames pinned by [[streamingMerge]], per
+    * session. WEAK references on BOTH sides (code-review r19): a
+    * strongly-held DataFrame value reaches back to its SparkSession —
+    * `Dataset.sparkSession` is a strong runtime reference — which
+    * would defeat the WeakHashMap's weak KEYS and immortalize every
+    * dropped session together with its pins. With WeakReference
+    * values the registry never extends any frame's (or session's)
+    * lifetime; it only remembers what to unpersist while the caller
+    * still holds the query. The honest caveat: a session discarded
+    * WITHOUT [[releaseMergePins]] leaves its cached blocks to Spark's
+    * own eviction (the CacheManager, not this registry, owns them) —
+    * release before dropping, the documented contract.
+    *
+    * [[releaseMergePins]] drains and unpersists them WITHOUT touching
+    * any other user's cached frames — the library-level release the
+    * r18 advice asked for, replacing the previous "global
+    * spark.catalog.clearCache()" remedy that evicted unrelated cache
+    * blocks. Frames are lineage-recomputable, so a release while a
+    * merge stream is still running costs one recompute on the next
+    * micro-batch, never correctness.
     */
   private val mergePins =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        java.util.ArrayDeque[DataFrame]]())
+        java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]]())
 
   private def registerMergePin(frame: DataFrame): Unit = {
     val sess = frame.sparkSession
     mergePins.synchronized {
       var q = mergePins.get(sess)
-      if (q == null) { q = new java.util.ArrayDeque[DataFrame](); mergePins.put(sess, q) }
-      q.add(frame)
+      if (q == null) {
+        q = new java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]()
+        mergePins.put(sess, q)
+      }
+      q.add(new java.lang.ref.WeakReference(frame))
     }
   }
 
   /** Unpersist every static fingerprint frame [[streamingMerge]] pinned
-    * on this session and forget them; returns how many were released.
-    * Call after stopping the merge queries (the Bench/Verify hygiene) —
-    * a long-lived JVM that builds several merges no longer accumulates
+    * on this session and forget them; returns how many were released
+    * (already-collected frames count as drained, not released). Call
+    * after stopping the merge queries (the Bench/Verify hygiene) — a
+    * long-lived JVM that builds several merges no longer accumulates
     * cached frames unboundedly nor needs a global cache flush.
     */
   def releaseMergePins(spark: SparkSession): Int = mergePins.synchronized {
@@ -114,7 +129,10 @@ object IncrementalStream {
     else {
       var n = 0
       val it = q.iterator()
-      while (it.hasNext) { it.next().unpersist(); n += 1 }
+      while (it.hasNext) {
+        val f = it.next().get()
+        if (f != null) { f.unpersist(); n += 1 }
+      }
       n
     }
   }
