@@ -184,11 +184,11 @@ object Ivf {
     * is a pure function of (content multiset, seed, fraction) whatever
     * the partitioning did.
     */
-  private[northstar] def boundedSample(corpus: DataFrame, targetRows: Long,
-                                       vecCol: String,
-                                       sampleFraction: Double,
-                                       seed: Long,
-                                       knownRows: Option[Long] = None)
+  private[graft] def boundedSample(corpus: DataFrame, targetRows: Long,
+                                   vecCol: String,
+                                   sampleFraction: Double,
+                                   seed: Long,
+                                   knownRows: Option[Long] = None)
       : Array[Array[Float]] = {
     val fraction =
       if (sampleFraction > 0.0) sampleFraction
@@ -204,17 +204,31 @@ object Ivf {
     // would ride a single admitted hash value into a driver-OOM collect
     // — deterministically, on every retry. The sort keys are
     // (content hash, content), so ties are bit-identical rows and any
-    // tie-break yields the same multiset: the limit is deterministic.
+    // tie-break yields the same multiset: the limit is deterministic
+    // (and plans as a per-partition top-K + driver merge, no shuffle).
     // 4x headroom over the 1.2x-slack target keeps the cap from biasing
     // normal draws (it only engages under pathological duplication).
     val cap = math.min(Int.MaxValue.toLong, 4L * targetRows + 4L).toInt
-    val sampled = if (fraction >= 1.0) corpus
-      else hashSampled(corpus, vecCol, fraction, seed)
-    sampled.select(col(vecCol).as("__bs"))
-      .orderBy(xxhash64(col("__bs"), lit(seed + 7)), col("__bs"))
-      .limit(cap)
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    def collectSorted(df: DataFrame): Array[Array[Float]] =
+      df.select(col(vecCol).as("__bs"))
+        .orderBy(xxhash64(col("__bs"), lit(seed + 7)), col("__bs"))
+        .limit(cap)
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+    val pts =
+      if (fraction >= 1.0) collectSorted(corpus)
+      else collectSorted(hashSampled(corpus, vecCol, fraction, seed))
+    // few-DISTINCT-value fallback: the all-copies-together admission
+    // above also means a corpus with fewer distinct vectors than
+    // ~1/fraction can have EVERY value rejected — an empty training
+    // sample where the old positional sampler never drew one. Retry on
+    // the distinct values (the fallback only fires when the distinct
+    // count is of order 1/fraction, so the distinct shuffle is small
+    // and the sorted limit still caps the collect); hash-ordered, so
+    // the draw stays content-pure, and value COVERAGE is full up to
+    // the cap — strictly better for a quantizer than duplicate mass.
+    if (pts.nonEmpty || fraction >= 1.0) pts
+    else collectSorted(corpus.select(col(vecCol)).distinct())
   }
 
   /** The ONE content-hash sample predicate (shared by [[boundedSample]]

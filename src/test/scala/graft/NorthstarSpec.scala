@@ -329,6 +329,31 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("hammingPairs64Against: a capped shared chunk cannot shadow a " +
+       "surviving match, and surviving multi-chunk pairs emit ONCE " +
+       "(r19 review — the first-SURVIVING-shared-chunk dedup)") {
+    // chunk layout: chunk i = bits [16i, 16i+16). Corpus B shares
+    // chunks 0, 2, 3 with incoming A; chunks 0 and 3 ride mega-buckets
+    // (12 rows > maxBucket 5, capped), chunk 2 survives. A guard that
+    // tests sig agreement instead of bucket survival sees the earlier
+    // shared chunk 0 and drops the pair — the silent recall loss.
+    val sigB = (0xFFL << 32) | (1L << 16)
+    val sigA = (0xFFL << 32) | (3L << 16)  // hamming(A,B) = 1
+    val sigC = sigA                         // exact copy: hamming 0
+    val fillers = (4L to 13L).map(k => (k + 100L, k << 16))
+    val corpus = (Seq((1L, sigB), (2L, sigC)) ++ fillers)
+      .toDF("id", "sig")
+    val incoming = Seq((900L, sigA)).toDF("id", "sig")
+    val got = Dedup.hammingPairs64Against(incoming, corpus,
+        maxHamming = 3, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    // B found through the SURVIVING chunk 2 despite the capped shared
+    // chunk 0; C (sharing chunks 1 AND 2, both surviving) emits
+    // exactly once — no duplicate row from the second shared chunk
+    assert(got == Set((900L, 1L, 1L), (900L, 2L, 0L)), got.toString)
+  }
+
   test("jaccardForPairs scores explicit candidates") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
     val out = Dedup.jaccardForPairs(docs, pairs).collect()
