@@ -1545,20 +1545,26 @@ object Artifacts {
         val parsed = driftBase(path).getOrElse(Map.empty[Int, Long])
         val tmp = new java.io.File(dst,
           "drift_base.migrate.tmp-" + System.nanoTime())
-        // scratch dropped on ANY failure (code-review r19: nothing
-        // else ever sweeps this namespace, so each failed tick would
-        // leak a directory inside the index root forever); after a
-        // successful rename the old tmp path no longer exists and the
-        // catch-path delete is a no-op
+        // scratch dropped only on PRE-DESTRUCTIVE failures (code-review
+        // r19, both passes): a failed parquet write leaks nothing —
+        // nothing else sweeps this namespace, so delete the scratch and
+        // rethrow. But once the legacy text file is deleted, the
+        // scratch IS the only copy of the baseline — a rename failure
+        // there must KEEP it (the error names where it is) rather than
+        // convert a recoverable fault into permanent data loss.
         try {
           import spark.implicits._
           parsed.toSeq.sorted.toDF("cell", "count")
             .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-          require(baseFile.delete(),
-            s"index at $path: could not remove the legacy text drift_base")
-          require(tmp.renameTo(baseFile),
-            s"index at $path: could not swap the migrated drift_base in")
         } catch { case t: Throwable => deleteRec(tmp); throw t }
+        if (!baseFile.delete()) {
+          deleteRec(tmp)
+          throw new IllegalArgumentException(
+            s"index at $path: could not remove the legacy text drift_base")
+        }
+        require(tmp.renameTo(baseFile),
+          s"index at $path: could not swap the migrated drift_base in — " +
+            s"the migrated parquet baseline is preserved at $tmp")
       }
       canonLog.foreach { lines =>
         java.nio.file.Files.write(logFile.toPath,

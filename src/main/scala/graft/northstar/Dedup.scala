@@ -1254,15 +1254,21 @@ object Dedup {
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)) +
           lit(i.toLong << 16)): _*)).as("chunk_val"))
     val chunkedCorpus = chunked16(corpus, maxBucket)
-    // per corpus row: which of its four chunk rows survived capping
+    // per corpus row: which of its four chunk rows survived capping.
+    // bit_or, not sum (code-review r19, second pass): a duplicated
+    // corpus id would sum 1<<i twice into 2<<i — the NEXT chunk's bit
+    // — silently corrupting the guard either way; OR is idempotent.
     val masks = chunkedCorpus
       .groupBy(col("id"))
-      .agg(sum(expr(
-        "shiftleft(1L, cast(shiftright(chunk_val, 16) as int))"))
+      .agg(expr(
+        "bit_or(shiftleft(1L, cast(shiftright(chunk_val, 16) as int)))")
         .as("__alive"))
-    val cp = chunkedCorpus.join(masks, Seq("id"))
+    // materialized ONCE (code-review r19, second pass): this side is
+    // STATIC for a stream's lifetime, and without the persist every
+    // micro-batch re-ran the mask aggregation + join over the corpus
+    val cp = materializeOnce(chunkedCorpus.join(masks, Seq("id"))
       .select(col("chunk_val"), col("id").as("doc_b"),
-        col("sig").as("sig_b"), col("__alive"))
+        col("sig").as("sig_b"), col("__alive")))
     // an EARLIER chunk both fingerprints share, whose corpus bucket
     // survived => this pair was already emitted there
     val dupGuard = (0 until 3).map(ip =>

@@ -215,21 +215,62 @@ object Ivf {
         .limit(cap)
         .collect()
         .map(_.getSeq[Float](0).toArray)
-    val pts =
-      if (fraction >= 1.0) collectSorted(corpus)
-      else collectSorted(hashSampled(corpus, vecCol, fraction, seed))
-    // few-DISTINCT-value fallback: the all-copies-together admission
-    // above also means a corpus with fewer distinct vectors than
-    // ~1/fraction can have EVERY value rejected — an empty training
-    // sample where the old positional sampler never drew one. Retry on
-    // the distinct values (the fallback only fires when the distinct
-    // count is of order 1/fraction, so the distinct shuffle is small
-    // and the sorted limit still caps the collect); hash-ordered, so
-    // the draw stays content-pure, and value COVERAGE is full up to
-    // the cap — strictly better for a quantizer than duplicate mass.
-    if (pts.nonEmpty || fraction >= 1.0) pts
-    else collectSorted(corpus.select(col(vecCol)).distinct())
+    if (sampleFraction >= 1.0) {
+      // the documented override — "1.0 = train on everything" — is
+      // honored literally (code-review r19, second pass: the cap
+      // silently truncated an explicit full-corpus draw). The caller
+      // opted into a corpus-sized collect; only the deterministic
+      // ordering is imposed.
+      val pts = corpus.select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
+      java.util.Arrays.sort(pts, floatArrayOrder)
+      pts
+    } else {
+      val sampledFrame =
+        if (fraction >= 1.0) corpus
+        else hashSampled(corpus, vecCol, fraction, seed)
+      val pts = collectSorted(sampledFrame)
+      if (pts.length == cap) {
+        // cap engaged = pathological duplication or overshoot: the
+        // hash-prefix rows may be copies of ONE low-hash duplicate
+        // (code-review r19, second pass — a collapsed init sample
+        // shrinks the quantizer with only a WARN downstream).
+        // Recollect on DISTINCT values: same bound, full diversity up
+        // to the cap. Said out loud — no silent caps.
+        Console.err.println(
+          s"[graft] boundedSample: capped draw ($cap rows) on a " +
+            "duplicate-heavy corpus — recollecting distinct values")
+        collectSorted(sampledFrame.select(col(vecCol)).distinct())
+      } else if (pts.isEmpty && fraction < 1.0) {
+        // few-DISTINCT-value fallback: all-copies-together admission
+        // means a corpus with fewer distinct vectors than ~1/fraction
+        // can have EVERY value rejected — an empty training sample
+        // where the old positional sampler never drew one. Retry on
+        // the distinct values (the fallback only fires when the
+        // distinct count is of order 1/fraction, so the shuffle is
+        // small and the sorted limit still caps the collect).
+        collectSorted(corpus.select(col(vecCol)).distinct())
+      } else pts
+    }
   }
+
+  /** Total lexicographic order on float vectors (Float.compare
+    * semantics, length breaks ties) — the deterministic ordering of
+    * the explicit full-corpus draw.
+    */
+  private val floatArrayOrder: java.util.Comparator[Array[Float]] =
+    new java.util.Comparator[Array[Float]] {
+      def compare(a: Array[Float], b: Array[Float]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Float.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
 
   /** The ONE content-hash sample predicate (shared by [[boundedSample]]
     * and [[fitStored]]'s init draw — code-review r19: an inline respell
@@ -1181,9 +1222,22 @@ object Ivf {
     // hashSampled predicate): a positional sample of a post-shuffle
     // corpus draws a different SUBSET each run even under a fixed
     // seed — the hash-ordered truncation below only fixed the
-    // ordering half of the determinism story.
-    val drawn = (if (fraction >= 1.0) corpus
-      else hashSampled(corpus, vecCol, fraction, seed + 1))
+    // ordering half of the determinism story. Few-DISTINCT fallback
+    // (code-review r19, second pass — the boundedSample hole existed
+    // here too): hash admission is all-copies-together, so a corpus
+    // with fewer distinct vectors than ~1/fraction can have EVERY
+    // value rejected — the filtered draw would read as "empty corpus"
+    // on a non-empty one, deterministically. An empty filtered side
+    // retries on the full corpus; the fallback only fires when the
+    // distinct count is of order 1/fraction, so the distinct below
+    // stays small.
+    val drawnBase =
+      if (fraction >= 1.0) corpus
+      else {
+        val filtered = hashSampled(corpus, vecCol, fraction, seed + 1)
+        if (filtered.isEmpty) corpus else filtered
+      }
+    val drawn = drawnBase
       .select(col(vecCol).as("ccv")).distinct()
       .orderBy(xxhash64(col("ccv")), col("ccv"))
     // sort + zipWithIndex: the deterministic distributed id assignment

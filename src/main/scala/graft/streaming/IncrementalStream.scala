@@ -79,17 +79,19 @@ object IncrementalStream {
   }
 
   /** Static fingerprint frames pinned by [[streamingMerge]], per
-    * session. WEAK references on BOTH sides (code-review r19): a
-    * strongly-held DataFrame value reaches back to its SparkSession —
-    * `Dataset.sparkSession` is a strong runtime reference — which
-    * would defeat the WeakHashMap's weak KEYS and immortalize every
-    * dropped session together with its pins. With WeakReference
-    * values the registry never extends any frame's (or session's)
-    * lifetime; it only remembers what to unpersist while the caller
-    * still holds the query. The honest caveat: a session discarded
-    * WITHOUT [[releaseMergePins]] leaves its cached blocks to Spark's
-    * own eviction (the CacheManager, not this registry, owns them) —
-    * release before dropping, the documented contract.
+    * session — held STRONGLY, deliberately (code-review r19, second
+    * pass): nothing else holds the pinned Dataset (the returned plan
+    * and the running query reference only its LogicalPlan), so a
+    * WeakReference here was clearable by the first minor GC and
+    * [[releaseMergePins]] became a no-op while the CacheManager kept
+    * the blocks — the exact unbounded-accumulation bug this registry
+    * exists to fix, plus a GC-racy release. The honest cost of strong
+    * refs: a session discarded WITHOUT releaseMergePins stays
+    * reachable through its pins — but in that scenario its cached
+    * blocks were already leaked (only this registry could have freed
+    * them), so the added session object is marginal. Release before
+    * dropping a session: the documented contract, and the release is
+    * now GUARANTEED to free every pin.
     *
     * [[releaseMergePins]] drains and unpersists them WITHOUT touching
     * any other user's cached frames — the library-level release the
@@ -100,39 +102,28 @@ object IncrementalStream {
     * micro-batch, never correctness.
     */
   private val mergePins =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]]())
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.ArrayDeque[DataFrame]]()
 
   private def registerMergePin(frame: DataFrame): Unit = {
-    val sess = frame.sparkSession
-    mergePins.synchronized {
-      var q = mergePins.get(sess)
-      if (q == null) {
-        q = new java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]()
-        mergePins.put(sess, q)
-      }
-      q.add(new java.lang.ref.WeakReference(frame))
-    }
+    val q = mergePins.computeIfAbsent(frame.sparkSession,
+      _ => new java.util.ArrayDeque[DataFrame]())
+    q.synchronized { q.add(frame) }: Unit
   }
 
   /** Unpersist every static fingerprint frame [[streamingMerge]] pinned
-    * on this session and forget them; returns how many were released
-    * (already-collected frames count as drained, not released). Call
-    * after stopping the merge queries (the Bench/Verify hygiene) — a
-    * long-lived JVM that builds several merges no longer accumulates
+    * on this session and forget them; returns how many were released.
+    * Call after stopping the merge queries (the Bench/Verify hygiene) —
+    * a long-lived JVM that builds several merges no longer accumulates
     * cached frames unboundedly nor needs a global cache flush.
     */
-  def releaseMergePins(spark: SparkSession): Int = mergePins.synchronized {
+  def releaseMergePins(spark: SparkSession): Int = {
     val q = mergePins.remove(spark)
     if (q == null) 0
-    else {
+    else q.synchronized {
       var n = 0
       val it = q.iterator()
-      while (it.hasNext) {
-        val f = it.next().get()
-        if (f != null) { f.unpersist(); n += 1 }
-      }
+      while (it.hasNext) { it.next().unpersist(); n += 1 }
       n
     }
   }

@@ -42,32 +42,40 @@ class IvfSpec extends SparkSpecBase {
   }
 
   test("boundedSample: duplicate-heavy corpora neither flood the driver " +
-       "nor draw empty — capped collect + distinct fallback (r19 review)") {
-    import org.apache.spark.sql.functions.{col, when}
+       "nor draw empty nor collapse diversity (r19 review, both passes)") {
+    import org.apache.spark.sql.functions.{col, when, expr}
     // 100k rows, TWO distinct vectors: the content-hash predicate
     // admits or rejects every copy of a value together
     val two = spark.range(100000L).select(
       when(col("id") % 2 === 0,
-          org.apache.spark.sql.functions.expr(
-            "array(cast(1.0 as float), cast(2.0 as float))"))
-        .otherwise(org.apache.spark.sql.functions.expr(
-          "array(cast(9.0 as float), cast(8.0 as float))"))
+          expr("array(cast(1.0 as float), cast(2.0 as float))"))
+        .otherwise(expr("array(cast(9.0 as float), cast(8.0 as float))"))
         .as("embedding"))
-    // cap: full-corpus path (fraction 1.0) must collect <= 4*target+4
-    // rows, never the 100k copies — the driver-OOM class the review
-    // named; and the capped draw is deterministic (identical twice)
-    val capped = Ivf.boundedSample(two, 512, "embedding", 1.0, 42L)
-    assert(capped.length == 4 * 512 + 4, s"got ${capped.length}")
-    assert(capped.map(_.toSeq).toSet.subsetOf(
-      Set(Seq(1.0f, 2.0f), Seq(9.0f, 8.0f))))
-    val capped2 = Ivf.boundedSample(two, 512, "embedding", 1.0, 42L)
-    assert(capped.map(_.toSeq).toSeq == capped2.map(_.toSeq).toSeq)
-    // fallback: a fraction so small the hash predicate rejects both
-    // values (threshold 1 of 2^40) must NOT return an empty training
-    // sample — the distinct fallback recovers FULL value coverage
+    // empty-draw fallback: a fraction so small the hash predicate
+    // rejects both values (threshold 1 of 2^40) must NOT return an
+    // empty training sample — the distinct fallback recovers FULL
+    // value coverage, deterministically
     val fb = Ivf.boundedSample(two, 512, "embedding", 1e-9, 42L)
     assert(fb.map(_.toSeq).toSet == Set(Seq(1.0f, 2.0f), Seq(9.0f, 8.0f)),
       s"fallback must return both distinct values, got ${fb.length}")
+    val fb2 = Ivf.boundedSample(two, 512, "embedding", 1e-9, 42L)
+    assert(fb.map(_.toSeq).toSeq == fb2.map(_.toSeq).toSeq)
+    // explicit 1.0 honors the documented "train on everything" —
+    // never silently capped (second pass)
+    assert(Ivf.boundedSample(two, 512, "embedding", 1.0, 42L)
+      .length == 100000L)
+    // cap engagement preserves DIVERSITY: 10k distinct values x 20
+    // copies at a 0.9 fraction over-admits past the 4*512+4 cap, and
+    // the capped recollect must return cap DISTINCT values, not cap
+    // copies of whichever value hashes lowest (second pass)
+    val many = spark.range(200000L).select(
+      expr("array(cast(id % 10000 as float), cast(1.0 as float))")
+        .as("embedding"))
+    val cap = 4 * 512 + 4
+    val d = Ivf.boundedSample(many, 512, "embedding", 0.9, 42L)
+    assert(d.length == cap, s"got ${d.length}")
+    assert(d.map(_.toSeq).distinct.length == cap,
+      "capped draw must be distinct values, not duplicate mass")
   }
 
   test("null embeddings refuse loudly at the cell census, not a bare NPE") {
