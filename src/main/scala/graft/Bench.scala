@@ -349,7 +349,12 @@ object Bench {
         Console.err.println(
           f"[bench] r1 fixed anchor: r1 ${p}%.1f s -> cur floor " +
             f"${c}%.1f s (ratio ${c / p}%.2f, ${shared.size} queries)")
-        s"""{"queries":${shared.size},"r1_sum_sec":${r3(p)},"cur_sum_sec":${r3(c)},"ratio":${r3(c / p)}}"""
+        // the statistic names travel WITH the artifact (advice r19):
+        // the ratio mixes current rep-MIN floors against r1 single-rep
+        // MEANS (the only r1 stats recorded) — a systematically
+        // optimistic skew (~10-20%) that a downstream consumer of the
+        // JSON could not see while it lived only in this comment
+        s"""{"queries":${shared.size},"r1_sum_sec":${r3(p)},"cur_sum_sec":${r3(c)},"ratio":${r3(c / p)},"r1_stat":"single_rep_mean","cur_stat":"rep_min"}"""
       }
     }
     val fullLine =

@@ -169,6 +169,46 @@ object SparkEntry {
     * half appended): the append lifecycle must not change a single
     * pair, so both rows hash against the SAME oracle.
     */
+  /** Shared oracle of the three phash-lifecycle rows
+    * (`ns_imagedup_incoming`/`_append`/`_remove`): the FULL
+    * incoming×corpus screen — every (flipped copy, original) pair
+    * within Hamming 3 — replayed as closed-form bit arithmetic over
+    * md5(doc_id) (the syntheticPatternPng contract). Build-on-
+    * everything, append-then-serve, and remove-then-serve must all
+    * produce exactly this frame. The banded join's completeness makes
+    * the replay exact: Hamming <= 3 GUARANTEES a shared 16-bit chunk
+    * (pigeonhole), bucket caps never engage at this corpus shape
+    * (~4 chunk rows per 64Ki bucket space), so screen output ==
+    * all-pairs-within-3, which is what this SQL computes.
+    */
+  private val imagedupIncomingOracle: String =
+    """WITH cells AS (
+      |  SELECT d.doc_id AS id, tx.x AS x, ty.y AS y,
+      |    ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+      |        (ty.y*9 + tx.x) // 4 + 1, 1) AS INTEGER)
+      |      >> (3 - ((ty.y*9 + tx.x) % 4))) & 1) AS bit
+      |  FROM documents d, range(9) tx(x), range(8) ty(y)),
+      |allc AS (
+      |  SELECT id, x, y, bit FROM cells
+      |  UNION ALL
+      |  SELECT id + 1099511627776, x, y,
+      |    CASE WHEN x = 0 AND y = 0 THEN 1 - bit ELSE bit END
+      |  FROM cells),
+      |dh AS (
+      |  SELECT l.id, l.y*8 + l.x AS j,
+      |    CASE WHEN l.bit > r.bit THEN 1 ELSE 0 END AS hb
+      |  FROM allc l JOIN allc r ON r.id = l.id AND r.y = l.y
+      |    AND r.x = l.x + 1
+      |  WHERE l.x < 8)
+      |SELECT fa.id AS asset_a, ob.id AS asset_b,
+      |  CAST(SUM(CASE WHEN fa.hb <> ob.hb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hamming
+      |FROM dh fa JOIN dh ob ON ob.j = fa.j
+      |WHERE fa.id >= 1099511627776 AND ob.id < 1099511627776
+      |GROUP BY 1, 2
+      |HAVING SUM(CASE WHEN fa.hb <> ob.hb THEN 1 ELSE 0 END) <= 3"""
+      .stripMargin
+
   private val winnowIncomingOracle: String =
     """WITH corpus AS (SELECT doc_id, text FROM documents),
       |incoming AS (
@@ -2498,6 +2538,141 @@ object SparkEntry {
           (id, Multimodal.syntheticPatternPng(id)),
           (id + (1L << 40),
             Multimodal.syntheticPatternPng(id, flipTopLeft = true))))
+          .toDF("asset_id", "payload"))
+      val docs = t(s, dir, "documents").select("doc_id")
+      val pairs = docs.select(col("doc_id").as("asset_a"),
+          (col("doc_id") + (1L << 40)).as("asset_b"))
+        .union(docs.select(col("doc_id").as("asset_a"),
+            (col("doc_id") + 1).as("asset_b"))
+          .join(docs.select(col("doc_id").as("asset_b")),
+            Seq("asset_b"), "left_semi")
+          // using-join reorders asset_b first; re-pin before the union
+          .select("asset_a", "asset_b"))
+      pairs
+        .join(hashes.select(col("id").as("asset_a"),
+          col("sig").as("sig_a")), Seq("asset_a"))
+        .join(hashes.select(col("id").as("asset_b"),
+          col("sig").as("sig_b")), Seq("asset_b"))
+        .select(col("asset_a"), col("asset_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+            .cast("long").as("hamming"))
+    }),
+    // STORED image-fingerprint serve (VERDICT r19 task 2): the corpus
+    // PNGs are decoded+hashed once into the train-once phash artifact
+    // (Artifacts.imageHashIndexFor), and the ingest screen joins the
+    // STORED 8-byte fingerprints — a restart never re-decodes the
+    // corpus. The incoming batch is every doc's flipped-cell copy
+    // (Hamming <= 1 by the fixture's closed form), so the screen's
+    // full output — every (incoming, corpus) pair within Hamming 3 —
+    // replays in DuckDB as bit arithmetic over md5(doc_id), hash-exact
+    "ns_imagedup_incoming" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select("doc_id").as[Long]
+      val corpus = ids.map(id =>
+        (id, Multimodal.syntheticPatternPng(id)))
+        .toDF("asset_id", "payload")
+      val incoming = ids.map(id => (id + (1L << 40),
+        Multimodal.syntheticPatternPng(id, flipTopLeft = true)))
+        .toDF("asset_id", "payload")
+      val sigs = graft.northstar.Artifacts.imageHashIndexFor(
+        corpus, cacheKey = corpusKey(dir, "documents"))
+      Multimodal.imageDupIncoming(incoming, sigs)
+        .withColumn("hamming", col("hamming").cast("long"))
+    }),
+    // phash append lifecycle (the ns_winnow_append pattern for images):
+    // index built on the even-doc half, odd half APPENDED (each image
+    // decoded exactly once, at the tick that first sees it), same
+    // screen — append-then-serve must be hash-identical to the
+    // build-on-everything index, so the oracle is
+    // ns_imagedup_incoming's replay verbatim
+    "ns_imagedup_append" -> ((s, dir) => {
+      import s.implicits._
+      import graft.northstar.Artifacts
+      val ids = t(s, dir, "documents").select("doc_id").as[Long]
+      val corpus = ids.map(id =>
+        (id, Multimodal.syntheticPatternPng(id)))
+        .toDF("asset_id", "payload")
+      val incoming = ids.map(id => (id + (1L << 40),
+        Multimodal.syntheticPatternPng(id, flipTopLeft = true)))
+        .toDF("asset_id", "payload")
+      val path = Artifacts.pathFor("phashappend",
+        s"${corpusKey(dir, "documents")}-$jvmTag")
+      Artifacts.saveImageHashIndex(
+        corpus.filter(col("asset_id") % 2 === 0), path)
+      Artifacts.appendImageHashIndex(
+        corpus.filter(col("asset_id") % 2 =!= 0), path)
+      Multimodal.imageDupIncoming(incoming,
+          Artifacts.loadImageHashIndex(s, path))
+        .withColumn("hamming", col("hamming").cast("long"))
+    }),
+    // phash takedown REMOVAL (the ns_winnow_remove pattern): the index
+    // is built on the corpus plus an exact-duplicate slice (+2^41,
+    // same pixels — each duplicate would match every flipped incoming
+    // its original matches), the slice is removed, and the screen must
+    // see exactly the corpus-only fingerprints — all three lifecycle
+    // rows hash against the SAME oracle
+    "ns_imagedup_remove" -> ((s, dir) => {
+      import s.implicits._
+      import graft.northstar.Artifacts
+      val ids = t(s, dir, "documents").select("doc_id").as[Long]
+      val corpus = ids.map(id =>
+        (id, Multimodal.syntheticPatternPng(id)))
+        .toDF("asset_id", "payload")
+      val extra = ids.map(id => (id + (1L << 41),
+        Multimodal.syntheticPatternPng(id)))
+        .toDF("asset_id", "payload")
+      val incoming = ids.map(id => (id + (1L << 40),
+        Multimodal.syntheticPatternPng(id, flipTopLeft = true)))
+        .toDF("asset_id", "payload")
+      val path = Artifacts.pathFor("phashremove",
+        s"${corpusKey(dir, "documents")}-$jvmTag")
+      Artifacts.saveImageHashIndex(corpus.unionAll(extra), path)
+      Artifacts.removeFromImageHashIndex(extra.select("asset_id"), path)
+      Multimodal.imageDupIncoming(incoming,
+          Artifacts.loadImageHashIndex(s, path))
+        .withColumn("hamming", col("hamming").cast("long"))
+    }),
+    // AUDIO near-dup (VERDICT r19 task 5 — the multimodal dedup
+    // family's audio member): Haitsma–Kalker-style 65-stripe
+    // energy-gradient fingerprints of real synthesized WAVs through
+    // the same banded-Hamming machinery. The corpus plants a
+    // first-stripe-flipped near-dup (Hamming <= 1) for every 5th doc
+    // and a HALF-DURATION copy (spf 32 vs 64 — stripe RMS is
+    // duration-invariant, so Hamming 0: the robustness the hash
+    // exists for) for every 7th. Rows-only like ns_imagedup_pairs;
+    // the closed-form companion below pins the decode pipeline
+    // hash-exactly
+    "ns_audiodup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select("doc_id").as[Long]
+      val assets = ids.flatMap { id =>
+        Seq((id, Multimodal.syntheticPatternWav(id))) ++
+          (if (id % 5 == 0)
+            Seq((id + (1L << 40),
+              Multimodal.syntheticPatternWav(id, flipFirst = true)))
+          else Nil) ++
+          (if (id % 7 == 0)
+            Seq((id + (1L << 41),
+              Multimodal.syntheticPatternWav(id, spf = 32)))
+          else Nil)
+      }.toDF("asset_id", "payload")
+      Multimodal.audioDupPairs(assets, maxHamming = 3)
+    }),
+    // hash-checked companion: the 65-stripe WAV fixture's robust hash
+    // is a CLOSED FORM of md5(doc_id) (syntheticPatternWav's
+    // contract: hash bit j = bit(j+1) AND NOT bit(j)), so DuckDB
+    // replays the whole RIFF→PCM→stripe-RMS→sign-delta pipeline as
+    // bit arithmetic over a fixed pair list — each doc vs its
+    // flipped-stripe copy (hamming <= 1) and consecutive ids
+    // (unrelated, ~24)
+    "ns_audiodup_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select("doc_id").as[Long]
+      val hashes = Multimodal.audioHashes(
+        ids.flatMap(id => Seq(
+          (id, Multimodal.syntheticPatternWav(id)),
+          (id + (1L << 40),
+            Multimodal.syntheticPatternWav(id, flipFirst = true))))
           .toDF("asset_id", "payload"))
       val docs = t(s, dir, "documents").select("doc_id")
       val pairs = docs.select(col("doc_id").as("asset_a"),
@@ -5235,6 +5410,48 @@ object SparkEntry {
         |FROM pairs p
         |JOIN dh ha ON ha.id = p.asset_a
         |JOIN dh hb2 ON hb2.id = p.asset_b AND hb2.j = ha.j
+        |GROUP BY 1, 2""".stripMargin,
+    // the three phash-lifecycle rows share ONE oracle (the winnow
+    // lifecycle discipline): stored-then-serve, append-then-serve and
+    // remove-then-serve must each equal the full-screen closed form
+    "ns_imagedup_incoming" -> imagedupIncomingOracle,
+    "ns_imagedup_append" -> imagedupIncomingOracle,
+    "ns_imagedup_remove" -> imagedupIncomingOracle,
+    // the 65-stripe WAV fixture's robust hash is a closed form of
+    // md5(doc_id) (hash bit j = bit(j+1) AND NOT bit(j), hex-nibble
+    // MSB-first), so the whole RIFF→PCM→stripe-RMS→sign-delta
+    // pipeline replays as bit arithmetic; the flipped copies invert
+    // stripe 0, touching only hash bit 0
+    "ns_audiodup_hamming" ->
+      """WITH bits AS (
+        |  SELECT d.doc_id AS id, tk.k AS k,
+        |    ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+        |        tk.k // 4 + 1, 1) AS INTEGER)
+        |      >> (3 - (tk.k % 4))) & 1) AS bit
+        |  FROM documents d, range(65) tk(k)),
+        |allb AS (
+        |  SELECT id, k, bit FROM bits
+        |  UNION ALL
+        |  SELECT id + 1099511627776, k,
+        |    CASE WHEN k = 0 THEN 1 - bit ELSE bit END
+        |  FROM bits),
+        |hb AS (
+        |  SELECT l.id, l.k AS j,
+        |    CASE WHEN r.bit = 1 AND l.bit = 0 THEN 1 ELSE 0 END AS hb
+        |  FROM allb l JOIN allb r ON r.id = l.id AND r.k = l.k + 1
+        |  WHERE l.k < 64),
+        |pairs AS (
+        |  SELECT doc_id AS asset_a, doc_id + 1099511627776 AS asset_b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT d.doc_id, d.doc_id + 1 FROM documents d
+        |  JOIN documents e ON e.doc_id = d.doc_id + 1)
+        |SELECT p.asset_a, p.asset_b,
+        |  CAST(SUM(CASE WHEN ha.hb <> h2.hb THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS hamming
+        |FROM pairs p
+        |JOIN hb ha ON ha.id = p.asset_a
+        |JOIN hb h2 ON h2.id = p.asset_b AND h2.j = ha.j
         |GROUP BY 1, 2""".stripMargin,
   )
 }

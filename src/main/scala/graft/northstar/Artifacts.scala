@@ -1481,19 +1481,22 @@ object Artifacts {
                              path: String): Option[DataFrame] = {
     val f = new java.io.File(path, "drift_base")
     if (f.isDirectory) Some(spark.read.parquet(f.toString))
-    else driftBase(path).map { m =>
-      // DEPRECATED read (VERDICT r18 task 5): the text sidecar is
-      // migrated to the parquet relation by maintainIndex's first
-      // contact; this driver-side cell-proportional parse survives
-      // only for artifacts no maintenance tick has touched yet.
-      Console.err.println(
-        s"[graft] WARN: index at $path carries a legacy TEXT " +
-          "drift_base sidecar (pre-r18) — run maintainIndex once to " +
-          "migrate it to the parquet form; the text parse is " +
-          "deprecated and cell-proportional on the driver")
-      import spark.implicits._
-      m.toSeq.sorted.toDF("cell", "count")
-    }
+    else if (f.isFile)
+      // RETIRED (VERDICT r19 task 4; deprecation-WARNed since r19):
+      // the pre-r18 TEXT sidecar is no longer served — the driver-side
+      // cell-proportional parse survives only inside
+      // [[migrateLegacyDrift]]. Refuse with the remedy: one
+      // [[maintainIndex]] tick migrates the sidecar to the parquet
+      // relation on first contact, after which this path reads the
+      // parquet form like any r18+ artifact. The throw lands in
+      // appendCellIndex's PLANNING phase, which republishes the marker
+      // — a refusal, never a wreck.
+      throw new IllegalArgumentException(
+        s"index at $path carries a legacy TEXT drift_base sidecar " +
+          "(pre-r18) — run Artifacts.maintainIndex once to migrate it " +
+          "to the parquet form; the deprecated driver-side text parse " +
+          "was retired (r20)")
+    else None
   }
 
   /** MIGRATE legacy drift sidecars in place (VERDICT r18 task 5), under
@@ -1543,6 +1546,58 @@ object Artifacts {
     try {
       if (legacyBase) {
         val parsed = driftBase(path).getOrElse(Map.empty[Int, Long])
+        if (parsed.isEmpty) {
+          // EVERY line torn/garbage (or the file empty): there is no
+          // baseline content to migrate. Fall through to the
+          // no-baseline path (advice r19) — drop the unreadable file
+          // so the tick is not re-confused forever; drift statistics
+          // degrade to the stored-census fallback, said out loud.
+          Console.err.println(
+            s"[graft] WARN: legacy text drift_base at $path has no " +
+              "parseable lines — dropping it; drift statistics fall " +
+              "back to the stored census until the next rebuild/retrain")
+          require(baseFile.delete(),
+            s"index at $path: could not remove the unreadable legacy " +
+              "text drift_base")
+        } else
+        migrateLegacyBaseNonEmpty(spark, path, dst, baseFile, parsed)
+      }
+      canonLog.foreach { lines =>
+        // sibling tmp + atomic move, NOT an in-place truncating write
+        // (advice r19): a hard kill mid-truncate destroyed the ENTIRE
+        // drift history — strictly worse than the pre-migration state,
+        // where the torn line was merely dropped on every read. Same
+        // swap discipline as the drift_base leg.
+        val ltmp = new java.io.File(dst,
+          "drift.log.migrate.tmp-" + System.nanoTime())
+        try {
+          java.nio.file.Files.write(ltmp.toPath,
+            lines.mkString("", "\n", if (lines.isEmpty) "" else "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(ltmp.toPath, logFile.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        } catch { case t: Throwable =>
+          // pre-destructive either way: the original drift.log is
+          // intact until the atomic move lands, so the scratch leaks
+          // nothing
+          ltmp.delete(): Unit
+          throw t
+        }
+      }
+      true
+    } finally
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+  }
+
+  /** The non-empty legacy-base leg of [[migrateLegacyDrift]] — the
+    * parquet rewrite + swap, unchanged discipline (factored out so the
+    * all-torn fallback above reads as the single decision it is).
+    */
+  private def migrateLegacyBaseNonEmpty(spark: SparkSession, path: String,
+                                        dst: java.io.File,
+                                        baseFile: java.io.File,
+                                        parsed: Map[Int, Long]): Unit = {
         val tmp = new java.io.File(dst,
           "drift_base.migrate.tmp-" + System.nanoTime())
         // scratch dropped only on PRE-DESTRUCTIVE failures (code-review
@@ -1565,31 +1620,44 @@ object Artifacts {
         require(tmp.renameTo(baseFile),
           s"index at $path: could not swap the migrated drift_base in — " +
             s"the migrated parquet baseline is preserved at $tmp")
-      }
-      canonLog.foreach { lines =>
-        java.nio.file.Files.write(logFile.toPath,
-          lines.mkString("", "\n", if (lines.isEmpty) "" else "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
-      true
-    } finally
-      java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
   }
 
   /** The persisted build census of a cell index (the drift baseline) —
     * the LEGACY text form; None when absent or when the artifact
     * carries the r18+ parquet relation instead (read that through
-    * [[driftBaseFrame]]).
+    * [[driftBaseFrame]]). Parsed ONLY by [[migrateLegacyDrift]] since
+    * r20 — the serving read ([[driftBaseFrame]]) refuses legacy text
+    * outright.
     */
   private def driftBase(path: String): Option[Map[Int, Long]] = {
     val f = new java.io.File(path, "drift_base")
     if (!f.isFile) return None
     import scala.jdk.CollectionConverters._
-    Some(java.nio.file.Files.readAllLines(f.toPath,
-        java.nio.charset.StandardCharsets.UTF_8).asScala
-      .filter(_.contains('='))
-      .map { l => val i = l.indexOf('=')
-        l.take(i).toInt -> l.drop(i + 1).toLong }.toMap)
+    val raw = java.nio.file.Files.readAllLines(f.toPath,
+      java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+    // tolerant anchored parse (advice r19, the appendDriftHistory
+    // discipline): a torn mid-line write ("cell=cou") used to throw
+    // NumberFormatException out of .toInt/.toLong — and because
+    // [[migrateLegacyDrift]] runs at the top of every maintainIndex
+    // tick AFTER the mutex claim, one garbage line bricked maintenance
+    // for the artifact permanently (compaction and drift checks never
+    // ran again). Unparseable lines are DROPPED with a WARN; the
+    // survivors are the baseline. Try guards the residual numeric
+    // overflow ("99999999999999999999=1" matches the regex but not
+    // Int/Long).
+    val kept = raw.flatMap { l =>
+      scala.util.Try(
+        "^(\\d+)=(\\d+)$".r.findFirstMatchIn(l.trim)
+          .map(m => m.group(1).toInt -> m.group(2).toLong))
+        .toOption.flatten
+    }
+    val nonEmpty = raw.count(_.trim.nonEmpty)
+    if (kept.size != nonEmpty)
+      Console.err.println(
+        s"[graft] WARN: legacy text drift_base at $path carries " +
+          s"${nonEmpty - kept.size} unparseable line(s) (torn write) " +
+          "— dropped")
+    Some(kept.toMap)
   }
 
   /** The per-append [[Ivf.censusDrift]] history of a cell index —
@@ -2096,7 +2164,8 @@ object Artifacts {
     * swap already rewrote every file.
     *
     * APPENDABLE capped indexes (`_params` kind=winnow/band — VERDICT
-    * r18 task 4) dispatch here too: no quantizer, no drift telemetry,
+    * r18 task 4 — and the r20 stored fingerprint stores, kind=phash/
+    * ahash) dispatch here too: no quantizer, no drift telemetry,
     * so their tick is [[compactAppendableIndex]] alone (the rows/
     * relation rewritten once its file count exceeds `compactOver`),
     * reported in the same shape with family `appendable-<kind>` —
@@ -2120,8 +2189,9 @@ object Artifacts {
         "mid-build, or torn by a crashed mutation) — rebuild it " +
         "before maintaining")
     val params = readParams(path)
-    // APPENDABLE capped indexes (winnow/band — VERDICT r18 task 4):
-    // the `_params` kind pin identifies them without caller knowledge,
+    // APPENDABLE capped indexes (winnow/band — VERDICT r18 task 4 —
+    // plus the r20 fingerprint stores, phash/ahash): the `_params`
+    // kind pin identifies them without caller knowledge,
     // like the cell families below. They carry no quantizer and no
     // drift telemetry — their one accumulating nightly-append cost is
     // rows/ file fragmentation, owned by [[compactAppendableIndex]] —
@@ -2130,7 +2200,8 @@ object Artifacts {
     // relation was rewritten). One scheduled call now maintains every
     // artifact family the engine ships.
     val appendableKind = params.flatMap(_.get("kind"))
-      .filter(k => k == "winnow" || k == "band")
+      .filter(k => k == "winnow" || k == "band" ||
+        k == "phash" || k == "ahash")
     if (appendableKind.isDefined) {
       val compacted =
         if (compactOver <= 0) false
@@ -3294,6 +3365,128 @@ object Artifacts {
     removeFromCappedIndex(removedIds, path, "id", idCol, "band_hash",
       maxBucket, bandAppendParams(k, bands, maxBucket),
       "appendable band index")
+
+  // ------------------------------- stored perceptual fingerprints
+
+  /** Params sidecar of a stored 64-bit fingerprint index. `kind` is
+    * the maintainIndex dispatch pin (phash = image dHash, ahash =
+    * audio robust hash); `algo` pins the hash construction so an index
+    * built under a future alternative hash refuses to serve a
+    * mismatched screen.
+    */
+  private def fingerprintParams(kind: String,
+                                algo: String): Map[String, String] =
+    Map("kind" -> kind, "algo" -> algo)
+
+  /** STORED IMAGE FINGERPRINT INDEX (VERDICT r19 task 2): persist
+    * (id, sig) — [[Multimodal.imageHashes]]' 8-byte dHash per asset —
+    * as an appendable artifact riding the winnow/band capped-index
+    * machinery (same marker-mutex append/remove/compact lifecycle,
+    * same [[maintainIndex]] kind-dispatch), so a nightly image-ingest
+    * job decodes each image ONCE, at the tick that first sees it: a
+    * restart loads 8-byte fingerprints instead of re-decoding the
+    * corpus — at 100 TB of images the re-decode is the dominant cost.
+    *
+    * Unlike winnow/band, the stored rows are NOT bucket-capped:
+    * mega-bucket capping is a query-time decision of the banded screen
+    * ([[Dedup.hammingPairs64Against]]'s per-chunk capBuckets), not a
+    * property of the fingerprint set — so the shared layout's
+    * `dropped/` list is written but always empty (cap pinned at
+    * Int.MaxValue) and the load returns every stored (id, sig) row,
+    * exactly [[Multimodal.imageHashes]] of the accumulated corpus
+    * (ArtifactsSpec pins append/remove-then-load row-identity).
+    */
+  def saveImageHashIndex(assets: DataFrame, path: String,
+                         idCol: String = "asset_id",
+                         payloadCol: String = "payload"): Unit =
+    writeCappedIndex(Multimodal.imageHashes(assets, idCol, payloadCol),
+      path, "sig", Int.MaxValue, fingerprintParams("phash", "dhash64"))
+
+  /** Append a NEW batch of image assets (ids must not repeat ids
+    * already indexed) — the batch decodes once, the index gains 8
+    * bytes/asset.
+    */
+  def appendImageHashIndex(incoming: DataFrame, path: String,
+                           idCol: String = "asset_id",
+                           payloadCol: String = "payload"): Unit =
+    appendCappedIndex(Multimodal.imageHashes(incoming, idCol, payloadCol),
+      path, "sig", Int.MaxValue, fingerprintParams("phash", "dhash64"),
+      "stored image fingerprint index")
+
+  /** Load the stored (id, sig) fingerprint frame — feed it to
+    * [[Multimodal.imageDupIncoming]] as `corpusSigs`.
+    */
+  def loadImageHashIndex(spark: SparkSession, path: String): DataFrame =
+    readCappedIndex(spark, path, "sig",
+      fingerprintParams("phash", "dhash64"),
+      "stored image fingerprint index").select("id", "sig")
+
+  /** Remove assets from a stored image fingerprint index (takedown/
+    * retention — the [[removeFromWinnowIndex]] contract).
+    */
+  def removeFromImageHashIndex(removedIds: DataFrame, path: String,
+                               idCol: String = "asset_id"): Unit =
+    removeFromCappedIndex(removedIds, path, "id", idCol, "sig",
+      Int.MaxValue, fingerprintParams("phash", "dhash64"),
+      "stored image fingerprint index")
+
+  /** Train-once / serve-by-load image fingerprint frame (the
+    * [[winnowSketchFor]] contract): the corpus is decoded+hashed on
+    * first request, every later screen loads the stored 8-byte rows.
+    */
+  def imageHashIndexFor(assets: DataFrame, cacheKey: String,
+                        idCol: String = "asset_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    val path = pathFor("phash", s"$cacheKey-$idCol-$payloadCol")
+    ensureTrained(path) { tmp =>
+      saveImageHashIndex(assets, tmp, idCol, payloadCol)
+    }
+    loadImageHashIndex(assets.sparkSession, path)
+  }
+
+  /** STORED AUDIO FINGERPRINT INDEX — [[saveImageHashIndex]]'s
+    * contract for [[Multimodal.audioHashes]]' robust hash (kind=ahash):
+    * the multimodal dedup family's other decode-once store.
+    */
+  def saveAudioHashIndex(assets: DataFrame, path: String,
+                         idCol: String = "asset_id",
+                         payloadCol: String = "payload"): Unit =
+    writeCappedIndex(Multimodal.audioHashes(assets, idCol, payloadCol),
+      path, "sig", Int.MaxValue, fingerprintParams("ahash", "hk65"))
+
+  /** Append new audio assets into a stored audio fingerprint index. */
+  def appendAudioHashIndex(incoming: DataFrame, path: String,
+                           idCol: String = "asset_id",
+                           payloadCol: String = "payload"): Unit =
+    appendCappedIndex(Multimodal.audioHashes(incoming, idCol, payloadCol),
+      path, "sig", Int.MaxValue, fingerprintParams("ahash", "hk65"),
+      "stored audio fingerprint index")
+
+  /** Load the stored audio fingerprint frame — feed it to
+    * [[Multimodal.audioDupIncoming]] as `corpusSigs`.
+    */
+  def loadAudioHashIndex(spark: SparkSession, path: String): DataFrame =
+    readCappedIndex(spark, path, "sig",
+      fingerprintParams("ahash", "hk65"),
+      "stored audio fingerprint index").select("id", "sig")
+
+  /** Remove assets from a stored audio fingerprint index. */
+  def removeFromAudioHashIndex(removedIds: DataFrame, path: String,
+                               idCol: String = "asset_id"): Unit =
+    removeFromCappedIndex(removedIds, path, "id", idCol, "sig",
+      Int.MaxValue, fingerprintParams("ahash", "hk65"),
+      "stored audio fingerprint index")
+
+  /** Train-once / serve-by-load audio fingerprint frame. */
+  def audioHashIndexFor(assets: DataFrame, cacheKey: String,
+                        idCol: String = "asset_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    val path = pathFor("ahash", s"$cacheKey-$idCol-$payloadCol")
+    ensureTrained(path) { tmp =>
+      saveAudioHashIndex(assets, tmp, idCol, payloadCol)
+    }
+    loadAudioHashIndex(assets.sparkSession, path)
+  }
 
   // -------------------------------------------------- boilerplate lines
 

@@ -294,6 +294,20 @@ object Multimodal {
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
     def decode(assetId: Long, payload: Array[Byte]): Option[Decoded] =
+      stripeEnergies(payload, StubCodec.FeatureDim).map {
+        case (rms, frames, channels) =>
+          Decoded(assetId, frames, channels, "wav", rms.map(_.toFloat))
+      }
+
+    /** Per-stripe RMS energy of the decoded PCM — `dim` equal TIME
+      * stripes over the frame axis, channels pooled into each stripe.
+      * The shared walk behind [[decode]]'s feature vector (dim =
+      * FeatureDim) and [[robustHash]]'s 65-stripe gradient pass; None
+      * for non-WAV payloads and unsupported encodings. An empty stripe
+      * reads 0.0 (the decode path's historical convention).
+      */
+    private def stripeEnergies(payload: Array[Byte], dim: Int)
+        : Option[(Array[Double], Int, Int)] =
       if (!looksLikeWav(payload)) None
       else try {
         import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -316,7 +330,6 @@ object Multimodal {
             val bytesPerSample = bits / 8
             val nSamples = bytes.length / bytesPerSample
             val frames = if (channels == 0) 0 else nSamples / channels
-            val dim = StubCodec.FeatureDim
             val sumSq = new Array[Double](dim)
             val counts = new Array[Long](dim)
             var i = 0
@@ -342,13 +355,38 @@ object Multimodal {
               counts(stripe) += 1
               i += 1
             }
-            val feats = Array.tabulate(dim)(s =>
-              if (counts(s) == 0) 0f
-              else math.sqrt(sumSq(s) / counts(s)).toFloat)
-            Some(Decoded(assetId, frames, channels, "wav", feats))
+            val rms = Array.tabulate(dim)(s =>
+              if (counts(s) == 0) 0.0
+              else math.sqrt(sumSq(s) / counts(s)))
+            Some((rms, frames, channels))
           }
         } finally in.close()
       } catch { case _: Exception => None }
+
+    /** 64-bit ROBUST AUDIO HASH — Haitsma & Kalker's sign-of-energy-
+      * difference construction (ISMIR 2002, public knowledge), reduced
+      * to the time axis this decoder already models: the PCM is pooled
+      * into 65 equal time stripes and bit j is set iff stripe j+1's
+      * RMS energy exceeds stripe j's. The audio twin of
+      * [[ImageCodec.perceptualHash]]'s dHash: energy-GRADIENT signs
+      * survive volume scaling (RMS is homogeneous), resampling, and
+      * small local edits; absolute energies don't. None for non-WAV /
+      * unsupported payloads. A constant signal (silence included)
+      * hashes to 0L — all-silent assets read as exact near-dups, the
+      * curation-correct answer. Completes the multimodal dedup family
+      * (VERDICT r19 task 5) riding [[Dedup.hammingPairs64]] exactly as
+      * images do.
+      */
+    def robustHash(payload: Array[Byte]): Option[Long] =
+      stripeEnergies(payload, 65).map { case (rms, _, _) =>
+        var h = 0L
+        var j = 0
+        while (j < 64) {
+          if (rms(j + 1) > rms(j)) h |= 1L << j
+          j += 1
+        }
+        h
+      }
   }
 
   /** Real audio METADATA codec for FLAC payloads — a pure-JVM
@@ -933,8 +971,14 @@ object Multimodal {
   /** Ingest-side image near-dup screening: INCOMING image payloads
     * against a STATIC corpus fingerprint frame (id, sig) — the batch
     * body for a streaming foreachBatch ingest (no incoming×incoming
-    * pairs, no corpus re-hash; hash the corpus once with
-    * [[imageHashes]] and reuse the frame across batches).
+    * pairs, no corpus re-hash). Feed `corpusSigs` from the STORED
+    * fingerprint artifact ([[Artifacts.loadImageHashIndex]] /
+    * [[Artifacts.imageHashIndexFor]] — r20): the corpus is decoded and
+    * hashed ONCE at index build, nightly batches append their own
+    * 8-byte fingerprints ([[Artifacts.appendImageHashIndex]]), and an
+    * ingest restart loads the index instead of re-decoding the corpus
+    * — at 100 TB of images the re-decode, not the join, is the
+    * dominant cost this artifact removes.
     */
   def imageDupIncoming(incoming: DataFrame, corpusSigs: DataFrame,
                        maxHamming: Int = 3, maxBucket: Int = 1000,
@@ -945,6 +989,110 @@ object Multimodal {
         maxHamming, maxBucket)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming"))
+
+  /** Robust-hash fingerprints of audio assets — (id, sig: long), rows
+    * whose payloads don't parse as supported WAV PCM dropped (the
+    * [[imageHashes]] contract for audio: payloads never reach the
+    * driver; downstream shuffles move 8 bytes/row, never samples).
+    */
+  def audioHashes(assets: DataFrame,
+                  idCol: String = "asset_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol), col(payloadCol))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          AudioCodec.robustHash(r.getAs[Array[Byte]](1))
+            .map(fp => (r.getLong(0), fp))
+        }
+      }.toDF("id", "sig")
+  }
+
+  /** AUDIO NEAR-DUP PAIRS (VERDICT r19 task 5 — the multimodal dedup
+    * family's audio member): [[AudioCodec.robustHash]] fingerprints
+    * through the SAME banded-Hamming machinery as images
+    * ([[Dedup.hammingPairs64]] — threshold-selected complete banding,
+    * mega-buckets capped). Emits (asset_a, asset_b, hamming) for audio
+    * pairs whose fingerprint distance is within `maxHamming`. Nothing
+    * does all-pairs.
+    */
+  def audioDupPairs(assets: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 1000,
+                    idCol: String = "asset_id",
+                    payloadCol: String = "payload"): DataFrame =
+    Dedup.hammingPairs64(audioHashes(assets, idCol, payloadCol),
+        maxHamming, maxBucket)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+
+  /** Ingest-side audio near-dup screening against a static corpus
+    * fingerprint frame — the [[imageDupIncoming]] contract for audio;
+    * feed `corpusSigs` from the stored artifact
+    * ([[Artifacts.loadAudioHashIndex]] / [[Artifacts.audioHashIndexFor]])
+    * so restarts never re-decode the corpus.
+    */
+  def audioDupIncoming(incoming: DataFrame, corpusSigs: DataFrame,
+                       maxHamming: Int = 3, maxBucket: Int = 1000,
+                       idCol: String = "asset_id",
+                       payloadCol: String = "payload"): DataFrame =
+    Dedup.hammingPairs64Against(
+        audioHashes(incoming, idCol, payloadCol), corpusSigs,
+        maxHamming, maxBucket)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+
+  /** 65-STRIPE constant-amplitude WAV whose [[AudioCodec.robustHash]]
+    * is a CLOSED FORM of the id — the audio twin of
+    * [[syntheticPatternPng]] and the oracle fixture for the audio
+    * near-dup contract rows: stripe k (65 stripes × `spf` samples,
+    * 16-bit PCM mono 8 kHz, canonical 44-byte RIFF header) is constant
+    * amplitude 0.5 when bit k of md5(id.toString)'s first 65 bits is
+    * set (hex-nibble MSB-first — the same extraction DuckDB spells as
+    * `('0x'||substr(md5(id),k//4+1,1))>>(3-k%4) & 1`), 0.125
+    * otherwise. A constant stripe's RMS is its amplitude exactly
+    * (0.5 and 0.125 are exact in binary floating point), so hash bit
+    * j = bit(j+1) AND NOT bit(j) — the REAL pipeline (RIFF parse →
+    * PCM → stripe RMS → sign deltas) must reproduce pure id
+    * arithmetic bit-for-bit. `flipFirst` inverts stripe 0: the planted
+    * near-dup perturbation — only hash bit 0 can change, Hamming <= 1.
+    */
+  def syntheticPatternWav(id: Long, flipFirst: Boolean = false,
+                          spf: Int = 64): Array[Byte] = {
+    require(spf >= 1, s"spf must be >= 1, got $spf")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val n = 65 * spf
+    val data = new Array[Byte](n * 2)
+    var k = 0
+    while (k < 65) {
+      var bit = (md5(k / 8) >> (7 - (k % 8))) & 1
+      if (flipFirst && k == 0) bit = 1 - bit
+      val amp = if (bit == 1) 16384 else 4096 // 0.5 / 0.125 of full scale
+      var i = 0
+      while (i < spf) {
+        val off = (k * spf + i) * 2
+        data(off) = (amp & 0xFF).toByte
+        data(off + 1) = ((amp >> 8) & 0xFF).toByte
+        i += 1
+      }
+      k += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(44 + data.length)
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def tag(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    tag("RIFF"); le32(36 + data.length); tag("WAVE")
+    // fmt: PCM(1), mono, 8 kHz, byteRate 16000, blockAlign 2, 16-bit
+    tag("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+    le16(2); le16(16)
+    tag("data"); le32(data.length)
+    bos.write(data)
+    bos.toByteArray
+  }
 
   /** 9×8 BINARY-pattern PNG whose dHash is a CLOSED FORM of the id —
     * the oracle fixture for the image near-dup contract rows: cell

@@ -1251,6 +1251,140 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(new java.io.File(p, "_SUCCESS").exists() && !r2.retrained)
   }
 
+  test("legacy drift tolerance (advice r19): a torn/garbage text " +
+       "drift_base neither bricks maintenance nor survives it; " +
+       "parseable lines are kept, an all-torn file falls to no-baseline") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    // ALL lines torn: migration must not throw every tick (the old
+    // .toInt threw AFTER the mutex claim — permanent maintenance
+    // failure); it drops the unreadable file and falls through to the
+    // no-baseline path
+    val p = s"${tempDir("ivftorn")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    val baseDir = new java.io.File(p, "drift_base")
+    Artifacts.deleteRec(baseDir)
+    java.nio.file.Files.write(baseDir.toPath,
+      "cell=cou\n= \ngarbage\n".getBytes("UTF-8"))
+    val r = Artifacts.maintainIndex(spark, p)
+    assert(!r.retrained && new java.io.File(p, "_SUCCESS").exists())
+    assert(!baseDir.exists(),
+      "an unreadable legacy baseline must be dropped, not re-confused " +
+        "every tick")
+    // the artifact keeps working on the stored-census fallback
+    Artifacts.appendIvfIndex(embB, p, cents): Unit
+    assert(Artifacts.appendDriftHistory(p).size == 1)
+    // MIXED file: the torn line is dropped, survivors migrate
+    val p2 = s"${tempDir("ivfmixed")}/idx"
+    Artifacts.saveIvfIndex(embA, p2, cents, "vec_id", "embedding", 100000)
+    val baseDir2 = new java.io.File(p2, "drift_base")
+    Artifacts.deleteRec(baseDir2)
+    java.nio.file.Files.write(baseDir2.toPath,
+      "2=7\ncell=cou\n3=11\n".getBytes("UTF-8"))
+    Artifacts.maintainIndex(spark, p2): Unit
+    assert(baseDir2.isDirectory, "survivors must migrate to parquet")
+    assert(spark.read.parquet(baseDir2.toString).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).sortBy(_._1).toSeq
+      == Seq(2 -> 7L, 3 -> 11L))
+  }
+
+  test("legacy text drift_base REFUSES to serve (VERDICT r19 task 4): " +
+       "append names maintainIndex as the remedy and republishes the " +
+       "marker; one maintenance tick then unblocks the append") {
+    val cents = Ivf.fitCentroids(embA, nCells = 4)
+    val p = s"${tempDir("ivfrefuse")}/idx"
+    Artifacts.saveIvfIndex(embA, p, cents, "vec_id", "embedding", 100000)
+    val baseDir = new java.io.File(p, "drift_base")
+    val census = spark.read.parquet(baseDir.toString).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    Artifacts.deleteRec(baseDir)
+    java.nio.file.Files.write(baseDir.toPath,
+      census.map { case (c, n) => s"$c=$n" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.appendIvfIndex(embB, p, cents)
+    }
+    assert(e.getMessage.contains("maintainIndex"), e.getMessage)
+    // a refusal, never a wreck: the planning-phase throw republished
+    // the marker, so the index still serves
+    assert(new java.io.File(p, "_SUCCESS").exists(),
+      "legacy-sidecar refusal must not strand the artifact markerless")
+    Artifacts.maintainIndex(spark, p): Unit
+    assert(baseDir.isDirectory)
+    Artifacts.appendIvfIndex(embB, p, cents): Unit
+    assert(Artifacts.appendDriftHistory(p).size == 1,
+      "post-migration append must record drift against the migrated " +
+        "parquet baseline")
+  }
+
+  test("stored image fingerprint index (VERDICT r19 task 2): " +
+       "append-then-load == imageHashes(union), remove == difference, " +
+       "maintainIndex dispatches kind=phash, cross-kind load refuses") {
+    import graft.northstar.Multimodal
+    val ids = 0L until 24L
+    def assets(sel: Long => Boolean) = ids.filter(sel)
+      .map(id => (id, Multimodal.syntheticPatternPng(id)))
+      .toDF("asset_id", "payload")
+    val even = assets(_ % 2 == 0); val odd = assets(_ % 2 == 1)
+    val all = assets(_ => true)
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = s"${tempDir("phashidx")}/idx"
+    Artifacts.saveImageHashIndex(even, p)
+    Artifacts.appendImageHashIndex(odd, p)
+    assert(sigSet(Artifacts.loadImageHashIndex(spark, p))
+      == sigSet(Multimodal.imageHashes(all)),
+      "append-then-load must equal hashing the union corpus — the " +
+        "decode-once contract")
+    // nightly tick owns rows/ fragmentation via the kind pin
+    val r = Artifacts.maintainIndex(spark, p, compactOver = 1)
+    assert(r.family == "appendable-phash" && r.layout == "rows"
+      && !r.retrained && r.cellsCompacted == 1, r.toString)
+    assert(sigSet(Artifacts.loadImageHashIndex(spark, p))
+      == sigSet(Multimodal.imageHashes(all)),
+      "compaction must not change the served fingerprints")
+    // takedown: remove-then-load == hashing the difference corpus
+    Artifacts.removeFromImageHashIndex(odd.select("asset_id"), p)
+    assert(sigSet(Artifacts.loadImageHashIndex(spark, p))
+      == sigSet(Multimodal.imageHashes(even)))
+    assert(new java.io.File(p, "_SUCCESS").exists())
+    // the artifact pins its kind: serving it as an AUDIO index is the
+    // silent-wrong class the sidecar exists to refuse
+    val eKind = intercept[IllegalArgumentException] {
+      Artifacts.loadAudioHashIndex(spark, p)
+    }
+    assert(eKind.getMessage.contains("kind=phash"), eKind.getMessage)
+    // train-once: imageHashIndexFor serves BY LOADING (same key ->
+    // stored rows, even under different corpus content)
+    val key = s"artifacts-spec-phash-${System.nanoTime()}"
+    val first = sigSet(Artifacts.imageHashIndexFor(even, key))
+    assert(first == sigSet(Multimodal.imageHashes(even)))
+    assert(sigSet(Artifacts.imageHashIndexFor(odd, key)) == first,
+      "same cache key must serve the stored fingerprints, not re-decode")
+  }
+
+  test("stored audio fingerprint index: the phash lifecycle contract " +
+       "for kind=ahash (VERDICT r19 task 5)") {
+    import graft.northstar.Multimodal
+    val ids = 0L until 16L
+    def assets(sel: Long => Boolean) = ids.filter(sel)
+      .map(id => (id, Multimodal.syntheticPatternWav(id)))
+      .toDF("asset_id", "payload")
+    val even = assets(_ % 2 == 0); val odd = assets(_ % 2 == 1)
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = s"${tempDir("ahashidx")}/idx"
+    Artifacts.saveAudioHashIndex(even, p)
+    Artifacts.appendAudioHashIndex(odd, p)
+    assert(sigSet(Artifacts.loadAudioHashIndex(spark, p))
+      == sigSet(Multimodal.audioHashes(assets(_ => true))))
+    Artifacts.removeFromAudioHashIndex(odd.select("asset_id"), p)
+    assert(sigSet(Artifacts.loadAudioHashIndex(spark, p))
+      == sigSet(Multimodal.audioHashes(even)))
+    val r = Artifacts.maintainIndex(spark, p, compactOver = 1)
+    assert(r.family == "appendable-ahash" && r.cellsCompacted == 1,
+      r.toString)
+  }
+
   test("hierarchical IVF lifecycle: append == union rebuild, remove == " +
        "difference rebuild, serve parity throughout") {
     // PARTIAL supercell probing (2 of 3): the lifecycle identities must

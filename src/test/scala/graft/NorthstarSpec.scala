@@ -2089,6 +2089,131 @@ class MultimodalSpec extends SparkSpecBase {
     assert(inc == bruteInc, s"ingest ${inc.size} vs brute ${bruteInc.size}")
   }
 
+  test("robustHash: closed-form on the WAV pattern fixture, " +
+       "duration-invariant, flip = Hamming <= 1 (VERDICT r19 task 5)") {
+    // the oracle's premise: the REAL pipeline (RIFF parse → PCM →
+    // 65-stripe RMS → sign deltas) reproduces pure md5-bit arithmetic
+    // — the same closed form the DuckDB ns_audiodup_hamming oracle
+    // spells in SQL: hash bit j = bit(j+1) AND NOT bit(j)
+    def closedForm(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      def bit(k: Int): Int = (md5(k / 8) >> (7 - (k % 8))) & 1
+      var fp = 0L
+      for (j <- 0 until 64)
+        if (bit(j + 1) == 1 && bit(j) == 0) fp |= 1L << j
+      fp
+    }
+    for (id <- 0L until 25L) {
+      val h1 = Multimodal.AudioCodec.robustHash(
+        Multimodal.syntheticPatternWav(id)).get
+      assert(h1 == closedForm(id), s"id=$id: pipeline != closed form")
+      // duration invariance: stripe RMS doesn't depend on stripe
+      // length, so a half-duration rendering hashes identically —
+      // the robustness (resampling/time-scaling) the hash exists for
+      val h32 = Multimodal.AudioCodec.robustHash(
+        Multimodal.syntheticPatternWav(id, spf = 32)).get
+      assert(h32 == h1, s"id=$id: hash must be duration-invariant")
+      // the planted perturbation flips stripe 0 — only the j=0
+      // comparison can change
+      val hf = Multimodal.AudioCodec.robustHash(
+        Multimodal.syntheticPatternWav(id, flipFirst = true)).get
+      assert(java.lang.Long.bitCount(h1 ^ hf) <= 1, s"id=$id")
+    }
+    // a constant signal (all stripes equal) has no ascending gradient
+    // anywhere: strict > comparisons are all false → 0L
+    val silencePcm = new Array[Byte](65 * 8 * 2)
+    java.util.Arrays.fill(silencePcm, 0.toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(silencePcm), fmt,
+        silencePcm.length / 2),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.AudioCodec.robustHash(bos.toByteArray).contains(0L))
+    // non-audio has no hash (and doesn't throw)
+    assert(Multimodal.AudioCodec.robustHash(
+      "definitely not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.AudioCodec.robustHash(null).isEmpty)
+  }
+
+  test("audioDupPairs == the exact Hamming-threshold join on the " +
+       "planted corpus; ingest flavor matches its brute split") {
+    val ids = 0L until 40L
+    val originals = ids.map(id =>
+      (id, Multimodal.syntheticPatternWav(id)))
+    val copies = ids.filter(_ % 5 == 0).map(id => (id + 1000L,
+        Multimodal.syntheticPatternWav(id, flipFirst = true))) ++
+      ids.filter(_ % 7 == 0).map(id => (id + 2000L,
+        Multimodal.syntheticPatternWav(id, spf = 32)))
+    val all = originals ++ copies
+    val assets = all.toDF("asset_id", "payload")
+    val fp = all.map { case (id, p) =>
+      id -> Multimodal.AudioCodec.robustHash(p).get }.toMap
+    def ham(a: Long, b: Long): Int =
+      java.lang.Long.bitCount(fp(a) ^ fp(b))
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys
+      if a < b && ham(a, b) <= 3
+    } yield (a, b, ham(a, b).toLong)).toSet
+    val got = Multimodal.audioDupPairs(assets, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(brute.exists { case (a, b, h) => b == a + 1000L && h <= 1 }
+      && brute.exists { case (a, b, h) => b == a + 2000L && h == 0L },
+      "fixture must plant both a near-dup and a duration-scaled copy")
+    val corpusSigs = Multimodal.audioHashes(originals.toDF("asset_id", "payload"))
+    val inc = Multimodal.audioDupIncoming(
+        copies.toDF("asset_id", "payload"), corpusSigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    val bruteInc = (for {
+      (a, _) <- copies; (b, _) <- originals
+      if ham(a, b) <= 3
+    } yield (a, b, ham(a, b).toLong)).toSet
+    assert(inc == bruteInc, s"ingest ${inc.size} vs brute ${bruteInc.size}")
+  }
+
+  test("hammingPairs64: threshold-selected banding is COMPLETE past " +
+       "Hamming 3 (8x8-bit chunks), and refuses maxHamming > 7 " +
+       "(VERDICT r19 task 6)") {
+    import graft.northstar.Dedup
+    // adversarial pair: Hamming 4 with the flipped bits spread across
+    // ALL FOUR 16-bit chunks — the old fixed 4x16 banding had no
+    // shared chunk and silently dropped it; the 8-bit banding shares
+    // chunks 1,3,5,7 and must surface it
+    val base = 0x0123456789ABCDEFL
+    val ham4 = base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    // Hamming 7 spread across seven 8-bit chunks — shares exactly one
+    val ham7 = base ^ (0 until 7).map(i => 1L << (8 * i)).reduce(_ | _)
+    val sigs = Seq((1L, base), (2L, ham4), (3L, ham7), (4L, ~base))
+      .toDF("id", "sig")
+    def pairsAt(mh: Int): Set[(Long, Long, Long)] =
+      Dedup.hammingPairs64(sigs, maxHamming = mh).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue)).toSet
+    // d(2,3) = |{0,16,32,48} Δ {0,8,16,24,32,40,48}| = 3 rides along
+    assert(pairsAt(4) == Set((1L, 2L, 4L), (2L, 3L, 3L)),
+      s"got ${pairsAt(4)}")
+    assert(pairsAt(7) == Set((1L, 2L, 4L), (1L, 3L, 7L), (2L, 3L, 3L)),
+      s"got ${pairsAt(7)}")
+    // the ingest flavor rides the same selection
+    val inc = Dedup.hammingPairs64Against(
+        Seq((10L, ham4)).toDF("id", "sig"),
+        Seq((1L, base)).toDF("id", "sig"), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    assert(inc == Set((10L, 1L, 4L)))
+    // past 7 there is no complete 64-bit banding: refuse loudly
+    // instead of returning a silently-partial candidate list
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64(sigs, maxHamming = 8).collect()
+    }
+    assert(e.getMessage.contains("maxHamming"), e.getMessage)
+  }
+
   test("wav payloads decode for real: frames, channels, RMS envelope") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val frames = 800
