@@ -2533,29 +2533,12 @@ object SparkEntry {
     "ns_imagedup_hamming" -> ((s, dir) => {
       import s.implicits._
       val ids = t(s, dir, "documents").select("doc_id").as[Long]
-      val hashes = Multimodal.imageHashes(
+      fixedPairHamming(s, dir, Multimodal.imageHashes(
         ids.flatMap(id => Seq(
           (id, Multimodal.syntheticPatternPng(id)),
           (id + (1L << 40),
             Multimodal.syntheticPatternPng(id, flipTopLeft = true))))
-          .toDF("asset_id", "payload"))
-      val docs = t(s, dir, "documents").select("doc_id")
-      val pairs = docs.select(col("doc_id").as("asset_a"),
-          (col("doc_id") + (1L << 40)).as("asset_b"))
-        .union(docs.select(col("doc_id").as("asset_a"),
-            (col("doc_id") + 1).as("asset_b"))
-          .join(docs.select(col("doc_id").as("asset_b")),
-            Seq("asset_b"), "left_semi")
-          // using-join reorders asset_b first; re-pin before the union
-          .select("asset_a", "asset_b"))
-      pairs
-        .join(hashes.select(col("id").as("asset_a"),
-          col("sig").as("sig_a")), Seq("asset_a"))
-        .join(hashes.select(col("id").as("asset_b"),
-          col("sig").as("sig_b")), Seq("asset_b"))
-        .select(col("asset_a"), col("asset_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-            .cast("long").as("hamming"))
+          .toDF("asset_id", "payload")))
     }),
     // STORED image-fingerprint serve (VERDICT r19 task 2): the corpus
     // PNGs are decoded+hashed once into the train-once phash artifact
@@ -2668,31 +2651,42 @@ object SparkEntry {
     "ns_audiodup_hamming" -> ((s, dir) => {
       import s.implicits._
       val ids = t(s, dir, "documents").select("doc_id").as[Long]
-      val hashes = Multimodal.audioHashes(
+      fixedPairHamming(s, dir, Multimodal.audioHashes(
         ids.flatMap(id => Seq(
           (id, Multimodal.syntheticPatternWav(id)),
           (id + (1L << 40),
             Multimodal.syntheticPatternWav(id, flipFirst = true))))
-          .toDF("asset_id", "payload"))
-      val docs = t(s, dir, "documents").select("doc_id")
-      val pairs = docs.select(col("doc_id").as("asset_a"),
-          (col("doc_id") + (1L << 40)).as("asset_b"))
-        .union(docs.select(col("doc_id").as("asset_a"),
-            (col("doc_id") + 1).as("asset_b"))
-          .join(docs.select(col("doc_id").as("asset_b")),
-            Seq("asset_b"), "left_semi")
-          // using-join reorders asset_b first; re-pin before the union
-          .select("asset_a", "asset_b"))
-      pairs
-        .join(hashes.select(col("id").as("asset_a"),
-          col("sig").as("sig_a")), Seq("asset_a"))
-        .join(hashes.select(col("id").as("asset_b"),
-          col("sig").as("sig_b")), Seq("asset_b"))
-        .select(col("asset_a"), col("asset_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-            .cast("long").as("hamming"))
+          .toDF("asset_id", "payload")))
     }),
   )
+
+  /** The shared fixed-pair Hamming scaffold of `ns_imagedup_hamming` /
+    * `ns_audiodup_hamming` (code-review r20 — the two companions must
+    * not drift apart): each doc paired with its +2^40 perturbed copy
+    * (the planted near-dup) plus consecutive-id pairs (unrelated
+    * controls), hamming = bit_count(xor) over the supplied (id, sig)
+    * fingerprint frame.
+    */
+  private def fixedPairHamming(s: SparkSession, dir: String,
+                               hashes: DataFrame): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val pairs = docs.select(col("doc_id").as("asset_a"),
+        (col("doc_id") + (1L << 40)).as("asset_b"))
+      .union(docs.select(col("doc_id").as("asset_a"),
+          (col("doc_id") + 1).as("asset_b"))
+        .join(docs.select(col("doc_id").as("asset_b")),
+          Seq("asset_b"), "left_semi")
+        // using-join reorders asset_b first; re-pin before the union
+        .select("asset_a", "asset_b"))
+    pairs
+      .join(hashes.select(col("id").as("asset_a"),
+        col("sig").as("sig_a")), Seq("asset_a"))
+      .join(hashes.select(col("id").as("asset_b"),
+        col("sig").as("sig_b")), Seq("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast("long").as("hamming"))
+  }
 
   /** The multimodal asset fixture shared by `ns_multimodal` and
     * `ns_asset_curation`: even ids carry REAL synthesized PNG payloads

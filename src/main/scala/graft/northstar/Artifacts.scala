@@ -2199,9 +2199,14 @@ object Artifacts {
     // reported in the same shape (cellsCompacted = 1 when the rows
     // relation was rewritten). One scheduled call now maintains every
     // artifact family the engine ships.
+    // dispatch on the PRESENCE of the `kind` pin, not a hardcoded kind
+    // list (code-review r20): only the appendable writeCappedIndex
+    // families stamp one (cell-index params never do), their
+    // maintenance tick is layout-generic (rows/ compaction), and the
+    // old list mis-routed any forgotten future kind into the
+    // cell-index path below — which throws on a perfectly valid
+    // artifact
     val appendableKind = params.flatMap(_.get("kind"))
-      .filter(k => k == "winnow" || k == "band" ||
-        k == "phash" || k == "ahash")
     if (appendableKind.isDefined) {
       val compacted =
         if (compactOver <= 0) false
@@ -3158,12 +3163,23 @@ object Artifacts {
   }
 
   private def refreshDropped(spark: SparkSession, path: String,
-                             bucketCol: String, maxBucket: Int): Unit =
-    spark.read.parquet(new java.io.File(path, "rows").toString)
+                             bucketCol: String, maxBucket: Int): Unit = {
+    val agg = spark.read
+      .parquet(new java.io.File(path, "rows").toString)
       .groupBy(bucketCol).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
-      .write.mode("overwrite")
+    // the UNCAPPED families (the r20 fingerprint stores pin maxBucket
+    // = Int.MaxValue: mega-bucket capping is the screen's query-time
+    // decision, not a property of the fingerprint set) must not pay a
+    // full-relation aggregation per save/append/remove to produce a
+    // list that is empty by construction — at the decode-once story's
+    // own scale that scan is the cost the artifact exists to avoid.
+    // limit(0) keeps the schema and the optimizer folds the scan away
+    // (code-review r20).
+    val out = if (maxBucket == Int.MaxValue) agg.limit(0) else agg
+    out.write.mode("overwrite")
       .parquet(new java.io.File(path, "dropped").toString)
+  }
 
   private def appendCappedIndex(deltaRows: DataFrame, path: String,
                                 bucketCol: String, maxBucket: Int,

@@ -115,14 +115,22 @@ object IncrementalStream {
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       Vector[MergePin]]()
 
-  /** Sessions whose StreamingQueryManager already carries the
-    * auto-release listener — installed once per session at the first
-    * pin, never removed (the listener is a no-op for sessions with no
-    * live pins; the map entry itself is the existing deliberate
-    * session-strong-ref trade documented above).
+  /** The auto-release listener installed on each session's
+    * StreamingQueryManager — installed once per session at the first
+    * pin, REMOVED by [[releaseMergePins]] (code-review r20, pass 1: a
+    * never-cleaned keySet held every cycled session strongly forever,
+    * so the documented release-before-dropping contract no longer
+    * severed the last strong ref and per-tenant sessions accumulated
+    * until driver OOM). A register racing a concurrent release can at
+    * worst leave a fresh pin with no listener — that pin degrades to
+    * the manual bulk release, never to a wrong unpersist.
     */
-  private val pinListenerInstalled =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private val pinListeners =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.spark.sql.streaming.StreamingQueryListener]()
+
+  private[graft] def pinListenerInstalled(spark: SparkSession): Boolean =
+    pinListeners.containsKey(spark)
 
   private def registerMergePin(frame: DataFrame): Unit = {
     val spark = frame.sparkSession
@@ -140,17 +148,28 @@ object IncrementalStream {
   }
 
   /** Unpersist every static fingerprint frame [[streamingMerge]] pinned
-    * on this session and forget them; returns how many were released.
-    * The manual/bulk path (the Bench/Verify hygiene) — since r20 the
-    * per-query path is automatic: a [[org.apache.spark.sql.streaming
-    * .StreamingQueryListener]] releases a pin when the query whose plan
-    * carries it terminates (VERDICT r19 task 3), so a long-lived ingest
-    * app that stops a merge stream and forgets this call no longer
-    * accumulates the stopped query's cached frame. This bulk release
-    * also covers pins whose query never STARTED (built but abandoned) —
-    * those have no lifecycle event to ride.
+    * on this session, forget them, and uninstall the session's
+    * auto-release listener; returns how many pins were dropped. The
+    * manual/bulk TEARDOWN path (the Bench/Verify hygiene) — since r20
+    * the per-query CACHE path is automatic: a
+    * [[org.apache.spark.sql.streaming.StreamingQueryListener]] frees a
+    * pin's cached blocks when the query whose plan carries it
+    * terminates (VERDICT r19 task 3), so a long-lived ingest app that
+    * stops a merge stream and forgets this call no longer accumulates
+    * the stopped query's cached frame. The pin OBJECTS (frame
+    * references, not data) survive auto-release so a restarted query
+    * re-binds and re-persists; this call is what forgets them — and
+    * pins whose query never STARTED have no lifecycle event to ride,
+    * so only this call frees those.
     */
   def releaseMergePins(spark: SparkSession): Int = {
+    // sever the listener ref too — this call is the documented
+    // session-teardown point, so after it NOTHING here retains the
+    // session (code-review r20)
+    val l = pinListeners.remove(spark)
+    if (l != null)
+      try spark.streams.removeListener(l)
+      catch { case scala.util.control.NonFatal(_) => () }
     val pins = mergePins.remove(spark)
     if (pins == null) 0
     else { pins.foreach(_.frame.unpersist(): Unit); pins.size }
@@ -169,6 +188,12 @@ object IncrementalStream {
     val pins = mergePins.get(spark)
     if (pins == null) 0 else pins.count(_.owner.isDefined)
   }
+  private[graft] def mergePinCachedCount(spark: SparkSession): Int = {
+    val pins = mergePins.get(spark)
+    if (pins == null) 0
+    else pins.count(_.frame.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
 
   /** True when `needle` (an analyzed plan) appears as a subtree of the
     * query's analyzed plan — sameResult (canonicalized) rather than eq,
@@ -183,27 +208,35 @@ object IncrementalStream {
 
   /** AUTO-RELEASE listener (VERDICT r19 task 3 — the second half of the
     * r18 advice): binds each pin to the streaming query whose analyzed
-    * plan contains its frame (onQueryStarted), and unpersists the pin
-    * when that query terminates — UNLESS another still-active query's
-    * plan also carries the frame, in which case the pin is re-bound to
-    * that query instead of released (no release of a pin still in use).
-    * Pins whose query never starts stay unbound and are untouched by
-    * the listener: only [[releaseMergePins]] frees those, because an
-    * unpersist BEFORE the query's first batch would never re-persist
-    * and every later micro-batch would silently pay the full-corpus
-    * recompute cliff.
+    * plan contains its frame (onQueryStarted), and frees the pin's
+    * CACHED BLOCKS when that query terminates — UNLESS another
+    * still-active query's plan also carries the frame, in which case
+    * the pin is re-bound to that query instead of released (no release
+    * of a pin still in use). The pin OBJECT is retained, unbound
+    * (code-review r20, pass 1): a stop-then-restart of the same merge
+    * output re-binds here and RE-PERSISTS, instead of silently paying
+    * the full-corpus recompute on every post-restart micro-batch —
+    * which also self-heals the race where a second query sharing the
+    * frame starts between the first's termination event and its
+    * active-list walk. Pins whose query never starts stay unbound and
+    * are untouched by the listener: only [[releaseMergePins]] —
+    * which remains the teardown that forgets pin objects and the
+    * listener itself — frees those, because an unpersist BEFORE the
+    * query's first batch would never re-persist.
     */
   private def installPinListener(spark: SparkSession): Unit =
-    if (pinListenerInstalled.add(spark))
-      spark.streams.addListener(
-        new org.apache.spark.sql.streaming.StreamingQueryListener {
-          import org.apache.spark.sql.streaming.StreamingQueryListener._
-          override def onQueryStarted(e: QueryStartedEvent): Unit =
-            bindPins(spark, e.id, e.runId)
-          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-            releaseTerminatedPins(spark, e.runId)
-        })
+    pinListeners.computeIfAbsent(spark, _ => {
+      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit =
+          bindPins(spark, e.id, e.runId)
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          releaseTerminatedPins(spark, e.runId)
+      }
+      spark.streams.addListener(l)
+      l
+    }): Unit
 
   private def bindPins(spark: SparkSession, id: java.util.UUID,
                        runId: java.util.UUID): Unit =
@@ -215,8 +248,15 @@ object IncrementalStream {
             val pins = mergePins.get(spark)
             if (pins != null) pins.foreach { p =>
               if (p.owner.isEmpty &&
-                  planContains(plan, p.frame.queryExecution.analyzed))
+                  planContains(plan, p.frame.queryExecution.analyzed)) {
                 p.owner = Some(runId)
+                // a pin whose blocks a previous termination freed
+                // re-persists on restart — persist is lazy, the next
+                // micro-batch materializes the cache
+                if (p.frame.storageLevel ==
+                    org.apache.spark.storage.StorageLevel.NONE)
+                  p.frame.persist(): Unit
+              }
             }
           }
     } catch {
@@ -228,32 +268,31 @@ object IncrementalStream {
   private def releaseTerminatedPins(spark: SparkSession,
                                     runId: java.util.UUID): Unit =
     try {
-      val toRelease =
-        scala.collection.mutable.ArrayBuffer.empty[MergePin]
-      mergePins.compute(spark, (_, old) => {
-        if (old == null) null
-        else {
-          // still-active queries' plans, resolved lazily — only a
-          // termination that actually owned a pin pays the walk
-          lazy val live = spark.streams.active.toSeq.flatMap(q =>
-            org.apache.spark.sql.graftbridge.Bridge
-              .streamingAnalyzedPlan(q).map(q.runId -> _))
-          val kept = old.filter { p =>
-            if (!p.owner.contains(runId)) true
-            else {
-              val pinPlan = p.frame.queryExecution.analyzed
-              live.find { case (_, pl) => planContains(pl, pinPlan) } match {
-                case Some((rid, _)) => p.owner = Some(rid); true
-                case None => toRelease += p; false
-              }
-            }
+      // NO map mutation on this path (pins are retained, unbound), so
+      // the plan walks run on a plain snapshot — pass 1 ran them
+      // inside the ConcurrentHashMap compute bin-lock, blocking every
+      // concurrent register/release on the session for the duration
+      // of plan canonicalization (code-review r20)
+      val pins = mergePins.get(spark)
+      if (pins == null) return
+      val owned = pins.filter(_.owner.contains(runId))
+      if (owned.isEmpty) return
+      val live = spark.streams.active.toSeq.flatMap(q =>
+        org.apache.spark.sql.graftbridge.Bridge
+          .streamingAnalyzedPlan(q).map(q.runId -> _))
+      owned.foreach { p =>
+        // per-pin guard: one torn plan lookup must not leave the
+        // REMAINING pins bound to a dead runId (never auto-released)
+        try {
+          val pinPlan = p.frame.queryExecution.analyzed
+          live.find { case (_, pl) => planContains(pl, pinPlan) } match {
+            case Some((rid, _)) => p.owner = Some(rid)
+            case None =>
+              p.owner = None
+              p.frame.unpersist(): Unit
           }
-          if (kept.isEmpty) null else kept
-        }
-      }): Unit
-      // unpersist OUTSIDE the compute bin lock (non-blocking, but a
-      // Spark call under a map lock is still a deadlock surface)
-      toRelease.foreach(_.frame.unpersist(): Unit)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Continuous corpus merge: a stream of incoming documents anti-joined

@@ -574,40 +574,64 @@ class StreamingSpec extends SparkSpecBase {
     ok
   }
 
-  test("merge pins AUTO-RELEASE when their owning query terminates — " +
-       "no manual releaseMergePins call (VERDICT r19 task 3)") {
-    val src = tmp(); val ckpt = tmp()
+  test("merge pins AUTO-RELEASE their cache when the owning query " +
+       "terminates — no manual call — and a RESTART re-binds and " +
+       "re-persists (VERDICT r19 task 3; code-review r20)") {
+    val src = tmp()
     Seq((10L, "auto-a"), (11L, "auto-b")).toDF("doc_id", "text")
       .write.parquet(s"$src/in.parquet")
     val existing = Seq((1L, "auto-a")).toDF("doc_id", "text")
     val base = IncrementalStream.mergePinCount(spark)
     val boundBase = IncrementalStream.mergePinBoundCount(spark)
+    val cachedBase = IncrementalStream.mergePinCachedCount(spark)
     val schema = spark.read.parquet(s"$src/in.parquet").schema
     val out = IncrementalStream.streamingMerge(
       IncrementalStream.readTableStream(spark, src, "in", schema),
       existing)
     assert(IncrementalStream.mergePinCount(spark) == base + 1,
       "building the merge must register exactly one pin")
+    assert(IncrementalStream.mergePinCachedCount(spark) == cachedBase + 1)
     // a LONG-RUNNING trigger: the started event must be processed
     // while the query is still registered, so the listener can read
     // its analyzed plan and bind the pin (an AvailableNow query can
     // terminate before its own started event is handled — those fall
     // back to the manual bulk release by design)
-    val q = out.writeStream.format("memory")
+    def start() = out.writeStream.format("memory")
       .queryName(s"autorel_${System.nanoTime()}")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", tmp())
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .start()
+    val q = start()
     try {
       assert(poll(IncrementalStream.mergePinBoundCount(spark)
           >= boundBase + 1),
         "the started query's analyzed plan must bind the pin it contains")
       q.stop()
-      assert(poll(IncrementalStream.mergePinCount(spark) == base),
+      assert(poll(IncrementalStream.mergePinCachedCount(spark)
+          == cachedBase),
         "a terminated query's pin must unpersist WITHOUT a manual " +
           "releaseMergePins call")
+      // the pin OBJECT survives (blocks freed, reference kept) so a
+      // restart of the same merge output re-binds and RE-PERSISTS
+      // instead of silently recomputing the corpus every micro-batch
+      assert(IncrementalStream.mergePinCount(spark) == base + 1)
+      val q2 = start()
+      try {
+        assert(poll(IncrementalStream.mergePinCachedCount(spark)
+            == cachedBase + 1),
+          "a restarted query must re-bind the released pin and " +
+            "re-persist its frame")
+        q2.stop()
+        assert(poll(IncrementalStream.mergePinCachedCount(spark)
+          == cachedBase))
+      } finally if (q2.isActive) q2.stop()
     } finally if (q.isActive) q.stop()
+    // the bulk teardown forgets pin objects AND the listener — after
+    // it, nothing here retains the session (code-review r20)
+    assert(IncrementalStream.releaseMergePins(spark) >= 1)
+    assert(!IncrementalStream.pinListenerInstalled(spark)
+      && IncrementalStream.mergePinCount(spark) == 0)
   }
 
   test("a pin referenced by a SECOND live query is re-bound on the " +
@@ -618,6 +642,7 @@ class StreamingSpec extends SparkSpecBase {
     val existing = Seq((2L, "share-a")).toDF("doc_id", "text")
     val base = IncrementalStream.mergePinCount(spark)
     val boundBase = IncrementalStream.mergePinBoundCount(spark)
+    val cachedBase = IncrementalStream.mergePinCachedCount(spark)
     val schema = spark.read.parquet(s"$src/in.parquet").schema
     // ONE merge frame, TWO queries over it: the pin is shared
     val out = IncrementalStream.streamingMerge(
@@ -633,18 +658,25 @@ class StreamingSpec extends SparkSpecBase {
     try {
       assert(poll(IncrementalStream.mergePinBoundCount(spark)
         >= boundBase + 1))
+      assert(poll(IncrementalStream.mergePinCachedCount(spark)
+        == cachedBase + 1))
       q1.stop()
-      // the first termination must NOT free the pin q2 still reads:
+      // the first termination must NOT free the cache q2 still reads:
       // give the listener bus a generous window to (wrongly) act,
-      // then check the pin survived and q2 is still live
+      // then check the blocks survived and q2 is still live
       Thread.sleep(3000)
-      assert(IncrementalStream.mergePinCount(spark) == base + 1,
+      assert(IncrementalStream.mergePinCachedCount(spark)
+          == cachedBase + 1,
         "the pin is still in use by the second query — releasing it " +
           "would put the full-corpus recompute back on every batch")
       assert(q2.isActive)
       q2.stop()
-      assert(poll(IncrementalStream.mergePinCount(spark) == base),
-        "the LAST owning query's termination must release the pin")
+      assert(poll(IncrementalStream.mergePinCachedCount(spark)
+          == cachedBase),
+        "the LAST owning query's termination must release the cache")
+      assert(IncrementalStream.mergePinCount(spark) == base + 1,
+        "the pin object survives for a possible restart; only " +
+          "releaseMergePins forgets it")
     } finally Seq(q1, q2).foreach(q => if (q.isActive) q.stop())
   }
 
