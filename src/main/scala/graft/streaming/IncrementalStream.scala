@@ -109,21 +109,37 @@ object IncrementalStream {
       * paths — hence volatile, no lock.
       */
     @volatile var owner: Option[java.util.UUID] = None
+    /** true once a termination freed this pin's blocks; cleared when a
+      * restart re-binds and re-persists. Released pins are the only
+      * ones the bounded-retention trim may forget.
+      */
+    @volatile var released: Boolean = false
   }
+
+  /** How many RELEASED pins (blocks already freed, retained only so a
+    * restarted query can re-bind and re-persist) a session keeps,
+    * newest first. Beyond the window the pin metadata is forgotten —
+    * a restart past it pays one corpus recompute per micro-batch until
+    * the caller rebuilds the merge, which the streamingMerge scaladoc
+    * says to do for cold restarts anyway. Without the bound, the
+    * forgot-to-call-releaseMergePins app the auto-release listener
+    * exists for would trade its old block leak for an unbounded
+    * pin/plan metadata leak, and every query start would scan an
+    * ever-growing unbound list (code-review r20, pass 2).
+    */
+  private val MaxReleasedPins = 16
 
   private val mergePins =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       Vector[MergePin]]()
 
   /** The auto-release listener installed on each session's
-    * StreamingQueryManager — installed once per session at the first
-    * pin, REMOVED by [[releaseMergePins]] (code-review r20, pass 1: a
-    * never-cleaned keySet held every cycled session strongly forever,
-    * so the documented release-before-dropping contract no longer
-    * severed the last strong ref and per-tenant sessions accumulated
-    * until driver OOM). A register racing a concurrent release can at
-    * worst leave a fresh pin with no listener — that pin degrades to
-    * the manual bulk release, never to a wrong unpersist.
+    * StreamingQueryManager — installed at the first pin, REMOVED by
+    * [[releaseMergePins]] (code-review r20, pass 1: a never-cleaned
+    * keySet held every cycled session strongly forever, so the
+    * documented release-before-dropping contract no longer severed the
+    * last strong ref and per-tenant sessions accumulated until driver
+    * OOM).
     */
   private val pinListeners =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
@@ -132,19 +148,37 @@ object IncrementalStream {
   private[graft] def pinListenerInstalled(spark: SparkSession): Boolean =
     pinListeners.containsKey(spark)
 
+  /** Guards the CROSS-map invariant — a session carries the listener
+    * iff it carries pins: registration and teardown mutate BOTH maps
+    * under this lock (code-review r20, pass 2 — with the two maps
+    * mutated independently, a register racing the final release could
+    * strand either a listener with zero pins, retaining the session
+    * forever, or a freshly-registered pin drained by the release while
+    * its just-installed listener survived). The listener-bus thread
+    * never takes this lock (bind/terminate read snapshots and use
+    * per-key CHM compute only), so there is no inversion with Spark's
+    * bus; addListener/removeListener under it are quick
+    * CopyOnWriteArrayList ops, and no registry path holds it across
+    * a Spark job.
+    */
+  private val pinRegistryLock = new Object
+
   private def registerMergePin(frame: DataFrame): Unit = {
     val spark = frame.sparkSession
-    // compute(), not computeIfAbsent-then-add (advice r19): the add is
-    // atomic with the map entry, so a concurrent [[releaseMergePins]]
-    // remove() either completes first (this compute then creates a
-    // fresh entry holding the pin) or sees the pin and drains it —
-    // the old two-step could add to a queue release had already
-    // removed and drained, orphaning the pin forever.
-    mergePins.compute(spark, (_, old) => {
-      (if (old == null) Vector.empty[MergePin] else old) :+
-        new MergePin(frame)
-    }): Unit
-    installPinListener(spark)
+    pinRegistryLock.synchronized {
+      // compute(), not computeIfAbsent-then-add (advice r19): the add
+      // is atomic with the map entry even against the trim path, which
+      // takes only the CHM bin lock
+      mergePins.compute(spark, (_, old) => {
+        (if (old == null) Vector.empty[MergePin] else old) :+
+          new MergePin(frame)
+      }): Unit
+      if (!pinListeners.containsKey(spark)) {
+        val l = newPinListener(spark)
+        spark.streams.addListener(l)
+        pinListeners.put(spark, l): Unit
+      }
+    }
   }
 
   /** Unpersist every static fingerprint frame [[streamingMerge]] pinned
@@ -163,14 +197,15 @@ object IncrementalStream {
     * so only this call frees those.
     */
   def releaseMergePins(spark: SparkSession): Int = {
-    // sever the listener ref too — this call is the documented
-    // session-teardown point, so after it NOTHING here retains the
-    // session (code-review r20)
-    val l = pinListeners.remove(spark)
+    // both maps emptied ATOMICALLY w.r.t. registration (the registry
+    // lock): after this call NOTHING here retains the session — the
+    // documented teardown point (code-review r20, both passes)
+    val (l, pins) = pinRegistryLock.synchronized {
+      (pinListeners.remove(spark), mergePins.remove(spark))
+    }
     if (l != null)
       try spark.streams.removeListener(l)
       catch { case scala.util.control.NonFatal(_) => () }
-    val pins = mergePins.remove(spark)
     if (pins == null) 0
     else { pins.foreach(_.frame.unpersist(): Unit); pins.size }
   }
@@ -218,25 +253,25 @@ object IncrementalStream {
     * the full-corpus recompute on every post-restart micro-batch —
     * which also self-heals the race where a second query sharing the
     * frame starts between the first's termination event and its
-    * active-list walk. Pins whose query never starts stay unbound and
-    * are untouched by the listener: only [[releaseMergePins]] —
-    * which remains the teardown that forgets pin objects and the
-    * listener itself — frees those, because an unpersist BEFORE the
-    * query's first batch would never re-persist.
+    * active-list walk. Released-pin retention is BOUNDED at
+    * [[MaxReleasedPins]] per session (newest kept), so the
+    * forgot-to-release app this listener exists for accumulates
+    * neither blocks nor unbounded pin metadata. Pins whose query never
+    * starts stay unbound and are untouched by the listener: only
+    * [[releaseMergePins]] — which remains the teardown that forgets
+    * pin objects and the listener itself — frees those, because an
+    * unpersist BEFORE the query's first batch would never re-persist.
     */
-  private def installPinListener(spark: SparkSession): Unit =
-    pinListeners.computeIfAbsent(spark, _ => {
-      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit =
-          bindPins(spark, e.id, e.runId)
-        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-          releaseTerminatedPins(spark, e.runId)
-      }
-      spark.streams.addListener(l)
-      l
-    }): Unit
+  private def newPinListener(spark: SparkSession)
+      : org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        bindPins(spark, e.id, e.runId)
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        releaseTerminatedPins(spark, e.runId)
+    }
 
   private def bindPins(spark: SparkSession, id: java.util.UUID,
                        runId: java.util.UUID): Unit =
@@ -250,12 +285,23 @@ object IncrementalStream {
               if (p.owner.isEmpty &&
                   planContains(plan, p.frame.queryExecution.analyzed)) {
                 p.owner = Some(runId)
+                p.released = false
                 // a pin whose blocks a previous termination freed
                 // re-persists on restart — persist is lazy, the next
                 // micro-batch materializes the cache
                 if (p.frame.storageLevel ==
-                    org.apache.spark.storage.StorageLevel.NONE)
+                    org.apache.spark.storage.StorageLevel.NONE) {
                   p.frame.persist(): Unit
+                  // resurrect guard (code-review r20, pass 2): a
+                  // concurrent releaseMergePins may have drained this
+                  // pin between our snapshot and the persist — the
+                  // re-registered blocks would then be unreleasable by
+                  // anything. Re-check membership and undo; the query
+                  // still runs, paying the documented one-recompute.
+                  val cur = mergePins.get(spark)
+                  if (cur == null || !cur.exists(_ eq p))
+                    p.frame.unpersist(): Unit
+                }
               }
             }
           }
@@ -289,10 +335,30 @@ object IncrementalStream {
             case Some((rid, _)) => p.owner = Some(rid)
             case None =>
               p.owner = None
+              p.released = true
               p.frame.unpersist(): Unit
           }
         } catch { case scala.util.control.NonFatal(_) => () }
       }
+      // BOUNDED retention (code-review r20, pass 2): keep only the
+      // newest MaxReleasedPins released pins for restart re-binding;
+      // older ones are forgotten — their blocks are already free, so
+      // dropping the reference costs nothing unless that exact stream
+      // restarts past the window. Pure list work inside the CHM bin
+      // lock; never-started and live-bound pins are never trimmed.
+      mergePins.compute(spark, (_, old) => {
+        if (old == null) null
+        else {
+          val released = old.filter(_.released)
+          if (released.size <= MaxReleasedPins) old
+          else {
+            val drop = released
+              .dropRight(MaxReleasedPins).toSet
+            val kept = old.filterNot(drop)
+            if (kept.isEmpty) null else kept
+          }
+        }
+      }): Unit
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Continuous corpus merge: a stream of incoming documents anti-joined
