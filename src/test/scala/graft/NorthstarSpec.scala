@@ -324,7 +324,12 @@ class DedupSpec extends SparkSpecBase {
     assert(sigs(1L) == sigs(3L)) // identical after normalization
     val ham12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
     assert(ham12 <= 10, s"near-dup hamming was $ham12")
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+    // maxHamming 7, not the pre-r20 10: thresholds past 7 are now
+    // REFUSED (no complete 64-bit banding exists there — the old 10
+    // silently rode an incomplete candidate set; VERDICT r19 task 6,
+    // refusal pinned in MultimodalSpec). The identical pair this
+    // asserts on is Hamming 0 either way.
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 7).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L)))
   }
