@@ -149,6 +149,32 @@ class PlanQualitySpec extends SparkSpecBase {
     assertNoQuadratic(p)
   }
 
+  test("imagedup pairs: bucket-cap semi-joins present, no quadratic " +
+       "join — fingerprints, never pixels, ride the banded join") {
+    val p = planOf("ns_imagedup_pairs")
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
+    assertNoQuadratic(p)
+    // NOTE deliberately no payload-column assert: the payload NAME
+    // legitimately appears in the decode stage (mapPartitions directly
+    // on the scan, before any exchange); bytes-through-a-shuffle is
+    // ShuffleBudgetSpec's ceiling, not a string match
+  }
+
+  test("audiodup pairs: the same banded-join shape for audio " +
+       "fingerprints — capped, no quadratic") {
+    val p = planOf("ns_audiodup_pairs")
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
+    assertNoQuadratic(p)
+  }
+
+  test("imagedup incoming over the STORED index: stream-shaped screen " +
+       "— corpus side capped, no quadratic; the corpus side reads " +
+       "the 8-byte artifact, not images") {
+    val p = planOf("ns_imagedup_incoming")
+    assert("LeftSemi".r.findAllIn(p).length >= 1, p.take(800))
+    assertNoQuadratic(p)
+  }
+
   test("neardup collapse: LSH pair generation materialized once — final plan is checkpoint scans, no band join") {
     val p = planOf("ns_neardup_collapse")
     // connectedComponents checkpoints the pair list up front, so the

@@ -105,6 +105,18 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     ("ns_knn_ivf_stored_recall", 0.05, 0.017),
     ("ns_knn_ivfpq_stored_exhaustive", 0.05, 0.013),
     ("ns_knn_ivfpq_stored_recall", 0.05, 0.017),
+    // the perceptual-fingerprint dedup family (r20): every shuffled
+    // row is an 8-byte sig + ids — pixels/samples never leave the
+    // decode mapPartitions; the lifecycle rows serve from the STORED
+    // (id, sig) artifact, so their steady-state exchange is the banded
+    // candidate join alone. A regression that ships payload bytes
+    // through an exchange lands here two orders of magnitude over
+    ("ns_imagedup_pairs", 0.5, 0.032),
+    ("ns_imagedup_incoming", 0.5, 0.029),
+    ("ns_imagedup_append", 0.5, 0.032),
+    ("ns_imagedup_remove", 0.5, 0.031),
+    ("ns_audiodup_pairs", 0.5, 0.031),
+    ("ns_audiodup_hamming", 0.5, 0.000),
   )
 
   budgets.foreach { case (name, ceilMiB, _) =>
