@@ -111,14 +111,31 @@ object IncrementalStream {
     @volatile var owner: Option[java.util.UUID] = None
     /** true once a termination freed this pin's blocks; cleared when a
       * restart re-binds and re-persists. Released pins are the only
-      * ones the bounded-retention trim may forget.
+      * ones the bounded-retention trim may forget. Set ONLY AFTER the
+      * unpersist returns (code-review r20, pass 3): flagged before it,
+      * a throwing unpersist (swallowed by the per-pin guard) left a
+      * still-cached pin trim-eligible — trimming it would forget the
+      * last reference to live blocks, the exact unreleasable-cache
+      * leak this registry exists to fix. A failed release keeps
+      * released=false, so the pin stays retained and releaseMergePins
+      * can still free it.
       */
     @volatile var released: Boolean = false
+    /** Monotonic stamp of this pin's most recent release — the trim's
+      * eviction key (code-review r20, pass 3: trimming by REGISTRATION
+      * order dropped the oldest-registered released pin, so the
+      * termination that trips the bound could evict the pin it just
+      * released — the one whose restart is most imminent — while
+      * keeping arbitrarily stale ones).
+      */
+    @volatile var releaseSeq: Long = -1L
   }
+
+  private val releaseStamp = new java.util.concurrent.atomic.AtomicLong
 
   /** How many RELEASED pins (blocks already freed, retained only so a
     * restarted query can re-bind and re-persist) a session keeps,
-    * newest first. Beyond the window the pin metadata is forgotten —
+    * newest-RELEASED first. Beyond the window the pin metadata is forgotten —
     * a restart past it pays one corpus recompute per micro-batch until
     * the caller rebuilds the merge, which the streamingMerge scaladoc
     * says to do for cold restarts anyway. Without the bound, the
@@ -128,6 +145,13 @@ object IncrementalStream {
     * ever-growing unbound list (code-review r20, pass 2).
     */
   private val MaxReleasedPins = 16
+
+  /** The retention window the trim actually reads — a test seam
+    * (StreamingSpec shrinks it to make the trim reachable with a
+    * handful of real queries instead of seventeen; restored in its
+    * finally). Production value is [[MaxReleasedPins]].
+    */
+  @volatile private[graft] var releasedPinWindow: Int = MaxReleasedPins
 
   private val mergePins =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
@@ -314,11 +338,14 @@ object IncrementalStream {
   private def releaseTerminatedPins(spark: SparkSession,
                                     runId: java.util.UUID): Unit =
     try {
-      // NO map mutation on this path (pins are retained, unbound), so
-      // the plan walks run on a plain snapshot — pass 1 ran them
+      // the plan walks run on a plain SNAPSHOT — pass 1 ran them
       // inside the ConcurrentHashMap compute bin-lock, blocking every
       // concurrent register/release on the session for the duration
-      // of plan canonicalization (code-review r20)
+      // of plan canonicalization (code-review r20). The only map
+      // mutation on this path is the retention trim's compute() below:
+      // pure list work under the CHM bin lock, never a Spark call, and
+      // never pinRegistryLock — the bus thread stays off the registry
+      // lock by design.
       val pins = mergePins.get(spark)
       if (pins == null) return
       val owned = pins.filter(_.owner.contains(runId))
@@ -335,27 +362,37 @@ object IncrementalStream {
             case Some((rid, _)) => p.owner = Some(rid)
             case None =>
               p.owner = None
-              p.released = true
+              // unpersist FIRST, flag after (see the released scaladoc):
+              // a throw here is swallowed by the per-pin guard with
+              // released still false, so the pin stays un-trimmable and
+              // releaseMergePins can retry the free
               p.frame.unpersist(): Unit
+              p.releaseSeq = releaseStamp.incrementAndGet()
+              p.released = true
           }
         } catch { case scala.util.control.NonFatal(_) => () }
       }
       // BOUNDED retention (code-review r20, pass 2): keep only the
-      // newest MaxReleasedPins released pins for restart re-binding;
-      // older ones are forgotten — their blocks are already free, so
-      // dropping the reference costs nothing unless that exact stream
-      // restarts past the window. Pure list work inside the CHM bin
-      // lock; never-started and live-bound pins are never trimmed.
+      // most-recently-RELEASED releasedPinWindow pins for restart
+      // re-binding; older ones are forgotten — their blocks are already
+      // free, so dropping the reference costs nothing unless that exact
+      // stream restarts past the window. Eviction keys on releaseSeq,
+      // NOT registration order (pass 3): by registration order, the
+      // termination that trips the bound could evict the pin it just
+      // released — the one whose restart is most imminent — while
+      // keeping arbitrarily stale ones. Pure list work inside the CHM
+      // bin lock; never-started and live-bound pins are never trimmed,
+      // so the result is never empty (the window's newest survive) and
+      // the "listener iff pins" invariant is untouched here.
       mergePins.compute(spark, (_, old) => {
         if (old == null) null
         else {
           val released = old.filter(_.released)
-          if (released.size <= MaxReleasedPins) old
+          if (released.size <= releasedPinWindow) old
           else {
-            val drop = released
-              .dropRight(MaxReleasedPins).toSet
-            val kept = old.filterNot(drop)
-            if (kept.isEmpty) null else kept
+            val drop = released.sortBy(_.releaseSeq)
+              .dropRight(releasedPinWindow).toSet
+            old.filterNot(drop)
           }
         }
       }): Unit

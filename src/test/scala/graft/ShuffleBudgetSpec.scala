@@ -109,14 +109,20 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     // row is an 8-byte sig + ids — pixels/samples never leave the
     // decode mapPartitions; the lifecycle rows serve from the STORED
     // (id, sig) artifact, so their steady-state exchange is the banded
-    // candidate join alone. A regression that ships payload bytes
-    // through an exchange lands here two orders of magnitude over
-    ("ns_imagedup_pairs", 0.5, 0.032),
-    ("ns_imagedup_incoming", 0.5, 0.029),
-    ("ns_imagedup_append", 0.5, 0.032),
-    ("ns_imagedup_remove", 0.5, 0.031),
-    ("ns_audiodup_pairs", 0.5, 0.031),
-    ("ns_audiodup_hamming", 0.5, 0.000),
+    // candidate join alone. Ceilings at ~3x measured, the table's
+    // convention (pass 3 tightened them from 16x): a lost bucket cap
+    // or un-deduplicated banded join lands at ~10x measured, payload
+    // bytes riding an exchange at ~100x — both must FAIL here, not
+    // slip under a loose bound
+    ("ns_imagedup_pairs", 0.1, 0.032),
+    ("ns_imagedup_incoming", 0.1, 0.029),
+    ("ns_imagedup_append", 0.1, 0.032),
+    ("ns_imagedup_remove", 0.1, 0.031),
+    ("ns_audiodup_pairs", 0.1, 0.031),
+    // the fixed-pair hamming companion zips precomputed sigs — no
+    // data-sized exchange at all; any measurable shuffle is a shape
+    // regression
+    ("ns_audiodup_hamming", 0.05, 0.000),
   )
 
   budgets.foreach { case (name, ceilMiB, _) =>

@@ -680,6 +680,85 @@ class StreamingSpec extends SparkSpecBase {
     } finally Seq(q1, q2).foreach(q => if (q.isActive) q.stop())
   }
 
+  test("released-pin retention trims by RELEASE recency, not " +
+       "registration order — the pin the tripping termination just " +
+       "released survives the window (code-review r20, pass 3)") {
+    // window shrunk to 2 so the trim is reachable with four real
+    // queries; production is 16
+    val window0 = IncrementalStream.releasedPinWindow
+    IncrementalStream.releasedPinWindow = 2
+    // earlier tests deliberately leave released pins registered (the
+    // shared-pin test ends without the bulk release); those would be
+    // trimmed alongside this test's own and shift every count below —
+    // start from an empty registry via the documented teardown
+    IncrementalStream.releaseMergePins(spark): Unit
+    try {
+      val src = tmp()
+      Seq((30L, "trim-a"), (31L, "trim-b")).toDF("doc_id", "text")
+        .write.parquet(s"$src/in.parquet")
+      val schema = spark.read.parquet(s"$src/in.parquet").schema
+      val base = IncrementalStream.mergePinCount(spark)
+      val cachedBase = IncrementalStream.mergePinCachedCount(spark)
+      val boundBase = IncrementalStream.mergePinBoundCount(spark)
+      // distinct corpora per merge: each pin's fingerprint frame must
+      // be sameResult-distinct, or bindPins would bind one merge's pin
+      // to another merge's query
+      def merge(tag: String) = IncrementalStream.streamingMerge(
+        IncrementalStream.readTableStream(spark, src, "in", schema),
+        Seq((3L, s"trim-$tag")).toDF("doc_id", "text"))
+      def start(out: org.apache.spark.sql.DataFrame) =
+        out.writeStream.format("memory")
+          .queryName(s"trimpin_${System.nanoTime()}")
+          .option("checkpointLocation", tmp())
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime("500 milliseconds"))
+          .start()
+      // pin A registers FIRST and stays live while three younger pins
+      // cycle through release: under registration-order eviction A is
+      // the trim's first victim once ITS termination trips the bound;
+      // under release recency it must be the freshest survivor
+      val outA = merge("a")
+      val qA = start(outA)
+      try {
+        assert(poll(IncrementalStream.mergePinBoundCount(spark)
+          >= boundBase + 1))
+        Seq("b", "c", "d").foreach { tag =>
+          val q = start(merge(tag))
+          try {
+            assert(poll(IncrementalStream.mergePinBoundCount(spark)
+                >= boundBase + 2),
+              s"merge $tag's query must bind its pin before the stop")
+            q.stop()
+            assert(poll(IncrementalStream.mergePinCachedCount(spark)
+                == cachedBase + 1),
+              s"merge $tag's termination must free its pin's blocks " +
+                "(only A stays cached)")
+          } finally if (q.isActive) q.stop()
+        }
+        // d's termination saw released = {b, c, d} > 2 and must have
+        // evicted b (oldest RELEASE), keeping A untouched (live-bound)
+        assert(poll(IncrementalStream.mergePinCount(spark) == base + 3),
+          "the trim keeps the live pin plus the 2 newest-released")
+        qA.stop()
+        assert(poll(IncrementalStream.mergePinCachedCount(spark)
+          == cachedBase))
+        // A's own termination trips the bound again (released =
+        // {c, d, A}): recency keeps A — registration order would
+        // evict it, the exact pin whose restart is most imminent
+        assert(poll(IncrementalStream.mergePinCount(spark) == base + 2))
+        val qA2 = start(outA)
+        try {
+          assert(poll(IncrementalStream.mergePinCachedCount(spark)
+              == cachedBase + 1),
+            "pin A must survive its own termination's trim and " +
+              "re-persist on restart — registration-order eviction " +
+              "drops exactly this pin")
+        } finally if (qA2.isActive) qA2.stop()
+      } finally if (qA.isActive) qA.stop()
+      IncrementalStream.releaseMergePins(spark): Unit
+    } finally IncrementalStream.releasedPinWindow = window0
+  }
+
   test("streamingMerge refuses a caller-supplied __fp column instead of clobbering it") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
