@@ -370,7 +370,18 @@ object IncrementalStream {
               p.releaseSeq = releaseStamp.incrementAndGet()
               p.released = true
           }
-        } catch { case scala.util.control.NonFatal(_) => () }
+        } catch { case scala.util.control.NonFatal(t) =>
+          // the degraded mode must be OBSERVABLE (code-review r20,
+          // pass 4): a pin whose unpersist keeps failing stays
+          // retained and trim-exempt by design (its blocks may be
+          // live), which is unbounded metadata growth if it recurs —
+          // the operator's remedy is releaseMergePins, named here
+          Console.err.println(
+            s"[graft] WARN merge-pin auto-release failed " +
+              s"(${t.getMessage}) — the pin stays retained with its " +
+              "blocks possibly cached; releaseMergePins(spark) retries " +
+              "the free")
+        }
       }
       // BOUNDED retention (code-review r20, pass 2): keep only the
       // most-recently-RELEASED releasedPinWindow pins for restart

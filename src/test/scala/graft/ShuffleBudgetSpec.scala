@@ -10,7 +10,8 @@ package graft
   * pinned ceiling.
   *
   * Ceilings are calibrated at sf0.01 (the oracle scale; local[4], 4
-  * shuffle partitions) at ~2× the values measured 2026-08-15 — generous
+  * shuffle partitions) at ~2–3× the values measured (2026-08-15; the
+  * fingerprint family 2026-08-16) — generous
   * enough for compression/partitioning wobble, tight enough that a
   * shape regression (an unpushed filter, a lost semi-join cap, a raw
   * column riding a shuffle that used to ship digests) fails here first.
@@ -126,11 +127,11 @@ class ShuffleBudgetSpec extends SparkSpecBase {
   )
 
   budgets.foreach { case (name, ceilMiB, _) =>
-    test(f"$name shuffle-write <= $ceilMiB%.1f MiB at sf0.01") {
+    test(f"$name shuffle-write <= $ceilMiB%.2f MiB at sf0.01") {
       val got = measuredMiB(name)
-      info(f"$name measured $got%.3f MiB (ceiling $ceilMiB%.1f)")
+      info(f"$name measured $got%.3f MiB (ceiling $ceilMiB%.2f)")
       assert(got <= ceilMiB,
-        f"$name shuffled $got%.2f MiB, budget $ceilMiB%.1f MiB — a plan " +
+        f"$name shuffled $got%.3f MiB, budget $ceilMiB%.2f MiB — a plan " +
           "regression (unpushed filter / lost cap / raw columns riding " +
           "a shuffle) or a deliberate output-domain growth; re-calibrate " +
           "only for the latter")

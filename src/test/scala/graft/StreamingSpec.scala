@@ -685,13 +685,15 @@ class StreamingSpec extends SparkSpecBase {
        "released survives the window (code-review r20, pass 3)") {
     // window shrunk to 2 so the trim is reachable with four real
     // queries; production is 16
-    val window0 = IncrementalStream.releasedPinWindow
-    IncrementalStream.releasedPinWindow = 2
     // earlier tests deliberately leave released pins registered (the
     // shared-pin test ends without the bulk release); those would be
     // trimmed alongside this test's own and shift every count below —
-    // start from an empty registry via the documented teardown
+    // start from an empty registry via the documented teardown. BEFORE
+    // the seam mutation: a throw here must not leak window=2 to the
+    // rest of the suite (the finally isn't armed yet)
     IncrementalStream.releaseMergePins(spark): Unit
+    val window0 = IncrementalStream.releasedPinWindow
+    IncrementalStream.releasedPinWindow = 2
     try {
       val src = tmp()
       Seq((30L, "trim-a"), (31L, "trim-b")).toDF("doc_id", "text")
