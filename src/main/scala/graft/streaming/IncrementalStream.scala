@@ -297,6 +297,18 @@ object IncrementalStream {
         releaseTerminatedPins(spark, e.runId)
     }
 
+  /** Test seam (the retrainPreTokenSeam discipline): invoked on the
+    * listener-bus thread with the pin's frame after a re-bind claims
+    * the pin but BEFORE the re-persist — the exact window where a
+    * concurrent [[releaseMergePins]] can drain the registry so that
+    * the persist would re-register blocks nothing can ever release.
+    * StreamingSpec injects a release here to deterministically drive
+    * the resurrect guard's membership re-check; production never
+    * assigns it. A plain volatile var, not a ThreadLocal, because the
+    * seam must cross from the test thread to the bus thread.
+    */
+  @volatile private[graft] var resurrectSeam: DataFrame => Unit = _ => ()
+
   private def bindPins(spark: SparkSession, id: java.util.UUID,
                        runId: java.util.UUID): Unit =
     try {
@@ -310,6 +322,7 @@ object IncrementalStream {
                   planContains(plan, p.frame.queryExecution.analyzed)) {
                 p.owner = Some(runId)
                 p.released = false
+                resurrectSeam(p.frame)
                 // a pin whose blocks a previous termination freed
                 // re-persists on restart — persist is lazy, the next
                 // micro-batch materializes the cache

@@ -761,6 +761,64 @@ class StreamingSpec extends SparkSpecBase {
     } finally IncrementalStream.releasedPinWindow = window0
   }
 
+  test("resurrect guard: a releaseMergePins landing between a restart's " +
+       "re-bind and its re-persist leaves NO unreleasable blocks — the " +
+       "re-check undoes the persist (code-review r20 pass 2, seam-pinned)") {
+    val src = tmp()
+    Seq((40L, "res-a"), (41L, "res-b")).toDF("doc_id", "text")
+      .write.parquet(s"$src/in.parquet")
+    val schema = spark.read.parquet(s"$src/in.parquet").schema
+    IncrementalStream.releaseMergePins(spark): Unit
+    val out = IncrementalStream.streamingMerge(
+      IncrementalStream.readTableStream(spark, src, "in", schema),
+      Seq((4L, "res-a")).toDF("doc_id", "text"))
+    def start() = out.writeStream.format("memory")
+      .queryName(s"resurrect_${System.nanoTime()}")
+      .option("checkpointLocation", tmp())
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    val seen =
+      new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.DataFrame](null)
+    try {
+      // cycle once so the pin is in the released (storage NONE) state
+      // a restart re-persists from
+      val q1 = start()
+      try {
+        assert(poll(IncrementalStream.mergePinBoundCount(spark) == 1))
+        q1.stop()
+        assert(poll(IncrementalStream.mergePinCachedCount(spark) == 0))
+      } finally if (q1.isActive) q1.stop()
+      // one-shot seam ON THE BUS THREAD: the restart's re-bind claims
+      // the pin, then — in the window before its re-persist — the bulk
+      // release drains the registry. Without the membership re-check,
+      // the persist that follows re-registers blocks that nothing can
+      // ever unpersist (the registry has already forgotten the pin).
+      IncrementalStream.resurrectSeam = { frame =>
+        if (seen.compareAndSet(null, frame)) {
+          IncrementalStream.releaseMergePins(spark): Unit
+          IncrementalStream.resurrectSeam = _ => ()
+        }
+      }
+      val q2 = start()
+      try {
+        assert(poll(seen.get != null), "the restart must re-bind the " +
+          "released pin and hit the seam window")
+        assert(poll(seen.get.storageLevel ==
+            org.apache.spark.storage.StorageLevel.NONE &&
+            IncrementalStream.mergePinCount(spark) == 0),
+          "the concurrently-drained pin's re-persist must be undone — " +
+            "otherwise its blocks are unreleasable by anything")
+        // the query itself survives, paying the documented recompute
+        assert(q2.isActive)
+      } finally if (q2.isActive) q2.stop()
+    } finally {
+      IncrementalStream.resurrectSeam = _ => ()
+      IncrementalStream.releaseMergePins(spark): Unit
+    }
+  }
+
   test("streamingMerge refuses a caller-supplied __fp column instead of clobbering it") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
