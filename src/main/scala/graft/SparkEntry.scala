@@ -5166,10 +5166,10 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(31 AS BIGINT) AS n_hits
+        |       CAST(33 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
-    // the √N-cells/√nCells-probes auto path: 22/50 vs the fixed rows'
-    // 31/50 at a 23% scan fraction instead of 37.5% — the recall/cost
+    // the √N-cells/√nCells-probes auto path: 30/50 vs the fixed rows'
+    // 33/50 at a 23% scan fraction instead of 37.5% — the recall/cost
     // point the auto rule buys; at corpus scale the fixed rule's
     // fraction stays constant (unaffordable) while auto's shrinks
     "ns_knn_ivf_auto_recall" ->
@@ -5180,7 +5180,7 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(22 AS BIGINT) AS n_hits
+        |       CAST(30 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // exact screen+confirm identity: one trivial cell + unbounded screen
     // margin reduce the ADC path to the flat exact threshold join
@@ -5236,7 +5236,7 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(26 AS BIGINT) AS n_hits
+        |       CAST(22 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // at the 500-row oracle corpus autoRerank/autoKsub resolve to the
     // contract base (rerank=30, ksub=16), so the auto row pins the SAME
@@ -5250,9 +5250,9 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(26 AS BIGINT) AS n_hits
+        |       CAST(22 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
-    // the ksub=64/rerank=100 retune: 31 > the 26 of the row above — the
+    // the ksub=64/rerank=100 retune: 33 > the 22 of the row above — the
     // corpus-growth settings must also dominate at the oracle corpus
     "ns_knn_ivfpq_tuned_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -5262,10 +5262,10 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(31 AS BIGINT) AS n_hits
+        |       CAST(33 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // the hierarchical family under PARTIAL probing (2/6 supercells,
-    // 5/24 cells — VERDICT r16 task 1): 21/50 pins the approximation
+    // 5/24 cells — VERDICT r16 task 1): 20/50 pins the approximation
     // quality of the scale-serving shape; the exhaustive hier rows are
     // exact by construction and would pass a probe-ordering regression
     "ns_knn_ivf_hier_recall" ->
@@ -5276,10 +5276,10 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(21 AS BIGINT) AS n_hits
+        |       CAST(20 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // same partial-probe configuration through the IVF-PQ ADC+rerank
-    // tail: 20/50 — one hit under the raw-vector row, the PQ
+    // tail: 18/50 — two hits under the raw-vector row, the PQ
     // approximation's price at rerank=30
     "ns_knn_ivfpq_hier_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -5289,7 +5289,7 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(20 AS BIGINT) AS n_hits
+        |       CAST(18 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // identical to the ns_knn_brute oracle: exhaustive probing must equal
     // brute force
@@ -5318,7 +5318,7 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(20 AS BIGINT) AS n_hits
+        |       CAST(26 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // the stored family under PARTIAL probing (2/5 supercells, 5/24
     // cells): the distributed fit's approximation quality as one
@@ -5331,7 +5331,7 @@ object SparkEntry {
         |                        e.vec_id) AS rnk
         |      FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT count(DISTINCT query_id) AS n_queries,
-        |       CAST(24 AS BIGINT) AS n_hits
+        |       CAST(29 AS BIGINT) AS n_hits
         |FROM s WHERE rnk <= 10""".stripMargin,
     // identical to the ns_knn_brute oracle: after build-on-half +
     // append-the-rest, exhaustive probing over the APPENDED index must
