@@ -18,9 +18,12 @@ import org.apache.spark.scheduler._
 object Profile {
   private final class JobLog extends SparkListener {
     case class J(id: Int, desc: String, site: String, t0: Long,
-                 var tasks: Int = 0, var dt: Long = 0L)
+                 var tasks: Int = 0, var dt: Long = 0L,
+                 var runMs: Long = 0L, var cpuMs: Long = 0L,
+                 var gcMs: Long = 0L)
     val jobs = new ConcurrentHashMap[Int, J]()
     val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    private val stageToJob = new ConcurrentHashMap[Int, Int]()
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val desc = Option(e.properties)
         .flatMap(p => Option(p.getProperty("spark.job.description")))
@@ -33,7 +36,24 @@ object Profile {
       jobs.put(e.jobId,
         J(e.jobId, desc, s"stages=${e.stageInfos.size} tasks=$nTasks " +
           site.take(60), System.nanoTime()))
+      e.stageInfos.foreach(si => stageToJob.put(si.stageId, e.jobId))
       order.add(e.jobId): Unit
+    }
+    // task run/CPU/GC attribution: cpu ≈ run means real compute; cpu
+    // far under run means the tasks were BLOCKED (lock contention, IO
+    // waits) — the signal that separates "the kernel is expensive"
+    // from "the kernel serializes on a global" (guide §7.1 reads this
+    // off the UI's task metrics; the UI is disabled here)
+    override def onTaskEnd(e: org.apache.spark.scheduler
+        .SparkListenerTaskEnd): Unit = {
+      val jid = stageToJob.get(e.stageId)
+      val j = jobs.get(jid)
+      val m = e.taskMetrics
+      if (j != null && m != null) j.synchronized {
+        j.runMs += m.executorRunTime
+        j.cpuMs += m.executorCpuTime / 1000000L
+        j.gcMs += m.jvmGCTime
+      }
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = {
       val j = jobs.get(e.jobId)
@@ -45,10 +65,12 @@ object Profile {
       println(f"[profile] ${js.size} jobs, sum of job walls $total%.3f s")
       js.foreach { j =>
         println(f"[profile]   job ${j.id}%3d ${j.dt / 1e9}%7.3f s  " +
+          f"run=${j.runMs / 1000.0}%7.2f cpu=${j.cpuMs / 1000.0}%7.2f " +
+          f"gc=${j.gcMs / 1000.0}%5.2f  " +
           s"${j.site}  ${j.desc.take(80)}")
       }
     }
-    def reset(): Unit = { jobs.clear(); order.clear() }
+    def reset(): Unit = { jobs.clear(); order.clear(); stageToJob.clear() }
   }
 
   def main(args: Array[String]): Unit = {

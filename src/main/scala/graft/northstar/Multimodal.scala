@@ -118,6 +118,29 @@ object Multimodal {
   object ImageCodec {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
 
+    /** Reader service providers resolved ONCE per JVM, keyed by the
+      * magic-byte format ([[formatOf]]): `ImageIO.getImageReaders`
+      * iterates the IIORegistry under its lock and probes every SPI's
+      * `canDecodeInput` PER PAYLOAD — profiled r20 at 32 local cores,
+      * the decode stages spent ~half their task time blocked on it
+      * (run=14.1 s vs cpu=7.4 s), and a multi-core executor decoding a
+      * 100 TB image corpus pays the same wall. The magic screen already
+      * names the container, so the right reader is a map lookup; a
+      * corrupt payload behind valid magic makes the reader throw, which
+      * lands in the same catch → None fallback the registry probe fed.
+      */
+    private val readerSpis
+        : Map[String, javax.imageio.spi.ImageReaderSpi] = {
+      import scala.jdk.CollectionConverters._
+      val spis = javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(
+          classOf[javax.imageio.spi.ImageReaderSpi], true).asScala.toList
+      Seq("png", "bmp", "gif", "jpeg").flatMap { f =>
+        spis.find(_.getFormatNames.exists(_.equalsIgnoreCase(f)))
+          .map(f -> _)
+      }.toMap
+    }
+
     /** Cheap magic-byte pre-screen so non-image payloads never pay for an
       * ImageIO probe.
       */
@@ -165,24 +188,26 @@ object Multimodal {
       // image must fall back to the stub, not kill the task (found by
       // the seeded codec fuzz test)
       else try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) None
-          else {
-            val reader = readers.next()
+        // reader from the per-JVM SPI cache — no registry iteration,
+        // no canDecodeInput probes, no global lock (see readerSpis)
+        readerSpis.get(formatOf(payload)) match {
+          case None => None
+          case Some(spi) =>
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
             try {
-              reader.setInput(iis)
-              // header-only: getWidth/getHeight read container metadata,
-              // not pixels — the bomb never allocates
-              val hw = reader.getWidth(0)
-              val hh = reader.getHeight(0)
-              if (hw.toLong * hh > MaxPixels || hw <= 0 || hh <= 0) None
-              else Some(reader.read(0))
-            } finally reader.dispose()
-          }
-        } finally if (iis != null) iis.close()
+              val reader = spi.createReaderInstance()
+              try {
+                reader.setInput(iis)
+                // header-only: getWidth/getHeight read container
+                // metadata, not pixels — the bomb never allocates
+                val hw = reader.getWidth(0)
+                val hh = reader.getHeight(0)
+                if (hw.toLong * hh > MaxPixels || hw <= 0 || hh <= 0) None
+                else Some(reader.read(0))
+              } finally reader.dispose()
+            } finally iis.close()
+        }
       } catch { case _: Exception => None }
 
     /** 64-bit difference hash (dHash — the standard perceptual
@@ -306,27 +331,70 @@ object Multimodal {
       * for non-WAV payloads and unsupported encodings. An empty stripe
       * reads 0.0 (the decode path's historical convention).
       */
+    /** The RIFF chunk walk behind [[stripeEnergies]]: (channels, bits,
+      * data offset, data length) of the first `fmt `/`data` chunk pair,
+      * accepting exactly the payloads the old `javax.sound` path
+      * accepted — WAVE_FORMAT_PCM (tag 1), 8-bit (unsigned, the WAV
+      * on-disk convention) or 16-bit (signed little-endian); every
+      * other tag (IEEE float, a/u-law, EXTENSIBLE) and any malformed
+      * walk returns None, the same stub fallback as before.
+      *
+      * Why not `AudioSystem.getAudioInputStream`: the JDK's audio
+      * service-provider lookup is a synchronized global
+      * (`JDK13Services`), so concurrent decode tasks SERIALIZE on it —
+      * profiled r20 at 32 local cores: the 33-task audio-hash stage
+      * showed run=70.9 s vs cpu=3.1 s (96% of task time blocked on the
+      * registry lock). Any multi-core executor decoding audio at 100 TB
+      * pays the same wall; a direct parse of the 44-byte header format
+      * this codec supports removes the global entirely (guide §1.2
+      * per-task work).
+      */
+    private def riffPcm(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      def u16(o: Int) = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+      def u32(o: Int): Long =
+        (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+          ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+      var off = 12 // past RIFF....WAVE
+      var fmt: Option[(Int, Int)] = None // (channels, bits)
+      while (off + 8 <= p.length) {
+        val id = new String(p, off, 4, "ISO-8859-1")
+        val len = u32(off + 4)
+        val body = off + 8
+        if (len < 0 || body + math.min(len, Int.MaxValue.toLong) < body)
+          return None
+        if (id == "fmt ") {
+          if (len < 16 || body + 16 > p.length) return None
+          val tag = u16(body)
+          val channels = u16(body + 2)
+          val bits = u16(body + 14)
+          if (tag != 1) return None // non-PCM: the old encodingOk gate
+          fmt = Some((channels, bits))
+        } else if (id == "data") {
+          // a truncated payload yields the bytes that exist, exactly
+          // like the old stream's readAllBytes
+          val avail = math.max(0L, (p.length - body).toLong)
+          val dataLen = math.min(len, avail).toInt
+          return fmt.collect {
+            case (ch, bits) if bits == 8 || bits == 16 =>
+              (ch, bits, body, dataLen)
+          }
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        off = body + len.toInt + (len.toInt & 1)
+      }
+      None
+    }
+
     private def stripeEnergies(payload: Array[Byte], dim: Int)
         : Option[(Array[Double], Int, Int)] =
       if (!looksLikeWav(payload)) None
       else try {
-        import javax.sound.sampled.{AudioFormat, AudioSystem}
-        val in = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try {
-          val fmt = in.getFormat
-          val bits = fmt.getSampleSizeInBits
-          val enc = fmt.getEncoding
-          val unsigned8 =
-            bits == 8 && enc == AudioFormat.Encoding.PCM_UNSIGNED
-          val encodingOk =
-            (bits == 16 && enc == AudioFormat.Encoding.PCM_SIGNED) ||
-              (bits == 8 && (unsigned8 ||
-                enc == AudioFormat.Encoding.PCM_SIGNED))
-          if (!encodingOk) None
-          else {
-            val bytes = in.readAllBytes()
-            val channels = fmt.getChannels
+        riffPcm(payload) match {
+          case None => None
+          case Some((channels, bits, dataOff, dataLen)) =>
+            val unsigned8 = bits == 8 // WAV 8-bit PCM is unsigned on disk
+            val bytes = java.util.Arrays.copyOfRange(
+              payload, dataOff, dataOff + dataLen)
             val bytesPerSample = bits / 8
             val nSamples = bytes.length / bytesPerSample
             val frames = if (channels == 0) 0 else nSamples / channels
@@ -359,8 +427,7 @@ object Multimodal {
               if (counts(s) == 0) 0.0
               else math.sqrt(sumSq(s) / counts(s)))
             Some((rms, frames, channels))
-          }
-        } finally in.close()
+        }
       } catch { case _: Exception => None }
 
     /** 64-bit ROBUST AUDIO HASH — Haitsma & Kalker's sign-of-energy-
@@ -868,6 +935,39 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** PNG encode through a writer SPI resolved ONCE per JVM —
+    * `ImageIO.write(img, "png", out)` re-derives the writer (and the
+    * output-stream SPI) through the IIORegistry PER CALL, the same
+    * synchronized global the decode side stopped paying (see
+    * [[ImageCodec.readerSpis]]); the fixture synthesizers call this
+    * once per asset on every executor core. Byte-identical output:
+    * `ImageIO.write` delegates to exactly this writer/param shape.
+    */
+  private lazy val pngWriterSpi
+      : Option[javax.imageio.spi.ImageWriterSpi] = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(
+        classOf[javax.imageio.spi.ImageWriterSpi], true).asScala
+      .find(_.getFormatNames.exists(_.equalsIgnoreCase("png")))
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    pngWriterSpi match {
+      case Some(spi) =>
+        val w = spi.createWriterInstance()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try {
+          w.setOutput(ios)
+          w.write(null, new javax.imageio.IIOImage(img, null, null), null)
+        } finally { w.dispose(); ios.close() }
+      case None => // registry without a PNG writer: the pre-cache path
+        javax.imageio.ImageIO.write(img, "png", bos): Unit
+    }
+    bos.toByteArray
+  }
+
   /** Deterministic tiny PNG payload from an id — a payload synthesizer
     * for tests and harness runs, so driver-visible queries exercise the
     * REAL image codec without shipping binary fixtures. The pixel
@@ -887,9 +987,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(img)
   }
 
   /** Partition-batched decode: binary payloads → typed decoded rows.
@@ -1132,9 +1230,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(img)
   }
 
   /** "Resize": recompute features at a coarser grid — expressed on the
