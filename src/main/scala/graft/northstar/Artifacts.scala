@@ -129,7 +129,13 @@ object Artifacts {
     */
   private def readSplits(spark: SparkSession, dir: java.io.File)
       : Map[Int, Int] =
-    spark.read.parquet(new java.io.File(dir, "splits").toString)
+    // explicit schema on every KB-sized sidecar read (optimization
+    // r20): schema inference runs a footer-reading Spark job per read,
+    // and the artifact lifecycle paths re-read these sidecars on every
+    // evaluation — on object stores each inference job is a full
+    // round-trip before the real read even starts
+    spark.read.schema("cell INT, bits INT")
+      .parquet(new java.io.File(dir, "splits").toString)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
 
   /** Remove stale retrain scratch SIBLINGS (`<name>.tmp-*` next to the
@@ -499,7 +505,10 @@ object Artifacts {
     */
   def loadIvfCentroids(spark: SparkSession, path: String,
                        nCells: Int, seed: Long): Array[Array[Float]] = {
-    val rows = spark.read.parquet(path).collect()
+    // explicit schema: no inference job per load (the readSplits note)
+    val rows = spark.read
+      .schema("cell INT, vec ARRAY<FLOAT>, __n_cells INT, __seed BIGINT")
+      .parquet(path).collect()
     require(rows.nonEmpty, s"empty IVF centroid artifact at $path")
     rows.foreach { r =>
       val (sc, ss) = (r.getAs[Int]("__n_cells"), r.getAs[Long]("__seed"))
@@ -583,7 +592,11 @@ object Artifacts {
   def loadPqCodebooks(spark: SparkSession, path: String,
                       m: Int, ksub: Int,
                       seed: Long): Array[Array[Array[Float]]] = {
-    val rows = spark.read.parquet(path).collect()
+    // explicit schema: no inference job per load (the readSplits note)
+    val rows = spark.read
+      .schema("sub INT, code INT, vec ARRAY<FLOAT>, " +
+        "__m INT, __ksub INT, __seed BIGINT")
+      .parquet(path).collect()
     require(rows.nonEmpty, s"empty PQ codebook artifact at $path")
     rows.foreach { r =>
       val (sm, sk, ss) = (r.getAs[Int]("__m"), r.getAs[Int]("__ksub"),
@@ -704,15 +717,6 @@ object Artifacts {
     // the from-scratch rebuild is the documented recovery for a retrain
     // that crashed mid-build — clean its stranded sibling scratch too
     sweepSiblingTmp(new java.io.File(path))
-    // split policy from the assigned frame via the bounded-action form
-    // (r18, VERDICT r17 task 4): the null-cell refusal collects ≤1 row
-    // and the oversized filter ≤#oversized rows — no save path
-    // materializes a cell-proportional census on the driver anymore
-    // (the stored family's occupied-cell count made the old collect a
-    // ~200 MB transient at its 16.8M-cell saturation point); the
-    // refusal also splits the null-embedding vs empty-probed-supercell
-    // blame (ADVICE r17)
-    val splits = Ivf.splitBitsFromAssigned(assigned, "cv", maxCell)
     // the BUILD census persists as the drift baseline: every append's
     // censusDrift compares against the distribution the quantizers were
     // trained alongside. Comparing against the LIVE stored census would
@@ -727,6 +731,27 @@ object Artifacts {
     assigned.groupBy("cell").count()
       .write.mode("overwrite")
       .parquet(new java.io.File(path, "drift_base").toString)
+    // split policy + null-cell refusal from the census relation JUST
+    // written (optimization r20, guide §1.2 — fewer full passes): the
+    // old splitBitsFromAssigned call re-aggregated the full assigned
+    // frame for a census the drift_base write had already computed, so
+    // every save paid the corpus-wide aggregation twice. The policy
+    // inputs now come from two bounded actions over the cells-sized
+    // parquet relation (≤1-row null probe, ≤#oversized collect — the
+    // r18 bounded-action discipline holds); the precise nulls-vs-
+    // orphaned blame aggregation (ADVICE r17) runs ONLY on the failure
+    // path, where its cost bills a refused build, never a healthy one.
+    // A refusal below leaves the marker-less wreck the protocol already
+    // produced when splitBitsFromAssigned threw here (recovery:
+    // ensureTrained rebuild), with drift_base additionally written —
+    // same wreck class, never served (marker stays down).
+    val baseCensus = spark.read.schema("cell INT, count BIGINT").parquet(
+      new java.io.File(path, "drift_base").toString)
+    if (!baseCensus.filter(col("cell").isNull).isEmpty)
+      Ivf.refuseNullCells(assigned, "cv")
+    val splits = Ivf.splitBitsFromCounts(
+      baseCensus.filter(col("count") > maxCell)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
     clusterByCell(project(assigned, splits))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new java.io.File(path, "index").toString)
@@ -1304,24 +1329,34 @@ object Artifacts {
         sum(when(col("cv").isNull, 1L).otherwise(0L)).as("null_emb"))
       // named refusal with the blame split (ADVICE r17): a NULL cell is
       // a null embedding OR a valid row whose probed supercells own no
-      // centroids — the two need different repairs
-      incomingCensus.filter(col("cell").isNull).limit(1).collect()
-        .foreach { r =>
-          val total = r.getLong(1)
-          val nulls = r.getLong(2)
-          val orphaned = total - nulls
-          val causes = Seq(
-            if (nulls > 0) Some(s"$nulls rows with null embeddings — " +
-              "drop or repair those rows") else None,
-            if (orphaned > 0) Some(s"$orphaned rows with VALID " +
-              "embeddings whose probed supercells own zero cell " +
-              "centroids — refit the quantizer or raise superProbe")
-            else None).flatten
-          throw new IllegalArgumentException(
-            s"$what at $path: incoming batch contains $total rows " +
-              "with a NULL cell assignment — they cannot be indexed; " +
-              causes.mkString("; "))
-        }
+      // centroids — the two need different repairs. ONE scalar
+      // aggregate carries the refusal probe AND the drift statistic's
+      // batch total (optimization r20: these were two separate actions
+      // over the same census — a limit(1) null probe plus a sum — and
+      // every append paid both; the merged agg is still O(1) driver
+      // rows at any cell count)
+      val inStats = incomingCensus.agg(
+        coalesce(sum("count"), lit(0L)).as("total"),
+        coalesce(sum(when(col("cell").isNull, col("count"))), lit(0L))
+          .as("null_cell_rows"),
+        coalesce(sum(when(col("cell").isNull, col("null_emb"))), lit(0L))
+          .as("null_emb")).collect()(0)
+      if (inStats.getLong(1) > 0) {
+        val total = inStats.getLong(1)
+        val nulls = inStats.getLong(2)
+        val orphaned = total - nulls
+        val causes = Seq(
+          if (nulls > 0) Some(s"$nulls rows with null embeddings — " +
+            "drop or repair those rows") else None,
+          if (orphaned > 0) Some(s"$orphaned rows with VALID " +
+            "embeddings whose probed supercells own zero cell " +
+            "centroids — refit the quantizer or raise superProbe")
+          else None).flatten
+        throw new IllegalArgumentException(
+          s"$what at $path: incoming batch contains $total rows " +
+            "with a NULL cell assignment — they cannot be indexed; " +
+            causes.mkString("; "))
+      }
       val merged = storedCensus.select("cell", "count")
         .unionByName(incomingCensus.select("cell", "count"))
         .groupBy("cell").agg(sum("count").as("count"))
@@ -1347,7 +1382,8 @@ object Artifacts {
       val scalarCount = (df: DataFrame) => df
         .agg(coalesce(sum("count"), lit(0L)).as("n"))
         .collect()(0).getLong(0)
-      val incomingTotal = scalarCount(incomingCensus)
+      // from the merged refusal/total agg above — no second action
+      val incomingTotal = inStats.getLong(0)
       // base total only when the batch is non-empty (code-review r18):
       // for a legacy artifact the baseline fallback is a full index
       // scan, which a zero-row append must not pay inside the mutex
@@ -1480,7 +1516,8 @@ object Artifacts {
   private def driftBaseFrame(spark: SparkSession,
                              path: String): Option[DataFrame] = {
     val f = new java.io.File(path, "drift_base")
-    if (f.isDirectory) Some(spark.read.parquet(f.toString))
+    if (f.isDirectory) Some(spark.read.schema("cell INT, count BIGINT")
+      .parquet(f.toString))
     else if (f.isFile)
       // RETIRED (VERDICT r19 task 4; deprecation-WARNed since r19):
       // the pre-r18 TEXT sidecar is no longer served — the driver-side
@@ -2693,24 +2730,31 @@ object Artifacts {
     val (oldSplits, index, newSplits, plain, rebit) = try {
       val oldSplits = readSplits(spark, dst)
       val index = spark.read.parquet(indexDir)
-      // removal census: which cells lose how many rows — collected,
-      // but bounded by the TAKEDOWN's touched cells (the per-cell
-      // rename loop below is per-touched-cell driver work anyway),
-      // never by the index's cell count
-      val removedCensus = Dedup.trackedPersist(
-        index.join(rm, Seq("neighbor_id")).groupBy("cell").count())
-      val removedCounts = removedCensus
+      // ONE census pass over the index (optimization r20, guide §1.2):
+      // the removal census (which cells lose how many rows) and the
+      // post-removal oversized set used to be TWO full index
+      // aggregations — a semi-join census plus a groupBy re-joined
+      // against it; a left join against the broadcast takedown list
+      // computes both statistics in a single scan. Both collects stay
+      // bounded: removed>0 by the takedown's touched cells (the
+      // per-cell rename loop below is per-touched-cell driver work
+      // anyway), the oversized filter by #oversized — never by the
+      // index's cell count (the r18 bounded-action discipline).
+      val census = Dedup.trackedPersist(
+        index.join(broadcast(rm.withColumn("__r", lit(1L))),
+            Seq("neighbor_id"), "left")
+          .groupBy("cell").agg(
+            count(lit(1)).as("total"),
+            coalesce(sum(col("__r")), lit(0L)).as("removed")))
+      val removedCounts = census.filter(col("removed") > 0)
+        .select("cell", "removed")
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       // post-removal split policy from the OVERSIZED cells only (r18,
-      // VERDICT r17 task 4 — the stored census used to collect one row
-      // per occupied cell here too): stored minus removed, filtered
-      // in-plan; splitBitsFromCounts only ever reads > maxCell counts,
-      // so the pre-filtered map yields identical bits
-      val newOversized = index.groupBy("cell").count()
-        .join(removedCensus.select(col("cell"), col("count").as("__rm")),
-          Seq("cell"), "left")
-        .select(col("cell"),
-          (col("count") - coalesce(col("__rm"), lit(0L))).as("count"))
+      // VERDICT r17 task 4): stored minus removed, filtered in-plan;
+      // splitBitsFromCounts only ever reads > maxCell counts, so the
+      // pre-filtered map yields identical bits
+      val newOversized = census
+        .select(col("cell"), (col("total") - col("removed")).as("count"))
         .filter(col("count") > maxCell)
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val newSplits = Ivf.splitBitsFromCounts(newOversized, maxCell)
@@ -3154,18 +3198,31 @@ object Artifacts {
     // marker over half-new data
     new java.io.File(dst, "_SUCCESS").delete(): Unit
     sweepTmp(dst)
-    rows.write.mode("overwrite")
+    // persist the sketch ONCE (optimization r20, guide §1.2): the save
+    // used to write rows/ and then re-READ the written parquet for the
+    // dropped/ aggregate — a second full pass over data the writer just
+    // had in hand. The persisted frame feeds both; recompute-safe (its
+    // lineage is the caller's sketch over the CORPUS, never the
+    // artifact being mutated). Append/remove keep the read-back form:
+    // their dropped/ must see rows the frame does not carry.
+    val r = Dedup.trackedPersist(rows)
+    r.write.mode("overwrite")
       .parquet(new java.io.File(dst, "rows").toString)
-    refreshDropped(rows.sparkSession, path, bucketCol, maxBucket)
+    refreshDroppedFrom(r, path, bucketCol, maxBucket)
     writeParams(path, params)
     java.nio.file.Files.write(
       new java.io.File(dst, "_SUCCESS").toPath, Array.empty[Byte]): Unit
   }
 
   private def refreshDropped(spark: SparkSession, path: String,
-                             bucketCol: String, maxBucket: Int): Unit = {
-    val agg = spark.read
-      .parquet(new java.io.File(path, "rows").toString)
+                             bucketCol: String, maxBucket: Int): Unit =
+    refreshDroppedFrom(
+      spark.read.parquet(new java.io.File(path, "rows").toString),
+      path, bucketCol, maxBucket)
+
+  private def refreshDroppedFrom(rows: DataFrame, path: String,
+                                 bucketCol: String, maxBucket: Int): Unit = {
+    val agg = rows
       .groupBy(bucketCol).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
     // the UNCAPPED families (the r20 fingerprint stores pin maxBucket

@@ -1692,27 +1692,40 @@ object Ivf {
     // two tiny jobs over the (persisted) assigned frame's census: the
     // null check must not ride the oversized filter, or Catalyst could
     // prune the refusal for under-sized null cells
-    census.filter(col("cell").isNull).limit(1).collect().foreach { r =>
-      val total = r.getLong(1)
-      val nulls = r.getLong(2)
-      val orphaned = total - nulls
-      val causes = Seq(
-        if (nulls > 0) Some(s"$nulls rows with null embeddings (the " +
-          "kernel's null gate assigns them a NULL cell) — drop or " +
-          "repair those rows") else None,
-        if (orphaned > 0) Some(s"$orphaned rows with VALID embeddings " +
-          "whose probed supercells all own zero cell centroids (the " +
-          "distributed init can leave supercells empty) — refit the " +
-          "quantizer or raise superProbe") else None).flatten
-      throw new IllegalArgumentException(
-        s"corpus contains $total rows with a NULL cell assignment — " +
-          "they cannot be indexed and would silently vanish from ANN " +
-          "results: " + causes.mkString("; "))
-    }
+    if (!census.filter(col("cell").isNull).isEmpty)
+      refuseNullCells(assigned, vecCol)
     splitBitsFromCounts(
       census.filter(col("count") > maxCell).select("cell", "count")
         .collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap, maxCell)
+  }
+
+  /** The ADVICE-r17 null-cell refusal, callable from any path that
+    * DETECTED a null cell cheaply (a census relation probe) and now
+    * needs the nulls-vs-orphaned blame split: one aggregation over the
+    * assigned frame, paid only on the failure path. Always throws.
+    */
+  private[northstar] def refuseNullCells(assigned: DataFrame,
+                                         vecCol: String): Nothing = {
+    val r = assigned.filter(col("cell").isNull).agg(
+      count(lit(1)).as("count"),
+      sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("null_emb"))
+      .collect()(0)
+    val total = r.getLong(0)
+    val nulls = r.getLong(1)
+    val orphaned = total - nulls
+    val causes = Seq(
+      if (nulls > 0) Some(s"$nulls rows with null embeddings (the " +
+        "kernel's null gate assigns them a NULL cell) — drop or " +
+        "repair those rows") else None,
+      if (orphaned > 0) Some(s"$orphaned rows with VALID embeddings " +
+        "whose probed supercells all own zero cell centroids (the " +
+        "distributed init can leave supercells empty) — refit the " +
+        "quantizer or raise superProbe") else None).flatten
+    throw new IllegalArgumentException(
+      s"corpus contains $total rows with a NULL cell assignment — " +
+        "they cannot be indexed and would silently vanish from ANN " +
+        "results: " + causes.mkString("; "))
   }
 
   /** The centroids of the SPLIT cells only — the stored family's
