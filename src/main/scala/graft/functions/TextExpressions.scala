@@ -164,6 +164,113 @@ object TextOps {
     sig
   }
 
+  private val HexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Unsigned byte-wise compare of two equal-length digests — the
+    * ordering lowercase-hex strings of the digests sort in, so the
+    * windowed min below selects exactly the fingerprint `array_min`
+    * over `md5(...)` hex strings selected.
+    */
+  @inline private def digestLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    false
+  }
+
+  /** Fused winnowing sketch over a token array: the selected-fingerprint
+    * set of [[graft.northstar.Dedup.winnowSketch]] in ONE JVM loop per
+    * row. Semantics are EXACTLY the former higher-order-expression
+    * formulation (the DuckDB oracles replay it, so it cannot drift):
+    *   - gram fingerprints fps(t) = md5(utf8(space-join(t[i..i+k-1])))
+    *     as lowercase hex, i = 1..max(1, len-k+1) (a slice shorter than
+    *     k at the tail — or an empty chunk — joins what it has; the
+    *     single gram of a short chunk is the whole chunk);
+    *   - selections = array_min over each window-length slice of fps,
+    *     j = 1..len(fps) (window clipped at the tail);
+    *   - docs longer than chunkTokens sketch per chunk (starts
+    *     1, 1+stride, .. <= max(1, len-(window+k-2)) with
+    *     stride = chunkTokens-(window+k-2), chunks clipped at the end)
+    *     and the per-chunk selections are concatenated;
+    *   - the result is distinct in first-occurrence order
+    *     (array_distinct semantics).
+    * Why a kernel (optimization r20, guide "per-task work"): the
+    * expression form allocated a string + byte array + digest per gram
+    * through transform/slice/array_join/md5 — measured 0.85 s of pure
+    * CPU for one 5k-doc batch — and its generated method was the
+    * suite's largest codegen unit. The fused loop reuses one
+    * MessageDigest and one joined-gram buffer, hashes token bytes
+    * directly, and compares raw digests instead of hex strings;
+    * only the SELECTED fingerprints pay the hex encode.
+    */
+  def winnowSketch(w: ArrayData, k: Int, window: Int,
+                   chunkTokens: Int): ArrayData = {
+    require(k >= 1 && window >= 1, s"need positive k/window, got $k/$window")
+    require(chunkTokens >= window + k - 1,
+      s"chunkTokens=$chunkTokens must cover one full window+gram span " +
+        s"(>= ${window + k - 1})")
+    val n = w.numElements()
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = w.getUTF8String(i).getBytes; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    def hexOf(d: Array[Byte]): UTF8String = {
+      val h = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        h(2 * j) = HexDigits((d(j) >> 4) & 0xF)
+        h(2 * j + 1) = HexDigits(d(j) & 0xF)
+        j += 1
+      }
+      UTF8String.fromBytes(h)
+    }
+    // one chunk: grams from `start` (0-based) over `len` tokens
+    def sketchChunk(start: Int, len: Int): Unit = {
+      val g = math.max(1, len - (k - 1))
+      val digs = new Array[Array[Byte]](g)
+      var gi = 0
+      while (gi < g) {
+        md.reset()
+        val lim = math.min(k, len - gi)
+        var j = 0
+        while (j < lim) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(toks(start + gi + j))
+          j += 1
+        }
+        digs(gi) = md.digest()
+        gi += 1
+      }
+      var s = 0
+      while (s < g) {
+        var best = digs(s)
+        val end = math.min(s + window, g)
+        var t = s + 1
+        while (t < end) {
+          if (digestLt(digs(t), best)) best = digs(t)
+          t += 1
+        }
+        out.add(hexOf(best)): Unit
+        s += 1
+      }
+    }
+    if (n <= chunkTokens) sketchChunk(0, n)
+    else {
+      val stride = chunkTokens - (window + k - 2)
+      val upper = math.max(1, n - (window + k - 2)) // 1-based chunk starts
+      var s1 = 1
+      while (s1 <= upper) {
+        sketchChunk(s1 - 1, math.min(chunkTokens, n - (s1 - 1)))
+        s1 += stride
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Distinct word n-gram shingles of the normalized text. */
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val words = normTokens(s)
@@ -312,6 +419,30 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
 }
 
 /** shingles(text) → array<string> of distinct word n-gram shingles. */
+/** winnow_sketch(array<string>, k, window, chunkTokens) →
+  * array<string>: the fused winnowing-sketch kernel
+  * ([[TextOps.winnowSketch]]) behind
+  * [[graft.northstar.Dedup.winnowSketch]].
+  */
+case class WinnowSketchExpr(child: Expression, k: Int, window: Int,
+                            chunkTokens: Int)
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
+  require(k >= 1 && window >= 1, s"need positive k/window, got $k/$window")
+  require(chunkTokens >= window + k - 1,
+    s"chunkTokens=$chunkTokens must cover one full window+gram span " +
+      s"(>= ${window + k - 1})")
+  override def kernelInputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.winnowSketch(v.asInstanceOf[ArrayData], k, window, chunkTokens)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.TextOps.winnowSketch($v, $k, $window, $chunkTokens)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowSketchExpr =
+    copy(child = newChild)
+}
+
 case class ShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression with org.apache.spark.sql.graftbridge.KernelInputTypes {
   // n=0 yielded the single empty shingle for every document — every
@@ -512,6 +643,10 @@ object texthash {
     Bridge.column(MinHashEst(Bridge.expression(a), Bridge.expression(b)))
   def shingles(text: Column, n: Int = 3): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(text), n))
+  def winnow_sketch(tokens: Column, k: Int, window: Int,
+                    chunkTokens: Int): Column =
+    Bridge.column(WinnowSketchExpr(Bridge.expression(tokens), k, window,
+      chunkTokens))
   def profile_hits(text: Column, profiles: Seq[Seq[String]]): Column =
     Bridge.column(ProfileHits(Bridge.expression(text), profiles))
   def text_stats(text: Column, stopwords: Seq[String]): Column =

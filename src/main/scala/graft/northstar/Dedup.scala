@@ -476,33 +476,22 @@ object Dedup {
     require(chunkTokens >= window + k - 1,
       s"chunkTokens=$chunkTokens must cover one full window+gram span " +
         s"(>= ${window + k - 1})")
-    // gram fingerprints then windowed-min selections of one token slice
-    def fpsOf(toks: Column): Column =
-      transform(
-        sequence(lit(1), greatest(lit(1), size(toks) - lit(k - 1))),
-        i => md5(array_join(slice(toks, i, lit(k)), " ").cast("binary")))
-    def selsOf(fps: Column): Column =
-      transform(sequence(lit(1), size(fps)),
-        j => array_min(slice(fps, j, lit(window))))
-    // bind-once: selsOf references its fps argument twice (sequence
-    // bound + the sliced windows), so inlining fpsOf there would run
-    // the md5 gram pass twice per row — a transform over the singleton
-    // array binds it to a lambda variable, evaluated once
-    def sketchOf(toks: Column): Column =
-      element_at(transform(array(fpsOf(toks)), fps => selsOf(fps)), 1)
-    val stride = chunkTokens - (window + k - 2)
-    val w = col("w")
-    // chunk starts: arithmetic progression bounded so every chunk spans
-    // at least one full window (the last chunk runs to the doc end)
-    val chunked = flatten(transform(
-      sequence(lit(1),
-        greatest(lit(1), size(w) - lit(window + k - 2)), lit(stride)),
-      s => sketchOf(slice(w, s, lit(chunkTokens)))))
+    // ONE fused kernel per row (optimization r20, guide "per-task
+    // work"): the former higher-order formulation — transform(sequence)
+    // grams → md5(array_join(slice)) → transform(array_min(slice))
+    // windows, chunked for long docs — allocated a string, a byte
+    // array, and a digest per GRAM and compiled into the suite's
+    // largest codegen method (the r12 JIT-variance root cause).
+    // [[graft.functions.TextOps.winnowSketch]] computes the identical
+    // selected-fingerprint set (same gram joins, same md5 hex values,
+    // same windowed-min/chunking/distinct semantics — DedupSpec pins
+    // kernel-vs-expression equality, and the DuckDB winnow oracles
+    // replay the construction) in one JVM loop with a reused digest
+    // and gram buffer. Output rows and values are unchanged.
     val base = tokenized(docs, idCol, textCol)
-    base.filter(size(w) > 0)
-      .select(col("doc"), explode(array_distinct(
-        when(size(w) <= chunkTokens, sketchOf(w))
-          .otherwise(chunked))).as("fp"))
+    base.filter(size(col("w")) > 0)
+      .select(col("doc"), explode(graft.functions.texthash
+        .winnow_sketch(col("w"), k, window, chunkTokens)).as("fp"))
   }
 
   /** Overlap pairs from winnowing sketches: documents sharing at least

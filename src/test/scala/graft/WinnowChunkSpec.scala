@@ -70,6 +70,60 @@ class WinnowChunkSpec extends SparkSpecBase {
     assert(skA.select("fp").join(skC.select("fp"), Seq("fp")).count() == 0)
   }
 
+  test("fused sketch kernel equals the legacy higher-order-expression formulation") {
+    // the r20 optimization swapped winnowSketch's construction from the
+    // transform/slice/md5 expression chain onto the fused
+    // TextOps.winnowSketch kernel; this pins value-identity against the
+    // legacy formulation (spelled verbatim below) across the edge
+    // domain: blank/1/k-1/k/k+window token docs, repeated tokens
+    // (duplicate grams), multibyte tokens, and chunk-boundary lengths
+    // (chunk-1 / chunk / chunk+1 / several strides)
+    def legacy(docs: org.apache.spark.sql.DataFrame, k: Int, window: Int,
+               chunkTokens: Int) = {
+      def fpsOf(toks: org.apache.spark.sql.Column) =
+        transform(
+          sequence(lit(1), greatest(lit(1), size(toks) - lit(k - 1))),
+          i => md5(array_join(slice(toks, i, lit(k)), " ").cast("binary")))
+      def selsOf(fps: org.apache.spark.sql.Column) =
+        transform(sequence(lit(1), size(fps)),
+          j => array_min(slice(fps, j, lit(window))))
+      def sketchOf(toks: org.apache.spark.sql.Column) =
+        element_at(transform(array(fpsOf(toks)), fps => selsOf(fps)), 1)
+      val stride = chunkTokens - (window + k - 2)
+      val w = col("w")
+      val chunked = flatten(transform(
+        sequence(lit(1),
+          greatest(lit(1), size(w) - lit(window + k - 2)), lit(stride)),
+        s => sketchOf(slice(w, s, lit(chunkTokens)))))
+      docs.select(col("doc_id").as("doc"),
+          when(col("text").isNull || length(trim(col("text"))) === 0,
+            array().cast("array<string>"))
+            .otherwise(split(Dedup.normText(col("text")), " ")).as("w"))
+        .filter(size(w) > 0)
+        .select(col("doc"), explode(array_distinct(
+          when(size(w) <= chunkTokens, sketchOf(w))
+            .otherwise(chunked))).as("fp"))
+    }
+    val wordsOf = (n: Int, tag: String) =>
+      (1 to n).map(i => s"${tag}_${i % 7}").mkString(" ")
+    val docs = Seq(
+      1L -> "", 2L -> "one", 3L -> "two words", 4L -> wordsOf(2, "x"),
+      5L -> wordsOf(3, "y"), 6L -> wordsOf(6, "z"), 7L -> wordsOf(11, "r"),
+      8L -> wordsOf(12, "s"), 9L -> wordsOf(13, "t"), 10L -> wordsOf(29, "u"),
+      11L -> "héllo wörld ünï códe rêpeat héllo wörld ünï códe rêpeat",
+      12L -> ("  Mixed   CASE\t and \n runs  " * 6)).toDF("doc_id", "text")
+    for ((k, window, chunk) <- Seq((3, 2, 12), (5, 4, 12), (2, 5, 6))) {
+      val kernel = skRows(Dedup.winnowSketch(docs, k, window,
+        chunkTokens = chunk))
+      val legacyRows = legacy(docs, k, window, chunk).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kernel == legacyRows,
+        s"k=$k window=$window chunk=$chunk: kernel " +
+          s"${(kernel -- legacyRows).take(3)} vs legacy " +
+          s"${(legacyRows -- kernel).take(3)}")
+    }
+  }
+
   test("chunkTokens below one window+gram span is rejected") {
     intercept[IllegalArgumentException] {
       Dedup.winnowSketch(corpus, k = 5, window = 4, chunkTokens = 7).count()
